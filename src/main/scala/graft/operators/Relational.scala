@@ -1,0 +1,573 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDef._
+
+/** Tier B relational operator library (SURVEY.md §2 B1–B28).
+  *
+  * Each entry is a Spark-first DataFrame program — scans stay prunable,
+  * filters push down to parquet, small dimension tables are broadcast —
+  * paired with a DuckDB oracle in the engine's determinism discipline.
+  */
+object Relational {
+
+  // -- B1: parquet scan ------------------------------------------------------
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), dec4(col("l_quantity")).as("quantity"),
+        dec4(col("l_extendedprice")).as("extendedprice"),
+        dec4(col("l_discount")).as("discount"), dec4(col("l_tax")).as("tax"),
+        col("l_returnflag"), col("l_linestatus"),
+        tsDay(col("l_shipdate")).as("shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      |  CAST(CAST(l_quantity AS DECIMAL(38,4)) AS VARCHAR) AS quantity,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(38,4)) AS VARCHAR) AS extendedprice,
+      |  CAST(CAST(l_discount AS DECIMAL(38,4)) AS VARCHAR) AS discount,
+      |  CAST(CAST(l_tax AS DECIMAL(38,4)) AS VARCHAR) AS tax,
+      |  l_returnflag, l_linestatus,
+      |  strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+
+  // -- B3: projection / arithmetic ------------------------------------------
+  // Doubles differ by 1 ulp across engines on 3-factor products (FMA), and
+  // Spark (HALF_UP) vs DuckDB (truncate) disagree on decimal re-scaling — so
+  // the money arithmetic is done in EXACT decimal: inputs are 2-dp values,
+  // every intermediate scale is wide enough that no rounding ever happens.
+  private def q02(s: SparkSession, dir: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(15,4)")
+    val disc = col("l_discount").cast("decimal(15,4)")
+    val tax = col("l_tax").cast("decimal(15,4)")
+    val net = (price * (lit(1) - disc)).cast("decimal(18,6)") // exact: <=4 dp
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        net.cast("string").as("net_price"),
+        (net * (lit(1) + tax)).cast("decimal(38,6)").cast("string").as("charge"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, CAST(net AS VARCHAR) AS net_price,
+      |  CAST(CAST(net * (1 + CAST(l_tax AS DECIMAL(15,4))) AS DECIMAL(38,6)) AS VARCHAR) AS charge
+      |FROM (SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(15,4))
+      |    * (1 - CAST(l_discount AS DECIMAL(15,4))) AS DECIMAL(18,6)) AS net
+      |  FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- B4: multi-predicate filter (pushed to the parquet scan) ---------------
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 30 &&
+        col("l_returnflag").isin("R", "A") &&
+        col("l_linestatus") =!= "X" &&
+        col("l_partkey").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec4(col("l_quantity")).as("quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q03Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_quantity AS DECIMAL(38,4)) AS VARCHAR) AS quantity, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 30
+      |  AND l_returnflag IN ('R','A') AND l_linestatus <> 'X' AND l_partkey IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- B5: inner equi-join, broadcast dims -----------------------------------
+  // customer and nation are orders-of-magnitude smaller than orders: broadcast
+  // both so the join is shuffle-free at any scale where dims fit in memory.
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .select(o("o_orderkey"), c("c_name"), n("n_name"),
+        dec4(o("o_totalprice")).as("totalprice"))
+      .orderBy(col("o_orderkey"))
+      .limit(500)
+  }
+
+  private val q04Sql =
+    """SELECT o_orderkey, c_name, n_name,
+      |  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS totalprice
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |ORDER BY o_orderkey LIMIT 500""".stripMargin
+
+  // -- B6: left outer join + aggregation over the null side ------------------
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(c("c_custkey"))
+      .agg(count(o("o_orderkey")).as("order_cnt"),
+        dec4(coalesce(sum(o("o_totalprice")), lit(0))).as("total_spent"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q05Sql =
+    """SELECT c_custkey, count(o_orderkey) AS order_cnt,
+      |  CAST(CAST(coalesce(sum(o_totalprice), 0) AS DECIMAL(38,4)) AS VARCHAR) AS total_spent
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  // -- B7: semi join ---------------------------------------------------------
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- B7: anti join ---------------------------------------------------------
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).select(col("o_custkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q07Sql =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // -- B8: theta / band join (equi on size + range on price) -----------------
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val p1 = Tables.part(s, dir).select(col("p_size"), col("p_brand").as("brand_a"),
+      col("p_retailprice").as("price_a"))
+    val p2 = Tables.part(s, dir).select(col("p_size").as("size_b"),
+      col("p_brand").as("brand_b"), col("p_retailprice").as("price_b"))
+    p1.join(p2, p1("p_size") === p2("size_b") && p1("price_a") < p2("price_b"))
+      .groupBy(col("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy(col("brand_a"), col("brand_b"))
+  }
+
+  private val q08Sql =
+    """SELECT p1.p_brand AS brand_a, p2.p_brand AS brand_b, count(*) AS pair_cnt
+      |FROM part p1 JOIN part p2
+      |  ON p1.p_size = p2.p_size AND p1.p_retailprice < p2.p_retailprice
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- B9: as-of join — for each click, the latest prior view of that user ---
+  // Composition pattern: range join + row_number dedup. At scale, the range
+  // condition joins on user_id first (equi) so only per-user pairs shuffle.
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    val joined = clicks.join(views,
+      clicks("user_id") === views("v_user") && views("v_ts") < clicks("ts"), "left")
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("v_ts").desc_nulls_last, col("view_id").desc_nulls_last)
+    joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), tsMicro(col("ts")).as("click_ts"),
+        col("view_id"), tsMicro(col("v_ts")).as("view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q09Sql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, view_id,
+      |  strftime(v_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+      |FROM (
+      |  SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_id, v.ts AS v_ts,
+      |    row_number() OVER (PARTITION BY c.event_id
+      |      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |    ON v.user_id = c.user_id AND v.ts < c.ts)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  // -- B10: grouped hash aggregation (TPC-H Q1 shape) ------------------------
+  // Partial (map-side) aggregation is automatic for sum/count/avg; only the
+  // tiny per-group partials shuffle — this is the 100 TB-safe agg shape.
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dec4(sum(col("l_quantity"))).as("sum_qty"),
+        dec4(sum(col("l_extendedprice"))).as("sum_base_price"),
+        dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        dec4(avg(col("l_quantity"))).as("avg_qty"),
+        dec4(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q10Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+      |  CAST(CAST(sum(l_extendedprice) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+      |  CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+      |  CAST(CAST(avg(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS avg_qty,
+      |  CAST(CAST(avg(l_discount) AS DECIMAL(38,4)) AS VARCHAR) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // -- B11: exact distinct / count distinct ----------------------------------
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey"), col("l_partkey")).as("n_supp_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val q11Sql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- B12: rollup + grouping_id ---------------------------------------------
+  // Group keys are coalesced to 'ALL' so null-ordering differences between
+  // engines can't bite; gid disambiguates real nulls from rollup nulls.
+  private def q12(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), dec4(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  private val q12Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  // -- B13: window ranking — top-3 orders per customer -----------------------
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        dec4(col("o_totalprice")).as("totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q13Sql =
+    """SELECT o_custkey, rn, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  // -- B14: window analytic — running revenue + lag/lead ---------------------
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), tsDay(col("o_orderdate")).as("orderdate"),
+        dec4(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("running_total"),
+        dec4(lag(col("o_totalprice"), 1).over(w)).as("prev_price"),
+        dec4(lead(col("o_totalprice"), 1).over(w)).as("next_price"),
+        dec4(first(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .as("first_price"))
+      .orderBy(col("o_custkey"), col("orderdate"), col("o_orderkey"))
+  }
+
+  private val q14Sql =
+    """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      |  CAST(CAST(sum(o_totalprice) OVER w_run AS DECIMAL(38,4)) AS VARCHAR) AS running_total,
+      |  CAST(CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS prev_price,
+      |  CAST(CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS next_price,
+      |  CAST(CAST(first_value(o_totalprice) OVER w_run AS DECIMAL(38,4)) AS VARCHAR) AS first_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w_run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, orderdate, o_orderkey""".stripMargin
+
+  // -- B15: window frames — 3-row moving average over events -----------------
+  private def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        dec4(avg(col("value")).over(w.rowsBetween(-2, 0))).as("moving_avg"),
+        dec4(sum(col("value")).over(w.rowsBetween(-2, 0))).as("moving_sum"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val q15Sql =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(avg(value) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS moving_avg,
+      |  CAST(CAST(sum(value) OVER w AS DECIMAL(38,4)) AS VARCHAR) AS moving_sum
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // -- B16: multi-key sort with explicit null ordering -----------------------
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"),
+        dec4(col("c_acctbal")).as("acctbal"))
+      .orderBy(col("seg").asc_nulls_first, col("acctbal").desc, col("c_custkey"))
+
+  private val q16Sql =
+    """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+      |  CAST(CAST(c_acctbal AS DECIMAL(38,4)) AS VARCHAR) AS acctbal
+      |FROM customer
+      |ORDER BY seg ASC NULLS FIRST, acctbal DESC, c_custkey""".stripMargin
+
+  // -- B17: top-k ------------------------------------------------------------
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), dec4(col("o_totalprice")).as("totalprice"))
+
+  private val q17Sql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(38,4)) AS VARCHAR) AS totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // -- B18: set operations ---------------------------------------------------
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(s, dir).select(col("c_nationkey").as("k")).distinct()
+    val suppNations = Tables.supplier(s, dir).select(col("s_nationkey").as("k")).distinct()
+    val both = custNations.intersect(suppNations).withColumn("tag", lit("both"))
+    val custOnly = custNations.except(suppNations).withColumn("tag", lit("cust_only"))
+    both.unionByName(custOnly)
+      .select(col("tag"), col("k"))
+      .orderBy(col("tag"), col("k"))
+  }
+
+  private val q18Sql =
+    """SELECT 'both' AS tag, k FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer
+      |  INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+      |UNION ALL
+      |SELECT 'cust_only' AS tag, k FROM (
+      |  SELECT DISTINCT c_nationkey AS k FROM customer
+      |  EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+      |ORDER BY tag, k""".stripMargin
+
+  // -- B19: string functions -------------------------------------------------
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 12)).as("up12"),
+        lower(col("p_brand")).as("lo_brand"),
+        length(col("p_name")).as("name_len"),
+        lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
+        trim(col("p_name")).as("trimmed"))
+      .orderBy(col("p_partkey"))
+
+  private val q19Sql =
+    """SELECT p_partkey, upper(substr(p_name, 1, 12)) AS up12,
+      |  lower(p_brand) AS lo_brand, length(p_name) AS name_len,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+      |  trim(p_name) AS trimmed
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -- B20: date/time functions ----------------------------------------------
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        tsDay(date_trunc("month", col("o_orderdate"))).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        tsDay(add_months(col("o_orderdate"), 3)).as("plus3mo"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy(col("o_orderkey"))
+
+  private val q20Sql =
+    """SELECT o_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+      |  day(o_orderdate) AS dom,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -- B21: math functions ---------------------------------------------------
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec4(round(col("l_extendedprice"), 2)).as("rounded"),
+        floor(col("l_quantity")).as("floored"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        dec4(abs(col("l_quantity") - 25)).as("abs_dev"),
+        dec4(pow(col("l_quantity"), 2)).as("qty_sq"),
+        dec4(log(col("l_extendedprice") + 1)).as("ln_price"),
+        dec4(sqrt(col("l_quantity"))).as("sqrt_qty"),
+        pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q21Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(round(l_extendedprice, 2) AS DECIMAL(38,4)) AS VARCHAR) AS rounded,
+      |  CAST(floor(l_quantity) AS BIGINT) AS floored,
+      |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+      |  CAST(CAST(abs(l_quantity - 25) AS DECIMAL(38,4)) AS VARCHAR) AS abs_dev,
+      |  CAST(CAST(pow(l_quantity, 2) AS DECIMAL(38,4)) AS VARCHAR) AS qty_sq,
+      |  CAST(CAST(ln(l_extendedprice + 1) AS DECIMAL(38,4)) AS VARCHAR) AS ln_price,
+      |  CAST(CAST(sqrt(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sqrt_qty,
+      |  ((l_orderkey % 7) + 7) % 7 AS key_mod7
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // -- B22: array / higher-order functions over embeddings -------------------
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        dec4(element_at(col("embedding"), 1).cast("double")).as("first_val"),
+        dec4(aggregate(transform(col("embedding"), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("vec_sum"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"),
+        dec4(aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x * x)).as("head8_sq"))
+      .orderBy(col("vec_id"))
+
+  private val q22Sql =
+    """SELECT vec_id, len(embedding) AS dim,
+      |  CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS first_val,
+      |  CAST(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DECIMAL(38,4)) AS VARCHAR) AS vec_sum,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  CAST(CAST(list_sum(list_transform(CAST(embedding[1:8] AS DOUBLE[]), x -> x * x)) AS DECIMAL(38,4)) AS VARCHAR) AS head8_sq
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // -- B23: map functions ----------------------------------------------------
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        map_from_arrays(
+          array(lit("seg"), lit("nation")),
+          array(col("c_mktsegment"), col("c_nationkey").cast("string"))).as("m"))
+      .select(col("c_custkey"),
+        element_at(col("m"), "seg").as("seg"),
+        element_at(col("m"), "nation").as("nation"),
+        size(col("m")).as("m_size"),
+        array_join(map_keys(col("m")), ",").as("keys_joined"))
+      .orderBy(col("c_custkey"))
+
+  private val q23Sql =
+    """SELECT c_custkey, m['seg'][1] AS seg, m['nation'][1] AS nation,
+      |  cardinality(m) AS m_size,
+      |  array_to_string(map_keys(m), ',') AS keys_joined
+      |FROM (SELECT c_custkey,
+      |    map(['seg','nation'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)]) AS m
+      |  FROM customer) ORDER BY c_custkey""".stripMargin
+
+  // -- B24: JSON functions over events.props ---------------------------------
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("packed"))
+      .orderBy(col("event_id"))
+
+  private val q24Sql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  '{"id":' || CAST(event_id AS VARCHAR) || ',"t":"' || event_type || '"}' AS packed
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // -- B25: conditional / null handling --------------------------------------
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("MACHINERY")), lit("OTHER")).as("seg_or_other"),
+        dec4(least(col("c_acctbal"), lit(1000.0))).as("capped"),
+        dec4(greatest(col("c_acctbal"), lit(0.0))).as("floored_bal"))
+      .orderBy(col("c_custkey"))
+
+  private val q25Sql =
+    """SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 5000 THEN 'mid'
+      |    ELSE 'high' END AS bal_class,
+      |  coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other,
+      |  CAST(CAST(least(c_acctbal, 1000.0) AS DECIMAL(38,4)) AS VARCHAR) AS capped,
+      |  CAST(CAST(greatest(c_acctbal, 0.0) AS DECIMAL(38,4)) AS VARCHAR) AS floored_bal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // -- B26: hash / identity functions (A16 identity derivation in SQL) -------
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        sha2(concat_ws("|", col("c_name"), lit("json")), 256).as("file_id"),
+        md5(col("c_name")).as("name_md5"))
+      .withColumn("ingestion_id", sha2(concat_ws("|", col("file_id"), lit("resume")), 256))
+      .withColumn("chunk_id", concat_ws(":", col("ingestion_id"), lit(0)))
+      .orderBy(col("c_custkey"))
+
+  private val q26Sql =
+    """SELECT c_custkey, sha256(c_name || '|' || 'json') AS file_id,
+      |  md5(c_name) AS name_md5,
+      |  sha256(sha256(c_name || '|' || 'json') || '|' || 'resume') AS ingestion_id,
+      |  sha256(sha256(c_name || '|' || 'json') || '|' || 'resume') || ':' || '0' AS chunk_id
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_parquet_scan", q01, Some(q01Sql)),
+    QueryDef("q02_projection", q02, Some(q02Sql)),
+    QueryDef("q03_filter", q03, Some(q03Sql)),
+    QueryDef("q04_join_inner", q04, Some(q04Sql)),
+    QueryDef("q05_join_left", q05, Some(q05Sql)),
+    QueryDef("q06_join_semi", q06, Some(q06Sql)),
+    QueryDef("q07_join_anti", q07, Some(q07Sql)),
+    QueryDef("q08_join_theta", q08, Some(q08Sql)),
+    QueryDef("q09_join_asof", q09, Some(q09Sql)),
+    QueryDef("q10_agg_groupby", q10, Some(q10Sql)),
+    QueryDef("q11_count_distinct", q11, Some(q11Sql)),
+    QueryDef("q12_rollup", q12, Some(q12Sql)),
+    QueryDef("q13_window_rank", q13, Some(q13Sql)),
+    QueryDef("q14_window_analytic", q14, Some(q14Sql)),
+    QueryDef("q15_window_frame", q15, Some(q15Sql)),
+    QueryDef("q16_sort_nulls", q16, Some(q16Sql)),
+    QueryDef("q17_topk", q17, Some(q17Sql)),
+    QueryDef("q18_setops", q18, Some(q18Sql)),
+    QueryDef("q19_strings", q19, Some(q19Sql)),
+    QueryDef("q20_dates", q20, Some(q20Sql)),
+    QueryDef("q21_math", q21, Some(q21Sql)),
+    QueryDef("q22_arrays", q22, Some(q22Sql)),
+    QueryDef("q23_maps", q23, Some(q23Sql)),
+    QueryDef("q24_json", q24, Some(q24Sql)),
+    QueryDef("q25_conditional", q25, Some(q25Sql)),
+    QueryDef("q26_hash_identity", q26, Some(q26Sql)))
+}
