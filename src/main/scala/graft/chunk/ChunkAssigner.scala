@@ -1,0 +1,79 @@
+package graft.chunk
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Chunk assignment (SURVEY.md §2 A9–A11): map an ordered record stream onto
+  * dense, contiguous, bounded chunks `chunk_number = offset + floor(rn / n)`.
+  *
+  * Scale design: a naive `row_number() OVER (ORDER BY ...)` funnels the whole
+  * dataset through ONE partition. Instead we range-partition by the order
+  * keys, count rows per partition (tiny driver-side collect of P longs), and
+  * add per-partition offsets — every partition numbers its own rows
+  * independently, so the operator is shuffle-bounded at any scale.
+  */
+object ChunkAssigner {
+
+  /** Add a dense 0-based `rn` column reflecting the total order of
+    * `orderCols`, without a single-partition sort. */
+  def withRowNumber(df: DataFrame, orderCols: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    // zipWithIndex numbers rows by (partition index, position) — exactly the
+    // global order after a range partition + local sort. One extra count job.
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
+      Row.fromSeq(row.toSeq :+ idx)
+    }
+    spark.createDataFrame(indexed,
+      StructType(sorted.schema.fields :+ StructField("rn", LongType, nullable = false)))
+  }
+
+  /** A9/A11: count-based chunking — chunk_number = lastChunk + 1 + rn / n. */
+  def assignByCount(df: DataFrame, orderCols: Seq[Column], chunkSize: Int,
+      lastChunk: Long = -1L): DataFrame = {
+    require(chunkSize >= 1 && chunkSize <= 4000,
+      s"chunk_size_by_records must be in [1, 4000], got $chunkSize") // request_model.py:22
+    withRowNumber(df, orderCols)
+      .withColumn("chunk_number", lit(lastChunk + 1) + (col("rn") / chunkSize).cast("long"))
+  }
+
+  /** A10: byte-budget chunking — greedy packing where adding a record may
+    * never exceed `budgetBytes` (`json_reader.py:133`: flush BEFORE append
+    * when chunk_bytes + next_bytes > budget). Greedy packing is inherently
+    * sequential in record order, so it runs as one ordered pass per
+    * ingestion; `sizeCol` is the record's serialized byte size (A13).
+    *
+    * Scale note: this operator is only used on the delivery path, where the
+    * protocol already forces serial, ordered commits per ingestion
+    * (`chunk_data_integrity_validator.py:44-46`) — a parallel version would
+    * buy nothing downstream.
+    */
+  def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
+      sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = withRowNumber(df, orderCols).withColumn("__size", sizeCol)
+      .coalesce(1).sortWithinPartitions(col("rn"))
+    val schema = StructType(sorted.schema.fields.dropRight(1) :+
+      StructField("chunk_number", LongType, nullable = false))
+    val sizeIdx = sorted.schema.fieldIndex("__size")
+    val base = lastChunk + 1
+    val assigned = sorted.rdd.mapPartitions { it =>
+      var chunk = base
+      var bytes = 0L
+      var started = false
+      it.map { row =>
+        val sz = row.getLong(sizeIdx)
+        if (started && bytes + sz > budgetBytes) { chunk += 1; bytes = 0L }
+        started = true
+        bytes += sz
+        Row.fromSeq(row.toSeq.patch(sizeIdx, Nil, 1) :+ chunk)
+      }
+    }
+    spark.createDataFrame(assigned, schema)
+  }
+}

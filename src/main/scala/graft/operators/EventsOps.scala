@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over `events` (SURVEY.md §2 B34/B35 batch
+  * equivalents). The streaming twins (watermarks, session_window,
+  * dropDuplicatesWithinWatermark) live in graft.streaming and are checked by
+  * batch-parity tests, not oracle hashes.
+  */
+object EventsOps {
+
+  // -- B35 batch shape: gap-based sessionization (30-min gap) ----------------
+  // lag-gap → running sum of session starts → per-session rollup. Gap math in
+  // integer microseconds (unix_micros / epoch_us) — bit-stable cross-engine.
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        QueryDef.tsMicro(min(col("ts"))).as("session_start"),
+        QueryDef.tsMicro(max(col("ts"))).as("session_end"),
+        QueryDef.dec4(sum(col("value"))).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q35Sql =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      |  CAST(CAST(sum(value) AS DECIMAL(38,4)) AS VARCHAR) AS session_value
+      |FROM (SELECT user_id, ts, value,
+      |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (SELECT *, CASE WHEN prev_us IS NULL
+      |        OR epoch_us(ts) - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS is_new
+      |    FROM (SELECT *, lag(epoch_us(ts), 1) OVER (
+      |        PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
+  // -- B34 batch shape: tumbling 1-hour window aggregation -------------------
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), QueryDef.dec4(sum(col("value"))).as("total_value"))
+      .select(QueryDef.tsSec(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private val q36Sql =
+    """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+      |  event_type, count(*) AS n,
+      |  CAST(CAST(sum(value) AS DECIMAL(38,4)) AS VARCHAR) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q35_sessionization", q35, Some(q35Sql)),
+    QueryDef("q36_tumbling_window", q36, Some(q36Sql)))
+}

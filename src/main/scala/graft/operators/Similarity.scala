@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2 B31).
+  *
+  * Baseline: exact brute-force cosine top-k — the query set is broadcast, the
+  * corpus streams through one codegen'd stage, so the cost is one scan per
+  * batch of queries regardless of corpus size.
+  *
+  * Scale path: LSH-bucketed ANN (`AnnLsh`), which prunes the corpus to
+  * candidate buckets before the exact re-rank; not oracled (approximate), but
+  * recall-tested against this exact baseline in ScalaTest.
+  */
+object Similarity {
+
+  /** cosine(a, b) over double arrays with sequential fold — matches DuckDB's
+    * list_inner_product evaluation order. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact top-k cosine neighbors for a (small, broadcast) query set. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    // rank on the 4-dp-rounded score so the ordering survives cross-engine
+    // 1-ulp double differences; neighbor id breaks ties deterministically
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  // -- B31: exact cosine top-5 for fixed query ids ---------------------------
+  private def q37(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    bruteForceTopK(emb, qs, 5)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+        QueryDef.dec4(col("cos")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q37Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+      |    list_inner_product(q.v, e.v)
+      |      / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+      |  FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+      |SELECT qid, rn AS rank, neighbor,
+      |  CAST(CAST(cos AS DECIMAL(38,4)) AS VARCHAR) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(cos, 4) DESC, neighbor) AS rn FROM pairs)
+      |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q37_cosine_topk", q37, Some(q37Sql)))
+}

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline text analysis operators over `documents` (SURVEY.md §2 B29,
+  * B32 + the training-data-pipeline extensions): exact dedup, token stats,
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  *
+  * All operators are pure column programs (whole-stage codegen, no UDFs);
+  * every aggregate is map-side combinable, so they hold at 100 TB: the only
+  * shuffles are the final per-group combines.
+  */
+object TextAnalysis {
+
+  private val stopwords = Seq("the", "a", "and", "of", "to")
+
+  // tokens of the already-lowercased corpus; empty strings dropped
+  private def tokens = filter(split(col("text"), " "), x => x =!= "")
+
+  // -- B29: exact dedup by content hash --------------------------------------
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        countDistinct(sha2(regexp_replace(col("text"), "\\s+", " "), 256)).as("n_unique_norm"))
+      .orderBy(col("lang"))
+
+  private val q30Sql =
+    """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+      |  count(DISTINCT sha256(regexp_replace(text, '\s+', ' ', 'g'))) AS n_unique_norm
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -- B32: term statistics — top-20 tokens ----------------------------------
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  private val q31Sql =
+    """SELECT token, count(*) AS cnt
+      |FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
+  // -- quality scoring: token counts, stopword load, banding -----------------
+  // Integer-only outputs: cross-engine float division is the one thing that
+  // cannot be made bit-stable, so ratios ship as integer basis-point-free
+  // counts plus a deterministic band.
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(tokens).as("n_tokens"),
+        size(filter(tokens, x => x.isin(stopwords: _*))).as("n_stop"))
+      .withColumn("chars_per_token", expr("n_chars div n_tokens"))
+      .withColumn("quality_band",
+        when(col("n_tokens") < 50, "short")
+          .when(col("n_stop") * 10 >= col("n_tokens"), "stopword_heavy")
+          .otherwise("ok"))
+      .orderBy(col("doc_id"))
+
+  private val q32Sql =
+    """SELECT doc_id, n_chars, n_tokens, n_stop, n_chars // n_tokens AS chars_per_token,
+      |  CASE WHEN n_tokens < 50 THEN 'short'
+      |    WHEN n_stop * 10 >= n_tokens THEN 'stopword_heavy'
+      |    ELSE 'ok' END AS quality_band
+      |FROM (SELECT doc_id, n_chars,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','and','of','to'))) AS n_stop
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- language-ID heuristic: marker-word scoring + deterministic argmax -----
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    def score(markers: Seq[String]) = size(filter(tokens, x => x.isin(markers: _*)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        score(Seq("the", "a", "of", "is")).as("en_score"),
+        score(Seq("der", "die", "das", "und")).as("de_score"),
+        score(Seq("el", "los", "y", "es")).as("es_score"),
+        score(Seq("le", "les", "et", "est")).as("fr_score"))
+      .withColumn("predicted",
+        when(col("en_score") >= col("de_score") && col("en_score") >= col("es_score") &&
+          col("en_score") >= col("fr_score"), "en")
+          .when(col("de_score") >= col("es_score") && col("de_score") >= col("fr_score"), "de")
+          .when(col("es_score") >= col("fr_score"), "es")
+          .otherwise("fr"))
+      .withColumn("hit", (col("predicted") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q33Sql =
+    """SELECT doc_id, lang, en_score, de_score, es_score, fr_score,
+      |  CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+      |    WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+      |    WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END AS predicted,
+      |  CAST(CASE WHEN (CASE WHEN en_score >= de_score AND en_score >= es_score AND en_score >= fr_score THEN 'en'
+      |    WHEN de_score >= es_score AND de_score >= fr_score THEN 'de'
+      |    WHEN es_score >= fr_score THEN 'es' ELSE 'fr' END) = lang THEN 1 ELSE 0 END AS INTEGER) AS hit
+      |FROM (SELECT doc_id, lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS en_score,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de_score,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','es'))) AS es_score,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est'))) AS fr_score
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- document fingerprinting -----------------------------------------------
+  // Whitespace-normalized content hash + a head fingerprint; the positional
+  // rolling-hash (Rabin-Karp) variant lives in Fingerprints.scala and is
+  // covered by ScalaTest (not SQL-expressible at reasonable cost).
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        sha2(norm, 256).as("fingerprint"),
+        md5(substring(norm, 1, 64)).as("head_fp"),
+        length(norm).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q34Sql =
+    """SELECT doc_id, sha256(norm) AS fingerprint, md5(substr(norm, 1, 64)) AS head_fp,
+      |  length(norm) AS norm_len
+      |FROM (SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS norm
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_dedup_exact", q30, Some(q30Sql)),
+    QueryDef("q31_top_tokens", q31, Some(q31Sql)),
+    QueryDef("q32_quality_score", q32, Some(q32Sql)),
+    QueryDef("q33_lang_id", q33, Some(q33Sql)),
+    QueryDef("q34_fingerprint", q34, Some(q34Sql)))
+}
