@@ -38,8 +38,9 @@ object ChunkAssigner {
       lastChunk: Long = -1L): DataFrame = {
     require(chunkSize >= 1 && chunkSize <= 4000,
       s"chunk_size_by_records must be in [1, 4000], got $chunkSize") // request_model.py:22
+    // integer `div`, not double `/`: row numbers stay exact past 2^53
     withRowNumber(df, orderCols)
-      .withColumn("chunk_number", lit(lastChunk + 1) + (col("rn") / chunkSize).cast("long"))
+      .withColumn("chunk_number", lit(lastChunk + 1) + expr(s"rn div $chunkSize"))
   }
 
   /** A10: byte-budget chunking — greedy packing where adding a record may
@@ -56,11 +57,12 @@ object ChunkAssigner {
   def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
       sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
     val spark = df.sparkSession
-    val sorted = withRowNumber(df, orderCols).withColumn("__size", sizeCol)
-      .coalesce(1).sortWithinPartitions(col("rn"))
-    val schema = StructType(sorted.schema.fields.dropRight(1) :+
-      StructField("chunk_number", LongType, nullable = false))
+    val sorted = df.withColumn("__size", sizeCol)
+      .coalesce(1).sortWithinPartitions(orderCols: _*)
     val sizeIdx = sorted.schema.fieldIndex("__size")
+    val schema = StructType(
+      sorted.schema.fields.patch(sizeIdx, Nil, 1) :+
+        StructField("chunk_number", LongType, nullable = false))
     val base = lastChunk + 1
     val assigned = sorted.rdd.mapPartitions { it =>
       var chunk = base

@@ -1,0 +1,154 @@
+package graft.ingest
+
+import graft.api.{IngestRequest, IngestionState}
+import graft.canon.{CanonicalJson, Identity}
+import graft.chunk.ChunkAssigner
+import graft.sink.OrderedAckHttpSink
+import graft.state.IngestionStateStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** End-to-end ingestion (SURVEY.md §3.4): scan → canonical serialize → chunk
+  * → per-chunk checksum agg → ordered ACK-gated delivery → crash-safe resume.
+  *
+  * Execution split, designed for the protocol's constraint (§7.4 #1):
+  *   - EXECUTORS (parallel): parse, canonical-JSON render, chunk assignment,
+  *     per-chunk ordered record collection + sha256 — all distributed;
+  *   - DRIVER (serial, protocol-imposed): iterate finished chunks in
+  *     chunk_number order via toLocalIterator (streams one partition at a
+  *     time, never materializing the dataset), skip already-ACKed chunks
+  *     (A20), POST-with-retry, persist progress only after ACK (A21).
+  *
+  * At scale the serial commit is the declared bottleneck — exactly as in the
+  * reference, where ordering is dictated by the receiver
+  * (`chunk_data_integrity_validator.py:44-46`).
+  */
+object IngestionPipeline {
+
+  final case class ChunkRow(chunkNumber: Long, nRecords: Long, checksum: String,
+      canonicalRecords: Seq[String])
+
+  final case class Result(ingestionId: String, chunksSent: Long, chunksSkipped: Long,
+      totalRecords: Long, state: Option[IngestionState])
+
+  /** Scan dispatch (A1–A6, A28's file_type branch — case-insensitive; unknown
+    * type rejected like `ingestion_controllers.py:60-66`). "excel" accepts the
+    * reference's semantics over CSV-with-header input (A5–A8: header row =
+    * schema, short rows null-padded); native xlsx needs no third-party jar in
+    * this environment and is deferred (SURVEY.md §7.4 #4). */
+  def scan(spark: SparkSession, request: IngestRequest): DataFrame =
+    request.fileType.toLowerCase match {
+      case "json" =>
+        // top-level JSON array (A1) or JSONL; recursive dir glob (A2) and
+        // s3a/gs/abfss/file URIs (A3) come free from the Hadoop FS layer
+        spark.read
+          .option("multiLine", "true")
+          .option("recursiveFileLookup", "true")
+          .option("pathGlobFilter", "*.json")
+          .json(request.filePath)
+      case "jsonl" =>
+        spark.read.option("recursiveFileLookup", "true").json(request.filePath)
+      case "parquet" => spark.read.parquet(request.filePath)
+      case "excel" | "csv" =>
+        spark.read.option("header", "true").option("mode", "PERMISSIVE")
+          .csv(request.filePath)
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported file type: $other")
+    }
+
+  /** A7 (Excel semantics): drop rows where every cell is null/empty-string —
+    * they do not count toward progress. */
+  def dropEmptyRows(df: DataFrame): DataFrame = {
+    val anyNonEmpty = df.columns
+      .map(c => col(c).isNotNull && col(c).cast("string") =!= "")
+      .reduce(_ || _)
+    df.filter(anyNonEmpty)
+  }
+
+  /** Stable 0-based row number in input order (file order for file sources:
+    * partitions enumerate (file, block) deterministically). No sort, no
+    * single-partition funnel — zipWithIndex adds one lightweight count job. */
+  def withInputOrderRn(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val indexed = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    spark.createDataFrame(indexed,
+      StructType(df.schema.fields :+ StructField("rn", LongType, nullable = false)))
+  }
+
+  /** Distributed chunk construction: returns (chunkNumber, nRecords,
+    * checksum, orderedCanonicalRecords) — one row per chunk, built with
+    * map-side parallelism and a single groupBy shuffle. */
+  def buildChunks(df: DataFrame, request: IngestRequest): DataFrame = {
+    val withRec = withInputOrderRn(df)
+      .withColumn("rec", CanonicalJson(struct(df.columns.map(col): _*)))
+    val chunked = request.chunkSizeByRecords match {
+      case Some(n) =>
+        withRec.withColumn("chunk_number", expr(s"rn div $n"))
+      case None =>
+        // A10/A13: byte-budget greedy packing over serialized record sizes
+        ChunkAssigner.assignByBytes(
+          withRec, Seq(col("rn")), request.chunkSizeByMemory.get,
+          octet_length(col("rec")).cast("long"))
+    }
+    chunked
+      .groupBy(col("chunk_number"))
+      .agg(count(lit(1)).as("n_records"),
+        transform(array_sort(collect_list(struct(col("rn"), col("rec")))),
+          x => x.getField("rec")).as("records"))
+      .withColumn("checksum",
+        sha2(concat(lit("["), array_join(col("records"), ","), lit("]")), 256))
+      .orderBy(col("chunk_number"))
+  }
+
+  /** Run one ingestion to completion (or terminal failure). Resumable: a
+    * rerun with reIngestion=false continues after the last ACKed chunk. */
+  def run(spark: SparkSession, request: IngestRequest, store: IngestionStateStore,
+      nowMillis: => Long = System.currentTimeMillis()): Result = {
+    val fileId = Identity.fileId(request.filePath, request.fileType)
+    val version = Identity.version(request.reIngestion, nowMillis)
+    val ingestionId = Identity.ingestionId(fileId, version)
+
+    val lastAcked = store.lastChunk(ingestionId) // -1 on fresh start
+    var totalRecords = store.totalRecords(ingestionId)
+
+    val source = request.fileType.toLowerCase match {
+      case "excel" | "csv" => dropEmptyRows(scan(spark, request))
+      case _ => scan(spark, request)
+    }
+    val chunks = buildChunks(source, request).cache()
+    try {
+      val maxChunk = chunks.agg(max(col("chunk_number"))).collect()(0) match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getLong(0)
+      }
+      val sink = new OrderedAckHttpSink(request.callbackUrl)
+      var sent = 0L
+      var skipped = 0L
+
+      val it = chunks.toLocalIterator() // ordered stream, one partition in memory
+      while (it.hasNext) {
+        val row = it.next()
+        val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
+        val n = row.getLong(row.fieldIndex("n_records"))
+        if (chunkNumber <= lastAcked) {
+          skipped += 1 // A20: built but not re-sent; already counted in totals
+        } else {
+          val records = row.getSeq[String](row.fieldIndex("records"))
+          val checksum = row.getString(row.fieldIndex("checksum"))
+          sink.sendChunk(ingestionId, chunkNumber,
+            Identity.chunkId(ingestionId, chunkNumber), checksum, records,
+            isLast = chunkNumber == maxChunk)
+          totalRecords += n
+          store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21: after ACK only
+          sent += 1
+        }
+      }
+
+      val sinkForCompletion = new OrderedAckHttpSink(request.callbackUrl)
+      sinkForCompletion.sendCompleted(ingestionId, maxChunk, totalRecords) // A22
+      store.markCompleted(ingestionId)
+      Result(ingestionId, sent, skipped, totalRecords, store.get(ingestionId))
+    } finally chunks.unpersist()
+  }
+}

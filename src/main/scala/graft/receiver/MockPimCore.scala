@@ -1,0 +1,124 @@
+package graft.receiver
+
+import graft.canon.Identity
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+
+/** In-process mock of the downstream Pimcore callback (test harness —
+  * SURVEY.md §2 A23–A27, mirroring
+  * `tests/pim_core_mock_test/services/chunk_data_integrity_validator.py` and
+  * `tests/pim_core_mock_test/pim_core_mock_test.py`).
+  *
+  * Validation order per ingestion (reference order):
+  *   COMPLETED branch → empty-chunk NACK → duplicate-chunk idempotent ACK →
+  *   strict ordering NACK → independent checksum recompute NACK → accept.
+  *
+  * Fault injection: `rejectChunk(n)` NACKs chunk n exactly once with an
+  * injected error (the reference's FakePimCore.reject_chunk,
+  * `tests/unit_tests/services/pim_core.py`).
+  */
+final class MockPimCore {
+  import MockPimCore._
+
+  private val processed = scala.collection.mutable.Set.empty[String]
+  private val lastChunk = scala.collection.mutable.Map.empty[String, Long]
+  @volatile var totalRecordsReceived: Long = 0L
+  @volatile var completedCount: Int = 0
+  val receivedChunks: scala.collection.mutable.ArrayBuffer[Long] =
+    scala.collection.mutable.ArrayBuffer.empty
+  private val toReject = scala.collection.mutable.Map.empty[Long, Int]
+
+  /** NACK chunk n the next `times` times it arrives. */
+  def rejectChunk(n: Long, times: Int = 1): Unit = synchronized {
+    toReject(n) = toReject.getOrElse(n, 0) + times
+  }
+
+  def handle(body: String): Response = synchronized {
+    val obj = MiniJson.parse(body).asInstanceOf[MiniJson.JObj]
+    val ingestionId = str(obj, "ingestion_id")
+
+    if (obj.get("status").contains(MiniJson.JStr("COMPLETED"))) {
+      // A27: completion accounting — acknowledge and reset the counter
+      completedCount += 1
+      totalRecordsReceived = 0L
+      return Response(ack = true, ingestionId, chunkNumber = -1, error = None)
+    }
+
+    val chunkNumber = num(obj, "chunk_number")
+    val chunkId = str(obj, "chunk_id")
+    val checksum = str(obj, "checksum")
+    val records = obj.get("records") match {
+      case Some(MiniJson.JArr(vs)) => vs
+      case _ => Vector.empty
+    }
+
+    if (toReject.getOrElse(chunkNumber, 0) > 0) {
+      val left = toReject(chunkNumber) - 1
+      if (left == 0) toReject.remove(chunkNumber) else toReject(chunkNumber) = left
+      return Response(ack = false, ingestionId, chunkNumber, Some("Injected rejection"))
+    }
+    if (records.isEmpty) // pim_core_mock_test.py:68-77
+      return Response(ack = false, ingestionId, chunkNumber, Some(EmptyChunk))
+    if (processed.contains(chunkId)) // A23: duplicate → idempotent ACK
+      return Response(ack = true, ingestionId, chunkNumber, None)
+    val last = lastChunk.getOrElse(ingestionId, -1L)
+    if (chunkNumber != last + 1) // A24: strict ordering
+      return Response(ack = false, ingestionId, chunkNumber, Some(OutOfOrder))
+    // A25: independent checksum recompute from the PARSED records
+    val canonical = records.map(MiniJson.canonical).mkString("[", ",", "]")
+    if (Identity.sha256Hex(canonical) != checksum)
+      return Response(ack = false, ingestionId, chunkNumber, Some(ChecksumMismatch))
+
+    processed += chunkId
+    lastChunk(ingestionId) = chunkNumber
+    totalRecordsReceived += records.size
+    receivedChunks += chunkNumber
+    Response(ack = true, ingestionId, chunkNumber, None)
+  }
+
+  private def str(o: MiniJson.JObj, k: String): String =
+    o.get(k) match { case Some(MiniJson.JStr(s)) => s; case other => other.toString }
+  private def num(o: MiniJson.JObj, k: String): Long =
+    o.get(k) match { case Some(MiniJson.JNum(r)) => r.toLong; case _ => -1L }
+}
+
+object MockPimCore {
+  // error strings from tests/pim_core_mock_test/utility/error_messages.py
+  val OutOfOrder = "Out-of-order chunk"
+  val ChecksumMismatch = "Checksum mismatch"
+  val EmptyChunk = "Empty chunk"
+
+  final case class Response(ack: Boolean, ingestionId: String,
+      chunkNumber: Long, error: Option[String]) {
+    def toJson: String = {
+      val err = error.map(e => "\"" + e + "\"").getOrElse("null")
+      s"""{"ack":$ack,"ingestion_id":"$ingestionId","chunk_number":$chunkNumber,"error":$err}"""
+    }
+  }
+
+  /** Serve a MockPimCore over real HTTP (JDK built-in server) so protocol
+    * tests cross an actual network boundary, like the reference's second
+    * uvicorn process (`README.md:191-204`). Returns (receiver, server, url). */
+  def serve(port: Int = 0): (MockPimCore, HttpServer, String) = {
+    val mock = new MockPimCore
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/callback", new HttpHandler {
+      override def handle(ex: HttpExchange): Unit = {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val resp = try mock.handle(body).toJson catch {
+          case e: Exception =>
+            s"""{"ack":false,"ingestion_id":"","chunk_number":-1,"error":"receiver error: ${e.getMessage}"}"""
+        }
+        val bytes = resp.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      }
+    })
+    server.start()
+    val url = s"http://127.0.0.1:${server.getAddress.getPort}/callback"
+    (mock, server, url)
+  }
+}
