@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ground-truth checks for the approximate dedup family (SURVEY.md §5.2:
+  * B30 "asserted vs exact-Jaccard ground truth"): a corpus with PLANTED
+  * near-duplicates — real documents plus lightly mutated copies — where the
+  * true pair set is known by construction.
+  */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 60 base docs + a mutated copy of every 4th (drop one word in ~40) —
+    * the (i, i+10000) pairs are the planted near-dups. */
+  private lazy val corpus: DataFrame = {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("spark", "data", "query", "join", "scan", "filter", "agg",
+      "sort", "merge", "hash", "batch", "stream", "window", "group", "table")
+    val base = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val mutated = base.collect { case (id, text) if id % 4 == 0 =>
+      val words = text.split(" ").toBuffer
+      words.remove(rnd.nextInt(words.size))
+      (id + 10000L, words.mkString(" "))
+    }
+    (base ++ mutated).toDF("doc_id", "text")
+  }
+
+  /** Exact Jaccard over 3-gram shingles for ALL pairs (small corpus). */
+  private lazy val truePairs: Map[(Long, Long), Double] = {
+    val sh = corpus
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val ids = sh.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      sa = sh(a).toSet; sb = sh(b).toSet
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+    } yield (a, b) -> j).toMap
+  }
+
+  test("minhash-LSH finds every planted near-duplicate (recall on j>=0.5)") {
+    val found = Dedup.minhashCandidates(corpus)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    val strong = truePairs.filter(_._2 >= 0.5).keySet
+    assert(strong.nonEmpty, "corpus must contain planted near-dups")
+    val missed = strong -- found.keySet
+    assert(missed.isEmpty, s"minhash-LSH missed strong pairs: $missed")
+    // reported jaccard is EXACT (verification step), so it must match truth
+    found.foreach { case (pair, j) =>
+      assert(math.abs(j - truePairs(pair)) < 1e-9, s"jaccard drift for $pair")
+    }
+  }
+
+  test("ngram inverted-index join computes exact jaccard for all sharing pairs") {
+    val found = Dedup.ngramJaccardPairs(corpus, maxShingleFreq = 1000)
+      .select("doc_a", "doc_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // every true pair with any shared shingle appears, with the exact value
+    val sharing = truePairs.filter(_._2 > 0)
+    assert(found.keySet == sharing.keySet)
+    found.foreach { case (pair, j) =>
+      assert(math.abs(j - sharing(pair)) < 1e-9)
+    }
+  }
+
+  test("simhash: planted near-dups land within small hamming distance") {
+    val found = Dedup.simhashCandidates(corpus, maxHamming = 16)
+      .select("doc_a", "doc_b", "hamming")
+      .as[(Long, Long, Int)].collect()
+    val planted = truePairs.filter(_._2 >= 0.5).keySet
+    val foundPairs = found.map(r => (r._1, r._2)).toSet
+    val recall = (planted & foundPairs).size.toDouble / planted.size
+    assert(recall >= 0.8, s"simhash recall $recall below 0.8 for planted pairs")
+    // fingerprints are deterministic across runs
+    val fp1 = corpus.withColumn("votes", Dedup.simhashVotes(col("text")))
+      .withColumn("fp", Dedup.simhashFromVotes(col("votes")))
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    val fp2 = corpus.withColumn("votes", Dedup.simhashVotes(col("text")))
+      .withColumn("fp", Dedup.simhashFromVotes(col("votes")))
+      .select("doc_id", "fp").as[(Long, Long)].collect().toMap
+    assert(fp1 == fp2)
+  }
+
+  test("ann-lsh neighbors carry exact cosine scores and beat a recall floor") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val ann = AnnLsh.topK(emb, qs, 5)
+      .select("qid", "neighbor", "cos").as[(Long, Long, Double)].collect()
+    val brute = Similarity.bruteForceTopK(emb, qs, 5)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+    // exactness: ANN's cosine for a (qid, neighbor) pair equals brute force's
+    val bruteMap = brute.map(r => (r._1, r._2) -> r._3).toMap
+    val exact = Similarity.bruteForceTopK(emb, qs, 500)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    ann.foreach { case (q, n, c) =>
+      assert(math.abs(c - exact((q, n))) < 1e-12, s"cosine drift for ($q,$n)")
+    }
+    // recall floor: LSH top-5 intersects brute-force top-5 (gaussian vectors
+    // at dim 64 make this probabilistic — demand at least SOME signal)
+    val annSets = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val bruteSets = brute.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = annSets.map { case (q, s) => (s & bruteSets.getOrElse(q, Set())).size }.sum
+    assert(hits >= 2, s"ANN found no overlap with brute-force top-5 (hits=$hits)")
+  }
+}

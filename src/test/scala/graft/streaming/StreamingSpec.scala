@@ -1,0 +1,123 @@
+package graft.streaming
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming semantics (SURVEY.md §5.2 #4: "streaming parity runs for
+  * B34–B37"): each streaming operator is checked against its own batch run
+  * over identical data, plus watermark late-data and stateful-dedup behavior
+  * driven through MemoryStream micro-batches.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("B34 parity: streaming tumbling agg == batch tumbling agg") {
+    val stream = EventsStreaming.loadStream(spark, dir)
+    val q = EventsStreaming.tumblingAgg(stream).writeStream
+      .format("memory").queryName("tumbling_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+      .select("hour_start", "event_type", "n", "total_value")
+      .collect().map(_.toString).sorted
+    val batch = EventsStreaming.tumblingAgg(graft.Tables.events(spark, dir))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
+  test("B35 parity: native session_window == lag-gap sessionization (batch)") {
+    val events = graft.Tables.events(spark, dir)
+    val native = EventsStreaming.sessionAgg(events)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).sorted
+    // lag-gap formulation (the q35 shape): same sessions, keyed by start ts
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lagGap = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .collect().map(_.toString).sorted
+    assert(native.nonEmpty && native.sameElements(lagGap))
+  }
+
+  test("B36: watermark drops late rows in append mode") {
+    val input = MemoryStream[(Timestamp, Long)](spark)
+    val events = input.toDF().toDF("ts", "event_id")
+    val q = EventsStreaming.watermarkedCounts(events, "1 hour").writeStream
+      .format("memory").queryName("wm_out").outputMode("append").start()
+    try {
+      // batch 1: establish event time at 12:00 → watermark = 11:00
+      input.addData((ts("2024-01-01 10:15:00"), 1L), (ts("2024-01-01 12:00:00"), 2L))
+      q.processAllAvailable()
+      // batch 2: a LATE row for the already-closed 10:00 window (ts < watermark)
+      // and an on-time row
+      input.addData((ts("2024-01-01 10:20:00"), 3L), (ts("2024-01-01 12:10:00"), 4L))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close every window
+      input.addData((ts("2024-01-01 20:00:00"), 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("wm_out")
+      .select(date_format(col("win_start"), "HH:mm").as("w"), col("n"))
+      .as[(String, Long)].collect().toMap
+    // the late 10:20 row was dropped: the 10:00 window still counts 1
+    assert(out("10:00") == 1L, s"late row leaked into closed window: $out")
+    assert(out("12:00") == 2L)
+  }
+
+  test("B37: dropDuplicatesWithinWatermark emits each event_id once across batches") {
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val events = input.toDF().toDF("ts", "event_id", "payload")
+    val q = EventsStreaming.dedupWithinWatermark(events, "1 hour").writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:00:00"), 1L, "a"),
+        (ts("2024-01-01 10:00:01"), 1L, "a_dup_same_batch"),
+        (ts("2024-01-01 10:00:02"), 2L, "b"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 10:05:00"), 1L, "a_dup_next_batch"),
+        (ts("2024-01-01 10:06:00"), 3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("B37: mapGroupsWithState maintains per-user running counts across batches") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val input = MemoryStream[(Long, Double)](spark)
+    val counted = input.toDS().toDF("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (user, n)
+      }
+    val q = counted.toDF("user_id", "running_n").writeStream
+      .format("memory").queryName("state_out").outputMode("update").start()
+    try {
+      input.addData((1L, 1.0), (1L, 2.0), (2L, 3.0))
+      q.processAllAvailable()
+      input.addData((1L, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // last update per user wins: user 1 → 3 events total, user 2 → 1
+    val latest = spark.table("state_out").groupBy("user_id")
+      .agg(max("running_n").as("n")).as[(Long, Long)].collect().toMap
+    assert(latest == Map(1L -> 3L, 2L -> 1L))
+  }
+}
