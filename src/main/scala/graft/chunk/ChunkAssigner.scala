@@ -16,7 +16,20 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object ChunkAssigner {
 
   /** Add a dense 0-based `rn` column reflecting the total order of
-    * `orderCols`, without a single-partition sort. */
+    * `orderCols`, without a single-partition sort: range-partition by the
+    * order keys, sort within partitions, then zipWithIndex over the
+    * MATERIALIZED InternalRow RDD.
+    *
+    * Two subtleties that shape this implementation:
+    *   - repartitionByRange's sampling seed includes the RDD id, so two
+    *     separate jobs over the same DataFrame can get DIFFERENT partition
+    *     boundaries — any offset scheme computed in a side job is silently
+    *     wrong. Materializing one RDD instance pins the partitioning;
+    *     zipWithIndex's internal count job and the main job then share the
+    *     same shuffle files (stage reuse).
+    *   - staying on InternalRow (queryExecution.toRdd + JoinedRow) avoids
+    *     the per-row external-Row conversion that makes naive df.rdd
+    *     zipWithIndex slow. */
   def withRowNumber(df: DataFrame, orderCols: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
@@ -24,12 +37,16 @@ object ChunkAssigner {
       else spark.sessionState.conf.numShufflePartitions
     val sorted = df.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    // zipWithIndex numbers rows by (partition index, position) — exactly the
-    // global order after a range partition + local sort. One extra count job.
-    val indexed = sorted.rdd.zipWithIndex().map { case (row, idx) =>
-      Row.fromSeq(row.toSeq :+ idx)
-    }
-    spark.createDataFrame(indexed,
+    val indexed = org.apache.spark.sql.GraftSql.toInternalRdd(sorted)
+      .zipWithIndex().mapPartitions { it =>
+        val joiner = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val idxRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        it.map { case (row, idx) =>
+          idxRow.update(0, idx)
+          joiner(row, idxRow): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    org.apache.spark.sql.GraftSql.internalCreateDataFrame(spark, indexed,
       StructType(sorted.schema.fields :+ StructField("rn", LongType, nullable = false)))
   }
 

