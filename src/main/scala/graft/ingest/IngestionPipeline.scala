@@ -50,7 +50,11 @@ object IngestionPipeline {
       case "jsonl" =>
         spark.read.option("recursiveFileLookup", "true").json(request.filePath)
       case "parquet" => spark.read.parquet(request.filePath)
+      case "excel" if request.filePath.toLowerCase.endsWith(".xlsx") =>
+        // native SpreadsheetML DataSource V2 (A4–A7 semantics in the source)
+        spark.read.format("xlsx").load(request.filePath)
       case "excel" | "csv" =>
+        // pre-converted spreadsheet input with the same header semantics
         spark.read.option("header", "true").option("mode", "PERMISSIVE")
           .csv(request.filePath)
       case other =>

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards (the 100 TB contract, SURVEY.md §4.2): filters
+  * and projections must reach the parquet scan, small dimensions must
+  * broadcast, and the relational hot paths must stay inside whole-stage
+  * codegen. A green result here is what makes the sf0.01 numbers meaningful
+  * at 1000x the data.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Executed (post-AQE) plan: run the query first so adaptive stages are
+    * final and WholeStageCodegen nodes are visible. */
+  private def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q03: every filter predicate is pushed to the parquet scan") {
+    val p = plan("q03_filter")
+    assert(p.contains("PushedFilters:"), "no pushdown section in scan")
+    // range + IN + inequality predicates all reach the reader
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("In(l_returnflag"), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+  }
+
+  test("q01: column pruning reaches the scan (ReadSchema is the projection)") {
+    val p = plan("q02_projection")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // only the 4 referenced columns are read, not all 11
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+      s"scan reads pruned columns: $readSchema")
+  }
+
+  test("q04: dimension joins are broadcast, not shuffled") {
+    val p = plan("q04_join_inner")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("q10: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q10_agg_groupby")
+    // two HashAggregate nodes around one exchange = partial + final
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("relational hot paths run inside whole-stage codegen") {
+    // '*(n)' prefixes are WholeStageCodegen stage markers in plan strings
+    Seq("q02_projection", "q03_filter", "q10_agg_groupby").foreach { q =>
+      assert(plan(q).contains("*("), s"$q fell out of codegen")
+    }
+  }
+
+  test("q37: the query set is broadcast against the corpus scan") {
+    val p = plan("q37_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("entry flagship produces rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

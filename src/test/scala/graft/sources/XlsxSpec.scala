@@ -1,0 +1,116 @@
+package graft.sources
+
+import graft.TestSpark
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** xlsx DataSource V2 semantics (A4–A7), driven through spark.read over
+  * fixture workbooks written with plain java.util.zip — no spreadsheet
+  * library on either side. */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Minimal SpreadsheetML workbook: shared strings + one sheet. */
+  private def writeXlsx(sharedStrings: Seq[String],
+      rows: Seq[Seq[(String, String)]]): String = {
+    // each cell: (type, rawValue); type "" means numeric
+    val f = Files.createTempFile("graft_wb", ".xlsx")
+    val zip = new ZipOutputStream(Files.newOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    if (sharedStrings.nonEmpty)
+      entry("xl/sharedStrings.xml",
+        s"""<?xml version="1.0"?><sst>${sharedStrings.map(s => s"<si><t>$s</t></si>").mkString}</sst>""")
+    val colLetter = "ABCDEFGH"
+    val sheetRows = rows.zipWithIndex.map { case (cells, ri) =>
+      val cellXml = cells.zipWithIndex.collect {
+        case ((tpe, raw), ci) if raw != null =>
+          val ref = s"${colLetter(ci)}${ri + 1}"
+          val tAttr = if (tpe.nonEmpty) s""" t="$tpe"""" else ""
+          if (tpe == "inlineStr") s"""<c r="$ref"$tAttr><is><t>$raw</t></is></c>"""
+          else s"""<c r="$ref"$tAttr><v>$raw</v></c>"""
+      }.mkString
+      s"<row r=\"${ri + 1}\">$cellXml</row>"
+    }.mkString
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$sheetRows</sheetData></worksheet>""")
+    zip.close()
+    f.toString
+  }
+
+  test("header extraction: trim, column_{i} fallback, value typing (A5/A6)") {
+    val path = writeXlsx(
+      sharedStrings = Seq("  name ", "alpha", "beta"),
+      rows = Seq(
+        Seq(("s", "0"), ("", null), ("inlineStr", "qty ")), // header: shared, MISSING, inline
+        Seq(("s", "1"), ("", "12.5"), ("b", "1")),
+        Seq(("s", "2"), ("", "7"), ("b", "0"))))
+    val df = spark.read.format("xlsx").load(path)
+    assert(df.columns.toSeq == Seq("name", "column_1", "qty"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.toSeq == Seq(("alpha", "12.5", "true"), ("beta", "7", "false")))
+  }
+
+  test("short rows are null-padded; sparse cells resolve by reference (A6)") {
+    val path = writeXlsx(
+      sharedStrings = Seq("a", "b", "x"),
+      rows = Seq(
+        Seq(("s", "0"), ("s", "1"), ("inlineStr", "c")),
+        Seq(("s", "2")), // short row → padded
+        Seq(("s", "2"), (null, null), ("inlineStr", "z")))) // gap in the middle
+    val df = spark.read.format("xlsx").load(path)
+    val rows = df.collect().map(r => (0 until 3).map(i =>
+      Option(r.getString(i)).getOrElse("·")).mkString(","))
+    assert(rows.toSeq == Seq("x,·,·", "x,·,z"))
+  }
+
+  test("all-falsy rows are dropped during the scan (A7: `if not any(row)`)") {
+    val path = writeXlsx(
+      sharedStrings = Seq("h1", "h2", "keep"),
+      rows = Seq(
+        Seq(("s", "0"), ("s", "1")),
+        Seq(("", "0"), ("", "0.0")), // numeric zeros → falsy → dropped
+        Seq(("b", "0"), ("", null)), // false + missing → dropped
+        Seq(("s", "2"), ("", "0")))) // one truthy cell → kept
+    val df = spark.read.format("xlsx").load(path)
+    assert(df.count() == 1)
+    assert(df.collect()(0).getString(0) == "keep")
+  }
+
+  test("an entirely empty header row aborts the read (A5)") {
+    val path = writeXlsx(
+      sharedStrings = Seq.empty,
+      rows = Seq(Seq(("inlineStr", " "), ("inlineStr", "")),
+        Seq(("", "1"), ("", "2"))))
+    val ex = intercept[Exception] {
+      spark.read.format("xlsx").load(path)
+    }
+    assert(ex.getMessage.contains("empty header row"))
+  }
+
+  test("xlsx drives the full ingestion pipeline end-to-end (A4→A22)") {
+    val (mock, server, url) = graft.receiver.MockPimCore.serve()
+    try {
+      val path = writeXlsx(
+        sharedStrings = Seq("sku", "price") ++ (1 to 7).map(i => s"SKU-$i"),
+        rows = Seq(Seq(("s", "0"), ("s", "1"))) ++
+          (1 to 7).map(i => Seq(("s", s"${i + 1}"), ("", s"$i.50"))))
+      val store = graft.state.IngestionStateStore.inMemory()
+      val result = graft.ingest.IngestionPipeline.run(spark,
+        graft.api.IngestRequest(path, "excel", url, chunkSizeByRecords = Some(3)),
+        store)
+      assert(result.totalRecords == 7)
+      assert(result.chunksSent == 3) // 3+3+1
+      assert(result.state.exists(_.status == graft.api.IngestionState.Completed))
+      assert(mock.completedCount == 1)
+    } finally server.stop(0)
+  }
+}
