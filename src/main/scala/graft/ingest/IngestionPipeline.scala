@@ -82,18 +82,20 @@ object IngestionPipeline {
 
   /** Distributed chunk construction: returns (chunkNumber, nRecords,
     * checksum, orderedCanonicalRecords) — one row per chunk, built with
-    * map-side parallelism and a single groupBy shuffle. */
-  def buildChunks(df: DataFrame, request: IngestRequest): DataFrame = {
+    * map-side parallelism and a single groupBy shuffle. Numbering starts at
+    * `lastChunk + 1` (streaming batches continue a running sequence). */
+  def buildChunks(df: DataFrame, request: IngestRequest,
+      lastChunk: Long = -1L): DataFrame = {
     val withRec = withInputOrderRn(df)
       .withColumn("rec", CanonicalJson(struct(df.columns.map(col): _*)))
     val chunked = request.chunkSizeByRecords match {
       case Some(n) =>
-        withRec.withColumn("chunk_number", expr(s"rn div $n"))
+        withRec.withColumn("chunk_number", lit(lastChunk + 1) + expr(s"rn div $n"))
       case None =>
         // A10/A13: byte-budget greedy packing over serialized record sizes
         ChunkAssigner.assignByBytes(
           withRec, Seq(col("rn")), request.chunkSizeByMemory.get,
-          octet_length(col("rec")).cast("long"))
+          octet_length(col("rec")).cast("long"), lastChunk = lastChunk)
     }
     chunked
       .groupBy(col("chunk_number"))
@@ -127,32 +129,43 @@ object IngestionPipeline {
         case r => r.getLong(0)
       }
       val sink = new OrderedAckHttpSink(request.callbackUrl)
-      var sent = 0L
-      var skipped = 0L
+      val (sent, skipped, newTotal) = deliverChunks(chunks, ingestionId, store,
+        sink, lastAcked, totalRecords, isLastChunk = _ == maxChunk)
+      totalRecords = newTotal
 
-      val it = chunks.toLocalIterator() // ordered stream, one partition in memory
-      while (it.hasNext) {
-        val row = it.next()
-        val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
-        val n = row.getLong(row.fieldIndex("n_records"))
-        if (chunkNumber <= lastAcked) {
-          skipped += 1 // A20: built but not re-sent; already counted in totals
-        } else {
-          val records = row.getSeq[String](row.fieldIndex("records"))
-          val checksum = row.getString(row.fieldIndex("checksum"))
-          sink.sendChunk(ingestionId, chunkNumber,
-            Identity.chunkId(ingestionId, chunkNumber), checksum, records,
-            isLast = chunkNumber == maxChunk)
-          totalRecords += n
-          store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21: after ACK only
-          sent += 1
-        }
-      }
-
-      val sinkForCompletion = new OrderedAckHttpSink(request.callbackUrl)
-      sinkForCompletion.sendCompleted(ingestionId, maxChunk, totalRecords) // A22
+      sink.sendCompleted(ingestionId, maxChunk, totalRecords) // A22
       store.markCompleted(ingestionId)
       Result(ingestionId, sent, skipped, totalRecords, store.get(ingestionId))
     } finally chunks.unpersist()
+  }
+
+  /** Driver-side ordered commit loop (shared by the batch and streaming
+    * paths): stream chunk rows in order, skip already-ACKed (A20), POST with
+    * retry, persist after ACK (A21). */
+  def deliverChunks(chunks: DataFrame, ingestionId: String,
+      store: IngestionStateStore, sink: OrderedAckHttpSink, lastAcked: Long,
+      startingTotal: Long, isLastChunk: Long => Boolean): (Long, Long, Long) = {
+    var sent = 0L
+    var skipped = 0L
+    var totalRecords = startingTotal
+    val it = chunks.toLocalIterator() // ordered stream, one partition in memory
+    while (it.hasNext) {
+      val row = it.next()
+      val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
+      val n = row.getLong(row.fieldIndex("n_records"))
+      if (chunkNumber <= lastAcked) {
+        skipped += 1 // A20: built but not re-sent; already counted in totals
+      } else {
+        val records = row.getSeq[String](row.fieldIndex("records"))
+        val checksum = row.getString(row.fieldIndex("checksum"))
+        sink.sendChunk(ingestionId, chunkNumber,
+          Identity.chunkId(ingestionId, chunkNumber), checksum, records,
+          isLast = isLastChunk(chunkNumber))
+        totalRecords += n
+        store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21: after ACK only
+        sent += 1
+      }
+    }
+    (sent, skipped, totalRecords)
   }
 }

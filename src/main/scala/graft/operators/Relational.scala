@@ -543,8 +543,18 @@ object Relational {
       |  sha256(sha256(c_name || '|' || 'json') || '|' || 'resume') || ':' || '0' AS chunk_id
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -- B11 approx: HLL count distinct (±5% assertion in RelationalSpec; no
+  // hash oracle — sketches are engine-specific by design) ------------------
+  private def hllDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_parquet_scan", q01, Some(q01Sql)),
+    QueryDef("hll_count_distinct", hllDistinct, None),
     QueryDef("q02_projection", q02, Some(q02Sql)),
     QueryDef("q03_filter", q03, Some(q03Sql)),
     QueryDef("q04_join_inner", q04, Some(q04Sql)),

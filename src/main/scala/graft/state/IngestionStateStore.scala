@@ -23,16 +23,23 @@ trait IngestionStateStore {
     get(ingestionId).map(_.totalRecords).getOrElse(0L)
   def ackChunk(ingestionId: String, lastChunk: Long, totalRecords: Long): Unit
   def markCompleted(ingestionId: String): Unit
+  /** Small auxiliary kv (streaming batch anchors — chunk numbering must
+    * stay stable when a micro-batch replays after a mid-batch crash). */
+  def putMeta(key: String, value: String): Unit
+  def getMeta(key: String): Option[String]
 }
 
 /** Test-grade store. */
 final class InMemoryStateStore extends IngestionStateStore {
   private val m = scala.collection.concurrent.TrieMap.empty[String, IngestionState]
+  private val meta = scala.collection.concurrent.TrieMap.empty[String, String]
   override def get(id: String): Option[IngestionState] = m.get(id)
   override def ackChunk(id: String, lastChunk: Long, total: Long): Unit =
     m.put(id, IngestionState(id, lastChunk, total, IngestionState.InProgress))
   override def markCompleted(id: String): Unit =
     m.get(id).foreach(s => m.put(id, s.copy(status = IngestionState.Completed)))
+  override def putMeta(key: String, value: String): Unit = meta.put(key, value)
+  override def getMeta(key: String): Option[String] = meta.get(key)
 }
 
 /** Durable store: one small file per ingestion_id, written atomically
@@ -74,6 +81,21 @@ final class FileStateStore(dir: Path) extends IngestionStateStore {
 
   override def markCompleted(id: String): Unit =
     get(id).foreach(s => write(id, s.copy(status = IngestionState.Completed)))
+
+  override def putMeta(key: String, value: String): Unit = {
+    val safe = java.net.URLEncoder.encode(key, "UTF-8")
+    val tmp = dir.resolve(s"$safe.meta.tmp")
+    Files.write(tmp, value.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, dir.resolve(s"$safe.meta"), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def getMeta(key: String): Option[String] = {
+    val f = dir.resolve(s"${java.net.URLEncoder.encode(key, "UTF-8")}.meta")
+    if (Files.exists(f))
+      Some(new String(Files.readAllBytes(f), StandardCharsets.UTF_8))
+    else None
+  }
 }
 
 object IngestionStateStore {

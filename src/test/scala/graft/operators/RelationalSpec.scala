@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("approx_count_distinct stays within the declared ±5% of exact (B11)") {
+    val approx = SparkEntry.queries("hll_count_distinct")(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = SparkEntry.queries("q11_count_distinct")(spark, dir)
+      .select("l_returnflag", "n_orders", "n_parts")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (flag, (orders, parts)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - orders).toDouble / orders <= 0.05,
+        s"$flag orders: approx $ao vs exact $orders")
+      assert(math.abs(ap - parts).toDouble / parts <= 0.05,
+        s"$flag parts: approx $ap vs exact $parts")
+    }
+  }
+
+  test("every declared query runs and respects its declared column set") {
+    // smoke over the full registry: no query may throw at plan or execute
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      df.limit(1).collect() // forces analysis + one task
+    }
+  }
+
+  test("oracle keys are a subset of query keys and non-empty") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle-only keys: ${o -- q}")
+    assert(o.size >= 38)
+  }
+}
