@@ -1,0 +1,50 @@
+package graft
+
+import graft.canon.CanonicalJsonExpr
+import graft.functions.{DotProduct, MinHashSignature, NgramShingles, SimHash64}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions as SQL functions at session build time —
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * After that, plain SQL can use `canonical_json`, `simhash64`,
+  * `minhash_signature`, `ngram_shingles`, and `dot_product` — the same
+  * expressions the DataFrame API wires in, no UDF wrappers anywhere.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("canonical_json"),
+      info("canonical_json", "canonical_json(expr) - key-sorted canonical JSON of any value"),
+      (exprs: Seq[Expression]) => CanonicalJsonExpr(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(array<string>) - 64-bit SimHash fingerprint"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(array<string>, h) - MinHash signature of h mins"),
+      (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("ngram_shingles"),
+      info("ngram_shingles", "ngram_shingles(array<string>, n) - distinct word n-grams"),
+      (exprs: Seq[Expression]) => new graft.functions.NgramShingles(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(array<double>, array<double>) - native dot product"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
+      info("rolling_fingerprints", "rolling_fingerprints(str, k, w) - winnowing fingerprint set"),
+      (exprs: Seq[Expression]) => graft.functions.RollingFingerprints(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+  }
+}

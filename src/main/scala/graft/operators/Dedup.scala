@@ -130,7 +130,27 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"),
         QueryDef.dec4(col("jaccard")).as("jaccard"))
 
+  /** Winnowing fingerprint near-dup: docs sharing >= minShared rolling-hash
+    * fingerprints (MOSS-style), via an inverted fingerprint index. */
+  def rollingFpPairs(docs: DataFrame, k: Int = 20, window: Int = 8,
+      minShared: Int = 2): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(graft.functions.RollingFingerprints(col("text"), k, window)).as("fp"))
+    val a = fps.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = fps.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  private def rollingFpTop(s: SparkSession, dir: String): DataFrame =
+    rollingFpPairs(Tables.documents(s, dir), minShared = 1)
+      .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("rollingfp_neardup_topk", rollingFpTop, None),
     QueryDef("minhash_neardup_topk", minhashTop, None),
     QueryDef("simhash_neardup_topk", simhashTop, None),
     QueryDef("ngram_jaccard_topk", ngramTop, None))

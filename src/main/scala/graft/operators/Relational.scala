@@ -177,13 +177,9 @@ object Relational {
     val clicks = e.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val views = e.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("v_ts"))
-    val joined = clicks.join(views,
-      clicks("user_id") === views("v_user") && views("v_ts") < clicks("ts"), "left")
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("v_ts").desc_nulls_last, col("view_id").desc_nulls_last)
-    joined.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("v_ts"))
+    Joins.asofBackward(clicks, views, byKeys = Seq("user_id"),
+      leftTime = "ts", rightTime = "v_ts", tieBreak = "view_id", strict = true)
       .select(col("event_id"), col("user_id"), tsMicro(col("ts")).as("click_ts"),
         col("view_id"), tsMicro(col("v_ts")).as("view_ts"))
       .orderBy(col("event_id"))

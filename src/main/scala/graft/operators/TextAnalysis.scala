@@ -132,7 +132,45 @@ object TextAnalysis {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // -- token counting: whitespace + BPE-ish regex segmentation ---------------
+  private def q39(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("bpe_ish_tokens"),
+        length(regexp_replace(col("text"), " ", "")).as("chars_no_ws"))
+      .orderBy(col("doc_id"))
+
+  private val q39Sql =
+    """SELECT doc_id,
+      |  len(list_filter(string_split(text, ' '), x -> x <> '')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens,
+      |  length(replace(text, ' ', '')) AS chars_no_ws
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -- deterministic keep-first dedup (survivor selection) -------------------
+  // dropDuplicates keeps an ARBITRARY row; training pipelines need a
+  // reproducible survivor — row_number over an explicit order does that.
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("n_chars")).orderBy(col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("n_chars"), col("doc_id").as("survivor_doc"))
+      .orderBy(col("source"), col("n_chars"))
+  }
+
+  private val q40Sql =
+    """SELECT source, n_chars, doc_id AS survivor_doc
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source, n_chars
+      |    ORDER BY doc_id) AS rn FROM documents)
+      |WHERE rn = 1 ORDER BY source, n_chars""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q39_token_count", q39, Some(q39Sql)),
+    QueryDef("q40_dedup_keep_first", q40, Some(q40Sql)),
     QueryDef("q30_dedup_exact", q30, Some(q30Sql)),
     QueryDef("q31_top_tokens", q31, Some(q31Sql)),
     QueryDef("q32_quality_score", q32, Some(q32Sql)),

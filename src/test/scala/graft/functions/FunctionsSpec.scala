@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.TestSpark
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rolling fingerprints: identical text → identical set; shared runs → shared fps") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val copy = base
+    val shifted = "PREFIX PAD " + base // same long run, different offset
+    val unrelated = "completely different content with nothing in common at all here"
+    val df = Seq((1L, base), (2L, copy), (3L, shifted), (4L, unrelated))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), RollingFingerprints(col("text"), 20, 8).as("fps"))
+    val fps = df.as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == fps(2L), "identical docs must share the full set")
+    assert(fps(1L).toSet.intersect(fps(3L).toSet).nonEmpty,
+      "shifted copy must share fingerprints (position independence)")
+    assert(fps(1L).toSet.intersect(fps(4L).toSet).isEmpty,
+      "unrelated docs should share nothing at these parameters")
+    // sorted + distinct output
+    assert(fps(1L) == fps(1L).distinct.sorted)
+  }
+
+  test("rollingFpPairs surfaces planted copies through the inverted index") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (3L, "one two three four five six seven eight nine ten eleven twelve here"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.rollingFpPairs(docs, minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("GraftExtensions registers every native function for plain SQL") {
+    // TestSpark builds its session withExtensions(new GraftExtensions) —
+    // exactly how a production session would install the engine
+    val row = spark.sql(
+        """SELECT
+          |  canonical_json(named_struct('b', 2, 'a', 1)) AS cj,
+          |  simhash64(array('x', 'y')) AS sh,
+          |  size(minhash_signature(array('x', 'y'), 16)) AS mh,
+          |  ngram_shingles(array('a', 'b', 'c'), 2) AS ng,
+          |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+          |  size(rolling_fingerprints('abcdefghijklmnopqrstuvwxyz', 5, 3)) AS rf
+          |""".stripMargin).collect()(0)
+    assert(row.getString(0) == """{"a":1,"b":2}""")
+    assert(row.getLong(1) != 0L)
+    assert(row.getInt(2) == 16)
+    assert(row.getSeq[String](3) == Seq("a b", "b c"))
+    assert(row.getDouble(4) == 11.0)
+    assert(row.getInt(5) > 0)
+  }
+}
