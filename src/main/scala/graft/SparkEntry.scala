@@ -11,7 +11,7 @@ object SparkEntry {
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ ChunkOps.defs ++ TextAnalysis.defs ++
       EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++ AnnLsh.defs ++
-      Multimodal.defs
+      AnnIvf.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: full-scan grouped aggregation with map-side partials. */

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.VectorExprs.dotProduct
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbors — the second scale path
+  * for embedding search (SURVEY.md §2 B31 "IVF or LSH-bucketed variant").
+  *
+  * Train: a few Lloyd iterations of k-means over a sample, entirely as
+  * DataFrame programs — assignment is a broadcast of the (tiny) centroid
+  * array against one corpus scan; update is a map-side-combinable average.
+  * Search: probe the nprobe nearest centroid cells, exact re-rank inside.
+  * At 100 TB the corpus is written PARTITIONED BY cell, so a query touches
+  * only nprobe partitions — the classic IVF pruning.
+  */
+object AnnIvf {
+
+  /** Deterministic k-means: seeded sample for init, fixed iteration count.
+    * corpus: (vec_id, v: array<double>). Returns centroid arrays. */
+  def trainCentroids(corpus: DataFrame, k: Int, iterations: Int = 3,
+      seed: Long = 42L): Array[Seq[Double]] = {
+    var centroids: Array[Seq[Double]] = corpus
+      .select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(lit(seed), col("vec_id"))) // seeded deterministic pick
+      .limit(k)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    for (_ <- 1 to iterations) {
+      val assigned = assignCells(corpus, centroids)
+      val dim = centroids(0).size
+      val sums = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dim).map(i =>
+            sum(element_at(col("v"), i + 1)).as(s"s$i")): _*).as("sums"))
+        .collect()
+      val next = centroids.clone()
+      sums.foreach { r =>
+        val cell = r.getInt(r.fieldIndex("cell"))
+        val n = r.getLong(r.fieldIndex("n")).toDouble
+        next(cell) = r.getSeq[Double](r.fieldIndex("sums")).map(_ / n)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id per vector (L2 via dot products; the corpus
+    * scan is the only pass — centroids ride along as literals). */
+  def assignCells(corpus: DataFrame, centroids: Array[Seq[Double]]): DataFrame = {
+    val dists: Seq[Column] = centroids.toSeq.map { c =>
+      val cl = typedLit(c)
+      // ||v - c||² = v·v - 2 v·c + c·c ; v·v constant per row → rank by the rest
+      dotProduct(cl, cl) - lit(2.0) * dotProduct(col("v"), cl)
+    }
+    // argmin over the k distance columns
+    val packed = array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)
+    corpus.withColumn("cell", element_at(array_sort(packed), 1).getField("i"))
+  }
+
+  /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
+    * re-rank within the probed cells only. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centroids: Array[Seq[Double]], nprobe: Int = 3): DataFrame = {
+    val cells = assignCells(corpus, centroids)
+    val queryCells = assignProbes(queries, centroids, nprobe)
+    val candidates = queryCells.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+  }
+
+  /** The nprobe nearest cells per query vector, exploded to (qid, qv, cell). */
+  private def assignProbes(queries: DataFrame, centroids: Array[Seq[Double]],
+      nprobe: Int): DataFrame = {
+    val dists: Seq[Column] = centroids.toSeq.map { c =>
+      val cl = typedLit(c)
+      dotProduct(cl, cl) - lit(2.0) * dotProduct(col("qv"), cl)
+    }
+    val packed = array(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("i"))
+    }: _*)
+    queries
+      .withColumn("cell",
+        explode(transform(slice(array_sort(packed), 1, nprobe), x => x.getField("i"))))
+  }
+
+  // -- query entry (approximate → rows-only driver check) --------------------
+  private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val centroids = trainCentroids(emb, k = 16)
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    topK(emb, qs, 5, centroids)
+      .select(col("qid"), col("rank"), col("neighbor"),
+        QueryDef.dec4(col("cos")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(QueryDef("ann_ivf_topk", ivfTop, None))
+}

@@ -63,6 +63,26 @@ object Similarity {
       |    ORDER BY round(cos, 4) DESC, neighbor) AS rn FROM pairs)
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // -- embedding column statistics (oracled — exact dot-product math) --------
+  private def q41(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val v = col("v")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+      .select(col("vec_id"), col("label"),
+        QueryDef.dec4(sqrt(dotProduct(v, v))).as("l2_norm"),
+        QueryDef.dec4(dotProduct(v, typedLit(Seq.fill(64)(1.0))) / 64).as("mean_val"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q41Sql =
+    """SELECT vec_id, label,
+      |  CAST(CAST(sqrt(list_inner_product(v, v)) AS DECIMAL(38,4)) AS VARCHAR) AS l2_norm,
+      |  CAST(CAST(list_inner_product(v, CAST([1.0 FOR i IN range(64)] AS DOUBLE[])) / 64 AS DECIMAL(38,4)) AS VARCHAR) AS mean_val
+      |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q37_cosine_topk", q37, Some(q37Sql)))
+    QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
+    QueryDef("q41_embedding_stats", q41, Some(q41Sql)))
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("asofBackward picks the latest right row at-or-before each left time") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0), ("A", 200L, 12.0),
+      ("B", 60L, 5.0)).toDF("sym", "qt", "px")
+    val out = Joins.asofBackward(trades, quotes, Seq("sym"), "t", "qt", "qt")
+      .select("trade_id", "qt", "px").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(100L), Some(11.0))) // <= picks the equal-time quote
+    assert(out(2L) == (Some(200L), Some(12.0)))
+    assert(out(3L) == (None, None)) // B has no quote at/before 50
+  }
+
+  test("asofBackward strict mode excludes equal timestamps") {
+    val trades = Seq((1L, "A", 100L)).toDF("trade_id", "sym", "t")
+    val quotes = Seq(("A", 90L, 10.0), ("A", 100L, 11.0)).toDF("sym", "qt", "px")
+    val out = Joins.asofBackward(trades, quotes, Seq("sym"), "t", "qt", "qt",
+      strict = true).select("px").collect()(0)
+    assert(out.getDouble(0) == 10.0)
+  }
+
+  test("saltedJoin equals the plain join on skewed keys") {
+    // 90% of rows share one key — the pathological shuffle shape
+    val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("key", "v")
+    val small = (Seq("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("key", "w")
+    val plain = large.join(small, Seq("key"))
+      .select("key", "v", "w").collect().map(_.toString).sorted
+    val salted = Skew.saltedJoin(large, small, "key", buckets = 8)
+      .select("key", "v", "w").collect().map(_.toString).sorted
+    assert(salted.sameElements(plain))
+    assert(plain.length == 1000)
+  }
+
+  test("IVF ANN: deterministic, exact scores, probes find real neighbors") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val centroids = AnnIvf.trainCentroids(emb, k = 8, iterations = 2)
+    assert(centroids.length == 8 && centroids.forall(_.size == 64))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val run1 = AnnIvf.topK(emb, qs, 5, centroids)
+      .select("qid", "rank", "neighbor").collect().map(_.toString).sorted
+    val run2 = AnnIvf.topK(emb, qs, 5, centroids)
+      .select("qid", "rank", "neighbor").collect().map(_.toString).sorted
+    assert(run1.sameElements(run2), "IVF search must be deterministic")
+    // scores are exact cosines
+    val exact = Similarity.bruteForceTopK(emb, qs, 500)
+      .select(col("qid"), col("vec_id"), col("cos"))
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    AnnIvf.topK(emb, qs, 5, centroids)
+      .select("qid", "neighbor", "cos").as[(Long, Long, Double)].collect()
+      .foreach { case (q, n, c) =>
+        assert(math.abs(c - exact((q, n))) < 1e-12)
+      }
+  }
+}
