@@ -15,7 +15,7 @@ object ChunkOps {
   // -- B27: chunk assignment over a total file order (A9/A11) ----------------
   private def q27(s: SparkSession, dir: String): DataFrame =
     ChunkAssigner.assignByCount(
-      Tables.lineitem(s, dir), Seq(col("l_orderkey"), col("l_linenumber")), 100)
+      Tables.lineitem(s, dir), Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")), 100)
       .groupBy(col("chunk_number"))
       .agg(count(lit(1)).as("n_records"),
         min(col("l_orderkey")).as("min_orderkey"),
@@ -30,7 +30,7 @@ object ChunkOps {
       |  max(l_orderkey) AS max_orderkey,
       |  min(rn - 1) AS first_rn, max(rn - 1) AS last_rn
       |FROM (SELECT l_orderkey,
-      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn
       |  FROM lineitem)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
@@ -42,8 +42,9 @@ object ChunkOps {
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val chunked = ChunkAssigner.assignByCount(
       Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag")),
-      Seq(col("l_orderkey"), col("l_linenumber")), 200)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_returnflag")),
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey")), 200)
     chunked
       .withColumn("rec", CanonicalJson(struct(
         col("l_linenumber"), col("l_orderkey"), col("l_returnflag"))))
@@ -59,8 +60,8 @@ object ChunkOps {
   private val q28Sql =
     """SELECT chunk_number, count(*) AS n_records,
       |  sha256('[' || string_agg(rec, ',' ORDER BY rn) || ']') AS checksum
-      |FROM (SELECT CAST((row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 200 AS BIGINT) AS chunk_number,
-      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn,
+      |FROM (SELECT CAST((row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) - 1) // 200 AS BIGINT) AS chunk_number,
+      |    row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey) AS rn,
       |    '{"l_linenumber":' || l_linenumber || ',"l_orderkey":' || l_orderkey
       |      || ',"l_returnflag":"' || l_returnflag || '"}' AS rec
       |  FROM lineitem)

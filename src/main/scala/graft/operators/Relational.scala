@@ -23,7 +23,7 @@ object Relational {
         dec4(col("l_discount")).as("discount"), dec4(col("l_tax")).as("tax"),
         col("l_returnflag"), col("l_linestatus"),
         tsDay(col("l_shipdate")).as("shipdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
       .limit(100)
 
   private val q01Sql =
@@ -34,7 +34,7 @@ object Relational {
       |  CAST(CAST(l_tax AS DECIMAL(38,4)) AS VARCHAR) AS tax,
       |  l_returnflag, l_linestatus,
       |  strftime(l_shipdate, '%Y-%m-%d') AS shipdate
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100""".stripMargin
 
   // -- B3: projection / arithmetic ------------------------------------------
   // Doubles differ by 1 ulp across engines on 3-factor products (FMA), and
@@ -50,7 +50,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_linenumber"),
         net.cast("string").as("net_price"),
         (net * (lit(1) + tax)).cast("decimal(38,6)").cast("string").as("charge"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
   }
 
   private val q02Sql =
@@ -59,7 +59,7 @@ object Relational {
       |FROM (SELECT *, CAST(CAST(l_extendedprice AS DECIMAL(15,4))
       |    * (1 - CAST(l_discount AS DECIMAL(15,4))) AS DECIMAL(18,6)) AS net
       |  FROM lineitem)
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   // -- B4: multi-predicate filter (pushed to the parquet scan) ---------------
   private def q03(s: SparkSession, dir: String): DataFrame =
@@ -73,7 +73,7 @@ object Relational {
         col("l_partkey").isNotNull)
       .select(col("l_orderkey"), col("l_linenumber"),
         dec4(col("l_quantity")).as("quantity"), col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
 
   private val q03Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -82,7 +82,7 @@ object Relational {
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
       |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 30
       |  AND l_returnflag IN ('R','A') AND l_linestatus <> 'X' AND l_partkey IS NOT NULL
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   // -- B5: inner equi-join, broadcast dims -----------------------------------
   // customer and nation are orders-of-magnitude smaller than orders: broadcast
@@ -431,7 +431,7 @@ object Relational {
         dec4(log(col("l_extendedprice") + 1)).as("ln_price"),
         dec4(sqrt(col("l_quantity"))).as("sqrt_qty"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
 
   private val q21Sql =
     """SELECT l_orderkey, l_linenumber,
@@ -443,7 +443,7 @@ object Relational {
       |  CAST(CAST(ln(l_extendedprice + 1) AS DECIMAL(38,4)) AS VARCHAR) AS ln_price,
       |  CAST(CAST(sqrt(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sqrt_qty,
       |  ((l_orderkey % 7) + 7) % 7 AS key_mod7
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin
 
   // -- B22: array / higher-order functions over embeddings -------------------
   private def q22(s: SparkSession, dir: String): DataFrame =
