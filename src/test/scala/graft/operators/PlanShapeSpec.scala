@@ -33,9 +33,10 @@ class PlanShapeSpec extends AnyFunSuite {
   test("q01: column pruning reaches the scan (ReadSchema is the projection)") {
     val p = plan("q02_projection")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    // only the 4 referenced columns are read, not all 11
+    // only the referenced columns (projection + sort keys) are read, not all 11
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_discount"))
-    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"),
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_returnflag") &&
+      !readSchema.contains("l_quantity"),
       s"scan reads pruned columns: $readSchema")
   }
 
