@@ -73,6 +73,13 @@ object CanonicalJson {
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
         writeString(sb, inst.toString)
+      case TimestampNTZType => // wall-clock micros → ISO local datetime string
+        val micros = value.asInstanceOf[Long]
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        writeString(sb, ldt.toString)
       case BinaryType =>
         writeString(sb, java.util.Base64.getEncoder.encodeToString(value.asInstanceOf[Array[Byte]]))
       case st: StructType =>

@@ -263,6 +263,25 @@ object Relational {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  // -- B12: cube (the full grouping-sets lattice) ----------------------------
+  private def q42(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+        dec4(sum(col("o_totalprice"))).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy(col("gid"), col("status"), col("priority"))
+
+  private val q42Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n,
+      |  CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS VARCHAR) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   // -- B13: window ranking — top-3 orders per customer -----------------------
   private def q13(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -493,11 +512,15 @@ object Relational {
     Tables.events(s, dir)
       .select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_typed"),
         to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("packed"))
       .orderBy(col("event_id"))
 
   private val q24Sql =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+      |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
       |  '{"id":' || CAST(event_id AS VARCHAR) || ',"t":"' || event_type || '"}' AS packed
       |FROM events ORDER BY event_id""".stripMargin
 
@@ -562,6 +585,7 @@ object Relational {
     QueryDef("q10_agg_groupby", q10, Some(q10Sql)),
     QueryDef("q11_count_distinct", q11, Some(q11Sql)),
     QueryDef("q12_rollup", q12, Some(q12Sql)),
+    QueryDef("q42_cube", q42, Some(q42Sql)),
     QueryDef("q13_window_rank", q13, Some(q13Sql)),
     QueryDef("q14_window_analytic", q14, Some(q14Sql)),
     QueryDef("q15_window_frame", q15, Some(q15Sql)),
