@@ -24,11 +24,20 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects. Read nanos as long and truncate to micros — the same
-    * coercion DuckDB applies (TIMESTAMP_NS → TIMESTAMP). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+    * coercion DuckDB applies (TIMESTAMP_NS → TIMESTAMP). One shared helper
+    * (also used by the streaming reader) so the session-wide legacy flag is
+    * flipped in exactly one documented place. */
+  def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  /** nanos-long `ts` → microsecond timestamp. */
+  def nanosToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    enableNanosAsLong(spark)
+    nanosToMicros(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

@@ -30,14 +30,17 @@ final class IngestController(spark: SparkSession, store: IngestionStateStore) {
     val ft = request.fileType.toLowerCase
     require(Set("json", "jsonl", "parquet", "excel", "csv").contains(ft),
       s"Unsupported file type: ${request.fileType}")
+    // evaluate the by-name clock ONCE: the returned ingestion_id and the id
+    // the pipeline runs under must come from the same epoch-millis version
+    val now = nowMillis
     val fileId = Identity.fileId(request.filePath, request.fileType)
-    val version = Identity.version(request.reIngestion, nowMillis)
+    val version = Identity.version(request.reIngestion, now)
     val ingestionId = Identity.ingestionId(fileId, version)
     outcomes.put(ingestionId, "RUNNING")
     pool.submit(new Runnable {
       override def run(): Unit =
         try {
-          IngestionPipeline.run(spark, request, store, nowMillis)
+          IngestionPipeline.run(spark, request, store, now)
           outcomes.put(ingestionId, "DONE")
         } catch {
           case e: Throwable => outcomes.put(ingestionId, s"FAILED: ${e.getMessage}")

@@ -110,20 +110,24 @@ object CanonicalJson {
         val keys = m.keyArray()
         val vals = m.valueArray()
         val n = m.numElements()
-        // sort entries by the canonical string form of the key
+        // sort entries by the RAW key string (UTF-16 code units) — the same
+        // order MiniJson and the struct-field sort use; escaping happens at
+        // emission only, so "a\n" sorts before "a0" on both ends
         val entries = (0 until n).map { i =>
-          val kSb = new java.lang.StringBuilder(16)
-          write(kSb, if (keys.isNullAt(i)) null else keys.get(i, mt.keyType), mt.keyType)
-          val key = kSb.toString
-          // JSON object keys must be strings: non-string keys keep their
-          // canonical rendering but get quoted
-          val quoted = if (key.startsWith("\"")) key else "\"" + key + "\""
-          (quoted, i)
+          val raw = mt.keyType match {
+            case StringType if !keys.isNullAt(i) =>
+              keys.getUTF8String(i).toString
+            case other =>
+              val kSb = new java.lang.StringBuilder(16)
+              write(kSb, if (keys.isNullAt(i)) null else keys.get(i, other), other)
+              kSb.toString
+          }
+          (raw, i)
         }.sortBy(_._1)
         sb.append('{')
         entries.zipWithIndex.foreach { case ((k, i), j) =>
           if (j > 0) sb.append(',')
-          sb.append(k)
+          writeString(sb, k)
           sb.append(':')
           write(sb, if (vals.isNullAt(i)) null else vals.get(i, mt.valueType), mt.valueType)
         }

@@ -35,8 +35,14 @@ object StreamingIngest {
       case "json" | "jsonl" => spark.readStream.schema(schema)
         .option("recursiveFileLookup", "true").json(request.filePath)
       case "parquet" => spark.readStream.schema(schema).parquet(request.filePath)
-      case "csv" | "excel" => spark.readStream.schema(schema)
+      case "csv" => spark.readStream.schema(schema)
         .option("header", "true").csv(request.filePath)
+      case "excel" =>
+        // the xlsx DSv2 source is batch-only; silently CSV-parsing zip bytes
+        // would deliver garbage as valid chunks — fail fast instead
+        throw new IllegalArgumentException(
+          "excel is not supported for streaming ingestion; convert to csv/jsonl " +
+            "or use the batch pipeline")
       case other => throw new IllegalArgumentException(s"Unsupported file type: $other")
     }
 

@@ -15,13 +15,17 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Equi-join `large ⋈ small` on `key`, with the large side salted. The
-    * salt is a deterministic hash of the large side's whole row, so replays
-    * and retries land identically. */
+    * salt comes from a per-row id, NOT a row-content hash: hot keys in
+    * training corpora are usually exact duplicate rows, and a content hash
+    * would put them all in one bucket — exactly the skew being mitigated.
+    * The salt value never affects the join RESULT (any bucket matches the
+    * replicated small side), so the id's nondeterminism across retries is
+    * harmless. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1)
     val salted = large.withColumn("__salt",
-      pmod(xxhash64(struct(large.columns.map(col): _*)), lit(buckets)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(buckets)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")

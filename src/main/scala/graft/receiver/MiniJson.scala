@@ -61,17 +61,13 @@ object MiniJson {
       sb.append('}')
   }
 
-  /** Numbers: integral-valued → long form; else Java double shortest repr —
-    * the same policy as CanonicalJson.writeDouble. */
-  private def canonicalNumber(raw: String): String = {
-    if (!raw.exists(c => c == '.' || c == 'e' || c == 'E')) raw // integer lexeme
-    else {
-      val d = raw.toDouble
-      if (d.isNaN || d.isInfinite) "null"
-      else if (d == Math.rint(d) && Math.abs(d) < 1e15) d.toLong.toString
-      else java.lang.Double.toString(d)
-    }
-  }
+  /** Numbers keep their received lexical form verbatim. The sender's
+    * CanonicalJson already emits each number in ONE canonical lexeme per
+    * value (integers plain, decimals via toPlainString, doubles via Java
+    * shortest repr) — re-normalizing here through Double would corrupt
+    * decimal lexemes ("19.9900" → "19.99", "0.00001" → "1.0E-5") and break
+    * the independent checksum recompute byte parity. */
+  private def canonicalNumber(raw: String): String = raw
 
   private def writeString(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')

@@ -72,19 +72,22 @@ class XlsxTable(schema: StructType, path: String) extends Table with SupportsRea
       override def planInputPartitions(): Array[InputPartition] =
         Array(XlsxPartition(path))
       override def createReaderFactory(): PartitionReaderFactory =
-        new XlsxReaderFactory(schema)
+        // capture the session's Hadoop conf on the DRIVER (credentials,
+        // fs.* settings) — executors must not rebuild a default Configuration
+        new XlsxReaderFactory(schema,
+          new org.apache.spark.util.SerializableConfiguration(XlsxSource.hadoopConf()))
     }
 }
 
 case class XlsxPartition(path: String) extends InputPartition
 
-class XlsxReaderFactory(schema: StructType) extends PartitionReaderFactory {
+class XlsxReaderFactory(schema: StructType,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxPartition].path
     new PartitionReader[InternalRow] {
-      // serialized to executors; re-resolve the Hadoop conf locally
-      private val rows = XlsxParser.dataRows(path,
-        new org.apache.hadoop.conf.Configuration(), schema.length)
+      private val rows = XlsxParser.dataRows(path, conf.value, schema.length)
       private var current: Array[String] = _
       override def next(): Boolean =
         if (rows.hasNext) { current = rows.next(); true } else false

@@ -20,12 +20,12 @@ object EventsStreaming {
 
   /** File-based streaming source over a testdata dir (B34's readStream). */
   def loadStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.enableNanosAsLong(spark)
+    graft.Tables.nanosToMicros(
+      spark.readStream
+        .schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** B34: tumbling 1-hour aggregation (same shape as batch q36). */

@@ -58,9 +58,30 @@ class CanonicalJsonSpec extends AnyFunSuite {
     }
   }
 
-  test("MiniJson key-sorts unsorted input and normalizes numbers") {
+  test("MiniJson key-sorts unsorted input; number lexemes pass through verbatim") {
+    // numbers are NOT re-normalized: the sender already emits one canonical
+    // lexeme per value, and re-parsing through Double would corrupt decimals
     assert(MiniJson.canonical(MiniJson.parse("""{ "b" : 2.0 , "a" : [ 1e2 ] }"""))
-      == """{"a":[100],"b":2}""")
+      == """{"a":[1e2],"b":2.0}""")
+  }
+
+  test("decimal lexemes survive the receiver round-trip byte-for-byte") {
+    // regression: a DECIMAL(15,4) renders as "19.9900" on the sender; the
+    // receiver's independent recompute must hash the same bytes
+    val rec = canon(struct(lit(BigDecimal("19.9900")).as("price"),
+      lit(BigDecimal("0.00001")).as("eps")))
+    assert(rec == """{"eps":0.00001,"price":19.9900}""")
+    assert(MiniJson.canonical(MiniJson.parse(rec)) == rec)
+    assert(Identity.sha256Hex(MiniJson.canonical(MiniJson.parse(rec))) ==
+      Identity.sha256Hex(rec))
+  }
+
+  test("map keys sort by raw code units, matching MiniJson's object sort") {
+    // "a\n" < "a0" in raw UTF-16; an escaped-form sort would invert them
+    val viaExpr = canon(struct(map_from_arrays(
+      array(lit("a0"), lit("a\n")), array(lit(1), lit(2))).as("m")))
+    assert(viaExpr == "{\"m\":{\"a\\n\":2,\"a0\":1}}")
+    assert(MiniJson.canonical(MiniJson.parse(viaExpr)) == viaExpr)
   }
 
   test("checksum permutation stability: key order never changes the hash") {
