@@ -571,7 +571,81 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  // -- pivot: orderstatus × orderpriority counts -----------------------------
+  private def q43(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+        "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+      .orderBy(col("o_orderstatus"))
+
+  private val q43Sql =
+    """SELECT o_orderstatus,
+      |  count(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+      |  count(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+      |  count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+      |  count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+      |  count(*) FILTER (o_orderpriority = '5-LOW') AS p5
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // -- exact percentiles (order-insensitive → cross-engine deterministic) ----
+  private def q44(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dec4(expr("percentile(l_quantity, 0.5)")).as("median_qty"),
+        dec4(expr("percentile(l_quantity, 0.9)")).as("p90_qty"),
+        dec4(min(col("l_quantity"))).as("min_qty"),
+        dec4(max(col("l_quantity"))).as("max_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val q44Sql =
+    """SELECT l_returnflag,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.5) AS DECIMAL(38,4)) AS VARCHAR) AS median_qty,
+      |  CAST(CAST(quantile_cont(l_quantity, 0.9) AS DECIMAL(38,4)) AS VARCHAR) AS p90_qty,
+      |  CAST(CAST(min(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS min_qty,
+      |  CAST(CAST(max(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS max_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- moment statistics ------------------------------------------------------
+  private def q45(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(dec4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        dec4(var_samp(col("l_quantity"))).as("var_qty"),
+        dec4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        dec4(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
+  private val q45Sql =
+    """SELECT l_returnflag,
+      |  CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sd_qty,
+      |  CAST(CAST(var_samp(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS var_qty,
+      |  CAST(CAST(corr(l_quantity, l_extendedprice) AS DECIMAL(38,4)) AS VARCHAR) AS corr_qty_price,
+      |  CAST(CAST(covar_samp(l_quantity, l_discount) AS DECIMAL(38,4)) AS VARCHAR) AS cov_qty_disc
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // -- ordered string aggregation --------------------------------------------
+  private def q46(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), "|").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  private val q46Sql =
+    """SELECT n_regionkey, string_agg(n_name, '|' ORDER BY n_name) AS nations,
+      |  count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q43_pivot", q43, Some(q43Sql)),
+    QueryDef("q44_percentiles", q44, Some(q44Sql)),
+    QueryDef("q45_stats", q45, Some(q45Sql)),
+    QueryDef("q46_string_agg", q46, Some(q46Sql)),
     QueryDef("q01_parquet_scan", q01, Some(q01Sql)),
     QueryDef("hll_count_distinct", hllDistinct, None),
     QueryDef("q02_projection", q02, Some(q02Sql)),

@@ -113,8 +113,8 @@ object TextAnalysis {
 
   // -- document fingerprinting -----------------------------------------------
   // Whitespace-normalized content hash + a head fingerprint; the positional
-  // rolling-hash (Rabin-Karp) variant lives in Fingerprints.scala and is
-  // covered by ScalaTest (not SQL-expressible at reasonable cost).
+  // rolling-hash (winnowing) variant is functions.RollingFingerprints,
+  // covered by FunctionsSpec (not SQL-expressible at reasonable cost).
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val norm = regexp_replace(trim(col("text")), "\\s+", " ")
     Tables.documents(s, dir)
