@@ -93,15 +93,20 @@ object AnnIvf {
 
   // -- query entry (approximate → rows-only driver check) --------------------
   private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // cache: k-means training re-scans the corpus once per iteration
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-    val centroids = trainCentroids(emb, k = 16)
-    val qs = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    topK(emb, qs, 5, centroids)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        QueryDef.dec4(col("cos")).as("score"))
-      .orderBy(col("qid"), col("rank"))
+      .cache()
+    try {
+      val centroids = trainCentroids(emb, k = 16)
+      val qs = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      topK(emb, qs, 5, centroids)
+        .select(col("qid"), col("rank"), col("neighbor"),
+          QueryDef.dec4(col("cos")).as("score"))
+        .orderBy(col("qid"), col("rank"))
+        .localCheckpoint() // materialize before the cache is released
+    } finally emb.unpersist()
   }
 
   val defs: Seq[QueryDef] = Seq(QueryDef("ann_ivf_topk", ivfTop, None))

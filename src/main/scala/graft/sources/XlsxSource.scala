@@ -39,7 +39,11 @@ class XlsxSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = XlsxSource.requirePath(options)
-    XlsxParser.schemaOf(path, XlsxSource.hadoopConf())
+    val files = XlsxSource.expand(path, XlsxSource.hadoopConf())
+    require(files.nonEmpty, s"xlsx: no .xlsx files under $path")
+    // schema = header of the first file (lexicographic order, deterministic);
+    // every other file must produce the same header — checked at read time
+    XlsxParser.schemaOf(files.head, XlsxSource.hadoopConf())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -56,6 +60,20 @@ object XlsxSource {
 
   def hadoopConf(): org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration
+
+  /** A file path stays itself; a directory expands to its .xlsx files in
+    * lexicographic order. One InputPartition per file — this is where the
+    * source's parallelism comes from at scale (spreadsheet drops arrive as
+    * many files, each unsplittable). */
+  def expand(path: String, conf: org.apache.hadoop.conf.Configuration): Seq[String] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val st = fs.getFileStatus(p)
+    if (!st.isDirectory) Seq(path)
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isFile && s.getPath.getName.toLowerCase.endsWith(".xlsx"))
+      .map(_.getPath.toString).sorted
+  }
 }
 
 class XlsxTable(schema: StructType, path: String) extends Table with SupportsRead {
@@ -70,7 +88,8 @@ class XlsxTable(schema: StructType, path: String) extends Table with SupportsRea
       override def readSchema(): StructType = schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        Array(XlsxPartition(path))
+        XlsxSource.expand(path, XlsxSource.hadoopConf())
+          .map(f => XlsxPartition(f): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         // capture the session's Hadoop conf on the DRIVER (credentials,
         // fs.* settings) — executors must not rebuild a default Configuration

@@ -96,6 +96,23 @@ class XlsxSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("empty header row"))
   }
 
+  test("a directory of workbooks reads as one table, one partition per file") {
+    val dir = Files.createTempDirectory("graft_wb_dir")
+    def writeInto(name: String, values: Seq[String]): Unit = {
+      val f = writeXlsx(
+        sharedStrings = Seq("col") ++ values,
+        rows = Seq(Seq(("s", "0"))) ++
+          values.indices.map(i => Seq(("s", s"${i + 1}"))))
+      Files.move(java.nio.file.Paths.get(f), dir.resolve(name))
+    }
+    writeInto("a.xlsx", Seq("v1", "v2"))
+    writeInto("b.xlsx", Seq("v3"))
+    val df = spark.read.format("xlsx").load(dir.toString)
+    assert(df.columns.toSeq == Seq("col"))
+    assert(df.rdd.getNumPartitions == 2)
+    assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("v1", "v2", "v3"))
+  }
+
   test("xlsx drives the full ingestion pipeline end-to-end (A4→A22)") {
     val (mock, server, url) = graft.receiver.MockPimCore.serve()
     try {
