@@ -74,8 +74,12 @@ object ChunkAssigner {
   def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
       sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
     val spark = df.sparkSession
+    // repartition(1), NOT coalesce(1): coalesce collapses the upstream into
+    // one task, serializing the (parallel) record serialization and size
+    // computation; a shuffle barrier keeps production parallel and only the
+    // greedy packing fold runs single-threaded (inherently sequential)
     val sorted = df.withColumn("__size", sizeCol)
-      .coalesce(1).sortWithinPartitions(orderCols: _*)
+      .repartition(1).sortWithinPartitions(orderCols: _*)
     val sizeIdx = sorted.schema.fieldIndex("__size")
     val schema = StructType(
       sorted.schema.fields.patch(sizeIdx, Nil, 1) :+

@@ -641,7 +641,45 @@ object Relational {
       |  count(*) AS n
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // -- B38 generators: posexplode over array slices --------------------------
+  private def q47(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 4)))
+      .select(col("vec_id"), col("pos"),
+        dec4(col("col").cast("double")).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  private val q47Sql =
+    """SELECT vec_id, CAST(i - 1 AS INTEGER) AS pos,
+      |  CAST(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS val
+      |FROM embeddings CROSS JOIN generate_series(1, 4) AS t(i)
+      |WHERE i <= len(embedding)
+      |ORDER BY vec_id, pos""".stripMargin
+
+  // -- B13/B14 distribution window functions ---------------------------------
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ntile(4).over(w).as("quartile"),
+        dec4(percent_rank().over(w)).as("pct_rank"),
+        dec4(cume_dist().over(w)).as("cume"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val q48Sql =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+      |  CAST(CAST(percent_rank() OVER w AS DECIMAL(38,4)) AS VARCHAR) AS pct_rank,
+      |  CAST(CAST(cume_dist() OVER w AS DECIMAL(38,4)) AS VARCHAR) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_generators", q47, Some(q47Sql)),
+    QueryDef("q48_window_dist", q48, Some(q48Sql)),
     QueryDef("q43_pivot", q43, Some(q43Sql)),
     QueryDef("q44_percentiles", q44, Some(q44Sql)),
     QueryDef("q45_stats", q45, Some(q45Sql)),
