@@ -76,6 +76,35 @@ class ApiSpec extends AnyFunSuite {
     } finally { api.stop(0); receiver.stop(0); controller.shutdown() }
   }
 
+  test("concurrent ingestions of different files interleave safely") {
+    // the reference runs each ingestion as an independent background task;
+    // receiver-side ordering state is per ingestion_id (A24 is per-stream)
+    val (mock, receiver, callbackUrl) = MockPimCore.serve()
+    val store = IngestionStateStore.inMemory()
+    val controller = new IngestController(spark, store)
+    val (api, apiUrl) = IngestApiServer.serve(controller)
+    try {
+      val ids = (0 until 3).map { k =>
+        val f = Files.createTempFile(s"graft_conc$k", ".json")
+        Files.writeString(f,
+          (0 until 30).map(i => s"""{"id": $i, "src": $k}""").mkString("[", ",", "]"))
+        val (_, body) = post(s"$apiUrl/api/ingest",
+          s"""{"file_path": "${f.toString}", "file_type": "json",
+             | "callback_url": "$callbackUrl", "chunk_size_by_records": 7}""".stripMargin)
+        MiniJson.parse(body).asInstanceOf[MiniJson.JObj]
+          .get("ingestion_id").collect { case MiniJson.JStr(s) => s }.get
+      }
+      controller.awaitAll()
+      ids.foreach { iid =>
+        assert(controller.status(iid)._1.contains("DONE"), s"$iid not done")
+        assert(store.get(iid).exists(s =>
+          s.status == IngestionState.Completed && s.totalRecords == 30 &&
+            s.lastChunk == 4), s"bad state for $iid")
+      }
+      assert(mock.completedCount == 3)
+    } finally { api.stop(0); receiver.stop(0); controller.shutdown() }
+  }
+
   test("GET /health answers 200; invalid requests get the error envelope (A29/A30)") {
     val controller = new IngestController(spark, IngestionStateStore.inMemory())
     val (api, apiUrl) = IngestApiServer.serve(controller)
