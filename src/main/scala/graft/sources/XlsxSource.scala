@@ -28,6 +28,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *     (`excel_reader.py:61-63`: `if not any(row)`, Python truthiness);
   *   - cell values surface as strings (numbers keep their lexical form,
   *     booleans become "true"/"false", shared/inline strings resolve).
+  *     Known divergence: date-formatted numeric cells surface as Excel
+  *     serial numbers, not datetimes — mapping them needs styles.xml
+  *     number-format resolution, deferred (openpyxl's data_only gives the
+  *     reference typed datetimes here).
   *
   * Built on JDK zip + StAX only (no POI jar exists in this environment —
   * SURVEY.md §7.4 #4). One InputPartition per file: xlsx is a zip container

@@ -174,6 +174,24 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeB.totalRecords("unknown") == 0L)
   }
 
+  test("nested free-form records survive the full protocol (A14 end-to-end)") {
+    // nested objects/arrays/nulls/decimals — the receiver independently
+    // re-parses and re-canonicalizes, so an ACKed run proves byte-level
+    // canonical parity between the Catalyst expression and MiniJson
+    val records = Seq(
+      """{"id": 1, "attrs": {"tags": ["b", "a"], "color": "red"}, "price": 19.99, "note": "line\nbreak"}""",
+      """{"id": 2, "attrs": {"tags": [], "color": null}, "price": null, "note": "quote\"inside"}""",
+      """{"id": 3, "attrs": {"tags": ["x"], "color": "blue"}, "price": 5.0, "note": null}""")
+    val f = Files.createTempFile("graft_nested", ".json")
+    Files.writeString(f, records.mkString("[\n", ",\n", "\n]"))
+    val store = IngestionStateStore.inMemory()
+    val result = IngestionPipeline.run(spark,
+      IngestRequest(f.toString, "json", url, chunkSizeByRecords = Some(2)), store)
+    assert(result.totalRecords == 3)
+    assert(result.chunksSent == 2)
+    assert(result.state.exists(_.status == IngestionState.Completed))
+  }
+
   test("request validation enforces the chunk-size XOR and bounds (A29)") {
     val file = freshFile()
     intercept[IllegalArgumentException] {
