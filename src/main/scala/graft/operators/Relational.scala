@@ -677,7 +677,28 @@ object Relational {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
       |ORDER BY c_custkey""".stripMargin
 
+  // -- correlated scalar subquery (SQL surface; Catalyst decorrelates to an
+  // aggregate + outer join — no per-row re-execution) ------------------------
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_q49")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_q49")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders_q49 WHERE o_custkey = c_custkey) AS n_orders,
+        |  (SELECT CAST(CAST(max(o_totalprice) AS DECIMAL(38,4)) AS STRING)
+        |     FROM orders_q49 WHERE o_custkey = c_custkey) AS max_price
+        |FROM customer_q49 ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val q49Sql =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      |  (SELECT CAST(CAST(max(o_totalprice) AS DECIMAL(38,4)) AS VARCHAR)
+      |     FROM orders WHERE o_custkey = c_custkey) AS max_price
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_correlated_subquery", q49, Some(q49Sql)),
     QueryDef("q47_generators", q47, Some(q47Sql)),
     QueryDef("q48_window_dist", q48, Some(q48Sql)),
     QueryDef("q43_pivot", q43, Some(q43Sql)),
