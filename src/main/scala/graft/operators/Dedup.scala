@@ -149,7 +149,40 @@ object Dedup {
       .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
       .limit(20)
 
+  /** Embedding-cosine near-dup: vector pairs above a cosine threshold,
+    * found through shared hyperplane-LSH buckets (corpus self-join on the
+    * bucket key — near-identical vectors collide with high probability),
+    * then exact cosine verification. The O(n²) pair space never exists.
+    *
+    * corpus: (vec_id, v: array<double>). */
+  def embeddingNearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = AnnLsh.hyperplanes(bits, dim)
+    val bucketed = corpus.withColumn("bucket", AnnLsh.bucket(col("v"), planes))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  // top-k by cosine among bucket-collided pairs: synthetic gaussian
+  // embeddings have no true near-dups, so a production threshold (0.9+)
+  // would legitimately return nothing — the operator still exercises the
+  // bucket join + exact verification path
+  private def embNearDupTop(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    embeddingNearDupPairs(emb, threshold = -1.0, bits = 8)
+      .orderBy(round(col("cos"), 4).desc, col("id_a"), col("id_b"))
+      .limit(20)
+      .select(col("id_a"), col("id_b"), QueryDef.dec4(col("cos")).as("cos"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("embedding_neardup_topk", embNearDupTop, None),
     QueryDef("rollingfp_neardup_topk", rollingFpTop, None),
     QueryDef("minhash_neardup_topk", minhashTop, None),
     QueryDef("simhash_neardup_topk", simhashTop, None),

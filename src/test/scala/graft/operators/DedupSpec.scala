@@ -89,6 +89,27 @@ class DedupSpec extends AnyFunSuite {
     assert(fp1 == fp2)
   }
 
+  test("embedding-cosine near-dup finds planted near-identical vectors") {
+    val rnd = new scala.util.Random(5)
+    val base = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    // plant: ids 10000+i are tiny perturbations of every 10th vector
+    val dups = base.collect { case (id, v) if id % 10 == 0 =>
+      (id + 10000L, v.map(_ + rnd.nextGaussian() * 0.01))
+    }
+    val corpus = (base ++ dups).toDF("vec_id", "v")
+    val found = Dedup.embeddingNearDupPairs(corpus, threshold = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val planted = base.collect { case (id, _) if id % 10 == 0 =>
+      (id, id + 10000L)
+    }.toSet
+    val recall = (planted & found).size.toDouble / planted.size
+    assert(recall >= 0.9, s"missed planted near-dups: recall=$recall")
+    // no false positives at 0.98 among independent gaussians (dim 64)
+    assert(found.forall { case (a, b) => planted.contains((a, b)) },
+      s"false positives: ${found -- planted}")
+  }
+
   test("ann-lsh neighbors carry exact cosine scores and beat a recall floor") {
     val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
