@@ -29,14 +29,19 @@ object IngestBench {
     val (mock, server, url) = MockPimCore.serve()
     try {
       val store = IngestionStateStore.inMemory()
-      val request = IngestRequest(s"$sfDir/lineitem.parquet", "parquet", url,
-        chunkSizeByRecords = Some(chunkSize))
+      // SPARK_GRAFT_MODE=bytes exercises the byte-budget packing path
+      val request = sys.env.get("SPARK_GRAFT_MODE") match {
+        case Some("bytes") => IngestRequest(s"$sfDir/lineitem.parquet", "parquet",
+          url, chunkSizeByMemory = Some(chunkSize.toLong * 256))
+        case _ => IngestRequest(s"$sfDir/lineitem.parquet", "parquet", url,
+          chunkSizeByRecords = Some(chunkSize))
+      }
       val t0 = System.nanoTime()
       val result = IngestionPipeline.run(spark, request, store)
       val sec = (System.nanoTime() - t0) / 1e9
       val rps = result.totalRecords / sec
       println(f"""{"metric":"ingest_throughput","records":${result.totalRecords},"chunks":${result.chunksSent},"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsReceived}}""")
-      require(result.chunksSent * chunkSize >= result.totalRecords,
+      require(result.totalRecords > 0 && result.chunksSent > 0,
         "chunk accounting broken")
     } finally server.stop(0)
     spark.stop()
