@@ -45,16 +45,23 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     val rows = numHashes / bands
-    val withSig = docs
+    val docSh = docs
       .withColumn("sh", shingles(col("text"), shingleN))
       .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val banded = docSh
       .withColumn("sig", minhashSignature(col("sh"), numHashes))
-      .select(col("doc_id"), col("sh"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
-    val a = withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("bk"))
-    val b = withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("bk"))
-    a.join(b, a("bk") === b("bk") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .distinct()
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+    // dedupe BARE id pairs (8-byte keys) before touching shingle arrays —
+    // carrying both shingle sets through the distinct would shuffle the
+    // full corpus text-derived payload once per band collision
+    val pairs = banded.select(col("doc_id").as("doc_a"), col("bk"))
+      .join(banded.select(col("doc_id").as("doc_b"), col("bk")), Seq("bk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    pairs
+      .join(docSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(docSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))

@@ -209,6 +209,14 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file type dispatch is case-insensitive (A28: lower() on file_type)") {
+    val file = freshFile()
+    val store = IngestionStateStore.inMemory()
+    val result = IngestionPipeline.run(spark,
+      IngestRequest(file, "JSON", url, chunkSizeByRecords = Some(25)), store)
+    assert(result.totalRecords == 50 && result.chunksSent == 2)
+  }
+
   test("unknown file type is rejected (A28 dispatch)") {
     val ex = intercept[IllegalArgumentException] {
       IngestionPipeline.scan(spark, IngestRequest(freshFile(), "xml", url,
