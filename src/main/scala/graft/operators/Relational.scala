@@ -404,7 +404,9 @@ object Relational {
         lpad(col("p_partkey").cast("string"), 8, "0").as("padded"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         regexp_extract(col("p_type"), "^(\\w+)", 1).as("first_word"),
-        trim(col("p_name")).as("trimmed"))
+        trim(col("p_name")).as("trimmed"),
+        instr(col("p_type"), "a").as("a_pos"),
+        size(split(col("p_type"), " ")).as("type_words"))
       .orderBy(col("p_partkey"))
 
   private val q19Sql =
@@ -413,7 +415,9 @@ object Relational {
       |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
       |  concat_ws('|', p_brand, p_type) AS brand_type,
       |  regexp_extract(p_type, '^(\w+)', 1) AS first_word,
-      |  trim(p_name) AS trimmed
+      |  trim(p_name) AS trimmed,
+      |  CAST(instr(p_type, 'a') AS INTEGER) AS a_pos,
+      |  CAST(len(string_split(p_type, ' ')) AS INTEGER) AS type_words
       |FROM part ORDER BY p_partkey""".stripMargin
 
   // -- B20: date/time functions ----------------------------------------------
@@ -474,7 +478,9 @@ object Relational {
           lit(0.0), (acc, x) => acc + x)).as("vec_sum"),
         size(filter(col("embedding"), x => x > 0)).as("n_pos"),
         dec4(aggregate(transform(slice(col("embedding"), 1, 8), x => x.cast("double")),
-          lit(0.0), (acc, x) => acc + x * x)).as("head8_sq"))
+          lit(0.0), (acc, x) => acc + x * x)).as("head8_sq"),
+        dec4(element_at(sort_array(transform(slice(col("embedding"), 1, 8),
+          x => x.cast("double"))), 1)).as("head8_min"))
       .orderBy(col("vec_id"))
 
   private val q22Sql =
@@ -482,7 +488,8 @@ object Relational {
       |  CAST(CAST(CAST(embedding[1] AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS first_val,
       |  CAST(CAST(list_sum(CAST(embedding AS DOUBLE[])) AS DECIMAL(38,4)) AS VARCHAR) AS vec_sum,
       |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
-      |  CAST(CAST(list_sum(list_transform(CAST(embedding[1:8] AS DOUBLE[]), x -> x * x)) AS DECIMAL(38,4)) AS VARCHAR) AS head8_sq
+      |  CAST(CAST(list_sum(list_transform(CAST(embedding[1:8] AS DOUBLE[]), x -> x * x)) AS DECIMAL(38,4)) AS VARCHAR) AS head8_sq,
+      |  CAST(CAST(list_sort(CAST(embedding[1:8] AS DOUBLE[]))[1] AS DECIMAL(38,4)) AS VARCHAR) AS head8_min
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // -- B23: map functions ----------------------------------------------------
