@@ -30,7 +30,8 @@ object Bench {
 
     // best-of-2 per query: a second run on a warm JVM removes most
     // machine-noise variance from the recorded baseline
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iterations = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()

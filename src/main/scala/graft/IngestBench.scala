@@ -40,7 +40,9 @@ object IngestBench {
       val result = IngestionPipeline.run(spark, request, store)
       val sec = (System.nanoTime() - t0) / 1e9
       val rps = result.totalRecords / sec
-      println(f"""{"metric":"ingest_throughput","records":${result.totalRecords},"chunks":${result.chunksSent},"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsReceived}}""")
+      println(f"""{"metric":"ingest_throughput","records":${result.totalRecords},"chunks":${result.chunksSent},"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsEver}}""")
+      require(mock.totalRecordsEver == result.totalRecords,
+        s"receiver saw ${mock.totalRecordsEver} records, sender counted ${result.totalRecords}")
       require(result.totalRecords > 0 && result.chunksSent > 0,
         "chunk accounting broken")
     } finally server.stop(0)

@@ -79,7 +79,10 @@ object CanonicalJson {
           Math.floorDiv(micros, 1000000L),
           (Math.floorMod(micros, 1000000L) * 1000L).toInt,
           java.time.ZoneOffset.UTC)
-        writeString(sb, ldt.toString)
+        // LocalDateTime.toString drops ":00" seconds at whole minutes —
+        // pin seconds so one column has one lexical format
+        val s = ldt.toString
+        writeString(sb, if (s.length == 16) s + ":00" else s)
       case BinaryType =>
         writeString(sb, java.util.Base64.getEncoder.encodeToString(value.asInstanceOf[Array[Byte]]))
       case st: StructType =>
@@ -120,7 +123,12 @@ object CanonicalJson {
             case other =>
               val kSb = new java.lang.StringBuilder(16)
               write(kSb, if (keys.isNullAt(i)) null else keys.get(i, other), other)
-              kSb.toString
+              val r = kSb.toString
+              // key types whose rendering is itself quoted (date, timestamp,
+              // binary) contribute the INNER lexeme — emission re-quotes
+              if (r.length >= 2 && r.charAt(0) == '"' && r.charAt(r.length - 1) == '"')
+                r.substring(1, r.length - 1)
+              else r
           }
           (raw, i)
         }.sortBy(_._1)

@@ -26,6 +26,9 @@ object AnnIvf {
       .orderBy(xxhash64(lit(seed), col("vec_id"))) // seeded deterministic pick
       .limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(centroids.nonEmpty, "IVF training requires a non-empty corpus")
+    // a corpus smaller than k trains centroids.length cells — callers size
+    // nprobe against the returned array, not the requested k
     for (_ <- 1 to iterations) {
       val assigned = assignCells(corpus, centroids)
       val dim = centroids(0).size
@@ -66,9 +69,11 @@ object AnnIvf {
       centroids: Array[Seq[Double]], nprobe: Int = 3): DataFrame = {
     val cells = assignCells(corpus, centroids)
     val queryCells = assignProbes(queries, centroids, nprobe)
+    // no distinct: each corpus vector owns exactly one cell and a query's
+    // probe cells are distinct, so (qid, vec_id) pairs are already unique
     val candidates = queryCells.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
+      .select(col("qid"), col("qv"), col("vec_id"), col("v"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 4).desc, col("vec_id"))

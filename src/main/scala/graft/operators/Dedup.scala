@@ -168,8 +168,9 @@ object Dedup {
     val bucketed = corpus.withColumn("bucket", AnnLsh.bucket(col("v"), planes))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
+    // no distinct: each vector lives in exactly one bucket, so a pair can
+    // collide at most once — deduplication would just reshuffle the payload
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("v_a"), col("v_b")).distinct()
       .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

@@ -24,6 +24,8 @@ final class MockPimCore {
   private val processed = scala.collection.mutable.Set.empty[String]
   private val lastChunk = scala.collection.mutable.Map.empty[String, Long]
   @volatile var totalRecordsReceived: Long = 0L
+  /** Cumulative across COMPLETED resets (A27 resets the per-run counter). */
+  @volatile var totalRecordsEver: Long = 0L
   @volatile var completedCount: Int = 0
   val receivedChunks: scala.collection.mutable.ArrayBuffer[Long] =
     scala.collection.mutable.ArrayBuffer.empty
@@ -73,6 +75,7 @@ final class MockPimCore {
     processed += chunkId
     lastChunk(ingestionId) = chunkNumber
     totalRecordsReceived += records.size
+    totalRecordsEver += records.size
     receivedChunks += chunkNumber
     Response(ack = true, ingestionId, chunkNumber, None)
   }

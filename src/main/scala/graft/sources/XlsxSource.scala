@@ -110,6 +110,12 @@ class XlsxReaderFactory(schema: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[XlsxPartition].path
     new PartitionReader[InternalRow] {
+      // every file in a multi-file read must carry the table's header —
+      // otherwise rows would silently land in the wrong columns
+      private val fileHeader = XlsxParser.schemaOf(path, conf.value).fieldNames
+      require(fileHeader.sameElements(schema.fieldNames),
+        s"xlsx $path: header ${fileHeader.mkString(",")} does not match the " +
+          s"table schema ${schema.fieldNames.mkString(",")}")
       private val rows = XlsxParser.dataRows(path, conf.value, schema.length)
       private var current: Array[String] = _
       override def next(): Boolean =
