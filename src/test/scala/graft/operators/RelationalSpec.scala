@@ -25,6 +25,19 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("approx_percentile tracks the exact percentile within tolerance (B11 family)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, dir)
+    val rows = li.groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx"))
+      .select("exact", "approx").as[(Double, Double)].collect()
+    rows.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) / exact <= 0.02,
+        s"approx median $approx vs exact $exact")
+    }
+  }
+
   test("every declared query runs and respects its declared column set") {
     // smoke over the full registry: no query may throw at plan or execute
     SparkEntry.queries.foreach { case (name, fn) =>
