@@ -152,14 +152,30 @@ object Relational {
       |ORDER BY c_custkey""".stripMargin
 
   // -- B8: theta / band join (equi on size + range on price) -----------------
+  // NOT executed as a row×row self-join: p_size has ~50 distinct values, so
+  // the naive plan shuffles the full quadratic pair space through ≤50 tasks —
+  // a scale-killer at 100 TB. Instead each side collapses to its bounded
+  // domain first (size, brand, price) → cnt (map-side combinable, linear),
+  // then to one sorted (price, cnt) distribution per (size, brand) — at most
+  // |sizes|·|brands| rows regardless of input scale. The tiny compressed
+  // sides meet in a broadcast join and a two-pointer merge kernel
+  // (CrossPairCount) counts price_a < price_b pairs exactly.
   private def q08(s: SparkSession, dir: String): DataFrame = {
-    val p1 = Tables.part(s, dir).select(col("p_size"), col("p_brand").as("brand_a"),
-      col("p_retailprice").as("price_a"))
-    val p2 = Tables.part(s, dir).select(col("p_size").as("size_b"),
-      col("p_brand").as("brand_b"), col("p_retailprice").as("price_b"))
-    p1.join(p2, p1("p_size") === p2("size_b") && p1("price_a") < p2("price_b"))
+    val dist = Tables.part(s, dir)
+      .groupBy(col("p_size"), col("p_brand"), col("p_retailprice"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("p_size"), col("p_brand"))
+      .agg(array_sort(collect_list(struct(
+        col("p_retailprice").as("price"), col("cnt")))).as("pc"))
+    val a = dist.select(col("p_size"), col("p_brand").as("brand_a"), col("pc").as("pc_a"))
+    val b = dist.select(col("p_size").as("size_b"), col("p_brand").as("brand_b"),
+      col("pc").as("pc_b"))
+    a.join(broadcast(b), col("p_size") === col("size_b"))
+      .select(col("brand_a"), col("brand_b"),
+        graft.functions.PairCountExpr.crossPairCount(col("pc_a"), col("pc_b")).as("pairs"))
       .groupBy(col("brand_a"), col("brand_b"))
-      .agg(count(lit(1)).as("pair_cnt"))
+      .agg(sum(col("pairs")).as("pair_cnt"))
+      .filter(col("pair_cnt") > 0)
       .orderBy(col("brand_a"), col("brand_b"))
   }
 

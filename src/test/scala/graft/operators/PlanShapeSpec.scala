@@ -60,6 +60,17 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q08: band join pairs compressed distributions, not raw rows") {
+    val p = plan("q08_join_theta")
+    // the only join is a broadcast of the aggregated (size, brand) side —
+    // no shuffle join on the ~50-value p_size key carrying raw rows
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"band join degraded to a shuffle join on the low-cardinality key:\n$p")
+    // both sides are pre-aggregated before the join (partial + final pairs)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
   test("q37: the query set is broadcast against the corpus scan") {
     val p = plan("q37_cosine_topk")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
