@@ -27,11 +27,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     boolean false — are dropped during the scan and never count
   *     (`excel_reader.py:61-63`: `if not any(row)`, Python truthiness);
   *   - cell values surface as strings (numbers keep their lexical form,
-  *     booleans become "true"/"false", shared/inline strings resolve).
-  *     Known divergence: date-formatted numeric cells surface as Excel
-  *     serial numbers, not datetimes — mapping them needs styles.xml
-  *     number-format resolution, deferred (openpyxl's data_only gives the
-  *     reference typed datetimes here).
+  *     booleans become "true"/"false", shared/inline strings resolve);
+  *   - date-formatted numeric cells resolve through xl/styles.xml number
+  *     formats and surface as ISO-8601 strings — the same values the
+  *     reference gets from openpyxl `data_only=True` (typed datetimes,
+  *     `excel_reader.py:38`) once serialized by orjson. Both the 1900
+  *     (with its leap-bug compensation) and 1904 date systems are handled;
+  *   - the ACTIVE sheet is read (xl/workbook.xml `activeTab` resolved via
+  *     workbook.xml.rels), matching `wb.active` at `excel_reader.py:41`;
+  *     first sheet when no view state exists.
   *
   * Built on JDK zip + StAX only (no POI jar exists in this environment —
   * SURVEY.md §7.4 #4). One InputPartition per file: xlsx is a zip container
@@ -168,17 +172,93 @@ object XlsxParser {
   /** All sheet rows as string cells (sparse cells resolved by column ref). */
   def rawRows(path: String, conf: org.apache.hadoop.conf.Configuration)
       : Iterator[Array[String]] = {
-    val shared = readSharedStrings(path, conf)
-    val sheetXml = readEntry(path, conf,
-      n => n.matches("xl/worksheets/sheet1\\.xml") || n.matches("xl/worksheets/sheet\\.xml"))
-      .orElse(readEntry(path, conf, _.startsWith("xl/worksheets/")))
+    // pass 1: the small metadata parts in one zip scan
+    val meta = readEntries(path, conf, Set(
+      "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+      "xl/styles.xml", "xl/sharedStrings.xml"))
+    val shared = parseSharedStrings(meta.get("xl/sharedStrings.xml"))
+    val dateStyles = parseDateStyles(meta.get("xl/styles.xml"))
+    val date1904 = meta.get("xl/workbook.xml").exists(isDate1904)
+    // pass 2: the one worksheet the workbook's view marks active
+    // (excel_reader.py:41 `wb.active`); explicit fallbacks for workbooks
+    // without view/rels parts. Never a _rels relationships file.
+    val sheetXml = resolveActiveSheet(meta)
+      .flatMap(sp => readEntry(path, conf, _ == sp))
+      .orElse(readEntry(path, conf, n => n.matches("xl/worksheets/[^/]+\\.xml")))
       .getOrElse(throw new IllegalArgumentException(s"xlsx $path: no worksheet"))
-    parseSheet(sheetXml, shared).iterator
+    parseSheet(sheetXml, shared, dateStyles, date1904).iterator
   }
 
-  private def readSharedStrings(path: String,
-      conf: org.apache.hadoop.conf.Configuration): IndexedSeq[String] =
-    readEntry(path, conf, _ == "xl/sharedStrings.xml") match {
+  /** workbook.xml sheet order + activeTab + workbook.xml.rels r:id targets →
+    * zip entry name of the active sheet. None when any part is missing. */
+  private def resolveActiveSheet(meta: Map[String, Array[Byte]]): Option[String] =
+    for {
+      wb <- meta.get("xl/workbook.xml")
+      rels <- meta.get("xl/_rels/workbook.xml.rels")
+      (sheetRids, activeTab) = parseWorkbookSheets(wb)
+      rid <- sheetRids.lift(activeTab).orElse(sheetRids.headOption)
+      target <- parseRelTargets(rels).get(rid)
+    } yield
+      if (target.startsWith("/")) target.stripPrefix("/")
+      else s"xl/$target"
+
+  /** (sheet r:ids in workbook order, activeTab index — 0 when absent). */
+  private def parseWorkbookSheets(bytes: Array[Byte]): (Seq[String], Int) = {
+    val rids = ArrayBuffer.empty[String]
+    var active = 0
+    withXml(bytes) { r =>
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "sheet" =>
+            // r:id is namespaced; match the attribute by local name
+            (0 until r.getAttributeCount)
+              .find(i => r.getAttributeLocalName(i) == "id")
+              .foreach(i => rids += r.getAttributeValue(i))
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "workbookView" =>
+            Option(r.getAttributeValue(null, "activeTab"))
+              .flatMap(_.trim.toIntOption).foreach(active = _)
+          case _ =>
+        }
+      }
+    }
+    (rids.toSeq, active)
+  }
+
+  private def isDate1904(wb: Array[Byte]): Boolean = {
+    var flag = false
+    withXml(wb) { r =>
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "workbookPr" =>
+            val v = Option(r.getAttributeValue(null, "date1904")).map(_.trim.toLowerCase)
+            flag = v.contains("1") || v.contains("true")
+          case _ =>
+        }
+      }
+    }
+    flag
+  }
+
+  /** workbook.xml.rels: relationship Id → Target. */
+  private def parseRelTargets(bytes: Array[Byte]): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    withXml(bytes) { r =>
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "Relationship" =>
+            for {
+              id <- Option(r.getAttributeValue(null, "Id"))
+              target <- Option(r.getAttributeValue(null, "Target"))
+            } out(id) = target
+          case _ =>
+        }
+      }
+    }
+    out.toMap
+  }
+
+  private def parseSharedStrings(entry: Option[Array[Byte]]): IndexedSeq[String] =
+    entry match {
       case None => IndexedSeq.empty
       case Some(bytes) =>
         val out = ArrayBuffer.empty[String]
@@ -200,13 +280,55 @@ object XlsxParser {
         out.toIndexedSeq
     }
 
-  private def parseSheet(bytes: Array[Byte],
-      shared: IndexedSeq[String]): Seq[Array[String]] = {
+  /** styles.xml → per-cellXf "is a date/time format" flags. Mirrors
+    * openpyxl's resolution: the xf's numFmtId resolves to a format code
+    * (custom <numFmt> entries first, then the builtin table), and a code is
+    * a date format when its first section contains d/m/h/y/s outside quoted
+    * literals and non-elapsed bracket sections. */
+  private def parseDateStyles(entry: Option[Array[Byte]]): Int => Boolean =
+    entry match {
+      case None => _ => false
+      case Some(bytes) =>
+        val custom = scala.collection.mutable.Map.empty[Int, String]
+        val xfFmtIds = ArrayBuffer.empty[Int]
+        var inCellXfs = false
+        withXml(bytes) { r =>
+          while (r.hasNext) {
+            r.next() match {
+              case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+                case "cellXfs" => inCellXfs = true
+                case "numFmt" =>
+                  for {
+                    id <- Option(r.getAttributeValue(null, "numFmtId"))
+                      .flatMap(_.trim.toIntOption)
+                    code <- Option(r.getAttributeValue(null, "formatCode"))
+                  } custom(id) = code
+                case "xf" if inCellXfs =>
+                  xfFmtIds += Option(r.getAttributeValue(null, "numFmtId"))
+                    .flatMap(_.trim.toIntOption).getOrElse(0)
+                case _ =>
+              }
+              case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+                inCellXfs = false
+              case _ =>
+            }
+          }
+        }
+        val flags = xfFmtIds.map { id =>
+          custom.get(id).map(ExcelDates.isDateFormatCode)
+            .getOrElse(ExcelDates.builtinDateIds(id))
+        }.toIndexedSeq
+        i => flags.lift(i).getOrElse(false)
+    }
+
+  private def parseSheet(bytes: Array[Byte], shared: IndexedSeq[String],
+      dateStyle: Int => Boolean, date1904: Boolean): Seq[Array[String]] = {
     val rows = ArrayBuffer.empty[Array[String]]
     withXml(bytes) { r =>
       var cells: ArrayBuffer[String] = null
       var cellCol = -1
       var cellType = ""
+      var cellStyle = 0
       var pendingText: StringBuilder = null
       var inV = false
       var inIsT = false
@@ -218,6 +340,8 @@ object XlsxParser {
               cellCol = colIndex(Option(r.getAttributeValue(null, "r")))
                 .getOrElse(cells.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(_.trim.toIntOption).getOrElse(0)
             case "v" => inV = true; pendingText = new StringBuilder
             case "t" if cellType == "inlineStr" =>
               inIsT = true; pendingText = new StringBuilder
@@ -231,6 +355,9 @@ object XlsxParser {
               val value = cellType match {
                 case "s" => shared.lift(raw.trim.toInt).orNull
                 case "b" => if (raw.trim == "1") "true" else "false"
+                case "n" if dateStyle(cellStyle) =>
+                  raw.trim.toDoubleOption
+                    .map(ExcelDates.serialToIso(_, date1904)).getOrElse(raw)
                 case _ => raw
               }
               while (cells.length < cellCol) cells += null // sparse gap fill
@@ -276,5 +403,93 @@ object XlsxParser {
       }
       None
     } finally in.close()
+  }
+
+  /** One zip scan collecting every wanted entry (the small metadata parts). */
+  private def readEntries(path: String, conf: org.apache.hadoop.conf.Configuration,
+      wanted: Set[String]): Map[String, Array[Byte]] = {
+    val p = new Path(path)
+    val fs = FileSystem.get(p.toUri, conf)
+    val in = new ZipInputStream(fs.open(p))
+    val out = scala.collection.mutable.Map.empty[String, Array[Byte]]
+    try {
+      var entry = in.getNextEntry
+      while (entry != null && out.size < wanted.size) {
+        if (wanted(entry.getName)) out(entry.getName) = in.readAllBytes()
+        entry = in.getNextEntry
+      }
+      out.toMap
+    } finally in.close()
+  }
+}
+
+/** Excel serial-date resolution, matching what the reference observes through
+  * openpyxl `data_only=True` (`excel_reader.py:38`) + orjson serialization:
+  * date-formatted numeric cells become ISO-8601 strings.
+  *
+  * Semantics mirror openpyxl's `from_excel`: epoch 1899-12-30 for the 1900
+  * system with the Lotus leap-bug compensation (serials in (0, 60) shift one
+  * day so serial 1 = 1900-01-01; the phantom Feb 29 1900 collapses onto
+  * Feb 28), epoch 1904-01-01 for the 1904 system, sub-day fractions rounded
+  * to millisecond precision, and serials in [0, 1) surfacing as time-of-day.
+  */
+object ExcelDates {
+  /** Builtin numFmtIds whose format codes are date/time (the 14–22 date and
+    * 45–47 elapsed-time entries of the SpreadsheetML builtin table — the
+    * same set openpyxl's builtin formats resolve as dates). */
+  val builtinDateIds: Set[Int] = Set(14, 15, 16, 17, 18, 19, 20, 21, 22, 45, 46, 47)
+
+  /** openpyxl `is_date_format`: first ';' section, quoted literals and
+    * non-elapsed `[...]` sections (colors, locales) stripped, then any of
+    * d/m/h/y/s means date. `[h]`/`[mm]`/`[ss]` elapsed markers survive the
+    * strip and correctly read as date/time. */
+  def isDateFormatCode(code: String): Boolean = {
+    val section = code.split(';').headOption.getOrElse("")
+    val sb = new StringBuilder
+    var i = 0
+    while (i < section.length) {
+      section.charAt(i) match {
+        case '"' =>
+          i += 1
+          while (i < section.length && section.charAt(i) != '"') i += 1
+          i += 1
+        case '[' =>
+          val end = section.indexOf(']', i)
+          val body = if (end < 0) "" else section.substring(i + 1, end)
+          if (body.toLowerCase.matches("h+|m+|s+")) sb.append(body)
+          i = if (end < 0) section.length else end + 1
+        case '\\' => i += 2 // escaped literal char
+        case c => sb.append(c); i += 1
+      }
+    }
+    sb.toString.toLowerCase.exists("dmhys".contains(_))
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** Serial → ISO-8601 string as orjson would render openpyxl's value:
+    * `[0,1)` → "HH:MM:SS[.ffffff]" (time), otherwise
+    * "YYYY-MM-DDTHH:MM:SS[.ffffff]" (datetime). */
+  def serialToIso(serial: Double, date1904: Boolean): String = {
+    var day = math.floor(serial).toLong
+    val fraction = serial - day
+    // openpyxl rounds the day fraction to millisecond precision (half-even)
+    var micros = math.rint(fraction * MicrosPerDay / 1000d).toLong * 1000L
+    if (micros >= MicrosPerDay) micros -= MicrosPerDay // wraps, no day carry
+    val time = java.time.LocalTime.ofNanoOfDay(micros * 1000L)
+    if (serial >= 0 && serial < 1) return isoTime(time)
+    if (!date1904 && serial > 0 && serial < 60) day += 1
+    val epoch = if (date1904) java.time.LocalDate.of(1904, 1, 1)
+                else java.time.LocalDate.of(1899, 12, 30)
+    val date = epoch.plusDays(day)
+    f"${date.getYear}%04d-${date.getMonthValue}%02d-${date.getDayOfMonth}%02d" +
+      s"T${isoTime(time)}"
+  }
+
+  /** Python `time.isoformat()` / orjson: microseconds only when nonzero. */
+  private def isoTime(t: java.time.LocalTime): String = {
+    val base = f"${t.getHour}%02d:${t.getMinute}%02d:${t.getSecond}%02d"
+    val us = t.getNano / 1000
+    if (us == 0) base else f"$base.$us%06d"
   }
 }

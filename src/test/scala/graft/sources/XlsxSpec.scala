@@ -113,6 +113,106 @@ class XlsxSpec extends AnyFunSuite {
     assert(df.collect().map(_.getString(0)).sorted.toSeq == Seq("v1", "v2", "v3"))
   }
 
+  /** Fixture writer for the styles/active-sheet tests: explicit workbook.xml
+    * (with optional activeTab + date1904), workbook.xml.rels, styles.xml, and
+    * one or more sheets of raw (type, style, value) cells. */
+  private def writeXlsxFull(
+      sheets: Seq[Seq[Seq[(String, Int, String)]]],
+      activeTab: Int = 0,
+      date1904: Boolean = false,
+      stylesXml: Option[String] = None): String = {
+    val f = Files.createTempFile("graft_wbf", ".xlsx")
+    val zip = new ZipOutputStream(Files.newOutputStream(f))
+    def entry(name: String, content: String): Unit = {
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    val pr = if (date1904) """<workbookPr date1904="true"/>""" else ""
+    val sheetTags = sheets.indices.map(i =>
+      s"""<sheet name="S${i + 1}" sheetId="${i + 1}" r:id="rId${i + 1}"/>""").mkString
+    entry("xl/workbook.xml",
+      s"""<?xml version="1.0"?><workbook xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">$pr<bookViews><workbookView activeTab="$activeTab"/></bookViews><sheets>$sheetTags</sheets></workbook>""")
+    entry("xl/_rels/workbook.xml.rels",
+      s"""<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">${
+        sheets.indices.map(i =>
+          s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>""").mkString
+      }</Relationships>""")
+    stylesXml.foreach(entry("xl/styles.xml", _))
+    val colLetter = "ABCDEFGH"
+    sheets.zipWithIndex.foreach { case (rows, si) =>
+      val sheetRows = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellXml = cells.zipWithIndex.collect {
+          case ((tpe, style, raw), ci) if raw != null =>
+            val ref = s"${colLetter(ci)}${ri + 1}"
+            val tAttr = if (tpe.nonEmpty) s""" t="$tpe"""" else ""
+            val sAttr = if (style != 0) s""" s="$style"""" else ""
+            if (tpe == "inlineStr") s"""<c r="$ref"$tAttr$sAttr><is><t>$raw</t></is></c>"""
+            else s"""<c r="$ref"$tAttr$sAttr><v>$raw</v></c>"""
+        }.mkString
+        s"<row r=\"${ri + 1}\">$cellXml</row>"
+      }.mkString
+      entry(s"xl/worksheets/sheet${si + 1}.xml",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$sheetRows</sheetData></worksheet>""")
+    }
+    zip.close()
+    f.toString
+  }
+
+  // xf 0: General; xf 1: builtin date 14; xf 2: custom yyyy-mm-dd; xf 3:
+  // numeric 0.00 (NOT a date despite custom id order); xf 4: builtin time 20
+  private val datedStyles =
+    """<?xml version="1.0"?><styleSheet>
+      |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+      |<cellStyleXfs count="1"><xf numFmtId="14"/></cellStyleXfs>
+      |<cellXfs count="5">
+      |<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+      |<xf numFmtId="2"/><xf numFmtId="20"/>
+      |</cellXfs></styleSheet>""".stripMargin
+
+  test("date-formatted serials resolve to ISO datetimes via styles.xml") {
+    val header = Seq(("inlineStr", 0, "d14"), ("inlineStr", 0, "d164"),
+      ("inlineStr", 0, "plain"), ("inlineStr", 0, "time"))
+    val path = writeXlsxFull(
+      sheets = Seq(Seq(
+        header,
+        Seq(("", 1, "45292"), ("", 2, "45292.5"), ("", 3, "45292.5"), ("", 4, "0.75")),
+        Seq(("", 1, "45292.4375"), ("", 2, "36892"), ("", 0, "7"), ("", 4, "0.5")))),
+      stylesXml = Some(datedStyles))
+    val rows = spark.read.format("xlsx").load(path).collect()
+      .map(r => (0 until 4).map(r.getString))
+    assert(rows(0) == Seq("2024-01-01T00:00:00", "2024-01-01T12:00:00", "45292.5", "18:00:00"))
+    assert(rows(1) == Seq("2024-01-01T10:30:00", "2001-01-01T00:00:00", "7", "12:00:00"))
+  }
+
+  test("1900 leap-bug compensation matches openpyxl (serials 59/60/61)") {
+    val path = writeXlsxFull(
+      sheets = Seq(Seq(
+        Seq(("inlineStr", 0, "d")),
+        Seq(("", 1, "59")), Seq(("", 1, "60")), Seq(("", 1, "61")), Seq(("", 1, "1")))),
+      stylesXml = Some(datedStyles))
+    val vals = spark.read.format("xlsx").load(path).collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("1900-02-28T00:00:00", "1900-02-28T00:00:00",
+      "1900-03-01T00:00:00", "1900-01-01T00:00:00"))
+  }
+
+  test("1904 date system (workbookPr date1904)") {
+    val path = writeXlsxFull(
+      sheets = Seq(Seq(Seq(("inlineStr", 0, "d")), Seq(("", 1, "100")))),
+      date1904 = true,
+      stylesXml = Some(datedStyles))
+    val vals = spark.read.format("xlsx").load(path).collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("1904-04-10T00:00:00"))
+  }
+
+  test("the ACTIVE sheet is read, not the first (excel_reader.py:41)") {
+    val s1 = Seq(Seq(("inlineStr", 0, "col")), Seq(("inlineStr", 0, "wrong-sheet")))
+    val s2 = Seq(Seq(("inlineStr", 0, "col")), Seq(("inlineStr", 0, "active-sheet")))
+    val path = writeXlsxFull(sheets = Seq(s1, s2), activeTab = 1)
+    val vals = spark.read.format("xlsx").load(path).collect().map(_.getString(0)).toSeq
+    assert(vals == Seq("active-sheet"))
+  }
+
   test("xlsx drives the full ingestion pipeline end-to-end (A4→A22)") {
     val (mock, server, url) = graft.receiver.MockPimCore.serve()
     try {
