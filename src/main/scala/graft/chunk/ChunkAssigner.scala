@@ -50,6 +50,26 @@ object ChunkAssigner {
       StructType(sorted.schema.fields :+ StructField("rn", LongType, nullable = false)))
   }
 
+  /** Add a dense 0-based `rn` column in the DataFrame's EXISTING order —
+    * input/file order for file sources, whose partitions enumerate
+    * (file, block) deterministically. Same InternalRow + JoinedRow scheme as
+    * `withRowNumber`, minus the range repartition: no shuffle at all, one
+    * lightweight count job from zipWithIndex. */
+  def withInputOrderRowNumber(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val indexed = org.apache.spark.sql.GraftSql.toInternalRdd(df)
+      .zipWithIndex().mapPartitions { it =>
+        val joiner = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val idxRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        it.map { case (row, idx) =>
+          idxRow.update(0, idx)
+          joiner(row, idxRow): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    org.apache.spark.sql.GraftSql.internalCreateDataFrame(spark, indexed,
+      StructType(df.schema.fields :+ StructField("rn", LongType, nullable = false)))
+  }
+
   /** A9/A11: count-based chunking — chunk_number = lastChunk + 1 + rn / n. */
   def assignByCount(df: DataFrame, orderCols: Seq[Column], chunkSize: Int,
       lastChunk: Long = -1L): DataFrame = {

@@ -50,8 +50,11 @@ object IngestionPipeline {
       case "jsonl" =>
         spark.read.option("recursiveFileLookup", "true").json(request.filePath)
       case "parquet" => spark.read.parquet(request.filePath)
-      case "excel" if request.filePath.toLowerCase.endsWith(".xlsx") =>
-        // native SpreadsheetML DataSource V2 (A4–A7 semantics in the source)
+      case "excel" if looksLikeXlsx(request.filePath) =>
+        // native SpreadsheetML DataSource V2 (A4–A7 semantics in the source);
+        // covers both a single .xlsx file and a directory of .xlsx files —
+        // the CSV fallback must never see zip bytes (it would deliver
+        // garbage records with valid checksums)
         spark.read.format("xlsx").load(request.filePath)
       case "excel" | "csv" =>
         // pre-converted spreadsheet input with the same header semantics
@@ -59,6 +62,20 @@ object IngestionPipeline {
           .csv(request.filePath)
       case other =>
         throw new IllegalArgumentException(s"Unsupported file type: $other")
+    }
+
+  /** "excel" routes to the native xlsx source for a .xlsx file OR a
+    * directory holding .xlsx files (XlsxSource.expand reads one partition
+    * per file); anything else falls back to pre-converted CSV. */
+  private def looksLikeXlsx(path: String): Boolean =
+    path.toLowerCase.endsWith(".xlsx") || {
+      try {
+        val conf = graft.sources.XlsxSource.hadoopConf()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+        fs.getFileStatus(p).isDirectory &&
+          graft.sources.XlsxSource.expand(path, conf).nonEmpty
+      } catch { case _: Exception => false }
     }
 
   /** A7 (Excel semantics): drop rows where every cell is null/empty-string —
@@ -71,14 +88,11 @@ object IngestionPipeline {
   }
 
   /** Stable 0-based row number in input order (file order for file sources:
-    * partitions enumerate (file, block) deterministically). No sort, no
-    * single-partition funnel — zipWithIndex adds one lightweight count job. */
-  def withInputOrderRn(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val indexed = df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    spark.createDataFrame(indexed,
-      StructType(df.schema.fields :+ StructField("rn", LongType, nullable = false)))
-  }
+    * partitions enumerate (file, block) deterministically). Delegates to the
+    * InternalRow + JoinedRow path — no per-row external-Row conversion, no
+    * sort, no single-partition funnel. */
+  def withInputOrderRn(df: DataFrame): DataFrame =
+    ChunkAssigner.withInputOrderRowNumber(df)
 
   /** Distributed chunk construction: returns (chunkNumber, nRecords,
     * checksum, orderedCanonicalRecords) — one row per chunk, built with
@@ -111,7 +125,10 @@ object IngestionPipeline {
     * rerun with reIngestion=false continues after the last ACKed chunk. */
   def run(spark: SparkSession, request: IngestRequest, store: IngestionStateStore,
       nowMillis: => Long = System.currentTimeMillis()): Result = {
-    val fileId = Identity.fileId(request.filePath, request.fileType)
+    // identity uses the NORMALIZED file type — dispatch lowercases it, so
+    // "JSON" and "json" runs over the same file must resume the same
+    // ingestion rather than silently minting a fresh id and re-sending all
+    val fileId = Identity.fileId(request.filePath, request.fileType.toLowerCase)
     val version = Identity.version(request.reIngestion, nowMillis)
     val ingestionId = Identity.ingestionId(fileId, version)
 
@@ -128,10 +145,10 @@ object IngestionPipeline {
         case r if r.isNullAt(0) => -1L
         case r => r.getLong(0)
       }
-      val sink = new OrderedAckHttpSink(request.callbackUrl)
-      val (sent, skipped, newTotal) = deliverChunks(chunks, ingestionId, store,
-        sink, lastAcked, totalRecords, isLastChunk = _ == maxChunk)
+      val (sent, skipped, newTotal) = deliverChunksDistributed(chunks,
+        ingestionId, store, request.callbackUrl, lastAcked, totalRecords, maxChunk)
       totalRecords = newTotal
+      val sink = new OrderedAckHttpSink(request.callbackUrl)
 
       sink.sendCompleted(ingestionId, maxChunk, totalRecords) // A22
       store.markCompleted(ingestionId)
@@ -139,9 +156,75 @@ object IngestionPipeline {
     } finally chunks.unpersist()
   }
 
-  /** Driver-side ordered commit loop (shared by the batch and streaming
-    * paths): stream chunk rows in order, skip already-ACKed (A20), POST with
-    * retry, persist after ACK (A21). */
+  /** Executor-direct ordered delivery (the batch hot path): chunk payloads
+    * POST from executor tasks, never crossing the driver — at scale the
+    * driver NIC is no longer the funnel and no chunk batch can OOM it.
+    *
+    * Ordering (A24) is preserved by a driver-held commit token: pending
+    * chunks are range-partitioned into contiguous chunk_number ranges, and
+    * the driver runs ONE partition's task at a time, in range order; within
+    * a task chunks POST in sorted order. The driver receives only
+    * (chunk_number, n_records) ACK summaries and persists progress (A21)
+    * between tasks. A failing chunk aborts the token advance; the ACKs its
+    * task already won are persisted first, so terminal state still points at
+    * the exact last ACKed chunk. A hard crash can lose at most one task's
+    * ACK summaries — those chunks re-send on resume and the receiver's
+    * chunk_id idempotency (A23) absorbs them: at-least-once per chunk,
+    * exactly the reference's contract. */
+  def deliverChunksDistributed(chunks: DataFrame, ingestionId: String,
+      store: IngestionStateStore, callbackUrl: String, lastAcked: Long,
+      startingTotal: Long, maxChunk: Long): (Long, Long, Long) = {
+    val spark = chunks.sparkSession
+    val skipped = chunks.filter(col("chunk_number") <= lastAcked).count() // A20
+    // buildChunks ends with orderBy(chunk_number): the (cached) chunks are
+    // already range-partitioned into contiguous ascending ranges, so the
+    // pending filter preserves global order with NO re-shuffle of payloads
+    val rdd = chunks.filter(col("chunk_number") > lastAcked).rdd
+    val sc = spark.sparkContext
+    var sent = 0L
+    var totalRecords = startingTotal
+    var failure: Option[String] = None
+    var p = 0
+    while (p < rdd.partitions.length && failure.isEmpty) {
+      val (acks, err) = sc.runJob(rdd, (it: Iterator[Row]) => {
+        val sink = new OrderedAckHttpSink(callbackUrl)
+        val acks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var error: Option[String] = None
+        while (it.hasNext && error.isEmpty) {
+          val row = it.next()
+          val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
+          val n = row.getLong(row.fieldIndex("n_records"))
+          val records = row.getSeq[String](row.fieldIndex("records"))
+          val checksum = row.getString(row.fieldIndex("checksum"))
+          try {
+            sink.sendChunk(ingestionId, chunkNumber,
+              Identity.chunkId(ingestionId, chunkNumber), checksum, records,
+              isLast = chunkNumber == maxChunk)
+            acks += ((chunkNumber, n))
+          } catch {
+            // surface the terminal error to the driver WITH the task's won
+            // ACKs — a thrown task would discard them and leave state stale
+            case e: Throwable => error = Some(e.getMessage)
+          }
+        }
+        (acks.toSeq, error)
+      }, Seq(p)).head
+      acks.foreach { case (chunkNumber, n) =>
+        totalRecords += n
+        store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21
+        sent += 1
+      }
+      failure = err
+      p += 1
+    }
+    failure.foreach(msg => throw new RuntimeException(msg))
+    (sent, skipped, totalRecords)
+  }
+
+  /** Driver-side ordered commit loop (retained for the STREAMING path, where
+    * each microbatch is small and checkpoint-gated): stream chunk rows in
+    * order, skip already-ACKed (A20), POST with retry, persist after ACK
+    * (A21). */
   def deliverChunks(chunks: DataFrame, ingestionId: String,
       store: IngestionStateStore, sink: OrderedAckHttpSink, lastAcked: Long,
       startingTotal: Long, isLastChunk: Long => Boolean): (Long, Long, Long) = {

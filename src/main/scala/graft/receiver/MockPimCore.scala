@@ -95,8 +95,10 @@ object MockPimCore {
   final case class Response(ack: Boolean, ingestionId: String,
       chunkNumber: Long, error: Option[String]) {
     def toJson: String = {
-      val err = error.map(e => "\"" + e + "\"").getOrElse("null")
-      s"""{"ack":$ack,"ingestion_id":"$ingestionId","chunk_number":$chunkNumber,"error":$err}"""
+      // escape with the shared JSON rules — an exception message with a
+      // quote/backslash/newline must not produce an unparseable body
+      val err = error.map(e => MiniJson.canonical(MiniJson.JStr(e))).getOrElse("null")
+      s"""{"ack":$ack,"ingestion_id":${MiniJson.canonical(MiniJson.JStr(ingestionId))},"chunk_number":$chunkNumber,"error":$err}"""
     }
   }
 
@@ -111,7 +113,8 @@ object MockPimCore {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val resp = try mock.handle(body).toJson catch {
           case e: Exception =>
-            s"""{"ack":false,"ingestion_id":"","chunk_number":-1,"error":"receiver error: ${e.getMessage}"}"""
+            Response(ack = false, "", -1L,
+              Some(s"receiver error: ${e.getMessage}")).toJson
         }
         val bytes = resp.getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "application/json")
