@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
   * rows per partition, arbitrary native code inside, schema declared up
   * front).
   *
-  * The actual media decoding is STUBBED — no image/audio codecs exist in
-  * this environment — with a deterministic fake that consumes the real
-  * bytes; everything Spark-side (schema, binary column handling, partition
-  * batching, output contract) is real and tested in MultimodalSpec.
+  * IMAGE decode is REAL: javax.imageio (PNG/JPEG/GIF/BMP ship in the JDK)
+  * decodes the payload and features are color statistics over the actual
+  * pixels (MultimodalSpec decodes real PNG bytes). Payloads that are not a
+  * decodable image — e.g. the documents table's UTF-8 stand-in blobs, or
+  * audio/video needing codecs absent offline — fall back to a deterministic
+  * byte-hash feature vector, so the operator is total over mixed corpora.
   */
 object Multimodal {
 
@@ -38,11 +40,60 @@ object Multimodal {
         (col("n_chars") % 640 + 1).cast("int").as("width"),
         (col("n_chars") % 480 + 1).cast("int").as("height")).as("meta"))
 
-  /** STUB decoder: stands in for image decode + feature extraction.
-    * Deterministic: derives an 8-dim "embedding" from the payload bytes.
-    * Replace the body with a real codec (e.g. javax.imageio / ffmpeg JNI)
-    * without touching the Spark plumbing around it. */
-  private def decodeStub(payload: Array[Byte]): Array[Double] = {
+  /** Real image decode via the JDK's ImageIO. Returns (mime, width, height,
+    * 8-dim features): mean R, mean G, mean B, mean luma, and a 4-bin luma
+    * histogram — deterministic color statistics over the decoded pixels.
+    * None when the bytes are not a decodable image.
+    *
+    * Pixel pass is strided so a pathological 100-megapixel frame costs the
+    * same as a thumbnail: at most ~2^18 sampled pixels per image, stride
+    * chosen deterministically from the dimensions. */
+  def decodeImage(payload: Array[Byte]): Option[(String, Int, Int, Array[Double])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val stride = math.max(1L, math.round(math.sqrt(w.toLong * h / (1 << 18).toDouble))).toInt
+      var sr, sg, sb, sl = 0.0
+      val hist = new Array[Double](4)
+      var n = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = ((rgb >> 16) & 0xFF) / 255.0
+          val g = ((rgb >> 8) & 0xFF) / 255.0
+          val b = (rgb & 0xFF) / 255.0
+          val luma = 0.299 * r + 0.587 * g + 0.114 * b
+          sr += r; sg += g; sb += b; sl += luma
+          hist(math.min(3, (luma * 4).toInt)) += 1
+          n += 1
+          x += stride
+        }
+        y += stride
+      }
+      val feats = Array(sr / n, sg / n, sb / n, sl / n,
+        hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n)
+      Some((detectMime(payload), w, h, feats))
+    }
+  }
+
+  private def detectMime(b: Array[Byte]): String =
+    if (b.length >= 4 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      "image/png"
+    else if (b.length >= 2 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8)
+      "image/jpeg"
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      "image/gif"
+    else "image/unknown"
+
+  /** Deterministic fallback features for non-image payloads (text stand-ins,
+    * codec-less media): an 8-dim byte-distribution sketch. */
+  def byteFallbackFeatures(payload: Array[Byte]): Array[Double] = {
     val out = new Array[Double](8)
     var i = 0
     while (i < payload.length) {
@@ -52,20 +103,29 @@ object Multimodal {
     out
   }
 
-  /** Batched per-partition decode → features. Runs the stub once per row but
-    * amortizes any heavyweight init (model load, codec context) once per
-    * PARTITION — the property that matters at scale. */
+  /** Batched per-partition decode → features. Image payloads decode through
+    * ImageIO (real pixels → real width/height/stats); everything else takes
+    * the deterministic byte fallback with metadata passthrough. Heavyweight
+    * init (codec caches, a model) amortizes once per PARTITION — the
+    * property that matters at scale. */
   def extractFeatures(withPayload: DataFrame): DataFrame = {
     val spark = withPayload.sparkSession
     val rdd = withPayload.select("doc_id", "payload", "meta").rdd
       .mapPartitions { rows =>
-        // per-partition init happens HERE (once), not per record
+        // per-partition init happens HERE (once), not per record —
+        // disabling ImageIO's on-disk cache keeps decode in-memory per task
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val docId = r.getLong(0)
           val payload = r.getAs[Array[Byte]](1)
           val meta = r.getStruct(2)
-          Row(docId, meta.getString(0), payload.length,
-            meta.getInt(2), meta.getInt(3), decodeStub(payload).toSeq)
+          decodeImage(payload) match {
+            case Some((mime, w, h, feats)) =>
+              Row(docId, mime, payload.length, w, h, feats.toSeq)
+            case None =>
+              Row(docId, meta.getString(0), payload.length,
+                meta.getInt(2), meta.getInt(3), byteFallbackFeatures(payload).toSeq)
+          }
         }
       }
     spark.createDataFrame(rdd, featureSchema)
