@@ -66,9 +66,41 @@ object AnnIvf {
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * re-rank within the probed cells only. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int,
-      centroids: Array[Seq[Double]], nprobe: Int = 3): DataFrame = {
-    val cells = assignCells(corpus, centroids)
+      centroids: Array[Seq[Double]], nprobe: Int = 3): DataFrame =
+    rankTopK(assignProbes(queries, centroids, nprobe),
+      assignCells(corpus, centroids), k)
+
+  /** Materialize the IVF index: the assigned corpus written as parquet
+    * `PARTITIONED BY (cell)` — one directory per cell, so a probed search
+    * only ever reads nprobe directories. This is the 100 TB layout: cell
+    * assignment (the expensive scan) happens once at build time, not per
+    * query. */
+  def writeIndex(corpus: DataFrame, centroids: Array[Seq[Double]],
+      path: String): Unit =
+    assignCells(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** ANN top-k over a materialized index. The probe cells of the (small)
+    * query set are collected first and pushed as a STATIC `cell IN (...)`
+    * predicate, so Catalyst prunes the scan to exactly the probed partition
+    * directories (PartitionFilters in the plan — asserted by IvfIndexSpec).
+    * A dynamic join on cell would read the whole index; this reads
+    * |distinct probe cells| ≤ nq·nprobe directories. */
+  def topKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      queries: DataFrame, k: Int, centroids: Array[Seq[Double]],
+      nprobe: Int = 3): DataFrame = {
     val queryCells = assignProbes(queries, centroids, nprobe)
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    rankTopK(queryCells, cells, k)
+  }
+
+  /** Shared exact re-rank: candidates = probe-cell join, then per-query
+    * windowed top-k. */
+  private def rankTopK(queryCells: DataFrame, cells: DataFrame,
+      k: Int): DataFrame = {
     // no distinct: each corpus vector owns exactly one cell and a query's
     // probe cells are distinct, so (qid, vec_id) pairs are already unique
     val candidates = queryCells.join(cells, Seq("cell"))
