@@ -519,13 +519,19 @@ object Relational {
         element_at(col("m"), "seg").as("seg"),
         element_at(col("m"), "nation").as("nation"),
         size(col("m")).as("m_size"),
-        array_join(map_keys(col("m")), ",").as("keys_joined"))
+        array_join(map_keys(col("m")), ",").as("keys_joined"),
+        array_join(map_values(col("m")), ",").as("vals_joined"),
+        map_contains_key(col("m"), "seg").as("has_seg"),
+        map_contains_key(col("m"), "zip").as("has_zip"))
       .orderBy(col("c_custkey"))
 
   private val q23Sql =
     """SELECT c_custkey, m['seg'][1] AS seg, m['nation'][1] AS nation,
       |  cardinality(m) AS m_size,
-      |  array_to_string(map_keys(m), ',') AS keys_joined
+      |  array_to_string(map_keys(m), ',') AS keys_joined,
+      |  array_to_string(map_values(m), ',') AS vals_joined,
+      |  list_contains(map_keys(m), 'seg') AS has_seg,
+      |  list_contains(map_keys(m), 'zip') AS has_zip
       |FROM (SELECT c_custkey,
       |    map(['seg','nation'], [c_mktsegment, CAST(c_nationkey AS VARCHAR)]) AS m
       |  FROM customer) ORDER BY c_custkey""".stripMargin
@@ -538,13 +544,20 @@ object Relational {
         from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_typed"),
-        to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("packed"))
+        to_json(struct(col("event_id").as("id"), col("event_type").as("t"))).as("packed"),
+        json_tuple(col("props"), "k", "missing").as(Seq("jt_k", "jt_missing")),
+        // schema inference pinned as a constant: the oracle asserts the
+        // engine-rendered schema string for this literal document
+        schema_of_json(lit("""{"k": 1, "tags": ["a"]}""")).as("inferred_schema"))
       .orderBy(col("event_id"))
 
   private val q24Sql =
     """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
       |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_typed,
-      |  '{"id":' || CAST(event_id AS VARCHAR) || ',"t":"' || event_type || '"}' AS packed
+      |  '{"id":' || CAST(event_id AS VARCHAR) || ',"t":"' || event_type || '"}' AS packed,
+      |  json_extract_string(props, '$.k') AS jt_k,
+      |  json_extract_string(props, '$.missing') AS jt_missing,
+      |  'STRUCT<k: BIGINT, tags: ARRAY<STRING>>' AS inferred_schema
       |FROM events ORDER BY event_id""".stripMargin
 
   // -- B25: conditional / null handling --------------------------------------
