@@ -598,14 +598,28 @@ object Relational {
       |  sha256(sha256(c_name || '|' || 'json') || '|' || 'resume') || ':' || '0' AS chunk_id
       |FROM customer ORDER BY c_custkey""".stripMargin
 
-  // -- B11 approx: HLL count distinct (±5% assertion in RelationalSpec; no
-  // hash oracle — sketches are engine-specific by design) ------------------
+  // -- B11 approx: HLL count distinct. The sketch value itself is
+  // engine-specific, so the DRIVER-gated check embeds the bounded-error
+  // assertion in the result: exact distinct counts (hash-compared against
+  // DuckDB) plus ok_* booleans proving the HLL estimate landed within the
+  // declared ±5% — the oracle expects `true` unconditionally ---------------
   private def hllDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("a_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("a_parts"))
+      .select(col("l_returnflag"), col("n_orders"), col("n_parts"),
+        (abs(col("a_orders") - col("n_orders")) <= col("n_orders") * 0.05).as("ok_orders"),
+        (abs(col("a_parts") - col("n_parts")) <= col("n_parts") * 0.05).as("ok_parts"))
       .orderBy(col("l_returnflag"))
+
+  private val hllDistinctSql =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  true AS ok_orders, true AS ok_parts
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -- pivot: orderstatus × orderpriority counts -----------------------------
   private def q43(s: SparkSession, dir: String): DataFrame =
@@ -742,7 +756,7 @@ object Relational {
     QueryDef("q45_stats", q45, Some(q45Sql)),
     QueryDef("q46_string_agg", q46, Some(q46Sql)),
     QueryDef("q01_parquet_scan", q01, Some(q01Sql)),
-    QueryDef("hll_count_distinct", hllDistinct, None),
+    QueryDef("hll_count_distinct", hllDistinct, Some(hllDistinctSql)),
     QueryDef("q02_projection", q02, Some(q02Sql)),
     QueryDef("q03_filter", q03, Some(q03Sql)),
     QueryDef("q04_join_inner", q04, Some(q04Sql)),
