@@ -30,10 +30,16 @@ object Tables {
   def enableNanosAsLong(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-  /** nanos-long `ts` → microsecond timestamp. */
+  /** nanos-long `ts` → microsecond timestamp. A `ts` that is already a
+    * timestamp (e.g. tooling-rewritten parquet with TIMESTAMP(MICROS))
+    * passes through unchanged. */
   def nanosToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     enableNanosAsLong(spark)

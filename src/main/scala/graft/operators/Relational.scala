@@ -222,8 +222,14 @@ object Relational {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dec4(sum(col("l_quantity"))).as("sum_qty"),
-        dec4(sum(col("l_extendedprice"))).as("sum_base_price"),
-        dec4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        // money sums in EXACT decimal: double accumulation order differs
+        // between engines and its noise crosses the 4-decimal render once
+        // groups reach ~1M rows (seen at the sf1 stress run). The 2-dp
+        // money columns are exact in decimal(18,2), so the sums stay
+        // bit-identical at any scale.
+        dec4(sum(col("l_extendedprice").cast("decimal(18,2)"))).as("sum_base_price"),
+        dec4(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))).as("sum_disc_price"),
         dec4(avg(col("l_quantity"))).as("avg_qty"),
         dec4(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -232,8 +238,8 @@ object Relational {
   private val q10Sql =
     """SELECT l_returnflag, l_linestatus,
       |  CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
-      |  CAST(CAST(sum(l_extendedprice) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
-      |  CAST(CAST(sum(l_extendedprice * (1 - l_discount)) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
       |  CAST(CAST(avg(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS avg_qty,
       |  CAST(CAST(avg(l_discount) AS DECIMAL(38,4)) AS VARCHAR) AS avg_disc,
       |  count(*) AS count_order
@@ -284,7 +290,8 @@ object Relational {
     Tables.orders(s, dir)
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
-        dec4(sum(col("o_totalprice"))).as("total"))
+        // decimal money sum — see q10; the ALL cube cell sums every order
+        dec4(sum(col("o_totalprice").cast("decimal(18,2)"))).as("total"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("gid"), col("n"), col("total"))
@@ -294,7 +301,7 @@ object Relational {
     """SELECT coalesce(o_orderstatus, 'ALL') AS status,
       |  coalesce(o_orderpriority, 'ALL') AS priority,
       |  GROUPING(o_orderstatus, o_orderpriority) AS gid, count(*) AS n,
-      |  CAST(CAST(sum(o_totalprice) AS DECIMAL(38,4)) AS VARCHAR) AS total
+      |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS total
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY gid, status, priority""".stripMargin
 
