@@ -38,11 +38,9 @@ object StreamingIngest {
       case "csv" => spark.readStream.schema(schema)
         .option("header", "true").csv(request.filePath)
       case "excel" =>
-        // the xlsx DSv2 source is batch-only; silently CSV-parsing zip bytes
-        // would deliver garbage as valid chunks — fail fast instead
-        throw new IllegalArgumentException(
-          "excel is not supported for streaming ingestion; convert to csv/jsonl " +
-            "or use the batch pipeline")
+        // native xlsx micro-batch stream: each batch reads the files that
+        // appeared since the last committed offset (one partition per file)
+        spark.readStream.format("xlsx").schema(schema).load(request.filePath)
       case other => throw new IllegalArgumentException(s"Unsupported file type: $other")
     }
 

@@ -45,6 +45,10 @@ import org.apache.spark.unsafe.types.UTF8String
 class XlsxSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "xlsx"
 
+  /** Accept a user-supplied schema (required by readStream; the per-file
+    * header check in the reader factory still enforces consistency). */
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = XlsxSource.requirePath(options)
     val files = XlsxSource.expand(path, XlsxSource.hadoopConf())
@@ -88,7 +92,7 @@ class XlsxTable(schema: StructType, path: String) extends Table with SupportsRea
   override def name(): String = s"xlsx:$path"
   override def schema(): StructType = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
@@ -103,7 +107,106 @@ class XlsxTable(schema: StructType, path: String) extends Table with SupportsRea
         // fs.* settings) — executors must not rebuild a default Configuration
         new XlsxReaderFactory(schema,
           new org.apache.spark.util.SerializableConfiguration(XlsxSource.hadoopConf()))
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new XlsxMicroBatchStream(schema, path)
     }
+}
+
+/** Streaming xlsx: each micro-batch reads the .xlsx files that appeared
+  * since the last committed offset. The offset is the sorted set of file
+  * paths already planned — the natural exactly-once unit for an
+  * unsplittable container format (one partition per file, like the batch
+  * scan). Files must be dropped atomically (write-then-rename), the same
+  * contract Spark's built-in file source has. */
+class XlsxMicroBatchStream(schema: StructType, path: String)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // driver-side conf, captured once (credentials, fs.* settings)
+  private val conf = XlsxSource.hadoopConf()
+  private var availableNowTarget: Option[XlsxOffset] = None
+
+  private def listNow(): XlsxOffset =
+    XlsxOffset(
+      try XlsxSource.expand(path, conf)
+      catch { case _: java.io.FileNotFoundException => Seq.empty }) // dir not yet created
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(listNow()) // pin the drain target at start
+
+  override def initialOffset(): Offset = XlsxOffset(Seq.empty)
+  override def latestOffset(): Offset = availableNowTarget.getOrElse(listNow())
+  // SupportsAdmissionControl variant (ReadLimit unused: whole files are the
+  // admission unit and a single new workbook can't be split further)
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+  override def deserializeOffset(json: String): Offset = XlsxOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[XlsxOffset].files.toSet
+    end.asInstanceOf[XlsxOffset].files.filterNot(seen)
+      .map(f => XlsxPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new XlsxReaderFactory(schema,
+      new org.apache.spark.util.SerializableConfiguration(conf))
+}
+
+/** Offset = sorted set of planned file paths, serialized as a JSON string
+  * array (checkpoint-durable). */
+case class XlsxOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f =>
+      "\"" + f.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\"").mkString("[", ",", "]")
+}
+
+object XlsxOffset {
+  /** Parse the JSON string array written by [[XlsxOffset.json]]. */
+  def fromJson(s: String): XlsxOffset = {
+    val out = ArrayBuffer.empty[String]
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(s"bad xlsx offset $msg: $s")
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '[' | ']' | ',' | ' ' => i += 1
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < s.length && s.charAt(i) != '"') {
+            s.charAt(i) match {
+              case '\\' =>
+                if (i + 1 >= s.length) err("(dangling escape)")
+                s.charAt(i + 1) match {
+                  case '"' => sb.append('"'); i += 2
+                  case '\\' => sb.append('\\'); i += 2
+                  case 'u' =>
+                    sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                    i += 6
+                  case other => err(s"(escape \\$other)")
+                }
+              case c => sb.append(c); i += 1
+            }
+          }
+          if (i >= s.length) err("(unterminated string)")
+          i += 1 // closing quote
+          out += sb.toString
+        case other => err(s"(char '$other')")
+      }
+    }
+    XlsxOffset(out.toSeq)
+  }
 }
 
 case class XlsxPartition(path: String) extends InputPartition

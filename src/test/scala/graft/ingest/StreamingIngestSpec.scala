@@ -55,6 +55,63 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally { server.stop(0) }
   }
 
+  /** Minimal xlsx workbook with header (id, payload) + numeric/inline rows. */
+  private def writeXlsx(dir: java.nio.file.Path, name: String, ids: Range): Unit = {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val tmp = dir.resolve(name + ".tmp")
+    val zip = new ZipOutputStream(Files.newOutputStream(tmp))
+    def entry(n: String, c: String): Unit = {
+      zip.putNextEntry(new ZipEntry(n)); zip.write(c.getBytes("UTF-8")); zip.closeEntry()
+    }
+    entry("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook><sheets><sheet name="S1" sheetId="1"/></sheets></workbook>""")
+    val rows =
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>id</t></is></c><c r="B1" t="inlineStr"><is><t>payload</t></is></c></row>""" +
+        ids.zipWithIndex.map { case (id, i) =>
+          s"""<row r="${i + 2}"><c r="A${i + 2}"><v>$id</v></c><c r="B${i + 2}" t="inlineStr"><is><t>p$id</t></is></c></row>"""
+        }.mkString
+    entry("xl/worksheets/sheet1.xml",
+      s"""<?xml version="1.0"?><worksheet><sheetData>$rows</sheetData></worksheet>""")
+    zip.close()
+    // atomic drop, the file-arrival contract streaming sources expect
+    Files.move(tmp, dir.resolve(name))
+  }
+
+  test("streaming xlsx: micro-batches over arriving workbooks, checkpoint resume") {
+    val (mock, server, url) = MockPimCore.serve()
+    val inputDir = Files.createTempDirectory("graft_stream_xlsx")
+    val ckpt = Files.createTempDirectory("graft_ckpt_xlsx").toString
+    val store = IngestionStateStore.inMemory()
+    val xlsxSchema = StructType(Seq(
+      StructField("id", StringType), StructField("payload", StringType)))
+    val request = IngestRequest(inputDir.toString, "excel", url,
+      chunkSizeByRecords = Some(4))
+    try {
+      writeXlsx(inputDir, "a.xlsx", 0 until 10)
+      val before = mock.receivedChunks.size
+      val (iid, q1) = StreamingIngest.start(spark, request, store, xlsxSchema, ckpt)
+      q1.awaitTermination(60000)
+      assert(mock.receivedChunks.slice(before, before + 3).toSeq == Seq(0L, 1L, 2L))
+      assert(store.lastChunk(iid) == 2 && store.totalRecords(iid) == 10)
+
+      // a new workbook arrives; restart on the same checkpoint → only b.xlsx
+      writeXlsx(inputDir, "b.xlsx", 10 until 17)
+      val mid = mock.receivedChunks.size
+      val (_, q2) = StreamingIngest.start(spark, request, store, xlsxSchema, ckpt)
+      q2.awaitTermination(60000)
+      assert(mock.receivedChunks.slice(mid, mid + 2).toSeq == Seq(3L, 4L))
+      assert(mock.receivedChunks.size == mid + 2, "old workbook was re-delivered")
+      assert(store.lastChunk(iid) == 4 && store.totalRecords(iid) == 17)
+    } finally server.stop(0)
+  }
+
+  test("xlsx streaming offsets round-trip through their JSON form") {
+    import graft.sources.XlsxOffset
+    val o = XlsxOffset(Seq("/data/b with \"quote\".xlsx", "/data/a\\back.xlsx"))
+    assert(XlsxOffset.fromJson(o.json()).files == o.files.sorted)
+    assert(XlsxOffset.fromJson(XlsxOffset(Seq.empty).json()).files.isEmpty)
+  }
+
   test("replayed micro-batch keeps its original chunk numbering (anchor)") {
     val (mock, server, url) = MockPimCore.serve()
     val store = IngestionStateStore.inMemory()
