@@ -38,6 +38,11 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is pinned UTC, so NTZ→LTZ is value-preserving; the
+        // event-time functions (unix_micros, windows) require TIMESTAMP
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
 
