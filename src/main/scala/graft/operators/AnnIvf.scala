@@ -48,20 +48,13 @@ object AnnIvf {
     centroids
   }
 
-  /** Nearest-centroid cell id per vector (L2 via dot products; the corpus
-    * scan is the only pass — centroids ride along as literals). */
-  def assignCells(corpus: DataFrame, centroids: Array[Seq[Double]]): DataFrame = {
-    val dists: Seq[Column] = centroids.toSeq.map { c =>
-      val cl = typedLit(c)
-      // ||v - c||² = v·v - 2 v·c + c·c ; v·v constant per row → rank by the rest
-      dotProduct(cl, cl) - lit(2.0) * dotProduct(col("v"), cl)
-    }
-    // argmin over the k distance columns
-    val packed = array(dists.zipWithIndex.map { case (d, i) =>
-      struct(d.as("d"), lit(i).as("i"))
-    }: _*)
-    corpus.withColumn("cell", element_at(array_sort(packed), 1).getField("i"))
-  }
+  /** Nearest-centroid cell id per vector (L2; the corpus scan is the only
+    * pass — centroids ride along inside one native NearestCells eval:
+    * ||v − c||² = v·v − 2 v·c + c·c with v·v constant per row). */
+  def assignCells(corpus: DataFrame, centroids: Array[Seq[Double]]): DataFrame =
+    corpus.withColumn("cell", element_at(
+      graft.functions.VectorExprs.nearestCells(
+        col("v"), centroids.map(_.toArray), 1), 1))
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * re-rank within the probed cells only. */
@@ -115,18 +108,10 @@ object AnnIvf {
 
   /** The nprobe nearest cells per query vector, exploded to (qid, qv, cell). */
   private def assignProbes(queries: DataFrame, centroids: Array[Seq[Double]],
-      nprobe: Int): DataFrame = {
-    val dists: Seq[Column] = centroids.toSeq.map { c =>
-      val cl = typedLit(c)
-      dotProduct(cl, cl) - lit(2.0) * dotProduct(col("qv"), cl)
-    }
-    val packed = array(dists.zipWithIndex.map { case (d, i) =>
-      struct(d.as("d"), lit(i).as("i"))
-    }: _*)
-    queries
-      .withColumn("cell",
-        explode(transform(slice(array_sort(packed), 1, nprobe), x => x.getField("i"))))
-  }
+      nprobe: Int): DataFrame =
+    queries.withColumn("cell", explode(
+      graft.functions.VectorExprs.nearestCells(
+        col("qv"), centroids.map(_.toArray), nprobe)))
 
   // -- query entry (approximate → rows-only driver check) --------------------
   private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
