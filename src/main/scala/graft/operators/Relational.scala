@@ -754,8 +754,93 @@ object Relational {
       |     FROM orders WHERE o_custkey = c_custkey) AS max_price
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -- B19 family: regular expressions ---------------------------------------
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        regexp_extract(col("p_name"), "(\\w+) (\\w+)", 2).as("second_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+        col("p_name").rlike("red|blue").as("has_color"),
+        regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"))
+      .orderBy(col("p_partkey"))
+
+  private val q50Sql =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '(\w+) (\w+)', 2) AS second_word,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  regexp_matches(p_name, 'red|blue') AS has_color,
+      |  len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // -- B12 family: explicit GROUPING SETS ------------------------------------
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q51")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  GROUPING_ID(l_returnflag, l_linestatus) AS gid,
+        |  count(*) AS n,
+        |  CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) AS STRING) AS sum_qty
+        |FROM lineitem_q51
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin)
+  }
+
+  private val q51Sql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  GROUPING(l_returnflag, l_linestatus) AS gid,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(l_quantity) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, rf, ls""".stripMargin
+
+  // -- B20 family: calendar truncation/extraction ----------------------------
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        date_format(date_trunc("WEEK", col("o_orderdate")), "yyyy-MM-dd").as("week_start"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"))
+      .orderBy(col("o_orderkey"))
+
+  private val q52Sql =
+    """SELECT o_orderkey,
+      |  strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+      |  quarter(o_orderdate) AS qtr,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      |  dayofweek(o_orderdate) + 1 AS dow,
+      |  weekofyear(o_orderdate) AS iso_week
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // -- B12 family: unpivot (wide → long) -------------------------------------
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("double").as("price"),
+        col("p_size").cast("double").as("size"))
+      .unpivot(Array(col("p_partkey")), Array(col("price"), col("size")),
+        "metric", "value")
+      .select(col("p_partkey"), col("metric"), dec4(col("value")).as("value"))
+      .orderBy(col("p_partkey"), col("metric"))
+
+  private val q53Sql =
+    """SELECT p_partkey, metric, CAST(CAST(value AS DECIMAL(38,4)) AS VARCHAR) AS value
+      |FROM (
+      |  SELECT p_partkey, 'price' AS metric, CAST(p_retailprice AS DOUBLE) AS value FROM part
+      |  UNION ALL
+      |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part)
+      |ORDER BY p_partkey, metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q49_correlated_subquery", q49, Some(q49Sql)),
+    QueryDef("q50_regexp", q50, Some(q50Sql)),
+    QueryDef("q51_grouping_sets", q51, Some(q51Sql)),
+    QueryDef("q52_calendar", q52, Some(q52Sql)),
+    QueryDef("q53_unpivot", q53, Some(q53Sql)),
     QueryDef("q47_generators", q47, Some(q47Sql)),
     QueryDef("q48_window_dist", q48, Some(q48Sql)),
     QueryDef("q43_pivot", q43, Some(q43Sql)),
