@@ -68,6 +68,19 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact-duplicate collapse — the composition step that keeps the near-dup
+    * operators linear on dup-heavy corpora (the sf1 stress run's one
+    * superlinear case): group by the full text, keep the smallest doc_id as
+    * representative plus the cluster size. Near-dup then runs over
+    * |distinct texts| representatives; a pair of representatives stands for
+    * size_a × size_b underlying pairs, and intra-cluster pairs are exact
+    * duplicates by construction — no information is lost. One shuffle,
+    * map-side combinable. */
+  def collapseExact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cluster_size"))
+      .select(col("doc_id"), col("text"), col("cluster_size"))
+
   /** 64-bit SimHash fingerprint over whitespace tokens — native expression
     * (tight vote loop per row; the Column formulation was ~ms/doc). */
   def simhashFingerprint(text: Column): Column =
@@ -127,6 +140,14 @@ object Dedup {
 
   private def simhashTop(s: SparkSession, dir: String): DataFrame =
     simhashCandidates(Tables.documents(s, dir), maxHamming = 16)
+      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  /** The dup-heavy-corpus composition: exact collapse, then simhash over
+    * representatives only. */
+  private def simhashCollapsedTop(s: SparkSession, dir: String): DataFrame =
+    simhashCandidates(
+      collapseExact(Tables.documents(s, dir)), maxHamming = 16)
       .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
       .limit(20)
 
@@ -194,5 +215,6 @@ object Dedup {
     QueryDef("rollingfp_neardup_topk", rollingFpTop, None),
     QueryDef("minhash_neardup_topk", minhashTop, None),
     QueryDef("simhash_neardup_topk", simhashTop, None),
+    QueryDef("simhash_neardup_collapsed", simhashCollapsedTop, None),
     QueryDef("ngram_jaccard_topk", ngramTop, None))
 }

@@ -89,6 +89,29 @@ class DedupSpec extends AnyFunSuite {
     assert(fp1 == fp2)
   }
 
+  test("collapseExact: one representative per distinct text, linear on dup-heavy input") {
+    // 3 exact copies of A, 2 of B, 1 of C (C = A with one word dropped, so
+    // a genuine near-dup: 39 of 40 tokens shared)
+    val words = Seq("spark", "data", "query", "join", "scan", "filter",
+      "agg", "sort", "merge", "hash")
+    val a = (0 until 40).map(i => words(i % words.size)).mkString(" ")
+    val b = (0 until 40).map(i => words((i * 3 + 1) % words.size)).reverse.mkString(" ")
+    val c = (0 until 40).map(i => words(i % words.size)).drop(1).mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, a), (10L, b), (11L, b), (20L, c))
+      .toDF("doc_id", "text")
+    val collapsed = Dedup.collapseExact(docs)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(collapsed.map(r => (r._1, r._3)).toSeq == Seq((1L, 3L), (10L, 2L), (20L, 1L)))
+
+    // near-dup over representatives: the only candidate pair is (1, 20) —
+    // the 100-fold intra-cluster pair space never exists
+    val pairs = Dedup.simhashCandidates(
+      Dedup.collapseExact(docs), maxHamming = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 20L)))
+    assert(pairs.forall { case (x, y) => Set(1L, 10L, 20L)(x) && Set(1L, 10L, 20L)(y) })
+  }
+
   test("embedding-cosine near-dup finds planted near-identical vectors") {
     val rnd = new scala.util.Random(5)
     val base = (0 until 100).map(i =>
