@@ -14,11 +14,11 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Execution split, designed for the protocol's constraint (§7.4 #1):
   *   - EXECUTORS (parallel): parse, canonical-JSON render, chunk assignment,
-  *     per-chunk ordered record collection + sha256 — all distributed;
-  *   - DRIVER (serial, protocol-imposed): iterate finished chunks in
-  *     chunk_number order via toLocalIterator (streams one partition at a
-  *     time, never materializing the dataset), skip already-ACKed chunks
-  *     (A20), POST-with-retry, persist progress only after ACK (A21).
+  *     per-chunk ordered record collection + sha256 — all distributed — and
+  *     the chunk POSTs themselves (`deliverChunksDistributed`);
+  *   - DRIVER (serial, protocol-imposed): only the ordered commit token —
+  *     one contiguous chunk range in flight at a time, progress persisted
+  *     after ACK (A21); payload bytes never cross the driver.
   *
   * At scale the serial commit is the declared bottleneck — exactly as in the
   * reference, where ordering is dictated by the receiver
@@ -221,34 +221,4 @@ object IngestionPipeline {
     (sent, skipped, totalRecords)
   }
 
-  /** Driver-side ordered commit loop (retained for the STREAMING path, where
-    * each microbatch is small and checkpoint-gated): stream chunk rows in
-    * order, skip already-ACKed (A20), POST with retry, persist after ACK
-    * (A21). */
-  def deliverChunks(chunks: DataFrame, ingestionId: String,
-      store: IngestionStateStore, sink: OrderedAckHttpSink, lastAcked: Long,
-      startingTotal: Long, isLastChunk: Long => Boolean): (Long, Long, Long) = {
-    var sent = 0L
-    var skipped = 0L
-    var totalRecords = startingTotal
-    val it = chunks.toLocalIterator() // ordered stream, one partition in memory
-    while (it.hasNext) {
-      val row = it.next()
-      val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
-      val n = row.getLong(row.fieldIndex("n_records"))
-      if (chunkNumber <= lastAcked) {
-        skipped += 1 // A20: built but not re-sent; already counted in totals
-      } else {
-        val records = row.getSeq[String](row.fieldIndex("records"))
-        val checksum = row.getString(row.fieldIndex("checksum"))
-        sink.sendChunk(ingestionId, chunkNumber,
-          Identity.chunkId(ingestionId, chunkNumber), checksum, records,
-          isLast = isLastChunk(chunkNumber))
-        totalRecords += n
-        store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21: after ACK only
-        sent += 1
-      }
-    }
-    (sent, skipped, totalRecords)
-  }
 }

@@ -68,11 +68,13 @@ object StreamingIngest {
         b
     }
     val chunks = IngestionPipeline.buildChunks(batch, request, lastChunk = base)
-    val sink = new OrderedAckHttpSink(request.callbackUrl)
-    IngestionPipeline.deliverChunks(chunks, ingestionId, store, sink,
+    // executor-direct like the batch path; maxChunk = -2 sentinel (an open
+    // stream has no last chunk, and no chunk number can equal -2)
+    IngestionPipeline.deliverChunksDistributed(chunks, ingestionId, store,
+      request.callbackUrl,
       lastAcked = store.lastChunk(ingestionId),
       startingTotal = store.totalRecords(ingestionId),
-      isLastChunk = _ => false) // an open stream has no last chunk
+      maxChunk = -2L)
   }
 
   /** Close out a drained stream: COMPLETED handshake + terminal state (A22). */
