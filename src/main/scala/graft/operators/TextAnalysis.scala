@@ -168,7 +168,48 @@ object TextAnalysis {
       |    ORDER BY doc_id) AS rn FROM documents)
       |WHERE rn = 1 ORDER BY source, n_chars""".stripMargin
 
+  // -- TF-IDF: per-document top terms ----------------------------------------
+  // The canonical training-data relevance score as one declarative plan:
+  // explode → (doc, term) counts → document frequencies → idf join → per-doc
+  // windowed top-3. N rides along as a broadcast scalar (crossJoin with a
+  // 1-row agg), so no driver-side collect gates the plan at scale.
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(tokens).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.distinct().groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("doc_id") < 100)
+      .select(col("doc_id"), col("rank"), col("token"),
+        QueryDef.dec4(col("score")).as("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val q54Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents)
+      |SELECT doc_id, rank, token,
+      |  CAST(CAST(score AS DECIMAL(38,4)) AS VARCHAR) AS score
+      |FROM (
+      |  SELECT doc_id, token, tf * ln(CAST(n_docs AS DOUBLE) / df) AS score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY tf * ln(CAST(n_docs AS DOUBLE) / df) DESC, token) AS rank
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      |WHERE rank <= 3 AND doc_id < 100
+      |ORDER BY doc_id, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q54_tfidf", q54, Some(q54Sql)),
     QueryDef("q39_token_count", q39, Some(q39Sql)),
     QueryDef("q40_dedup_keep_first", q40, Some(q40Sql)),
     QueryDef("q30_dedup_exact", q30, Some(q30Sql)),
