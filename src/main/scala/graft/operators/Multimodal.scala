@@ -53,33 +53,35 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (img == null) None
-    else {
-      val w = img.getWidth
-      val h = img.getHeight
-      val stride = math.max(1L, math.round(math.sqrt(w.toLong * h / (1 << 18).toDouble))).toInt
-      var sr, sg, sb, sl = 0.0
-      val hist = new Array[Double](4)
-      var n = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = ((rgb >> 16) & 0xFF) / 255.0
-          val g = ((rgb >> 8) & 0xFF) / 255.0
-          val b = (rgb & 0xFF) / 255.0
-          val luma = 0.299 * r + 0.587 * g + 0.114 * b
-          sr += r; sg += g; sb += b; sl += luma
-          hist(math.min(3, (luma * 4).toInt)) += 1
-          n += 1
-          x += stride
-        }
-        y += stride
+    else Some((detectMime(payload), img.getWidth, img.getHeight, pixelStats(img)))
+  }
+
+  /** The 8-dim color statistics over a decoded frame (strided pixel pass). */
+  def pixelStats(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val stride = math.max(1L, math.round(math.sqrt(w.toLong * h / (1 << 18).toDouble))).toInt
+    var sr, sg, sb, sl = 0.0
+    val hist = new Array[Double](4)
+    var n = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = ((rgb >> 16) & 0xFF) / 255.0
+        val g = ((rgb >> 8) & 0xFF) / 255.0
+        val b = (rgb & 0xFF) / 255.0
+        val luma = 0.299 * r + 0.587 * g + 0.114 * b
+        sr += r; sg += g; sb += b; sl += luma
+        hist(math.min(3, (luma * 4).toInt)) += 1
+        n += 1
+        x += stride
       }
-      val feats = Array(sr / n, sg / n, sb / n, sl / n,
-        hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n)
-      Some((detectMime(payload), w, h, feats))
+      y += stride
     }
+    Array(sr / n, sg / n, sb / n, sl / n,
+      hist(0) / n, hist(1) / n, hist(2) / n, hist(3) / n)
   }
 
   private def detectMime(b: Array[Byte]): String =
@@ -129,6 +131,99 @@ object Multimodal {
         }
       }
     spark.createDataFrame(rdd, featureSchema)
+  }
+
+  /** Resize an image payload so its longest side is ≤ maxDim (aspect
+    * preserved), re-encoded as PNG. Non-image payloads pass through
+    * untouched. Pure JDK: ImageIO decode + Graphics2D bilinear scale. */
+  def resizePayload(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) payload
+    else {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val w = math.max(1, math.round(img.getWidth * scale).toInt)
+      val h = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+      g.dispose()
+      val bytes = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bytes)
+      bytes.toByteArray
+    }
+  }
+
+  /** Batched per-partition resize: payloads stay binary, dims re-derived
+    * from the (possibly) resized bytes. */
+  def resizeImages(withPayload: DataFrame, maxDim: Int): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false)))
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val resized = resizePayload(r.getAs[Array[Byte]](1), maxDim)
+        val dims = decodeImage(resized).map(d => (d._2, d._3)).getOrElse((0, 0))
+        Row(r.getLong(0), resized, dims._1, dims._2)
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  val frameSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
+
+  /** Frame sampling over multi-frame payloads (animated GIF is the JDK-real
+    * case): every `everyK`-th frame decodes to the same color statistics the
+    * still-image path produces. Single-frame images yield frame 0; payloads
+    * no reader accepts yield no rows. One output row per sampled frame —
+    * flatMap semantics, partition-amortized reader setup. */
+  def sampleFrames(withPayload: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be >= 1")
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        decodeFrames(payload, everyK).map { case (idx, w, h, feats) =>
+          Row(docId, idx, w, h, feats.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, frameSchema)
+  }
+
+  /** Every `everyK`-th frame's (index, width, height, features). */
+  def decodeFrames(payload: Array[Byte],
+      everyK: Int): Seq[(Int, Int, Int, Array[Double])] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val readers = javax.imageio.ImageIO.getImageReaders(in)
+    if (!readers.hasNext) return Seq.empty
+    val reader = readers.next()
+    try {
+      reader.setInput(in, false, true)
+      val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
+      (0 until n by everyK).flatMap { i =>
+        try {
+          val img = reader.read(i)
+          Some((i, img.getWidth, img.getHeight, pixelStats(img)))
+        } catch { case _: Exception => None }
+      }
+    } finally reader.dispose()
   }
 
   // -- query entries ---------------------------------------------------------

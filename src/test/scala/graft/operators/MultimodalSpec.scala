@@ -76,6 +76,62 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r3.getSeq[Double](5).sum > 0)
   }
 
+  test("resize caps the longest side, preserves aspect, passes non-images through") {
+    val wide = png(200, 50)((_, _) => 0x00FF00)
+    val rows = Seq((1L, wide), (2L, "plain text".getBytes("UTF-8")))
+    val out = Multimodal.resizeImages(rows.toDF("doc_id", "payload"), maxDim = 100)
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(2) == 100 && out(0).getInt(3) == 25) // 200x50 -> 100x25
+    // resized bytes are a real PNG with the same content statistics
+    val stats = Multimodal.decodeImage(out(0).getAs[Array[Byte]](1)).get
+    assert(stats._1 == "image/png" && math.abs(stats._4(1) - 1.0) < 1e-6)
+    // the text payload is byte-identical, dims 0 (not decodable)
+    assert(out(1).getAs[Array[Byte]](1).sameElements("plain text".getBytes("UTF-8")))
+    assert(out(1).getInt(2) == 0)
+    // already-small images are not re-encoded
+    val small = png(10, 10)((_, _) => 0xFF0000)
+    assert(Multimodal.resizePayload(small, 100).eq(small) ||
+      Multimodal.resizePayload(small, 100).sameElements(small))
+  }
+
+  /** Animated GIF with `frames` solid-color frames. */
+  private def animatedGif(frames: Seq[Int], w: Int = 6, h: Int = 4): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { color =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
+
+  test("frame sampling decodes every k-th frame of an animated GIF") {
+    val gif = animatedGif(Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF, 0x000000))
+    val still = png(8, 8)((_, _) => 0xFF0000)
+    val df = Seq((1L, gif), (2L, still), (3L, Array[Byte](9, 9, 9)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.sampleFrames(df, everyK = 2)
+      .orderBy("doc_id", "frame_idx").collect()
+    // gif: frames 0, 2, 4 sampled; still: frame 0; garbage: nothing
+    assert(out.map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 0), (1L, 2), (1L, 4), (2L, 0)))
+    assert(out.forall(r => r.getInt(2) > 0 && r.getInt(3) > 0))
+    // frame 0 is red, frame 2 is blue (GIF palettes may quantize, so assert
+    // the dominant channel rather than exact values)
+    val f0 = out(0).getSeq[Double](4)
+    val f2 = out(1).getSeq[Double](4)
+    assert(f0(0) > 0.9 && f0(2) < 0.1, s"frame 0 not red: $f0")
+    assert(f2(2) > 0.9 && f2(0) < 0.1, s"frame 2 not blue: $f2")
+  }
+
   test("decodeImage is total: garbage bytes and truncated PNGs fall back") {
     assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
     val truncated = png(8, 8)((_, _) => 0x123456).take(20)
