@@ -208,7 +208,36 @@ object TextAnalysis {
       |WHERE rank <= 3 AND doc_id < 100
       |ORDER BY doc_id, rank""".stripMargin
 
+  // -- deterministic train/valid/test split ----------------------------------
+  // Hash-based splitting the way production pipelines do it: an md5 of the
+  // stable key, compared as a hex prefix against fraction thresholds
+  // (hex chars sort in value order, so 'cccc' = 0xCCCC/0x10000 ≈ 80%).
+  // Fully deterministic, engine-portable, no RNG or ordering dependence —
+  // re-running or re-partitioning never reassigns a document.
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bucket", substring(md5(col("doc_id").cast("string")), 1, 4))
+      .withColumn("split",
+        when(col("bucket") < "cccc", "train")      // 80%
+          .when(col("bucket") < "e666", "valid")   // 10%
+          .otherwise("test"))                      // 10%
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+
+  private val q55Sql =
+    """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+      |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'valid'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_hash_split", q55, Some(q55Sql)),
     QueryDef("q54_tfidf", q54, Some(q54Sql)),
     QueryDef("q39_token_count", q39, Some(q39Sql)),
     QueryDef("q40_dedup_keep_first", q40, Some(q40Sql)),
