@@ -76,7 +76,9 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
       var bd = Double.PositiveInfinity
       var t = 0
       while (t < k) {
-        if (!used(t) && d(t) < bd) { bd = d(t); best = t }
+        // `best == -1` guard: a NaN distance (NaN vector component) never
+        // wins a `<` comparison — without it every slot could stay -1
+        if (!used(t) && (best == -1 || d(t) < bd)) { bd = d(t); best = t }
         t += 1
       }
       used(best) = true

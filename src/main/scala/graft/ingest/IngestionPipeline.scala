@@ -66,16 +66,16 @@ object IngestionPipeline {
 
   /** "excel" routes to the native xlsx source for a .xlsx file OR a
     * directory holding .xlsx files (XlsxSource.expand reads one partition
-    * per file); anything else falls back to pre-converted CSV. */
+    * per file); anything else falls back to pre-converted CSV. Probe
+    * failures PROPAGATE — a transient FS error must fail the request, not
+    * silently demote zip bytes to the CSV parser. */
   private def looksLikeXlsx(path: String): Boolean =
     path.toLowerCase.endsWith(".xlsx") || {
-      try {
-        val conf = graft.sources.XlsxSource.hadoopConf()
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
-        fs.getFileStatus(p).isDirectory &&
-          graft.sources.XlsxSource.expand(path, conf).nonEmpty
-      } catch { case _: Exception => false }
+      val conf = graft.sources.XlsxSource.hadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+      fs.getFileStatus(p).isDirectory &&
+        graft.sources.XlsxSource.expand(path, conf).nonEmpty
     }
 
   /** A7 (Excel semantics): drop rows where every cell is null/empty-string —
@@ -203,8 +203,12 @@ object IngestionPipeline {
             acks += ((chunkNumber, n))
           } catch {
             // surface the terminal error to the driver WITH the task's won
-            // ACKs — a thrown task would discard them and leave state stale
-            case e: Throwable => error = Some(e.getMessage)
+            // ACKs — a thrown task would discard them and leave state stale.
+            // Message-less exceptions (NPE etc.) still need a diagnosable
+            // string; the class name rides along for those.
+            case e: Throwable => error = Some(
+              if (e.getMessage == null) e.getClass.getName
+              else s"${e.getMessage} (${e.getClass.getSimpleName})")
           }
         }
         (acks.toSeq, error)

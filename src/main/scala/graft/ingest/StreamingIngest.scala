@@ -28,7 +28,9 @@ object StreamingIngest {
   def start(spark: SparkSession, request: IngestRequest, store: IngestionStateStore,
       schema: StructType, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): (String, StreamingQuery) = {
-    val fileId = Identity.fileId(request.filePath, request.fileType)
+    // normalized file type, like the batch path: "Excel" and "excel" restarts
+    // must resume the same ingestion, not mint a fresh id and re-send
+    val fileId = Identity.fileId(request.filePath, request.fileType.toLowerCase)
     val ingestionId = Identity.ingestionId(fileId, "streaming")
 
     val source = request.fileType.toLowerCase match {
@@ -67,14 +69,19 @@ object StreamingIngest {
         store.putMeta(anchorKey, b.toString)
         b
     }
+    // cached like the batch path: the skip-count job and the per-partition
+    // delivery jobs must not re-run the parse/canonicalize/shuffle DAG
     val chunks = IngestionPipeline.buildChunks(batch, request, lastChunk = base)
-    // executor-direct like the batch path; maxChunk = -2 sentinel (an open
-    // stream has no last chunk, and no chunk number can equal -2)
-    IngestionPipeline.deliverChunksDistributed(chunks, ingestionId, store,
-      request.callbackUrl,
-      lastAcked = store.lastChunk(ingestionId),
-      startingTotal = store.totalRecords(ingestionId),
-      maxChunk = -2L)
+      .cache()
+    try {
+      // executor-direct like the batch path; maxChunk = -2 sentinel (an open
+      // stream has no last chunk, and no chunk number can equal -2)
+      IngestionPipeline.deliverChunksDistributed(chunks, ingestionId, store,
+        request.callbackUrl,
+        lastAcked = store.lastChunk(ingestionId),
+        startingTotal = store.totalRecords(ingestionId),
+        maxChunk = -2L)
+    } finally chunks.unpersist()
   }
 
   /** Close out a drained stream: COMPLETED handshake + terminal state (A22). */

@@ -134,13 +134,17 @@ object Multimodal {
   }
 
   /** Resize an image payload so its longest side is ≤ maxDim (aspect
-    * preserved), re-encoded as PNG. Non-image payloads pass through
-    * untouched. Pure JDK: ImageIO decode + Graphics2D bilinear scale. */
-  def resizePayload(payload: Array[Byte], maxDim: Int): Array[Byte] = {
+    * preserved), re-encoded as PNG. Returns (bytes, width, height) from the
+    * single decode — (payload, 0, 0) for non-image bytes, the original
+    * payload untouched when already small. Pure JDK: ImageIO decode +
+    * Graphics2D bilinear scale. */
+  def resizePayload(payload: Array[Byte], maxDim: Int): (Array[Byte], Int, Int) = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
-    if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) payload
+    if (img == null) (payload, 0, 0)
+    else if (math.max(img.getWidth, img.getHeight) <= maxDim)
+      (payload, img.getWidth, img.getHeight)
     else {
       val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
       val w = math.max(1, math.round(img.getWidth * scale).toInt)
@@ -154,12 +158,12 @@ object Multimodal {
       g.dispose()
       val bytes = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(out, "png", bytes)
-      bytes.toByteArray
+      (bytes.toByteArray, w, h)
     }
   }
 
-  /** Batched per-partition resize: payloads stay binary, dims re-derived
-    * from the (possibly) resized bytes. */
+  /** Batched per-partition resize: payloads stay binary; dims come from the
+    * resize's own (single) decode. */
   def resizeImages(withPayload: DataFrame, maxDim: Int): DataFrame = {
     val spark = withPayload.sparkSession
     val schema = StructType(Seq(
@@ -170,9 +174,8 @@ object Multimodal {
     val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       rows.map { r =>
-        val resized = resizePayload(r.getAs[Array[Byte]](1), maxDim)
-        val dims = decodeImage(resized).map(d => (d._2, d._3)).getOrElse((0, 0))
-        Row(r.getLong(0), resized, dims._1, dims._2)
+        val (resized, w, h) = resizePayload(r.getAs[Array[Byte]](1), maxDim)
+        Row(r.getLong(0), resized, w, h)
       }
     }
     spark.createDataFrame(rdd, schema)
@@ -211,19 +214,21 @@ object Multimodal {
       everyK: Int): Seq[(Int, Int, Int, Array[Double])] = {
     val in = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(payload))
-    val readers = javax.imageio.ImageIO.getImageReaders(in)
-    if (!readers.hasNext) return Seq.empty
-    val reader = readers.next()
     try {
-      reader.setInput(in, false, true)
-      val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
-      (0 until n by everyK).flatMap { i =>
-        try {
-          val img = reader.read(i)
-          Some((i, img.getWidth, img.getHeight, pixelStats(img)))
-        } catch { case _: Exception => None }
-      }
-    } finally reader.dispose()
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return Seq.empty
+      val reader = readers.next()
+      try {
+        reader.setInput(in, false, true)
+        val n = try reader.getNumImages(true) catch { case _: Exception => 1 }
+        (0 until n by everyK).flatMap { i =>
+          try {
+            val img = reader.read(i)
+            Some((i, img.getWidth, img.getHeight, pixelStats(img)))
+          } catch { case _: Exception => None }
+        }
+      } finally reader.dispose()
+    } finally in.close() // may be file-cache-backed outside mapPartitions
   }
 
   // -- query entries ---------------------------------------------------------

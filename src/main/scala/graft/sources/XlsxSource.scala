@@ -159,7 +159,12 @@ class XlsxMicroBatchStream(schema: StructType, path: String)
 }
 
 /** Offset = sorted set of planned file paths, serialized as a JSON string
-  * array (checkpoint-durable). */
+  * array (checkpoint-durable).
+  *
+  * Declared bound: the offset carries the FULL path set, so checkpoint size
+  * grows with lifetime file count — right for bounded per-ingestion drops
+  * (this protocol's shape); a million-file perpetual directory would want a
+  * compacted seen-files log like Spark's built-in file source. */
 case class XlsxOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String =
@@ -192,6 +197,7 @@ object XlsxOffset {
                   case '"' => sb.append('"'); i += 2
                   case '\\' => sb.append('\\'); i += 2
                   case 'u' =>
+                    if (i + 6 > s.length) err("(truncated unicode escape)")
                     sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
                     i += 6
                   case other => err(s"(escape \\$other)")
@@ -287,6 +293,10 @@ object XlsxParser {
     // without view/rels parts. Never a _rels relationships file.
     val sheetXml = resolveActiveSheet(meta)
       .flatMap(sp => readEntry(path, conf, _ == sp))
+      // rels-less workbooks: prefer the conventional first-sheet names over
+      // zip order (writer-dependent), then any worksheet as a last resort
+      .orElse(readEntry(path, conf,
+        n => n == "xl/worksheets/sheet1.xml" || n == "xl/worksheets/sheet.xml"))
       .orElse(readEntry(path, conf, n => n.matches("xl/worksheets/[^/]+\\.xml")))
       .getOrElse(throw new IllegalArgumentException(s"xlsx $path: no worksheet"))
     parseSheet(sheetXml, shared, dateStyles, date1904).iterator

@@ -88,10 +88,10 @@ class MultimodalSpec extends AnyFunSuite {
     // the text payload is byte-identical, dims 0 (not decodable)
     assert(out(1).getAs[Array[Byte]](1).sameElements("plain text".getBytes("UTF-8")))
     assert(out(1).getInt(2) == 0)
-    // already-small images are not re-encoded
+    // already-small images are not re-encoded, and dims come from the decode
     val small = png(10, 10)((_, _) => 0xFF0000)
-    assert(Multimodal.resizePayload(small, 100).eq(small) ||
-      Multimodal.resizePayload(small, 100).sameElements(small))
+    val (bytes, w, h) = Multimodal.resizePayload(small, 100)
+    assert(bytes.sameElements(small) && w == 10 && h == 10)
   }
 
   /** Animated GIF with `frames` solid-color frames. */
