@@ -214,6 +214,35 @@ object Relational {
       |    ON v.user_id = c.user_id AND v.ts < c.ts)
       |WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  // -- B9 forward: next click after each view, within a 30-minute tolerance --
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    Joins.asofForward(views, clicks, byKeys = Seq("user_id"),
+      leftTime = "ts", rightTime = "c_ts", tieBreak = "click_id",
+      strict = true, toleranceSec = Some(1800L))
+      .select(col("event_id"), col("user_id"), tsMicro(col("ts")).as("view_ts"),
+        col("click_id"), tsMicro(col("c_ts")).as("click_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q56Sql =
+    """SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts, click_id,
+      |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (
+      |  SELECT v.event_id, v.user_id, v.ts, c.event_id AS click_id, c.ts AS c_ts,
+      |    row_number() OVER (PARTITION BY v.event_id
+      |      ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'view') v
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |    ON c.user_id = v.user_id AND c.ts > v.ts
+      |     AND c.ts <= v.ts + INTERVAL 1800 SECOND)
+      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   // -- B10: grouped hash aggregation (TPC-H Q1 shape) ------------------------
   // Partial (map-side) aggregation is automatic for sum/count/avg; only the
   // tiny per-group partials shuffle — this is the 100 TB-safe agg shape.
@@ -837,6 +866,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q49_correlated_subquery", q49, Some(q49Sql)),
+    QueryDef("q56_join_asof_forward", q56, Some(q56Sql)),
     QueryDef("q50_regexp", q50, Some(q50Sql)),
     QueryDef("q51_grouping_sets", q51, Some(q51Sql)),
     QueryDef("q52_calendar", q52, Some(q52Sql)),

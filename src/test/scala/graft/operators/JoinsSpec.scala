@@ -29,6 +29,22 @@ class JoinsSpec extends AnyFunSuite {
     assert(out.getDouble(0) == 10.0)
   }
 
+  test("asofForward picks the earliest later right row, bounded by tolerance") {
+    val views = Seq((1L, "A", "2024-01-01 10:00:00"), (2L, "A", "2024-01-01 12:00:00"),
+      (3L, "B", "2024-01-01 10:00:00"))
+      .toDF("id", "sym", "ts").withColumn("ts", to_timestamp(col("ts")))
+    val clicks = Seq(("A", 10L, "2024-01-01 10:10:00"), ("A", 11L, "2024-01-01 10:20:00"),
+      ("A", 12L, "2024-01-01 13:30:00"))
+      .toDF("sym", "cid", "cts").withColumn("cts", to_timestamp(col("cts")))
+    val out = Joins.asofForward(views, clicks, Seq("sym"), "ts", "cts", "cid",
+      strict = true, toleranceSec = Some(1800L))
+      .select("id", "cid").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(1L) == Some(10L)) // earliest within 30 min, not the later 10:20
+    assert(out(2L) == None) // 13:30 is beyond the 12:30 tolerance bound
+    assert(out(3L) == None) // B has no clicks at all
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     // 90% of rows share one key — the pathological shuffle shape
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
