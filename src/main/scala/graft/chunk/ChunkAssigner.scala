@@ -1,6 +1,6 @@
 package graft.chunk
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -31,7 +31,7 @@ object ChunkAssigner {
     *     the per-row external-Row conversion that makes naive df.rdd
     *     zipWithIndex slow. */
   def withRowNumber(df: DataFrame, orderCols: Seq[Column],
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0, rnName: String = "rn"): DataFrame = {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
@@ -47,7 +47,7 @@ object ChunkAssigner {
         }
       }
     org.apache.spark.sql.GraftSql.internalCreateDataFrame(spark, indexed,
-      StructType(sorted.schema.fields :+ StructField("rn", LongType, nullable = false)))
+      StructType(sorted.schema.fields :+ StructField(rnName, LongType, nullable = false)))
   }
 
   /** Add a dense 0-based `rn` column in the DataFrame's EXISTING order —
@@ -83,40 +83,48 @@ object ChunkAssigner {
   /** A10: byte-budget chunking — greedy packing where adding a record may
     * never exceed `budgetBytes` (`json_reader.py:133`: flush BEFORE append
     * when chunk_bytes + next_bytes > budget). Greedy packing is inherently
-    * sequential in record order, so it runs as one ordered pass per
-    * ingestion; `sizeCol` is the record's serialized byte size (A13).
+    * sequential in record order — but only over the SIZES, not the payloads.
     *
-    * Scale note: this operator is only used on the delivery path, where the
-    * protocol already forces serial, ordered commits per ingestion
-    * (`chunk_data_integrity_validator.py:44-46`) — a parallel version would
-    * buy nothing downstream.
+    * Scale shape: row numbers are assigned distributed (`withRowNumber` —
+    * range partition + per-partition index, payloads stay put); the greedy
+    * fold then runs over a projected `(rn, size)` stream (~16 bytes/row —
+    * the only data that crosses a single-task exchange), emitting just the
+    * chunk-start row numbers; those boundaries broadcast back and every
+    * partition assigns `chunk_number` locally via a codegen'd binary search
+    * (`SortedBoundaryRank`). Record payloads never repartition(1) through
+    * one task — the round-2 plan-level scale killer this replaces.
+    * Driver/broadcast footprint is one long per chunk.
     */
   def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
       sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
-    val spark = df.sparkSession
-    // repartition(1), NOT coalesce(1): coalesce collapses the upstream into
-    // one task, serializing the (parallel) record serialization and size
-    // computation; a shuffle barrier keeps production parallel and only the
-    // greedy packing fold runs single-threaded (inherently sequential)
-    val sorted = df.withColumn("__size", sizeCol)
-      .repartition(1).sortWithinPartitions(orderCols: _*)
-    val sizeIdx = sorted.schema.fieldIndex("__size")
-    val schema = StructType(
-      sorted.schema.fields.patch(sizeIdx, Nil, 1) :+
-        StructField("chunk_number", LongType, nullable = false))
-    val base = lastChunk + 1
-    val assigned = sorted.rdd.mapPartitions { it =>
-      var chunk = base
-      var bytes = 0L
-      var started = false
-      it.map { row =>
-        val sz = row.getLong(sizeIdx)
-        if (started && bytes + sz > budgetBytes) { chunk += 1; bytes = 0L }
-        started = true
-        bytes += sz
-        Row.fromSeq(row.toSeq.patch(sizeIdx, Nil, 1) :+ chunk)
-      }
-    }
-    spark.createDataFrame(assigned, schema)
+    // "__rn", not "rn": ingestion callers pass frames that already carry an
+    // input-order `rn` (which is itself the order key)
+    val withRn = withRowNumber(df.withColumn("__size", sizeCol), orderCols,
+      rnName = "__rn")
+    // one ordered pass over (rn, size) pairs only; the fold's output is the
+    // set of row numbers that START a new chunk (first row never does)
+    val boundaries: Array[Long] = withRn
+      .select(col("__rn"), col("__size").cast("long"))
+      .repartition(1).sortWithinPartitions(col("__rn"))
+      .rdd.mapPartitions { it =>
+        var bytes = 0L
+        var started = false
+        val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { r =>
+          val sz = r.getLong(1)
+          if (started && bytes + sz > budgetBytes) { starts += r.getLong(0); bytes = 0L }
+          started = true
+          bytes += sz
+        }
+        starts.iterator
+      }.collect()
+    // chunk_number = base + (# chunk-start rns <= rn): distributed, local to
+    // each payload partition (withRn is one materialized RDD — both the fold
+    // job above and this assignment reuse its shuffle files, so row numbers
+    // are identical across the two jobs)
+    withRn
+      .withColumn("chunk_number",
+        lit(lastChunk + 1) + graft.functions.SortedBoundaryRank.of(col("__rn"), boundaries))
+      .drop("__size", "__rn")
   }
 }

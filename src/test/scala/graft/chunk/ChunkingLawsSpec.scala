@@ -81,6 +81,19 @@ class ChunkingLawsSpec extends AnyFunSuite {
     }
   }
 
+  test("byte chunking: payloads never cross a single-partition exchange") {
+    // the greedy fold may only see (rn, size) pairs; the returned frame —
+    // the one carrying record payloads — must stay distributed end to end
+    val df = (0 until 500).map(i => (i.toLong, "payload_" * 8 + i)).toDF("id", "payload")
+    val out = ChunkAssigner.assignByBytes(df, Seq(col("id")), 400L,
+      octet_length(col("payload")).cast("long"))
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"payload single-partition funnel:\n$p")
+    assert(out.rdd.getNumPartitions > 1, "payloads collapsed to one partition")
+    assert(out.columns.toSeq == Seq("id", "payload", "chunk_number"))
+  }
+
   test("no empty chunks under either strategy") {
     val df = (0 until 101).map(i => Tuple1(i.toLong)).toDF("id")
     val counts = ChunkAssigner.assignByCount(df, Seq(col("id")), 25)
