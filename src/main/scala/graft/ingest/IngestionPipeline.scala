@@ -71,11 +71,16 @@ object IngestionPipeline {
     * silently demote zip bytes to the CSV parser. */
   private def looksLikeXlsx(path: String): Boolean =
     path.toLowerCase.endsWith(".xlsx") || {
-      val conf = graft.sources.XlsxSource.hadoopConf()
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
-      fs.getFileStatus(p).isDirectory &&
-        graft.sources.XlsxSource.expand(path, conf).nonEmpty
+      // glob paths (e.g. /data/*.csv with fileType "excel") fall through to
+      // the CSV reader's glob support — getFileStatus on a glob literal
+      // would throw FileNotFoundException before dispatch
+      !path.exists("*?[{".contains(_)) && {
+        val conf = graft.sources.XlsxSource.hadoopConf()
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, conf)
+        fs.getFileStatus(p).isDirectory &&
+          graft.sources.XlsxSource.expand(path, conf).nonEmpty
+      }
     }
 
   /** A7 (Excel semantics): drop rows where every cell is null/empty-string —
@@ -202,11 +207,16 @@ object IngestionPipeline {
               isLast = chunkNumber == maxChunk)
             acks += ((chunkNumber, n))
           } catch {
+            // task-kill / cancellation signals and fatal JVM errors keep
+            // their scheduler semantics — only orderly delivery failures
+            // become a driver-visible error string
+            case e: org.apache.spark.TaskKilledException => throw e
+            case e: InterruptedException => throw e
             // surface the terminal error to the driver WITH the task's won
             // ACKs — a thrown task would discard them and leave state stale.
             // Message-less exceptions (NPE etc.) still need a diagnosable
             // string; the class name rides along for those.
-            case e: Throwable => error = Some(
+            case scala.util.control.NonFatal(e) => error = Some(
               if (e.getMessage == null) e.getClass.getName
               else s"${e.getMessage} (${e.getClass.getSimpleName})")
           }

@@ -59,8 +59,16 @@ class XlsxSource extends TableProvider with DataSourceRegister {
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
+      properties: java.util.Map[String, String]): Table = {
+    // the reader emits UTF8String cells unconditionally; a user schema with
+    // other field types would silently corrupt downstream rows — fail fast
+    val nonString = schema.fields.filterNot(_.dataType ==
+      org.apache.spark.sql.types.StringType)
+    require(nonString.isEmpty,
+      "xlsx source emits string cells only; non-string fields in supplied " +
+        s"schema: ${nonString.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")}")
     new XlsxTable(schema, properties.get("path"))
+  }
 }
 
 object XlsxSource {
@@ -588,7 +596,12 @@ object ExcelDates {
     val fraction = serial - day
     // openpyxl rounds the day fraction to millisecond precision (half-even)
     var micros = math.rint(fraction * MicrosPerDay / 1000d).toLong * 1000L
-    if (micros >= MicrosPerDay) micros -= MicrosPerDay // wraps, no day carry
+    if (micros >= MicrosPerDay) {
+      // a fraction within ~0.5ms of midnight rounds to a full day; openpyxl's
+      // timedelta arithmetic carries it into the NEXT day — keep the carry
+      micros -= MicrosPerDay
+      day += 1
+    }
     val time = java.time.LocalTime.ofNanoOfDay(micros * 1000L)
     if (serial >= 0 && serial < 1) return isoTime(time)
     if (!date1904 && serial > 0 && serial < 60) day += 1

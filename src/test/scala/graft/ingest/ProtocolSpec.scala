@@ -233,4 +233,16 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     val result = IngestionPipeline.run(spark, req, store)
     assert(result.totalRecords == 2) // blank rows do not count toward progress
   }
+
+  test("a glob path with fileType excel reaches the CSV reader's glob support") {
+    val dir = Files.createTempDirectory("graft_glob")
+    Files.writeString(dir.resolve("a.csv"), "name,qty\nalpha,1\nbeta,2\n")
+    Files.writeString(dir.resolve("b.csv"), "name,qty\ngamma,3\n")
+    val store = IngestionStateStore.inMemory()
+    // the xlsx probe must not getFileStatus the glob literal (it would throw
+    // FileNotFoundException before dispatch); globs fall through to CSV
+    val req = IngestRequest(s"$dir/*.csv", "excel", url, chunkSizeByRecords = Some(10))
+    val result = IngestionPipeline.run(spark, req, store)
+    assert(result.totalRecords == 3)
+  }
 }

@@ -205,6 +205,35 @@ class XlsxSpec extends AnyFunSuite {
     assert(vals == Seq("1904-04-10T00:00:00"))
   }
 
+  test("serials within 0.5ms of midnight carry into the next day (openpyxl)") {
+    // 45292 + (86399999.8ms of day) rounds to a full 24h: openpyxl's
+    // timedelta arithmetic lands on the NEXT midnight, not the same day's
+    assert(graft.sources.ExcelDates.serialToIso(45292.9999999977, date1904 = false)
+      == "2024-01-02T00:00:00")
+    // sanity: a fraction that rounds within the day stays put
+    assert(graft.sources.ExcelDates.serialToIso(45292.5, date1904 = false)
+      == "2024-01-01T12:00:00")
+    // time-only serial wrapping rounds to midnight
+    assert(graft.sources.ExcelDates.serialToIso(0.9999999999, date1904 = false)
+      == "00:00:00")
+  }
+
+  test("a user-supplied schema with non-string types is rejected fast") {
+    val path = writeXlsx(
+      sharedStrings = Seq("a", "b", "x", "y"),
+      rows = Seq(Seq(("s", "0"), ("s", "1")), Seq(("s", "2"), ("s", "3"))))
+    val err = intercept[IllegalArgumentException] {
+      spark.read.format("xlsx")
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+        .load(path).collect()
+    }
+    assert(err.getMessage.contains("b: bigint"))
+  }
+
   test("the ACTIVE sheet is read, not the first (excel_reader.py:41)") {
     val s1 = Seq(Seq(("inlineStr", 0, "col")), Seq(("inlineStr", 0, "wrong-sheet")))
     val s2 = Seq(Seq(("inlineStr", 0, "col")), Seq(("inlineStr", 0, "active-sheet")))
