@@ -113,23 +113,39 @@ object AnnIvf {
       graft.functions.VectorExprs.nearestCells(
         col("qv"), centroids.map(_.toArray), nprobe)))
 
-  // -- query entry (approximate → rows-only driver check) --------------------
-  private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // cache: k-means training re-scans the corpus once per iteration
-    val emb = graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-      .cache()
-    try {
-      val centroids = trainCentroids(emb, k = 16)
-      val qs = emb.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("v").as("qv"))
-      topK(emb, qs, 5, centroids)
-        .select(col("qid"), col("rank"), col("neighbor"),
-          QueryDef.dec4(col("cos")).as("score"))
-        .orderBy(col("qid"), col("rank"))
-        .localCheckpoint() // materialize before the cache is released
-    } finally emb.unpersist()
-  }
+  // -- query entries (driver-gated oracle, see AnnLsh.annRecallGate) ---------
+  //
+  // A query vector's planted exact copy assigns to the query's own nearest
+  // cell (same NearestCells eval on the same values), so it is always inside
+  // the probed cells and must rank 1 at cosine 1.0000.
+  private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    AnnLsh.annRecallGate({ (corpus, qs) =>
+      // cache: k-means training re-scans the corpus once per iteration
+      val c = corpus.cache()
+      try {
+        val centroids = trainCentroids(c, k = 16)
+        topK(c, qs, 5, centroids).localCheckpoint() // materialize before unpersist
+      } finally c.unpersist()
+    }, s, dir)
 
-  val defs: Seq[QueryDef] = Seq(QueryDef("ann_ivf_topk", ivfTop, None))
+  /** The materialized-index round-trip: train → write cell-partitioned
+    * parquet → probe-pruned read (IvfIndexSpec proves the PartitionFilters)
+    * → same recall gate. This is the 100 TB layout exercised end to end by
+    * the driver every round, not just in ScalaTest. */
+  private def ivfIndexed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    AnnLsh.annRecallGate({ (corpus, qs) =>
+      val c = corpus.cache()
+      try {
+        val centroids = trainCentroids(c, k = 16)
+        val indexPath = java.nio.file.Files
+          .createTempDirectory("graft_ivf_index").toString
+        writeIndex(c, centroids, indexPath)
+        topKIndexed(s, indexPath, qs, 5, centroids, nprobe = 3)
+          .localCheckpoint()
+      } finally c.unpersist()
+    }, s, dir)
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("ann_ivf_topk", ivfTop, Some(AnnLsh.annGateSql)),
+    QueryDef("ann_ivf_indexed", ivfIndexed, Some(AnnLsh.annGateSql)))
 }

@@ -57,17 +57,49 @@ object AnnLsh {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
   }
 
-  // -- query entry (approximate → rows-only driver check) --------------------
-  private def annTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  // -- query entry (driver-gated oracle) -------------------------------------
+  //
+  // ANN results are hyperplane-seed-dependent, so the raw neighbor list can't
+  // be DuckDB-reproduced. The oracle instead gets a hard recall gate: each
+  // query vector's EXACT copy is planted into the corpus at vec_id+10000 —
+  // identical vectors share every hyperplane sign, so the planted copy is in
+  // the query's own bucket with certainty and must surface as the rank-1
+  // neighbor at cosine 1.0000. recall_ok additionally demands overlap with
+  // the exact brute-force top-5 on the same corpus.
+  private[operators] def annRecallGate(
+      topKOf: (DataFrame, DataFrame) => DataFrame,
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    topK(emb, qs, 5)
-      .select(col("qid"), col("rank"), col("neighbor"),
-        QueryDef.dec4(col("cos")).as("score"))
-      .orderBy(col("qid"), col("rank"))
+    val aug = emb.unionByName(
+      qs.select((col("qid") + 10000L).as("vec_id"), col("qv").as("v")))
+    val ann = topKOf(aug, qs)
+    val brute = Similarity.bruteForceTopK(aug, qs, 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+    val top1 = ann.filter(col("rank") === 1)
+      .select(col("qid"), col("neighbor").as("top_neighbor"),
+        QueryDef.dec4(col("cos")).as("top_score"))
+    val perQ = ann.join(brute, Seq("qid", "neighbor"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+    val counts = ann.groupBy(col("qid")).agg(count(lit(1)).as("n_results"))
+    top1
+      .join(counts, Seq("qid"))
+      .join(perQ, Seq("qid"))
+      .select(col("qid"), col("top_neighbor"), col("top_score"),
+        (col("n_results") === 5).as("n_results_ok"),
+        (col("hits") >= 1).as("recall_ok"))
+      .orderBy(col("qid"))
   }
 
-  val defs: Seq[QueryDef] = Seq(QueryDef("ann_lsh_topk", annTop, None))
+  private[operators] val annGateSql =
+    """SELECT vec_id AS qid, vec_id + 10000 AS top_neighbor,
+      |  '1.0000' AS top_score, true AS n_results_ok, true AS recall_ok
+      |FROM embeddings WHERE vec_id < 5 ORDER BY qid""".stripMargin
+
+  private def annTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    annRecallGate((corpus, qs) => topK(corpus, qs, 5), s, dir)
+
+  val defs: Seq[QueryDef] = Seq(QueryDef("ann_lsh_topk", annTop, Some(annGateSql)))
 }

@@ -128,35 +128,115 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
   }
 
-  // -- query entries (rows-only driver checks; approx ops aren't hash-oracled) --
+  // -- query entries ---------------------------------------------------------
+  //
+  // Near-dup results are hash-seed-dependent, so their raw pair lists can't
+  // be DuckDB-reproduced. Instead each query PLANTS exact duplicates (copies
+  // of docs 0..24 at doc_id+10000) into the corpus and emits driver-computed
+  // invariants the oracle predicts exactly: identical texts have identical
+  // signatures/fingerprints, so every planted pair MUST surface as a
+  // candidate with the extreme similarity value — a real recall gate, not a
+  // rows-only smoke check (the hll_count_distinct pattern).
+
+  private[operators] val PlantN = 25
+  private[operators] val PlantOffset = 10000L
+
+  /** The corpus plus exact copies of docs 0..24 at doc_id+10000. */
+  private def plantDups(docs: DataFrame): DataFrame =
+    docs.unionByName(docs.filter(col("doc_id") < PlantN)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
+
+  private def isPlantedPair: Column =
+    col("doc_a") < PlantN && col("doc_b") === col("doc_a") + PlantOffset
 
   // 8 bands × 8 rows targets s* ≈ (1/8)^(1/8) ≈ 0.77 — the near-DUP regime;
   // wider shingles (4-grams) keep buckets sparse on repetitive corpora
-  private def minhashTop(s: SparkSession, dir: String): DataFrame =
-    minhashCandidates(Tables.documents(s, dir), shingleN = 4, numHashes = 64, bands = 8)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
-      .select(col("doc_a"), col("doc_b"), QueryDef.dec4(col("jaccard")).as("jaccard"))
+  private def minhashOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cands = minhashCandidates(plantDups(docs), shingleN = 4,
+      numHashes = 64, bands = 8)
+    val eligible = docs.filter(col("doc_id") < PlantN)
+      .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
+      .agg(count(lit(1)).as("n_planted"))
+    val planted = cands.filter(isPlantedPair)
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(bool_and(col("jaccard") === 1.0), lit(false)).as("planted_jaccard_one"))
+    val bounds = cands.agg(
+      coalesce(bool_and(col("jaccard") > 0.0 && col("jaccard") <= 1.0), lit(true))
+        .as("jaccard_bounded"))
+    eligible.crossJoin(planted).crossJoin(bounds)
+  }
 
-  private def simhashTop(s: SparkSession, dir: String): DataFrame =
-    simhashCandidates(Tables.documents(s, dir), maxHamming = 16)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(20)
+  private val minhashSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found,
+      |  true AS planted_jaccard_one, true AS jaccard_bounded
+      |FROM documents
+      |WHERE doc_id < 25
+      |  AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1""".stripMargin
+
+  private def simhashOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cands = simhashCandidates(plantDups(docs), maxHamming = 16)
+    val eligible = docs.filter(col("doc_id") < PlantN)
+      .agg(count(lit(1)).as("n_planted"))
+    val planted = cands.filter(isPlantedPair)
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(bool_and(col("hamming") === 0), lit(false)).as("planted_hamming_zero"))
+    val bounds = cands.agg(
+      coalesce(bool_and(col("hamming") >= 0 && col("hamming") <= 16), lit(true))
+        .as("hamming_bounded"))
+    eligible.crossJoin(planted).crossJoin(bounds)
+  }
+
+  private val simhashSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found,
+      |  true AS planted_hamming_zero, true AS hamming_bounded
+      |FROM documents WHERE doc_id < 25""".stripMargin
 
   /** The dup-heavy-corpus composition: exact collapse, then simhash over
-    * representatives only. */
-  private def simhashCollapsedTop(s: SparkSession, dir: String): DataFrame =
-    simhashCandidates(
-      collapseExact(Tables.documents(s, dir)), maxHamming = 16)
-      .orderBy(col("hamming"), col("doc_a"), col("doc_b"))
-      .limit(20)
+    * representatives only. Invariants: one representative per distinct text,
+    * cluster sizes account for every input row, and no planted (exact-dup)
+    * pair survives into the candidate stage — the intra-cluster pair space
+    * provably never exists. */
+  private def simhashCollapsedOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val reps = collapseExact(plantDups(docs))
+    val cands = simhashCandidates(reps.select(col("doc_id"), col("text")),
+      maxHamming = 16)
+    val repStats = reps.agg(count(lit(1)).as("n_representatives"),
+      sum(col("cluster_size")).as("total_clustered"))
+    val noPlanted = cands.filter(isPlantedPair)
+      .agg((count(lit(1)) === 0).as("no_planted_pair"))
+    repStats.crossJoin(noPlanted)
+  }
 
-  private def ngramTop(s: SparkSession, dir: String): DataFrame =
-    ngramJaccardPairs(Tables.documents(s, dir), shingleN = 4, maxShingleFreq = 20)
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
-      .select(col("doc_a"), col("doc_b"), col("shared"),
-        QueryDef.dec4(col("jaccard")).as("jaccard"))
+  private val simhashCollapsedSql =
+    """SELECT count(DISTINCT text) AS n_representatives,
+      |  count(*) + (SELECT count(*) FROM documents WHERE doc_id < 25)
+      |    AS total_clustered,
+      |  true AS no_planted_pair
+      |FROM documents""".stripMargin
+
+  private def ngramOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cands = ngramJaccardPairs(plantDups(docs), shingleN = 4,
+      maxShingleFreq = 20)
+    val eligible = docs.filter(col("doc_id") < PlantN)
+      .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
+      .agg(count(lit(1)).as("n_planted"))
+    val planted = cands.filter(isPlantedPair)
+      .agg(count(lit(1)).as("n_found"))
+    val bounds = cands.agg(
+      coalesce(bool_and(col("jaccard") > 0.0 && col("jaccard") <= 1.0), lit(true))
+        .as("jaccard_bounded"))
+    eligible.crossJoin(planted).crossJoin(bounds)
+  }
+
+  private val ngramSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found, true AS jaccard_bounded
+      |FROM documents
+      |WHERE doc_id < 25
+      |  AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1""".stripMargin
 
   /** Winnowing fingerprint near-dup: docs sharing >= minShared rolling-hash
     * fingerprints (MOSS-style), via an inverted fingerprint index. */
@@ -172,10 +252,24 @@ object Dedup {
       .filter(col("shared_fps") >= minShared)
   }
 
-  private def rollingFpTop(s: SparkSession, dir: String): DataFrame =
-    rollingFpPairs(Tables.documents(s, dir), minShared = 1)
-      .orderBy(col("shared_fps").desc, col("doc_a"), col("doc_b"))
-      .limit(20)
+  // k=20-char fingerprints: planted copies of any text >= 20 chars share all
+  // fingerprints, so every planted pair must surface with shared_fps >= 1
+  private def rollingFpOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val cands = rollingFpPairs(plantDups(docs), minShared = 1)
+    val eligible = docs.filter(col("doc_id") < PlantN)
+      .filter(length(col("text")) >= 20)
+      .agg(count(lit(1)).as("n_planted"))
+    val planted = cands.filter(isPlantedPair)
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(bool_and(col("shared_fps") >= 1), lit(false)).as("planted_share_fps"))
+    eligible.crossJoin(planted)
+  }
+
+  private val rollingFpSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found,
+      |  true AS planted_share_fps
+      |FROM documents WHERE doc_id < 25 AND length(text) >= 20""".stripMargin
 
   /** Embedding-cosine near-dup: vector pairs above a cosine threshold,
     * found through shared hyperplane-LSH buckets (corpus self-join on the
@@ -197,24 +291,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  // top-k by cosine among bucket-collided pairs: synthetic gaussian
-  // embeddings have no true near-dups, so a production threshold (0.9+)
-  // would legitimately return nothing — the operator still exercises the
-  // bucket join + exact verification path
-  private def embNearDupTop(s: SparkSession, dir: String): DataFrame = {
+  // identical planted vectors hash to the same hyperplane bucket with
+  // certainty (same signs), so at a production threshold every planted pair
+  // MUST surface with cosine ~1.0; gaussian organic pairs never reach 0.999
+  private def embNearDupOracled(s: SparkSession, dir: String): DataFrame = {
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-    embeddingNearDupPairs(emb, threshold = -1.0, bits = 8)
-      .orderBy(round(col("cos"), 4).desc, col("id_a"), col("id_b"))
-      .limit(20)
-      .select(col("id_a"), col("id_b"), QueryDef.dec4(col("cos")).as("cos"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") < PlantN)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("v")))
+    val pairs = embeddingNearDupPairs(aug, threshold = 0.999, bits = 8)
+    val eligible = emb.filter(col("vec_id") < PlantN)
+      .agg(count(lit(1)).as("n_planted"))
+    val planted = pairs
+      .filter(col("id_a") < PlantN && col("id_b") === col("id_a") + PlantOffset)
+      .agg(count(lit(1)).as("n_found"),
+        coalesce(bool_and(col("cos") >= 0.9999), lit(false)).as("planted_cos_one"))
+    val bounds = pairs.agg(
+      coalesce(bool_and(col("cos") <= 1.000000001), lit(true)).as("cos_bounded"))
+    eligible.crossJoin(planted).crossJoin(bounds)
   }
 
+  private val embNearDupSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found,
+      |  true AS planted_cos_one, true AS cos_bounded
+      |FROM embeddings WHERE vec_id < 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("embedding_neardup_topk", embNearDupTop, None),
-    QueryDef("rollingfp_neardup_topk", rollingFpTop, None),
-    QueryDef("minhash_neardup_topk", minhashTop, None),
-    QueryDef("simhash_neardup_topk", simhashTop, None),
-    QueryDef("simhash_neardup_collapsed", simhashCollapsedTop, None),
-    QueryDef("ngram_jaccard_topk", ngramTop, None))
+    QueryDef("embedding_neardup_topk", embNearDupOracled, Some(embNearDupSql)),
+    QueryDef("rollingfp_neardup_topk", rollingFpOracled, Some(rollingFpSql)),
+    QueryDef("minhash_neardup_topk", minhashOracled, Some(minhashSql)),
+    QueryDef("simhash_neardup_topk", simhashOracled, Some(simhashSql)),
+    QueryDef("simhash_neardup_collapsed", simhashCollapsedOracled, Some(simhashCollapsedSql)),
+    QueryDef("ngram_jaccard_topk", ngramOracled, Some(ngramSql)))
 }

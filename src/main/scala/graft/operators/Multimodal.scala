@@ -253,16 +253,35 @@ object Multimodal {
       |  CAST(n_chars % 480 + 1 AS INTEGER) AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** The mapPartitions decode stage (rows-only check — the stub's output is
-    * engine-defined). */
+  /** The mapPartitions decode stage, fully oracled: the documents payloads
+    * are UTF-8 stand-ins (not decodable images), so every row takes the
+    * deterministic byte-distribution fallback — whose features, rescaled by
+    * 255, are exact integer sums of byte values at positions ≡ k (mod 8).
+    * DuckDB reproduces those sums from the text itself (all-ASCII corpus:
+    * byte i == codepoint of char i), turning the feature math into a
+    * hash-matched differential instead of a rows-only check. */
   private def multimodalFeatures(s: SparkSession, dir: String): DataFrame =
     extractFeatures(withBinaryPayload(Tables.documents(s, dir)))
       .select(col("doc_id"), col("format"), col("n_bytes"),
-        QueryDef.dec4(element_at(col("features"), 1)).as("f0"),
-        QueryDef.dec4(element_at(col("features"), 8)).as("f7"))
+        col("width"), col("height"),
+        round(element_at(col("features"), 1) * 255, 0).cast("long").as("f0_scaled"),
+        round(element_at(col("features"), 8) * 255, 0).cast("long").as("f7_scaled"))
       .orderBy(col("doc_id"))
+
+  private val multimodalFeaturesSql =
+    """SELECT doc_id, 'fake/utf8' AS format,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+      |  CAST(n_chars % 640 + 1 AS INTEGER) AS width,
+      |  CAST(n_chars % 480 + 1 AS INTEGER) AS height,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> CASE WHEN (i - 1) % 8 = 0 THEN ascii(text[i]) ELSE 0 END))
+      |    AS BIGINT) AS f0_scaled,
+      |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |    i -> CASE WHEN (i - 1) % 8 = 7 THEN ascii(text[i]) ELSE 0 END))
+      |    AS BIGINT) AS f7_scaled
+      |FROM documents ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
-    QueryDef("multimodal_features", multimodalFeatures, None))
+    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
 }
