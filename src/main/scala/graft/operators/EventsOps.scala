@@ -62,7 +62,31 @@ object EventsOps {
       |  CAST(CAST(sum(value) AS DECIMAL(38,4)) AS VARCHAR) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // -- B34 batch shape: SLIDING 1-hour window, 15-minute slide ---------------
+  // Spark assigns each event to the 4 overlapping windows whose [start,
+  // start+1h) half-open span covers it, starts aligned to the epoch in 15-min
+  // steps. DuckDB reproduces the expansion with a cross join against
+  // range(4): window k's start = 15-min-floor(ts) − k·15min (integer-µs
+  // arithmetic on both sides — bit-stable).
+  private def q57(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), QueryDef.dec4(sum(col("value"))).as("total_value"))
+      .select(QueryDef.tsSec(col("window.start")).as("win_start"),
+        col("n"), col("total_value"))
+      .orderBy(col("win_start"))
+
+  private val q57Sql =
+    """SELECT strftime(make_timestamp(
+      |    epoch_us(ts) // 900000000 * 900000000 - k * 900000000),
+      |    '%Y-%m-%d %H:%M:%S') AS win_start,
+      |  count(*) AS n,
+      |  CAST(CAST(sum(value) AS DECIMAL(38,4)) AS VARCHAR) AS total_value
+      |FROM events, range(4) t(k)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q35_sessionization", q35, Some(q35Sql)),
-    QueryDef("q36_tumbling_window", q36, Some(q36Sql)))
+    QueryDef("q36_tumbling_window", q36, Some(q36Sql)),
+    QueryDef("q57_sliding_window", q57, Some(q57Sql)))
 }

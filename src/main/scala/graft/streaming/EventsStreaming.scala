@@ -36,6 +36,14 @@ object EventsStreaming {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** B34: sliding 1-hour window, 15-minute slide (same shape as batch q57 —
+    * every event lands in exactly 4 overlapping windows). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n"), col("total_value"))
+
   /** B34 with event-time bounds: watermarked sliding window. */
   def slidingAggWithWatermark(events: DataFrame, delay: String = "1 hour"): DataFrame =
     events

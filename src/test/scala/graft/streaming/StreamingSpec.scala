@@ -32,6 +32,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("B34 parity: streaming sliding agg == batch sliding agg") {
+    val stream = EventsStreaming.loadStream(spark, dir)
+    val q = EventsStreaming.slidingAgg(stream).writeStream
+      .format("memory").queryName("sliding_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sliding_out")
+      .select("win_start", "n", "total_value")
+      .collect().map(_.toString).sorted
+    val batch = EventsStreaming.slidingAgg(graft.Tables.events(spark, dir))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // every event lands in exactly 4 overlapping windows
+    val total = spark.table("sliding_out").agg(sum("n")).collect()(0).getLong(0)
+    assert(total == graft.Tables.events(spark, dir).count() * 4)
+  }
+
   test("B35 parity: native session_window == lag-gap sessionization (batch)") {
     val events = graft.Tables.events(spark, dir)
     val native = EventsStreaming.sessionAgg(events)
