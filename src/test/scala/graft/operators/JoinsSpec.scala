@@ -45,6 +45,34 @@ class JoinsSpec extends AnyFunSuite {
     assert(out(3L) == None) // B has no clicks at all
   }
 
+  test("asofBackward on a hot key matches the naive pair-space formulation") {
+    // one power-law user owning 2000 interleaved events: the bucketed plan
+    // must produce exactly what the quadratic naive join would, across
+    // bucket widths (including one so narrow every row is its own bucket)
+    val rnd = new scala.util.Random(11)
+    val times = (0 until 2000).map(_ => rnd.nextInt(100000).toLong).distinct
+    val (lt, rt) = times.partition(_ => rnd.nextBoolean())
+    val lefts = lt.zipWithIndex.map { case (t, i) => (i.toLong, "hot", t) }
+      .toDF("lid", "k", "t")
+    val rights = rt.zipWithIndex.map { case (t, i) => (i.toLong, "hot", t) }
+      .toDF("rid", "k", "rt")
+      .select(col("k"), col("rid"), col("rt"))
+    val naive = {
+      val j = lefts.join(rights.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("rt") <= col("t"), "left")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+        .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("lid", "rid", "rt").collect().map(_.toString).sorted
+    }
+    for (bucket <- Seq(1.0, 512.0, 1000000.0)) {
+      val got = Joins.asofBackward(lefts, rights, Seq("k"), "t", "rt", "rid",
+        bucketSize = bucket)
+        .select("lid", "rid", "rt").collect().map(_.toString).sorted
+      assert(got.sameElements(naive), s"bucketSize=$bucket diverges")
+    }
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     // 90% of rows share one key — the pathological shuffle shape
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
