@@ -45,6 +45,23 @@ object IngestBench {
         s"receiver saw ${mock.totalRecordsEver} records, sender counted ${result.totalRecords}")
       require(result.totalRecords > 0 && result.chunksSent > 0,
         "chunk accounting broken")
+      // phase breakdown (separate warm run, AFTER the accounting checks —
+      // it re-sends the table and would double the receiver's counters)
+      if (sys.env.contains("SPARK_GRAFT_PHASES")) {
+        import org.apache.spark.sql.functions.{col, max}
+        val req2 = request.copy(reIngestion = true)
+        val tb0 = System.nanoTime()
+        val chunks = IngestionPipeline
+          .buildChunks(IngestionPipeline.scan(spark, req2), req2).cache()
+        val maxChunk = chunks.agg(max(col("chunk_number"))).collect()(0).getLong(0)
+        val tBuild = (System.nanoTime() - tb0) / 1e9
+        val td0 = System.nanoTime()
+        IngestionPipeline.deliverChunksDistributed(chunks, "bench-phases",
+          IngestionStateStore.inMemory(), url, -1L, 0L, maxChunk)
+        val tDeliver = (System.nanoTime() - td0) / 1e9
+        chunks.unpersist()
+        println(f"""{"metric":"ingest_phases","build_sec":$tBuild%.2f,"deliver_sec":$tDeliver%.2f}""")
+      }
     } finally server.stop(0)
     spark.stop()
   }

@@ -186,25 +186,38 @@ object IngestionPipeline {
     // pending filter preserves global order with NO re-shuffle of payloads
     val rdd = chunks.filter(col("chunk_number") > lastAcked).rdd
     val sc = spark.sparkContext
-    var sent = 0L
-    var totalRecords = startingTotal
-    var failure: Option[String] = None
-    var p = 0
-    while (p < rdd.partitions.length && failure.isEmpty) {
-      val (acks, err) = sc.runJob(rdd, (it: Iterator[Row]) => {
-        val sink = new OrderedAckHttpSink(callbackUrl)
-        val acks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        var error: Option[String] = None
-        while (it.hasNext && error.isEmpty) {
+
+    val deliverPartition = (it: Iterator[Row]) => {
+      val sink = new OrderedAckHttpSink(callbackUrl)
+      val acks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var error: Option[String] = None
+      // one-chunk lookahead: POSTs must stay strictly serial (A24), but body
+      // CONSTRUCTION is not order-constrained — build chunk i+1's ~MB body on
+      // a helper thread while chunk i is in flight awaiting its ACK
+      val builder = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "chunk-body-builder"); t.setDaemon(true); t
+      })
+      def buildNext(): Option[(Long, Long, java.util.concurrent.Future[String])] =
+        if (!it.hasNext) None
+        else {
           val row = it.next()
           val chunkNumber = row.getLong(row.fieldIndex("chunk_number"))
           val n = row.getLong(row.fieldIndex("n_records"))
           val records = row.getSeq[String](row.fieldIndex("records"))
           val checksum = row.getString(row.fieldIndex("checksum"))
-          try {
-            sink.sendChunk(ingestionId, chunkNumber,
+          Some((chunkNumber, n, builder.submit(() =>
+            sink.chunkBody(ingestionId, chunkNumber,
               Identity.chunkId(ingestionId, chunkNumber), checksum, records,
-              isLast = chunkNumber == maxChunk)
+              isLast = chunkNumber == maxChunk))))
+        }
+      try {
+        var pending = buildNext()
+        while (pending.isDefined && error.isEmpty) {
+          val (chunkNumber, n, bodyFut) = pending.get
+          try {
+            val body = bodyFut.get()
+            pending = buildNext() // overlaps with this chunk's POST + ACK wait
+            sink.sendWithRetry(body, s"chunk $chunkNumber")
             acks += ((chunkNumber, n))
           } catch {
             // task-kill / cancellation signals and fatal JVM errors keep
@@ -216,20 +229,56 @@ object IngestionPipeline {
             // ACKs — a thrown task would discard them and leave state stale.
             // Message-less exceptions (NPE etc.) still need a diagnosable
             // string; the class name rides along for those.
-            case scala.util.control.NonFatal(e) => error = Some(
-              if (e.getMessage == null) e.getClass.getName
-              else s"${e.getMessage} (${e.getClass.getSimpleName})")
+            case scala.util.control.NonFatal(e) =>
+              val cause = e match {
+                case ee: java.util.concurrent.ExecutionException
+                  if ee.getCause != null => ee.getCause
+                case _ => e
+              }
+              error = Some(
+                if (cause.getMessage == null) cause.getClass.getName
+                else s"${cause.getMessage} (${cause.getClass.getSimpleName})")
           }
         }
-        (acks.toSeq, error)
-      }, Seq(p)).head
-      acks.foreach { case (chunkNumber, n) =>
-        totalRecords += n
-        store.ackChunk(ingestionId, chunkNumber, totalRecords) // A21
-        sent += 1
+      } finally builder.shutdownNow()
+      (acks.toSeq, error)
+    }
+
+    // async single-partition launch: the NEXT range's POSTs start while the
+    // driver persists the previous range's ACKs
+    def launch(part: Int): org.apache.spark.FutureAction[(Seq[(Long, Long)], Option[String])] = {
+      val res = new java.util.concurrent.atomic.AtomicReference[(Seq[(Long, Long)], Option[String])]
+      sc.submitJob(rdd, deliverPartition, Seq(part),
+        (_: Int, r: (Seq[(Long, Long)], Option[String])) => res.set(r), res.get())
+    }
+
+    var sent = 0L
+    var totalRecords = startingTotal
+    var failure: Option[String] = None
+    // A21, batched: one durable write per task instead of one per chunk.
+    // The per-chunk writes ran back-to-back on the driver with no POST in
+    // between, so no observer could ever see an intermediate value —
+    // persisting the task's LAST won ACK is crash-equivalent and removes
+    // N-1 atomic file writes per task from the commit-token critical path.
+    def persist(acks: Seq[(Long, Long)]): Unit = acks.lastOption.foreach { last =>
+      totalRecords += acks.iterator.map(_._2).sum
+      store.ackChunk(ingestionId, last._1, totalRecords) // A21
+      sent += acks.size
+    }
+    val nParts = rdd.partitions.length
+    if (nParts > 0) {
+      var inflight = launch(0)
+      var p = 0
+      while (p < nParts && failure.isEmpty) {
+        val (acks, err) = scala.concurrent.Await.result(
+          inflight, scala.concurrent.duration.Duration.Inf)
+        p += 1
+        // ordering (A24) requires serial POSTs, not a serial store: kick off
+        // the next range's task before persisting this range's progress
+        if (err.isEmpty && p < nParts) inflight = launch(p)
+        persist(acks)
+        failure = err
       }
-      failure = err
-      p += 1
     }
     failure.foreach(msg => throw new RuntimeException(msg))
     (sent, skipped, totalRecords)

@@ -39,6 +39,23 @@ object MiniJson {
     sb.toString
   }
 
+  /** Render a record array into one builder — the receiver re-renders every
+    * chunk's records for the checksum recompute, so this avoids a String per
+    * record plus a mkString copy of the whole ~MB payload. */
+  def canonicalAll(vs: Seq[JVal], sizeHint: Int): String = {
+    val sb = new java.lang.StringBuilder(sizeHint)
+    sb.append('[')
+    val it = vs.iterator
+    var first = true
+    while (it.hasNext) {
+      if (!first) sb.append(',')
+      writeCanonical(sb, it.next())
+      first = false
+    }
+    sb.append(']')
+    sb.toString
+  }
+
   private def writeCanonical(sb: java.lang.StringBuilder, v: JVal): Unit = v match {
     case JNull => sb.append("null")
     case JBool(b) => sb.append(b)
@@ -46,17 +63,40 @@ object MiniJson {
     case JStr(s) => writeString(sb, s)
     case JArr(vs) =>
       sb.append('[')
-      vs.zipWithIndex.foreach { case (x, i) =>
-        if (i > 0) sb.append(','); writeCanonical(sb, x)
+      var i = 0
+      while (i < vs.length) {
+        if (i > 0) sb.append(',')
+        writeCanonical(sb, vs(i))
+        i += 1
       }
       sb.append(']')
     case JObj(fields) =>
+      // key-sorted without the sortBy tuple/Vector churn: objects are small
+      // (typical record ≈ 17 fields), so insertion sort on an index array
       sb.append('{')
-      fields.sortBy(_._1).zipWithIndex.foreach { case ((k, x), i) =>
+      val n = fields.length
+      val idx = new Array[Int](n)
+      var i = 0
+      while (i < n) { idx(i) = i; i += 1 }
+      i = 1
+      while (i < n) {
+        val v0 = idx(i)
+        val k0 = fields(v0)._1
+        var j = i - 1
+        while (j >= 0 && fields(idx(j))._1.compareTo(k0) > 0) {
+          idx(j + 1) = idx(j); j -= 1
+        }
+        idx(j + 1) = v0
+        i += 1
+      }
+      i = 0
+      while (i < n) {
         if (i > 0) sb.append(',')
+        val (k, x) = fields(idx(i))
         writeString(sb, k)
         sb.append(':')
         writeCanonical(sb, x)
+        i += 1
       }
       sb.append('}')
   }
@@ -71,17 +111,29 @@ object MiniJson {
 
   private def writeString(sb: java.lang.StringBuilder, s: String): Unit = {
     sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\b' => sb.append("\\b")
-      case '\f' => sb.append("\\f")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
+    // bulk fast path: most strings need no escaping — append whole runs
+    // instead of char-at-a-time (this is the receiver's per-record hot loop)
+    var i = 0
+    var runStart = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '"' || c == '\\' || c < ' ') {
+        if (i > runStart) sb.append(s, runStart, i)
+        c match {
+          case '"' => sb.append("\\\"")
+          case '\\' => sb.append("\\\\")
+          case '\b' => sb.append("\\b")
+          case '\f' => sb.append("\\f")
+          case '\n' => sb.append("\\n")
+          case '\r' => sb.append("\\r")
+          case '\t' => sb.append("\\t")
+          case _ => sb.append(f"\\u${c.toInt}%04x")
+        }
+        runStart = i + 1
+      }
+      i += 1
     }
+    if (i > runStart) sb.append(s, runStart, i)
     sb.append('"')
   }
 
@@ -150,6 +202,15 @@ object MiniJson {
 
     private def parseString(): String = {
       expect('"')
+      // fast path: escape-free string → one substring, no per-char copy
+      var i = pos
+      while (i < s.length && { val c = s.charAt(i); c != '"' && c != '\\' }) i += 1
+      require(i < s.length, s"unterminated string at ${pos - 1}")
+      if (s.charAt(i) == '"') {
+        val r = s.substring(pos, i)
+        pos = i + 1
+        return r
+      }
       val sb = new java.lang.StringBuilder
       while (s.charAt(pos) != '"') {
         val c = s.charAt(pos)

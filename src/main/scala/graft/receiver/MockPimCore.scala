@@ -68,7 +68,7 @@ final class MockPimCore {
     if (chunkNumber != last + 1) // A24: strict ordering
       return Response(ack = false, ingestionId, chunkNumber, Some(OutOfOrder))
     // A25: independent checksum recompute from the PARSED records
-    val canonical = records.map(MiniJson.canonical).mkString("[", ",", "]")
+    val canonical = MiniJson.canonicalAll(records, sizeHint = body.length)
     if (Identity.sha256Hex(canonical) != checksum)
       return Response(ack = false, ingestionId, chunkNumber, Some(ChecksumMismatch))
 
@@ -106,6 +106,11 @@ object MockPimCore {
     * tests cross an actual network boundary, like the reference's second
     * uvicorn process (`README.md:191-204`). Returns (receiver, server, url). */
   def serve(port: Int = 0): (MockPimCore, HttpServer, String) = {
+    // com.sun.net.httpserver leaves Nagle ON unless told otherwise; its
+    // header-write-then-body-write response pattern then collides with
+    // delayed ACK for a flat ~40ms stall on EVERY response — which gated
+    // every chunk ACK. Must be set before the first server is created.
+    System.setProperty("sun.net.httpserver.nodelay", "true")
     val mock = new MockPimCore
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/callback", new HttpHandler {
