@@ -20,7 +20,15 @@ object Skew {
     * would put them all in one bucket — exactly the skew being mitigated.
     * The salt value never affects the join RESULT (any bucket matches the
     * replicated small side), so the id's nondeterminism across retries is
-    * harmless. */
+    * harmless.
+    *
+    * Sizing `buckets`: a hot key reaches at most min(buckets, reducers)
+    * reducers, and the (key, salt) combos land on reducers by hash — so
+    * when reducers is small, use buckets >> reducers to fill them evenly
+    * (SkewSpec demonstrates 64 buckets over 4 reducers); when reducers is
+    * large (a real cluster's 2000), a modest 8–16 buckets already puts
+    * each salt on its own reducer with high probability, at the cost of
+    * replicating `small` that many times. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
     require(buckets >= 1)
