@@ -32,7 +32,11 @@ object Bench {
     // machine-noise variance from the recorded baseline
     val iterations = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (for single-query stress timings)
+    val wanted = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => wanted.isEmpty || wanted(q._1))
+      .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try {

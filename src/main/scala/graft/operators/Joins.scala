@@ -38,7 +38,33 @@ object Joins {
     * degrade toward the quadratic in-bucket join. */
   def asofBackward(left: DataFrame, right: DataFrame, byKeys: Seq[String],
       leftTime: String, rightTime: String, tieBreak: String,
-      strict: Boolean = false, bucketSize: Double = 3600.0): DataFrame = {
+      strict: Boolean = false, bucketSize: Double = 3600.0): DataFrame =
+    asofImpl(left, right, byKeys, leftTime, rightTime, tieBreak,
+      strict, bucketSize, forward = false, toleranceSec = None)
+
+  /** As-of join, FORWARD direction with an optional tolerance: for each
+    * left row, the single earliest right row with `rightTime >= leftTime`
+    * (or `>` when strict) and, when `toleranceSec` is set,
+    * `rightTime <= leftTime + tolerance` (tolerance requires TIMESTAMP time
+    * columns). Same time-bucketed candidate plan as the backward variant —
+    * the tolerance narrows TIME, which bounds nothing on a hot key whose
+    * events pile into the same window; the bucket scheme bounds PAIRS. */
+  def asofForward(left: DataFrame, right: DataFrame, byKeys: Seq[String],
+      leftTime: String, rightTime: String, tieBreak: String,
+      strict: Boolean = false, toleranceSec: Option[Long] = None,
+      bucketSize: Double = 3600.0): DataFrame =
+    asofImpl(left, right, byKeys, leftTime, rightTime, tieBreak,
+      strict, bucketSize, forward = true, toleranceSec = toleranceSec)
+
+  /** Shared engine for both directions. Forward is the exact mirror of the
+    * documented backward plan: per-(key, bucket) best = EARLIEST right row,
+    * the carry pass walks buckets DESCENDING so each left row picks up the
+    * nearest strictly-LATER bucket's best (whose earliest row dominates
+    * every farther bucket), and the final rank is ascending. */
+  private def asofImpl(left: DataFrame, right: DataFrame, byKeys: Seq[String],
+      leftTime: String, rightTime: String, tieBreak: String,
+      strict: Boolean, bucketSize: Double, forward: Boolean,
+      toleranceSec: Option[Long]): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     val collisions = right.columns.toSet
       .intersect(left.columns.toSet).diff(byKeys.toSet)
@@ -53,17 +79,29 @@ object Joins {
     val rKeyCols = byKeys.map(k => s"__asof_$k")
     val r = r0.withColumn("__rb", floor(col(rightTime).cast("double") / bucketSize))
 
+    def timeBound(rt: Column, lt: Column): Column = {
+      val dir =
+        if (forward) { if (strict) rt > lt else rt >= lt }
+        else { if (strict) rt < lt else rt <= lt }
+      toleranceSec match {
+        case Some(s) if forward => dir && rt <= lt + expr(s"INTERVAL $s SECOND")
+        case Some(s) => dir && rt >= lt - expr(s"INTERVAL $s SECOND")
+        case None => dir
+      }
+    }
+
     // 1. same-bucket candidate pairs (the only place raw pairs exist)
-    val boundIn = if (strict) r(rightTime) < l(leftTime)
-      else r(rightTime) <= l(leftTime)
     val inBucket = l.join(r,
       byKeys.map(k => l(k) === r(s"__asof_$k")).reduce(_ && _) &&
-        l("__lb") === r("__rb") && boundIn, "inner")
+        l("__lb") === r("__rb") && timeBound(r(rightTime), l(leftTime)), "inner")
       .drop("__rb")
 
     // 2. best right row per (key, bucket), by the final selection order
+    val bestOrder =
+      if (forward) Seq(col(rightTime).asc, col(tieBreak).asc)
+      else Seq(col(rightTime).desc, col(tieBreak).desc)
     val wBest = Window.partitionBy((rKeyCols :+ "__rb").map(col): _*)
-      .orderBy(col(rightTime).desc, col(tieBreak).desc)
+      .orderBy(bestOrder: _*)
     val rStruct = struct(r0.columns.map(col): _*)
     val bests = r.withColumn("__brn", row_number().over(wBest))
       .filter(col("__brn") === 1)
@@ -72,17 +110,20 @@ object Joins {
         rStruct.as("__rbest"), lit(null).cast("long").as("__asof_id")): _*)
     val rbestType = bests.schema("__rbest").dataType
 
-    // 3. ordered pass per key: each left row picks up the latest best of a
-    //    STRICTLY EARLIER bucket (left rows sort before bests within their
-    //    own bucket — a same-bucket best may postdate the left time and must
-    //    not shadow an earlier bucket's true match; same-bucket candidates
-    //    all come from the in-bucket join). Strictly-earlier rows satisfy
-    //    the time bound by construction.
+    // 3. ordered pass per key: each left row picks up the adjacent
+    //    strictly-earlier (backward) / strictly-later (forward) bucket's
+    //    best. Left rows sort before bests within their own bucket — a
+    //    same-bucket best may sit on the wrong side of the left time and
+    //    must not shadow an adjacent bucket's true match; same-bucket
+    //    candidates all come from the in-bucket join. Strictly earlier /
+    //    later rows satisfy the direction bound by construction; the
+    //    tolerance (if any) is re-checked on the carried candidate below.
     val lefts = l.select(byKeys.map(col) ++ Seq(
       col("__lb").as("__bucket"), lit(1).as("__is_left"),
       lit(null).cast(rbestType).as("__rbest"), col("__asof_id")): _*)
+    val bucketOrder = if (forward) col("__bucket").desc else col("__bucket").asc
     val wCarry = Window.partitionBy(byKeys.map(col): _*)
-      .orderBy(col("__bucket"), col("__is_left").desc)
+      .orderBy(bucketOrder, col("__is_left").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = bests.unionByName(lefts)
       .withColumn("__carry", last(col("__rbest"), ignoreNulls = true).over(wCarry))
@@ -91,14 +132,15 @@ object Joins {
     val carryCand = l.join(carried, l("__asof_id") === col("__carry_id"))
       .select(col("*"), col("__carry.*"))
       .drop("__carry", "__carry_id")
-    val boundCarry = if (strict) col(rightTime) < col(leftTime)
-      else col(rightTime) <= col(leftTime)
 
     // 4. rank 1 per left row over both candidate sets; unmatched lefts
     //    survive through the final left join
-    val candidates = inBucket.unionByName(carryCand.filter(boundCarry))
-    val w = Window.partitionBy(col("__asof_id"))
-      .orderBy(col(rightTime).desc, col(tieBreak).desc)
+    val candidates = inBucket.unionByName(
+      carryCand.filter(timeBound(col(rightTime), col(leftTime))))
+    val finalOrder =
+      if (forward) Seq(col(rightTime).asc_nulls_last, col(tieBreak).asc_nulls_last)
+      else Seq(col(rightTime).desc, col(tieBreak).desc)
+    val w = Window.partitionBy(col("__asof_id")).orderBy(finalOrder: _*)
     val winners = candidates
       .withColumn("__asof_rn", row_number().over(w))
       .filter(col("__asof_rn") === 1)
@@ -106,34 +148,6 @@ object Joins {
         r0.columns.filterNot(rKeyCols.contains).map(col)): _*)
     l.join(winners, l("__asof_id") === col("__win_id"), "left")
       .drop("__asof_id", "__win_id", "__lb")
-  }
-
-  /** As-of join, FORWARD direction with an optional tolerance: for each
-    * left row, the single earliest right row with `rightTime >= leftTime`
-    * (or `>` when strict) and, when `toleranceSec` is set,
-    * `rightTime <= leftTime + tolerance` (tolerance requires TIMESTAMP time
-    * columns). Same candidate-bounded plan as the backward variant: the
-    * equi by-keys carry the shuffle, a window picks the earliest match per
-    * left row. */
-  def asofForward(left: DataFrame, right: DataFrame, byKeys: Seq[String],
-      leftTime: String, rightTime: String, tieBreak: String,
-      strict: Boolean = false, toleranceSec: Option[Long] = None): DataFrame = {
-    val l = left.withColumn("__asof_id", monotonically_increasing_id())
-    val r = byKeys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__asof_$k"))
-    val lower = if (strict) r(rightTime) > l(leftTime)
-      else r(rightTime) >= l(leftTime)
-    val bound = toleranceSec match {
-      case Some(s) =>
-        lower && r(rightTime) <= l(leftTime) + expr(s"INTERVAL $s SECOND")
-      case None => lower
-    }
-    val cond = byKeys.map(k => l(k) === r(s"__asof_$k")).reduce(_ && _) && bound
-    val joined = l.join(r, cond, "left")
-    val w = Window.partitionBy(col("__asof_id"))
-      .orderBy(r(rightTime).asc_nulls_last, r(tieBreak).asc_nulls_last)
-    joined.withColumn("__asof_rn", row_number().over(w))
-      .filter(col("__asof_rn") === 1)
-      .drop("__asof_id" +: "__asof_rn" +: byKeys.map(k => s"__asof_$k"): _*)
   }
 
   /** Range (band) join: equi on `eqKeys`, plus `lowerCol <= upperCol` range

@@ -73,6 +73,40 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofForward on a hot key matches the naive pair-space formulation") {
+    // forward mirror of the backward hot-key law, with and without a
+    // tolerance (tolerance needs timestamps; seconds-as-epoch keeps it easy)
+    val rnd = new scala.util.Random(13)
+    val times = (0 until 2000).map(_ => rnd.nextInt(100000).toLong).distinct
+    val (lt, rt) = times.partition(_ => rnd.nextBoolean())
+    val lefts = lt.zipWithIndex.map { case (t, i) => (i.toLong, "hot", t) }
+      .toDF("lid", "k", "t0").withColumn("t", timestamp_seconds(col("t0"))).drop("t0")
+    val rights = rt.zipWithIndex.map { case (t, i) => (i.toLong, "hot", t) }
+      .toDF("rid", "k", "rt0")
+      .select(col("k"), col("rid"), timestamp_seconds(col("rt0")).as("rt"))
+    for (tol <- Seq(None, Some(5000L))) {
+      val naive = {
+        val bound = tol match {
+          case Some(s) => col("rt") >= col("t") &&
+            col("rt") <= col("t") + expr(s"INTERVAL $s SECOND")
+          case None => col("rt") >= col("t")
+        }
+        val j = lefts.join(rights.withColumnRenamed("k", "k2"),
+          col("k") === col("k2") && bound, "left")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lid"))
+          .orderBy(col("rt").asc_nulls_last, col("rid").asc_nulls_last)
+        j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select("lid", "rid", "rt").collect().map(_.toString).sorted
+      }
+      for (bucket <- Seq(1.0, 512.0, 1000000.0)) {
+        val got = Joins.asofForward(lefts, rights, Seq("k"), "t", "rt", "rid",
+          toleranceSec = tol, bucketSize = bucket)
+          .select("lid", "rid", "rt").collect().map(_.toString).sorted
+        assert(got.sameElements(naive), s"tol=$tol bucketSize=$bucket diverges")
+      }
+    }
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     // 90% of rows share one key — the pathological shuffle shape
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
