@@ -158,13 +158,15 @@ object Dedup {
     val eligible = docs.filter(col("doc_id") < PlantN)
       .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
       .agg(count(lit(1)).as("n_planted"))
-    val planted = cands.filter(isPlantedPair)
-      .agg(count(lit(1)).as("n_found"),
-        coalesce(bool_and(col("jaccard") === 1.0), lit(false)).as("planted_jaccard_one"))
-    val bounds = cands.agg(
+    // one pass over cands: separate aggregations would re-execute the whole
+    // candidate-generation subtree per reference (same fix as annRecallGate)
+    val stats = cands.agg(
+      coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
+      coalesce(bool_and(when(isPlantedPair, col("jaccard") === 1.0)), lit(false))
+        .as("planted_jaccard_one"),
       coalesce(bool_and(col("jaccard") > 0.0 && col("jaccard") <= 1.0), lit(true))
         .as("jaccard_bounded"))
-    eligible.crossJoin(planted).crossJoin(bounds)
+    eligible.crossJoin(stats)
   }
 
   private val minhashSql =
@@ -179,13 +181,13 @@ object Dedup {
     val cands = simhashCandidates(plantDups(docs), maxHamming = 16)
     val eligible = docs.filter(col("doc_id") < PlantN)
       .agg(count(lit(1)).as("n_planted"))
-    val planted = cands.filter(isPlantedPair)
-      .agg(count(lit(1)).as("n_found"),
-        coalesce(bool_and(col("hamming") === 0), lit(false)).as("planted_hamming_zero"))
-    val bounds = cands.agg(
+    val stats = cands.agg(
+      coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
+      coalesce(bool_and(when(isPlantedPair, col("hamming") === 0)), lit(false))
+        .as("planted_hamming_zero"),
       coalesce(bool_and(col("hamming") >= 0 && col("hamming") <= 16), lit(true))
         .as("hamming_bounded"))
-    eligible.crossJoin(planted).crossJoin(bounds)
+    eligible.crossJoin(stats)
   }
 
   private val simhashSql =
@@ -200,7 +202,9 @@ object Dedup {
     * provably never exists. */
   private def simhashCollapsedOracled(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val reps = collapseExact(plantDups(docs))
+    // checkpoint: reps feeds both the rollup stats and the candidate stage —
+    // without it the exact-collapse shuffle runs once per reference
+    val reps = collapseExact(plantDups(docs)).localCheckpoint()
     val cands = simhashCandidates(reps.select(col("doc_id"), col("text")),
       maxHamming = 16)
     val repStats = reps.agg(count(lit(1)).as("n_representatives"),
@@ -224,12 +228,11 @@ object Dedup {
     val eligible = docs.filter(col("doc_id") < PlantN)
       .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
       .agg(count(lit(1)).as("n_planted"))
-    val planted = cands.filter(isPlantedPair)
-      .agg(count(lit(1)).as("n_found"))
-    val bounds = cands.agg(
+    val stats = cands.agg(
+      coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
       coalesce(bool_and(col("jaccard") > 0.0 && col("jaccard") <= 1.0), lit(true))
         .as("jaccard_bounded"))
-    eligible.crossJoin(planted).crossJoin(bounds)
+    eligible.crossJoin(stats)
   }
 
   private val ngramSql =
@@ -302,13 +305,13 @@ object Dedup {
     val pairs = embeddingNearDupPairs(aug, threshold = 0.999, bits = 8)
     val eligible = emb.filter(col("vec_id") < PlantN)
       .agg(count(lit(1)).as("n_planted"))
-    val planted = pairs
-      .filter(col("id_a") < PlantN && col("id_b") === col("id_a") + PlantOffset)
-      .agg(count(lit(1)).as("n_found"),
-        coalesce(bool_and(col("cos") >= 0.9999), lit(false)).as("planted_cos_one"))
-    val bounds = pairs.agg(
+    val isPlanted = col("id_a") < PlantN && col("id_b") === col("id_a") + PlantOffset
+    val stats = pairs.agg(
+      coalesce(sum(when(isPlanted, 1L)), lit(0L)).as("n_found"),
+      coalesce(bool_and(when(isPlanted, col("cos") >= 0.9999)), lit(false))
+        .as("planted_cos_one"),
       coalesce(bool_and(col("cos") <= 1.000000001), lit(true)).as("cos_bounded"))
-    eligible.crossJoin(planted).crossJoin(bounds)
+    eligible.crossJoin(stats)
   }
 
   private val embNearDupSql =
