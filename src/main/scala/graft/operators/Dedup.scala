@@ -81,6 +81,57 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("cluster_size"))
       .select(col("doc_id"), col("text"), col("cluster_size"))
 
+  /** Connected components over a candidate-pair graph: the step that turns
+    * near-dup PAIRS into dedup CLUSTERS (keep one survivor per component —
+    * pairwise output alone under-deletes on transitive chains A~B~C).
+    *
+    * Min-label propagation with POINTER JUMPING: each round every node
+    * takes the min label over itself and its neighbors (one shuffle), then
+    * labels compress through their own parent (`label := label(label)`,
+    * a second shuffle). The jump step is what makes long chains converge in
+    * O(log diameter) rounds instead of O(diameter) — at 100 TB the rounds
+    * are the cost, not the per-round shuffles. Labels only ever decrease
+    * and are bounded by the component min, so the fixpoint is exact.
+    *
+    * `edges`: (src, dst) pairs, any orientation, self-loops/dups tolerated.
+    * `vertices`: (id) — nodes with no edges become singleton clusters.
+    * Returns (id, cluster_id) with cluster_id = min node id in component.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    // edge endpoints union in so an edge-only node can't silently drop out
+    // of the label table (its neighbors would then never see its label)
+    var labels = vertices.select(col("id"))
+      .unionByName(sym.select(col("src").as("id"))).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // neighbor min: label'(v) = min(label(v), min over labels of Γ(v))
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
+          .as("label"))
+      // pointer jump: label''(v) = label'(label'(v)) — compresses chains
+      val jumped = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("plabel")),
+          Seq("label"))
+        .select(col("id"), col("plabel").as("label"))
+        .localCheckpoint()
+      converged = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = jumped
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** 64-bit SimHash fingerprint over whitespace tokens — native expression
     * (tight vote loop per row; the Column formulation was ~ms/doc). */
   def simhashFingerprint(text: Column): Column =
@@ -319,7 +370,68 @@ object Dedup {
       |  true AS planted_cos_one, true AS cos_bounded
       |FROM embeddings WHERE vec_id < 25""".stripMargin
 
+  /** Fully-oracled cluster query: exact n-gram Jaccard pairs (threshold
+    * 0.5 — deterministic, no hashing) → connected components. Two planted
+    * generations per seed doc (an exact copy and a doubled-text copy, all
+    * pairwise-similar) force multi-node components whose min label must
+    * propagate transitively; DuckDB reproduces the exact same clusters via
+    * a recursive-CTE transitive closure. */
+  private def clustersOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val seeds = docs.filter(col("doc_id") < PlantN)
+    val aug = docs
+      .unionByName(seeds.select((col("doc_id") + PlantOffset).as("doc_id"),
+        col("text")))
+      .unionByName(seeds.select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    val edges = ngramJaccardPairs(aug, shingleN = 4, maxShingleFreq = 20)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(edges, aug.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val clustersSql =
+    """WITH RECURSIVE
+      |aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 20000, text || ' ' || text FROM documents WHERE doc_id < 25),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 3),
+      |counts AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |pruned AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT da, db FROM pairs
+      |  JOIN counts ca ON ca.doc_id = pairs.da
+      |  JOIN counts cb ON cb.doc_id = pairs.db
+      |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+      |edges AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+      |SELECT a.doc_id, least(a.doc_id, coalesce(min(r.v), a.doc_id)) AS cluster_id
+      |FROM aug a LEFT JOIN reach r ON r.u = a.doc_id
+      |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_neardup_clusters", clustersOracled, Some(clustersSql)),
     QueryDef("embedding_neardup_topk", embNearDupOracled, Some(embNearDupSql)),
     QueryDef("rollingfp_neardup_topk", rollingFpOracled, Some(rollingFpSql)),
     QueryDef("minhash_neardup_topk", minhashOracled, Some(minhashSql)),

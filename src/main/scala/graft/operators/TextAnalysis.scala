@@ -236,7 +236,98 @@ object TextAnalysis {
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- test-set decontamination ----------------------------------------------
+
+  /** Flag training docs sharing any word n-gram with an eval/benchmark set
+    * (the standard n-gram-overlap contamination test for training corpora).
+    *
+    * Scale shape: eval sets are small (benchmarks — thousands of docs), so
+    * their DISTINCT gram set broadcasts; contamination is then ONE scan of
+    * the training corpus with a broadcast-hash semi-join per gram — the
+    * 100 TB corpus never shuffles. Returns every train doc with its count
+    * of distinct shared grams and a contaminated flag. */
+  def decontaminate(train: DataFrame, evalSet: DataFrame,
+      shingleN: Int): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(Dedup.shingles(col("text"), shingleN)).as("s")).distinct()
+    val hits = train
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), shingleN)).as("s"))
+      .join(broadcast(evalGrams), Seq("s"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared_grams"))
+    train.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // eval set = every doc_id ≡ 7 (mod 100) — a deterministic ~1% "benchmark";
+  // 3-grams over the small-vocabulary corpus yield organic overlaps, so the
+  // query exercises real hits, not just the zero case
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    decontaminate(docs.filter(col("doc_id") % 100 =!= 7),
+      docs.filter(col("doc_id") % 100 === 7), shingleN = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q59Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 2),
+      |eg AS (SELECT DISTINCT s FROM sh WHERE doc_id % 100 = 7),
+      |hits AS (
+      |  SELECT sh.doc_id, count(*) AS n FROM sh JOIN eg USING (s)
+      |  WHERE sh.doc_id % 100 <> 7 GROUP BY 1)
+      |SELECT d.doc_id, coalesce(h.n, 0) AS n_shared_grams,
+      |  coalesce(h.n, 0) > 0 AS contaminated
+      |FROM documents d LEFT JOIN hits h USING (doc_id)
+      |WHERE d.doc_id % 100 <> 7 ORDER BY doc_id""".stripMargin
+
+  // -- token-budget sequence packing -----------------------------------------
+
+  /** Pack documents into token-budget bins in stable doc_id order — the
+    * sequence-packing step before training (fill each context window
+    * greedily; a doc larger than the budget gets its own bin). Reuses the
+    * distributed chunk fold: the greedy pass runs over projected
+    * (row, token-count) pairs only, boundaries broadcast back, so document
+    * payloads never funnel through one task. */
+  def packByTokens(docs: DataFrame, budgetTokens: Long): DataFrame =
+    graft.chunk.ChunkAssigner.assignByBytes(
+      docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens")),
+      orderCols = Seq(col("doc_id")), budgetBytes = budgetTokens,
+      sizeCol = col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_number").as("pack_id"))
+
+  private def q60(s: SparkSession, dir: String): DataFrame =
+    packByTokens(Tables.documents(s, dir), budgetTokens = 256L)
+      .orderBy(col("doc_id"))
+
+  // the same greedy fold, replayed sequentially by a recursive CTE
+  private val q60Sql =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS nt,
+      |    row_number() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |fold(rn, doc_id, nt, pack_id, acc) AS (
+      |  SELECT rn, doc_id, nt, CAST(0 AS BIGINT), nt FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.rn, d.doc_id, d.nt,
+      |    CASE WHEN f.acc + d.nt > 256 THEN f.pack_id + 1 ELSE f.pack_id END,
+      |    CASE WHEN f.acc + d.nt > 256 THEN d.nt ELSE f.acc + d.nt END
+      |  FROM fold f JOIN d ON d.rn = f.rn + 1)
+      |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q59_decontaminate", q59, Some(q59Sql)),
+    QueryDef("q60_token_packing", q60, Some(q60Sql)),
     QueryDef("q55_hash_split", q55, Some(q55Sql)),
     QueryDef("q54_tfidf", q54, Some(q54Sql)),
     QueryDef("q39_token_count", q39, Some(q39Sql)),
