@@ -103,13 +103,19 @@ object Dedup {
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
-    // edge endpoints union in so an edge-only node can't silently drop out
-    // of the label table (its neighbors would then never see its label)
-    var labels = vertices.select(col("id"))
-      .unionByName(sym.select(col("src").as("id"))).distinct()
+    // iterate over edge-endpoint nodes only — in a dedup graph the vast
+    // majority of docs are singletons and have nothing to propagate; they
+    // attach as their own cluster in the final left join
+    var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).localCheckpoint()
+    // labels are per-node monotone nonincreasing, so the label SUM strictly
+    // decreases every non-converged round: one scalar agg per iteration
+    // replaces a join-based change check (decimal — id sums can pass 2^63)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = false
+    var converged = prevSum == null // edgeless input: nothing to iterate
     while (!converged && iter < maxIter) {
       // neighbor min: label'(v) = min(label(v), min over labels of Γ(v))
       val nbrMin = sym
@@ -124,12 +130,15 @@ object Dedup {
           Seq("label"))
         .select(col("id"), col("plabel").as("label"))
         .localCheckpoint()
-      converged = jumped.join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = labelSum(jumped)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = jumped
       iter += 1
     }
-    labels.select(col("id"), col("label").as("cluster_id"))
+    vertices.select(col("id")).distinct()
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** 64-bit SimHash fingerprint over whitespace tokens — native expression

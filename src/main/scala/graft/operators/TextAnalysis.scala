@@ -325,7 +325,115 @@ object TextAnalysis {
       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
 
+  // -- stratified sampling ---------------------------------------------------
+
+  /** Deterministic stratified sampling with PER-STRATUM rates — the corpus
+    * rebalancing step (downsample the dominant language/source, keep the
+    * rare ones). Hash-threshold selection on the stable key: re-running,
+    * re-partitioning or growing the corpus never reassigns a row, and the
+    * rate table broadcasts — one scan, no shuffle. */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double,
+      keyCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // rates become 8-hex-char thresholds compared against the md5 prefix as
+    // STRINGS — engine-portable with zero float boundary hazards (hex chars
+    // sort in value order; md5 is lowercase hex everywhere)
+    def hexThreshold(rate: Double): String = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+      f"${(rate * 4294967296.0).toLong.min(0xffffffffL)}%08x"
+    }
+    val rateDf = rates.toSeq.map { case (k, r) => (k, hexThreshold(r)) }
+      .toDF(strataCol, "__threshold")
+    df.join(broadcast(rateDf), Seq(strataCol), "left")
+      .filter(substring(md5(col(keyCol).cast("string")), 1, 8) <
+        coalesce(col("__threshold"), lit(hexThreshold(defaultRate))))
+      .drop("__threshold")
+  }
+
+  private def q61(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir), "lang",
+      Map("en" -> 0.1, "de" -> 0.5), defaultRate = 0.9, keyCol = "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  private val q61Sql =
+    """SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |    < CASE lang WHEN 'en' THEN '19999999' WHEN 'de' THEN '80000000'
+      |                ELSE 'e6666666' END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // -- repetition-based quality metrics (Gopher-style) -----------------------
+
+  /** Per-document repetition metrics: distinct-token ratio and the fraction
+    * of all bigrams taken by the single most frequent bigram — the standard
+    * "repetitious document" quality signals. Pure column program over
+    * non-distinct bigrams (zip_with of the shifted token list). */
+  def repetitionMetrics(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val n = size(toks)
+    val bigrams = zip_with(
+      slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+    docs
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("distinct_ratio",
+        when(n > 0, size(array_distinct(toks)).cast("double") / n))
+      .withColumn("bg", bigrams)
+      .withColumn("top_bigram_count", when(size(col("bg")) > 0,
+        array_max(transform(array_distinct(col("bg")),
+          g => size(filter(col("bg"), x => x === g))))).otherwise(lit(0)))
+      .withColumn("top_bigram_frac", when(size(col("bg")) > 0,
+        col("top_bigram_count").cast("double") / size(col("bg"))))
+      .drop("bg")
+  }
+
+  private def q62(s: SparkSession, dir: String): DataFrame =
+    repetitionMetrics(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"),
+        QueryDef.dec4(col("distinct_ratio")).as("distinct_ratio"),
+        col("top_bigram_count").cast("long").as("top_bigram_count"),
+        QueryDef.dec4(col("top_bigram_frac")).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+
+  private val q62Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    CASE WHEN len(t) > 0
+      |      THEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS distinct_ratio,
+      |    CASE WHEN len(t) >= 2
+      |      THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+      |      ELSE [] END AS bg
+      |  FROM toks),
+      |tb AS (
+      |  SELECT doc_id, n_tokens, distinct_ratio,
+      |    CASE WHEN len(bg) > 0 THEN
+      |      list_max(list_transform(list_distinct(bg),
+      |        g -> len(list_filter(bg, x -> x = g))))
+      |    ELSE 0 END AS top_bigram_count,
+      |    len(bg) AS n_bigrams
+      |  FROM base)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  CAST(CAST(distinct_ratio AS DECIMAL(38,4)) AS VARCHAR) AS distinct_ratio,
+      |  CAST(top_bigram_count AS BIGINT) AS top_bigram_count,
+      |  CAST(CAST(CASE WHEN n_bigrams > 0
+      |    THEN CAST(top_bigram_count AS DOUBLE) / n_bigrams END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS top_bigram_frac
+      |FROM tb ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q61_stratified_sample", q61, Some(q61Sql)),
+    QueryDef("q62_repetition_quality", q62, Some(q62Sql)),
     QueryDef("q59_decontaminate", q59, Some(q59Sql)),
     QueryDef("q60_token_packing", q60, Some(q60Sql)),
     QueryDef("q55_hash_split", q55, Some(q55Sql)),

@@ -71,6 +71,40 @@ class ClustersSpec extends AnyFunSuite {
     assert(got(3L) == (1L, true))
   }
 
+  test("stratifiedSample: per-stratum rates hold and selection is stable") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val sampled = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 0.1, "de" -> 0.5), defaultRate = 1.0, keyCol = "doc_id")
+    val counts = sampled.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; binomial 3-sigma bounds
+    assert(counts("en") > 120 && counts("en") < 280, s"en rate off: $counts")
+    assert(counts("de") > 880 && counts("de") < 1120, s"de rate off: $counts")
+    // determinism: same call returns the same id set
+    val again = TextAnalysis.stratifiedSample(docs, "lang",
+      Map("en" -> 0.1, "de" -> 0.5), defaultRate = 1.0, keyCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == sampled.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("repetitionMetrics computes exact ratios on known docs") {
+    val docs = Seq(
+      (1L, "a b a b a b"),        // bigrams: ab ba ab ba ab → top "a b"=3 of 5
+      (2L, "x y z"),              // all distinct: top bigram 1 of 2
+      (3L, "w")                   // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionMetrics(docs)
+      .select("doc_id", "n_tokens", "distinct_ratio", "top_bigram_count",
+        "top_bigram_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getInt(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got(1L) == (6L, 2.0 / 6, 3, Some(3.0 / 5)))
+    assert(got(2L) == (3L, 1.0, 1, Some(1.0 / 2)))
+    assert(got(3L) == (1L, 1.0, 0, None))
+  }
+
   test("packByTokens: packs never exceed budget except single oversized docs") {
     val docs = Seq(
       (1L, Seq.fill(100)("w").mkString(" ")),
