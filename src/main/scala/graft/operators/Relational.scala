@@ -657,6 +657,31 @@ object Relational {
       |  true AS ok_orders, true AS ok_parts
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- approx quantile sketch, driver-gated like the HLL entry ---------------
+  // percentile_approx is Spark's mergeable KLL-style sketch (map-side
+  // partials — the 100 TB path for quantiles, where exact percentile needs
+  // a full sort). Gate: the sketch guarantees RANK error ≤ 1/accuracy, so
+  // the approx p-quantile must land between the exact (p−0.05) and
+  // (p+0.05) quantiles — a 10× margin over the configured 0.5% rank error.
+  private def approxQuantilesGate(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("percentile_approx(l_extendedprice, 0.5, 200)").as("a50"),
+        expr("percentile_approx(l_extendedprice, 0.9, 200)").as("a90"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.85)").as("lo90"),
+        expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+      .select(col("l_returnflag"), col("n_rows"),
+        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok_p50"),
+        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok_p90"))
+      .orderBy(col("l_returnflag"))
+
+  private val approxQuantilesSql =
+    """SELECT l_returnflag, count(*) AS n_rows, true AS ok_p50, true AS ok_p90
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -- pivot: orderstatus × orderpriority counts -----------------------------
   private def q43(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -879,6 +904,7 @@ object Relational {
     QueryDef("q46_string_agg", q46, Some(q46Sql)),
     QueryDef("q01_parquet_scan", q01, Some(q01Sql)),
     QueryDef("hll_count_distinct", hllDistinct, Some(hllDistinctSql)),
+    QueryDef("approx_quantiles", approxQuantilesGate, Some(approxQuantilesSql)),
     QueryDef("q02_projection", q02, Some(q02Sql)),
     QueryDef("q03_filter", q03, Some(q03Sql)),
     QueryDef("q04_join_inner", q04, Some(q04Sql)),

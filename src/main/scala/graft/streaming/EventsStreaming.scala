@@ -75,4 +75,26 @@ object EventsStreaming {
     events
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream inner join: each view joined to the same user's clicks
+    * within the next `horizon` (the streaming twin of the forward as-of
+    * candidate stage). Both sides carry watermarks and the join condition
+    * carries an explicit event-time bound — that pair is what lets Spark
+    * GC join state instead of buffering both streams forever; without the
+    * time bound the state store grows unboundedly at 100 TB/day rates. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      delay: String = "1 hour", horizon: String = "30 minutes"): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"), col("user_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", delay)
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", delay)
+    v.join(c,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") > col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(col("view_id"), col("user_id"), col("view_ts"),
+        col("click_id"), col("click_ts"))
+  }
 }

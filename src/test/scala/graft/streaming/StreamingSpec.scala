@@ -69,6 +69,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(native.nonEmpty && native.sameElements(lagGap))
   }
 
+  test("stream-stream join parity: views x clicks within horizon == batch join") {
+    val raw = EventsStreaming.loadStream(spark, dir)
+    val q = EventsStreaming.viewClickJoin(
+      raw.filter(col("event_type") === "view"),
+      raw.filter(col("event_type") === "click")).writeStream
+      .format("memory").queryName("ss_join_out").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ss_join_out").collect().map(_.toString).sorted
+    val batchEvents = graft.Tables.events(spark, dir)
+    val batch = EventsStreaming.viewClickJoin(
+      batchEvents.filter(col("event_type") === "view"),
+      batchEvents.filter(col("event_type") === "click"))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("B36: watermark drops late rows in append mode") {
     val input = MemoryStream[(Timestamp, Long)](spark)
     val events = input.toDF().toDF("ts", "event_id")
