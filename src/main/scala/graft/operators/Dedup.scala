@@ -192,16 +192,19 @@ object Dedup {
   //
   // Near-dup results are hash-seed-dependent, so their raw pair lists can't
   // be DuckDB-reproduced. Instead each query PLANTS exact duplicates (copies
-  // of docs 0..24 at doc_id+10000) into the corpus and emits driver-computed
+  // of docs 0..24 at doc_id+PlantOffset) into the corpus and emits driver-computed
   // invariants the oracle predicts exactly: identical texts have identical
   // signatures/fingerprints, so every planted pair MUST surface as a
   // candidate with the extreme similarity value — a real recall gate, not a
   // rows-only smoke check (the hll_count_distinct pattern).
 
   private[operators] val PlantN = 25
-  private[operators] val PlantOffset = 10000L
+  // far beyond any real id at ANY scale factor — at sf1 the ids run to
+  // 49999 and a colliding plant id merges two different texts under one
+  // doc_id, which Spark and the SQL oracle then treat differently
+  private[operators] val PlantOffset = 1000000000L
 
-  /** The corpus plus exact copies of docs 0..24 at doc_id+10000. */
+  /** The corpus plus exact copies of docs 0..24 at doc_id+PlantOffset. */
   private def plantDups(docs: DataFrame): DataFrame =
     docs.unionByName(docs.filter(col("doc_id") < PlantN)
       .select((col("doc_id") + PlantOffset).as("doc_id"), col("text")))
@@ -283,10 +286,19 @@ object Dedup {
 
   private def ngramOracled(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val cands = ngramJaccardPairs(plantDups(docs), shingleN = 4,
-      maxShingleFreq = 20)
-    val eligible = docs.filter(col("doc_id") < PlantN)
-      .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
+    val aug = plantDups(docs)
+    val cands = ngramJaccardPairs(aug, shingleN = 4, maxShingleFreq = 20)
+    // a planted pair surfaces iff its seed doc still owns >= 1 shingle after
+    // the document-frequency cap (a replicated stress corpus can push every
+    // shingle of a doc past the cap) — so ELIGIBILITY must be computed the
+    // same way the index prunes, and the oracle replays the identical rule
+    val inv = aug.select(col("doc_id"),
+      explode(shingles(col("text"), 4)).as("s"))
+    val surviving = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20)
+    val eligible = inv.filter(col("doc_id") < PlantN)
+      .join(surviving.select("s"), Seq("s"))
+      .select(col("doc_id")).distinct()
       .agg(count(lit(1)).as("n_planted"))
     val stats = cands.agg(
       coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
@@ -296,10 +308,25 @@ object Dedup {
   }
 
   private val ngramSql =
-    """SELECT count(*) AS n_planted, count(*) AS n_found, true AS jaccard_bounded
-      |FROM documents
-      |WHERE doc_id < 25
-      |  AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 1""".stripMargin
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 25),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 3),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |eligible AS (
+      |  SELECT count(DISTINCT sh.doc_id) AS n FROM sh JOIN keep USING (s)
+      |  WHERE sh.doc_id < 25)
+      |SELECT n AS n_planted, n AS n_found, true AS jaccard_bounded
+      |FROM eligible""".stripMargin
 
   /** Winnowing fingerprint near-dup: docs sharing >= minShared rolling-hash
     * fingerprints (MOSS-style), via an inverted fingerprint index. */
@@ -406,9 +433,9 @@ object Dedup {
       |aug AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 25
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 25
       |  UNION ALL
-      |  SELECT doc_id + 20000, text || ' ' || text FROM documents WHERE doc_id < 25),
+      |  SELECT doc_id + 2000000000, text || ' ' || text FROM documents WHERE doc_id < 25),
       |toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
       |  FROM aug),
