@@ -281,7 +281,81 @@ object Multimodal {
       |    AS BIGINT) AS f7_scaled
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  val audioSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", LongType, nullable = false),
+    StructField("sum_abs", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = true)))
+
+  /** Audio feature extraction over a binary WAV column — REAL decode via
+    * WavCodec's RIFF chunk walk (no codec libraries needed for PCM), same
+    * batched per-partition shape as the image path. Non-WAV payloads are
+    * dropped (callers keep them via the image/fallback path). */
+  def audioFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        WavCodec.decode(r.getAs[Array[Byte]](1)).map { case (rate, samples) =>
+          var sumAbs = 0L
+          var sumSq = 0.0
+          var peak = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i).toLong
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            sumAbs += a
+            sumSq += (v * v).toDouble
+            i += 1
+          }
+          val rms = if (samples.length > 0)
+            java.lang.Double.valueOf(math.sqrt(sumSq / samples.length)) else null
+          Row(r.getLong(0), rate, samples.length.toLong, peak, sumAbs, rms)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSchema)
+  }
+
+  /** Oracled audio round-trip: synthesize a REAL WAV per document (16-bit
+    * PCM at 8 kHz; sample i = (byte i − 96)·256 over the all-ASCII text),
+    * decode it back through the RIFF parser, and emit exact integer stats
+    * plus the RMS. DuckDB reproduces every value from the text directly —
+    * the differential covers the encoder, the chunk walk, and the sample
+    * math end to end. */
+  private def audioRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val spark = docs.sparkSession
+    val wavSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val wavs = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { r =>
+        val samples = r.getString(1).getBytes("US-ASCII")
+          .map(b => ((b - 96) * 256).toShort)
+        Row(r.getLong(0), WavCodec.encode(samples, 8000))
+      }), wavSchema)
+    audioFeatures(wavs)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("peak_abs"), col("sum_abs"), QueryDef.dec4(col("rms")).as("rms"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioRoundTripSql =
+    """WITH s AS (
+      |  SELECT doc_id, (ascii(text[i]) - 96) * 256 AS smp
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i))
+      |SELECT doc_id, 8000 AS sample_rate, count(*) AS n_samples,
+      |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
+      |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,
+      |  CAST(CAST(sqrt(avg(CAST(smp AS DOUBLE) * smp)) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS rms
+      |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
-    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)))
+    QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
+    QueryDef("q63_audio_roundtrip", audioRoundTrip, Some(audioRoundTripSql)))
 }

@@ -137,4 +137,40 @@ class MultimodalSpec extends AnyFunSuite {
     val truncated = png(8, 8)((_, _) => 0x123456).take(20)
     assert(Multimodal.decodeImage(truncated).isEmpty)
   }
+
+  test("WavCodec round-trips PCM16 and survives extra metadata chunks") {
+    val samples = Array[Short](0, 100, -100, 32767, -32768, 7)
+    val wav = WavCodec.encode(samples, 44100)
+    val Some((rate, back)) = WavCodec.decode(wav)
+    assert(rate == 44100 && back.sameElements(samples))
+
+    // real-world WAVs carry LIST/fact chunks before data — splice one in
+    // (odd-sized, to exercise the even-padding rule)
+    val buf = java.nio.ByteBuffer.allocate(wav.length + 8 + 5 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put(wav, 0, 36)                       // RIFF header + fmt chunk
+    buf.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII")).put(0.toByte) // 5 bytes + pad
+    buf.put(wav, 36, wav.length - 36)         // data chunk
+    val Some((rate2, back2)) = WavCodec.decode(buf.array())
+    assert(rate2 == 44100 && back2.sameElements(samples))
+
+    // rejects: garbage, stereo-flag forgeries, truncated data
+    assert(WavCodec.decode("not a wav at all".getBytes).isEmpty)
+    val stereo = wav.clone(); stereo(22) = 2  // channels = 2
+    assert(WavCodec.decode(stereo).isEmpty)
+    assert(WavCodec.decode(wav.take(40)).isEmpty)
+  }
+
+  test("audioFeatures computes exact stats from decoded samples") {
+    import spark.implicits._
+    val wav = WavCodec.encode(Array[Short](300, -400, 0, 500), 8000)
+    val df = Seq((7L, wav), (8L, "junk".getBytes)).toDF("doc_id", "payload")
+    val rows = Multimodal.audioFeatures(df).collect()
+    assert(rows.length == 1) // non-WAV payloads drop
+    val r = rows(0)
+    assert(r.getLong(0) == 7L && r.getInt(1) == 8000 && r.getLong(2) == 4L)
+    assert(r.getLong(3) == 500L && r.getLong(4) == 1200L)
+    assert(math.abs(r.getDouble(5) - math.sqrt((300.0 * 300 + 400 * 400 + 0 + 500.0 * 500) / 4)) < 1e-9)
+  }
 }
