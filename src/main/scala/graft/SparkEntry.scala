@@ -10,8 +10,8 @@ object SparkEntry {
   /** All declared engine queries, assembled from the operator modules. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ ChunkOps.defs ++ TextAnalysis.defs ++
-      EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++ AnnLsh.defs ++
-      AnnIvf.defs ++ Multimodal.defs
+      CorpusOps.defs ++ EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++
+      AnnLsh.defs ++ AnnIvf.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: full-scan grouped aggregation with map-side partials. */

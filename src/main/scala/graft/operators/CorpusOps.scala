@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a large-scale training-data pipeline needs
+  * beyond whole-document dedup (SURVEY.md §2 training-data extensions):
+  * segment-level dedup with document reassembly (the C4/RefinedWeb
+  * line-dedup shape), corpus-frequency quality signals, scale-safe
+  * deterministic per-group sampling, and PII redaction.
+  *
+  * Determinism discipline is the same as TextAnalysis: integer outputs or
+  * md5-rendered strings only, every query totally ordered, so the DuckDB
+  * differential is byte-exact.
+  */
+object CorpusOps {
+
+  private def toks = filter(split(col("text"), " "), x => x =!= "")
+
+  // ==== q64: segment-level dedup with reassembly (C4-style line dedup) ====
+  //
+  // Documents are split into fixed-size token segments; a segment survives
+  // only at its first corpus-wide occurrence (ordered by doc_id, position);
+  // each document is reassembled from its surviving segments in original
+  // order. At 100 TB this is two hash shuffles — one by segment content for
+  // the keep-first window, one by doc_id for reassembly — with no
+  // all-pairs structure anywhere.
+
+  private val SegLen = 8
+
+  /** Fixed-size token segments of `text`, rendered back to strings. */
+  private def segmentsOf(t: Column, segLen: Int): Column = {
+    val n = size(t)
+    when(n > lit(0),
+      transform(
+        sequence(lit(0), floor((n + lit(segLen - 1)) / lit(segLen)).cast("int") - 1),
+        i => array_join(slice(t, i * segLen + 1, lit(segLen)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Segment-level keep-first dedup: per document, how many segments
+    * survive and the md5 of the reassembled text. */
+  def segmentDedup(docs: DataFrame, segLen: Int = SegLen): DataFrame = {
+    val segs = docs.select(col("doc_id"),
+      posexplode(segmentsOf(toks, segLen)).as(Seq("seg_idx", "seg")))
+    val firstSeen = Window.partitionBy(col("seg"))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    segs
+      .withColumn("is_first", row_number().over(firstSeen) === 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(col("is_first"),
+            struct(col("seg_idx"), col("seg"))))),
+          s => s.getField("seg")))).as("dedup_text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q64(s: SparkSession, dir: String): DataFrame =
+    segmentDedup(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val q64Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+      |    array_to_string(t[i*8+1 : i*8+8], ' ') AS seg
+      |  FROM toks, unnest(range(0, (len(t) + 7) // 8)) AS u(i)),
+      |fl AS (
+      |  SELECT doc_id, seg_idx, seg,
+      |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) = 1
+      |      AS is_first
+      |  FROM segs)
+      |SELECT doc_id, count(*) AS n_segs,
+      |  CAST(sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  md5(coalesce(
+      |    string_agg(CASE WHEN is_first THEN seg END, ' ' ORDER BY seg_idx),
+      |    '')) AS dedup_text_md5
+      |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ==== q65: corpus-frequency quality signals =============================
+  //
+  // A rare-token detector that needs no external model: build the corpus
+  // vocabulary (token -> count), join it back, and aggregate per document.
+  // All outputs are exact integers — no cross-engine float hazards. The
+  // vocabulary join shuffles by token (AQE broadcasts it when small); both
+  // aggregations are map-side combinable.
+
+  def corpusFrequencyQuality(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
+    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    tok.join(vocab, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("cnt")).as("sum_freq"),
+        min(col("cnt")).as("min_freq"),
+        max(col("cnt")).as("max_freq"))
+      .withColumn("mean_freq", expr("sum_freq div n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    corpusFrequencyQuality(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  private val q65Sql =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |v AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(cnt) AS BIGINT) AS sum_freq,
+      |  CAST(min(cnt) AS BIGINT) AS min_freq,
+      |  CAST(max(cnt) AS BIGINT) AS max_freq,
+      |  CAST(sum(cnt) AS BIGINT) // count(*) AS mean_freq
+      |FROM tok JOIN v USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ==== q66: deterministic per-group sample (corpus rebalancing) ==========
+  //
+  // Keep k documents per (lang, source), chosen by md5(doc_id) order —
+  // deterministic, seed-free, and stable under re-partitioning. Group
+  // cardinality is tiny relative to corpus size, so a naive window would
+  // funnel each group through one reducer; instead a per-input-partition
+  // local top-k bounds the final window's input to k rows per (group,
+  // partition) — exact, and the heavy first pass never shuffles.
+
+  def groupSample(docs: DataFrame, k: Int): DataFrame = {
+    val ord: Seq[Column] = Seq(md5(col("doc_id").cast("string")), col("doc_id"))
+    val local = Window.partitionBy(col("lang"), col("source"), col("pid"))
+      .orderBy(ord: _*)
+    val global = Window.partitionBy(col("lang"), col("source")).orderBy(ord: _*)
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrk", row_number().over(local))
+      .filter(col("lrk") <= k)
+      .withColumn("rk", row_number().over(global).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"), col("source"), col("rk"))
+      .orderBy(col("lang"), col("source"), col("rk"))
+  }
+
+  private def q66(s: SparkSession, dir: String): DataFrame =
+    groupSample(Tables.documents(s, dir), 10)
+
+  private val q66Sql =
+    """SELECT doc_id, lang, source, rk FROM (
+      |  SELECT doc_id, lang, source,
+      |    row_number() OVER (PARTITION BY lang, source
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 10 ORDER BY lang, source, rk""".stripMargin
+
+  // ==== q67: PII redaction ================================================
+  //
+  // The corpus is synthetic token text with no real PII, so — like the
+  // audio round-trip — the query synthesizes a payload with known PII
+  // (an email, an IPv4, a phone number derived from doc_id, a second email
+  // on even ids), redacts it, and emits match counts plus the md5 of the
+  // redacted string. DuckDB reproduces the synthesis AND the redaction, so
+  // the differential proves regex semantics agree across engines. Pure
+  // column program: codegen'd, embarrassingly parallel.
+
+  private val EmailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  private val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val TelRe = "555-[0-9]{4}"
+
+  /** Redact emails, IPv4s, and 555-line phone numbers in `text`; emits
+    * per-row match counts and the redacted text. */
+  def redactPii(rows: DataFrame): DataFrame =
+    rows
+      .withColumn("n_emails", size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long"))
+      .withColumn("n_tels", size(regexp_extract_all(col("text"), lit(TelRe), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), TelRe, "<TEL>"))
+
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val payload = concat(
+      lit("contact user"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0, lit(" alt0@example.com")).otherwise(lit("")),
+      lit(" via 10."), col("doc_id") % 256, lit(".0.1 tel 555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" :: "), substring(col("text"), 1, 64))
+    redactPii(Tables.documents(s, dir)
+        .select(col("doc_id"), payload.as("text")))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_tels"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    'contact user' || doc_id || '@example.com' ||
+      |    CASE WHEN doc_id % 2 = 0 THEN ' alt0@example.com' ELSE '' END ||
+      |    ' via 10.' || (doc_id % 256) || '.0.1 tel 555-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |    ' :: ' || substr(text, 1, 64) AS payload
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(payload, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(payload, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+      |  CAST(len(regexp_extract_all(payload, '555-[0-9]{4}')) AS BIGINT) AS n_tels,
+      |  md5(regexp_replace(regexp_replace(regexp_replace(payload,
+      |    '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+      |    '555-[0-9]{4}', '<TEL>', 'g')) AS redacted_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
+    QueryDef("q65_corpus_freq_quality", q65, Some(q65Sql)),
+    QueryDef("q66_group_sample", q66, Some(q66Sql)),
+    QueryDef("q67_pii_redact", q67, Some(q67Sql)))
+}

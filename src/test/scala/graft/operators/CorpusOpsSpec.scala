@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("segmentDedup keeps first corpus-wide occurrence and reassembles in order") {
+    val docs = Seq(
+      (0L, "x y z w"),   // segments (len 2): "x y", "z w"
+      (1L, "x y q r"),   // "x y" already seen in doc 0 -> drops
+      (2L, "z w x y q r") // all three segments seen -> nothing survives
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.segmentDedup(docs, segLen = 2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 2L, 2L), (1L, 2L, 1L), (2L, 3L, 0L)))
+    // doc 1 reassembles to exactly its surviving segment
+    val md5qr = java.security.MessageDigest.getInstance("MD5")
+    assert(out(1).getString(3) ==
+      md5qr.digest("q r".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // doc 2: empty reassembly hashes the empty string
+    assert(out(2).getString(3) ==
+      md5qr.digest(Array.empty[Byte]).map("%02x".format(_)).mkString)
+  }
+
+  test("corpusFrequencyQuality emits exact integer corpus-frequency stats") {
+    val docs = Seq(
+      (0L, "a a b"),  // corpus counts: a=3, b=2, c=1
+      (1L, "a b c")
+    ).toDF("doc_id", "text")
+    val rows = CorpusOps.corpusFrequencyQuality(docs).collect()
+    // doc0: n=3, sum=3+3+2=8, min=2, max=3, mean=8/3=2
+    assert(rows(0).getLong(1) == 3L && rows(0).getLong(2) == 8L)
+    assert(rows(0).getLong(3) == 2L && rows(0).getLong(4) == 3L)
+    assert(rows(0).getLong(5) == 2L)
+    // doc1: n=3, sum=3+2+1=6, min=1, max=3, mean=2
+    assert(rows(1).getLong(2) == 6L && rows(1).getLong(3) == 1L)
+  }
+
+  test("groupSample is exact top-k per group and partition-count invariant") {
+    val docs = (0L until 500L).map(i =>
+      (i, if (i % 5 == 0) "en" else "de", if (i % 3 == 0) "web" else "book"))
+      .toDF("doc_id", "lang", "source")
+    val k = 7
+    val a = CorpusOps.groupSample(docs.repartition(1), k).collect()
+    val b = CorpusOps.groupSample(docs.repartition(16), k).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val perGroup = a.groupBy(r => (r.getString(1), r.getString(2)))
+    assert(perGroup.values.forall(_.length == k))
+    assert(perGroup.values.forall(_.map(_.getLong(3)).sorted.sameElements(1L to k)))
+  }
+
+  test("redactPii counts and replaces emails, IPv4s, and phone numbers") {
+    val df = Seq(
+      (0L, "mail me at bob7@web.org or root@host.net from 192.168.0.1 tel 555-0199"),
+      (1L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val rows = CorpusOps.redactPii(df).orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_emails") == 2L)
+    assert(rows(0).getAs[Long]("n_ips") == 1L)
+    assert(rows(0).getAs[Long]("n_tels") == 1L)
+    assert(rows(0).getAs[String]("redacted") ==
+      "mail me at <EMAIL> or <EMAIL> from <IP> tel <TEL>")
+    assert(rows(1).getAs[Long]("n_emails") == 0L)
+    assert(rows(1).getAs[String]("redacted") == "nothing sensitive here")
+  }
+}
