@@ -10,7 +10,7 @@ object SparkEntry {
   /** All declared engine queries, assembled from the operator modules. */
   def allDefs: Seq[QueryDef] =
     Relational.defs ++ ChunkOps.defs ++ TextAnalysis.defs ++
-      CorpusOps.defs ++ EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++
+      CorpusOps.defs ++ Profiling.defs ++ EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++
       AnnLsh.defs ++ AnnIvf.defs ++ Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

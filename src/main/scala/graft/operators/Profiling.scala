@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-management operators: single-pass column profiling and an ORC
+  * round-trip through a lang-partitioned layout (SURVEY.md §2 B1/B2
+  * source-surface extensions — the engine reads parquet, CSV, JSONL, xlsx,
+  * and ORC).
+  */
+object Profiling {
+
+  // ==== q69: column profiling =============================================
+  //
+  // Per-column row/null/distinct counts and min/max, computed in ONE scan:
+  // all 24 aggregates run in a single agg (Spark plans the multi-distinct
+  // via Expand), then the one result row unpivots to a row per column.
+  // The alternative — a scan per column — reads the table C times at
+  // 100 TB. Renders: doubles as decimal(38,4) strings, timestamps as UTC
+  // seconds, everything else via plain string cast.
+
+  def profileOrders(orders: DataFrame): DataFrame = {
+    def metrics(c: String, repr: Column => Column) = Seq(
+      count(col(c)).as(s"${c}_nn"),
+      countDistinct(col(c)).as(s"${c}_nd"),
+      repr(min(col(c))).as(s"${c}_min"),
+      repr(max(col(c))).as(s"${c}_max"))
+    val str = (c: Column) => c.cast("string")
+    val agg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      metrics("o_orderkey", str) ++ metrics("o_custkey", str) ++
+        metrics("o_orderstatus", str) ++
+        metrics("o_totalprice", QueryDef.dec4) ++
+        metrics("o_orderdate", QueryDef.tsSec) ++
+        metrics("o_orderpriority", str): _*)
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderdate", "o_orderpriority")
+    agg.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"${c}_nn")).as("n_null"),
+        col(s"${c}_nd").as("n_distinct"),
+        col(s"${c}_min").as("min_repr"),
+        col(s"${c}_max").as("max_repr"))): _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("column_name"))
+  }
+
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    profileOrders(Tables.orders(s, dir))
+
+  private val q69Sql = {
+    def block(c: String, repr: String => String) =
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  ${repr(s"min($c)")} AS min_repr, ${repr(s"max($c)")} AS max_repr
+         |FROM orders""".stripMargin
+    val str = (e: String) => s"CAST($e AS VARCHAR)"
+    val dec = (e: String) => s"CAST(CAST($e AS DECIMAL(38,4)) AS VARCHAR)"
+    val ts = (e: String) => s"strftime($e, '%Y-%m-%d %H:%M:%S')"
+    Seq(block("o_orderkey", str), block("o_custkey", str),
+      block("o_orderstatus", str), block("o_totalprice", dec),
+      block("o_orderdate", ts), block("o_orderpriority", str))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  // ==== q68: ORC round-trip through a partitioned layout ==================
+  //
+  // Write documents as ORC partitioned by lang, read the layout back with a
+  // partition filter, and aggregate — proves the ORC source/sink preserves
+  // values and that the partitioned layout prunes (OrcSpec asserts
+  // PartitionFilters on the read plan). At 100 TB this is the standard
+  // hive-style layout; the pruned read touches only the selected lang
+  // directories.
+
+  /** Write `docs` lang-partitioned as ORC under `out`, read it back. */
+  def orcRoundTrip(docs: DataFrame, out: String): DataFrame = {
+    docs.write.mode("overwrite").partitionBy("lang").orc(out)
+    docs.sparkSession.read.orc(out)
+  }
+
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    orcRoundTrip(
+      Tables.documents(s, dir).select(col("doc_id"), col("source"),
+        col("n_chars"), col("lang")), out)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        countDistinct(col("doc_id")).as("n_ids"))
+      .orderBy(col("source"))
+  }
+
+  private val q68Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(DISTINCT doc_id) AS n_ids
+      |FROM documents WHERE lang = 'en'
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
+    QueryDef("q69_profile", q69, Some(q69Sql)))
+}

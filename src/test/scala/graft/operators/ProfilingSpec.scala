@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ProfilingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileOrders: one row per column, exact counts, single-scan plan") {
+    val orders = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val prof = Profiling.profileOrders(orders)
+    val rows = prof.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("o_custkey", "o_orderdate",
+      "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"))
+    val n = orders.count()
+    assert(rows.forall(_.getLong(1) == n))
+    val keyRow = rows.find(_.getString(0) == "o_orderkey").get
+    assert(keyRow.getLong(2) == 0L)      // no null keys
+    assert(keyRow.getLong(3) == n)       // keys unique
+    // single pass: exactly one scan of the orders file in the final plan
+    // (the AQE string repeats the tree under "== Initial Plan ==" — cut it)
+    val finalPlan = prof.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+  }
+
+  test("orc round-trip preserves values and prunes lang partitions") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+    val out = Files.createTempDirectory("graft_orc_spec").toString
+    val back = Profiling.orcRoundTrip(docs, out)
+    // values survive the ORC round trip exactly
+    val a = docs.orderBy("doc_id").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val b = back.orderBy("doc_id").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_chars"), r.getAs[String]("lang")))
+    assert(a.sameElements(b))
+    // a lang filter reaches the scan as a partition filter
+    val pruned = back.filter(col("lang") === "en")
+    pruned.collect()
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters") && l.contains("lang"))
+      .getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
+      s"lang not pushed as partition filter:\n$scanLine")
+  }
+}
