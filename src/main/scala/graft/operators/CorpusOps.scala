@@ -91,12 +91,17 @@ object CorpusOps {
   // aggregations are map-side combinable.
 
   def corpusFrequencyQuality(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(toks).as("token"))
-    val vocab = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-    tok.join(vocab, "token")
+    // pre-aggregate to distinct (doc, token) pairs with term frequency, so
+    // the vocabulary join shuffles one row per distinct pair, not one per
+    // token instance — on a repetitious corpus that is the difference
+    // between shuffling the corpus and shuffling its vocabulary profile
+    val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("token")).agg(sum(col("tf")).as("cnt"))
+    tf.join(vocab, "token")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("cnt")).as("sum_freq"),
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("cnt")).as("sum_freq"),
         min(col("cnt")).as("min_freq"),
         max(col("cnt")).as("max_freq"))
       .withColumn("mean_freq", expr("sum_freq div n_tokens"))
@@ -213,9 +218,104 @@ object CorpusOps {
       |    '555-[0-9]{4}', '<TEL>', 'g')) AS redacted_md5
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ==== q70: incremental corpus dedup (batch-vs-existing) =================
+  //
+  // The standing-pipeline shape: a new batch arrives and must drop (a)
+  // documents whose content already exists in the corpus and (b)
+  // within-batch duplicates past the first occurrence. Both checks run on
+  // the content hash: one left join against the existing corpus's distinct
+  // hashes, one keep-first window inside the batch — all hash-partitioned,
+  // nothing quadratic. The even/odd doc_id split is just the test's way of
+  // labeling "existing" vs "incoming".
+
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val ex = existing.select(md5(col("text")).as("h")).distinct()
+      .withColumn("in_existing", lit(true))
+    val firstInBatch = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    incoming.select(col("doc_id"), md5(col("text")).as("h"))
+      .withColumn("first_in_batch", row_number().over(firstInBatch) === 1)
+      .join(ex, Seq("h"), "left")
+      .select(col("doc_id"),
+        when(col("in_existing").isNotNull, "dup_existing")
+          .when(!col("first_in_batch"), "dup_batch")
+          .otherwise("kept").as("status"))
+  }
+
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    incrementalDedup(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q70Sql =
+    """WITH ex AS (
+      |  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+      |inc AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |      AS first_in_batch
+      |  FROM documents WHERE doc_id % 2 = 1)
+      |SELECT inc.doc_id,
+      |  CASE WHEN ex.h IS NOT NULL THEN 'dup_existing'
+      |    WHEN NOT first_in_batch THEN 'dup_batch'
+      |    ELSE 'kept' END AS status
+      |FROM inc LEFT JOIN ex ON inc.h = ex.h
+      |ORDER BY inc.doc_id""".stripMargin
+
+  // ==== q71: composed curation decision ===================================
+  //
+  // One pass that composes the standard corpus filters into a keep/drop
+  // decision with a priority-ordered reason code: exact-dup (keep-first on
+  // content hash), too-short, repetitious (distinct-token ratio below 0.3,
+  // expressed as the integer cross-multiplication 10·distinct < 3·total so
+  // no float crosses the engine boundary), else kept. Emits per
+  // (lang, reason) counts — the corpus-curation report.
+
+  def curationReport(docs: DataFrame): DataFrame = {
+    val t = toks
+    val firstSeen = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    docs
+      .withColumn("n_tokens", size(t))
+      .withColumn("n_distinct", size(array_distinct(t)))
+      .withColumn("is_first", row_number().over(firstSeen) === 1)
+      .withColumn("reason",
+        when(!col("is_first"), "dup")
+          .when(col("n_tokens") < 30, "too_short")
+          .when(col("n_distinct") * 10 < col("n_tokens") * 3, "repetitious")
+          .otherwise("kept"))
+      .groupBy(col("lang"), col("reason"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("sum_tokens"))
+      .orderBy(col("lang"), col("reason"))
+  }
+
+  private def q71(s: SparkSession, dir: String): DataFrame =
+    curationReport(Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text")))
+
+  private val q71Sql =
+    """WITH base AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+      |    len(list_distinct(list_filter(string_split(text, ' '), x -> x <> '')))
+      |      AS n_distinct,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+      |      AS is_first
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN NOT is_first THEN 'dup'
+      |    WHEN n_tokens < 30 THEN 'too_short'
+      |    WHEN n_distinct * 10 < n_tokens * 3 THEN 'repetitious'
+      |    ELSE 'kept' END AS reason,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+      |FROM base GROUP BY lang, reason ORDER BY lang, reason""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
     QueryDef("q65_corpus_freq_quality", q65, Some(q65Sql)),
     QueryDef("q66_group_sample", q66, Some(q66Sql)),
-    QueryDef("q67_pii_redact", q67, Some(q67Sql)))
+    QueryDef("q67_pii_redact", q67, Some(q67Sql)),
+    QueryDef("q70_incremental_dedup", q70, Some(q70Sql)),
+    QueryDef("q71_curation_report", q71, Some(q71Sql)))
 }

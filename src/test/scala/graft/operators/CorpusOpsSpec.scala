@@ -53,6 +53,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(perGroup.values.forall(_.map(_.getLong(3)).sorted.sameElements(1L to k)))
   }
 
+  test("incrementalDedup labels dup_existing, dup_batch, kept correctly") {
+    val existing = Seq((0L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha"),  // content already in corpus -> dup_existing
+      (3L, "gamma"),  // fresh -> kept
+      (5L, "gamma"),  // dup of 3 within the batch -> dup_batch
+      (7L, "beta")    // dup_existing even though also repeated nowhere else
+    ).toDF("doc_id", "text")
+    val out = CorpusOps.incrementalDedup(existing, incoming)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "dup_existing"), (3L, "kept"),
+      (5L, "dup_batch"), (7L, "dup_existing")))
+  }
+
+  test("curationReport applies reason priority dup > too_short > repetitious") {
+    val docs = Seq(
+      (0L, "en", Seq.fill(40)("w").mkString(" ")),          // repetitious (1 distinct / 40)
+      (1L, "en", Seq.fill(40)("w").mkString(" ")),          // dup of 0 (beats repetitious)
+      (2L, "en", "just a few words"),                       // too_short
+      (3L, "en", (0 until 40).map("t" + _).mkString(" "))   // kept
+    ).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.curationReport(docs).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(out == Map("dup" -> 1L, "repetitious" -> 1L,
+      "too_short" -> 1L, "kept" -> 1L))
+  }
+
   test("redactPii counts and replaces emails, IPv4s, and phone numbers") {
     val df = Seq(
       (0L, "mail me at bob7@web.org or root@host.net from 192.168.0.1 tel 555-0199"),
