@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object CorpusOps {
 
-  private def toks = filter(split(col("text"), " "), x => x =!= "")
+  private def toks = Tok.ws(col("text"))
 
   // ==== q64: segment-level dedup with reassembly (C4-style line dedup) ====
   //
@@ -130,9 +130,10 @@ object CorpusOps {
   // Keep k documents per (lang, source), chosen by md5(doc_id) order —
   // deterministic, seed-free, and stable under re-partitioning. Group
   // cardinality is tiny relative to corpus size, so a naive window would
-  // funnel each group through one reducer; instead a per-input-partition
-  // local top-k bounds the final window's input to k rows per (group,
-  // partition) — exact, and the heavy first pass never shuffles.
+  // funnel each group through one reducer; instead a local top-k keyed by
+  // (group, input-partition) spreads the full-data shuffle across
+  // partition ids — balanced by construction — and bounds the per-group
+  // window's input to k rows per (group, partition). Exact in both stages.
 
   def groupSample(docs: DataFrame, k: Int): DataFrame = {
     val ord: Seq[Column] = Seq(md5(col("doc_id").cast("string")), col("doc_id"))

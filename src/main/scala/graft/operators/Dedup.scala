@@ -25,7 +25,7 @@ object Dedup {
   /** Word-level n-gram shingles of the (pre-lowercased) text — native
     * single-pass expression. */
   def shingles(text: Column, n: Int): Column =
-    graft.functions.NgramShingles(filter(split(text, " "), x => x =!= ""), n)
+    graft.functions.NgramShingles(Tok.ws(text), n)
 
   /** MinHash signature — native expression (one pass over the shingles,
     * Carter–Wegman multi-hash), ~100× the interpreted Column formulation. */
@@ -144,7 +144,7 @@ object Dedup {
   /** 64-bit SimHash fingerprint over whitespace tokens — native expression
     * (tight vote loop per row; the Column formulation was ~ms/doc). */
   def simhashFingerprint(text: Column): Column =
-    graft.functions.HashExprs.simhash64(filter(split(text, " "), x => x =!= ""))
+    graft.functions.HashExprs.simhash64(Tok.ws(text))
 
   /** SimHash near-dup candidates: docs sharing any 16-bit band of the 64-bit
     * fingerprint, ranked by exact Hamming distance. */
@@ -219,7 +219,7 @@ object Dedup {
     val cands = minhashCandidates(plantDups(docs), shingleN = 4,
       numHashes = 64, bands = 8)
     val eligible = docs.filter(col("doc_id") < PlantN)
-      .filter(size(filter(split(col("text"), " "), x => x =!= "")) >= 1)
+      .filter(size(Tok.ws(col("text"))) >= 1)
       .agg(count(lit(1)).as("n_planted"))
     // one pass over cands: separate aggregations would re-execute the whole
     // candidate-generation subtree per reference (same fix as annRecallGate)

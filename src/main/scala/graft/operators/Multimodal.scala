@@ -297,7 +297,8 @@ object Multimodal {
     val spark = withPayload.sparkSession
     val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
-        WavCodec.decode(r.getAs[Array[Byte]](1)).map { case (rate, samples) =>
+        // null payloads drop like any other non-WAV bytes
+        Option(r.getAs[Array[Byte]](1)).flatMap(WavCodec.decode).map { case (rate, samples) =>
           var sumAbs = 0L
           var sumSq = 0.0
           var peak = 0L
@@ -326,7 +327,11 @@ object Multimodal {
     * the differential covers the encoder, the chunk walk, and the sample
     * math end to end. */
   private def audioRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    // contract: non-empty printable-ASCII text only, enforced on BOTH sides
+    // (byte==char there, so the synthesis agrees across engines; empty text
+    // would emit a 0-sample row here but no rows from the oracle's unnest)
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[ -~]+$"))
     val spark = docs.sparkSession
     val wavSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
@@ -346,7 +351,8 @@ object Multimodal {
   private val audioRoundTripSql =
     """WITH s AS (
       |  SELECT doc_id, (ascii(text[i]) - 96) * 256 AS smp
-      |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i))
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+      |  WHERE regexp_matches(text, '^[ -~]+$'))
       |SELECT doc_id, 8000 AS sample_rate, count(*) AS n_samples,
       |  CAST(max(abs(smp)) AS BIGINT) AS peak_abs,
       |  CAST(sum(abs(smp)) AS BIGINT) AS sum_abs,

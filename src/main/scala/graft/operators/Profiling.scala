@@ -82,7 +82,10 @@ object Profiling {
   }
 
   private def q68(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    // fixed, overwritten path: repeated Verify/Bench runs rewrite the same
+    // directory instead of accumulating full-corpus ORC copies under /tmp
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_orc_roundtrip").toString
     orcRoundTrip(
       Tables.documents(s, dir).select(col("doc_id"), col("source"),
         col("n_chars"), col("lang")), out)

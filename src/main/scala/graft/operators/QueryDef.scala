@@ -34,3 +34,11 @@ object QueryDef {
   /** Render a timestamp as a date string. DuckDB twin: strftime(ts, '%Y-%m-%d'). */
   def tsDay(c: Column): Column = date_format(c, "yyyy-MM-dd")
 }
+
+/** THE corpus tokenizer — single definition so token semantics cannot drift
+  * between operator modules (they all oracle against the same DuckDB twin,
+  * `list_filter(string_split(text, ' '), x -> x <> '')`). */
+object Tok {
+  /** Whitespace tokens of `text`, empty strings dropped. */
+  def ws(text: Column): Column = filter(split(text, " "), x => x =!= "")
+}

@@ -17,7 +17,7 @@ object TextAnalysis {
   private val stopwords = Seq("the", "a", "and", "of", "to")
 
   // tokens of the already-lowercased corpus; empty strings dropped
-  private def tokens = filter(split(col("text"), " "), x => x =!= "")
+  private def tokens = Tok.ws(col("text"))
 
   // -- B29: exact dedup by content hash --------------------------------------
   private def q30(s: SparkSession, dir: String): DataFrame =
@@ -382,7 +382,7 @@ object TextAnalysis {
     * "repetitious document" quality signals. Pure column program over
     * non-distinct bigrams (zip_with of the shifted token list). */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val toks = Tok.ws(col("text"))
     val n = size(toks)
     val bigrams = zip_with(
       slice(toks, lit(1), greatest(n - 1, lit(0))),

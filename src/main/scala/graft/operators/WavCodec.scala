@@ -36,7 +36,7 @@ object WavCodec {
     * for anything that is not such a WAV (wrong magic, compressed format,
     * stereo, other bit depths, truncated chunks). */
   def decode(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
-    if (bytes.length < 12) return None
+    if (bytes == null || bytes.length < 12) return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     val magic = new Array[Byte](4)
     buf.get(magic)
@@ -63,7 +63,11 @@ object WavCodec {
           buf.getShort // block align
           val bits = buf.getShort
           valid = audioFormat == 1 && channels == 1 && bits == 16
-          buf.position(start + size + (size & 1)) // chunks pad to even
+          // chunks pad to even — but a trailing odd-size chunk may omit the
+          // pad byte, so clamp instead of letting position() throw
+          val next = start + size + (size & 1)
+          if (next > buf.limit()) return None
+          buf.position(next)
         case "data" =>
           if (!valid) return None
           val n = size / 2
@@ -72,7 +76,9 @@ object WavCodec {
           while (i < n) { out(i) = buf.getShort; i += 1 }
           return Some((sampleRate, out))
         case _ =>
-          buf.position(buf.position() + size + (size & 1))
+          val next = buf.position() + size + (size & 1)
+          if (next > buf.limit()) return None // odd final chunk, pad absent
+          buf.position(next)
       }
     }
     None

@@ -155,11 +155,21 @@ class MultimodalSpec extends AnyFunSuite {
     val Some((rate2, back2)) = WavCodec.decode(buf.array())
     assert(rate2 == 44100 && back2.sameElements(samples))
 
-    // rejects: garbage, stereo-flag forgeries, truncated data
+    // rejects: garbage, stereo-flag forgeries, truncated data, null
     assert(WavCodec.decode("not a wav at all".getBytes).isEmpty)
     val stereo = wav.clone(); stereo(22) = 2  // channels = 2
     assert(WavCodec.decode(stereo).isEmpty)
     assert(WavCodec.decode(wav.take(40)).isEmpty)
+    assert(WavCodec.decode(null).isEmpty)
+
+    // a trailing odd-size chunk with its pad byte omitted must yield None,
+    // not an out-of-bounds position() throw
+    val odd = java.nio.ByteBuffer.allocate(12 + 8 + 5)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    odd.put(wav, 0, 12)  // RIFF/WAVE header
+    odd.put("LIST".getBytes("US-ASCII")).putInt(5)
+      .put("INFOx".getBytes("US-ASCII"))  // 5 bytes, no pad — EOF
+    assert(WavCodec.decode(odd.array()).isEmpty)
   }
 
   test("audioFeatures computes exact stats from decoded samples") {
