@@ -79,4 +79,26 @@ class PlanShapeSpec extends AnyFunSuite {
   test("entry flagship produces rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("corpus-prep queries never degenerate to cartesian or nested-loop joins") {
+    // the round-3 corpus operators are all hash-shuffle / window shaped;
+    // a CartesianProduct or BroadcastNestedLoopJoin appearing in any of
+    // them means a join key was lost and the plan would be quadratic at
+    // 100 TB (except intentional scalar broadcasts, which are fine and do
+    // not show as these operators)
+    for (q <- Seq("q64_segment_dedup", "q65_corpus_freq_quality",
+        "q66_group_sample", "q67_pii_redact", "q70_incremental_dedup",
+        "q71_curation_report")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q has a nested-loop join:\n$p")
+    }
+  }
+
+  test("q65: term-frequency aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q65_corpus_freq_quality")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation in q65 plan:\n$p")
+  }
 }
