@@ -269,15 +269,25 @@ object IngestionPipeline {
     if (nParts > 0) {
       var inflight = launch(0)
       var p = 0
-      while (p < nParts && failure.isEmpty) {
-        val (acks, err) = scala.concurrent.Await.result(
-          inflight, scala.concurrent.duration.Duration.Inf)
-        p += 1
-        // ordering (A24) requires serial POSTs, not a serial store: kick off
-        // the next range's task before persisting this range's progress
-        if (err.isEmpty && p < nParts) inflight = launch(p)
-        persist(acks)
-        failure = err
+      try {
+        while (p < nParts && failure.isEmpty) {
+          val (acks, err) = scala.concurrent.Await.result(
+            inflight, scala.concurrent.duration.Duration.Inf)
+          p += 1
+          // ordering (A24) requires serial POSTs, not a serial store: kick
+          // off the next range's task before persisting this range's progress
+          if (err.isEmpty && p < nParts) inflight = launch(p)
+          persist(acks)
+          failure = err
+        }
+      } catch {
+        // a persist (store write) failure must not leave the overlapped
+        // task POSTing in the background while the caller unwinds and
+        // unpersists the chunks it iterates; receiver idempotency (A23)
+        // absorbs any POST that raced the cancel
+        case scala.util.control.NonFatal(e) =>
+          if (!inflight.isCompleted) inflight.cancel()
+          throw e
       }
     }
     failure.foreach(msg => throw new RuntimeException(msg))

@@ -137,8 +137,11 @@ object AnnIvf {
       val c = corpus.cache()
       try {
         val centroids = trainCentroids(c, k = 16)
-        val indexPath = java.nio.file.Files
-          .createTempDirectory("graft_ivf_index").toString
+        // fixed path + overwrite (writeIndex uses mode overwrite): repeated
+        // verify/bench runs reuse one directory instead of accumulating
+        // full-corpus index copies under /tmp (same fix as q68_orc_roundtrip)
+        val indexPath = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_ivf_index").toString
         writeIndex(c, centroids, indexPath)
         topKIndexed(s, indexPath, qs, 5, centroids, nprobe = 3)
           .localCheckpoint()

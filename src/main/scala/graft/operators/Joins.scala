@@ -70,9 +70,14 @@ object Joins {
       .intersect(left.columns.toSet).diff(byKeys.toSet)
     require(collisions.isEmpty,
       s"non-key column names must be disjoint, both sides have: $collisions")
-    // unique left-row handle for the dedup window; used only internally
+    // unique left-row handle for the dedup window; used only internally.
+    // l fans out into three plan branches (in-bucket join, carry pass,
+    // final left join) — localCheckpoint pins the nondeterministic ids so
+    // every branch sees the same assignment even when `left` contains a
+    // wide transform whose partition order varies across re-executions
     val l = left.withColumn("__asof_id", monotonically_increasing_id())
       .withColumn("__lb", floor(col(leftTime).cast("double") / bucketSize))
+      .localCheckpoint()
     // rename the right by-keys: left and right often share lineage (self
     // as-of), where identical attribute ids make post-join drops ambiguous
     val r0 = byKeys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"__asof_$k"))
