@@ -107,6 +107,35 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asofBackward is correct when the left side contains a wide transform") {
+    // the internal __asof_id fans out into three plan branches; a left input
+    // whose partition order is shuffle-dependent (aggregate + repartition)
+    // must still get one consistent id per row across branches — regression
+    // test for the localCheckpoint pinning in asofImpl
+    val rnd = new scala.util.Random(17)
+    val events = (0 until 3000).map { i =>
+      (s"u${i % 40}", rnd.nextInt(100000).toLong, rnd.nextInt(10).toLong)
+    }.toDF("k", "t", "v")
+    // wide left: per-(k,t) aggregate, then an order-scrambling repartition
+    val lefts = events.groupBy("k", "t").agg(sum("v").as("sv")).repartition(7)
+    val rights = (0 until 500).map { i =>
+      (s"u${i % 40}", rnd.nextInt(100000).toLong + 100000L * (i % 3), i.toLong)
+    }.toDF("k", "rt", "rid").distinct()
+      .groupBy("k", "rt").agg(max("rid").as("rid"))
+    val naive = {
+      val j = lefts.join(rights.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("rt") <= col("t"), "left")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"), col("t"))
+        .orderBy(col("rt").desc_nulls_last, col("rid").desc_nulls_last)
+      j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("k", "t", "sv", "rid", "rt").collect().map(_.toString).sorted
+    }
+    val got = Joins.asofBackward(lefts, rights, Seq("k"), "t", "rt", "rid",
+      bucketSize = 512.0)
+      .select("k", "t", "sv", "rid", "rt").collect().map(_.toString).sorted
+    assert(got.sameElements(naive))
+  }
+
   test("saltedJoin equals the plain join on skewed keys") {
     // 90% of rows share one key — the pathological shuffle shape
     val large = ((1 to 900).map(i => ("hot", i.toLong)) ++
