@@ -87,13 +87,17 @@ object ChunkAssigner {
     *
     * Scale shape: row numbers are assigned distributed (`withRowNumber` —
     * range partition + per-partition index, payloads stay put); the greedy
-    * fold then runs over a projected `(rn, size)` stream (~16 bytes/row —
-    * the only data that crosses a single-task exchange), emitting just the
-    * chunk-start row numbers; those boundaries broadcast back and every
+    * fold runs over a projected `(rn, size)` stream (~16 bytes/row) as K
+    * CHAINED MINI-JOBS — one per partition of the range-partitioned pair
+    * stream, each folding its slice where the shuffle block lives and
+    * handing a single (openChunkBytes, started) carry to the next. Partition
+    * p's rns all precede partition p+1's (rn came from zipWithIndex over
+    * these same partitions), so the chained fold IS the global fold; no
+    * stage ever runs one task over N rows and no N-row shuffle block exists.
+    * The emitted chunk-start row numbers broadcast back and every payload
     * partition assigns `chunk_number` locally via a codegen'd binary search
-    * (`SortedBoundaryRank`). Record payloads never repartition(1) through
-    * one task — the round-2 plan-level scale killer this replaces.
-    * Driver/broadcast footprint is one long per chunk.
+    * (`SortedBoundaryRank`). Driver/broadcast footprint is one long per
+    * chunk; serial dependency is K carry handoffs, not N rows.
     */
   def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
       sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
@@ -101,23 +105,35 @@ object ChunkAssigner {
     // input-order `rn` (which is itself the order key)
     val withRn = withRowNumber(df.withColumn("__size", sizeCol), orderCols,
       rnName = "__rn")
-    // one ordered pass over (rn, size) pairs only; the fold's output is the
-    // set of row numbers that START a new chunk (first row never does)
-    val boundaries: Array[Long] = withRn
-      .select(col("__rn"), col("__size").cast("long"))
-      .repartition(1).sortWithinPartitions(col("__rn"))
-      .rdd.mapPartitions { it =>
-        var bytes = 0L
-        var started = false
-        val starts = scala.collection.mutable.ArrayBuffer.empty[Long]
-        it.foreach { r =>
-          val sz = r.getLong(1)
-          if (started && bytes + sz > budgetBytes) { starts += r.getLong(0); bytes = 0L }
-          started = true
-          bytes += sz
-        }
-        starts.iterator
-      }.collect()
+    // (rn, size) pairs only; partitions are rn-contiguous and rn-sorted by
+    // construction. The fold's output is the set of row numbers that START
+    // a new chunk (first row never does).
+    val pairs = withRn.select(col("__rn"), col("__size").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+    val sc = df.sparkSession.sparkContext
+    val startsBuf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var carry = 0L        // bytes in the open chunk entering the next slice
+    var started = false   // false until the very first record is seen
+    for (p <- 0 until pairs.getNumPartitions) {
+      val cIn = carry
+      val sIn = started
+      val Array((pStarts, cOut, sOut)) = sc.runJob(pairs,
+        (it: Iterator[(Long, Long)]) => {
+          var bytes = cIn
+          var st = sIn
+          val ps = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.foreach { case (rn, sz) =>
+            if (st && bytes + sz > budgetBytes) { ps += rn; bytes = 0L }
+            st = true
+            bytes += sz
+          }
+          (ps.toArray, bytes, st)
+        }, Seq(p))
+      startsBuf ++= pStarts
+      carry = cOut
+      started = sOut
+    }
+    val boundaries: Array[Long] = startsBuf.toArray
     // chunk_number = base + (# chunk-start rns <= rn): distributed, local to
     // each payload partition (withRn is one materialized RDD — both the fold
     // job above and this assignment reuse its shuffle files, so row numbers
