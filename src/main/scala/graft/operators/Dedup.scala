@@ -97,57 +97,86 @@ object Dedup {
     * `vertices`: (id) — nodes with no edges become singleton clusters.
     * Returns (id, cluster_id) with cluster_id = min node id in component.
     */
-  /** Free the executor blocks behind a `localCheckpoint()`ed DataFrame.
-    * `df.unpersist()` only uncaches CacheManager entries, not the RDD a
-    * checkpoint pins, so reach through the LogicalRDD leaf. No-op for
-    * non-checkpointed plans. */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(blocking = false)
-      case _ => ()
-    }
-
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
       maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    // hash-partition on dst BEFORE the checkpoint: LogicalRDD preserves the
+    // physical partitioning, so the per-round join on dst shuffles only the
+    // label frame, never the edge set again
     val sym = edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
-    // iterate over edge-endpoint nodes only — in a dedup graph the vast
-    // majority of docs are singletons and have nothing to propagate; they
-    // attach as their own cluster in the final left join
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    // labels are per-node monotone nonincreasing, so the label SUM strictly
-    // decreases every non-converged round: one scalar agg per iteration
-    // replaces a join-based change check (decimal — id sums can pass 2^63)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
-    var iter = 0
-    var converged = prevSum == null // edgeless input: nothing to iterate
-    while (!converged && iter < maxIter) {
-      // neighbor min: label'(v) = min(label(v), min over labels of Γ(v))
-      val nbrMin = sym
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label")))
-          .as("label"))
-      // pointer jump: label''(v) = label'(label'(v)) — compresses chains
-      val jumped = stepped
-        .join(stepped.select(col("id").as("label"), col("label").as("plabel")),
-          Seq("label"))
-        .select(col("id"), col("plabel").as("label"))
-        .localCheckpoint()
-      val s = labelSum(jumped)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
-      // the previous round's checkpoint is dead once jumped is materialized
-      // — free its executor blocks instead of pinning up to maxIter copies
-      unpersistCheckpoint(labels)
-      labels = jumped
+      .distinct().repartition(col("dst")).localCheckpoint()
+
+    // One round = ONE job: the (id, label, changed) frame materializes into
+    // a persisted InternalRow RDD while a changed-count accumulator rides
+    // along — no separate convergence-scan job per round. Accumulator
+    // at-least-once semantics are sound here: a retried task can only
+    // overcount, never turn a genuine change into zero, and zero is the
+    // only value that stops the loop. Convergence = no label changed in the
+    // round (neighbor-min fixpoint; the jump is idempotent at fixpoint).
+    val changedOrd = 2 // column position of `changed` in the round output
+    def materialize(round: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
+      val acc = spark.sparkContext.longAccumulator("cc_changed")
+      val rdd = org.apache.spark.sql.GraftSql.toInternalRdd(round)
+        .mapPartitions { it =>
+          it.map { row =>
+            if (row.getBoolean(changedOrd)) acc.add(1L)
+            row.copy() // unsafe rows are buffer-backed; copy before caching
+          }
+        }
+      rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materializes the round; accumulator is valid after this
+      val df = org.apache.spark.sql.GraftSql
+        .internalCreateDataFrame(spark, rdd, round.schema)
+        .select(col("id"), col("label"))
+      (df, rdd, acc.value)
+    }
+    // pointer jump: label''(v) = label'(label'(v)) — compresses chains so
+    // long paths converge in O(log diameter) rounds, not O(diameter)
+    def jump(stepped: DataFrame): DataFrame = stepped
+      .join(stepped.select(col("id").as("label"), col("label").as("plabel")),
+        Seq("label"))
+      .select(col("id"), col("plabel").as("label"), col("olabel"))
+
+    // Round 1 specialized: labels(v) = v, so the neighbor-min needs no join
+    // at all — min(v, min of neighbor ids) straight off the edge set. Also
+    // subsumes the separate label-init pass (edge-endpoint nodes only — in
+    // a dedup graph most docs are singletons with nothing to propagate;
+    // they attach as their own cluster in the final left join).
+    val first = jump(
+      sym.select(col("src").as("id"), least(col("src"), col("dst")).as("label"))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("id")).as("olabel")))
+      .select(col("id"), col("label"),
+        // round 1 "changed" iff the node's label left its own id
+        not(col("label") <=> col("olabel")).as("changed"))
+    var (labels, pinned, changed) = materialize(first)
+    var iter = 1
+    while (changed > 0 && iter < maxIter) {
+      // neighbor min: label'(v) = min(label(v), min over labels of Γ(v)) —
+      // one union + aggregation: each edge (v,u) contributes u's label to
+      // v, each node contributes its own label (tagged via olabel so the
+      // same aggregation also recovers the round-start label for the
+      // change check), min collapses both in a single shuffle on id
+      val labelT = labels.schema("label").dataType
+      val stepped = sym
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .select(col("src").as("id"), col("label"),
+          lit(null).cast(labelT).as("olabel"))
+        .unionByName(labels.withColumn("olabel", col("label")))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), min(col("olabel")).as("olabel"))
+      val round = jump(stepped)
+        .select(col("id"), col("label"),
+          not(col("label") <=> col("olabel")).as("changed"))
+      val (nextLabels, nextPinned, nextChanged) = materialize(round)
+      // the previous round's blocks are dead once this round materialized
+      pinned.unpersist(blocking = false)
+      labels = nextLabels
+      pinned = nextPinned
+      changed = nextChanged
       iter += 1
     }
     vertices.select(col("id")).distinct()
