@@ -208,40 +208,53 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard via inverted shingle index — the scalable exact
-    * path: explode shingles, join on shingle (skew-capped by dropping the
-    * most frequent shingles), count shared shingles per pair, derive Jaccard
-    * from |A|+|B|-shared. No full cross join ever exists. */
+    * path: explode shingles, collect the (bounded) doc list per shingle,
+    * emit each list's pair combinations, count shared shingles per pair,
+    * derive Jaccard from |A|+|B|-shared. No full cross join ever exists. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
       maxShingleFreq: Int = 50): DataFrame =
-    ngramPairsFromIndex(prunedShingleIndex(docs, shingleN, maxShingleFreq))
+    ngramPairsFromLists(shingleDocLists(docs, shingleN, maxShingleFreq))
 
-  /** The inverted shingle index (s, doc_id, n_sh) after the
-    * document-frequency cap. Exposed separately so the recall gate can
-    * reuse the SAME index pass its pair generator runs on — eligibility is
-    * then the pruning rule by construction, not a parallel reimplementation.
+  /** The per-shingle doc lists (s, docs: array<struct<doc_id, n_sh>>) after
+    * the document-frequency cap, docs sorted by id. Exposed separately so
+    * the recall gate can reuse the SAME lists its pair generator runs on —
+    * eligibility is then the pruning rule by construction, not a parallel
+    * reimplementation.
     *
     * Skew cap: a shingle shared by half the corpus creates a quadratic
-    * bucket and carries no discriminative signal — drop it. */
-  private[operators] def prunedShingleIndex(docs: DataFrame, shingleN: Int,
-      maxShingleFreq: Int): DataFrame = {
-    val withSh = docs
+    * bucket and carries no discriminative signal — drop it. The cap is
+    * enforced INSIDE the aggregation (`BoundedCollect` with limit cap+1):
+    * a hot shingle's rows combine map-side into a ≤(cap+1)-element partial
+    * buffer, so no reducer ever sees a hot key's full row set — unlike the
+    * df-count + join formulation, which funnels every hot-key row through
+    * one reducer before dropping it, and scans the exploded shingles twice.
+    * One pass over the exploded shingles, one shuffle. */
+  private[operators] def shingleDocLists(docs: DataFrame, shingleN: Int,
+      maxShingleFreq: Int): DataFrame =
+    docs
       .withColumn("sh", shingles(col("text"), shingleN))
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
-    val inverted = withSh.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("s"))
-    val rare = inverted.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxShingleFreq)
-    inverted.join(rare.select("s"), Seq("s"))
-  }
+      .select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(graft.functions.BoundedCollect.of(
+        struct(col("doc_id"), col("n_sh")), maxShingleFreq + 1).as("docs"))
+      // a full (cap+1)-length list is the overflow sentinel: df > cap, drop
+      .filter(size(col("docs")) <= maxShingleFreq)
+      // doc_id-ascending lists make i<j combinations emit doc_a < doc_b
+      .select(col("s"), sort_array(col("docs")).as("docs"))
 
-  private def ngramPairsFromIndex(pruned: DataFrame): DataFrame = {
-    val a = pruned.select(col("s"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
-    val b = pruned.select(col("s"), col("doc_id").as("doc_b"), col("n_sh").as("nb"))
-    a.join(b, Seq("s")).filter(col("doc_a") < col("doc_b"))
+  private def ngramPairsFromLists(lists: DataFrame): DataFrame =
+    lists
+      .select(explode(expr(
+        """flatten(transform(docs, (a, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), b ->
+          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
+          |                 'na', a.n_sh, 'nb', b.n_sh))))""".stripMargin)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
-  }
 
   // -- query entries ---------------------------------------------------------
   //
@@ -347,15 +360,16 @@ object Dedup {
     val aug = plantDups(docs)
     // a planted pair surfaces iff its seed doc still owns >= 1 shingle after
     // the document-frequency cap (a replicated stress corpus can push every
-    // shingle of a doc past the cap) — so ELIGIBILITY reads the SAME pruned
-    // index the pair generator joins over (checkpointed: it feeds both the
-    // pair self-join and the eligibility count, and it is the dominant cost
-    // of one of the suite's slowest queries)
-    val pruned = prunedShingleIndex(aug, shingleN = 4, maxShingleFreq = 20)
+    // shingle of a doc past the cap) — so ELIGIBILITY reads the SAME doc
+    // lists the pair generator expands (checkpointed: they feed both the
+    // pair expansion and the eligibility count, and building them is the
+    // dominant cost of one of the suite's slowest queries)
+    val lists = shingleDocLists(aug, shingleN = 4, maxShingleFreq = 20)
       .localCheckpoint()
-    val cands = ngramPairsFromIndex(pruned)
-    val eligible = pruned.filter(col("doc_id") < PlantN)
-      .select(col("doc_id")).distinct()
+    val cands = ngramPairsFromLists(lists)
+    val eligible = lists.select(explode(col("docs")).as("d"))
+      .filter(col("d.doc_id") < PlantN)
+      .select(col("d.doc_id")).distinct()
       .agg(count(lit(1)).as("n_planted"))
     val stats = cands.agg(
       coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
