@@ -360,8 +360,146 @@ object Multimodal {
       |    AS VARCHAR) AS rms
       |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val payloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Deterministic solid-colour PNG at (w, h). */
+  private def solidPng(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Oracled image-resize round-trip: synthesize a REAL solid-colour PNG per
+    * document (dims from n_chars, colour from doc_id), shrink the long side
+    * to ≤16 via `resizeImages`, then DECODE THE RESIZED PAYLOAD BACK and
+    * emit its dims + mean colour. DuckDB predicts the dims through the same
+    * two-step double math (scale = 16/max, round half-up) and the colours
+    * exactly — bilinear interpolation of a constant image is the constant,
+    * and PNG is lossless, so the differential covers the decode, the scale,
+    * and the re-encode end to end. */
+  private def imageResizeOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pngs = s.createDataFrame(docs.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val docId = r.getLong(0)
+        val nc = r.getLong(1)
+        val rgb = (((docId % 256) << 16) | (((docId * 7) % 256) << 8) |
+          ((docId * 13) % 256)).toInt
+        Row(docId, solidPng((nc % 64 + 1).toInt, (nc % 48 + 1).toInt, rgb))
+      }
+    }, payloadSchema)
+    val redecSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("mean_r", IntegerType, nullable = false),
+      StructField("mean_g", IntegerType, nullable = false),
+      StructField("mean_b", IntegerType, nullable = false)))
+    s.createDataFrame(
+      resizeImages(pngs, maxDim = 16).select("doc_id", "payload")
+        .rdd.mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.flatMap { r =>
+            decodeImage(r.getAs[Array[Byte]](1)).map { case (_, w, h, feats) =>
+              Row(r.getLong(0), w, h,
+                math.round(feats(0) * 255).toInt,
+                math.round(feats(1) * 255).toInt,
+                math.round(feats(2) * 255).toInt)
+            }
+          }
+        }, redecSchema)
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageResizeSql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars % 64 + 1 AS INTEGER) AS w0,
+      |    CAST(n_chars % 48 + 1 AS INTEGER) AS h0
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN greatest(w0, h0) <= 16 THEN w0
+      |    ELSE greatest(1, CAST(round(w0 * (16.0 / greatest(w0, h0)))
+      |      AS INTEGER)) END AS width,
+      |  CASE WHEN greatest(w0, h0) <= 16 THEN h0
+      |    ELSE greatest(1, CAST(round(h0 * (16.0 / greatest(w0, h0)))
+      |      AS INTEGER)) END AS height,
+      |  CAST(doc_id % 256 AS INTEGER) AS mean_r,
+      |  CAST((doc_id * 7) % 256 AS INTEGER) AS mean_g,
+      |  CAST((doc_id * 13) % 256 AS INTEGER) AS mean_b
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  /** A 256-gray indexed frame: the GIF encoder stores the exact palette
+    * entry, no quantization — gray levels round-trip bit-exact. */
+  private def grayFrame(w: Int, h: Int, gray: Int): java.awt.image.BufferedImage = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(gray, gray, gray))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    img
+  }
+
+  /** Multi-frame GIF from per-frame images (the JDK-real animated case). */
+  private def gifOf(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    out.toByteArray
+  }
+
+  /** Oracled frame sampling: synthesize a REAL animated GIF per document
+    * (doc_id%5+1 frames of 8×6 solid gray, level (doc_id·31 + idx·17)%256),
+    * sample every 2nd frame through `sampleFrames`, and emit each sampled
+    * frame's index, dims and gray level (luma of (g,g,g) is g). DuckDB
+    * predicts the sampled index set and every value from doc_id alone. */
+  private def frameSampleOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val gifs = s.createDataFrame(docs.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val docId = r.getLong(0)
+        val frames = (0 until (docId % 5 + 1).toInt).map(f =>
+          grayFrame(8, 6, ((docId * 31 + f * 17) % 256).toInt))
+        Row(docId, gifOf(frames))
+      }
+    }, payloadSchema)
+    sampleFrames(gifs, everyK = 2)
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        round(element_at(col("features"), 4) * 255, 0).cast("int").as("luma"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql =
+    """SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |  8 AS width, 6 AS height,
+      |  CAST((doc_id * 31 + f * 17) % 256 AS INTEGER) AS luma
+      |FROM documents, unnest(range(0, doc_id % 5 + 1, 2)) AS u(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
-    QueryDef("q63_audio_roundtrip", audioRoundTrip, Some(audioRoundTripSql)))
+    QueryDef("q63_audio_roundtrip", audioRoundTrip, Some(audioRoundTripSql)),
+    QueryDef("q72_image_resize", imageResizeOracled, Some(imageResizeSql)),
+    QueryDef("q73_frame_sample", frameSampleOracled, Some(frameSampleSql)))
 }
