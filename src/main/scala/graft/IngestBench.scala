@@ -36,15 +36,39 @@ object IngestBench {
         case _ => IngestRequest(s"$sfDir/lineitem.parquet", "parquet", url,
           chunkSizeByRecords = Some(chunkSize))
       }
+      // SPARK_GRAFT_PARALLEL=N runs N ingestions of the same table
+      // CONCURRENTLY (distinct re-ingestion versions → distinct ingestion
+      // ids): the protocol is serial per ingestion but parallel across
+      // ingestions, so aggregate throughput should scale near-linearly
+      // until the executor pool saturates
+      val streams = sys.env.getOrElse("SPARK_GRAFT_PARALLEL", "1").toInt
       val t0 = System.nanoTime()
-      val result = IngestionPipeline.run(spark, request, store)
+      val results =
+        if (streams <= 1) Seq(IngestionPipeline.run(spark, request, store))
+        else {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(streams)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence((0 until streams).map { i =>
+            Future(IngestionPipeline.run(spark,
+              request.copy(reIngestion = true),
+              IngestionStateStore.inMemory(),
+              // distinct fixed version per stream → distinct ingestion id
+              nowMillis = 1000000L + i))
+          }), Duration.Inf)
+          finally pool.shutdown()
+        }
       val sec = (System.nanoTime() - t0) / 1e9
-      val rps = result.totalRecords / sec
-      println(f"""{"metric":"ingest_throughput","records":${result.totalRecords},"chunks":${result.chunksSent},"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsEver}}""")
-      require(mock.totalRecordsEver == result.totalRecords,
-        s"receiver saw ${mock.totalRecordsEver} records, sender counted ${result.totalRecords}")
-      require(result.totalRecords > 0 && result.chunksSent > 0,
-        "chunk accounting broken")
+      val total = results.map(_.totalRecords).sum
+      val chunksSent = results.map(_.chunksSent).sum
+      val rps = total / sec
+      println(f"""{"metric":"ingest_throughput","streams":$streams,"records":$total,"chunks":$chunksSent,"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsEver}}""")
+      require(mock.totalRecordsEver == total,
+        s"receiver saw ${mock.totalRecordsEver} records, senders counted $total")
+      require(results.map(_.ingestionId).distinct.size == streams,
+        "parallel streams must have distinct ingestion ids")
+      require(total > 0 && chunksSent > 0, "chunk accounting broken")
       // phase breakdown (separate warm run, AFTER the accounting checks —
       // it re-sends the table and would double the receiver's counters)
       if (sys.env.contains("SPARK_GRAFT_PHASES")) {

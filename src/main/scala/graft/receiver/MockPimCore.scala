@@ -36,14 +36,21 @@ final class MockPimCore {
     toReject(n) = toReject.getOrElse(n, 0) + times
   }
 
-  def handle(body: String): Response = synchronized {
+  def handle(body: String): Response = {
+    // parse + checksum recompute run OUTSIDE the state lock: they are the
+    // CPU cost of a request and independent ingestions must validate in
+    // parallel (the reference receiver is a multi-worker uvicorn process).
+    // The sender serializes per ingestion (no chunk n+1 before chunk n's
+    // ACK), so per-ingestion validation order is untouched.
     val obj = MiniJson.parse(body).asInstanceOf[MiniJson.JObj]
     val ingestionId = str(obj, "ingestion_id")
 
     if (obj.get("status").contains(MiniJson.JStr("COMPLETED"))) {
       // A27: completion accounting — acknowledge and reset the counter
-      completedCount += 1
-      totalRecordsReceived = 0L
+      synchronized {
+        completedCount += 1
+        totalRecordsReceived = 0L
+      }
       return Response(ack = true, ingestionId, chunkNumber = -1, error = None)
     }
 
@@ -54,30 +61,34 @@ final class MockPimCore {
       case Some(MiniJson.JArr(vs)) => vs
       case _ => Vector.empty
     }
-
-    if (toReject.getOrElse(chunkNumber, 0) > 0) {
-      val left = toReject(chunkNumber) - 1
-      if (left == 0) toReject.remove(chunkNumber) else toReject(chunkNumber) = left
-      return Response(ack = false, ingestionId, chunkNumber, Some("Injected rejection"))
-    }
-    if (records.isEmpty) // pim_core_mock_test.py:68-77
-      return Response(ack = false, ingestionId, chunkNumber, Some(EmptyChunk))
-    if (processed.contains(chunkId)) // A23: duplicate → idempotent ACK
-      return Response(ack = true, ingestionId, chunkNumber, None)
-    val last = lastChunk.getOrElse(ingestionId, -1L)
-    if (chunkNumber != last + 1) // A24: strict ordering
-      return Response(ack = false, ingestionId, chunkNumber, Some(OutOfOrder))
     // A25: independent checksum recompute from the PARSED records
-    val canonical = MiniJson.canonicalAll(records, sizeHint = body.length)
-    if (Identity.sha256Hex(canonical) != checksum)
-      return Response(ack = false, ingestionId, chunkNumber, Some(ChecksumMismatch))
+    val checksumOk = records.nonEmpty && {
+      val canonical = MiniJson.canonicalAll(records, sizeHint = body.length)
+      Identity.sha256Hex(canonical) == checksum
+    }
 
-    processed += chunkId
-    lastChunk(ingestionId) = chunkNumber
-    totalRecordsReceived += records.size
-    totalRecordsEver += records.size
-    receivedChunks += chunkNumber
-    Response(ack = true, ingestionId, chunkNumber, None)
+    synchronized {
+      if (toReject.getOrElse(chunkNumber, 0) > 0) {
+        val left = toReject(chunkNumber) - 1
+        if (left == 0) toReject.remove(chunkNumber) else toReject(chunkNumber) = left
+        Response(ack = false, ingestionId, chunkNumber, Some("Injected rejection"))
+      } else if (records.isEmpty) // pim_core_mock_test.py:68-77
+        Response(ack = false, ingestionId, chunkNumber, Some(EmptyChunk))
+      else if (processed.contains(chunkId)) // A23: duplicate → idempotent ACK
+        Response(ack = true, ingestionId, chunkNumber, None)
+      else if (chunkNumber != lastChunk.getOrElse(ingestionId, -1L) + 1)
+        Response(ack = false, ingestionId, chunkNumber, Some(OutOfOrder)) // A24
+      else if (!checksumOk)
+        Response(ack = false, ingestionId, chunkNumber, Some(ChecksumMismatch))
+      else {
+        processed += chunkId
+        lastChunk(ingestionId) = chunkNumber
+        totalRecordsReceived += records.size
+        totalRecordsEver += records.size
+        receivedChunks += chunkNumber
+        Response(ack = true, ingestionId, chunkNumber, None)
+      }
+    }
   }
 
   private def str(o: MiniJson.JObj, k: String): String =
@@ -113,6 +124,9 @@ object MockPimCore {
     System.setProperty("sun.net.httpserver.nodelay", "true")
     val mock = new MockPimCore
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    // without an executor every request runs on the single dispatch thread,
+    // which would serialize validation across concurrent ingestions
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool())
     server.createContext("/callback", new HttpHandler {
       override def handle(ex: HttpExchange): Unit = {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
