@@ -71,6 +71,13 @@ object AnnIvf {
   def writeIndex(corpus: DataFrame, centroids: Array[Seq[Double]],
       path: String): Unit =
     assignCells(corpus, centroids)
+      // cluster by cell before the partitioned write: without this every
+      // writer task holds rows of every cell and emits one file per
+      // (task, cell) — shuffle.partitions × k small files. Hashed on cell,
+      // each cell's rows sit in one task: one well-sized file per cell dir
+      // (a 100 TB build would salt the key — repartition(n, cell, salt) —
+      // to split giant cells across writers; the layout is unchanged)
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** ANN top-k over a materialized index. The probe cells of the (small)
