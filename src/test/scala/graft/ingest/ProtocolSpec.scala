@@ -104,6 +104,33 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(result.state.exists(_.status == IngestionState.Completed))
   }
 
+  test("concurrent ingestions interleave freely but stay ordered per ingestion") {
+    // 4 distinct files → 4 ingestion ids, run simultaneously against ONE
+    // receiver. The receiver NACKs any out-of-order chunk within an
+    // ingestion (A24), and 3 NACKs are terminal — so all four completing
+    // with full counts PROVES per-ingestion ordering survived arbitrary
+    // cross-ingestion interleaving (the IngestController concurrency model)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val files = (0 until 4).map(_ => freshFile())
+    val recordsBefore = mock.totalRecordsEver
+    val completionsBefore = mock.completedCount
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val results =
+      try Await.result(Future.sequence(files.map(f => Future {
+        IngestionPipeline.run(spark, request(f), IngestionStateStore.inMemory())
+      })), 120.seconds)
+      finally pool.shutdown()
+    results.foreach { r =>
+      assert(r.chunksSent == 5 && r.totalRecords == 50)
+      assert(r.state.exists(_.status == IngestionState.Completed))
+    }
+    assert(results.map(_.ingestionId).distinct.size == 4)
+    assert(mock.totalRecordsEver == recordsBefore + 200)
+    assert(mock.completedCount == completionsBefore + 4)
+  }
+
   test("duplicate chunk delivery is idempotent at the receiver (A23)") {
     val file = freshFile()
     val store = IngestionStateStore.inMemory()
