@@ -312,7 +312,33 @@ object CorpusOps {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM base GROUP BY lang, reason ORDER BY lang, reason""".stripMargin
 
+  /** Deterministic epoch shuffle — the reproducible global permutation a
+    * training run needs per epoch (decorrelates batches; same seed → same
+    * order on any cluster layout, so a preempted job resumes mid-epoch).
+    * Order key = md5(seed:doc_id): uniform, engine-independent, and
+    * collision-free in practice. The permutation POSITION is assigned by
+    * the same range-partition + per-partition-index scheme as chunk
+    * numbering (`ChunkAssigner.withRowNumber`) — a global sort without a
+    * single-task funnel, so the shuffle is shuffle-bounded at any corpus
+    * size. Returns (epoch_pos, all original columns). */
+  def epochShuffle(docs: DataFrame, seed: Long): DataFrame =
+    graft.chunk.ChunkAssigner.withRowNumber(
+      docs.withColumn("__ek", md5(concat_ws(":", lit(seed), col("doc_id")))),
+      Seq(col("__ek")), rnName = "epoch_pos")
+      .drop("__ek")
+
+  private def q74(s: SparkSession, dir: String): DataFrame =
+    epochShuffle(Tables.documents(s, dir).select(col("doc_id")), seed = 7L)
+      .select(col("epoch_pos"), col("doc_id"))
+      .orderBy(col("epoch_pos"))
+
+  private val q74Sql =
+    """SELECT row_number() OVER (ORDER BY md5('7:' || doc_id)) - 1 AS epoch_pos,
+      |  doc_id
+      |FROM documents ORDER BY epoch_pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q74_epoch_shuffle", q74, Some(q74Sql)),
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
     QueryDef("q65_corpus_freq_quality", q65, Some(q65Sql)),
     QueryDef("q66_group_sample", q66, Some(q66Sql)),

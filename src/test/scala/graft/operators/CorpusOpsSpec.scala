@@ -81,6 +81,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       "too_short" -> 1L, "kept" -> 1L))
   }
 
+  test("epochShuffle is a partition-layout-invariant permutation, distinct per seed") {
+    val docs = (0L until 300L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      CorpusOps.epochShuffle(df, seed)
+        .select("epoch_pos", "doc_id").collect()
+        .sortBy(_.getLong(0)).map(_.getLong(1)).toSeq
+    val base = order(docs, seed = 3L)
+    // a permutation of the corpus: every doc exactly once
+    assert(base.sorted == (0L until 300L))
+    // same seed, different physical layout -> identical permutation
+    assert(order(docs.repartition(17), 3L) == base)
+    assert(order(docs.coalesce(1), 3L) == base)
+    // different seed -> different permutation (overwhelmingly)
+    assert(order(docs, seed = 4L) != base)
+    // positions are dense from 0
+    val pos = CorpusOps.epochShuffle(docs, 3L).select("epoch_pos")
+      .as[Long].collect().sorted
+    assert(pos.toSeq == (0L until 300L))
+  }
+
   test("redactPii counts and replaces emails, IPv4s, and phone numbers") {
     val df = Seq(
       (0L, "mail me at bob7@web.org or root@host.net from 192.168.0.1 tel 555-0199"),
