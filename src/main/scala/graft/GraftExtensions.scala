@@ -46,5 +46,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("rolling_fingerprints", "rolling_fingerprints(str, k, w) - winnowing fingerprint set"),
       (exprs: Seq[Expression]) => graft.functions.RollingFingerprints(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    // sketch aggregates: the analyzer wraps a returned AggregateFunction in
+    // an AggregateExpression, so these work as plain SQL aggregates
+    ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
+      info("bloom_filter_agg", "bloom_filter_agg(hash, numBits, k) - Bloom bitset over 64-bit hashes"),
+      (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(bloom, hash, k) - membership probe"),
+      (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs.head,
+        exprs(1), exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("count_min_sketch_agg"),
+      info("count_min_sketch_agg", "count_min_sketch_agg(hash, depth, width) - CMS counter grid"),
+      (exprs: Seq[Expression]) => graft.functions.CountMinSketchAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("cms_estimate"),
+      info("cms_estimate", "cms_estimate(grid, hash, width) - min-over-rows count estimate"),
+      (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs.head,
+        exprs(1), exprs(2).eval().asInstanceOf[Int])))
   }
 }

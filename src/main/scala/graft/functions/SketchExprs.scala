@@ -1,0 +1,253 @@
+package graft.functions
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSql
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Distributed set/frequency sketches as native Catalyst aggregates.
+  *
+  * These are the 100 TB answers to two questions the exact operators answer
+  * with corpus-sized shuffles:
+  *
+  *  - "have I seen this document before?" — [[BloomFilterAgg]] builds a
+  *    fixed-size bitset; only `numBits/8` bytes per partition cross the
+  *    shuffle (bitwise-OR merge), and the finished filter broadcasts to
+  *    probe a new batch with zero joins. Contrast q70's exact incremental
+  *    dedup, which shuffles the new batch against the corpus index.
+  *  - "how frequent is this token?" — [[CountMinSketchAgg]] keeps a
+  *    depth×width counter grid; partials merge by element-wise add, so the
+  *    full vocabulary never shuffles (q31/q65 shuffle one row per distinct
+  *    token — fine until the vocabulary itself is TB-scale).
+  *
+  * Both guarantee one-sidedness (no false negatives / never underestimate),
+  * which is what the driver-checked gates in SketchOps assert.
+  *
+  * Hashing: callers pass any 64-bit hash of the value (`xxhash64`); the
+  * sketches derive k index functions with the Kirsch–Mitzenmacher double
+  * hashing scheme h_i = h1 + i·h2 over murmur-finalized remixes, so results
+  * are deterministic across partitionings and engines.
+  */
+object SketchHash {
+  /** MurmurHash3 64-bit finalizer — full-avalanche remix of a hash. */
+  def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** i-th derived index in [0, mod) for input hash v. */
+  def index(v: Long, i: Int, mod: Int): Int = {
+    val h1 = fmix64(v)
+    val h2 = fmix64(v ^ 0x9e3779b97f4a7c15L) | 1L
+    java.lang.Math.floorMod(h1 + i.toLong * h2, mod.toLong).toInt
+  }
+}
+
+/** Bloom filter over 64-bit input hashes. Buffer is a Long-word bitset;
+  * merge is bitwise OR; result is the bitset as BINARY (little-endian),
+  * small enough to broadcast (default 2^21 bits = 256 KiB). */
+case class BloomFilterAgg(
+    child: Expression,
+    numBits: Int,
+    numHashes: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(numBits > 0 && numBits % 64 == 0, s"numBits must be a positive multiple of 64: $numBits")
+  require(numHashes > 0, s"numHashes must be positive: $numHashes")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_filter_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var i = 0
+      while (i < numHashes) {
+        val idx = SketchHash.index(h, i, numBits)
+        buf(idx >>> 6) |= (1L << (idx & 63))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BloomFilterAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BloomFilterAgg =
+    copy(child = newChild)
+}
+
+object BloomFilterAgg {
+  def of(hash: Column, numBits: Int, numHashes: Int): Column =
+    GraftSql.column(
+      BloomFilterAgg(GraftSql.expression(hash), numBits, numHashes).toAggregateExpression())
+}
+
+/** Membership probe against a [[BloomFilterAgg]] bitset: true iff all k
+  * derived bits are set. numBits is recovered from the binary's length, so
+  * the probe stays correct for any filter size the caller built. */
+case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def nullSafeEval(bloom: Any, hash: Any): Any = {
+    val bytes = bloom.asInstanceOf[Array[Byte]]
+    val h = hash.asInstanceOf[Long]
+    val numBits = bytes.length * 8
+    var i = 0
+    while (i < numHashes) {
+      val idx = SketchHash.index(h, i, numBits)
+      if ((bytes(idx >>> 3) & (1 << (idx & 7))) == 0) return java.lang.Boolean.FALSE
+      i += 1
+    }
+    java.lang.Boolean.TRUE
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomMightContain =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  def of(bloom: Column, hash: Column, numHashes: Int): Column =
+    GraftSql.column(
+      BloomMightContain(GraftSql.expression(bloom), GraftSql.expression(hash), numHashes))
+}
+
+/** Count-min sketch over 64-bit input hashes: depth×width counter grid,
+  * counts(d)(index_d(h)) += 1 per row, element-wise-add merge. Result is
+  * the flattened grid as array<bigint> (row-major), suitable for broadcast
+  * and probing with [[CmsEstimate]]. */
+case class CountMinSketchAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  require(depth > 0 && width > 0, s"depth/width must be positive: $depth x $width")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "count_min_sketch_agg"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var d = 0
+      while (d < depth) {
+        buf(d * width + SketchHash.index(h, d, width)) += 1L
+        d += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinSketchAgg =
+    copy(child = newChild)
+}
+
+object CountMinSketchAgg {
+  def of(hash: Column, depth: Int, width: Int): Column =
+    GraftSql.column(
+      CountMinSketchAgg(GraftSql.expression(hash), depth, width).toAggregateExpression())
+}
+
+/** Point estimate from a [[CountMinSketchAgg]] grid: min over rows of the
+  * counter at each row's derived index — never underestimates the true
+  * count. width is passed explicitly; depth = grid length / width. */
+case class CmsEstimate(left: Expression, right: Expression, width: Int)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def nullSafeEval(grid: Any, hash: Any): Any = {
+    val arr = grid.asInstanceOf[ArrayData]
+    val h = hash.asInstanceOf[Long]
+    val depth = arr.numElements() / width
+    var best = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      val c = arr.getLong(d * width + SketchHash.index(h, d, width))
+      if (c < best) best = c
+      d += 1
+    }
+    java.lang.Long.valueOf(best)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimate =
+    copy(left = newLeft, right = newRight)
+}
+
+object CmsEstimate {
+  def of(grid: Column, hash: Column, width: Int): Column =
+    GraftSql.column(
+      CmsEstimate(GraftSql.expression(grid), GraftSql.expression(hash), width))
+}

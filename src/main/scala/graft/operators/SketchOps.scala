@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CountMinSketchAgg}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-backed corpus operators plus deterministic batch-prep transforms —
+  * the pieces that replace corpus-sized shuffles with fixed-size state at
+  * 100 TB (SURVEY.md §2 training-data extensions; reference capability tier:
+  * the reference's dedup/counting services work per-ingestion batch,
+  * `app/services/data_integrity_manager.py:25` — these are the corpus-scale
+  * generalizations).
+  *
+  *  - q75: Bloom-filter incremental dedup — the scale path for q70's exact
+  *    incremental dedup. The "seen corpus" is a 256 KiB bitset, not a join
+  *    side: building it shuffles numBits/8 bytes per partition (bitwise-OR
+  *    partials), probing a new batch is a broadcast + one scan, no join.
+  *  - q76: count-min heavy-hitter counts — frequency estimates without
+  *    shuffling the vocabulary: the depth×width grid merges map-side, so
+  *    executors exchange 40960 longs instead of one row per distinct token.
+  *  - q77: domain-mixture sampling — deterministic hash-threshold
+  *    downsampling to a per-source target rate (the data-mixing step before
+  *    training); no shuffle at all until the audit aggregation.
+  *  - q78: sequence-length bucketing — power-of-two length buckets with
+  *    exact padding-waste accounting (what a batching layer pads/truncates).
+  *
+  * Gate discipline (same as Dedup's recall gates): the sketch queries also
+  * compute the exact answer on the small probe/plant set and emit boolean
+  * gates the DuckDB oracle re-asserts — one-sided-error guarantees
+  * (no Bloom false negatives, CMS never underestimates) become hard
+  * driver-checked facts rather than claims.
+  */
+object SketchOps {
+
+  // ==== q75: Bloom-filter incremental dedup ================================
+
+  private val BloomBits = 1 << 21 // 256 KiB — capacity ~150k items at 1% fp
+  private val BloomK = 5
+  private val PlantN = 50L // copies of old docs planted into the new batch
+
+  /** Flag rows of `newBatch` whose `text` was (maybe) seen in `seen`.
+    * The filter build and the probe are both single-scan; the finished
+    * bitset broadcasts. No false negatives by construction. */
+  def bloomSeenFlags(seen: DataFrame, newBatch: DataFrame): DataFrame = {
+    val bloom = seen.agg(
+      BloomFilterAgg.of(xxhash64(col("text")), BloomBits, BloomK).as("bloom"))
+    newBatch.crossJoin(broadcast(bloom)) // single-row scalar join idiom
+      .withColumn("maybe_seen",
+        BloomMightContain.of(col("bloom"), xxhash64(col("text")), BloomK))
+      .drop("bloom")
+  }
+
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    // new batch = the odd half plus planted exact copies of 25 old docs,
+    // so the no-false-negative gate is exercised by construction
+    val planted = old.filter(col("doc_id") < PlantN)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    val newBatch = docs.filter(col("doc_id") % 2 === 1).unionByName(planted)
+
+    val flagged = bloomSeenFlags(old, newBatch)
+      .join(old.select(col("text")).distinct().withColumn("is_dup", lit(true)),
+        Seq("text"), "left")
+      .withColumn("is_dup", coalesce(col("is_dup"), lit(false)))
+
+    flagged.agg(
+      count(lit(1)).as("n_new"),
+      sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+      // Bloom guarantee: every exact dup is flagged — zero false negatives
+      coalesce(bool_and(!col("is_dup") || col("maybe_seen")), lit(true))
+        .as("zero_false_neg"),
+      // fp budget: the 2^21-bit filter holds the corpus at << 1% fp; gate
+      // at 10% of the batch so the bound is robust across scale factors
+      (sum(when(col("maybe_seen") && !col("is_dup"), 1L).otherwise(0L))
+        <= count(lit(1)) / 10).as("fp_ok"))
+  }
+
+  private val q75Sql =
+    """WITH old AS (SELECT text FROM documents WHERE doc_id % 2 = 0),
+      |newd AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id < 50),
+      |flags AS (
+      |  SELECT doc_id, text IN (SELECT text FROM old) AS is_dup FROM newd)
+      |SELECT count(*) AS n_new,
+      |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+      |  TRUE AS zero_false_neg, TRUE AS fp_ok
+      |FROM flags""".stripMargin
+
+  // ==== q76: count-min-sketch heavy hitters ================================
+
+  private val CmsDepth = 5
+  private val CmsWidth = 8192
+  private val TopK = 20
+
+  /** CMS frequency grid over a token column plus the exact top-k for the
+    * gate; returns one row of audit gates. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(Tok.ws(col("text"))).as("token"))
+    val cms = toks.agg(
+      CountMinSketchAgg.of(xxhash64(col("token")), CmsDepth, CmsWidth).as("cms"),
+      count(lit(1)).as("n_total"))
+    val top = toks.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(TopK)
+    top.crossJoin(broadcast(cms)) // single-row scalar join idiom
+      .withColumn("est", CmsEstimate.of(col("cms"), xxhash64(col("token")), CmsWidth))
+      .agg(
+        count(lit(1)).as("n_probes"),
+        sum(col("cnt")).as("sum_exact"),
+        // CMS guarantee: estimates never undercount
+        bool_and(col("est") >= col("cnt")).as("all_ge"),
+        // overestimate bounded by collisions: eps = 1% of the stream is
+        // ~27x the expected per-cell excess at width 8192, min over 5 rows
+        bool_and(col("est") <= col("cnt") + col("n_total") / 100).as("all_within"))
+  }
+
+  private val q76Sql =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS token
+      |  FROM documents),
+      |top AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token
+      |        ORDER BY cnt DESC, token LIMIT 20)
+      |SELECT count(*) AS n_probes, CAST(sum(cnt) AS BIGINT) AS sum_exact,
+      |  TRUE AS all_ge, TRUE AS all_within
+      |FROM top""".stripMargin
+
+  // ==== q77: domain-mixture sampling =======================================
+
+  /** Deterministic per-source downsampling to a target mixture: keep a doc
+    * iff the first 4 md5 hex chars of "source:doc_id" fall under the
+    * source's rate threshold. Pure map-side — the 100 TB corpus is sampled
+    * in the scan; only the per-source audit rows shuffle. Rates here cycle
+    * 25/50/80/100% by source index (a stand-in for a real mixture spec). */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val thr = when(srcIdx % 4 === 0, "4000")
+      .when(srcIdx % 4 === 1, "8000")
+      .when(srcIdx % 4 === 2, "cccc")
+      .otherwise("ffff")
+    Tables.documents(s, dir)
+      .withColumn("keep",
+        substring(md5(concat_ws(":", col("source"), col("doc_id").cast("string"))), 1, 4) < thr)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L)).as("sampled_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val q77Sql =
+    """SELECT source, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS sampled_chars
+      |FROM (
+      |  SELECT source, n_chars,
+      |    substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+      |      CASE CAST(substr(source, 4) AS INT) % 4
+      |        WHEN 0 THEN '4000' WHEN 1 THEN '8000'
+      |        WHEN 2 THEN 'cccc' ELSE 'ffff' END AS keep
+      |  FROM documents)
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  // ==== q78: sequence-length bucketing =====================================
+
+  private val MinBucket = 16
+  private val MaxBucket = 4096
+
+  /** Power-of-two length buckets with exact padding/truncation accounting:
+    * bucket = clamp(next_pow2(n_tokens), 16, 4096); padding is what a
+    * fixed-length batcher would pad, truncated counts docs over the cap.
+    * Map-side arithmetic on the scan, tiny group-by at the end. */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    val n = size(Tok.ws(col("text")))
+    val bucket = when(n <= MinBucket, MinBucket)
+      .otherwise(least(lit(MaxBucket),
+        call_function("shiftleft", lit(1), length(bin((n - 1).cast("long"))))))
+    Tables.documents(s, dir)
+      .select(n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("n_tokens"), lit(MaxBucket)).cast("long")).as("sum_tokens"),
+        (col("bucket").cast("long") * count(lit(1))
+          - sum(least(col("n_tokens"), lit(MaxBucket)).cast("long"))).as("padding"),
+        sum(when(col("n_tokens") > MaxBucket, 1L).otherwise(0L)).as("n_truncated"))
+      .orderBy(col("bucket"))
+  }
+
+  private val q78Sql =
+    """WITH lens AS (
+      |  SELECT len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16
+      |         ELSE least(4096, 1 << length(bin(n_tokens - 1))) END AS bucket
+      |  FROM lens)
+      |SELECT bucket, count(*) AS n_docs,
+      |  CAST(sum(least(n_tokens, 4096)) AS BIGINT) AS sum_tokens,
+      |  CAST(bucket * count(*) - sum(least(n_tokens, 4096)) AS BIGINT)
+      |    AS padding,
+      |  CAST(sum(CASE WHEN n_tokens > 4096 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_truncated
+      |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q75_bloom_dedup", q75, Some(q75Sql)),
+    QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
+    QueryDef("q77_domain_mixture", q77, Some(q77Sql)),
+    QueryDef("q78_length_buckets", q78, Some(q78Sql)))
+}

@@ -58,4 +58,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getDouble(4) == 11.0)
     assert(row.getInt(5) > 0)
   }
+
+  test("sketch aggregates and probes work from plain SQL") {
+    spark.range(100).createOrReplaceTempView("sk_in")
+    val row = spark.sql(
+        """WITH b AS (
+          |  SELECT bloom_filter_agg(xxhash64(id), 1024, 4) AS bloom,
+          |         count_min_sketch_agg(xxhash64(id), 3, 256) AS cms
+          |  FROM sk_in)
+          |SELECT
+          |  bloom_might_contain(bloom, xxhash64(7L), 4) AS hit,
+          |  cms_estimate(cms, xxhash64(7L), 256) AS est
+          |FROM b""".stripMargin).collect()(0)
+    assert(row.getBoolean(0), "inserted value must probe true")
+    assert(row.getLong(1) >= 1L, "CMS must count the inserted value")
+  }
 }

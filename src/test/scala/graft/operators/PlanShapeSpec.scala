@@ -96,6 +96,18 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch builds merge partials map-side; only fixed-size state shuffles") {
+    // BloomFilterAgg / CountMinSketchAgg are TypedImperativeAggregates: the
+    // plan must show a partial + final aggregate pair, so what crosses the
+    // exchange is one serialized bitset/grid per task, never the input rows
+    for (q <- Seq("q75_bloom_dedup", "q76_heavy_hitters")) {
+      val p = plan(q)
+      val sketchAggs = "(ObjectHashAggregate|SortAggregate)".r.findAllIn(p).size
+      assert(sketchAggs >= 2, s"$q sketch build is not partial+final:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+  }
+
   test("q65: term-frequency aggregation is partial (map-side) before the shuffle") {
     val p = plan("q65_corpus_freq_quality")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
