@@ -152,4 +152,56 @@ class StreamingSpec extends AnyFunSuite {
       .agg(max("running_n").as("n")).as[(Long, Long)].collect().toMap
     assert(latest == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("bloom stream dedup: first occurrence passes, repeats drop, state stays bounded") {
+    val input = MemoryStream[(Long, String)](spark)
+    // small filter on purpose: 2^10 bits x 4 buckets is still far larger
+    // than the 6 distinct texts, so no false positives are possible here
+    val out = CorpusStreaming.bloomDedupStream(
+      input.toDS(), numBits = 1 << 10, numHashes = 4, buckets = 4)
+    val q = out.toDF("doc_id", "text").writeStream
+      .format("memory").queryName("bloom_dedup_out").outputMode("append").start()
+    try {
+      input.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha"))
+      q.processAllAvailable()
+      // next micro-batch: re-sends of seen texts must NOT re-emit — the
+      // bitset survived in the state store across batches
+      input.addData((4L, "alpha"), (5L, "beta"), (6L, "gamma"), (7L, "gamma"))
+      q.processAllAvailable()
+      input.addData((8L, "delta"), (9L, "alpha"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("bloom_dedup_out")
+      .select("text").as[String].collect().sorted.toSeq
+    assert(emitted == Seq("alpha", "beta", "delta", "gamma"),
+      s"each distinct text must be emitted exactly once: $emitted")
+    // the duplicate in the FIRST batch of its text never double-emits either
+    val ids = spark.table("bloom_dedup_out").select("doc_id").as[Long].collect().toSet
+    assert(ids.intersect(Set(3L, 4L, 5L, 7L, 9L)).isEmpty,
+      s"a repeat id leaked through: $ids")
+  }
+
+  test("bloom stream dedup parity: streamed output == batch exact dedup (planted dups)") {
+    // documents with planted duplicates, streamed in two halves
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val planted = docs.take(10).map { case (id, t) => (id + 1000000L, t) }
+    val input = MemoryStream[(Long, String)](spark)
+    val out = CorpusStreaming.bloomDedupDocs(
+      input.toDS().toDF("doc_id", "text"), numBits = 1 << 18)
+    val q = out.writeStream
+      .format("memory").queryName("bloom_parity_out").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      input.addData(planted: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedTexts = spark.table("bloom_parity_out")
+      .select("text").as[String].collect().sorted.toSeq
+    val exactDistinct = docs.map(_._2).distinct.sorted
+    assert(streamedTexts == exactDistinct,
+      "streamed first-occurrence set must equal the exact distinct set " +
+        "(filter sized so fp = 0 at this cardinality)")
+  }
 }
