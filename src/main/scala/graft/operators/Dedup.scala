@@ -244,11 +244,9 @@ object Dedup {
 
   private def ngramPairsFromLists(lists: DataFrame): DataFrame =
     lists
-      .select(explode(expr(
-        """flatten(transform(docs, (a, i) ->
-          |  transform(slice(docs, i + 2, size(docs)), b ->
-          |    named_struct('doc_a', a.doc_id, 'doc_b', b.doc_id,
-          |                 'na', a.n_sh, 'nb', b.n_sh))))""".stripMargin)).as("p"))
+      // native tight-loop pair kernel (functions/PairCombos.scala) — the
+      // lambda formulation ran interpreted at O(k²) slice copies per bucket
+      .select(explode(graft.functions.PairCombos.of(col("docs"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
