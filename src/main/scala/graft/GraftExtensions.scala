@@ -60,6 +60,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("count_min_sketch_agg", "count_min_sketch_agg(hash, depth, width) - CMS counter grid"),
       (exprs: Seq[Expression]) => graft.functions.CountMinSketchAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    ext.injectFunction((FunctionIdentifier("top_k"),
+      info("top_k", "top_k(struct, k) - k largest structs by struct order, largest first"),
+      (exprs: Seq[Expression]) => graft.functions.TopKAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     ext.injectFunction((FunctionIdentifier("cms_estimate"),
       info("cms_estimate", "cms_estimate(grid, hash, width) - min-over-rows count estimate"),
       (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs.head,

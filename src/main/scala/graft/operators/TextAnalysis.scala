@@ -437,7 +437,44 @@ object TextAnalysis {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS top_bigram_frac
       |FROM tb ORDER BY doc_id""".stripMargin
 
+  // ==== q79: top-k tokens per source via the bounded top-k aggregate ======
+  //
+  // The window formulation (rank() OVER (PARTITION BY source ORDER BY cnt))
+  // shuffles every (source, token, cnt) row to its source's reducer and
+  // sorts whole groups; TopKAgg keeps a k-capped buffer in every partial,
+  // so at most k rows per (task, source) cross the final shuffle and no
+  // reducer sorts a full vocabulary — the skew-safe per-group top-k at
+  // 100 TB. Ties rank by descending token (the struct order), mirrored in
+  // the oracle's ORDER BY.
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("source"), explode(Tok.ws(col("text"))).as("token"))
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("cnt"))
+    tf.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.of(
+        struct(col("cnt"), col("token")), 3).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("rank0", "t")))
+      .select(col("source"), (col("rank0") + 1).as("rank"),
+        col("t.token").as("token"), col("t.cnt").as("cnt"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  private val q79Sql =
+    """WITH tf AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |c AS (SELECT source, token, count(*) AS cnt FROM tf GROUP BY 1, 2),
+      |r AS (
+      |  SELECT source, token, cnt,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY cnt DESC, token DESC) AS rank
+      |  FROM c)
+      |SELECT source, CAST(rank AS INT) AS rank, token, cnt
+      |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q79_top_tokens_per_source", q79, Some(q79Sql)),
     QueryDef("q61_stratified_sample", q61, Some(q61Sql)),
     QueryDef("q62_repetition_quality", q62, Some(q62Sql)),
     QueryDef("q59_decontaminate", q59, Some(q59Sql)),

@@ -73,4 +73,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getBoolean(0), "inserted value must probe true")
     assert(row.getLong(1) >= 1L, "CMS must count the inserted value")
   }
+
+  test("top_k works from plain SQL") {
+    spark.range(50).createOrReplaceTempView("tk_in")
+    val top = spark.sql(
+        "SELECT top_k(struct(id, CAST(id AS STRING)), 3) AS t FROM tk_in")
+      .selectExpr("transform(t, x -> x.id) AS ids")
+      .collect()(0).getSeq[Long](0)
+    assert(top == Seq(49L, 48L, 47L))
+  }
 }
