@@ -46,6 +46,10 @@ object Bench {
           // a broken query must read as a FAILURE, not a fast timing
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           -1.0
+        } finally {
+          // query lifecycle over: drop its pinned checkpoint blocks so the
+          // session doesn't accumulate them across 90+ queries (untimed)
+          BlockRelease.releaseAll(spark)
         }
       }
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)

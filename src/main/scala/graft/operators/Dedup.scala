@@ -179,9 +179,18 @@ object Dedup {
       changed = nextChanged
       iter += 1
     }
-    vertices.select(col("id")).distinct()
+    // the loop is done: the edge checkpoint is dead weight from here on —
+    // release its blocks eagerly instead of leaking them for the session
+    // lifetime (a long-lived session running many CC queries otherwise
+    // accumulates pinned edge frames until the heap GC-thrashes)
+    val result = vertices.select(col("id")).distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+      // pin the small (id, cluster_id) frame so the big inputs can go
+      .localCheckpoint()
+    sym.unpersist(blocking = false)
+    pinned.unpersist(blocking = false)
+    result
   }
 
   /** 64-bit SimHash fingerprint over whitespace tokens — native expression
