@@ -199,21 +199,56 @@ object Dedup {
     graft.functions.HashExprs.simhash64(Tok.ws(text))
 
   /** SimHash near-dup candidates: docs sharing any 16-bit band of the 64-bit
-    * fingerprint, ranked by exact Hamming distance. */
+    * fingerprint, ranked by exact Hamming distance.
+    *
+    * Fingerprint-group compression, LOSSLESS: identical texts hash to the
+    * same fp, so (1) same-fp doc pairs are hamming-0 candidates by
+    * construction — a streamed self-equi-join on fp, no band buckets
+    * touched; (2) only DISTINCT fps enter the band buckets, so a corpus
+    * where every document has d exact copies shrinks the band join's input
+    * d× and its pair space d²× — this was the one superlinear query on the
+    * 10×-replicated stress corpus (the old doc-level band self-join
+    * materialized every copy-pair inside every shared band, then paid a
+    * 4-column distinct over the blowup). Qualifying fp pairs expand back
+    * to doc pairs through streamed joins — no per-group arrays, so a
+    * mass-duplicated fp never builds a single giant row either. The
+    * OUTPUT (all doc pairs with a shared band and hamming ≤ max) is
+    * unchanged — it is quadratic in duplicate multiplicity by contract,
+    * which is why dup-heavy corpora compose [[collapseExact]] first
+    * (the `simhash_neardup_collapsed` query twin). */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val withFp = docs.withColumn("fp", simhashFingerprint(col("text")))
-      .select(col("doc_id"), col("fp"),
-        explode(array((0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("key"))
-        }: _*)).as("bk"))
-    val a = withFp.select(col("doc_id").as("doc_a"), col("fp").as("fp_a"), col("bk"))
-    val b = withFp.select(col("doc_id").as("doc_b"), col("fp").as("fp_b"), col("bk"))
-    a.join(b, a("bk") === b("bk") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("fp_a"), col("fp_b")).distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+    // fp per doc: 2 longs per row, scanned by three consumers below —
+    // checkpoint so the fingerprint expression runs once per doc
+    val fps = docs.withColumn("fp", simhashFingerprint(col("text")))
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint()
+    // (1) same-fp pairs: hamming 0, streamed (hot fp => big OUTPUT, never
+    // a big buffer)
+    val intra = fps.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+    // (2) cross-fp pairs: band-bucket the DISTINCT fingerprints only
+    def bands(fp: Column) = array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(fp, b * 16).bitwiseAND(0xFFFFL).as("key"))
+    }: _*)
+    val banded = fps.select(col("fp")).distinct()
+      .select(col("fp"), explode(bands(col("fp"))).as("bk"))
+    val fpPairs = banded.select(col("fp").as("fp_a"), col("bk"))
+      .join(banded.select(col("fp").as("fp_b"), col("bk")), Seq("bk"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select(col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+    val inter = fpPairs
+      .join(fps.select(col("doc_id").as("id_a"), col("fp").as("fp_a")), Seq("fp_a"))
+      .join(fps.select(col("doc_id").as("id_b"), col("fp").as("fp_b")), Seq("fp_b"))
+      .select(least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"), col("hamming"))
+    // same-fp and cross-fp pair sets are disjoint by construction
+    intra.unionByName(inter)
   }
 
   /** Exact n-gram Jaccard via inverted shingle index — the scalable exact
@@ -257,7 +292,7 @@ object Dedup {
       // lambda formulation ran interpreted at O(k²) slice copies per bucket
       .select(explode(graft.functions.PairCombos.of(col("docs"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+        col("p.pa").as("na"), col("p.pb").as("nb"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
