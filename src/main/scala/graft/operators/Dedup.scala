@@ -296,7 +296,8 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
-      .select(col("doc_a"), col("doc_b"), col("shared"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        col("shared"), col("jaccard"))
 
   // -- query entries ---------------------------------------------------------
   //
@@ -439,6 +440,78 @@ object Dedup {
       |  SELECT count(DISTINCT sh.doc_id) AS n FROM sh JOIN keep USING (s)
       |  WHERE sh.doc_id < 25)
       |SELECT n AS n_planted, n AS n_found, true AS jaccard_bounded
+      |FROM eligible""".stripMargin
+
+  // ==== containment dedup (asymmetric near-dup) =============================
+  //
+  // Jaccard misses the "small doc quoted inside a big doc" regime: a 100-
+  // token passage embedded in a 10k-token page has jaccard ~0.01 but
+  // containment |A∩B|/|A| ~1.0. Same inverted-index machinery — shared/na/nb
+  // are already on every pair — only the score changes, so the operator
+  // inherits the frequency-cap skew guard and the native pair kernel.
+  //
+  // Gate: plants doubled copies (seed || ' ' || seed) of every seed with
+  // >= 4 tokens — a proper superset of the seed's 4-gram shingles, so the
+  // planted pair's shared count must equal EXACTLY the number of the seed's
+  // shingles that survive the frequency cap (kept lists are exact: the
+  // overflow sentinel drops a hot shingle's whole list, never a member).
+  // That exactness holds at any replication level, unlike containment==1.0,
+  // which a capped hot shingle would silently break.
+
+  private def containmentOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val plantable = docs.filter(col("doc_id") < PlantN)
+      .filter(size(Tok.ws(col("text"))) >= 4)
+    val aug = docs.unionByName(plantable
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    val lists = shingleDocLists(aug, shingleN = 4, maxShingleFreq = 20)
+      .localCheckpoint()
+    // kept shingles per plantable seed — the exact expected shared count
+    val keptPerSeed = lists.select(explode(col("docs")).as("d"))
+      .filter(col("d.doc_id") < PlantN)
+      .join(plantable.select(col("doc_id").as("pid")),
+        col("d.doc_id") === col("pid"), "left_semi")
+      .groupBy(col("d.doc_id").as("sid")).agg(count(lit(1)).as("kept"))
+    val eligible = keptPerSeed.agg(count(lit(1)).as("n_planted"))
+    val stats = ngramPairsFromLists(lists)
+      .withColumn("containment",
+        col("shared") / least(col("na"), col("nb")))
+      .join(broadcast(keptPerSeed), col("doc_a") === col("sid"), "left")
+      .agg(
+        coalesce(sum(when(isPlantedPair, 1L)), lit(0L)).as("n_found"),
+        coalesce(bool_and(when(isPlantedPair, col("shared") === col("kept"))),
+          lit(true)).as("planted_shared_exact"),
+        coalesce(bool_and(col("containment") > 0.0 && col("containment") <= 1.0),
+          lit(true)).as("containment_bounded"))
+    eligible.crossJoin(stats)
+  }
+
+  private val containmentSql =
+    """WITH plantable AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE doc_id < 25
+      |    AND len(list_filter(string_split(text, ' '), x -> x <> '')) >= 4),
+      |aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text || ' ' || text FROM plantable),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM aug),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+3], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 3),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |eligible AS (
+      |  SELECT count(DISTINCT sh.doc_id) AS n
+      |  FROM sh JOIN keep USING (s)
+      |  WHERE sh.doc_id IN (SELECT doc_id FROM plantable))
+      |SELECT n AS n_planted, n AS n_found,
+      |  true AS planted_shared_exact, true AS containment_bounded
       |FROM eligible""".stripMargin
 
   /** Winnowing fingerprint near-dup: docs sharing >= minShared rolling-hash
@@ -586,5 +659,6 @@ object Dedup {
     QueryDef("minhash_neardup_topk", minhashOracled, Some(minhashSql)),
     QueryDef("simhash_neardup_topk", simhashOracled, Some(simhashSql)),
     QueryDef("simhash_neardup_collapsed", simhashCollapsedOracled, Some(simhashCollapsedSql)),
-    QueryDef("ngram_jaccard_topk", ngramOracled, Some(ngramSql)))
+    QueryDef("ngram_jaccard_topk", ngramOracled, Some(ngramSql)),
+    QueryDef("q80_containment_dedup", containmentOracled, Some(containmentSql)))
 }
