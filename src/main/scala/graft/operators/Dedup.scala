@@ -592,6 +592,76 @@ object Dedup {
       |  true AS planted_cos_one, true AS cos_bounded
       |FROM embeddings WHERE vec_id < 25""".stripMargin
 
+  // ==== semantic dedup (SemDeDup-style, embedding space) ====================
+  //
+  // Near-dup pruning in EMBEDDING space: partition the corpus into k-means
+  // cells (the IVF machinery — `AnnIvf.trainCentroids`/`assignCells`), then
+  // compare only within-cell pairs and greedily drop every vector that has a
+  // lower-id cell-mate at cosine >= tau. The O(n²) pair space never exists:
+  // pairs are an equi-join on the cell key, so the cost is Σ |cell|² — at
+  // 100 TB you size k so cells stay ~10⁴ vectors (and split any hot cell by
+  // re-running k-means inside it, the standard SemDeDup recursion); the
+  // comparison volume is the algorithm's defined cost, not a shuffle
+  // artifact. Reference capability tier: B30/B31 (near-dedup × embeddings).
+  //
+  // The greedy lowest-id rule makes the kept set deterministic AND
+  // duplicate-free by construction: if kept x < kept y had cos(x,y) >= tau
+  // in one cell, y would have been dropped — so no two survivors within a
+  // cell are tau-close.
+
+  /** Per-vector dedup decision. corpus: (vec_id, v: array<double>).
+    * Returns (vec_id, cell, status ∈ kept|dropped, keeper) where keeper is
+    * the lowest-id tau-close cell-mate a dropped vector collapses into. */
+  def semanticDedup(corpus: DataFrame, centroids: Array[Seq[Double]],
+      tau: Double): DataFrame = {
+    // cells feeds both self-join sides and the final status join — pin one
+    // assignment (the NearestCells scan) instead of recomputing it 3×
+    val cells = AnnIvf.assignCells(corpus, centroids).localCheckpoint()
+    val a = cells.select(col("cell"), col("vec_id").as("keeper"),
+      col("v").as("v_a"))
+    val b = cells.select(col("cell"), col("vec_id"), col("v").as("v_b"))
+    val keepers = a.join(b, Seq("cell"))
+      .filter(col("keeper") < col("vec_id"))
+      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= tau)
+      .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
+    cells.join(keepers, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("keeper").isNull, lit("kept")).otherwise(lit("dropped"))
+          .as("status"),
+        col("keeper"))
+  }
+
+  // Gate: an exact planted copy evaluates the same NearestCells expression
+  // on the same values, so it lands in its seed's cell with certainty, and
+  // cosine(v, v) ≈ 1 >= tau with a lower-id keeper available (the seed) —
+  // every planted copy MUST come back status=dropped, at any replication
+  // level (organic exact copies only add more lower-id keeper candidates).
+  private def semanticDedupOracled(s: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val aug = emb.unionByName(emb.filter(col("vec_id") < PlantN)
+      .select((col("vec_id") + PlantOffset).as("vec_id"), col("v")))
+      .cache() // k-means training re-scans the corpus once per iteration
+    try {
+      val centroids = AnnIvf.trainCentroids(aug, k = 16)
+      val res = semanticDedup(aug, centroids, tau = 0.999)
+      val eligible = emb.filter(col("vec_id") < PlantN)
+        .agg(count(lit(1)).as("n_planted"))
+      val stats = res.agg(
+        coalesce(sum(when(col("vec_id") >= PlantOffset &&
+          col("status") === "dropped", 1L)), lit(0L)).as("n_found"),
+        coalesce(bool_and(col("status") === "kept" ||
+          col("keeper") < col("vec_id")), lit(true)).as("keeper_below"),
+        (count(lit(1)) === count_distinct(col("vec_id"))).as("one_row_per_vec"))
+      eligible.crossJoin(stats).localCheckpoint() // materialize pre-unpersist
+    } finally aug.unpersist()
+  }
+
+  private val semanticDedupSql =
+    """SELECT count(*) AS n_planted, count(*) AS n_found,
+      |  true AS keeper_below, true AS one_row_per_vec
+      |FROM embeddings WHERE vec_id < 25""".stripMargin
+
   /** Fully-oracled cluster query: exact n-gram Jaccard pairs (threshold
     * 0.5 — deterministic, no hashing) → connected components. Two planted
     * generations per seed doc (an exact copy and a doubled-text copy, all
@@ -660,5 +730,6 @@ object Dedup {
     QueryDef("simhash_neardup_topk", simhashOracled, Some(simhashSql)),
     QueryDef("simhash_neardup_collapsed", simhashCollapsedOracled, Some(simhashCollapsedSql)),
     QueryDef("ngram_jaccard_topk", ngramOracled, Some(ngramSql)),
-    QueryDef("q80_containment_dedup", containmentOracled, Some(containmentSql)))
+    QueryDef("q80_containment_dedup", containmentOracled, Some(containmentSql)),
+    QueryDef("q81_semantic_dedup", semanticDedupOracled, Some(semanticDedupSql)))
 }

@@ -159,4 +159,52 @@ class DedupSpec extends AnyFunSuite {
     val hits = annSets.map { case (q, s) => (s & bruteSets.getOrElse(q, Set())).size }.sum
     assert(hits >= 2, s"ANN found no overlap with brute-force top-5 (hits=$hits)")
   }
+
+  test("semanticDedup: greedy lowest-id collapse within k-means cells") {
+    // two tight clusters far apart + one outlier: ground truth by hand.
+    // base directions are orthogonal so cross-cluster cosine ~ 0.
+    def vec(base: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(8)(i => (if (i == base) 1.0 else 0.0) + (if (i == 7) eps else 0.0))
+    val rows = Seq(
+      (0L, vec(0, 0.0)), (1L, vec(0, 0.01)), (2L, vec(0, 0.02)), // cluster A
+      (3L, vec(1, 0.0)), (4L, vec(1, 0.015)),                    // cluster B
+      (5L, vec(2, 0.0)))                                         // singleton
+    val corpus = rows.toDF("vec_id", "v")
+    val centroids: Array[Seq[Double]] =
+      Array(vec(0, 0.0), vec(1, 0.0), vec(2, 0.0))
+    val res = Dedup.semanticDedup(corpus, centroids, tau = 0.99)
+      .select("vec_id", "status", "keeper")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1)
+    assert(res.map(r => (r._1, r._2)).toSeq === Seq(
+      0L -> "kept", 1L -> "dropped", 2L -> "dropped",
+      3L -> "kept", 4L -> "dropped", 5L -> "kept"))
+    // every dropped vector collapses into the LOWEST-id tau-close cell-mate
+    assert(res.filter(_._2 == "dropped").map(_._3.get).toSeq === Seq(0L, 0L, 3L))
+    // kept-set invariant: no two survivors in one cell are tau-close
+    val kept = corpus.join(
+      Dedup.semanticDedup(corpus, centroids, tau = 0.99)
+        .filter(col("status") === "kept").select("vec_id"), Seq("vec_id"))
+    val keptPairs = kept.as("x").join(kept.as("y"),
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosine(col("x.v"), col("y.v")) >= 0.99)
+    assert(keptPairs.count() === 0)
+  }
+
+  test("semanticDedup is input-partitioning-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 80L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian())))
+    // add exact copies of the first 10 at high ids — must all drop
+    val aug = rows ++ (0L until 10L).map(i => (1000L + i, rows(i.toInt)._2))
+    val mk = (parts: Int) => aug.toDF("vec_id", "v").repartition(parts)
+    val centroids = AnnIvf.trainCentroids(mk(4), k = 4)
+    val run = (parts: Int) =>
+      Dedup.semanticDedup(mk(parts), centroids, tau = 0.999)
+        .select("vec_id", "status", "keeper")
+        .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    val r1 = run(1)
+    assert(r1 === run(13))
+    assert(r1.filter(_._1 >= 1000L).forall(_._2 == "dropped"),
+      "an exact planted copy survived semantic dedup")
+  }
 }
