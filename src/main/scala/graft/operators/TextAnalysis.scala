@@ -473,7 +473,91 @@ object TextAnalysis {
       |SELECT source, CAST(rank AS INT) AS rank, token, cnt
       |FROM r WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  // -- context-window chunking (training-batch prep) -------------------------
+  // Long documents don't fit a model's context: split each doc into
+  // overlapping token windows of maxLen with the given stride (the standard
+  // sliding-window pretraining prep). Pure map-side program — tokenization,
+  // the start-offset explode, and the slice all happen inside one codegen'd
+  // stage on the scan; no shuffle at any corpus size. Window identity is
+  // (doc_id, window_idx), so downstream packing/dedup can key on it.
+
+  /** (doc_id, window_idx, start_tok, n_tok, window_text) per window. */
+  def contextWindows(docs: DataFrame, maxLen: Int, stride: Int): DataFrame = {
+    require(stride > 0 && maxLen >= stride,
+      s"need 0 < stride <= maxLen, got maxLen=$maxLen stride=$stride")
+    docs.select(col("doc_id"), tokens.as("t"))
+      .withColumn("n", size(col("t")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start_tok"))
+      .select(col("doc_id"),
+        (col("start_tok") / lit(stride)).cast("long").as("window_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        least(lit(maxLen), col("n") - col("start_tok")).cast("long").as("n_tok"),
+        concat_ws(" ", slice(col("t"), col("start_tok") + 1, lit(maxLen)))
+          .as("window_text"))
+  }
+
+  private def q82(s: SparkSession, dir: String): DataFrame =
+    contextWindows(Tables.documents(s, dir), maxLen = 64, stride = 48)
+      .orderBy(col("doc_id"), col("start_tok"))
+
+  private val q82Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents)
+      |SELECT doc_id, i // 48 AS window_idx, i AS start_tok,
+      |  least(64, len(t) - i) AS n_tok,
+      |  array_to_string(t[i+1:i+64], ' ') AS window_text
+      |FROM toks, unnest(range(0, len(t), 48)) AS u(i)
+      |WHERE len(t) > 0
+      |ORDER BY doc_id, start_tok""".stripMargin
+
+  // -- BPE merge-step pair counting (vocabulary building) --------------------
+  // The inner loop of byte-pair-encoding training: count adjacent symbol
+  // pairs across the corpus, weighted by word frequency. The classic scale
+  // trick is built in: pairs explode over the DISTINCT word table (vocabulary-
+  // sized, not corpus-sized) while corpus mass rides along as the word's
+  // frequency — at 100 TB the explode input is the vocabulary (~10⁶ rows),
+  // and the only corpus-sized operation is the map-side-combinable word
+  // count.
+
+  /** Top-`k` adjacent character pairs by frequency-weighted count. */
+  def bpePairCounts(docs: DataFrame, k: Int): DataFrame = {
+    val wf = docs.select(explode(tokens).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    wf.filter(length(col("token")) >= 2)
+      .select(col("token"), col("freq"),
+        explode(sequence(lit(1), length(col("token")) - 1)).as("i"))
+      .select(col("token").substr(col("i"), lit(1)).as("left_sym"),
+        col("token").substr(col("i") + 1, lit(1)).as("right_sym"),
+        col("freq"))
+      .groupBy(col("left_sym"), col("right_sym"))
+      .agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("left_sym"), col("right_sym"))
+      .limit(k)
+  }
+
+  private def q83(s: SparkSession, dir: String): DataFrame =
+    bpePairCounts(Tables.documents(s, dir), k = 20)
+
+  private val q83Sql =
+    """WITH tok AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      |  FROM documents),
+      |wf AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+      |pairs AS (
+      |  SELECT substr(token, i, 1) AS left_sym, substr(token, i + 1, 1) AS right_sym,
+      |    CAST(sum(freq) AS BIGINT) AS cnt
+      |  FROM wf, unnest(range(1, len(token))) AS u(i)
+      |  WHERE len(token) >= 2
+      |  GROUP BY 1, 2)
+      |SELECT left_sym, right_sym, cnt FROM pairs
+      |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_context_windows", q82, Some(q82Sql)),
+    QueryDef("q83_bpe_pair_counts", q83, Some(q83Sql)),
     QueryDef("q79_top_tokens_per_source", q79, Some(q79Sql)),
     QueryDef("q61_stratified_sample", q61, Some(q61Sql)),
     QueryDef("q62_repetition_quality", q62, Some(q62Sql)),

@@ -115,4 +115,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_emails") == 0L)
     assert(rows(1).getAs[String]("redacted") == "nothing sensitive here")
   }
+
+  test("contextWindows: stride/tail/short-doc semantics") {
+    val docs = Seq(
+      (0L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (1L, "a b c"),                                  // shorter than maxLen
+      (2L, "  "),                                     // no tokens -> no windows
+      (3L, "solo")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.contextWindows(docs, maxLen = 4, stride = 3)
+      .orderBy("doc_id", "window_idx")
+      .select("doc_id", "window_idx", "start_tok", "n_tok", "window_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(rows === Seq(
+      (0L, 0L, 0L, 4L, "t1 t2 t3 t4"),
+      (0L, 1L, 3L, 4L, "t4 t5 t6 t7"),
+      (0L, 2L, 6L, 4L, "t7 t8 t9 t10"),
+      (0L, 3L, 9L, 1L, "t10"),          // tail window, shorter than maxLen
+      (1L, 0L, 0L, 3L, "a b c"),
+      (3L, 0L, 0L, 1L, "solo")))
+  }
+
+  test("bpePairCounts: frequency-weighted adjacent pairs over distinct words") {
+    // "ab" x3 and "abc" x1 -> pair (a,b) counts 4, (b,c) counts 1;
+    // single-char words contribute nothing
+    val docs = Seq((0L, "ab ab abc x"), (1L, "ab x y")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bpePairCounts(docs, k = 10)
+      .as[(String, String, Long)].collect().toSeq
+    assert(rows === Seq(("a", "b", 4L), ("b", "c", 1L)))
+  }
 }
