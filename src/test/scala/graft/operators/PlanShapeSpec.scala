@@ -113,4 +113,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       s"no partial aggregation in q65 plan:\n$p")
   }
+
+  test("q82: context-window chunking is shuffle-free up to the output sort") {
+    // tokenize → explode starts → slice is one map-side pipeline; the only
+    // exchange permitted is the final presentation ORDER BY (a range
+    // partitioning, which the un-ordered operator API doesn't even have)
+    val p = plan("q82_context_windows")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"q82 hash-shuffles a pure map-side program:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q83: BPE pair explode runs over the distinct-word table, with partial aggs") {
+    val p = plan("q83_bpe_pair_counts")
+    // both the word count and the pair count must combine map-side
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"no partial aggregation in q83 plan:\n$p")
+    // top-k is TakeOrdered, not a global sort of the pair table
+    assert(p.contains("TakeOrderedAndProject"), s"q83 sorts globally:\n$p")
+  }
+
+  test("q81: semantic dedup joins on the cell key, never cartesian") {
+    val p = plan("q81_semantic_dedup")
+    assert(!p.contains("CartesianProduct"), s"q81 has a cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"q81 has a nested-loop join:\n$p")
+  }
 }
