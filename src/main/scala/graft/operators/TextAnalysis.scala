@@ -555,7 +555,47 @@ object TextAnalysis {
       |SELECT left_sym, right_sym, cnt FROM pairs
       |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin
 
+  // -- linear classifier scoring via the hashing trick -----------------------
+  // The quality-filter step of production pipelines (fastText/VW-style): a
+  // linear model over hashed token features, scored in one map-side pass —
+  // no vocabulary table, no shuffle, no UDF. The per-token weight here is
+  // derived from the token's own md5 (a deterministic stand-in for learned
+  // weights — a trained model would broadcast its weight array and index it
+  // by the same hash, identical plumbing and cost). Weights are INTEGERS and
+  // the doc score folds over the token array sequentially, so the score is
+  // exact and engine-portable: no float summation order anywhere.
+
+  /** (doc_id, n_tokens, score, decision): score = Σ w(token) with
+    * w = first-two-hex-digits(md5(token)) − 128 ∈ [−128, 127]. */
+  def classifierScore(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+        aggregate(col("t"), lit(0L), (acc, tok) =>
+          acc + conv(substring(md5(tok), 1, 2), 16, 10).cast("long") - 128)
+          .as("score"))
+      .withColumn("decision",
+        when(col("score") >= 0, lit("keep")).otherwise(lit("drop")))
+
+  private def q84(s: SparkSession, dir: String): DataFrame =
+    classifierScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  private val q84Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    CAST(coalesce(list_aggregate(list_transform(t, tok ->
+      |      (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 - 128),
+      |      'sum'), 0) AS BIGINT) AS score
+      |  FROM toks)
+      |SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS decision
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_classifier_score", q84, Some(q84Sql)),
     QueryDef("q82_context_windows", q82, Some(q82Sql)),
     QueryDef("q83_bpe_pair_counts", q83, Some(q83Sql)),
     QueryDef("q79_top_tokens_per_source", q79, Some(q79Sql)),

@@ -144,4 +144,20 @@ class CorpusOpsSpec extends AnyFunSuite {
       .as[(String, String, Long)].collect().toSeq
     assert(rows === Seq(("a", "b", 4L), ("b", "c", 1L)))
   }
+
+  test("classifierScore: additive integer scores, bounded weights") {
+    val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha beta"),
+      (3L, "alpha alpha"), (4L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.classifierScore(docs)
+      .select("doc_id", "n_tokens", "score", "decision")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // per-token weights live in [-128, 127]
+    assert(m(0L)._3 >= -128 && m(0L)._3 <= 127)
+    // a doc's score is the sum of its tokens' scores (exact integer fold)
+    assert(m(2L)._3 === m(0L)._3 + m(1L)._3)
+    assert(m(3L)._3 === 2 * m(0L)._3)
+    // empty doc: zero tokens, zero score, kept
+    assert(m(4L) === ((4L, 0L, 0L, "keep")))
+    assert(m.values.forall(r => (r._4 == "keep") == (r._3 >= 0)))
+  }
 }
