@@ -567,14 +567,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
-  // identical planted vectors hash to the same hyperplane bucket with
-  // certainty (same signs), so at a production threshold every planted pair
-  // MUST surface with cosine ~1.0; gaussian organic pairs never reach 0.999
-  private def embNearDupOracled(s: SparkSession, dir: String): DataFrame = {
+  /** The embeddings corpus as (vec_id, v) plus exact copies of the
+    * vec_id < PlantN rows at vec_id + PlantOffset — the one plant
+    * construction every embedding-side gate shares (returns (corpus,
+    * augmented) so gates can count eligibility off the unaugmented side). */
+  private def plantedEmbeddings(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     val aug = emb.unionByName(emb.filter(col("vec_id") < PlantN)
       .select((col("vec_id") + PlantOffset).as("vec_id"), col("v")))
+    (emb, aug)
+  }
+
+  // identical planted vectors hash to the same hyperplane bucket with
+  // certainty (same signs), so at a production threshold every planted pair
+  // MUST surface with cosine ~1.0; gaussian organic pairs never reach 0.999
+  private def embNearDupOracled(s: SparkSession, dir: String): DataFrame = {
+    val (emb, aug) = plantedEmbeddings(s, dir)
     val pairs = embeddingNearDupPairs(aug, threshold = 0.999, bits = 8)
     val eligible = emb.filter(col("vec_id") < PlantN)
       .agg(count(lit(1)).as("n_planted"))
@@ -607,11 +617,17 @@ object Dedup {
   // The greedy lowest-id rule makes the kept set deterministic AND
   // duplicate-free by construction: if kept x < kept y had cos(x,y) >= tau
   // in one cell, y would have been dropped — so no two survivors within a
-  // cell are tau-close.
+  // cell are tau-close. Note the rule drops against ANY lower id, not only
+  // against kept lower ids (the sequential variant) — that is what makes it
+  // embarrassingly parallel, at the price that tau-chains prune slightly
+  // more aggressively and a dropped vector's `keeper` may itself be dropped
+  // (tau-closeness is not transitive). Consumers that need a SURVIVING
+  // representative per dropped vector compose with `resolveKeepers`.
 
   /** Per-vector dedup decision. corpus: (vec_id, v: array<double>).
     * Returns (vec_id, cell, status ∈ kept|dropped, keeper) where keeper is
-    * the lowest-id tau-close cell-mate a dropped vector collapses into. */
+    * the lowest-id tau-close cell-mate a dropped vector collapses into
+    * (possibly itself dropped — see `resolveKeepers`). */
   def semanticDedup(corpus: DataFrame, centroids: Array[Seq[Double]],
       tau: Double): DataFrame = {
     // cells feeds both self-join sides and the final status join — pin one
@@ -620,9 +636,18 @@ object Dedup {
     val a = cells.select(col("cell"), col("vec_id").as("keeper"),
       col("v").as("v_a"))
     val b = cells.select(col("cell"), col("vec_id"), col("v").as("v_b"))
+    // zero-norm guard: under ANSI SQL, cosine of a zero vector is a
+    // DIVIDE_BY_ZERO error, so the CASE must keep zero-norm rows out of the
+    // cosine branch entirely. Two zero-NORM vectors are necessarily both
+    // all-zero — exact duplicates, still collapse; one-sided zero norm is
+    // non-similar (a zero vector has no direction).
+    val zeroA = graft.functions.VectorExprs.dotProduct(col("v_a"), col("v_a")) === 0.0
+    val zeroB = graft.functions.VectorExprs.dotProduct(col("v_b"), col("v_b")) === 0.0
+    val similar = when(zeroA || zeroB, zeroA && zeroB)
+      .otherwise(Similarity.cosine(col("v_a"), col("v_b")) >= tau)
     val keepers = a.join(b, Seq("cell"))
       .filter(col("keeper") < col("vec_id"))
-      .filter(Similarity.cosine(col("v_a"), col("v_b")) >= tau)
+      .filter(similar)
       .groupBy(col("vec_id")).agg(min(col("keeper")).as("keeper"))
     cells.join(keepers, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
@@ -631,17 +656,50 @@ object Dedup {
         col("keeper"))
   }
 
+  /** Rewrites each dropped vector's keeper to a SURVIVING representative by
+    * pointer-jumping the keeper chain: a keeper that is itself dropped
+    * forwards to ITS keeper. Keeper ids strictly decrease along a chain, so
+    * the walk terminates at a kept vector; jumping against the whole current
+    * map doubles the resolved distance per round (≤ log₂(longest chain)
+    * rounds — same argument as `connectedComponents`). Only the dropped rows
+    * (pointer table) iterate; kept rows pass through untouched. Output
+    * schema is unchanged. */
+  def resolveKeepers(decisions: DataFrame): DataFrame = {
+    val dec = decisions.localCheckpoint()
+    var pinned = dec.filter(col("status") === "dropped")
+      .select(col("vec_id"), col("cell"), col("keeper")).localCheckpoint()
+    var drops = pinned
+    var changed = drops.limit(1).count() // skip the loop when nothing dropped
+    while (changed > 0) {
+      val ptr = drops.select(col("vec_id").as("p_id"), col("keeper").as("p_keeper"))
+      // keeper found in the dropped map → forward to that row's keeper
+      val step = drops.join(ptr, col("keeper") === col("p_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("p_keeper"), col("keeper")).as("keeper"),
+          col("p_keeper").isNotNull.as("fwd"))
+        .localCheckpoint()
+      changed = step.filter(col("fwd")).limit(1).count()
+      pinned.unpersist(blocking = false) // superseded round, blocks are dead
+      pinned = step
+      drops = step.select(col("vec_id"), col("cell"), col("keeper"))
+    }
+    val result = dec.filter(col("status") === "kept")
+      .unionByName(drops.withColumn("status", lit("dropped"))
+        .select(col("vec_id"), col("cell"), col("status"), col("keeper")))
+      .localCheckpoint() // materialize before releasing the inputs
+    dec.unpersist(blocking = false)
+    pinned.unpersist(blocking = false)
+    result
+  }
+
   // Gate: an exact planted copy evaluates the same NearestCells expression
   // on the same values, so it lands in its seed's cell with certainty, and
   // cosine(v, v) ≈ 1 >= tau with a lower-id keeper available (the seed) —
   // every planted copy MUST come back status=dropped, at any replication
   // level (organic exact copies only add more lower-id keeper candidates).
   private def semanticDedupOracled(s: SparkSession, dir: String): DataFrame = {
-    val emb = graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
-    val aug = emb.unionByName(emb.filter(col("vec_id") < PlantN)
-      .select((col("vec_id") + PlantOffset).as("vec_id"), col("v")))
-      .cache() // k-means training re-scans the corpus once per iteration
+    val (emb, aug0) = plantedEmbeddings(s, dir)
+    val aug = aug0.cache() // k-means training re-scans the corpus per iteration
     try {
       val centroids = AnnIvf.trainCentroids(aug, k = 16)
       val res = semanticDedup(aug, centroids, tau = 0.999)

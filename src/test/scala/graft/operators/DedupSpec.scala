@@ -190,6 +190,33 @@ class DedupSpec extends AnyFunSuite {
     assert(keptPairs.count() === 0)
   }
 
+  test("semanticDedup: tau-chains resolve to surviving keepers; zero vectors collapse") {
+    // angles 0, 2, 4 degrees with tau = cos(2.5 deg): adjacent pairs are
+    // tau-close but the ends are not — v1 drops with keeper v0, v2 drops
+    // with keeper v1 (itself dropped). resolveKeepers must land v2 on v0.
+    def ang(d: Double): Seq[Double] =
+      Seq(math.cos(math.toRadians(d)), math.sin(math.toRadians(d)))
+    val tau = math.cos(math.toRadians(2.5))
+    val corpus = Seq(
+      (0L, ang(0)), (1L, ang(2)), (2L, ang(4)),
+      (10L, Seq(0.0, 0.0)), (11L, Seq(0.0, 0.0)), // zero vectors: exact dups
+      (12L, Seq(0.0, 1.0))                        // orthogonal, kept
+    ).toDF("vec_id", "v")
+    val centroids: Array[Seq[Double]] = Array(Seq(1.0, 0.0))
+    val raw = Dedup.semanticDedup(corpus, centroids, tau)
+      .select("vec_id", "status", "keeper")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(raw === Seq(
+      (0L, "kept", None), (1L, "dropped", Some(0L)), (2L, "dropped", Some(1L)),
+      (10L, "kept", None), (11L, "dropped", Some(10L)), (12L, "kept", None)))
+    val resolved = Dedup.resolveKeepers(
+      Dedup.semanticDedup(corpus, centroids, tau))
+      .select("vec_id", "status", "keeper")
+      .as[(Long, String, Option[Long])].collect().sortBy(_._1).toSeq
+    // identical except v2's keeper now points at the surviving v0
+    assert(resolved === raw.map(r => if (r._1 == 2L) (2L, "dropped", Some(0L)) else r))
+  }
+
   test("semanticDedup is input-partitioning-invariant") {
     val rnd = new scala.util.Random(7)
     val rows = (0L until 80L).map(i =>
