@@ -204,4 +204,46 @@ class StreamingSpec extends AnyFunSuite {
       "streamed first-occurrence set must equal the exact distinct set " +
         "(filter sized so fp = 0 at this cardinality)")
   }
+
+  test("map-side corpus ops run UNCHANGED on streaming frames (batch parity)") {
+    // contextWindows and classifierScore are stateless column programs, so
+    // the same operator code must accept a streaming DataFrame as-is — the
+    // design property that lets one curation library serve both the backfill
+    // and the live ingest path. Streamed-in-two-batches output must equal
+    // the batch run row-for-row.
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val (h1, h2) = docs.splitAt(docs.length / 2)
+    val input = MemoryStream[(Long, String)](spark)
+    val streamDf = input.toDS().toDF("doc_id", "text")
+    val qScore = graft.operators.TextAnalysis.classifierScore(streamDf)
+      .writeStream.format("memory").queryName("score_parity_out")
+      .outputMode("append").start()
+    val qWin = graft.operators.TextAnalysis.contextWindows(streamDf, 64, 48)
+      .writeStream.format("memory").queryName("windows_parity_out")
+      .outputMode("append").start()
+    try {
+      input.addData(h1: _*)
+      qScore.processAllAvailable(); qWin.processAllAvailable()
+      input.addData(h2: _*)
+      qScore.processAllAvailable(); qWin.processAllAvailable()
+    } finally { qScore.stop(); qWin.stop() }
+    val batchDf = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val streamedScores = spark.table("score_parity_out")
+      .select("doc_id", "n_tokens", "score", "decision")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batchScores = graft.operators.TextAnalysis.classifierScore(batchDf)
+      .select("doc_id", "n_tokens", "score", "decision")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamedScores == batchScores)
+    val streamedWins = spark.table("windows_parity_out")
+      .select("doc_id", "window_idx", "start_tok", "n_tok", "window_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val batchWins = graft.operators.TextAnalysis.contextWindows(batchDf, 64, 48)
+      .select("doc_id", "window_idx", "start_tok", "n_tok", "window_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamedWins == batchWins)
+  }
 }
