@@ -265,6 +265,60 @@ object CorpusOps {
       |FROM inc LEFT JOIN ex ON inc.h = ex.h
       |ORDER BY inc.doc_id""".stripMargin
 
+  // ==== q85: corpus snapshot diff =========================================
+  //
+  // Data versioning between two corpus snapshots: every doc_id is classified
+  // added / removed / modified / unchanged by comparing content hashes
+  // through one full outer join on the (unique) doc key — at 100 TB that is
+  // a single co-partitioned hash shuffle per side with no skew by
+  // construction, and the texts themselves never move (md5 reduces each side
+  // to a 32-byte column before the join).
+
+  /** Per-doc diff between snapshots. prev/cur: (doc_id, text). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("doc_id"), md5(col("text")).as("prev_h"))
+    val c = cur.select(col("doc_id"), md5(col("text")).as("cur_h"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("prev_h").isNull, "added")
+          .when(col("cur_h").isNull, "removed")
+          .when(col("prev_h") =!= col("cur_h"), "modified")
+          .otherwise("unchanged").as("status"))
+  }
+
+  // The previous snapshot is derived deterministically from the current
+  // corpus so both engines construct the identical pair: docs at
+  // doc_id % 11 = 0 are missing from prev (-> added), docs at % 7 = 0
+  // (and % 11 != 0) carried a ' legacy' suffix in prev (-> modified), and
+  // prev had 25 extra docs at doc_id + 10^9 that are gone now (-> removed).
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val prev = docs.filter(col("doc_id") % 11 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" legacy")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 1000000000L).as("doc_id"), col("text")))
+    snapshotDiff(prev, docs).orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    """WITH prev AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' legacy' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 25),
+      |p AS (SELECT doc_id, md5(text) AS prev_h FROM prev),
+      |c AS (SELECT doc_id, md5(text) AS cur_h FROM documents)
+      |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+      |  CASE WHEN p.prev_h IS NULL THEN 'added'
+      |    WHEN c.cur_h IS NULL THEN 'removed'
+      |    WHEN p.prev_h <> c.cur_h THEN 'modified'
+      |    ELSE 'unchanged' END AS status
+      |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ==== q71: composed curation decision ===================================
   //
   // One pass that composes the standard corpus filters into a keep/drop
@@ -344,5 +398,6 @@ object CorpusOps {
     QueryDef("q66_group_sample", q66, Some(q66Sql)),
     QueryDef("q67_pii_redact", q67, Some(q67Sql)),
     QueryDef("q70_incremental_dedup", q70, Some(q70Sql)),
-    QueryDef("q71_curation_report", q71, Some(q71Sql)))
+    QueryDef("q71_curation_report", q71, Some(q71Sql)),
+    QueryDef("q85_corpus_diff", q85, Some(q85Sql)))
 }

@@ -145,6 +145,15 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(rows === Seq(("a", "b", 4L), ("b", "c", 1L)))
   }
 
+  test("snapshotDiff classifies added, removed, modified, unchanged") {
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
+    val m = CorpusOps.snapshotDiff(prev, cur)
+      .as[(Long, String)].collect().toMap
+    assert(m === Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "modified", 4L -> "added"))
+  }
+
   test("classifierScore: additive integer scores, bounded weights") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha beta"),
       (3L, "alpha alpha"), (4L, "")).toDF("doc_id", "text")
