@@ -274,15 +274,20 @@ object CorpusOps {
   // construction, and the texts themselves never move (md5 reduces each side
   // to a 32-byte column before the join).
 
-  /** Per-doc diff between snapshots. prev/cur: (doc_id, text). */
+  /** Per-doc diff between snapshots. prev/cur: (doc_id, text). Presence is
+    * tracked with explicit marker columns, not hash nullity — a NULL text
+    * hashes to NULL but the row still EXISTS in its snapshot, and must
+    * compare as a value (null-safe equality), not as absence. */
   def snapshotDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
-    val p = prev.select(col("doc_id"), md5(col("text")).as("prev_h"))
-    val c = cur.select(col("doc_id"), md5(col("text")).as("cur_h"))
+    val p = prev.select(col("doc_id"), md5(col("text")).as("prev_h"),
+      lit(true).as("in_prev"))
+    val c = cur.select(col("doc_id"), md5(col("text")).as("cur_h"),
+      lit(true).as("in_cur"))
     p.join(c, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("prev_h").isNull, "added")
-          .when(col("cur_h").isNull, "removed")
-          .when(col("prev_h") =!= col("cur_h"), "modified")
+        when(col("in_prev").isNull, "added")
+          .when(col("in_cur").isNull, "removed")
+          .when(!(col("prev_h") <=> col("cur_h")), "modified")
           .otherwise("unchanged").as("status"))
   }
 
@@ -291,6 +296,9 @@ object CorpusOps {
   // doc_id % 11 = 0 are missing from prev (-> added), docs at % 7 = 0
   // (and % 11 != 0) carried a ' legacy' suffix in prev (-> modified), and
   // prev had 25 extra docs at doc_id + 10^9 that are gone now (-> removed).
+  // The +10^9 ids follow the suite-wide PlantOffset contract: the test-data
+  // generator and scale_up.py keep organic ids strictly below 10^9, so
+  // synthetic rows can never collide with real ones at any tested scale.
   private def q85(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     val prev = docs.filter(col("doc_id") % 11 =!= 0)
@@ -309,12 +317,12 @@ object CorpusOps {
       |  FROM documents WHERE doc_id % 11 <> 0
       |  UNION ALL
       |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 25),
-      |p AS (SELECT doc_id, md5(text) AS prev_h FROM prev),
-      |c AS (SELECT doc_id, md5(text) AS cur_h FROM documents)
+      |p AS (SELECT doc_id, md5(text) AS prev_h, true AS in_prev FROM prev),
+      |c AS (SELECT doc_id, md5(text) AS cur_h, true AS in_cur FROM documents)
       |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
-      |  CASE WHEN p.prev_h IS NULL THEN 'added'
-      |    WHEN c.cur_h IS NULL THEN 'removed'
-      |    WHEN p.prev_h <> c.cur_h THEN 'modified'
+      |  CASE WHEN in_prev IS NULL THEN 'added'
+      |    WHEN in_cur IS NULL THEN 'removed'
+      |    WHEN p.prev_h IS DISTINCT FROM c.cur_h THEN 'modified'
       |    ELSE 'unchanged' END AS status
       |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin

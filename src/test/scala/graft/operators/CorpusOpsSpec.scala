@@ -146,12 +146,18 @@ class CorpusOpsSpec extends AnyFunSuite {
   }
 
   test("snapshotDiff classifies added, removed, modified, unchanged") {
-    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
-    val cur = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
+    val n = null.asInstanceOf[String]
+    // 5-7 pin the NULL-text semantics: a null text is a present row whose
+    // value compares null-safely — never a missing row
+    val prev = Seq((1L, "a"), (2L, "b"), (3L, "c"),
+      (5L, n), (6L, n), (7L, n)).toDF("doc_id", "text")
+    val cur = Seq((2L, "b"), (3L, "c-edited"), (4L, "d"),
+      (5L, n), (6L, "now-set")).toDF("doc_id", "text")
     val m = CorpusOps.snapshotDiff(prev, cur)
       .as[(Long, String)].collect().toMap
     assert(m === Map(1L -> "removed", 2L -> "unchanged",
-      3L -> "modified", 4L -> "added"))
+      3L -> "modified", 4L -> "added",
+      5L -> "unchanged", 6L -> "modified", 7L -> "removed"))
   }
 
   test("classifierScore: additive integer scores, bounded weights") {

@@ -214,18 +214,23 @@ class StreamingSpec extends AnyFunSuite {
     val docs = graft.Tables.documents(spark, dir)
       .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
     val (h1, h2) = docs.splitAt(docs.length / 2)
-    val input = MemoryStream[(Long, String)](spark)
-    val streamDf = input.toDS().toDF("doc_id", "text")
-    val qScore = graft.operators.TextAnalysis.classifierScore(streamDf)
+    // one MemoryStream PER query: two queries sharing a source race on its
+    // single commit offset (the faster query's commit trims batches the
+    // slower one hasn't planned yet)
+    val inScore = MemoryStream[(Long, String)](spark)
+    val inWin = MemoryStream[(Long, String)](spark)
+    val qScore = graft.operators.TextAnalysis
+      .classifierScore(inScore.toDS().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("score_parity_out")
       .outputMode("append").start()
-    val qWin = graft.operators.TextAnalysis.contextWindows(streamDf, 64, 48)
+    val qWin = graft.operators.TextAnalysis
+      .contextWindows(inWin.toDS().toDF("doc_id", "text"), 64, 48)
       .writeStream.format("memory").queryName("windows_parity_out")
       .outputMode("append").start()
     try {
-      input.addData(h1: _*)
+      inScore.addData(h1: _*); inWin.addData(h1: _*)
       qScore.processAllAvailable(); qWin.processAllAvailable()
-      input.addData(h2: _*)
+      inScore.addData(h2: _*); inWin.addData(h2: _*)
       qScore.processAllAvailable(); qWin.processAllAvailable()
     } finally { qScore.stop(); qWin.stop() }
     val batchDf = spark.createDataFrame(docs).toDF("doc_id", "text")
