@@ -327,6 +327,63 @@ object CorpusOps {
       |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ==== q86: shard manifest ===============================================
+  //
+  // The "write the dataset card" step before a training run: assign every
+  // document to a deterministic shard (md5 of the doc key — engine- and
+  // layout-independent, unlike hash partitioning) and emit one manifest row
+  // per shard with counts, token totals, id range, and an ORDER-FREE content
+  // checksum (a sum of per-doc integer digests commutes, so the manifest is
+  // identical however the corpus is partitioned or ordered). One map-side
+  // pass + one tiny nShards-row aggregate at any corpus size.
+
+  /** First 4 hex digits of md5 of `c`, as an integer in [0, 65536). */
+  private def md5Int16(c: Column): Column =
+    conv(substring(md5(c), 1, 4), 16, 10).cast("long")
+
+  /** One row per shard: (shard, n_docs, n_tokens, min/max doc_id,
+    * content_checksum). */
+  def shardManifest(docs: DataFrame, nShards: Int): DataFrame =
+    docs.select(col("doc_id"),
+      size(toks).cast("long").as("n_toks"),
+      (md5Int16(col("doc_id").cast("string")) % nShards).as("shard"),
+      md5Int16(col("text")).as("th"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"),
+        sum(col("th")).as("content_checksum"))
+      .orderBy(col("shard"))
+
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    shardManifest(Tables.documents(s, dir), nShards = 16)
+
+  // hex→int in DuckDB via digit arithmetic (no conv()); both engines
+  // compute the identical 16-bit integers from the identical md5 hex
+  private val q86Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_toks,
+      |    md5(CAST(doc_id AS VARCHAR)) AS hid, md5(text) AS ht
+      |  FROM documents),
+      |ints AS (
+      |  SELECT doc_id, n_toks,
+      |    ((strpos('0123456789abcdef', substr(hid, 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(hid, 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(hid, 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(hid, 4, 1)) - 1)) % 16 AS shard,
+      |    ((strpos('0123456789abcdef', substr(ht, 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(ht, 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(ht, 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(ht, 4, 1)) - 1)) AS th
+      |  FROM d)
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+      |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+      |  CAST(sum(th) AS BIGINT) AS content_checksum
+      |FROM ints GROUP BY shard ORDER BY shard""".stripMargin
+
   // ==== q71: composed curation decision ===================================
   //
   // One pass that composes the standard corpus filters into a keep/drop
@@ -407,5 +464,6 @@ object CorpusOps {
     QueryDef("q67_pii_redact", q67, Some(q67Sql)),
     QueryDef("q70_incremental_dedup", q70, Some(q70Sql)),
     QueryDef("q71_curation_report", q71, Some(q71Sql)),
-    QueryDef("q85_corpus_diff", q85, Some(q85Sql)))
+    QueryDef("q85_corpus_diff", q85, Some(q85Sql)),
+    QueryDef("q86_shard_manifest", q86, Some(q86Sql)))
 }

@@ -160,6 +160,22 @@ class CorpusOpsSpec extends AnyFunSuite {
       5L -> "unchanged", 6L -> "modified", 7L -> "removed"))
   }
 
+  test("shardManifest is layout-invariant with an order-free checksum") {
+    val docs = (0L until 200L).map(i => (i, s"tok$i alpha beta"))
+      .toDF("doc_id", "text")
+    val run = (df: org.apache.spark.sql.DataFrame) =>
+      CorpusOps.shardManifest(df, 8)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val base = run(docs.repartition(1))
+    // different partitioning AND different within-partition order must
+    // produce the byte-identical manifest (the checksum is a commutative
+    // integer sum, the shard key is content-derived)
+    assert(base === run(docs.repartition(13).sortWithinPartitions(
+      col("doc_id").desc)))
+    assert(base.map(_._2).sum === 200L) // every doc in exactly one shard
+    assert(base.map(_._1) === base.map(_._1).sorted)
+  }
+
   test("classifierScore: additive integer scores, bounded weights") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha beta"),
       (3L, "alpha alpha"), (4L, "")).toDF("doc_id", "text")
