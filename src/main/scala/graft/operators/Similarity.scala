@@ -82,7 +82,70 @@ object Similarity {
       |FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |ORDER BY vec_id""".stripMargin
 
+  // -- kNN label propagation (semi-supervised curation) ----------------------
+  // Label the unlabeled part of a corpus from its nearest labeled neighbors —
+  // the autolabel/quality-transfer step of embedding-based curation. Exact
+  // brute-force neighbors here (the deterministic, oracle-able baseline);
+  // the 100 TB path swaps `bruteForceTopK` for `AnnLsh.topK`/`AnnIvf.topK`,
+  // which share the (corpus, queries, k) contract. Majority vote with a
+  // deterministic tie-break (smallest label wins at equal counts).
+
+  /** Predicted label per query. labeled: (vec_id, v, label);
+    * queries: (qid, qv). */
+  def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // label rides through the pair join — no second join against the corpus
+    val votes = bruteForceTopK(labeled, queries, k)
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("label"))
+    votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("qid"), col("label").as("predicted"))
+  }
+
+  // Gate: hold out every 5th vector among vec_id < 500 as "unlabeled" (a
+  // FIXED query budget — the query count must not grow with the corpus or
+  // the brute-force pair space goes quadratic; the full-corpus autolabel
+  // run is the ANN path), predict from the rest, and emit per-query
+  // predicted vs true — fully deterministic (exact neighbors, rounded-score
+  // ordering, label tie-break), so DuckDB reproduces every row including
+  // the accuracy flags.
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val queries = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 500)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("true_label"))
+    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    knnLabel(train, queries.select(col("qid"), col("qv")), 3)
+      .join(queries.select(col("qid"), col("true_label")), Seq("qid"))
+      .select(col("qid"), col("true_label"), col("predicted"),
+        (col("predicted") === col("true_label")).as("correct"))
+      .orderBy(col("qid"))
+  }
+
+  private val q87Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e
+      |  WHERE vec_id % 5 = 0 AND vec_id < 500),
+      |t AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+      |pairs AS (
+      |  SELECT q.qid, t.vec_id, t.label,
+      |    list_inner_product(q.qv, t.v)
+      |      / (sqrt(list_inner_product(q.qv, q.qv)) * sqrt(list_inner_product(t.v, t.v))) AS cos
+      |  FROM q, t),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(cos, 4) DESC, vec_id) AS rn FROM pairs),
+      |votes AS (SELECT qid, label, count(*) AS n
+      |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2),
+      |pred AS (SELECT qid, label AS predicted,
+      |    row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rk
+      |  FROM votes)
+      |SELECT q.qid, q.true_label, p.predicted,
+      |  p.predicted = q.true_label AS correct
+      |FROM pred p JOIN q ON p.qid = q.qid
+      |WHERE p.rk = 1 ORDER BY q.qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
-    QueryDef("q41_embedding_stats", q41, Some(q41Sql)))
+    QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
+    QueryDef("q87_knn_label", q87, Some(q87Sql)))
 }

@@ -160,6 +160,31 @@ class DedupSpec extends AnyFunSuite {
     assert(hits >= 2, s"ANN found no overlap with brute-force top-5 (hits=$hits)")
   }
 
+  test("knnLabel: majority vote with deterministic tie-break") {
+    def v(axis: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(4)(i => (if (i == axis) 1.0 else 0.0) + (if (i == 3) eps else 0.0))
+    val labeled = Seq(
+      (0L, v(0, 0.00), 7), (1L, v(0, 0.01), 7), (2L, v(0, 0.02), 9),
+      (3L, v(1, 0.00), 5), (4L, v(1, 0.01), 5), (5L, v(1, 0.02), 5)
+    ).toDF("vec_id", "v", "label")
+    val queries = Seq((100L, v(0, 0.005)), (101L, v(1, 0.005)))
+      .toDF("qid", "qv")
+    val pred = Similarity.knnLabel(labeled, queries, k = 3)
+      .as[(Long, Int)].collect().toMap
+    // query 100's top-3 = labels (7, 7, 9) -> majority 7;
+    // query 101's top-3 = (5, 5, 5) -> unanimous 5
+    assert(pred === Map(100L -> 7, 101L -> 5))
+    // exact 2-vs-2 tie: k=4 over two labeled pairs — counts are equal no
+    // matter how cosine ranks them, so the SMALLER label must win
+    val twoPair = Seq(
+      (0L, v(0, 0.00), 9), (1L, v(0, 0.01), 9),
+      (2L, v(1, 0.00), 3), (3L, v(1, 0.01), 3)).toDF("vec_id", "v", "label")
+    val bisector = Seq((200L, Seq(1.0, 1.0, 0.0, 0.0))).toDF("qid", "qv")
+    val tied = Similarity.knnLabel(twoPair, bisector, k = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(tied === Map(200L -> 3))
+  }
+
   test("semanticDedup: greedy lowest-id collapse within k-means cells") {
     // two tight clusters far apart + one outlier: ground truth by hand.
     // base directions are orthogonal so cross-cluster cosine ~ 0.
