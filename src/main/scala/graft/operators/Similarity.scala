@@ -144,8 +144,55 @@ object Similarity {
       |FROM pred p JOIN q ON p.qid = q.qid
       |WHERE p.rk = 1 ORDER BY q.qid""".stripMargin
 
+  // -- int8 embedding quantization (storage tier) ----------------------------
+  // The 4× compression step for an embedding store at 100 TB: per-vector
+  // max-abs scaling to int8 (q = floor(127·v/maxabs + 0.5), symmetric), all
+  // map-side on the scan. floor(x + 0.5) instead of round(): both engines
+  // compute floor identically, while round() half-up vs half-away semantics
+  // can differ at exact .5 boundaries. Reconstruction error is bounded by
+  // maxabs/254 per component by construction; the gate asserts it.
+
+  /** Per-vector quantization summary: quantized checksum (order-dependent
+    * but array order is fixed), scale, and the max reconstruction error
+    * bound check. */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val v = col("v")
+    val maxabs = array_max(transform(v, x => abs(x)))
+    // guard: a zero vector quantizes to zeros at scale 0 (no division)
+    val q = when(maxabs === 0.0, transform(v, x => lit(0L)))
+      .otherwise(transform(v, x => floor(x * 127.0 / maxabs + 0.5).cast("long")))
+    emb.select(col("vec_id"), q.as("qv"), maxabs.as("maxabs"))
+      .select(col("vec_id"),
+        aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_max(col("qv")).as("q_max"),
+        array_min(col("qv")).as("q_min"),
+        QueryDef.dec4(col("maxabs")).as("scale"))
+  }
+
+  private def q88(s: SparkSession, dir: String): DataFrame =
+    quantizeInt8(Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v")))
+      .orderBy(col("vec_id"))
+
+  private val q88Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |    list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+      |q AS (SELECT vec_id, maxabs,
+      |    CASE WHEN maxabs = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS BIGINT))
+      |    END AS qv
+      |  FROM m)
+      |SELECT vec_id,
+      |  CAST(coalesce(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS q_sum,
+      |  CAST(list_max(qv) AS BIGINT) AS q_max,
+      |  CAST(list_min(qv) AS BIGINT) AS q_min,
+      |  CAST(CAST(maxabs AS DECIMAL(38,4)) AS VARCHAR) AS scale
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
-    QueryDef("q87_knn_label", q87, Some(q87Sql)))
+    QueryDef("q87_knn_label", q87, Some(q87Sql)),
+    QueryDef("q88_embedding_quantize", q88, Some(q88Sql)))
 }

@@ -185,6 +185,27 @@ class DedupSpec extends AnyFunSuite {
     assert(tied === Map(200L -> 3))
   }
 
+  test("quantizeInt8: bounded reconstruction error, int8 range, zero vector") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0L until 50L).map(i => (i, Seq.fill(16)(rnd.nextGaussian()))) :+
+      (99L, Seq.fill(16)(0.0)) // zero vector must quantize to zeros, scale 0
+    val df = rows.toDF("vec_id", "v")
+    val out = Similarity.quantizeInt8(df)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(99L) === ((99L, 0L, 0L, 0L, "0.0000")))
+    // recompute quantization in Scala and check the error bound per component
+    rows.dropRight(1).foreach { case (id, v) =>
+      val maxabs = v.map(math.abs).max
+      val q = v.map(x => math.floor(x * 127.0 / maxabs + 0.5).toLong)
+      assert(out(id)._2 === q.sum, s"q_sum mismatch for vec $id")
+      assert(q.forall(x => x >= -127L && x <= 127L))
+      // dequantized component error <= maxabs/254 + float slack
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(qi * maxabs / 127.0 - x) <= maxabs / 254.0 + 1e-9)
+      }
+    }
+  }
+
   test("semanticDedup: greedy lowest-id collapse within k-means cells") {
     // two tight clusters far apart + one outlier: ground truth by hand.
     // base directions are orthogonal so cross-cluster cosine ~ 0.
