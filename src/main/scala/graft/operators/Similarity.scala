@@ -27,9 +27,14 @@ object Similarity {
 
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Exact top-k cosine neighbors for a (small, broadcast) query set. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val pairs = corpus.join(broadcast(queries), col("vec_id") =!= col("qid"))
+  /** Exact top-k cosine neighbors for a (small, broadcast) query set.
+    * `excludeSelf` drops the vec_id == qid pair — right when queries ARE
+    * corpus rows (q37, the ANN gates); WRONG for cross-set search where the
+    * two id spaces are unrelated and a collision is not an identity. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = true): DataFrame = {
+    val cond = if (excludeSelf) col("vec_id") =!= col("qid") else lit(true)
+    val pairs = corpus.join(broadcast(queries), cond)
       .withColumn("cos", cosine(col("qv"), col("v")))
     // rank on the 4-dp-rounded score so the ordering survives cross-engine
     // 1-ulp double differences; neighbor id breaks ties deterministically
@@ -93,8 +98,10 @@ object Similarity {
   /** Predicted label per query. labeled: (vec_id, v, label);
     * queries: (qid, qv). */
   def knnLabel(labeled: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // label rides through the pair join — no second join against the corpus
-    val votes = bruteForceTopK(labeled, queries, k)
+    // label rides through the pair join — no second join against the corpus.
+    // excludeSelf = false: labeled and query id spaces are unrelated here,
+    // so an id collision must NOT silently drop a true nearest neighbor
+    val votes = bruteForceTopK(labeled, queries, k, excludeSelf = false)
       .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("n"))
     val w = Window.partitionBy(col("qid")).orderBy(col("n").desc, col("label"))
     votes.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
@@ -111,10 +118,11 @@ object Similarity {
   private def q87(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
-    val queries = emb.filter(col("vec_id") % 5 === 0 && col("vec_id") < 500)
+    val heldOut = col("vec_id") % 5 === 0 && col("vec_id") < 500
+    val queries = emb.filter(heldOut)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("label").as("true_label"))
-    val train = emb.filter(col("vec_id") % 5 =!= 0)
+    val train = emb.filter(!heldOut) // the rest — ONLY the holdout leaves
     knnLabel(train, queries.select(col("qid"), col("qv")), 3)
       .join(queries.select(col("qid"), col("true_label")), Seq("qid"))
       .select(col("qid"), col("true_label"), col("predicted"),
@@ -126,7 +134,7 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv, label AS true_label FROM e
       |  WHERE vec_id % 5 = 0 AND vec_id < 500),
-      |t AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+      |t AS (SELECT * FROM e WHERE NOT (vec_id % 5 = 0 AND vec_id < 500)),
       |pairs AS (
       |  SELECT q.qid, t.vec_id, t.label,
       |    list_inner_product(q.qv, t.v)
@@ -156,12 +164,17 @@ object Similarity {
     * but array order is fixed), scale, and the max reconstruction error
     * bound check. */
   def quantizeInt8(emb: DataFrame): DataFrame = {
-    val v = col("v")
-    val maxabs = array_max(transform(v, x => abs(x)))
+    // maxabs is materialized as a COLUMN before the element lambda: Catalyst
+    // does not hoist loop-invariant subexpressions across lambda boundaries,
+    // so inlining the array_max inside transform() would re-scan the vector
+    // per element — O(d²) per row on the hot storage path
+    val withMax = emb.select(col("vec_id"), col("v"),
+      array_max(transform(col("v"), x => abs(x))).as("maxabs"))
     // guard: a zero vector quantizes to zeros at scale 0 (no division)
-    val q = when(maxabs === 0.0, transform(v, x => lit(0L)))
-      .otherwise(transform(v, x => floor(x * 127.0 / maxabs + 0.5).cast("long")))
-    emb.select(col("vec_id"), q.as("qv"), maxabs.as("maxabs"))
+    val q = when(col("maxabs") === 0.0, transform(col("v"), x => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => floor(x * 127.0 / col("maxabs") + 0.5).cast("long")))
+    withMax.select(col("vec_id"), q.as("qv"), col("maxabs"))
       .select(col("vec_id"),
         aggregate(col("qv"), lit(0L), (acc, x) => acc + x).as("q_sum"),
         array_max(col("qv")).as("q_max"),

@@ -183,6 +183,14 @@ class DedupSpec extends AnyFunSuite {
     val tied = Similarity.knnLabel(twoPair, bisector, k = 4)
       .as[(Long, Int)].collect().toMap
     assert(tied === Map(200L -> 3))
+    // id collision across the UNRELATED id spaces: labeled vec_id 100 is the
+    // nearest neighbor of query qid 100 and must still vote (k=1 -> its
+    // label), not be dropped as a "self" pair
+    val collide = Seq((100L, v(0, 0.0), 9), (101L, v(1, 0.0), 3))
+      .toDF("vec_id", "v", "label")
+    val q100 = Seq((100L, v(0, 0.001))).toDF("qid", "qv")
+    assert(Similarity.knnLabel(collide, q100, k = 1)
+      .as[(Long, Int)].collect().toMap === Map(100L -> 9))
   }
 
   test("quantizeInt8: bounded reconstruction error, int8 range, zero vector") {
