@@ -24,6 +24,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "")
 
+  /** Evaluates a parameter expression to an Int with a clear analysis-time
+    * error. Raw `eval().asInstanceOf[Int]` fails opaquely (ClassCast/NPE)
+    * on a BIGINT literal like `top_k(s, 3L)` or a non-foldable argument;
+    * this names the function and the offending argument instead. Values
+    * outside Int range (e.g. a 2^31 numBits typed as BIGINT) are rejected
+    * rather than silently truncated. */
+  private def intArg(fn: String, pos: Int, e: Expression): Int = {
+    require(e.foldable,
+      s"$fn: argument ${pos + 1} must be a constant integer literal, " +
+        s"got non-foldable ${e.sql}")
+    e.eval() match {
+      case n: Number if n.longValue() == n.intValue() => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an INT-range integer literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("canonical_json"),
       info("canonical_json", "canonical_json(expr) - key-sorted canonical JSON of any value"),
@@ -34,39 +51,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", "minhash_signature(array<string>, h) - MinHash signature of h mins"),
       (exprs: Seq[Expression]) => MinHashSignature(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        intArg("minhash_signature", 1, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("ngram_shingles"),
       info("ngram_shingles", "ngram_shingles(array<string>, n) - distinct word n-grams"),
       (exprs: Seq[Expression]) => new graft.functions.NgramShingles(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        intArg("ngram_shingles", 1, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(array<double>, array<double>) - native dot product"),
       (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
     ext.injectFunction((FunctionIdentifier("rolling_fingerprints"),
       info("rolling_fingerprints", "rolling_fingerprints(str, k, w) - winnowing fingerprint set"),
       (exprs: Seq[Expression]) => graft.functions.RollingFingerprints(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        intArg("rolling_fingerprints", 1, exprs(1)), intArg("rolling_fingerprints", 2, exprs(2)))))
     // sketch aggregates: the analyzer wraps a returned AggregateFunction in
     // an AggregateExpression, so these work as plain SQL aggregates
     ext.injectFunction((FunctionIdentifier("bloom_filter_agg"),
       info("bloom_filter_agg", "bloom_filter_agg(hash, numBits, k) - Bloom bitset over 64-bit hashes"),
       (exprs: Seq[Expression]) => graft.functions.BloomFilterAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        intArg("bloom_filter_agg", 1, exprs(1)), intArg("bloom_filter_agg", 2, exprs(2)))))
     ext.injectFunction((FunctionIdentifier("bloom_might_contain"),
       info("bloom_might_contain", "bloom_might_contain(bloom, hash, k) - membership probe"),
       (exprs: Seq[Expression]) => graft.functions.BloomMightContain(exprs.head,
-        exprs(1), exprs(2).eval().asInstanceOf[Int])))
+        exprs(1), intArg("bloom_might_contain", 2, exprs(2)))))
     ext.injectFunction((FunctionIdentifier("count_min_sketch_agg"),
       info("count_min_sketch_agg", "count_min_sketch_agg(hash, depth, width) - CMS counter grid"),
       (exprs: Seq[Expression]) => graft.functions.CountMinSketchAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        intArg("count_min_sketch_agg", 1, exprs(1)), intArg("count_min_sketch_agg", 2, exprs(2)))))
     ext.injectFunction((FunctionIdentifier("top_k"),
       info("top_k", "top_k(struct, k) - k largest structs by struct order, largest first"),
       (exprs: Seq[Expression]) => graft.functions.TopKAgg(exprs.head,
-        exprs(1).eval().asInstanceOf[Int])))
+        intArg("top_k", 1, exprs(1)))))
     ext.injectFunction((FunctionIdentifier("cms_estimate"),
       info("cms_estimate", "cms_estimate(grid, hash, width) - min-over-rows count estimate"),
       (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs.head,
-        exprs(1), exprs(2).eval().asInstanceOf[Int])))
+        exprs(1), intArg("cms_estimate", 2, exprs(2)))))
   }
 }

@@ -50,11 +50,40 @@ object SketchHash {
     val h2 = fmix64(v ^ 0x9e3779b97f4a7c15L) | 1L
     java.lang.Math.floorMod(h1 + i.toLong * h2, mod.toLong).toInt
   }
+
+  // Self-describing sketch headers: the build-time parameters ride inside
+  // the serialized sketch, so a probe expression derives them instead of
+  // trusting a caller-supplied copy — a numHashes/width that disagreed with
+  // the build silently produced wrong membership/count answers before.
+  // The probe APIs keep their explicit parameters as a cross-check: a
+  // mismatch now raises a clear error instead of returning garbage.
+
+  /** First header long of a Bloom binary: magic | version | numHashes. */
+  val BloomMagic: Long = 0x4742_4C4FL // "GBLO"
+  /** First element of a CMS grid array: magic; then depth, width. */
+  val CmsMagic: Long = 0x4743_4D53L // "GCMS"
+  val CmsHeaderLen: Int = 3
+
+  def bloomHeader(numHashes: Int): Long =
+    (BloomMagic << 32) | numHashes.toLong
+
+  /** numHashes recovered from a Bloom binary's 8-byte header. */
+  def bloomNumHashes(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8 && bytes.length % 8 == 0,
+      s"not a graft Bloom sketch: length ${bytes.length}")
+    val h = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).getLong(0)
+    require((h >>> 32) == BloomMagic,
+      f"not a graft Bloom sketch: header 0x$h%016x")
+    (h & 0xffffffffL).toInt
+  }
 }
 
 /** Bloom filter over 64-bit input hashes. Buffer is a Long-word bitset;
-  * merge is bitwise OR; result is the bitset as BINARY (little-endian),
-  * small enough to broadcast (default 2^21 bits = 256 KiB). */
+  * merge is bitwise OR; result is BINARY (little-endian): one 8-byte
+  * header word (magic + numHashes, see [[SketchHash.bloomHeader]]) followed
+  * by the bitset — small enough to broadcast (default 2^21 bits = 256 KiB).
+  * The header makes the sketch self-describing, so probes derive k and
+  * numBits from the binary instead of trusting the caller. */
 case class BloomFilterAgg(
     child: Expression,
     numBits: Int,
@@ -93,16 +122,20 @@ case class BloomFilterAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
-    val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-    bb.asLongBuffer().put(buf)
+    val bb = ByteBuffer.allocate((buf.length + 1) * 8).order(ByteOrder.LITTLE_ENDIAN)
+    val lb = bb.asLongBuffer()
+    lb.put(SketchHash.bloomHeader(numHashes))
+    lb.put(buf)
     bb.array()
   }
 
   override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](bytes.length / 8)
-    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    val out = new Array[Long](bytes.length / 8 - 1)
+    val lb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer()
+    lb.get() // skip header word
+    lb.get(out)
     out
   }
 
@@ -121,8 +154,10 @@ object BloomFilterAgg {
 }
 
 /** Membership probe against a [[BloomFilterAgg]] bitset: true iff all k
-  * derived bits are set. numBits is recovered from the binary's length, so
-  * the probe stays correct for any filter size the caller built. */
+  * derived bits are set. numBits and k are recovered from the sketch's
+  * header/length, so the probe stays correct for any filter the caller
+  * built; the explicit `numHashes` is validated against the header — a
+  * mismatch errors instead of silently answering wrong. */
 case class BloomMightContain(left: Expression, right: Expression, numHashes: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BooleanType
@@ -130,11 +165,15 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
 
   override def nullSafeEval(bloom: Any, hash: Any): Any = {
     val bytes = bloom.asInstanceOf[Array[Byte]]
+    val k = SketchHash.bloomNumHashes(bytes)
+    require(k == numHashes,
+      s"bloom_might_contain: numHashes $numHashes does not match the " +
+        s"sketch's build-time value $k")
     val h = hash.asInstanceOf[Long]
-    val numBits = bytes.length * 8
+    val numBits = (bytes.length - 8) * 8
     var i = 0
-    while (i < numHashes) {
-      val idx = SketchHash.index(h, i, numBits)
+    while (i < k) {
+      val idx = 64 + SketchHash.index(h, i, numBits) // bit offset past header
       if ((bytes(idx >>> 3) & (1 << (idx & 7))) == 0) return java.lang.Boolean.FALSE
       i += 1
     }
@@ -154,8 +193,10 @@ object BloomMightContain {
 
 /** Count-min sketch over 64-bit input hashes: depth×width counter grid,
   * counts(d)(index_d(h)) += 1 per row, element-wise-add merge. Result is
-  * the flattened grid as array<bigint> (row-major), suitable for broadcast
-  * and probing with [[CmsEstimate]]. */
+  * array<bigint>: a 3-element header (magic, depth, width — so probes can
+  * derive the build parameters instead of trusting the caller) followed by
+  * the flattened grid (row-major), suitable for broadcast and probing with
+  * [[CmsEstimate]]. */
 case class CountMinSketchAgg(
     child: Expression,
     depth: Int,
@@ -191,8 +232,17 @@ case class CountMinSketchAgg(
     b1
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+  override def eval(buf: Array[Long]): Any = {
+    val out = new Array[Long](SketchHash.CmsHeaderLen + buf.length)
+    out(0) = SketchHash.CmsMagic
+    out(1) = depth.toLong
+    out(2) = width.toLong
+    System.arraycopy(buf, 0, out, SketchHash.CmsHeaderLen, buf.length)
+    new GenericArrayData(out)
+  }
 
+  // buffer serialization stays headerless — both sides of a merge were
+  // built by this same expression instance, so the parameters cannot drift
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8).order(ByteOrder.LITTLE_ENDIAN)
     bb.asLongBuffer().put(buf)
@@ -221,7 +271,9 @@ object CountMinSketchAgg {
 
 /** Point estimate from a [[CountMinSketchAgg]] grid: min over rows of the
   * counter at each row's derived index — never underestimates the true
-  * count. width is passed explicitly; depth = grid length / width. */
+  * count. depth and width come from the grid's own header; the explicit
+  * `width` is validated against it — a mismatch errors instead of silently
+  * probing the wrong cells. */
 case class CmsEstimate(left: Expression, right: Expression, width: Int)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
@@ -229,12 +281,20 @@ case class CmsEstimate(left: Expression, right: Expression, width: Int)
 
   override def nullSafeEval(grid: Any, hash: Any): Any = {
     val arr = grid.asInstanceOf[ArrayData]
+    require(arr.numElements() >= SketchHash.CmsHeaderLen &&
+      arr.getLong(0) == SketchHash.CmsMagic,
+      "cms_estimate: input is not a graft count-min sketch")
+    val depth = arr.getLong(1).toInt
+    val w = arr.getLong(2).toInt
+    require(w == width,
+      s"cms_estimate: width $width does not match the sketch's " +
+        s"build-time value $w")
     val h = hash.asInstanceOf[Long]
-    val depth = arr.numElements() / width
     var best = Long.MaxValue
     var d = 0
     while (d < depth) {
-      val c = arr.getLong(d * width + SketchHash.index(h, d, width))
+      val c = arr.getLong(
+        SketchHash.CmsHeaderLen + d * w + SketchHash.index(h, d, w))
       if (c < best) best = c
       d += 1
     }

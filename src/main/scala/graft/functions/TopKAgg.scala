@@ -9,6 +9,13 @@ import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
+/** k-capped ordered MULTISET buffer: a count per distinct struct plus the
+  * tracked total, so duplicate input structs survive up to k (a plain
+  * TreeSet silently collapses equal structs and can return fewer than k). */
+final class TopKBuffer(
+    val counts: java.util.TreeMap[InternalRow, Long],
+    var total: Int)
+
 /** Top-k elements per group by a total order, with k-bounded state
   * everywhere — the scale-safe twin of `rank() OVER (PARTITION BY g ORDER
   * BY ...) <= k`.
@@ -22,15 +29,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
   *
   * Input must be a struct whose FIRST fields define the ranking (descending
   * lexicographic over the struct's ordering); ties break by the remaining
-  * fields, so the result is deterministic for distinct struct values. The
-  * result is the top-k structs, largest first.
+  * fields. Equal struct values are kept as a multiset (each instance counts
+  * toward k), matching the rank()<=k row semantics exactly. The result is
+  * the top-k structs, largest first.
   */
 case class TopKAgg(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.TreeSet[InternalRow]]
+    extends TypedImperativeAggregate[TopKBuffer]
     with UnaryLike[Expression] {
 
   require(k > 0, s"top_k k must be positive, got $k")
@@ -46,43 +54,65 @@ case class TopKAgg(
     org.apache.spark.sql.catalyst.expressions.RowOrdering
       .createNaturalAscendingOrdering(structType.fields.map(_.dataType).toSeq)
 
-  override def createAggregationBuffer(): java.util.TreeSet[InternalRow] =
-    new java.util.TreeSet[InternalRow](ordering)
+  override def createAggregationBuffer(): TopKBuffer =
+    new TopKBuffer(new java.util.TreeMap[InternalRow, Long](ordering), 0)
 
-  private def add(buf: java.util.TreeSet[InternalRow], row: InternalRow): Unit = {
-    if (buf.size < k) { buf.add(row); () }
-    else if (ordering.compare(row, buf.first()) > 0) {
-      // row beats the current k-th (smallest kept) element
-      if (buf.add(row)) { buf.pollFirst(); () }
+  /** Adds one instance of `row` (must already be safe to retain). */
+  private def add(buf: TopKBuffer, row: InternalRow): Unit = {
+    val m = buf.counts
+    if (buf.total < k) {
+      m.merge(row, 1L, (a, b) => a + b)
+      buf.total += 1
+    } else {
+      val first = m.firstEntry() // smallest kept value
+      if (ordering.compare(row, first.getKey) > 0) {
+        m.merge(row, 1L, (a, b) => a + b)
+        // evict one INSTANCE of the smallest — total stays at k
+        if (first.getValue == 1L) m.remove(first.getKey)
+        else m.put(first.getKey, first.getValue - 1L)
+      }
     }
   }
 
-  override def update(buf: java.util.TreeSet[InternalRow],
-      input: InternalRow): java.util.TreeSet[InternalRow] = {
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val v = child.eval(input)
     if (v != null) add(buf, v.asInstanceOf[InternalRow].copy())
     buf
   }
 
-  override def merge(b1: java.util.TreeSet[InternalRow],
-      b2: java.util.TreeSet[InternalRow]): java.util.TreeSet[InternalRow] = {
-    val it = b2.iterator()
-    while (it.hasNext) add(b1, it.next())
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    val it = b2.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) { add(b1, e.getKey); c -= 1 }
+    }
     b1
   }
 
-  override def eval(buf: java.util.TreeSet[InternalRow]): Any =
-    // TreeSet iterates ascending; result contract is largest-first
-    new GenericArrayData(buf.descendingIterator().asScala.toArray[Any])
+  /** Buffer expanded to an array of structs, largest first, duplicates
+    * repeated by count — the result value AND the serialization payload. */
+  private def expand(buf: TopKBuffer): Array[Any] = {
+    val out = new Array[Any](buf.total)
+    var i = 0
+    val it = buf.counts.descendingMap().entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) { out(i) = e.getKey; i += 1; c -= 1 }
+    }
+    out
+  }
+
+  override def eval(buf: TopKBuffer): Any = new GenericArrayData(expand(buf))
 
   @transient private lazy val bufProjection =
     UnsafeProjection.create(Array[DataType](dataType))
 
-  override def serialize(buf: java.util.TreeSet[InternalRow]): Array[Byte] =
-    bufProjection.apply(InternalRow(
-      new GenericArrayData(buf.descendingIterator().asScala.toArray[Any]))).getBytes
+  override def serialize(buf: TopKBuffer): Array[Byte] =
+    bufProjection.apply(InternalRow(new GenericArrayData(expand(buf)))).getBytes
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[InternalRow] = {
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val row = new UnsafeRow(1)
     row.pointTo(bytes, bytes.length)
     val arr = row.getArray(0)
@@ -91,17 +121,10 @@ case class TopKAgg(
     val width = structType.length
     var i = 0
     while (i < n) {
-      buf.add(arr.getStruct(i, width).copy())
+      add(buf, arr.getStruct(i, width).copy())
       i += 1
     }
     buf
-  }
-
-  private implicit class AsScalaIter(it: java.util.Iterator[InternalRow]) {
-    def asScala: Iterator[InternalRow] = new Iterator[InternalRow] {
-      def hasNext: Boolean = it.hasNext
-      def next(): InternalRow = it.next()
-    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): TopKAgg =

@@ -182,13 +182,16 @@ object Dedup {
     // the loop is done: the edge checkpoint is dead weight from here on —
     // release its blocks eagerly instead of leaking them for the session
     // lifetime (a long-lived session running many CC queries otherwise
-    // accumulates pinned edge frames until the heap GC-thrashes)
+    // accumulates pinned edge frames until the heap GC-thrashes). Checkpoint
+    // blocks are RDD-persisted, not CacheManager-cached, so they must be
+    // released through the plan's LogicalRDD — Dataset.unpersist is a no-op
+    // for them.
     val result = vertices.select(col("id")).distinct()
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
       // pin the small (id, cluster_id) frame so the big inputs can go
       .localCheckpoint()
-    sym.unpersist(blocking = false)
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(sym)
     pinned.unpersist(blocking = false)
     result
   }
@@ -679,7 +682,9 @@ object Dedup {
           col("p_keeper").isNotNull.as("fwd"))
         .localCheckpoint()
       changed = step.filter(col("fwd")).limit(1).count()
-      pinned.unpersist(blocking = false) // superseded round, blocks are dead
+      // superseded round: checkpoint blocks are RDD-persisted, so release
+      // them through the plan (Dataset.unpersist would be a no-op here)
+      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(pinned)
       pinned = step
       drops = step.select(col("vec_id"), col("cell"), col("keeper"))
     }
@@ -687,8 +692,8 @@ object Dedup {
       .unionByName(drops.withColumn("status", lit("dropped"))
         .select(col("vec_id"), col("cell"), col("status"), col("keeper")))
       .localCheckpoint() // materialize before releasing the inputs
-    dec.unpersist(blocking = false)
-    pinned.unpersist(blocking = false)
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(dec)
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(pinned)
     result
   }
 

@@ -25,4 +25,20 @@ object GraftSql {
   def toInternalRdd(df: DataFrame)
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.queryExecution.toRdd
+
+  /** Releases the storage blocks behind a `localCheckpoint()`ed Dataset.
+    *
+    * `Dataset.unpersist` only uncaches through the CacheManager; checkpoint
+    * blocks live as persisted RDDs inside the plan's [[execution.LogicalRDD]]
+    * leaves, which the CacheManager never sees — so iterative operators that
+    * checkpoint per round (connected components, keeper-chain resolution)
+    * would pin every superseded round until the session ends. This walks the
+    * analyzed plan and unpersists each LogicalRDD's RDD directly. Only call
+    * once nothing will re-read the frame (i.e. after the successor round or
+    * the final result has materialized). */
+  def releaseCheckpointBlocks(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

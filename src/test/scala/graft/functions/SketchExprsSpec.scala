@@ -69,7 +69,10 @@ class SketchExprsSpec extends AnyFunSuite {
       .as[Seq[Long]].head()
     val a = build(1); val b = build(9)
     assert(a == b, "grid must not depend on input partitioning")
-    assert(a.sum == 3000L * 3, "each row of the grid accounts every input once")
+    // counters start after the 3-element (magic, depth, width) header
+    assert(a.drop(SketchHash.CmsHeaderLen).sum == 3000L * 3,
+      "each row of the grid accounts every input once")
+    assert(a.take(3) == Seq(SketchHash.CmsMagic, 3L, 512L), "header describes the build")
   }
 
   test("null hashes are ignored, empty input yields an empty sketch") {
@@ -77,9 +80,31 @@ class SketchExprsSpec extends AnyFunSuite {
       .select(col("h").cast("long").as("h"))
     val bloomBytes = df.agg(BloomFilterAgg.of(col("h"), 1 << 10, 3).as("b"))
       .as[Array[Byte]].head()
-    assert(bloomBytes.forall(_ == 0), "no bits set for all-null input")
+    assert(bloomBytes.drop(8).forall(_ == 0), "no bits set for all-null input")
+    assert(SketchHash.bloomNumHashes(bloomBytes) == 3, "header carries k")
     val grid = df.agg(CountMinSketchAgg.of(col("h"), 2, 64).as("c"))
       .as[Seq[Long]].head()
-    assert(grid.forall(_ == 0L))
+    assert(grid.drop(SketchHash.CmsHeaderLen).forall(_ == 0L))
+  }
+
+  test("probe parameters that disagree with the sketch header error clearly") {
+    val bloom = spark.range(10).select(xxhash64(col("id")).as("h"))
+      .agg(BloomFilterAgg.of(col("h"), 1 << 10, 3).as("b"))
+    val eb = intercept[Exception] {
+      bloom.select(BloomMightContain.of(col("b"), lit(42L), 5)).collect()
+    }
+    assert(eb.getMessage.contains("does not match"), s"got: ${eb.getMessage}")
+    val cms = spark.range(10).select(xxhash64(col("id")).as("h"))
+      .agg(CountMinSketchAgg.of(col("h"), 3, 256).as("c"))
+    val ec = intercept[Exception] {
+      cms.select(CmsEstimate.of(col("c"), lit(42L), 512)).collect()
+    }
+    assert(ec.getMessage.contains("does not match"), s"got: ${ec.getMessage}")
+    // a non-sketch binary is rejected by the magic check, not misread
+    val junk = spark.range(1).select(lit(Array.fill[Byte](16)(1)).as("b"))
+    val ej = intercept[Exception] {
+      junk.select(BloomMightContain.of(col("b"), lit(42L), 3)).collect()
+    }
+    assert(ej.getMessage.contains("not a graft Bloom"), s"got: ${ej.getMessage}")
   }
 }

@@ -18,10 +18,28 @@ class TopKAggSpec extends AnyFunSuite {
       .select(col("g"), col("top"))
       .as[(Int, Seq[(Long, String)])].collect().toMap
     val exact = rows.groupBy(_._1).map { case (g, vs) =>
-      g -> vs.map(v => (v._2, v._3)).sorted.reverse.distinct.take(3)
+      g -> vs.map(v => (v._2, v._3)).sorted.reverse.take(3)
     }
     for ((g, expect) <- exact)
       assert(got(g) == expect, s"group $g: ${got(g)} != $expect")
+  }
+
+  test("duplicate structs survive up to k — rank()<=k multiset semantics") {
+    // value 9 appears 4 times; top-3 must be three 9s, not one 9 + lower
+    // values (the TreeSet formulation silently collapsed equal structs)
+    val rows = Seq(9L, 9L, 9L, 9L, 7L, 5L).map(v => (1, v, "same"))
+    val got = rows.toDF("g", "score", "label").repartition(4)
+      .groupBy("g")
+      .agg(TopKAgg.of(struct(col("score"), col("label")), 3).as("top"))
+      .select(explode(col("top")).as("t")).select(col("t.score"))
+      .as[Long].collect().toSeq
+    assert(got == Seq(9L, 9L, 9L), s"duplicates must count toward k: $got")
+    // and a group smaller than its duplicate multiplicity still returns k
+    val few = Seq((1, 2L, "a"), (1, 2L, "a"))
+    val n = few.toDF("g", "score", "label")
+      .groupBy("g").agg(TopKAgg.of(struct(col("score"), col("label")), 5).as("top"))
+      .select(size(col("top"))).as[Int].head()
+    assert(n == 2, s"both duplicate rows must be returned, got $n")
   }
 
   test("partial buffers cap at k: a hot group never materializes its row set") {
