@@ -92,9 +92,40 @@ case class NearestCells(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Dot product of a full-precision query (array<double>) against an int8
+  * quantized vector (array<tinyint>) — the scoring kernel of the quantized
+  * IVF tier. Returns the RAW integer-weighted sum; the caller multiplies by
+  * the stored per-vector scale. One tight loop, no dequantized array ever
+  * materializes. */
+case class Int8Dot(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "int8_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getByte(i)
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Int8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftSql.column(DotProduct(GraftSql.expression(a), GraftSql.expression(b)))
+
+  def int8Dot(a: Column, b: Column): Column =
+    GraftSql.column(Int8Dot(GraftSql.expression(a), GraftSql.expression(b)))
 
   def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftSql.column(NearestCells(GraftSql.expression(v), centroids, nprobe))

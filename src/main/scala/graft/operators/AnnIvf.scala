@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorExprs.dotProduct
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.VectorExprs.{dotProduct, int8Dot}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -9,13 +9,38 @@ import org.apache.spark.sql.functions._
   * for embedding search (SURVEY.md §2 B31 "IVF or LSH-bucketed variant").
   *
   * Train: a few Lloyd iterations of k-means over a sample, entirely as
-  * DataFrame programs — assignment is a broadcast of the (tiny) centroid
-  * array against one corpus scan; update is a map-side-combinable average.
+  * DataFrame programs — assignment is a broadcast of the centroids against
+  * one corpus scan; update is a map-side-combinable average.
   * Search: probe the nprobe nearest centroid cells, exact re-rank inside.
   * At 100 TB the corpus is written PARTITIONED BY cell, so a query touches
   * only nprobe partitions — the classic IVF pruning.
+  *
+  * Centroid assignment has two plans, switched on k:
+  *  - k ≤ [[BroadcastKThreshold]]: the centroid array rides INSIDE one
+  *    native `NearestCells` expression — one corpus scan, zero joins, the
+  *    whole thing codegen-adjacent. Right while the array is plan-sized.
+  *  - k > threshold: a 100 TB corpus wants k ≈ 10⁴–10⁵ cells, where a
+  *    literal centroid array becomes a multi-megabyte expression serialized
+  *    into every task. Assignment switches to a broadcast centroid TABLE:
+  *    corpus ⋈ broadcast(cells) scores c·c − 2·v·c per (row, cell) inside
+  *    one pipelined stage, and a map-side-combined min_by argmin reduces to
+  *    one row per vector before anything shuffles — the k-wide candidate
+  *    block never materializes.
+  *
+  * The quantized tier ([[writeIndexQuantized]]/[[topKQuantized]]) stores
+  * int8 vectors + per-vector scale instead of full-precision doubles — an
+  * index ~8× smaller than the double corpus it serves (the difference
+  * between an index that fits and one that doesn't at 100 TB). Search
+  * scores int8 candidates in the probed cells, keeps a small multiple of k
+  * per query, and re-ranks just those in full precision against the
+  * primary corpus.
   */
 object AnnIvf {
+
+  /** Above this k, assignment switches from the literal `NearestCells`
+    * expression to the broadcast centroid-table join. 256 × 64 dims × 8 B
+    * = 128 KiB of plan literal is the comfortable ceiling. */
+  val BroadcastKThreshold = 256
 
   /** Deterministic k-means: seeded sample for init, fixed iteration count.
     * corpus: (vec_id, v: array<double>). Returns centroid arrays. */
@@ -48,13 +73,44 @@ object AnnIvf {
     centroids
   }
 
-  /** Nearest-centroid cell id per vector (L2; the corpus scan is the only
-    * pass — centroids ride along inside one native NearestCells eval:
-    * ||v − c||² = v·v − 2 v·c + c·c with v·v constant per row). */
+  /** Nearest-centroid cell id per vector (L2): literal-expression plan for
+    * small k, broadcast centroid-table join above [[BroadcastKThreshold]].
+    * Both rank by ||v − c||² = v·v − 2 v·c + c·c with v·v constant per row,
+    * ties to the lower cell id — identical output either way. */
   def assignCells(corpus: DataFrame, centroids: Array[Seq[Double]]): DataFrame =
-    corpus.withColumn("cell", element_at(
-      graft.functions.VectorExprs.nearestCells(
-        col("v"), centroids.map(_.toArray), 1), 1))
+    if (centroids.length <= BroadcastKThreshold)
+      corpus.withColumn("cell", element_at(
+        graft.functions.VectorExprs.nearestCells(
+          col("v"), centroids.map(_.toArray), 1), 1))
+    else assignCellsJoin(corpus, centroids)
+
+  /** The centroids as a broadcastable table (cell, cv, cc = c·c). */
+  private def centroidFrame(spark: SparkSession,
+      centroids: Array[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c, c.map(x => x * x).sum) }
+      .toDF("cell", "cv", "cc")
+  }
+
+  /** Large-k assignment: corpus ⋈ broadcast(centroid table), argmin via a
+    * map-side-combined min_by. The join and the partial aggregate pipeline
+    * in ONE stage — each corpus row's k scored copies are consumed by the
+    * hash aggregate as they are produced, so the only shuffle carries one
+    * (already-reduced) row per vector. Ties break to the lower cell id,
+    * matching `NearestCells`. */
+  private def assignCellsJoin(corpus: DataFrame,
+      centroids: Array[Seq[Double]]): DataFrame = {
+    val cents = centroidFrame(corpus.sparkSession, centroids)
+    val keep = corpus.columns
+    corpus.join(broadcast(cents))
+      .withColumn("__dist", col("cc") - lit(2.0) * dotProduct(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(keep.map(col) :+ col("cell"): _*),
+        struct(col("__dist"), col("cell"))).as("__r"))
+      .select(keep.map(c => col(s"__r.$c").as(c)) :+ col("__r.cell").as("cell"): _*)
+  }
 
   /** ANN top-k: probe the `nprobe` nearest cells per query, exact cosine
     * re-rank within the probed cells only. */
@@ -86,7 +142,7 @@ object AnnIvf {
     * directories (PartitionFilters in the plan — asserted by IvfIndexSpec).
     * A dynamic join on cell would read the whole index; this reads
     * |distinct probe cells| ≤ nq·nprobe directories. */
-  def topKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+  def topKIndexed(spark: SparkSession, indexPath: String,
       queries: DataFrame, k: Int, centroids: Array[Seq[Double]],
       nprobe: Int = 3): DataFrame = {
     val queryCells = assignProbes(queries, centroids, nprobe)
@@ -95,6 +151,84 @@ object AnnIvf {
     val cells = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed.map(Int.box): _*))
     rankTopK(queryCells, cells, k)
+  }
+
+  // ==== int8 quantized index tier ===========================================
+
+  /** Builds the QUANTIZED cell-partitioned index: per-vector symmetric int8
+    * quantization (the q88 math: q = floor(127·x/maxabs + 0.5)), cell
+    * assignment, and NO full-precision copy — columns are
+    * (vec_id, qv8: array<tinyint>, scale, qnorm, cell). `scale` dequantizes
+    * (x ≈ q·scale); `qnorm` is the dequantized L2 norm, precomputed at
+    * build time so search never rescans qv8 for it. */
+  def writeIndexQuantized(corpus: DataFrame, centroids: Array[Seq[Double]],
+      path: String): Unit = {
+    val assigned = assignCells(corpus, centroids)
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+    // integer quantized values first (the q88 quantizer, BIGINT elements):
+    // the norm is computed from them in one pass, then they cast losslessly
+    // to tinyint (|q| ≤ 127 by construction)
+    val q = when(col("maxabs") === 0.0, transform(col("v"), x => lit(0L)))
+      .otherwise(transform(col("v"),
+        x => floor(x * 127.0 / col("maxabs") + 0.5).cast("long")))
+    assigned
+      .withColumn("__q", q)
+      .withColumn("scale", col("maxabs") / 127.0)
+      .select(col("vec_id"),
+        transform(col("__q"), x => x.cast("byte")).as("qv8"),
+        col("scale"),
+        (sqrt(aggregate(col("__q"), lit(0.0), (acc, x) => acc + x * x))
+          * col("scale")).as("qnorm"),
+        col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+  }
+
+  /** ANN top-k over the QUANTIZED index, full-precision re-rank.
+    *
+    * Stage 1 (pruned): probe cells pushed as static partition filters, the
+    * int8 candidates scored by approximate cosine — `int8Dot` against the
+    * raw bytes times the stored scale, over the precomputed `qnorm`; no
+    * dequantized array ever materializes. The top `rerank·k` per query
+    * survive (quantization error is bounded by maxabs/254 per component, so
+    * a small multiple of k is enough headroom for rank inversions).
+    *
+    * Stage 2 (exact): the surviving candidate ids — |queries|·rerank·k rows,
+    * tiny — broadcast against the PRIMARY corpus to fetch full-precision
+    * vectors, exact cosine, final top-k with the same deterministic
+    * (rounded-score, id) ordering every other path uses. At 100 TB the
+    * corpus side of this join is laid out bucketed by vec_id, so the fetch
+    * prunes instead of scanning.
+    */
+  def topKQuantized(spark: SparkSession, indexPath: String,
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      centroids: Array[Seq[Double]], nprobe: Int = 3,
+      rerank: Int = 4): DataFrame = {
+    val queryCells = assignProbes(queries, centroids, nprobe)
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val approx = queryCells.join(cells, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      // zero-norm guard: a zero vector has no direction — score it below
+      // any real cosine instead of dividing by zero into NaN-poisoned ranks
+      .withColumn("ascore",
+        when(col("qnorm") === 0.0, lit(-2.0)).otherwise(
+          int8Dot(col("qv"), col("qv8")) * col("scale") /
+            (sqrt(dotProduct(col("qv"), col("qv"))) * col("qnorm"))))
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val survivors = approx.withColumn("rk", row_number().over(wa))
+      .filter(col("rk") <= k * rerank)
+      .select(col("qid"), col("qv"), col("vec_id"))
+    val exact = corpus.select(col("vec_id"), col("v"))
+      .join(broadcast(survivors), Seq("vec_id"))
+      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
   }
 
   /** Shared exact re-rank: candidates = probe-cell join, then per-query
@@ -113,19 +247,38 @@ object AnnIvf {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
   }
 
-  /** The nprobe nearest cells per query vector, exploded to (qid, qv, cell). */
+  /** The nprobe nearest cells per query vector, exploded to (qid, qv, cell).
+    * Same small-k/large-k switch as [[assignCells]]; the large-k plan keeps
+    * per-query state bounded at nprobe via the top_k aggregate. */
   private def assignProbes(queries: DataFrame, centroids: Array[Seq[Double]],
       nprobe: Int): DataFrame =
-    queries.withColumn("cell", explode(
-      graft.functions.VectorExprs.nearestCells(
-        col("qv"), centroids.map(_.toArray), nprobe)))
+    if (centroids.length <= BroadcastKThreshold)
+      queries.withColumn("cell", explode(
+        graft.functions.VectorExprs.nearestCells(
+          col("qv"), centroids.map(_.toArray), nprobe)))
+    else {
+      val cents = centroidFrame(queries.sparkSession, centroids)
+      // top_k keeps largest-first by struct order, so negate: (−dist, −cell)
+      // descending = (dist, cell) ascending — nearest first, ties to the
+      // lower cell id, matching NearestCells
+      queries.join(broadcast(cents))
+        .withColumn("__dist", col("cc") - lit(2.0) * dotProduct(col("qv"), col("cv")))
+        .groupBy(col("qid"))
+        .agg(
+          min_by(col("qv"), struct(col("__dist"), col("cell"))).as("qv"),
+          graft.functions.TopKAgg.of(
+            struct((-col("__dist")).as("nd"), (-col("cell")).as("nc")),
+            math.min(nprobe, centroids.length)).as("__top"))
+        .select(col("qid"), col("qv"), explode(col("__top.nc")).as("__nc"))
+        .select(col("qid"), col("qv"), (-col("__nc")).as("cell"))
+    }
 
   // -- query entries (driver-gated oracle, see AnnLsh.annRecallGate) ---------
   //
   // A query vector's planted exact copy assigns to the query's own nearest
-  // cell (same NearestCells eval on the same values), so it is always inside
+  // cell (same assignment on the same values), so it is always inside
   // the probed cells and must rank 1 at cosine 1.0000.
-  private def ivfTop(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private def ivfTop(s: SparkSession, dir: String): DataFrame =
     AnnLsh.annRecallGate({ (corpus, qs) =>
       // cache: k-means training re-scans the corpus once per iteration
       val c = corpus.cache()
@@ -139,7 +292,7 @@ object AnnIvf {
     * parquet → probe-pruned read (IvfIndexSpec proves the PartitionFilters)
     * → same recall gate. This is the 100 TB layout exercised end to end by
     * the driver every round, not just in ScalaTest. */
-  private def ivfIndexed(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+  private def ivfIndexed(s: SparkSession, dir: String): DataFrame =
     AnnLsh.annRecallGate({ (corpus, qs) =>
       val c = corpus.cache()
       try {
@@ -155,7 +308,27 @@ object AnnIvf {
       } finally c.unpersist()
     }, s, dir)
 
+  /** The quantized-index round-trip: train → write int8 cell-partitioned
+    * index (no full-precision column) → int8-scored probe-pruned search →
+    * full-precision re-rank against the primary corpus → same recall gate.
+    * The planted exact copy quantizes to the seed's own cell and its int8
+    * cosine is within quantization error of 1, so it survives the approx
+    * cut and must re-rank to 1 at cosine 1.0000. */
+  private def ivfQuantized(s: SparkSession, dir: String): DataFrame =
+    AnnLsh.annRecallGate({ (corpus, qs) =>
+      val c = corpus.cache()
+      try {
+        val centroids = trainCentroids(c, k = 16)
+        val indexPath = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft_ivf_index_q").toString
+        writeIndexQuantized(c, centroids, indexPath)
+        topKQuantized(s, indexPath, qs, c, 5, centroids, nprobe = 3)
+          .localCheckpoint()
+      } finally c.unpersist()
+    }, s, dir)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ann_ivf_topk", ivfTop, Some(AnnLsh.annGateSql)),
-    QueryDef("ann_ivf_indexed", ivfIndexed, Some(AnnLsh.annGateSql)))
+    QueryDef("ann_ivf_indexed", ivfIndexed, Some(AnnLsh.annGateSql)),
+    QueryDef("ann_ivf_quantized", ivfQuantized, Some(AnnLsh.annGateSql)))
 }
