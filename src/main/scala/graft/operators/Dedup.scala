@@ -785,8 +785,136 @@ object Dedup {
       |FROM aug a LEFT JOIN reach r ON r.u = a.doc_id
       |GROUP BY a.doc_id ORDER BY doc_id""".stripMargin
 
+  // ==== end-to-end near-dup dedup pipeline ==================================
+
+  /** Result of [[dedupNear]]: `kept` is the surviving corpus (same schema
+    * as the input), `decisions` maps EVERY input doc to its cluster and
+    * fate — kept ∪ dropped = input by construction — and `manifest` is the
+    * per-cluster audit (survivor id, member/dropped counts). */
+  final case class DedupNearResult(
+      kept: DataFrame, decisions: DataFrame, manifest: DataFrame)
+
+  /** End-to-end near-duplicate deduplication: exact-collapse → candidate
+    * pairs (pluggable method) → connected components → survivor selection
+    * (min doc_id per cluster) → corpus rewrite, as ONE operator. Users
+    * previously hand-composed q58 + q40 semantics; the composition is where
+    * ordering/determinism bugs breed, so the engine owns it.
+    *
+    * Scale shape: [[collapseExact]] runs FIRST, so dup-heavy corpora enter
+    * candidate generation at |distinct texts| (the sf1 stress lesson);
+    * every candidate method is bucketed (inverted index / LSH bands /
+    * simhash bands) with skew caps — no all-pairs structure anywhere; the
+    * per-doc expansion joins are hash joins on text/rep_id. Exact
+    * duplicates collapse onto the min-id representative, so cluster_id =
+    * min member id globally and exact-dup members are dropped members of
+    * their representative's cluster — identical semantics to running the
+    * pair graph over the uncollapsed corpus.
+    *
+    * `tau`: similarity threshold. For `ngram`/`minhash` it is a Jaccard
+    * lower bound; for `simhash` it maps to a Hamming budget of
+    * round((1−tau)·64) bits.
+    *
+    * docs: (doc_id, text). Extra columns survive into `kept`.
+    */
+  def dedupNear(docs: DataFrame, method: String = "ngram", tau: Double = 0.5,
+      shingleN: Int = 4, maxShingleFreq: Int = 50): DedupNearResult = {
+    val base = docs.select(col("doc_id"), col("text"))
+    val reps = collapseExact(base).select(col("doc_id"), col("text"))
+    val edges = (method match {
+      case "ngram" =>
+        ngramJaccardPairs(reps, shingleN, maxShingleFreq)
+          .filter(col("jaccard") >= tau)
+      case "minhash" =>
+        minhashCandidates(reps, shingleN, numHashes = 64, bands = 8)
+          .filter(col("jaccard") >= tau)
+      case "simhash" =>
+        simhashCandidates(reps,
+          maxHamming = math.round((1 - tau) * 64).toInt)
+      case other => throw new IllegalArgumentException(
+        s"dedupNear: unknown method '$other' (ngram | minhash | simhash)")
+    }).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val comps = connectedComponents(edges, reps.select(col("doc_id").as("id")))
+    // expand representatives back to every input doc: doc → rep by text
+    // (the same key collapseExact grouped on), rep → cluster
+    val decisions = base
+      .join(reps.select(col("text"), col("doc_id").as("__rep")), Seq("text"))
+      .join(comps.select(col("id").as("__rep"), col("cluster_id")), Seq("__rep"))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("kept"))
+    val kept = docs.join(
+      decisions.filter(col("kept")).select(col("doc_id")), Seq("doc_id"), "left_semi")
+    val manifest = decisions.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_dropped"))
+    DedupNearResult(kept, decisions, manifest)
+  }
+
+  /** Oracled end-to-end run on the q58 planted corpus (exact copies +
+    * doubled-text copies of docs 0..24): emits every doc's (cluster_id,
+    * kept) decision. The ngram method is fully deterministic, so DuckDB
+    * reproduces the identical survivor set via text-collapse + the same
+    * capped inverted index + a recursive-CTE transitive closure. */
+  private def dedupNearOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val seeds = docs.filter(col("doc_id") < PlantN)
+    val aug = docs
+      .unionByName(seeds.select((col("doc_id") + PlantOffset).as("doc_id"),
+        col("text")))
+      .unionByName(seeds.select((col("doc_id") + 2 * PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    dedupNear(aug, method = "ngram", tau = 0.5,
+      shingleN = 4, maxShingleFreq = 20)
+      .decisions.orderBy(col("doc_id"))
+  }
+
+  private val dedupNearSql =
+    """WITH RECURSIVE
+      |aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id < 25
+      |  UNION ALL
+      |  SELECT doc_id + 2000000000, text || ' ' || text FROM documents WHERE doc_id < 25),
+      |reps AS (SELECT min(doc_id) AS rep_id, text FROM aug GROUP BY text),
+      |toks AS (
+      |  SELECT rep_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM reps),
+      |sh AS (
+      |  SELECT DISTINCT rep_id, array_to_string(t[i:i+3], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 2)) AS u(i) WHERE len(t) >= 4
+      |  UNION
+      |  SELECT rep_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 3),
+      |counts AS (SELECT rep_id, count(*) AS n_sh FROM sh GROUP BY rep_id),
+      |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20),
+      |pruned AS (SELECT sh.rep_id, sh.s FROM sh JOIN keep USING (s)),
+      |pairs AS (
+      |  SELECT a.rep_id AS da, b.rep_id AS db, count(*) AS shared
+      |  FROM pruned a JOIN pruned b ON a.s = b.s AND a.rep_id < b.rep_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT da, db FROM pairs
+      |  JOIN counts ca ON ca.rep_id = pairs.da
+      |  JOIN counts cb ON cb.rep_id = pairs.db
+      |  WHERE CAST(shared AS DOUBLE) / (ca.n_sh + cb.n_sh - shared) >= 0.5),
+      |edges AS (SELECT da AS u, db AS v FROM jac UNION SELECT db, da FROM jac),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |comp AS (
+      |  SELECT p.rep_id, least(p.rep_id, coalesce(min(r.v), p.rep_id)) AS cluster_id
+      |  FROM reps p LEFT JOIN reach r ON r.u = p.rep_id
+      |  GROUP BY p.rep_id)
+      |SELECT a.doc_id, c.cluster_id, a.doc_id = c.cluster_id AS kept
+      |FROM aug a
+      |JOIN reps USING (text)
+      |JOIN comp c ON c.rep_id = reps.rep_id
+      |ORDER BY a.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_neardup_clusters", clustersOracled, Some(clustersSql)),
+    QueryDef("q89_dedup_near", dedupNearOracled, Some(dedupNearSql)),
     QueryDef("embedding_neardup_topk", embNearDupOracled, Some(embNearDupSql)),
     QueryDef("rollingfp_neardup_topk", rollingFpOracled, Some(rollingFpSql)),
     QueryDef("minhash_neardup_topk", minhashOracled, Some(minhashSql)),

@@ -288,4 +288,74 @@ class DedupSpec extends AnyFunSuite {
     assert(r1.filter(_._1 >= 1000L).forall(_._2 == "dropped"),
       "an exact planted copy survived semantic dedup")
   }
+
+  // ==== dedupNear end-to-end laws ===========================================
+
+  /** The planted corpus plus exact copies of every 3rd doc — exercises the
+    * exact-collapse front end AND the near-dup graph in one run. */
+  private lazy val nearCorpus: DataFrame = {
+    val extra = corpus.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"), col("text"))
+    corpus.unionByName(extra)
+  }
+
+  test("dedupNear law: kept ∪ dropped = input, exactly once each") {
+    val r = Dedup.dedupNear(nearCorpus, method = "ngram", tau = 0.5,
+      shingleN = 3, maxShingleFreq = 100)
+    val n = nearCorpus.count()
+    assert(r.decisions.count() == n, "every input doc gets a decision")
+    assert(r.decisions.select("doc_id").distinct().count() == n,
+      "no doc decided twice")
+    val keptN = r.kept.count()
+    val droppedN = r.decisions.filter(!col("kept")).count()
+    assert(keptN + droppedN == n, s"kept $keptN + dropped $droppedN != $n")
+    // manifest accounts for every member
+    val m = r.manifest.agg(sum("n_members"), sum("n_dropped")).head()
+    assert(m.getLong(0) == n && m.getLong(1) == droppedN)
+    // survivors are their own cluster ids (min-id selection)
+    assert(r.decisions.filter(col("kept") && col("doc_id") =!= col("cluster_id"))
+      .count() == 0)
+  }
+
+  test("dedupNear law: no two kept docs within tau of each other") {
+    val r = Dedup.dedupNear(nearCorpus, method = "ngram", tau = 0.5,
+      shingleN = 3, maxShingleFreq = 100)
+    val kept = r.kept.select("doc_id", "text")
+    // re-run the SAME candidate generator over the kept corpus: any pair at
+    // jaccard >= tau would mean two surviving near-duplicates
+    val survivors = Dedup.ngramJaccardPairs(kept, 3, 100)
+      .filter(col("jaccard") >= 0.5).count()
+    assert(survivors == 0, s"$survivors near-dup pairs survived dedupNear")
+    // and every planted near-dup/exact-dup pair is collapsed: the mutated
+    // (i, i+10000) and exact (i, i+20000) copies never BOTH survive
+    val keptIds = kept.select("doc_id").as[Long].collect().toSet
+    for (i <- 0L until 60L) {
+      if (keptIds(i) && i % 4 == 0 && truePairs.getOrElse((i, i + 10000L), 0.0) >= 0.5)
+        assert(!keptIds(i + 10000L), s"near-dup pair ($i, ${i + 10000}) both kept")
+      if (i % 3 == 0)
+        assert(!(keptIds(i) && keptIds(i + 20000L)),
+          s"exact pair ($i, ${i + 20000}) both kept")
+    }
+  }
+
+  test("dedupNear: minhash and simhash methods produce consistent survivor sets") {
+    // approximate methods may differ from ngram on borderline pairs but the
+    // laws hold and exact duplicates ALWAYS collapse (identical signatures)
+    for (m <- Seq("minhash", "simhash")) {
+      val r = Dedup.dedupNear(nearCorpus, method = m, tau = 0.5,
+        shingleN = 3, maxShingleFreq = 100)
+      val n = nearCorpus.count()
+      val keptN = r.kept.count()
+      assert(r.decisions.count() == n, s"$m: decisions cover input")
+      assert(keptN + r.decisions.filter(!col("kept")).count() == n)
+      val keptIds = r.kept.select("doc_id").as[Long].collect().toSet
+      for (i <- 0L until 60L if i % 3 == 0)
+        assert(!(keptIds(i) && keptIds(i + 20000L)),
+          s"$m: exact pair ($i, ${i + 20000}) both kept")
+    }
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.dedupNear(nearCorpus, method = "nope")
+    }
+    assert(bad.getMessage.contains("unknown method"))
+  }
 }
