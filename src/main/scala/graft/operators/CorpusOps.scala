@@ -82,6 +82,92 @@ object CorpusOps {
       |    '')) AS dedup_text_md5
       |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ==== q90: variable-length repeated-substring detection =================
+  //
+  // The suffix-array dedup family (find every repeated token substring of
+  // length >= L across the corpus) re-shaped for Spark: q64's fixed
+  // segment grid misses repeats that straddle segment boundaries or exceed
+  // a segment; this detects them at ANY alignment. Instead of a global
+  // suffix array (a corpus-wide sort of every suffix — the classic
+  // single-node construction), emit every L-token window fingerprint,
+  // count corpus-wide multiplicity (fixed-size aggregation state,
+  // map-side combined — no doc lists, no caps), keep windows seen >= 2
+  // times, and merge consecutive duplicated windows per doc into maximal
+  // runs (gaps-and-islands). A repeated substring of length m >= L
+  // produces m − L + 1 consecutive duplicated windows, so the merged run
+  // recovers its exact span: same detection set as a suffix array for
+  // repeats >= L, in two hash shuffles (8-byte fp, then doc_id) and one
+  // per-doc sort — every stage linear in corpus tokens.
+
+  /** Maximal repeated token spans (length >= minLen) per document:
+    * (doc_id, start, length) with `start` a 0-based token position. A
+    * span is reported when its every L-window occurs >= 2 times anywhere
+    * in the corpus (cross-doc or intra-doc). Window keys are 64-bit
+    * fingerprints — at 100 TB the shuffle carries 8 bytes per window, not
+    * L tokens of text (collision odds ~n²/2⁶⁴; a byte-exact rewrite stage
+    * would re-verify spans against text). */
+  def repeatedSubstrings(docs: DataFrame, minLen: Int): DataFrame = {
+    val wins = docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= minLen)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - minLen),
+          i => xxhash64(array_join(slice(col("t"), i + lit(1), lit(minLen)), " "))))
+        .as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    val dup = wins.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2).select(col("fp"))
+    val marked = wins.join(dup, Seq("fp")).select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    marked.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("start"),
+        (max(col("pos")) - min(col("pos")) + minLen).as("length"))
+      .select(col("doc_id"), col("start"), col("length"))
+  }
+
+  private val RepeatL = 20
+
+  /** Planted long repeats: a 40-token excerpt of each seed doc becomes a
+    * new document — a variable-length repeat no segment grid aligns with.
+    * Both engines compute the identical corpus, so every organic repeat
+    * matches too. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val plants = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 43)
+      .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
+        array_join(slice(col("t"), 4, 40), " ").as("text"))
+    repeatedSubstrings(docs.unionByName(plants), RepeatL)
+      .orderBy(col("doc_id"), col("start"))
+  }
+
+  private val q90Sql =
+    """WITH toks0 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id < 10),
+      |plant AS (
+      |  SELECT doc_id + 1000000000 AS doc_id, array_to_string(t[4:43], ' ') AS text
+      |  FROM toks0 WHERE len(t) >= 43),
+      |aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM plant),
+      |toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM aug),
+      |wins AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(t[i:i+19], ' ') AS w
+      |  FROM toks, unnest(range(1, len(t) - 18)) AS u(i)
+      |  WHERE len(t) >= 20),
+      |dup AS (SELECT w FROM wins GROUP BY w HAVING count(*) >= 2),
+      |marked AS (SELECT doc_id, pos FROM wins JOIN dup USING (w)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM marked)
+      |SELECT doc_id, min(pos) AS start,
+      |  max(pos) - min(pos) + 20 AS length
+      |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start""".stripMargin
+
   // ==== q65: corpus-frequency quality signals =============================
   //
   // A rare-token detector that needs no external model: build the corpus
@@ -459,6 +545,7 @@ object CorpusOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q74_epoch_shuffle", q74, Some(q74Sql)),
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
+    QueryDef("q90_substring_repeats", q90, Some(q90Sql)),
     QueryDef("q65_corpus_freq_quality", q65, Some(q65Sql)),
     QueryDef("q66_group_sample", q66, Some(q66Sql)),
     QueryDef("q67_pii_redact", q67, Some(q67Sql)),

@@ -176,6 +176,35 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(base.map(_._1) === base.map(_._1).sorted)
   }
 
+  test("repeatedSubstrings recovers planted repeats at exact span, any alignment") {
+    // vocabulary of unique words so no organic window ever repeats
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val shared = words("dup", 9)                    // the 9-token repeat
+    val a = words("a", 5) ++ shared ++ words("b", 7) // repeat at tokens 5..13
+    val b = words("c", 3) ++ shared ++ words("d", 2) // repeat at tokens 3..11
+    val short = words("s", 4)                        // 4-token repeat < L
+    val c = words("e", 6) ++ short ++ words("f", 6)
+    val d = words("g", 2) ++ short ++ words("h", 8)
+    val docs = Seq(
+      (0L, a.mkString(" ")), (1L, b.mkString(" ")),
+      (2L, c.mkString(" ")), (3L, d.mkString(" "))).toDF("doc_id", "text")
+    val got = CorpusOps.repeatedSubstrings(docs, minLen = 5)
+      .orderBy("doc_id", "start")
+      .as[(Long, Long, Long)].collect().toSeq
+    // exact span in BOTH docs — q64's length-5 segment grid would only
+    // match grid-aligned slices, which these offsets (5 vs 3) never are
+    assert(got == Seq((0L, 5L, 9L), (1L, 3L, 9L)),
+      s"expected the 9-token repeat at its exact offsets, got $got")
+    // the 4-token repeat stays invisible at minLen 5 (asserted by absence
+    // of docs 2 and 3 above); an intra-doc repeat IS visible:
+    val rep = (words("x", 6) ++ words("r", 7) ++ words("y", 4) ++
+      words("r", 7)).mkString(" ")
+    val intra = CorpusOps.repeatedSubstrings(
+      Seq((9L, rep)).toDF("doc_id", "text"), minLen = 5)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(intra == Seq((9L, 6L, 7L), (9L, 17L, 7L)), s"intra-doc: $intra")
+  }
+
   test("classifierScore: additive integer scores, bounded weights") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha beta"),
       (3L, "alpha alpha"), (4L, "")).toDF("doc_id", "text")
