@@ -28,10 +28,13 @@ object Bench {
     Tables.lineitem(spark, sfDir).groupBy(col("l_returnflag"))
       .agg(sum(col("l_quantity"))).collect()
 
-    // best-of-2 per query: a second run on a warm JVM removes most
-    // machine-noise variance from the recorded baseline
+    // min-of-3 per query: this sandbox's co-tenant load swings single runs
+    // ±50% (COVERAGE.md), so the recorded artifact takes the min of three
+    // warm-JVM runs AND reports the median alongside — the min is the
+    // machine-capability number, min≈median means the run was quiet,
+    // median≫min flags a noisy artifact without needing a re-run to tell
     val iterations = math.max(1,
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     // optional args = query-name filter (for single-query stress timings)
     val wanted = args.toSet
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -52,12 +55,17 @@ object Bench {
           BlockRelease.releaseAll(spark)
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val sorted = times.sorted
+      val median = sorted((iterations - 1) / 2)
+      name -> (if (times.exists(_ < 0)) (-1.0, -1.0) else (sorted.head, median))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum // -1 markers excluded
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: ((String, (Double, Double))) => Double) = results
+      .map { case (k, v) => "\"" + k + "\":" + f((k, v)) }.mkString("{", ",", "}")
+    val qs = obj(_._2._1)
+    val med = obj(_._2._2)
+    val total = results.map(_._2._1).filter(_ >= 0).sum // -1 markers excluded
+    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median_total":$totalMed,"median_queries":$med,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
