@@ -162,7 +162,17 @@ object AnnIvf {
     * (x ≈ q·scale); `qnorm` is the dequantized L2 norm, precomputed at
     * build time so search never rescans qv8 for it. */
   def writeIndexQuantized(corpus: DataFrame, centroids: Array[Seq[Double]],
-      path: String): Unit = {
+      path: String): Unit =
+    quantizeAssign(corpus, centroids)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The quantized index ROWS for a (vec_id, v) frame: (vec_id, qv8, scale,
+    * qnorm, cell). Pure map-side over the input — shared by the batch index
+    * build and the streaming incremental append, so the two paths cannot
+    * drift. */
+  def quantizeAssign(corpus: DataFrame,
+      centroids: Array[Seq[Double]]): DataFrame = {
     val assigned = assignCells(corpus, centroids)
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
     // integer quantized values first (the q88 quantizer, BIGINT elements):
@@ -180,8 +190,6 @@ object AnnIvf {
         (sqrt(aggregate(col("__q"), lit(0.0), (acc, x) => acc + x * x))
           * col("scale")).as("qnorm"),
         col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
   /** ANN top-k over the QUANTIZED index, full-precision re-rank.

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.operators.AnnIvf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming embedding ingest (SURVEY.md §2 B31/B37 extension): the
+  * incremental IVF index build a live pipeline needs.
+  *
+  * A production embedding store doesn't rebuild its ANN index per batch —
+  * new vectors quantize to int8, assign to their (frozen) centroid cell,
+  * and APPEND into the cell-partitioned parquet layout, all inside
+  * `foreachBatch`. Search code is unchanged: the index directory simply
+  * grows new files under the probed `cell=` directories, and
+  * [[AnnIvf.topKQuantized]] answers over batch-built and incrementally-
+  * built indexes identically (StreamingSpec parity test).
+  *
+  * Centroids are FROZEN at stream start — the standard IVF discipline:
+  * cell geometry must not move under an existing index (a re-assignment
+  * would orphan already-written rows), so drift is handled by an offline
+  * re-train + rebuild, not in-stream.
+  *
+  * Delivery: the streaming checkpoint gives each micro-batch an id and
+  * replays only uncommitted batches, so rows append at-least-once (a crash
+  * between the parquet commit and the checkpoint commit can replay one
+  * batch). The quantized rows are deterministic per vec_id, so replayed
+  * duplicates are exact copies — harmless to top-k ranks (the (score, id)
+  * ordering dedupes visually) and removable by a keep-first compaction on
+  * vec_id if exactness is required downstream.
+  */
+object EmbeddingStreaming {
+
+  /** One micro-batch: quantize + assign (the SAME map-side frame the batch
+    * index build writes) and append under the cell directories. The
+    * repartition keeps one writer per cell so a batch adds one file per
+    * touched cell, not `tasks × cells` fragments. */
+  def appendBatch(indexPath: String, centroids: Array[Seq[Double]])(
+      batch: DataFrame, batchId: Long): Unit =
+    AnnIvf.quantizeAssign(batch, centroids)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(indexPath)
+
+  /** Starts the incremental index build over a streaming (vec_id, v) frame.
+    * `checkpoint` carries the batch ledger — resuming the stream after a
+    * crash continues from the last committed batch. */
+  def startIndexStream(embeddings: DataFrame, centroids: Array[Seq[Double]],
+      indexPath: String, checkpoint: String): StreamingQuery =
+    embeddings.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(appendBatch(indexPath, centroids) _)
+      .start()
+}

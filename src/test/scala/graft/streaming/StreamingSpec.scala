@@ -251,4 +251,44 @@ class StreamingSpec extends AnyFunSuite {
       .sortBy(r => (r._1, r._2)).toSeq
     assert(streamedWins == batchWins)
   }
+
+  test("incremental IVF index build: streamed appends == batch-built index") {
+    import graft.operators.{AnnIvf, Similarity}
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .cache()
+    val centroids = AnnIvf.trainCentroids(emb, k = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val batchPath = s"$tmp/batch"
+    val streamPath = s"$tmp/stream"
+    AnnIvf.writeIndexQuantized(emb, centroids, batchPath)
+
+    // the same corpus arrives as three micro-batches
+    val rows = emb.as[(Long, Seq[Double])].collect().toSeq
+    val parts = rows.grouped((rows.size + 2) / 3).toSeq
+    val input = MemoryStream[(Long, Seq[Double])](spark)
+    val q = EmbeddingStreaming.startIndexStream(
+      input.toDS().toDF("vec_id", "v"), centroids,
+      streamPath, s"$tmp/ckpt")
+    try {
+      parts.foreach { p => input.addData(p: _*); q.processAllAvailable() }
+    } finally q.stop()
+
+    // the incrementally-built index holds identical rows (more files is
+    // fine — one per touched cell per batch; content is what parity means)
+    def rowsOf(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("qv8"), col("scale"), col("qnorm"), col("cell"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsOf(streamPath) == rowsOf(batchPath))
+
+    // and answers the same probes identically through the search path
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def answers(p: String) = AnnIvf
+      .topKQuantized(spark, p, qs, emb, 5, centroids, nprobe = 3)
+      .select(col("qid"), col("rank"), col("neighbor"), round(col("cos"), 4))
+      .orderBy("qid", "rank").collect().map(_.toString).toSeq
+    assert(answers(streamPath) == answers(batchPath))
+    emb.unpersist()
+  }
 }
