@@ -89,6 +89,21 @@ class IvfQuantizedSpec extends AnyFunSuite {
     assert(quant == float)
   }
 
+  test("quantized search prunes the index scan to the probed cells") {
+    val (aug, qs) = planted()
+    val centroids = AnnIvf.trainCentroids(aug, k = 16)
+    val dir = Files.createTempDirectory("graft_ivqp").toString
+    AnnIvf.writeIndexQuantized(aug, centroids, dir)
+    val res = AnnIvf.topKQuantized(spark, dir, qs, aug, 5, centroids, nprobe = 3)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+      .getOrElse("")
+    assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*cell#.*"),
+      s"probe cells not pushed as partition filter:\n$scanLine")
+  }
+
   test("zero vectors quantize to zeros at scale 0 and never poison ranks") {
     val zero = spark.range(1).select(
       lit(9999).as("vec_id"),
