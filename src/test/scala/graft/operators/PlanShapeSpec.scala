@@ -88,7 +88,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // not show as these operators)
     for (q <- Seq("q64_segment_dedup", "q65_corpus_freq_quality",
         "q66_group_sample", "q67_pii_redact", "q70_incremental_dedup",
-        "q71_curation_report")) {
+        "q71_curation_report", "q90_substring_repeats")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
