@@ -125,6 +125,132 @@ object CorpusOps {
       .select(col("doc_id"), col("start"), col("length"))
   }
 
+  /** The REWRITE half of the suffix-array dedup family (q90 detects —
+    * this removes): every duplicated L-window keeps only its corpus-FIRST
+    * occurrence (min (doc_id, pos) — an argmin aggregate, map-side
+    * combinable, no per-fp sort even on a mass-duplicated fingerprint);
+    * each document then keeps exactly the tokens covered by at least one
+    * surviving window, reconstructed in order via interval union
+    * (running-max gaps-and-islands).
+    *
+    * Coverage semantics, stated precisely: a window is `surviving` when it
+    * is unique corpus-wide OR the first occurrence of its fingerprint; a
+    * token survives iff some surviving window covers it. A window that
+    * straddles a repeat's edge contains surrounding unique context and is
+    * therefore unique itself, so each non-first repeat occurrence keeps up
+    * to L−1 boundary tokens on each side and loses its INTERIOR — local
+    * fluency at the seams is preserved, and repeats shorter than 2(L−1)+1
+    * embedded in unique context are left alone (their every window
+    * touches context). A context-free repeat occurrence (a whole-document
+    * copy, e.g. the planted excerpts in q91) has no unique windows at all
+    * and rewrites to empty. Documents shorter than minLen pass through
+    * whole. Emits per-doc audit rows (token counts + md5 of the rewritten
+    * text) rather than shipping corpus text through the compare. */
+  def removeRepeatedSubstrings(docs: DataFrame, minLen: Int): DataFrame = {
+    val base = docs.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+    val wins = base.filter(col("n") >= minLen)
+      .select(col("doc_id"), col("t"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - minLen),
+          i => xxhash64(array_join(slice(col("t"), i + lit(1), lit(minLen)), " "))))
+        .as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    val firsts = wins.groupBy(col("fp")).agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    val surviving = wins.join(firsts, Seq("fp"))
+      .filter(col("cnt") === 1 ||
+        (col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos")))
+      .select(col("doc_id"), col("pos"))
+    // interval union of surviving windows per doc: a new island starts
+    // when this window begins past every previous window's end + 1
+    val wdoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + lit(minLen - 1))
+      .over(wdoc.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = surviving
+      .withColumn("brk",
+        when(col("pos") > coalesce(prevEnd, lit(-1L)) + 1, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("brk")).over(wdoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + lit(minLen - 1)).as("e"))
+    val rebuilt = intervals.join(base, Seq("doc_id"))
+      .select(col("doc_id"), col("s"), (col("e") - col("s") + 1).as("len"),
+        array_join(slice(col("t"), (col("s") + 1).cast("int"),
+          (col("e") - col("s") + 1).cast("int")), " ").as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("len")).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("s"), col("piece")))),
+          p => p.getField("piece"))).as("text_after"))
+    base.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_before"),
+        when(col("n") < minLen, col("n"))
+          .otherwise(coalesce(col("kept_tokens"), lit(0L))).as("n_after"),
+        md5(when(col("n") < minLen, array_join(col("t"), " "))
+          .otherwise(coalesce(col("text_after"), lit("")))).as("text_md5"))
+  }
+
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val plants = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 43)
+      .select((col("doc_id") + Dedup.PlantOffset).as("doc_id"),
+        array_join(slice(col("t"), 4, 40), " ").as("text"))
+    removeRepeatedSubstrings(docs.unionByName(plants), RepeatL)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql =
+    """WITH toks0 AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id < 10),
+      |plant AS (
+      |  SELECT doc_id + 1000000000 AS doc_id, array_to_string(t[4:43], ' ') AS text
+      |  FROM toks0 WHERE len(t) >= 43),
+      |aug AS (SELECT doc_id, text FROM documents UNION ALL SELECT * FROM plant),
+      |base AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM aug),
+      |wins AS (
+      |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+      |    array_to_string(t[i:i+19], ' ') AS w
+      |  FROM base, unnest(range(1, len(t) - 18)) AS u(i)
+      |  WHERE len(t) >= 20),
+      |ranked AS (
+      |  SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY w) AS cnt,
+      |    row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn
+      |  FROM wins),
+      |surviving AS (
+      |  SELECT doc_id, pos FROM ranked WHERE cnt = 1 OR rn = 1),
+      |brks AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 19) OVER (PARTITION BY doc_id
+      |      ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) + 1 THEN 1 ELSE 0 END AS brk
+      |  FROM surviving),
+      |grps AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM brks),
+      |iv AS (
+      |  SELECT doc_id, grp, min(pos) AS s, max(pos) + 19 AS e
+      |  FROM grps GROUP BY doc_id, grp),
+      |rebuilt AS (
+      |  SELECT iv.doc_id, CAST(sum(e - s + 1) AS BIGINT) AS kept_tokens,
+      |    string_agg(array_to_string(t[s+1:e+1], ' '), ' ' ORDER BY s)
+      |      AS text_after
+      |  FROM iv JOIN base ON base.doc_id = iv.doc_id
+      |  GROUP BY iv.doc_id)
+      |SELECT b.doc_id, CAST(len(b.t) AS BIGINT) AS n_before,
+      |  CASE WHEN len(b.t) < 20 THEN CAST(len(b.t) AS BIGINT)
+      |    ELSE coalesce(r.kept_tokens, 0) END AS n_after,
+      |  md5(CASE WHEN len(b.t) < 20 THEN array_to_string(b.t, ' ')
+      |    ELSE coalesce(r.text_after, '') END) AS text_md5
+      |FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+      |ORDER BY b.doc_id""".stripMargin
+
   private val RepeatL = 20
 
   /** Planted long repeats: a 40-token excerpt of each seed doc becomes a
@@ -546,6 +672,7 @@ object CorpusOps {
     QueryDef("q74_epoch_shuffle", q74, Some(q74Sql)),
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
     QueryDef("q90_substring_repeats", q90, Some(q90Sql)),
+    QueryDef("q91_substring_rewrite", q91, Some(q91Sql)),
     QueryDef("q65_corpus_freq_quality", q65, Some(q65Sql)),
     QueryDef("q66_group_sample", q66, Some(q66Sql)),
     QueryDef("q67_pii_redact", q67, Some(q67Sql)),

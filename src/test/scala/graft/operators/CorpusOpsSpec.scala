@@ -205,6 +205,46 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(intra == Seq((9L, 6L, 7L), (9L, 17L, 7L)), s"intra-doc: $intra")
   }
 
+  test("removeRepeatedSubstrings: first occurrence survives, interiors cut, short docs pass") {
+    def words(prefix: String, n: Int) = (0 until n).map(i => s"$prefix$i")
+    val span = words("dup", 15) // long repeat: interior exceeds boundary context
+    val a = words("a", 4) ++ span ++ words("b", 3)   // first occurrence of span
+    val b = words("c", 5) ++ span ++ words("d", 4)   // later occurrence
+    val pure = span                                   // doc = span only -> empty
+    val tiny = words("t", 3)                          // < minLen -> untouched
+    val docs = Seq(
+      (0L, a.mkString(" ")), (1L, b.mkString(" ")),
+      (2L, pure.mkString(" ")), (3L, tiny.mkString(" "))).toDF("doc_id", "text")
+    val got = CorpusOps.removeRepeatedSubstrings(docs, minLen = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "n_before", "n_after", "text_md5")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 0 holds the corpus-first occurrence of every duplicated window
+    // (doc_id 0 < 1, 2) so it survives whole
+    assert(got(0) == (0L, 22L, 22L, m(a.mkString(" "))), s"doc0: ${got(0)}")
+    // doc 1: the span sits at tokens 5..19; windows straddling its edges
+    // carry unique context and survive, protecting L-1 = 4 boundary tokens
+    // each side; the 7-token interior (tokens 9..15) is cut
+    val doc1Kept = (words("c", 5) ++ span.take(4) ++ span.takeRight(4) ++
+      words("d", 4)).mkString(" ")
+    assert(got(1) == (1L, 24L, 17L, m(doc1Kept)),
+      s"doc1 must lose the repeat interior, keep L-1 context: ${got(1)}")
+    // doc 2 IS the span — zero unique context -> rewrites empty
+    assert(got(2) == (2L, 15L, 0L, m("")), s"doc2 must rewrite to empty: ${got(2)}")
+    assert(got(3) == (3L, 3L, 3L, m(tiny.mkString(" "))), s"doc3: ${got(3)}")
+    // a short repeat fully inside unique context is protected end-to-end
+    val shortSpan = words("s", 6)
+    val d2 = Seq((7L, (words("x", 4) ++ shortSpan ++ words("y", 4)).mkString(" ")),
+      (8L, (words("z", 4) ++ shortSpan ++ words("w", 4)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val kept = CorpusOps.removeRepeatedSubstrings(d2, minLen = 5)
+      .select("n_before", "n_after").as[(Long, Long)].collect().toSeq
+    assert(kept == Seq((14L, 14L), (14L, 14L)),
+      s"6-token repeat < 2(L-1)+1 must be fully protected: $kept")
+  }
+
   test("classifierScore: additive integer scores, bounded weights") {
     val docs = Seq((0L, "alpha"), (1L, "beta"), (2L, "alpha beta"),
       (3L, "alpha alpha"), (4L, "")).toDF("doc_id", "text")
