@@ -35,9 +35,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$fn: argument ${pos + 1} must be a constant integer literal, " +
         s"got non-foldable ${e.sql}")
     e.eval() match {
-      case n: Number if n.longValue() == n.intValue() => n.intValue()
+      // integral literal types only — a fractional Double/Decimal must NOT
+      // silently truncate (top_k(s, 2.9) is a caller bug, not k=2)
+      case n @ (_: java.lang.Integer | _: java.lang.Long | _: java.lang.Short |
+          _: java.lang.Byte) =>
+        val v = n.asInstanceOf[Number].longValue()
+        require(v == v.toInt,
+          s"$fn: argument ${pos + 1} is out of INT range: $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
-        s"$fn: argument ${pos + 1} must be an INT-range integer literal, got $other")
+        s"$fn: argument ${pos + 1} must be an integer literal, got $other")
     }
   }
 

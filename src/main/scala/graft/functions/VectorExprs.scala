@@ -105,7 +105,14 @@ case class Int8Dot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // a silent min-length truncation would return plausible-but-wrong
+    // partial scores when a query's dimension disagrees with the index
+    // (e.g. an index built from an older embedding model) — that is a
+    // caller error and must surface as one
+    require(n == b.numElements(),
+      s"int8_dot: dimension mismatch — query has $n components, " +
+        s"quantized vector has ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

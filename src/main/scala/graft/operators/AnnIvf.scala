@@ -98,9 +98,20 @@ object AnnIvf {
     * in ONE stage — each corpus row's k scored copies are consumed by the
     * hash aggregate as they are produced, so the only shuffle carries one
     * (already-reduced) row per vector. Ties break to the lower cell id,
-    * matching `NearestCells`. */
+    * matching `NearestCells`.
+    *
+    * Contract beyond the literal path: rows must carry a UNIQUE `vec_id`
+    * (the argmin groups on it — a duplicated id would collapse two rows
+    * into one, where the literal path keeps both). That is the id contract
+    * every AnnIvf entry point already states for its corpus. NaN vector
+    * components are undefined behavior on both paths (each is
+    * deterministic; they may disagree on which cell a NaN vector lands
+    * in). */
   private def assignCellsJoin(corpus: DataFrame,
       centroids: Array[Seq[Double]]): DataFrame = {
+    require(corpus.columns.contains("vec_id"),
+      "large-k cell assignment requires a unique vec_id column " +
+        s"(k=${centroids.length} > BroadcastKThreshold=$BroadcastKThreshold)")
     val cents = centroidFrame(corpus.sparkSession, centroids)
     val keep = corpus.columns
     corpus.join(broadcast(cents))
@@ -212,24 +223,34 @@ object AnnIvf {
       queries: DataFrame, corpus: DataFrame, k: Int,
       centroids: Array[Seq[Double]], nprobe: Int = 3,
       rerank: Int = 4): DataFrame = {
+    // the query-side norm is constant per query: compute it ONCE on the
+    // nq·nprobe probe rows, not per (query, candidate) pair — the int8
+    // scoring stage exists to be cheap (the index side precomputed qnorm
+    // at build time for the same reason)
     val queryCells = assignProbes(queries, centroids, nprobe)
+      .withColumn("qn", sqrt(dotProduct(col("qv"), col("qv"))))
     val probed = queryCells.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val cells = spark.read.parquet(indexPath)
       .filter(col("cell").isin(probed.map(Int.box): _*))
     val approx = queryCells.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      // zero-norm guard: a zero vector has no direction — score it below
-      // any real cosine instead of dividing by zero into NaN-poisoned ranks
+      // zero-norm guard, BOTH sides: a zero vector (index or query) has no
+      // direction — score it below any real cosine instead of dividing by
+      // zero into NaN-poisoned ranks
       .withColumn("ascore",
-        when(col("qnorm") === 0.0, lit(-2.0)).otherwise(
+        when(col("qnorm") === 0.0 || col("qn") === 0.0, lit(-2.0)).otherwise(
           int8Dot(col("qv"), col("qv8")) * col("scale") /
-            (sqrt(dotProduct(col("qv"), col("qv"))) * col("qnorm"))))
+            (col("qn") * col("qnorm"))))
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val survivors = approx.withColumn("rk", row_number().over(wa))
       .filter(col("rk") <= k * rerank)
       .select(col("qid"), col("qv"), col("vec_id"))
+      // an at-least-once incremental index append (EmbeddingStreaming) can
+      // hold exact duplicate rows after a replayed batch; they cost rerank
+      // headroom above but must not occupy two of the k final ranks
+      .dropDuplicates("qid", "vec_id")
     val exact = corpus.select(col("vec_id"), col("v"))
       .join(broadcast(survivors), Seq("vec_id"))
       .withColumn("cos", Similarity.cosine(col("qv"), col("v")))

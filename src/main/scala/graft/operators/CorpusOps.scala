@@ -99,6 +99,19 @@ object CorpusOps {
   // repeats >= L, in two hash shuffles (8-byte fp, then doc_id) and one
   // per-doc sort — every stage linear in corpus tokens.
 
+  /** Every L-token window of every document as (doc_id, pos, fp): the
+    * shared front end of the substring-dedup pair (q90 detect / q91
+    * rewrite). 64-bit fingerprints, so the shuffles carry 8 bytes per
+    * window instead of L tokens of text. */
+  private def windowFps(docs: DataFrame, minLen: Int): DataFrame =
+    docs.select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= minLen)
+      .select(col("doc_id"), posexplode(
+        transform(sequence(lit(0), size(col("t")) - minLen),
+          i => xxhash64(array_join(slice(col("t"), i + lit(1), lit(minLen)), " "))))
+        .as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+
   /** Maximal repeated token spans (length >= minLen) per document:
     * (doc_id, start, length) with `start` a 0-based token position. A
     * span is reported when its every L-window occurs >= 2 times anywhere
@@ -107,13 +120,15 @@ object CorpusOps {
     * L tokens of text (collision odds ~n²/2⁶⁴; a byte-exact rewrite stage
     * would re-verify spans against text). */
   def repeatedSubstrings(docs: DataFrame, minLen: Int): DataFrame = {
-    val wins = docs.select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= minLen)
-      .select(col("doc_id"), posexplode(
-        transform(sequence(lit(0), size(col("t")) - minLen),
-          i => xxhash64(array_join(slice(col("t"), i + lit(1), lit(minLen)), " "))))
-        .as(Seq("pos", "fp")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    // checkpointed HERE but deliberately NOT in removeRepeatedSubstrings:
+    // this operator's downstream (marked positions ≈ all windows on a
+    // dup-heavy corpus, then a per-doc window sort over them) re-reads the
+    // frame expensively, and the 10×-replicated stress corpus measured 32%
+    // faster with the explode materialized once (10.1 s vs 14.9 s at sf1).
+    // The rewrite's downstream is argmin + a small surviving join where
+    // the same materialization measured 13× SLOWER (7.1 s vs 0.5 s) —
+    // lazy re-evaluation plus exchange reuse wins when consumers are cheap.
+    val wins = windowFps(docs, minLen).localCheckpoint()
     val dup = wins.groupBy(col("fp")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= 2).select(col("fp"))
     val marked = wins.join(dup, Seq("fp")).select(col("doc_id"), col("pos"))
@@ -149,12 +164,10 @@ object CorpusOps {
   def removeRepeatedSubstrings(docs: DataFrame, minLen: Int): DataFrame = {
     val base = docs.select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
-    val wins = base.filter(col("n") >= minLen)
-      .select(col("doc_id"), col("t"), posexplode(
-        transform(sequence(lit(0), size(col("t")) - minLen),
-          i => xxhash64(array_join(slice(col("t"), i + lit(1), lit(minLen)), " "))))
-        .as(Seq("pos", "fp")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    // NOT checkpointed — measured 13× faster lazy at sf1 (see the note in
+    // repeatedSubstrings): both consumers shuffle by fp, so the exchange
+    // is planned once, and re-deriving the explode beats materializing it
+    val wins = windowFps(docs, minLen)
     val firsts = wins.groupBy(col("fp")).agg(
       count(lit(1)).as("cnt"),
       min(struct(col("doc_id"), col("pos"))).as("first"))

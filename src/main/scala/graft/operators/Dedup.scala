@@ -828,16 +828,30 @@ object Dedup {
         minhashCandidates(reps, shingleN, numHashes = 64, bands = 8)
           .filter(col("jaccard") >= tau)
       case "simhash" =>
-        simhashCandidates(reps,
-          maxHamming = math.round((1 - tau) * 64).toInt)
+        // a 64-bit simhash of two UNRELATED documents sits at expected
+        // Hamming distance 32, so a generous budget stops discriminating
+        // and links strangers into clusters that dedup then DELETES. Cap
+        // the budget at the candidate generator's own near-dup regime
+        // (16 bits ⇔ tau >= 0.75) instead of silently accepting tau=0.5.
+        val budget = math.round((1 - tau) * 64).toInt
+        require(budget <= 16,
+          s"dedupNear(simhash): tau=$tau maps to a $budget-bit Hamming " +
+            "budget; beyond 16 bits simhash similarity stops separating " +
+            "near-duplicates from unrelated text — use tau >= 0.75, or " +
+            "the ngram method for low-similarity thresholds")
+        simhashCandidates(reps, maxHamming = budget)
       case other => throw new IllegalArgumentException(
         s"dedupNear: unknown method '$other' (ngram | minhash | simhash)")
     }).select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val comps = connectedComponents(edges, reps.select(col("doc_id").as("id")))
     // expand representatives back to every input doc: doc → rep by text
-    // (the same key collapseExact grouped on), rep → cluster
+    // (the same key collapseExact grouped on — null-SAFE equality, because
+    // collapseExact's groupBy keeps a null-text group and a plain equi-join
+    // would silently drop those docs, breaking kept ∪ dropped = input),
+    // rep → cluster
     val decisions = base
-      .join(reps.select(col("text"), col("doc_id").as("__rep")), Seq("text"))
+      .join(reps.select(col("text").as("__rt"), col("doc_id").as("__rep")),
+        col("text") <=> col("__rt"))
       .join(comps.select(col("id").as("__rep"), col("cluster_id")), Seq("__rep"))
       .select(col("doc_id"), col("cluster_id"),
         (col("doc_id") === col("cluster_id")).as("kept"))

@@ -25,9 +25,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * replays only uncommitted batches, so rows append at-least-once (a crash
   * between the parquet commit and the checkpoint commit can replay one
   * batch). The quantized rows are deterministic per vec_id, so replayed
-  * duplicates are exact copies — harmless to top-k ranks (the (score, id)
-  * ordering dedupes visually) and removable by a keep-first compaction on
-  * vec_id if exactness is required downstream.
+  * duplicates are exact copies; `topKQuantized` drops duplicate
+  * (qid, vec_id) survivors before the final ranking, so a replayed vector
+  * cannot occupy two of the k result ranks (it does consume stage-1
+  * rerank headroom). A keep-first compaction on vec_id reclaims the
+  * duplicate storage if an index lives through many crash-replays.
   */
 object EmbeddingStreaming {
 

@@ -341,8 +341,8 @@ class DedupSpec extends AnyFunSuite {
   test("dedupNear: minhash and simhash methods produce consistent survivor sets") {
     // approximate methods may differ from ngram on borderline pairs but the
     // laws hold and exact duplicates ALWAYS collapse (identical signatures)
-    for (m <- Seq("minhash", "simhash")) {
-      val r = Dedup.dedupNear(nearCorpus, method = m, tau = 0.5,
+    for ((m, tau) <- Seq("minhash" -> 0.5, "simhash" -> 0.8)) {
+      val r = Dedup.dedupNear(nearCorpus, method = m, tau = tau,
         shingleN = 3, maxShingleFreq = 100)
       val n = nearCorpus.count()
       val keptN = r.kept.count()
@@ -357,5 +357,28 @@ class DedupSpec extends AnyFunSuite {
       Dedup.dedupNear(nearCorpus, method = "nope")
     }
     assert(bad.getMessage.contains("unknown method"))
+    // a Hamming budget wide enough to match unrelated text is refused
+    val wide = intercept[IllegalArgumentException] {
+      Dedup.dedupNear(nearCorpus, method = "simhash", tau = 0.5)
+    }
+    assert(wide.getMessage.contains("Hamming"))
+  }
+
+  test("dedupNear law holds for null-text documents") {
+    // two null-text docs are exact duplicates of each other (same group in
+    // collapseExact) — they must BOTH get decisions, one kept
+    val withNulls = nearCorpus.unionByName(
+      Seq((90001L, null.asInstanceOf[String]), (90002L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"))
+    val r = Dedup.dedupNear(withNulls, method = "ngram", tau = 0.5,
+      shingleN = 3, maxShingleFreq = 100)
+    assert(r.decisions.count() == withNulls.count(),
+      "null-text docs must not vanish from the decision table")
+    val nullDecisions = r.decisions
+      .filter(col("doc_id") >= 90000L)
+      .select("doc_id", "cluster_id", "kept")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(nullDecisions == Seq((90001L, 90001L, true), (90002L, 90001L, false)),
+      s"null texts collapse as exact duplicates: $nullDecisions")
   }
 }

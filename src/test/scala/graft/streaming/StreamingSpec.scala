@@ -289,6 +289,16 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("qid"), col("rank"), col("neighbor"), round(col("cos"), 4))
       .orderBy("qid", "rank").collect().map(_.toString).toSeq
     assert(answers(streamPath) == answers(batchPath))
+
+    // at-least-once crash replay: re-appending a whole batch duplicates its
+    // rows in the index, but a replayed vector must not occupy two of the
+    // k final ranks — answers stay IDENTICAL to the batch index
+    EmbeddingStreaming.appendBatch(streamPath, centroids)(
+      spark.createDataFrame(parts.head).toDF("vec_id", "v"), 99L)
+    assert(spark.read.parquet(streamPath).count() > rows.size,
+      "the replay must actually have duplicated rows")
+    assert(answers(streamPath) == answers(batchPath),
+      "replayed duplicates leaked into the top-k ranks")
     emb.unpersist()
   }
 }
