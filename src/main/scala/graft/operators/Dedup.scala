@@ -819,7 +819,10 @@ object Dedup {
   def dedupNear(docs: DataFrame, method: String = "ngram", tau: Double = 0.5,
       shingleN: Int = 4, maxShingleFreq: Int = 50): DedupNearResult = {
     val base = docs.select(col("doc_id"), col("text"))
+    // checkpoint: three consumers (candidate edges, CC vertices, the
+    // expansion join) would each recompute the corpus-wide text groupBy
     val reps = collapseExact(base).select(col("doc_id"), col("text"))
+      .localCheckpoint()
     val edges = (method match {
       case "ngram" =>
         ngramJaccardPairs(reps, shingleN, maxShingleFreq)
