@@ -127,12 +127,135 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: splits a d-dim vector into m contiguous
+  * subvectors and replaces each with the index of its nearest codebook
+  * centroid — m bytes per vector, the 100 TB ANN storage tier below int8.
+  * codebooks(j)(c) is centroid c of subvector j. Same distance ranking as
+  * [[NearestCells]] (c·c − 2·v·c per subvector; ties → lower code). */
+case class PqEncode(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val cc: Array[Array[Double]] =
+    codebooks.map(_.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    })
+
+  override def nullSafeEval(value: Any): Any = {
+    val v = value.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(v.numElements() == m * sub,
+      s"pq_encode: vector has ${v.numElements()} components, codebooks " +
+        s"cover ${m * sub}")
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = codebooks(j)
+      var best = 0
+      var bd = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var vc = 0.0
+        var i = 0
+        while (i < sub) { vc += v.getDouble(j * sub + i) * cent(i); i += 1 }
+        val d = cc(j)(c) - 2.0 * vc
+        if (d < bd) { bd = d; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance scoring kernel: approximate dot(query, original) as
+  * sum over subvectors of dot(q_sub_j, codebook_j(code_j)) — the query in
+  * full precision, the corpus vector reconstructed code-by-code without
+  * ever materializing the reconstruction. */
+case class PqDot(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_dot"
+
+  override def nullSafeEval(q: Any, codes: Any): Any = {
+    val a = q.asInstanceOf[ArrayData]
+    val b = codes.asInstanceOf[ArrayData]
+    val m = codebooks.length
+    val sub = codebooks(0)(0).length
+    require(b.numElements() == m && a.numElements() == m * sub,
+      s"pq_dot: ${a.numElements()}-dim query vs ${b.numElements()} codes " +
+        s"under ${m}x$sub codebooks")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val cent = codebooks(j)(java.lang.Byte.toUnsignedInt(b.getByte(j)))
+      var i = 0
+      while (i < sub) { acc += a.getDouble(j * sub + i) * cent(i); i += 1 }
+      j += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of the PQ reconstruction — precomputed at encode time so search
+  * never rescans codes for it (the PQ twin of the int8 tier's `qnorm`). */
+case class PqReconNorm(child: Expression,
+    codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_recon_norm"
+
+  override def nullSafeEval(codes: Any): Any = {
+    val b = codes.asInstanceOf[ArrayData]
+    require(b.numElements() == codebooks.length,
+      s"pq_recon_norm: ${b.numElements()} codes vs ${codebooks.length} codebooks")
+    var acc = 0.0
+    var j = 0
+    while (j < codebooks.length) {
+      val cent = codebooks(j)(java.lang.Byte.toUnsignedInt(b.getByte(j)))
+      var i = 0
+      while (i < cent.length) { acc += cent(i) * cent(i); i += 1 }
+      j += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(acc))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqReconNorm =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftSql.column(DotProduct(GraftSql.expression(a), GraftSql.expression(b)))
 
   def int8Dot(a: Column, b: Column): Column =
     GraftSql.column(Int8Dot(GraftSql.expression(a), GraftSql.expression(b)))
+
+  def pqEncode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqEncode(GraftSql.expression(v), codebooks))
+
+  def pqDot(q: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqDot(GraftSql.expression(q), GraftSql.expression(codes), codebooks))
+
+  def pqReconNorm(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftSql.column(PqReconNorm(GraftSql.expression(codes), codebooks))
 
   def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftSql.column(NearestCells(GraftSql.expression(v), centroids, nprobe))

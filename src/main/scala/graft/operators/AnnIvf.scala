@@ -253,7 +253,7 @@ object AnnIvf {
       .dropDuplicates("qid", "vec_id")
     val exact = corpus.select(col("vec_id"), col("v"))
       .join(broadcast(survivors), Seq("vec_id"))
-      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("cos", Similarity.cosineGuarded(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 4).desc, col("vec_id"))
     exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -269,7 +269,7 @@ object AnnIvf {
     val candidates = queryCells.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id"), col("v"))
-      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      .withColumn("cos", Similarity.cosineGuarded(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 4).desc, col("vec_id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -279,8 +279,8 @@ object AnnIvf {
   /** The nprobe nearest cells per query vector, exploded to (qid, qv, cell).
     * Same small-k/large-k switch as [[assignCells]]; the large-k plan keeps
     * per-query state bounded at nprobe via the top_k aggregate. */
-  private def assignProbes(queries: DataFrame, centroids: Array[Seq[Double]],
-      nprobe: Int): DataFrame =
+  private[operators] def assignProbes(queries: DataFrame,
+      centroids: Array[Seq[Double]], nprobe: Int): DataFrame =
     if (centroids.length <= BroadcastKThreshold)
       queries.withColumn("cell", explode(
         graft.functions.VectorExprs.nearestCells(

@@ -25,6 +25,17 @@ object Similarity {
     dotProduct(a, b) / (sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b)))
   }
 
+  /** cosine with a zero-norm guard: a zero vector has no direction, so the
+    * pair scores −2 (below any real cosine) instead of tripping ANSI
+    * divide-by-zero. For the ANN index paths, where candidate sets are
+    * whatever the probed cells hold; the ORACLED brute-force paths keep
+    * the unguarded [[cosine]] so their expression matches DuckDB's. */
+  def cosineGuarded(a: Column, b: Column): Column = {
+    import graft.functions.VectorExprs.dotProduct
+    val denom = sqrt(dotProduct(a, a)) * sqrt(dotProduct(b, b))
+    when(denom === 0.0, lit(-2.0)).otherwise(dotProduct(a, b) / denom)
+  }
+
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Exact top-k cosine neighbors for a (small, broadcast) query set.
