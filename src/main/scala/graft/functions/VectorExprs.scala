@@ -213,34 +213,6 @@ case class PqDot(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
-/** L2 norm of the PQ reconstruction — precomputed at encode time so search
-  * never rescans codes for it (the PQ twin of the int8 tier's `qnorm`). */
-case class PqReconNorm(child: Expression,
-    codebooks: Array[Array[Array[Double]]])
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "pq_recon_norm"
-
-  override def nullSafeEval(codes: Any): Any = {
-    val b = codes.asInstanceOf[ArrayData]
-    require(b.numElements() == codebooks.length,
-      s"pq_recon_norm: ${b.numElements()} codes vs ${codebooks.length} codebooks")
-    var acc = 0.0
-    var j = 0
-    while (j < codebooks.length) {
-      val cent = codebooks(j)(java.lang.Byte.toUnsignedInt(b.getByte(j)))
-      var i = 0
-      while (i < cent.length) { acc += cent(i) * cent(i); i += 1 }
-      j += 1
-    }
-    java.lang.Double.valueOf(math.sqrt(acc))
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): PqReconNorm =
-    copy(child = newChild)
-}
-
 object VectorExprs {
   def dotProduct(a: Column, b: Column): Column =
     GraftSql.column(DotProduct(GraftSql.expression(a), GraftSql.expression(b)))
@@ -253,9 +225,6 @@ object VectorExprs {
 
   def pqDot(q: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
     GraftSql.column(PqDot(GraftSql.expression(q), GraftSql.expression(codes), codebooks))
-
-  def pqReconNorm(codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
-    GraftSql.column(PqReconNorm(GraftSql.expression(codes), codebooks))
 
   def nearestCells(v: Column, centroids: Array[Array[Double]], nprobe: Int): Column =
     GraftSql.column(NearestCells(GraftSql.expression(v), centroids, nprobe))

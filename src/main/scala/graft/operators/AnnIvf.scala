@@ -242,14 +242,27 @@ object AnnIvf {
         when(col("qnorm") === 0.0 || col("qn") === 0.0, lit(-2.0)).otherwise(
           int8Dot(col("qv"), col("qv8")) * col("scale") /
             (col("qn") * col("qnorm"))))
+    rerankExact(approx, corpus, k, rerank)
+  }
+
+  /** Shared tail of every compressed tier (int8, PQ): rank the approximate
+    * scores, keep rerank·k survivors per query, re-rank those EXACTLY
+    * against the primary corpus with the deterministic (rounded-score, id)
+    * ordering. Lives in ONE place so the replay-duplicate handling and the
+    * rerank-cut contract cannot drift between tiers.
+    *
+    * approx: (qid, qv, vec_id, ascore). The dropDuplicates absorbs exact
+    * duplicate index rows from an at-least-once incremental append
+    * (EmbeddingStreaming) — they cost rerank headroom but must not occupy
+    * two of the k final ranks. At 100 TB the corpus side of the fetch join
+    * is laid out bucketed by vec_id, so it prunes instead of scanning. */
+  private[operators] def rerankExact(approx: DataFrame, corpus: DataFrame,
+      k: Int, rerank: Int): DataFrame = {
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("vec_id"))
     val survivors = approx.withColumn("rk", row_number().over(wa))
       .filter(col("rk") <= k * rerank)
       .select(col("qid"), col("qv"), col("vec_id"))
-      // an at-least-once incremental index append (EmbeddingStreaming) can
-      // hold exact duplicate rows after a replayed batch; they cost rerank
-      // headroom above but must not occupy two of the k final ranks
       .dropDuplicates("qid", "vec_id")
     val exact = corpus.select(col("vec_id"), col("v"))
       .join(broadcast(survivors), Seq("vec_id"))

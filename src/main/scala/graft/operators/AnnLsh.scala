@@ -50,7 +50,9 @@ object AnnLsh {
     val candidates = probed.join(bucketed, Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("qv"), col("vec_id"), col("v")).distinct()
-      .withColumn("cos", Similarity.cosine(col("qv"), col("v")))
+      // guarded: bucket candidates are whatever the probed buckets hold —
+      // a zero vector must score -2, not trip ANSI DIVIDE_BY_ZERO
+      .withColumn("cos", Similarity.cosineGuarded(col("qv"), col("v")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(round(col("cos"), 4).desc, col("vec_id"))
     candidates.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

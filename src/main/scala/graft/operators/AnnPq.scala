@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.VectorExprs.{dotProduct, pqDot, pqEncode, pqReconNorm}
+import graft.functions.VectorExprs.{dotProduct, pqDot, pqEncode}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,9 +35,13 @@ object AnnPq {
       iters: Int, seed: Long): Array[Array[Double]] = {
     require(pts.nonEmpty, "PQ codebook training requires a non-empty sample")
     val dim = pts(0).length
+    // distinct BY VALUE (Array equality is reference equality): the
+    // replicated stress corpus puts ~10 value-identical copies of each
+    // vector in the sample, and duplicate init centroids would leave
+    // permanently-empty clusters (ties break to the lower index)
     val init = pts.zipWithIndex
       .sortBy { case (_, i) => graft.functions.SketchHash.fmix64(seed ^ i.toLong) }
-      .map(_._1).distinct.take(k)
+      .map(_._1).distinctBy(_.toSeq).take(k)
     var cents = init ++ Array.fill(math.max(0, k - init.length))(init.head)
     for (_ <- 1 to iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -85,15 +89,20 @@ object AnnPq {
     }
   }
 
-  /** The PQ index rows for a (vec_id, v) frame: (vec_id, codes, rnorm,
-    * cell) — m code bytes + the precomputed reconstruction norm. Pure
+  /** The PQ index rows for a (vec_id, v) frame: (vec_id, codes, vnorm,
+    * cell) — m code bytes + the ORIGINAL vector's norm. The true norm
+    * (not the reconstruction's) is stored deliberately: it is the right
+    * denominator for the approximate cosine, it is exactly 0 for a zero
+    * vector so the search guard actually fires (a reconstruction norm
+    * never is — the nearest centroids of a zero vector are nonzero), and
+    * it falls out of the v column already in hand at encode time. Pure
     * map-side; shared by batch build and any incremental append. */
   def encodeAssign(corpus: DataFrame, centroids: Array[Seq[Double]],
       codebooks: Array[Array[Array[Double]]]): DataFrame =
     AnnIvf.assignCells(corpus, centroids)
       .withColumn("codes", pqEncode(col("v"), codebooks))
       .select(col("vec_id"), col("codes"),
-        pqReconNorm(col("codes"), codebooks).as("rnorm"), col("cell"))
+        sqrt(dotProduct(col("v"), col("v"))).as("vnorm"), col("cell"))
 
   /** Materialize the PQ index cell-partitioned, same layout discipline as
     * [[AnnIvf.writeIndex]]. */
@@ -120,22 +129,10 @@ object AnnPq {
     val approx = queryCells.join(cells, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("ascore",
-        when(col("rnorm") === 0.0 || col("qn") === 0.0, lit(-2.0)).otherwise(
+        when(col("vnorm") === 0.0 || col("qn") === 0.0, lit(-2.0)).otherwise(
           pqDot(col("qv"), col("codes"), codebooks) /
-            (col("qn") * col("rnorm"))))
-    val wa = Window.partitionBy(col("qid"))
-      .orderBy(col("ascore").desc, col("vec_id"))
-    val survivors = approx.withColumn("rk", row_number().over(wa))
-      .filter(col("rk") <= k * rerank)
-      .select(col("qid"), col("qv"), col("vec_id"))
-      .dropDuplicates("qid", "vec_id")
-    val exact = corpus.select(col("vec_id"), col("v"))
-      .join(broadcast(survivors), Seq("vec_id"))
-      .withColumn("cos", Similarity.cosineGuarded(col("qv"), col("v")))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(round(col("cos"), 4).desc, col("vec_id"))
-    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos"))
+            (col("qn") * col("vnorm"))))
+    AnnIvf.rerankExact(approx, corpus, k, rerank)
   }
 
   // -- query entry (driver-gated oracle, see AnnLsh.annRecallGate) -----------

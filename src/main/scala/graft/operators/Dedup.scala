@@ -564,8 +564,12 @@ object Dedup {
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"), col("v").as("v_b"))
     // no distinct: each vector lives in exactly one bucket, so a pair can
     // collide at most once — deduplication would just reshuffle the payload
+    // guarded cosine: all zero vectors share one bucket (every hyperplane
+    // sign is the deterministic >= 0 branch), and under ANSI SQL the plain
+    // cosine would DIVIDE_BY_ZERO on the first such pair instead of
+    // scoring it -2 = not-similar (a zero vector has no direction)
     a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", Similarity.cosineGuarded(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
   }

@@ -37,7 +37,7 @@ class AnnPqSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft_pq").toString
     AnnPq.writeIndex(aug, centroids, codebooks, dir)
     val idx = spark.read.parquet(dir)
-    assert(idx.columns.sorted.toSeq == Seq("cell", "codes", "rnorm", "vec_id"))
+    assert(idx.columns.sorted.toSeq == Seq("cell", "codes", "vec_id", "vnorm"))
     assert(idx.schema("codes").dataType.asInstanceOf[
       org.apache.spark.sql.types.ArrayType].elementType ==
       org.apache.spark.sql.types.ByteType)
@@ -91,10 +91,15 @@ class AnnPqSpec extends AnyFunSuite {
     val aug = emb.unionByName(zero)
     val dir = Files.createTempDirectory("graft_pqz").toString
     AnnPq.writeIndex(aug, centroids, codebooks, dir)
+    val z = spark.read.parquet(dir).filter(col("vec_id") === 8888).head()
+    assert(z.getAs[Double]("vnorm") == 0.0,
+      "the stored norm must be the ORIGINAL vector's (0 for a zero vector)")
     val qs = emb.filter(col("vec_id") < 3)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val res = AnnPq.topK(spark, dir, qs, aug, 5, centroids, codebooks)
     assert(res.filter(col("cos").isNaN).count() == 0, "NaN cosine leaked")
+    assert(res.filter(col("neighbor") === 8888).count() == 0,
+      "a zero vector has no direction and must rank below every real candidate")
     assert(res.count() == 15)
   }
 }
