@@ -1,0 +1,159 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact fuzzy (edit-distance) join — the entity-matching / fuzzy-lookup
+  * operator: find every (query, corpus) key pair within Levenshtein
+  * distance d, WITHOUT the all-pairs cross join.
+  *
+  * Candidate generation is the PassJoin segment scheme (Li, Deng, Feng —
+  * PVLDB 5(3), "PassJoin: a partition-based method for similarity joins"):
+  * each corpus key of length n is split into d+1 contiguous segments; by
+  * pigeonhole, any string within edit distance d of it must contain at
+  * least one segment VERBATIM, starting within ±d of the segment's home
+  * position. So the corpus is indexed by (segment#, segment text, n) —
+  * d+1 short keys per row, linear in the corpus — and each query
+  * enumerates its substrings at the allowed (length, segment, position)
+  * combinations: at most (2d+1) lengths × (d+1) segments × (2d+1)
+  * positions ≈ 75 probe keys at d=2. Candidates are the bucket matches;
+  * the exact `levenshtein` built-in (codegen'd) verifies. No false
+  * negatives (pigeonhole is a theorem, not a heuristic) and no UDFs.
+  *
+  * Scale shape: the index is a projection+explode of the corpus (never
+  * shuffled when the probe side broadcasts); probes are |queries|×~75
+  * short rows — broadcast for lookup-style workloads (the common case:
+  * match a dirty batch against a reference corpus), shuffle-join on the
+  * segment key when both sides are large. Verification touches only
+  * candidate pairs, each a ≤`maxKeyLen`-char comparison.
+  *
+  * Contract: both inputs expose (id, key) with keys ≥ 3 chars (shorter
+  * keys are dropped from both sides — with fewer than d+1 characters the
+  * segment scheme degenerates; pre-filter or pad if they matter).
+  * Reference scope: the reference app has no fuzzy matching — this is a
+  * Tier-B capability extension in the dedup/similarity family
+  * (SURVEY.md §2 B30/B31 neighborhood).
+  */
+object FuzzyJoin {
+
+  /** Max edit distance supported by the 3-segment index below. */
+  val DefaultDist = 2
+
+  /** Normalized 32-char match key for free text: lowercase, strip
+    * everything outside [a-z0-9 ], take the first 32 chars. DuckDB twin:
+    * substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 32). */
+  def normKey(text: Column): Column =
+    substring(regexp_replace(lower(text), "[^a-z0-9 ]", ""), 1, 32)
+
+  // Even (d+1)-way partition of a length-n key, 1-based starts: segment i
+  // gets floor(n/(d+1)) chars plus one of the n mod (d+1) remainder chars.
+  // The SAME arithmetic must drive the index and the probes — any drift
+  // breaks the pigeonhole guarantee silently, so both sides call these.
+  private def segLen(n: Column, i: Column, d: Int): Column =
+    floor(n / (d + 1)).cast("int") +
+      when(i < n % (d + 1), lit(1)).otherwise(lit(0))
+
+  private def segStart(n: Column, i: Column, d: Int): Column =
+    lit(1) + i * floor(n / (d + 1)).cast("int") + least(i, n % (d + 1))
+
+  /** (id, key) → one index row per segment: (gi, seg, klen, id, key). */
+  private def segmentIndex(corpus: DataFrame, d: Int): DataFrame = {
+    val n = length(col("key"))
+    corpus.filter(length(col("key")) >= 3)
+      .select(col("id"), col("key"),
+        explode(array((0 to d).map(lit(_)): _*)).as("gi"))
+      .select(col("id"), col("key"), col("gi"),
+        col("key").substr(segStart(n, col("gi"), d), segLen(n, col("gi"), d))
+          .as("seg"),
+        n.as("klen"))
+  }
+
+  /** (query_id, qkey) → every (gi, seg, klen) probe key the pigeonhole
+    * bound allows: corpus lengths within ±d, each segment's text taken
+    * from the query at positions shifted by at most d. */
+  private def probeKeys(queries: DataFrame, d: Int): DataFrame = {
+    val q = queries.filter(length(col("qkey")) >= 3)
+      .withColumn("m", length(col("qkey")))
+      .withColumn("klen",
+        explode(sequence(greatest(col("m") - d, lit(3)), col("m") + d)))
+      .withColumn("gi", explode(array((0 to d).map(lit(_)): _*)))
+      .withColumn("slen", segLen(col("klen"), col("gi"), d))
+      .withColumn("plo",
+        greatest(segStart(col("klen"), col("gi"), d) - d, lit(1)))
+      .withColumn("phi",
+        least(segStart(col("klen"), col("gi"), d) + d,
+          col("m") - col("slen") + lit(1)))
+      .filter(col("slen") >= 1 && col("plo") <= col("phi"))
+      .withColumn("pos", explode(sequence(col("plo"), col("phi"))))
+    q.select(col("query_id"), col("qkey"), col("gi"),
+      col("qkey").substr(col("pos"), col("slen")).as("seg"), col("klen"))
+      .distinct()
+  }
+
+  /** Every (query_id, id, dist) with levenshtein(qkey, key) <= maxDist.
+    * `corpus`: (id, key); `queries`: (query_id, qkey). Keys < 3 chars are
+    * dropped (see contract above). Set `broadcastProbes=false` when the
+    * query side is too large to broadcast — the candidate join then
+    * shuffles both sides on the segment key. */
+  def editDistanceJoin(corpus: DataFrame, queries: DataFrame,
+      maxDist: Int = DefaultDist, broadcastProbes: Boolean = true): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val idx = segmentIndex(corpus, maxDist)
+    val probes0 = probeKeys(queries, maxDist)
+    val probes = if (broadcastProbes) broadcast(probes0) else probes0
+    idx.join(probes, Seq("gi", "seg", "klen"))
+      .select(col("query_id"), col("id"), col("qkey"), col("key"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("qkey"), col("key")))
+      .filter(col("dist") <= maxDist)
+      .select(col("query_id"), col("id"), col("dist"))
+  }
+
+  // -- oracled query ---------------------------------------------------------
+  //
+  // Lookup-style fuzzy match, FULLY oracle-hash-matched (the candidate
+  // scheme is exact, so unlike the LSH gates the complete pair list is
+  // deterministic): corpus = normalized 32-char document keys (>= 6 chars),
+  // queries = docs 0..24's keys with the first two chars rewritten to "zz"
+  // (a deterministic <= 2-edit mutation both engines can express). DuckDB
+  // verifies with its own levenshtein over the length-filtered cross
+  // product — the oracle pays O(|q|×|corpus|), the engine never does.
+
+  private val MinKeyLen = 6
+  private val NQueries = 25
+
+  private def fuzzyOracled(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), normKey(col("text")).as("key"))
+      .filter(length(col("key")) >= MinKeyLen)
+    val corpus = keyed.select(col("doc_id").as("id"), col("key"))
+    val queries = keyed.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"),
+        concat(lit("zz"), col("key").substr(lit(3), length(col("key"))))
+          .as("qkey"))
+    editDistanceJoin(corpus, queries, maxDist = 2)
+      .select(col("query_id"), col("id").as("doc_id"), col("dist"))
+      .orderBy(col("query_id"), col("doc_id"))
+  }
+
+  private val fuzzySql =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |         substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |                   1, 32) AS key
+      |  FROM documents),
+      |corpus AS (SELECT doc_id, key FROM k WHERE length(key) >= 6),
+      |q AS (
+      |  SELECT doc_id AS query_id, 'zz' || substr(key, 3) AS qkey
+      |  FROM corpus WHERE doc_id < 25)
+      |SELECT query_id, corpus.doc_id AS doc_id,
+      |       levenshtein(qkey, key) AS dist
+      |FROM q CROSS JOIN corpus
+      |WHERE abs(length(qkey) - length(key)) <= 2
+      |  AND levenshtein(qkey, key) <= 2
+      |ORDER BY query_id, doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q92_fuzzy_join", fuzzyOracled, Some(fuzzySql)))
+}

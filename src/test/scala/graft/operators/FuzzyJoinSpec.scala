@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** FuzzyJoin's claim is EXACTNESS — the PassJoin segment filter must be a
+  * superset of the true edit-distance-<=d pair set (pigeonhole), and the
+  * levenshtein verify makes the final answer equal to the brute-force
+  * cross join. So the core law here is literal result equality against
+  * brute force, on corpora whose mutations exercise every edit type and
+  * alignment shift the +-d position bound has to absorb.
+  */
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def bruteForce(corpus: DataFrame, queries: DataFrame,
+      d: Int): Set[(Long, Long, Int)] =
+    queries.crossJoin(corpus)
+      .withColumn("dist", levenshtein(col("qkey"), col("key")))
+      .filter(col("dist") <= d && length(col("qkey")) >= 3 &&
+        length(col("key")) >= 3)
+      .select(col("query_id"), col("id"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+
+  private def run(corpus: DataFrame, queries: DataFrame,
+      d: Int): Set[(Long, Long, Int)] =
+    FuzzyJoin.editDistanceJoin(corpus, queries, d)
+      .as[(Long, Long, Int)].collect().toSet
+
+  /** Random word-soup keys (same alphabet as the testdata corpus). */
+  private def randKey(rnd: scala.util.Random, len: Int): String = {
+    val chars = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    (0 until len).map(_ => chars(rnd.nextInt(chars.length))).mkString
+  }
+
+  /** Apply exactly k random single-char edits (sub/ins/del mixed). */
+  private def mutate(rnd: scala.util.Random, s: String, k: Int): String = {
+    var cur = s
+    (0 until k).foreach { _ =>
+      val p = rnd.nextInt(math.max(cur.length, 1))
+      rnd.nextInt(3) match {
+        case 0 if cur.nonEmpty => // substitute
+          cur = cur.updated(p, ('a' + rnd.nextInt(26)).toChar)
+        case 1 => // insert
+          cur = cur.substring(0, p) + ('a' + rnd.nextInt(26)).toChar +
+            cur.substring(p)
+        case _ if cur.length > 3 => // delete (keep >= 3 chars)
+          cur = cur.substring(0, p) + cur.substring(math.min(p + 1, cur.length))
+        case _ =>
+          cur = cur.updated(p, ('a' + rnd.nextInt(26)).toChar)
+      }
+    }
+    cur
+  }
+
+  test("editDistanceJoin equals brute force on random mutated corpora (d=1,2)") {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 80L).map(i => (i, randKey(rnd, 8 + rnd.nextInt(25))))
+    // queries: 0..19 mutated with 0..3 edits (3-edit ones must NOT match
+    // their seed unless another key happens closer), plus a few unrelated
+    val queries = base.take(20).map { case (id, k) =>
+      (id, mutate(rnd, k, (id % 4).toInt))
+    } ++ Seq((900L, randKey(rnd, 15)), (901L, randKey(rnd, 30)))
+    val corpusDf = base.toDF("id", "key")
+    val queryDf = queries.toDF("query_id", "qkey")
+    for (d <- Seq(1, 2)) {
+      assert(run(corpusDf, queryDf, d) === bruteForce(corpusDf, queryDf, d),
+        s"mismatch vs brute force at d=$d")
+    }
+  }
+
+  test("alignment shifts: leading/trailing insertions and deletions are found") {
+    // edits at the EXTREMES shift every later segment by the full d — the
+    // +-d probe-position window is exactly what absorbs this
+    val k = "the quick brown fox jumps over it"
+    val corpusDf = Seq((1L, k)).toDF("id", "key")
+    val queryDf = Seq(
+      (10L, "xy" + k),            // 2 leading inserts: every segment shifts +2
+      (11L, k.substring(2)),      // 2 leading deletes: shifts -2
+      (12L, k + "xy"),            // trailing inserts
+      (13L, k.substring(0, k.length - 2)), // trailing deletes
+      (14L, "x" + k.substring(1, k.length - 1) + "y") // sub both ends
+    ).toDF("query_id", "qkey")
+    val got = run(corpusDf, queryDf, 2)
+    assert(got === Set((10L, 1L, 2), (11L, 1L, 2), (12L, 1L, 2),
+      (13L, 1L, 2), (14L, 1L, 2)))
+  }
+
+  test("keys shorter than 3 chars are dropped from both sides") {
+    val corpusDf = Seq((1L, "ab"), (2L, "abcd")).toDF("id", "key")
+    val queryDf = Seq((10L, "ab"), (11L, "abce")).toDF("query_id", "qkey")
+    val got = run(corpusDf, queryDf, 2)
+    // (10,"ab") dropped as a query; corpus "ab" dropped as a target
+    assert(got === Set((11L, 2L, 1)))
+  }
+
+  test("identical keys match at dist 0; beyond-d pairs are absent") {
+    val corpusDf = Seq((1L, "hello world"), (2L, "completely different"))
+      .toDF("id", "key")
+    val queryDf = Seq((10L, "hello world")).toDF("query_id", "qkey")
+    assert(run(corpusDf, queryDf, 2) === Set((10L, 1L, 0)))
+  }
+
+  test("probe side broadcasts (lookup workloads never shuffle the corpus)") {
+    val corpusDf = Seq((1L, "abcdefgh")).toDF("id", "key")
+    val queryDf = Seq((10L, "abcdefgi")).toDF("query_id", "qkey")
+    val plan = FuzzyJoin.editDistanceJoin(corpusDf, queryDf, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q92 oracled query agrees with brute force at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntryAccess.q92(spark, dir)
+      .as[(Long, Long, Int)].collect().toSet
+    val keyed = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), FuzzyJoin.normKey(col("text")).as("key"))
+      .filter(length(col("key")) >= 6)
+    val queries = keyed.filter(col("doc_id") < 25)
+      .select(col("doc_id").as("query_id"),
+        concat(lit("zz"), col("key").substr(lit(3), length(col("key"))))
+          .as("qkey"))
+    val brute = bruteForce(keyed.select(col("doc_id").as("id"), col("key")),
+      queries, 2)
+    assert(got === brute)
+    assert(got.nonEmpty, "sf0.001 fuzzy lookup found no pairs — gate is vacuous")
+    // every query's mutated key must at minimum find its own seed doc
+    val qids = queries.select(col("query_id")).as[Long].collect().toSet
+    assert(qids.forall(q => got.exists { case (qq, id, _) => qq == q && id == q }),
+      "a mutated key failed to find its own seed document")
+  }
+}
+
+/** Test-only access to the q92 QueryDef without going through SparkEntry. */
+private object SparkEntryAccess {
+  def q92 = FuzzyJoin.defs.head.fn
+}
