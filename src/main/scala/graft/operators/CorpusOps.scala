@@ -656,6 +656,65 @@ object CorpusOps {
       |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
       |FROM base GROUP BY lang, reason ORDER BY lang, reason""".stripMargin
 
+  // ==== q93: leakage-safe train/val/test split ============================
+  //
+  // Split assignment whose unit is the dedup CLUSTER, not the document: a
+  // doc-level random split sends ~2·p·(1−p) of every duplicate pair across
+  // the train/eval boundary — the classic eval-contamination bug (the
+  // decontamination operator q59 then has to repair it after the fact; this
+  // prevents it structurally). Hashing the cluster representative id with
+  // the engine-neutral md5Int16 sends all members of a cluster to the same
+  // split BY CONSTRUCTION, for any cluster notion the caller supplies:
+  // exact-text collapse (oracled below), `dedupNear` decisions (law-tested
+  // in DedupSpec), or semantic clusters. Cost: one hash + two comparisons
+  // per row, no shuffle beyond what the cluster column already required —
+  // the 100 TB shape is whatever the clustering cost, plus zero.
+
+  /** Adds a deterministic `split` column ('train'|'val'|'test') that is a
+    * pure function of `clusterId`, so no two docs sharing a cluster can
+    * land in different splits. Percentages are approximate (hash-bucket
+    * shares), exact in expectation. */
+  def leakageSafeSplit(docs: DataFrame, clusterId: Column,
+      valPct: Int = 10, testPct: Int = 10): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      s"leakageSafeSplit: valPct=$valPct testPct=$testPct must be >= 0 " +
+        "and sum to <= 100")
+    val bucket = md5Int16(clusterId.cast("string")) % 100
+    docs.withColumn("split",
+      when(bucket < 100 - valPct - testPct, lit("train"))
+        .when(bucket < 100 - testPct, lit("val"))
+        .otherwise(lit("test")))
+  }
+
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val clustered = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .withColumn("cluster_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text"))))
+    leakageSafeSplit(clustered, col("cluster_id"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+      .orderBy(col("split"))
+  }
+
+  private val q93Sql =
+    """WITH cl AS (
+      |  SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id
+      |  FROM documents),
+      |b AS (
+      |  SELECT cluster_id,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(cluster_id AS VARCHAR)), 4, 1)) - 1)) % 100
+      |      AS bucket
+      |  FROM cl)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
   /** Deterministic epoch shuffle — the reproducible global permutation a
     * training run needs per epoch (decorrelates batches; same seed → same
     * order on any cluster layout, so a preempted job resumes mid-epoch).
@@ -692,5 +751,6 @@ object CorpusOps {
     QueryDef("q70_incremental_dedup", q70, Some(q70Sql)),
     QueryDef("q71_curation_report", q71, Some(q71Sql)),
     QueryDef("q85_corpus_diff", q85, Some(q85Sql)),
-    QueryDef("q86_shard_manifest", q86, Some(q86Sql)))
+    QueryDef("q86_shard_manifest", q86, Some(q86Sql)),
+    QueryDef("q93_leakage_safe_split", q93, Some(q93Sql)))
 }

@@ -338,6 +338,32 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("leakageSafeSplit over dedupNear clusters: no near-dup pair straddles splits") {
+    val r = Dedup.dedupNear(nearCorpus, method = "ngram", tau = 0.5,
+      shingleN = 3, maxShingleFreq = 100)
+    val split = CorpusOps.leakageSafeSplit(r.decisions, col("cluster_id"))
+    // split is a pure function of the cluster: one split per cluster_id
+    val straddling = split.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(straddling == 0, s"$straddling clusters straddle splits")
+    // THE leakage property: no candidate pair (the true near-dups by
+    // construction) crosses a split boundary
+    val edges = Dedup.ngramJaccardPairs(nearCorpus, 3, 100)
+      .filter(col("jaccard") >= 0.5)
+    val byDoc = split.select(col("doc_id"), col("split"))
+    val crossing = edges
+      .join(byDoc.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(byDoc.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossing == 0, s"$crossing near-dup pairs cross a split boundary")
+    // not vacuous: every doc got a split, train is populated, and the
+    // planted pairs exist
+    assert(split.count() == nearCorpus.count())
+    assert(split.filter(col("split") === "train").count() > 0)
+    assert(edges.count() > 0)
+  }
+
   test("dedupNear: minhash and simhash methods produce consistent survivor sets") {
     // approximate methods may differ from ngram on borderline pairs but the
     // laws hold and exact duplicates ALWAYS collapse (identical signatures)
