@@ -214,9 +214,66 @@ object Similarity {
       |  CAST(CAST(maxabs AS DECIMAL(38,4)) AS VARCHAR) AS scale
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // -- semantic (embedding-space) decontamination ----------------------------
+  // The complement of q59's n-gram decontamination: n-gram overlap misses
+  // paraphrased or re-rendered eval material, embedding similarity catches
+  // it. Eval sets are small (10³–10⁴ vectors) so the eval side BROADCASTS
+  // and the corpus streams through one codegen'd stage — same shape as
+  // bruteForceTopK, cost = one corpus scan regardless of corpus size. For
+  // an eval set too big to broadcast, probe the materialized IVF index per
+  // eval vector instead (`AnnIvf.topKIndexed` shares the contract).
+  // Threshold compares on round(cos, 4): both engines collapse to the same
+  // canonical grid point before the >= (the suite-wide rounding discipline),
+  // so a 1-ulp cross-engine difference cannot flip membership.
+
+  /** Corpus vectors within cosine >= tau of ANY eval vector: (vec_id,
+    * n_eval_hits, max_cos). corpus: (vec_id, v); evalSet: (eid, ev). */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      tau: Double): DataFrame =
+    corpus.crossJoin(broadcast(evalSet))
+      .withColumn("cos", round(cosine(col("v"), col("ev")), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+
+  // Gate: eval = vec_id < 25; corpus = the rest PLUS exact copies of the
+  // eval vectors at vec_id + PlantOffset (the shared embedding-gate plant).
+  // The organic corpus tops out at cosine ~0.49 against the eval set (near-
+  // orthogonal gaussians), so at tau = 0.98 the contaminated list is EXACTLY
+  // the planted copies — a deterministic full result, hash-matched, not a
+  // boolean recall gate.
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val evalSet = emb.filter(col("vec_id") < Dedup.PlantN)
+      .select(col("vec_id").as("eid"), col("v").as("ev"))
+    val corpus = emb.filter(col("vec_id") >= Dedup.PlantN)
+      .unionByName(evalSet.select(
+        (col("eid") + Dedup.PlantOffset).as("vec_id"), col("ev").as("v")))
+    semanticDecontaminate(corpus, evalSet, tau = 0.98)
+      .select(col("vec_id"), col("n_eval_hits"),
+        QueryDef.dec4(col("max_cos")).as("max_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q94Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ev AS (SELECT vec_id AS eid, v AS evec FROM e WHERE vec_id < 25),
+      |c AS (SELECT vec_id, v FROM e WHERE vec_id >= 25
+      |      UNION ALL SELECT eid + 1000000000, evec FROM ev),
+      |p AS (SELECT c.vec_id,
+      |    round(list_inner_product(evec, v)
+      |      / (sqrt(list_inner_product(evec, evec))
+      |         * sqrt(list_inner_product(v, v))), 4) AS cos
+      |  FROM ev, c)
+      |SELECT vec_id, count(*) AS n_eval_hits,
+      |  CAST(CAST(max(cos) AS DECIMAL(38,4)) AS VARCHAR) AS max_cos
+      |FROM p WHERE cos >= 0.98 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
     QueryDef("q87_knn_label", q87, Some(q87Sql)),
-    QueryDef("q88_embedding_quantize", q88, Some(q88Sql)))
+    QueryDef("q88_embedding_quantize", q88, Some(q88Sql)),
+    QueryDef("q94_semantic_decontaminate", q94, Some(q94Sql)))
 }

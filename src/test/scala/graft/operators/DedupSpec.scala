@@ -338,6 +338,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDecontaminate: flags tau-close corpus vectors, broadcasts eval side") {
+    // eval basis vectors; corpus: an exact copy, a near copy (cos ~0.995),
+    // a same-direction rescale (cos 1.0), an orthogonal and a negated vector
+    val ev = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("eid", "ev")
+    val corpus = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),      // exact copy of eval 0
+      (101L, Seq(1.0, 0.1, 0.0, 0.0)),      // near copy: cos ~0.995
+      (102L, Seq(0.0, 5.0, 0.0, 0.0)),      // rescaled eval 1: cos = 1.0
+      (103L, Seq(0.0, 0.0, 1.0, 0.0)),      // orthogonal
+      (104L, Seq(-1.0, 0.0, 0.0, 0.0))      // negated: cos = -1
+    ).toDF("vec_id", "v")
+    val out = Similarity.semanticDecontaminate(corpus, ev, tau = 0.98)
+    val got = out.select("vec_id", "n_eval_hits", "max_cos")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(100L, 101L, 102L))
+    assert(got(100L) === ((1L, 1.0)))
+    assert(got(101L)._2 > 0.99 && got(101L)._2 < 1.0)
+    assert(got(102L) === ((1L, 1.0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"eval side should broadcast:\n$plan")
+  }
+
   test("leakageSafeSplit over dedupNear clusters: no near-dup pair straddles splits") {
     val r = Dedup.dedupNear(nearCorpus, method = "ngram", tau = 0.5,
       shingleN = 3, maxShingleFreq = 100)
