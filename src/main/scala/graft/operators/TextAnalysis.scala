@@ -594,7 +594,69 @@ object TextAnalysis {
       |  CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS decision
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // -- quantile-threshold quality pruning ------------------------------------
+  // "Keep the best p% of the corpus by score" — the standard curation step
+  // after classifier scoring (absolute thresholds drift as the corpus mix
+  // changes; a quantile threshold is self-calibrating). The threshold is ONE
+  // scalar aggregate over the already-map-side scores, broadcast back as a
+  // single-row crossJoin (the scalar-stat idiom) — the corpus never
+  // shuffles. Exact `percentile` keeps O(distinct scores) aggregate state —
+  // bounded here because scores are integers in a ±128·len range; at 100 TB
+  // with unbounded score domains swap in approx_percentile (a fixed-size
+  // sketch) and accept the documented rank error.
+
+  /** Rows of `scored` (any frame with an integer `score` column) at or
+    * above the q-th corpus score quantile, with the threshold attached as
+    * `threshold`. */
+  def filterByScoreQuantile(scored: DataFrame, q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"quantile must be in (0,1), got $q")
+    val thr = scored.agg(expr(s"percentile(score, $q)").as("threshold"))
+    scored.crossJoin(broadcast(thr)).filter(col("score") >= col("threshold"))
+  }
+
+  // Gate: prune the corpus to the top-25% classifier scores; emit the kept
+  // summary plus the interpolated threshold. Scores are exact integers and
+  // the percentile interpolation arithmetic is identical in both engines
+  // (q44 established the percentile/quantile_cont parity), so the row is
+  // hash-matched, not bounded.
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    // checkpoint: three consumers (threshold agg, the filter, the total
+    // count) would each re-run the md5-per-token scoring fold — the
+    // dominant cost of the query (measured 0.75 sf1 exponent lazy, linear
+    // after); scored is (doc_id, n_tokens, score) — tiny relative to text
+    val scored = classifierScore(Tables.documents(s, dir)).localCheckpoint()
+    val total = scored.agg(count(lit(1)).as("n_total"))
+    filterByScoreQuantile(scored, q = 0.75)
+      .agg(count(lit(1)).as("n_kept"),
+        min(col("score")).as("min_kept_score"),
+        sum(col("n_tokens")).cast("long").as("kept_tokens"),
+        QueryDef.dec4(first(col("threshold"))).as("threshold"))
+      .crossJoin(total)
+      .select(col("n_kept"), col("n_total"), col("min_kept_score"),
+        col("kept_tokens"), col("threshold"))
+  }
+
+  private val q95Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, len(t) AS n_tokens,
+      |    CAST(coalesce(list_aggregate(list_transform(t, tok ->
+      |      (strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+      |      + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 - 128),
+      |      'sum'), 0) AS BIGINT) AS score
+      |  FROM toks),
+      |thr AS (SELECT quantile_cont(score, 0.75) AS threshold FROM scored)
+      |SELECT count(*) AS n_kept,
+      |  (SELECT count(*) FROM scored) AS n_total,
+      |  min(score) AS min_kept_score,
+      |  CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+      |  CAST(CAST(max(threshold) AS DECIMAL(38,4)) AS VARCHAR) AS threshold
+      |FROM scored, thr WHERE score >= threshold""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_quality_prune", q95, Some(q95Sql)),
     QueryDef("q84_classifier_score", q84, Some(q84Sql)),
     QueryDef("q82_context_windows", q82, Some(q82Sql)),
     QueryDef("q83_bpe_pair_counts", q83, Some(q83Sql)),

@@ -260,4 +260,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m(4L) === ((4L, 0L, 0L, "keep")))
     assert(m.values.forall(r => (r._4 == "keep") == (r._3 >= 0)))
   }
+
+  test("filterByScoreQuantile keeps exactly the rows at/above the interpolated quantile") {
+    // scores 10,20,...,100: percentile(. , 0.75) = 77.5 → kept = {80,90,100}
+    val scored = (1L to 10L).map(i => (i, i * 10L)).toDF("doc_id", "score")
+    val kept = TextAnalysis.filterByScoreQuantile(scored, 0.75)
+    assert(kept.select("score").as[Long].collect().toSet === Set(80L, 90L, 100L))
+    // threshold column rides along for downstream reporting
+    assert(kept.select("threshold").distinct().as[Double].collect().toSeq === Seq(77.5))
+    // degenerate: all-equal scores keep everything at any quantile
+    val flat = (1L to 5L).map(i => (i, 7L)).toDF("doc_id", "score")
+    assert(TextAnalysis.filterByScoreQuantile(flat, 0.9).count() === 5)
+    // contract guard
+    intercept[IllegalArgumentException] {
+      TextAnalysis.filterByScoreQuantile(scored, 1.5)
+    }
+  }
 }
