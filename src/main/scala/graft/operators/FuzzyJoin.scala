@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * segment key when both sides are large. Verification touches only
   * candidate pairs, each a ≤`maxKeyLen`-char comparison.
   *
-  * Contract: both inputs expose (id, key) with keys ≥ 3 chars (shorter
-  * keys are dropped from both sides — with fewer than d+1 characters the
-  * segment scheme degenerates; pre-filter or pad if they matter).
+  * Contract: both inputs expose (id, key) with keys ≥ max(3, d+1) chars
+  * (shorter keys are dropped from both sides — with fewer than d+1
+  * characters the segment scheme degenerates; pre-filter or pad if they
+  * matter).
   * Reference scope: the reference app has no fuzzy matching — this is a
   * Tier-B capability extension in the dedup/similarity family
   * (SURVEY.md §2 B30/B31 neighborhood).
@@ -57,10 +58,16 @@ object FuzzyJoin {
   private def segStart(n: Column, i: Column, d: Int): Column =
     lit(1) + i * floor(n / (d + 1)).cast("int") + least(i, n % (d + 1))
 
+  // Minimum indexable key length for distance d: with fewer than d+1 chars
+  // the (d+1)-way partition would contain empty segments, and filtering
+  // those on the probe side only would silently break the pigeonhole
+  // completeness guarantee — so both sides drop sub-(d+1) keys together.
+  private def minKeyLenFor(d: Int): Int = math.max(3, d + 1)
+
   /** (id, key) → one index row per segment: (gi, seg, klen, id, key). */
   private def segmentIndex(corpus: DataFrame, d: Int): DataFrame = {
     val n = length(col("key"))
-    corpus.filter(length(col("key")) >= 3)
+    corpus.filter(length(col("key")) >= minKeyLenFor(d))
       .select(col("id"), col("key"),
         explode(array((0 to d).map(lit(_)): _*)).as("gi"))
       .select(col("id"), col("key"), col("gi"),
@@ -73,10 +80,11 @@ object FuzzyJoin {
     * bound allows: corpus lengths within ±d, each segment's text taken
     * from the query at positions shifted by at most d. */
   private def probeKeys(queries: DataFrame, d: Int): DataFrame = {
-    val q = queries.filter(length(col("qkey")) >= 3)
+    val minLen = minKeyLenFor(d)
+    val q = queries.filter(length(col("qkey")) >= minLen)
       .withColumn("m", length(col("qkey")))
       .withColumn("klen",
-        explode(sequence(greatest(col("m") - d, lit(3)), col("m") + d)))
+        explode(sequence(greatest(col("m") - d, lit(minLen)), col("m") + d)))
       .withColumn("gi", explode(array((0 to d).map(lit(_)): _*)))
       .withColumn("slen", segLen(col("klen"), col("gi"), d))
       .withColumn("plo",
@@ -92,8 +100,9 @@ object FuzzyJoin {
   }
 
   /** Every (query_id, id, dist) with levenshtein(qkey, key) <= maxDist.
-    * `corpus`: (id, key); `queries`: (query_id, qkey). Keys < 3 chars are
-    * dropped (see contract above). Set `broadcastProbes=false` when the
+    * `corpus`: (id, key); `queries`: (query_id, qkey). Keys shorter than
+    * max(3, maxDist+1) chars are dropped from both sides (see
+    * `minKeyLenFor`). Set `broadcastProbes=false` when the
     * query side is too large to broadcast — the candidate join then
     * shuffles both sides on the segment key. */
   def editDistanceJoin(corpus: DataFrame, queries: DataFrame,

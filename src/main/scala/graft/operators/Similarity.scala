@@ -227,11 +227,15 @@ object Similarity {
   // so a 1-ulp cross-engine difference cannot flip membership.
 
   /** Corpus vectors within cosine >= tau of ANY eval vector: (vec_id,
-    * n_eval_hits, max_cos). corpus: (vec_id, v); evalSet: (eid, ev). */
+    * n_eval_hits, max_cos). corpus: (vec_id, v); evalSet: (eid, ev).
+    * Guarded cosine: a zero vector (either side) scores -2 = never
+    * contaminated, instead of tripping ANSI divide-by-zero mid-scan —
+    * value-identical to the oracle's unguarded expression whenever no
+    * zero vectors exist (the gate corpus), total where they do. */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       tau: Double): DataFrame =
     corpus.crossJoin(broadcast(evalSet))
-      .withColumn("cos", round(cosine(col("v"), col("ev")), 4))
+      .withColumn("cos", round(cosineGuarded(col("v"), col("ev")), 4))
       .filter(col("cos") >= tau)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))

@@ -72,6 +72,23 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("d=3 stays exact (4 segments, min key length 4)") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 50L).map(i => (i, randKey(rnd, 6 + rnd.nextInt(20))))
+    val queries = base.take(15).map { case (id, k) =>
+      (id, mutate(rnd, k, (id % 5).toInt)) // up to 4 edits: 4-edit ones exceed d
+    }
+    val corpusDf = base.toDF("id", "key")
+    val queryDf = queries.toDF("query_id", "qkey")
+    val brute = queryDf.crossJoin(corpusDf)
+      .withColumn("dist", levenshtein(col("qkey"), col("key")))
+      .filter(col("dist") <= 3 && length(col("qkey")) >= 4 &&
+        length(col("key")) >= 4)
+      .select(col("query_id"), col("id"), col("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(run(corpusDf, queryDf, 3) === brute)
+  }
+
   test("alignment shifts: leading/trailing insertions and deletions are found") {
     // edits at the EXTREMES shift every later segment by the full d — the
     // +-d probe-position window is exactly what absorbs this
