@@ -715,6 +715,95 @@ object CorpusOps {
       |  count(*) AS n_docs, count(DISTINCT cluster_id) AS n_clusters
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  // ==== q96: token-budget training-mixture builder ========================
+  //
+  // "Give me a 20k-token training mix at 40% en / 20% fr / ..." — the data-
+  // mixing step that turns a curated corpus into a training set. Selection
+  // must be DETERMINISTIC (reproducible runs, resumable jobs) and must not
+  // funnel each language through one reducer (a naive per-stratum greedy
+  // scan is a 5-reducer job on a 5-language corpus, whatever the cluster
+  // size). So: docs hash into `buckets` sub-strata per language, each
+  // (lang, bucket) gets an equal integer share of the language's token
+  // target, and within a bucket docs are taken in md5(doc_id) order until
+  // the share fills (a doc is kept iff the running token sum BEFORE it is
+  // under the share — so the budget can overshoot by at most one doc per
+  // bucket, and undershoot only when a bucket runs out of docs; both
+  // deviations are bounded and documented, not floating-point-dependent).
+  // Everything is integer arithmetic + md5 ordering — engine-neutral, no
+  // float rate ever computed. The per-(lang,bucket) window sort is the
+  // scale unit: parallelism = languages × buckets, independent of corpus
+  // size; raise `buckets` to match the cluster.
+
+  /** Adds `kept` to docs: a deterministic token-budget mixture at the given
+    * integer percent weights (must sum to <= 100; unlisted langs get 0).
+    * docs: (doc_id, lang, text). */
+  def buildMixture(docs: DataFrame, weights: Map[String, Int],
+      budgetTokens: Long, buckets: Int = 64): DataFrame = {
+    require(weights.values.forall(_ >= 0) && weights.values.sum <= 100,
+      s"weights must be non-negative percents summing to <= 100: $weights")
+    require(budgetTokens > 0 && buckets > 0, "budget and buckets must be positive")
+    // per-(lang,bucket) integer share, precomputed driver-side so neither
+    // engine ever divides (division semantics are a cross-engine hazard)
+    val share: Column = weights.foldLeft(lit(0L)) { case (acc, (l, w)) =>
+      when(col("lang") === l, lit(w * budgetTokens / (100L * buckets)))
+        .otherwise(acc)
+    }
+    val w = Window.partitionBy(col("lang"), col("bucket")).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("bucket", md5Int16(col("doc_id").cast("string")) % buckets)
+      .withColumn("__h", md5(col("doc_id").cast("string")))
+      .withColumn("run_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("kept", col("run_before") < share)
+      .drop("__h")
+  }
+
+  private val MixWeights = Map("en" -> 40, "fr" -> 20, "de" -> 20,
+    "es" -> 10, "zh" -> 10)
+  private val MixBudget = 20000L
+  private val MixBuckets = 64
+
+  private def q96(s: SparkSession, dir: String): DataFrame =
+    buildMixture(Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("text")), MixWeights, MixBudget, MixBuckets)
+      .groupBy(col("lang"))
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("kept_tokens"),
+        count(lit(1)).as("n_total"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("lang"))
+
+  // the CASE embeds the SAME precomputed per-bucket integer shares the
+  // Spark side derives (weight*budget/(100*buckets), floor): 40% -> 125,
+  // 20% -> 62, 10% -> 31 at budget 20000 over 64 buckets
+  private val q96Sql =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+      |      AS n_tokens,
+      |    ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+      |     + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 64
+      |      AS bucket,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT *,
+      |    CASE lang WHEN 'en' THEN 125 WHEN 'fr' THEN 62 WHEN 'de' THEN 62
+      |              WHEN 'es' THEN 31 WHEN 'zh' THEN 31 ELSE 0 END AS share,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY lang, bucket ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS run_before
+      |  FROM d)
+      |SELECT lang,
+      |  CAST(count(*) FILTER (run_before < share) AS BIGINT) AS n_kept,
+      |  CAST(coalesce(sum(n_tokens) FILTER (run_before < share), 0) AS BIGINT)
+      |    AS kept_tokens,
+      |  count(*) AS n_total,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Deterministic epoch shuffle — the reproducible global permutation a
     * training run needs per epoch (decorrelates batches; same seed → same
     * order on any cluster layout, so a preempted job resumes mid-epoch).
@@ -752,5 +841,6 @@ object CorpusOps {
     QueryDef("q71_curation_report", q71, Some(q71Sql)),
     QueryDef("q85_corpus_diff", q85, Some(q85Sql)),
     QueryDef("q86_shard_manifest", q86, Some(q86Sql)),
-    QueryDef("q93_leakage_safe_split", q93, Some(q93Sql)))
+    QueryDef("q93_leakage_safe_split", q93, Some(q93Sql)),
+    QueryDef("q96_train_mixture", q96, Some(q96Sql)))
 }

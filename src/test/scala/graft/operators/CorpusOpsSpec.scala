@@ -261,6 +261,41 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(m.values.forall(r => (r._4 == "keep") == (r._3 >= 0)))
   }
 
+  test("buildMixture: budget bounds, determinism, zero-weight exclusion") {
+    val rnd = new scala.util.Random(41)
+    val docs = (0L until 400L).map { i =>
+      val lang = Seq("en", "fr", "zz")(rnd.nextInt(3))
+      (i, lang, Seq.fill(5 + rnd.nextInt(20))("w").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val weights = Map("en" -> 60, "fr" -> 40)
+    val buckets = 8
+    val budget = 1000L
+    val out = CorpusOps.buildMixture(docs, weights, budget, buckets)
+    val kept = out.filter(col("kept"))
+      .groupBy("lang").agg(sum("n_tokens").as("toks"),
+        countDistinct("bucket").as("nb"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // zero-weight languages are never selected
+    assert(!kept.contains("zz"))
+    // per-language tokens stay within share*buckets + one-doc-per-bucket
+    // overshoot (each doc here is <= 24 tokens)
+    for ((l, w) <- weights) {
+      val perBucket = w * budget / (100L * buckets)
+      val cap = perBucket * buckets + 24L * buckets
+      assert(kept(l)._2 <= cap, s"$l kept ${kept(l)._2} tokens > cap $cap")
+      assert(kept(l)._2 > 0, s"$l kept nothing")
+    }
+    // deterministic: a second run selects the identical doc set
+    val ids1 = out.filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    val ids2 = CorpusOps.buildMixture(docs, weights, budget, buckets)
+      .filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(ids1 === ids2)
+    // partition-layout invariance (the determinism that matters on a cluster)
+    val ids3 = CorpusOps.buildMixture(docs.repartition(7), weights, budget,
+      buckets).filter(col("kept")).select("doc_id").as[Long].collect().toSet
+    assert(ids1 === ids3)
+  }
+
   test("filterByScoreQuantile keeps exactly the rows at/above the interpolated quantile") {
     // scores 10,20,...,100: percentile(. , 0.75) = 77.5 → kept = {80,90,100}
     val scored = (1L to 10L).map(i => (i, i * 10L)).toDF("doc_id", "score")
