@@ -89,7 +89,7 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq("q64_segment_dedup", "q65_corpus_freq_quality",
         "q66_group_sample", "q67_pii_redact", "q70_incremental_dedup",
         "q71_curation_report", "q90_substring_repeats",
-        "q92_fuzzy_join", "q93_leakage_safe_split")) {
+        "q92_fuzzy_join", "q93_leakage_safe_split", "q96_train_mixture")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
