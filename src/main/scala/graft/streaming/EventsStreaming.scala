@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2
   * B34–B37). Every transform here is source-agnostic: it accepts either a
@@ -11,19 +10,26 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** events.parquet on disk carries TIMESTAMP(NANOS) — the streaming reader
-    * needs the same long-nanos workaround as Tables.events. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** File-based streaming source over a testdata dir (B34's readStream). */
+  /** File-based streaming source over a testdata dir (B34's readStream).
+    *
+    * `readStream` requires an explicit schema, but hard-coding one is how
+    * silent event-time corruption happens: events.parquet has shipped both
+    * as TIMESTAMP(NANOS) (read as nanos-long under the legacy flag) and as
+    * TIMESTAMP(MICROS) (read as a native timestamp). A schema pinned to
+    * `ts: LongType` over a micros file makes Spark reinterpret microsecond
+    * counts as nanoseconds — every 2024 event lands in 1970 and windowed
+    * aggregates are garbage, with no error anywhere. So: probe the actual
+    * on-disk schema with a one-shot batch read (driver-side metadata only,
+    * no data scan) and let [[graft.Tables.nanosToMicros]] dispatch on the
+    * real `ts` type — the same adaptive path the batch loader uses.
+    */
   def loadStream(spark: SparkSession, dir: String): DataFrame = {
     graft.Tables.enableNanosAsLong(spark)
+    val onDisk = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
     graft.Tables.nanosToMicros(
       spark.readStream
-        .schema(rawSchema)
+        .schema(onDisk)
         .option("pathGlobFilter", "events.parquet")
         .parquet(dir))
   }

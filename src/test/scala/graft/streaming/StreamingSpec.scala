@@ -48,6 +48,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(total == graft.Tables.events(spark, dir).count() * 4)
   }
 
+  test("loadStream survives both ts encodings: nanos parquet == micros parquet") {
+    // Two checked-in fixtures hold the SAME 40 logical events, one written
+    // as TIMESTAMP(NANOS) (read as nanos-long under the legacy flag) and one
+    // as TIMESTAMP(MICROS) (read as a native timestamp). A reader that
+    // hard-codes either unit silently corrupts the other — the regression
+    // this test pins is every 2024 event collapsing into 1970-01-20 when a
+    // micros file hits a nanos-assuming div-1000. Both the streaming and the
+    // batch loader must agree on both encodings, and both encodings must
+    // yield identical windowed aggregates.
+    def fixture(name: String): String =
+      java.nio.file.Paths.get(getClass.getResource(s"/fixtures/$name").toURI)
+        .toString
+    def streamedAgg(dir: String): Seq[String] = {
+      val qn = s"fixture_out_${dir.hashCode.abs}"
+      val q = EventsStreaming.tumblingAgg(EventsStreaming.loadStream(spark, dir))
+        .writeStream.format("memory").queryName(qn).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table(qn).select("hour_start", "event_type", "n", "total_value")
+        .collect().map(_.toString).sorted.toSeq
+    }
+    def batchAgg(dir: String): Seq[String] =
+      EventsStreaming.tumblingAgg(graft.Tables.events(spark, dir))
+        .collect().map(_.toString).sorted.toSeq
+    val (nanosDir, microsDir) = (fixture("events_nanos"), fixture("events_micros"))
+    val streamedNanos = streamedAgg(nanosDir)
+    val streamedMicros = streamedAgg(microsDir)
+    assert(streamedNanos.nonEmpty && streamedNanos == streamedMicros,
+      "the two physical ts encodings must decode to the same event times")
+    assert(streamedNanos == batchAgg(nanosDir) &&
+      streamedMicros == batchAgg(microsDir),
+      "streaming and batch loaders must agree on each encoding")
+    // guard against the specific failure mode: nothing may land pre-2000
+    val minYear = EventsStreaming.loadStream(spark, microsDir)
+      .writeStream.format("memory").queryName("fixture_raw_out")
+      .outputMode("append").start()
+    try minYear.processAllAvailable() finally minYear.stop()
+    val y = spark.table("fixture_raw_out")
+      .agg(min(year(col("ts")))).collect()(0).getInt(0)
+    assert(y == 2024, s"ts unit mis-scaled: min year $y")
+  }
+
   test("B35 parity: native session_window == lag-gap sessionization (batch)") {
     val events = graft.Tables.events(spark, dir)
     val native = EventsStreaming.sessionAgg(events)
