@@ -43,34 +43,87 @@ object AnnIvf {
   val BroadcastKThreshold = 256
 
   /** Deterministic k-means: seeded sample for init, fixed iteration count.
-    * corpus: (vec_id, v: array<double>). Returns centroid arrays. */
+    * corpus: (vec_id, v: array<double>). Returns centroid arrays.
+    *
+    * The Lloyd update (per-cell mean) is one `VectorSumAgg` aggregation —
+    * fixed dim-length state per cell, map-side combined, no per-dim
+    * expression fan-out (the old `array(sum(element_at…))` formulation
+    * built `dim` aggregate expressions and fell out of codegen past
+    * dim ≈ 256). Two loops, switched on the trained cell count:
+    *  - k ≤ [[BroadcastKThreshold]]: centroids live on the driver between
+    *    iterations (they must — the literal assignment expression embeds
+    *    them), so each update collects k·dim doubles: ≤ 256 × dim, trivial.
+    *  - k > threshold: centroids stay a CLUSTER-side DataFrame across
+    *    iterations — assignment joins it broadcast, the update joins the
+    *    per-cell means back (empty cells keep their centroid), and a
+    *    `localCheckpoint` truncates lineage at k rows per iteration. The
+    *    driver never holds centroids until the single final collect; at
+    *    k=10⁵ × dim=10³ the old per-iteration ~1 GB driver collect is gone.
+    */
   def trainCentroids(corpus: DataFrame, k: Int, iterations: Int = 3,
       seed: Long = 42L): Array[Seq[Double]] = {
-    var centroids: Array[Seq[Double]] = corpus
+    val init = initCentroids(corpus, k, seed)
+    // a corpus smaller than k trains init.length cells — callers size
+    // nprobe against the returned array, not the requested k
+    if (init.length <= BroadcastKThreshold) {
+      var centroids = init
+      for (_ <- 1 to iterations) {
+        val sums = assignCells(corpus, centroids)
+          .groupBy(col("cell"))
+          .agg(count(lit(1)).as("n"),
+            graft.functions.VectorSumAgg.of(col("v")).as("sums"))
+          .collect()
+        val next = centroids.clone()
+        sums.foreach { r =>
+          val cell = r.getInt(r.fieldIndex("cell"))
+          val n = r.getLong(r.fieldIndex("n")).toDouble
+          next(cell) = r.getSeq[Double](r.fieldIndex("sums")).map(_ / n)
+        }
+        centroids = next
+      }
+      centroids
+    } else trainCentroidsDistributed(corpus, init, iterations)
+  }
+
+  /** Seeded deterministic init: the k smallest corpus rows by a salted
+    * hash of vec_id. */
+  private[operators] def initCentroids(corpus: DataFrame, k: Int,
+      seed: Long): Array[Seq[Double]] = {
+    val init = corpus
       .select(col("vec_id"), col("v"))
-      .orderBy(xxhash64(lit(seed), col("vec_id"))) // seeded deterministic pick
+      .orderBy(xxhash64(lit(seed), col("vec_id")))
       .limit(k)
       .select(col("v")).collect().map(_.getSeq[Double](0))
-    require(centroids.nonEmpty, "IVF training requires a non-empty corpus")
-    // a corpus smaller than k trains centroids.length cells — callers size
-    // nprobe against the returned array, not the requested k
+    require(init.nonEmpty, "IVF training requires a non-empty corpus")
+    init
+  }
+
+  /** The cluster-side Lloyd loop: centroids live as a DataFrame between
+    * iterations, the driver holds nothing until the one final collect.
+    * Package-private so the parity spec can drive it below the threshold. */
+  private[operators] def trainCentroidsDistributed(corpus: DataFrame,
+      init: Array[Seq[Double]], iterations: Int): Array[Seq[Double]] = {
+    require(corpus.columns.contains("vec_id"),
+      "distributed centroid training requires a unique vec_id column")
+    var cdf = centroidFrame(corpus.sparkSession, init).localCheckpoint()
     for (_ <- 1 to iterations) {
-      val assigned = assignCells(corpus, centroids)
-      val dim = centroids(0).size
-      val sums = assigned.groupBy(col("cell"))
+      val means = assignCellsJoinFrame(corpus, cdf)
+        .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"),
-          array((0 until dim).map(i =>
-            sum(element_at(col("v"), i + 1)).as(s"s$i")): _*).as("sums"))
-        .collect()
-      val next = centroids.clone()
-      sums.foreach { r =>
-        val cell = r.getInt(r.fieldIndex("cell"))
-        val n = r.getLong(r.fieldIndex("n")).toDouble
-        next(cell) = r.getSeq[Double](r.fieldIndex("sums")).map(_ / n)
-      }
-      centroids = next
+          graft.functions.VectorSumAgg.of(col("v")).as("sums"))
+        .select(col("cell"),
+          transform(col("sums"), x => x / col("n")).as("mean"))
+      val prev = cdf
+      cdf = cdf.join(means, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("mean"), col("cv")).as("cv"))
+        .withColumn("cc", dotProduct(col("cv"), col("cv")))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(prev)
     }
-    centroids
+    val out = cdf.orderBy(col("cell"))
+      .select(col("cv")).collect().map(_.getSeq[Double](0))
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(cdf)
+    out
   }
 
   /** Nearest-centroid cell id per vector (L2): literal-expression plan for
@@ -112,7 +165,15 @@ object AnnIvf {
     require(corpus.columns.contains("vec_id"),
       "large-k cell assignment requires a unique vec_id column " +
         s"(k=${centroids.length} > BroadcastKThreshold=$BroadcastKThreshold)")
-    val cents = centroidFrame(corpus.sparkSession, centroids)
+    assignCellsJoinFrame(corpus, centroidFrame(corpus.sparkSession, centroids))
+  }
+
+  /** The join-plan assignment against an ALREADY cluster-side centroid table
+    * (cell, cv, cc) — the distributed-training loop calls this directly so
+    * centroids never round-trip through the driver between Lloyd
+    * iterations. Same contract as [[assignCellsJoin]]: unique `vec_id`. */
+  private def assignCellsJoinFrame(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
     val keep = corpus.columns
     corpus.join(broadcast(cents))
       .withColumn("__dist", col("cc") - lit(2.0) * dotProduct(col("v"), col("cv")))

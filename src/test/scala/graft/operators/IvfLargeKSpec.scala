@@ -51,6 +51,55 @@ class IvfLargeKSpec extends AnyFunSuite {
     assert(res.filter(col("neighbor") === col("qid")).count() == 0)
   }
 
+  test("distributed update == driver update: same centroids either side of the threshold") {
+    // the SAME corpus and seed trained at k=16 (driver-held loop) must agree
+    // with the cluster-side DataFrame loop. The distributed loop only engages
+    // above BroadcastKThreshold, so drive it directly by lowering k through
+    // a padded parallel formulation: instead, train k=16 twice — once via the
+    // public path and once by forcing the join loop on a corpus where the
+    // seeded init picks identical starting centroids. The invariant that
+    // makes this checkable: both loops are Lloyd iterations from the same
+    // init, so per-cell means must match to float tolerance.
+    val small = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+      .cache()
+    try {
+      val driverSide = AnnIvf.trainCentroids(small, k = 16, iterations = 3)
+      val clusterSide = AnnIvf.trainCentroidsDistributed(small,
+        AnnIvf.initCentroids(small, k = 16, seed = 42L), iterations = 3)
+      assert(driverSide.length == clusterSide.length)
+      driverSide.zip(clusterSide).zipWithIndex.foreach { case ((a, b), i) =>
+        val maxDiff = a.zip(b).map { case (x, y) => math.abs(x - y) }.max
+        assert(maxDiff < 1e-9, s"cell $i diverged by $maxDiff")
+      }
+    } finally small.unpersist()
+  }
+
+  test("dim=256 training runs through VectorSumAgg without per-dim expression fan-out") {
+    // a wide synthetic corpus: 600 vectors of dim 256, k above the threshold
+    // so the whole loop (assignment join + vector_sum update + centroid
+    // re-join) runs cluster-side. The old array(sum(element_at…)) update
+    // built 256 aggregate expressions here; vector_sum keeps ONE.
+    import spark.implicits._
+    val dim = 256
+    val wide = spark.range(600).select(col("id").as("vec_id"))
+      .withColumn("v", transform(sequence(lit(1), lit(dim)),
+        i => sin(col("vec_id") * i.cast("double"))))
+      .cache()
+    try {
+      val cents = AnnIvf.trainCentroids(wide, k = 300, iterations = 2)
+      assert(cents.length > AnnIvf.BroadcastKThreshold)
+      assert(cents.forall(_.size == dim))
+      // the mean of unit-bounded sines stays unit-bounded — a unit mix-up
+      // (sum vs mean, nanos-style scaling) would blow past this
+      assert(cents.forall(_.forall(x => x >= -1.0 && x <= 1.0)))
+      // and the trained centroids still drive a working search
+      val qs = wide.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      assert(AnnIvf.topK(wide, qs, 5, cents, nprobe = 8).count() == 15)
+    } finally wide.unpersist()
+  }
+
   test("the large-k plan is a broadcast join, not a kilobyte literal") {
     val cents = AnnIvf.trainCentroids(emb, k = 4096, iterations = 1)
     val assigned = AnnIvf.assignCells(emb, cents)
