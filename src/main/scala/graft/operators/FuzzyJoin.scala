@@ -94,21 +94,63 @@ object FuzzyJoin {
           col("m") - col("slen") + lit(1)))
       .filter(col("slen") >= 1 && col("plo") <= col("phi"))
       .withColumn("pos", explode(sequence(col("plo"), col("phi"))))
+      // PassJoin's multi-match-aware shift bound (exact, §4.2 of the paper):
+      // aligning corpus segment [s0, s0+slen) to query position pos forces
+      // at least |Δ| edits in the prefix and |(m−klen)−Δ| in the suffix
+      // (each edit changes a side's length by at most 1), so any pos with
+      // |Δ| + |(m−klen)−Δ| > d cannot participate in a ≤d match. Tighter
+      // than the plain ±d window whenever the lengths differ — at d=2,
+      // |m−klen|=2 this keeps 1 position instead of 5.
+      .withColumn("__shift",
+        col("pos") - segStart(col("klen"), col("gi"), d))
+      .filter(abs(col("__shift")) +
+        abs(col("m") - col("klen") - col("__shift")) <= d)
     q.select(col("query_id"), col("qkey"), col("gi"),
       col("qkey").substr(col("pos"), col("slen")).as("seg"), col("klen"))
       .distinct()
   }
+
+  /** The capped segment index: each (gi, seg, klen) bucket keeps its `cap`
+    * lowest ids. `top_k` of (−id) descending = the cap smallest ids with
+    * k-capped map-side state — no shuffle ever carries an uncapped bucket.
+    * Package-private so the skew spec can assert the bucket bound. */
+  private[operators] def cappedIndexForTest(corpus: DataFrame, d: Int,
+      cap: Int): DataFrame =
+    segmentIndex(corpus, d)
+      .groupBy(col("gi"), col("seg"), col("klen"))
+      .agg(graft.functions.TopKAgg.of(
+        struct((-col("id")).as("nid"), col("key")), cap).as("__kept"))
+      .select(col("gi"), col("seg"), col("klen"),
+        explode(col("__kept")).as("__e"))
+      .select(col("gi"), col("seg"), col("klen"),
+        (-col("__e.nid")).as("id"), col("__e.key").as("key"))
 
   /** Every (query_id, id, dist) with levenshtein(qkey, key) <= maxDist.
     * `corpus`: (id, key); `queries`: (query_id, qkey). Keys shorter than
     * max(3, maxDist+1) chars are dropped from both sides (see
     * `minKeyLenFor`). Set `broadcastProbes=false` when the
     * query side is too large to broadcast — the candidate join then
-    * shuffles both sides on the segment key. */
+    * shuffles both sides on the segment key.
+    *
+    * `maxBucket`: skew guard for dirty corpora. A stop-word-like segment
+    * (all spaces, a boilerplate prefix) shared by millions of keys makes
+    * the candidate join quadratic in that one bucket. With `maxBucket =
+    * Some(cap)`, each (gi, seg, klen) index bucket keeps only the `cap`
+    * LOWEST ids — candidate work per bucket is then ≤ cap × |matching
+    * probes|, and the cap is enforced map-side (a k-capped `TopKAgg`
+    * buffer, so not even the shuffle carries an uncapped bucket — capping
+    * through a row_number window would funnel the hot bucket through one
+    * reducer, the exact skew this guards against). DOCUMENTED TRADEOFF:
+    * a true ≤d match whose every shared segment sits in an over-cap bucket
+    * beyond the kept ids is missed — exactness holds only with the default
+    * `None`. Deterministic either way (lowest-id survivors). */
   def editDistanceJoin(corpus: DataFrame, queries: DataFrame,
-      maxDist: Int = DefaultDist, broadcastProbes: Boolean = true): DataFrame = {
+      maxDist: Int = DefaultDist, broadcastProbes: Boolean = true,
+      maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    val idx = segmentIndex(corpus, maxDist)
+    require(maxBucket.forall(_ >= 1), s"maxBucket must be >= 1: $maxBucket")
+    val idx = maxBucket.fold(segmentIndex(corpus, maxDist))(
+      cappedIndexForTest(corpus, maxDist, _))
     val probes0 = probeKeys(queries, maxDist)
     val probes = if (broadcastProbes) broadcast(probes0) else probes0
     idx.join(probes, Seq("gi", "seg", "klen"))

@@ -181,6 +181,46 @@ class FuzzyJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("skew stress: a 30%-hot shared segment stays exact, and the cap bounds it") {
+    // 30% of the corpus shares segment 0 verbatim — the stop-word-like
+    // bucket the frequency cap exists for. All keys length 12, d=2 → three
+    // 4-char segments; 300 of 1000 keys open with "zzzz".
+    val rnd = new scala.util.Random(41)
+    def uniq(n: Int) = (0 until n).map(_ => randKey(rnd, 8)).distinct
+    val hot = uniq(400).take(300).map(s => "zzzz" + s)
+    val cold = uniq(900).take(700).map(s => randKey(rnd, 4) + s)
+    val base = (hot ++ cold).zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val corpusDf = base.toDF("id", "key").cache()
+    // queries: 20 hot-seeded and 10 cold-seeded keys, 0..2 edits applied
+    // AFTER the shared prefix (so hot queries keep probing the hot bucket)
+    val queries = (base.take(20) ++ base.slice(300, 310)).map { case (id, k) =>
+      (id, k.substring(0, 4) + mutate(rnd, k.substring(4), (id % 3).toInt))
+    }
+    val queryDf = queries.toDF("query_id", "qkey").cache()
+    try {
+      // 1) UNCAPPED: exact under skew — brute-force equality
+      assert(run(corpusDf, queryDf, 2) === bruteForce(corpusDf, queryDf, 2),
+        "hot-segment corpus broke exactness")
+      // 2) CAPPED: every index bucket is bounded by the cap…
+      val cap = 50
+      val capped = FuzzyJoin.editDistanceJoin(corpusDf, queryDf, 2,
+        maxBucket = Some(cap)).as[(Long, Long, Int)].collect().toSet
+      val bucketSizes = FuzzyJoin.cappedIndexForTest(corpusDf, 2, cap)
+        .groupBy(col("gi"), col("seg"), col("klen")).count()
+        .agg(max(col("count"))).collect()(0).getLong(0)
+      assert(bucketSizes <= cap,
+        s"capped index still has a bucket of $bucketSizes > $cap")
+      // …the capped answer is a SUBSET of the exact one (no false pairs)…
+      assert(capped.subsetOf(bruteForce(corpusDf, queryDf, 2)))
+      // …and pairs reachable through any under-cap bucket survive: every
+      // cold-seeded query still finds its seed (their buckets are unique)
+      val coldIds = (300L until 310L).toSet
+      assert(coldIds.forall(q =>
+        capped.exists { case (qq, id, _) => qq == q && id == q }),
+        "the cap must not disturb under-cap buckets")
+    } finally { corpusDf.unpersist(); queryDf.unpersist() }
+  }
+
   test("q92 oracled query agrees with brute force at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     val got = SparkEntryAccess.q92(spark, dir)
