@@ -220,8 +220,8 @@ object Similarity {
   // it. Eval sets are small (10³–10⁴ vectors) so the eval side BROADCASTS
   // and the corpus streams through one codegen'd stage — same shape as
   // bruteForceTopK, cost = one corpus scan regardless of corpus size. For
-  // an eval set too big to broadcast, probe the materialized IVF index per
-  // eval vector instead (`AnnIvf.topKIndexed` shares the contract).
+  // an eval set too big to broadcast, [[semanticDecontaminateIndexed]]
+  // probes the materialized quantized IVF index instead.
   // Threshold compares on round(cos, 4): both engines collapse to the same
   // canonical grid point before the >= (the suite-wide rounding discipline),
   // so a 1-ulp cross-engine difference cannot flip membership.
@@ -239,6 +239,60 @@ object Similarity {
       .filter(col("cos") >= tau)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+
+  /** Big-eval decontamination against a MATERIALIZED quantized IVF index —
+    * the scale path the [[semanticDecontaminate]] scaladoc points at. When
+    * the eval set is too large to broadcast against every corpus row, probe
+    * the index instead: each eval vector visits its `nprobe` nearest cells,
+    * int8 candidates are pre-filtered at `tau − margin` (margin absorbs
+    * quantization error in the approximate cosine), and only the survivors
+    * are re-scored in full precision against the primary corpus, where the
+    * exact `round(cos,4) >= tau` decides — so the threshold semantics are
+    * identical to the broadcast path for every pair the probes reach.
+    *
+    * APPROXIMATION CONTRACT (same as every IVF search): a contaminated
+    * pair is found iff the corpus vector's cell is among the eval vector's
+    * probed cells. Exact and near-exact copies (the pairs decontamination
+    * exists for) assign to the eval vector's own nearest cell, so they are
+    * always reached; lower-cosine pairs near `tau` may need a larger
+    * `nprobe`. Output matches [[semanticDecontaminate]]: (vec_id,
+    * n_eval_hits, max_cos) — counting only probe-reached hits.
+    *
+    * corpus: the primary (vec_id, v) table for exact re-scoring; evalSet:
+    * (eid, ev); indexPath: a [[AnnIvf.writeIndexQuantized]] layout built
+    * over the SAME corpus with `centroids`. */
+  def semanticDecontaminateIndexed(spark: SparkSession, indexPath: String,
+      corpus: DataFrame, evalSet: DataFrame, tau: Double,
+      centroids: Array[Seq[Double]], nprobe: Int = 3,
+      margin: Double = 0.05): DataFrame = {
+    import graft.functions.VectorExprs.{dotProduct, int8Dot}
+    val evalQ = evalSet.select(col("eid").as("qid"), col("ev").as("qv"))
+    val queryCells = AnnIvf.assignProbes(evalQ, centroids, nprobe)
+      .withColumn("qn", sqrt(dotProduct(col("qv"), col("qv"))))
+    // static partition pruning: the probed-cell list is bounded by k (the
+    // cell count), never by |eval| — a clustered eval set reads few dirs
+    val probed = queryCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cells = spark.read.parquet(indexPath)
+      .filter(col("cell").isin(probed.map(Int.box): _*))
+    val survivors = queryCells.join(cells, Seq("cell"))
+      .withColumn("ascore",
+        when(col("qnorm") === 0.0 || col("qn") === 0.0, lit(-2.0)).otherwise(
+          int8Dot(col("qv"), col("qv8")) * col("scale") /
+            (col("qn") * col("qnorm"))))
+      .filter(col("ascore") >= tau - margin)
+      .select(col("qid"), col("qv"), col("vec_id"))
+      // crash-replay duplicates in an incrementally-built index must not
+      // double-count as eval hits
+      .dropDuplicates("qid", "vec_id")
+    // full-precision rescore: plain key join, no broadcast hint — the
+    // survivor side scales with |eval|, so let AQE pick the strategy
+    corpus.select(col("vec_id"), col("v")).join(survivors, Seq("vec_id"))
+      .withColumn("cos", round(cosineGuarded(col("v"), col("qv")), 4))
+      .filter(col("cos") >= tau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+  }
 
   // Gate: eval = vec_id < 25; corpus = the rest PLUS exact copies of the
   // eval vectors at vec_id + PlantOffset (the shared embedding-gate plant).

@@ -1,7 +1,8 @@
 package graft.streaming
 
 import graft.operators.AnnIvf
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -28,8 +29,9 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * duplicates are exact copies; `topKQuantized` drops duplicate
   * (qid, vec_id) survivors before the final ranking, so a replayed vector
   * cannot occupy two of the k result ranks (it does consume stage-1
-  * rerank headroom). A keep-first compaction on vec_id reclaims the
-  * duplicate storage if an index lives through many crash-replays.
+  * rerank headroom). [[compactIndex]] reclaims the duplicate storage and
+  * re-collapses to one file per cell when an index lives through many
+  * crash-replays or many small appends.
   */
 object EmbeddingStreaming {
 
@@ -53,4 +55,33 @@ object EmbeddingStreaming {
       .option("checkpointLocation", checkpoint)
       .foreachBatch(appendBatch(indexPath, centroids) _)
       .start()
+
+  /** Compacts an incrementally-built index in place: keep-first dedupe on
+    * `vec_id` (crash-replayed rows are exact copies — quantization and cell
+    * assignment are deterministic per vector — so "first" is any survivor)
+    * plus a one-file-per-cell rewrite that collapses the one-file-per-
+    * (batch, cell) fragments a long-lived stream accumulates. Search
+    * answers are unchanged; stage-1 rerank headroom and file-open counts
+    * recover.
+    *
+    * Runs read-then-swap: the compacted copy materializes beside the live
+    * index, then replaces it via filesystem rename. Call it from the
+    * maintenance window between stream restarts — the swap is NOT atomic
+    * against a concurrent `appendBatch` (a batch landing between delete and
+    * rename would be lost), which is the same quiesce-first discipline as
+    * the offline centroid re-train this scaladoc's header prescribes. */
+  def compactIndex(spark: SparkSession, indexPath: String): Unit = {
+    val tmp = new Path(indexPath + "__compacting")
+    val dst = new Path(indexPath)
+    spark.read.parquet(indexPath)
+      .dropDuplicates("vec_id")
+      // one writer per cell → exactly one file per cell directory (the
+      // batch build's layout); a 100 TB compaction would salt giant cells
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst),
+      s"compaction swap failed: $tmp could not replace $dst")
+  }
 }

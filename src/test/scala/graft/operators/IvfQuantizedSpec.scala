@@ -104,6 +104,36 @@ class IvfQuantizedSpec extends AnyFunSuite {
       s"probe cells not pushed as partition filter:\n$scanLine")
   }
 
+  test("indexed decontamination == broadcast decontamination on planted copies (sf0.01)") {
+    // the big-eval scale path must agree with the broadcast path where the
+    // probe contract guarantees reachability: exact copies assign to the
+    // eval vector's own nearest cell. sf0.01 corpus, 25 planted copies at
+    // tau=0.98 (organic pairs top out near 0.49 — the q94 gate geometry).
+    val e01 = graft.Tables.embeddings(spark, "/root/testdata/sf0.01")
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val evalSet = e01.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("eid"), col("v").as("ev"))
+    val corpus = e01.filter(col("vec_id") >= 25)
+      .unionByName(evalSet.select(
+        (col("eid") + Dedup.PlantOffset).as("vec_id"), col("ev").as("v")))
+      .cache()
+    try {
+      val centroids = AnnIvf.trainCentroids(corpus, k = 16)
+      val dir = Files.createTempDirectory("graft_decontam_idx").toString
+      AnnIvf.writeIndexQuantized(corpus, centroids, dir)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("vec_id"), col("n_eval_hits"), round(col("max_cos"), 4))
+        .orderBy("vec_id").collect().map(_.toString).toSeq
+      val viaBroadcast = rows(
+        Similarity.semanticDecontaminate(corpus, evalSet, tau = 0.98))
+      val viaIndex = rows(Similarity.semanticDecontaminateIndexed(
+        spark, dir, corpus, evalSet, tau = 0.98, centroids))
+      assert(viaBroadcast.size == 25,
+        s"gate geometry broken: expected exactly the 25 plants, got ${viaBroadcast.size}")
+      assert(viaIndex == viaBroadcast)
+    } finally corpus.unpersist()
+  }
+
   test("zero vectors quantize to zeros at scale 0 and never poison ranks") {
     val zero = spark.range(1).select(
       lit(9999).as("vec_id"),

@@ -340,6 +340,24 @@ class StreamingSpec extends AnyFunSuite {
       "the replay must actually have duplicated rows")
     assert(answers(streamPath) == answers(batchPath),
       "replayed duplicates leaked into the top-k ranks")
+
+    // compaction: the replayed duplicates and the per-(batch, cell) file
+    // fragments both disappear; rows and search answers are unchanged
+    EmbeddingStreaming.compactIndex(spark, streamPath)
+    assert(spark.read.parquet(streamPath).count() == rows.size,
+      "compaction must drop exactly the replayed duplicate rows")
+    assert(rowsOf(streamPath) == rowsOf(batchPath),
+      "compaction changed index content")
+    assert(answers(streamPath) == answers(batchPath),
+      "compaction changed search answers")
+    val cellDirs = new java.io.File(streamPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName} holds ${files.length} files after compaction")
+    }
     emb.unpersist()
   }
 }
