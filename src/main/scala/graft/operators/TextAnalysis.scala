@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-pipeline text analysis operators over `documents` (SURVEY.md §2 B29,
@@ -555,6 +555,80 @@ object TextAnalysis {
       |SELECT left_sym, right_sym, cnt FROM pairs
       |ORDER BY cnt DESC, left_sym, right_sym LIMIT 20""".stripMargin
 
+  // -- BPE merge-table APPLY (true token counts) -----------------------------
+  // q83 is the TRAINING inner loop (pair counting); this is the ENCODE side:
+  // apply a trained merge table and count real BPE tokens, so token-budget
+  // operators can budget in model tokens instead of whitespace words. The
+  // tokenizer is the native `BpeEncode` expression (one pass per merge,
+  // leftmost-non-overlapping — see its scaladoc for the equivalence proof
+  // with the classic highest-rank-first loop on well-formed tables). The
+  // oracle replays the EXACT same algorithm as an unrolled replace chain
+  // over a '|'-delimited token string (delimiters make cross-token false
+  // matches impossible; replace's leftmost-non-overlap IS the BPE pass
+  // law), generated from the same Scala merge-table constant so the two
+  // sides cannot drift.
+
+  /** A fixed well-formed demo merge table (each part is a char or the
+    * product of an earlier merge — the only shape BPE training emits).
+    * Chains to whole corpus words: …(ta,b)(tab,le)→"table",
+    * (s,p)(sp,ar)(spar,k)→"spark", (l,u)(lu,e)→"lue". */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("s", "t"), ("t", "a"),
+    ("l", "u"), ("l", "e"), ("a", "r"), ("lu", "e"), ("ta", "b"),
+    ("tab", "le"), ("s", "p"), ("sp", "ar"), ("spar", "k"))
+
+  /** Normalized text column both engines tokenize identically. */
+  private def bpeNorm(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
+  /** BPE tokens of `text` under `merges` (normalized first) — reusable by
+    * the packing/budget operators that want model-token counts. */
+  def bpeTokens(text: Column,
+      merges: Seq[(String, String)] = BpeMerges): Column =
+    graft.functions.BpeExprs.bpeEncode(bpeNorm(text), merges)
+
+  /** Per-doc true-token accounting: (doc_id, n_ws_tokens, n_bpe_tokens,
+    * n_merged_tokens). Map-side only — the merge table rides in the plan. */
+  def bpeTokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)] = BpeMerges): DataFrame =
+    docs.select(col("doc_id"),
+      size(Tok.ws(bpeNorm(col("text")))).cast("long").as("n_ws_tokens"),
+      bpeTokens(col("text"), merges).as("__bpe"))
+      .select(col("doc_id"), col("n_ws_tokens"),
+        size(col("__bpe")).cast("long").as("n_bpe_tokens"),
+        size(filter(col("__bpe"), t => length(t) > 1)).cast("long")
+          .as("n_merged_tokens"))
+
+  private def q97(s: SparkSession, dir: String): DataFrame =
+    bpeTokenCounts(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  /** The oracle's per-word encode: '|tok||tok|…|' with one replace per
+    * merge in rank order. Generated from [[BpeMerges]]. */
+  private val q97Sql: String = {
+    val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    val chain = BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    s"""WITH norm AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+       |      x -> x <> '') AS words
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, len(words) AS n_ws,
+       |    list_transform(words, w ->
+       |      string_split(trim($chain, '|'), '||')) AS wt
+       |  FROM norm)
+       |SELECT doc_id, CAST(n_ws AS BIGINT) AS n_ws_tokens,
+       |  CAST(coalesce(list_sum(list_transform(wt, t -> len(t))), 0)
+       |    AS BIGINT) AS n_bpe_tokens,
+       |  CAST(coalesce(list_sum(list_transform(wt, t ->
+       |      len(list_filter(t, u -> len(u) > 1)))), 0)
+       |    AS BIGINT) AS n_merged_tokens
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   // -- linear classifier scoring via the hashing trick -----------------------
   // The quality-filter step of production pipelines (fastText/VW-style): a
   // linear model over hashed token features, scored in one map-side pass —
@@ -656,6 +730,7 @@ object TextAnalysis {
       |FROM scored, thr WHERE score >= threshold""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_bpe_encode", q97, Some(q97Sql)),
     QueryDef("q95_quality_prune", q95, Some(q95Sql)),
     QueryDef("q84_classifier_score", q84, Some(q84Sql)),
     QueryDef("q82_context_windows", q82, Some(q82Sql)),
