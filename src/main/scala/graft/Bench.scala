@@ -65,7 +65,11 @@ object Bench {
     val med = obj(_._2._2)
     val total = results.map(_._2._1).filter(_ >= 0).sum // -1 markers excluded
     val totalMed = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"median_total":$totalMed,"median_queries":$med,"iters":$iterations,"sf":"$sfDir"}""")
+    // headline first, mins before medians: a tail-truncated artifact then
+    // still reads correctly. noise_ratio = median_total/min_total — ≈1 on a
+    // quiet machine; ≫1 flags a noisy run without needing a re-run to tell.
+    val noise = if (total > 0) totalMed / total else 1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"queries":$qs,"median_total":$totalMed,"median_queries":$med,"iters":$iterations,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Self-evidencing leak scan over the repo's shippable surface.
+
+Greps src/, build.sbt and tools/ for internal-looking identifiers (private
+package roots, non-public URLs/buckets, chat links, credential shapes) and
+writes LEAKCHECK_local.json stamped with the scanned commit hash and a run
+timestamp — so each round's artifact proves the scan actually re-ran
+against that round's tree (the round-6 ADVICE finding: an unstamped
+artifact is indistinguishable from a copied one).
+
+Usage: python3 tools/leakcheck.py [out.json]
+"""
+import json
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+PATTERNS = {
+    # imports/references to anything that is not Spark/Hadoop/JDK/scala/graft
+    "internal-import": re.compile(
+        r"^\s*import\s+(?!org\.apache\.|java\.|javax\.|scala\.|graft\.|"
+        r"com\.sun\.|org\.scalatest|org\.scalacheck|org\.slf4j|org\.xml|"
+        r"spark\.implicits|\w+\.implicits|docs\.sparkSession)[a-z]\w+\.\w+"),
+    "internal-url": re.compile(
+        r"https?://(?!localhost|127\.0\.0\.1|www\.w3\.org|github\.com|"
+        r"spark\.apache\.org|duckdb\.org|issues\.apache\.org|schemas\.openxmlformats\.org|www\.ecma-international\.org)[\w.-]+\.[a-z]{2,}"),
+    "bucket-uri": re.compile(r"\b(?:s3a?|gs|abfss?)://(?!<|\{|bucket|BUCKET|path|your)[\w.-]+"),
+    "chat-link": re.compile(r"\b(?:slack|go)/[a-z][\w-]{2,}\b"),
+    "api-key": re.compile(r"\b(?:AKIA[0-9A-Z]{16}|sk-[A-Za-z0-9]{20,}|AIza[\w-]{35})\b"),
+    "env-secret": re.compile(r"\b[A-Z_]*(?:SECRET|TOKEN|APIKEY|API_KEY)[A-Z_]*\s*="),
+}
+
+SCAN_GLOBS = ["src/**/*.scala", "src/**/*.properties", "build.sbt", "tools/*.py"]
+
+
+def scan():
+    hits = {k: [] for k in PATTERNS}
+    for pattern in SCAN_GLOBS:
+        for path in sorted(ROOT.glob(pattern)):
+            rel = path.relative_to(ROOT)
+            for lineno, line in enumerate(
+                    path.read_text(errors="replace").splitlines(), 1):
+                for name, rx in PATTERNS.items():
+                    if rx.search(line):
+                        hits[name].append(f"{rel}:{lineno}: {line.strip()[:160]}")
+    return hits
+
+
+def main():
+    out = Path(sys.argv[1]) if len(sys.argv) > 1 else ROOT / "LEAKCHECK_local.json"
+    commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=ROOT, capture_output=True,
+        text=True).stdout.strip()
+    dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=ROOT, capture_output=True,
+        text=True).stdout.strip() != ""
+    hits = scan()
+    record = {
+        "scanned_commit": commit + ("-dirty" if dirty else ""),
+        "generated_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_hits": sum(len(v) for v in hits.values()),
+        "hits": hits,
+    }
+    out.write_text(json.dumps(record, indent=2) + "\n")
+    print(f"wrote {out}: {record['n_hits']} hits at {record['scanned_commit'][:12]}")
+    return 0 if record["n_hits"] == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
