@@ -297,10 +297,17 @@ object TextAnalysis {
     * greedily; a doc larger than the budget gets its own bin). Reuses the
     * distributed chunk fold: the greedy pass runs over projected
     * (row, token-count) pairs only, boundaries broadcast back, so document
-    * payloads never funnel through one task. */
-  def packByTokens(docs: DataFrame, budgetTokens: Long): DataFrame =
+    * payloads never funnel through one task.
+    *
+    * `tokenCount` picks the budget currency: the default counts whitespace
+    * words (the q60 oracle's tokenizer); pass
+    * `size(bpeTokens(col("text"))).cast("long")` to budget in REAL model
+    * tokens under a trained merge table (the q98 shape) — same fold, same
+    * scale contract, different accounting. */
+  def packByTokens(docs: DataFrame, budgetTokens: Long,
+      tokenCount: Column = size(tokens).cast("long")): DataFrame =
     graft.chunk.ChunkAssigner.assignByBytes(
-      docs.select(col("doc_id"), size(tokens).cast("long").as("n_tokens")),
+      docs.select(col("doc_id"), tokenCount.as("n_tokens")),
       orderCols = Seq(col("doc_id")), budgetBytes = budgetTokens,
       sizeCol = col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("chunk_number").as("pack_id"))
@@ -330,6 +337,43 @@ object TextAnalysis {
       |    CASE WHEN f.acc + d.nt > 256 THEN d.nt ELSE f.acc + d.nt END
       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
+
+  // -- BPE-budgeted sequence packing -----------------------------------------
+  // q60 packs by whitespace words; a training pipeline budgets context
+  // windows in MODEL tokens. Same distributed greedy fold, with the native
+  // BpeEncode count as the size column — the q97 merge table, so the oracle
+  // reuses the generated replace chain inside the same recursive-CTE replay.
+
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    packByTokens(Tables.documents(s, dir).filter(col("doc_id") < 2000),
+      budgetTokens = 512L,
+      tokenCount = size(bpeTokens(col("text"))).cast("long"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q98Sql: String = {
+    val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    val chain = BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    s"""WITH RECURSIVE d AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      list_filter(string_split(
+       |        regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+       |        x -> x <> ''),
+       |      w -> len(string_split(trim($chain, '|'), '||')))), 0)
+       |      AS BIGINT) AS nt,
+       |    row_number() OVER (ORDER BY doc_id) AS rn
+       |  FROM documents WHERE doc_id < 2000),
+       |fold(rn, doc_id, nt, pack_id, acc) AS (
+       |  SELECT rn, doc_id, nt, CAST(0 AS BIGINT), nt FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.doc_id, d.nt,
+       |    CASE WHEN f.acc + d.nt > 512 THEN f.pack_id + 1 ELSE f.pack_id END,
+       |    CASE WHEN f.acc + d.nt > 512 THEN d.nt ELSE f.acc + d.nt END
+       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
+       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
+  }
 
   // -- stratified sampling ---------------------------------------------------
 
@@ -604,7 +648,7 @@ object TextAnalysis {
 
   /** The oracle's per-word encode: '|tok||tok|…|' with one replace per
     * merge in rank order. Generated from [[BpeMerges]]. */
-  private val q97Sql: String = {
+  private lazy val q97Sql: String = {
     val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
     val chain = BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
       s"replace($acc, '|$l||$r|', '|$l$r|')"
@@ -730,6 +774,7 @@ object TextAnalysis {
       |FROM scored, thr WHERE score >= threshold""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_bpe_packing", q98, Some(q98Sql)),
     QueryDef("q97_bpe_encode", q97, Some(q97Sql)),
     QueryDef("q95_quality_prune", q95, Some(q95Sql)),
     QueryDef("q84_classifier_score", q84, Some(q84Sql)),
