@@ -126,11 +126,21 @@ class IvfQuantizedSpec extends AnyFunSuite {
         .orderBy("vec_id").collect().map(_.toString).toSeq
       val viaBroadcast = rows(
         Similarity.semanticDecontaminate(corpus, evalSet, tau = 0.98))
-      val viaIndex = rows(Similarity.semanticDecontaminateIndexed(
-        spark, dir, corpus, evalSet, tau = 0.98, centroids))
+      val viaIndexDf = Similarity.semanticDecontaminateIndexed(
+        spark, dir, corpus, evalSet, tau = 0.98, centroids)
+      val viaIndex = rows(viaIndexDf)
       assert(viaBroadcast.size == 25,
         s"gate geometry broken: expected exactly the 25 plants, got ${viaBroadcast.size}")
       assert(viaIndex == viaBroadcast)
+      // and the index scan is partition-pruned to the probed cells — the
+      // property that makes this the big-eval path (same assertion shape
+      // as the quantized-search pruning test)
+      val plan = viaIndexDf.queryExecution.executedPlan.toString
+      val scanLine = plan.linesIterator
+        .find(l => l.contains("PartitionFilters") && l.contains("cell#"))
+        .getOrElse("")
+      assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*cell#.*"),
+        s"probe cells not pushed as partition filter:\n$scanLine")
     } finally corpus.unpersist()
   }
 

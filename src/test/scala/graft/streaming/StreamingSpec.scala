@@ -260,6 +260,7 @@ class StreamingSpec extends AnyFunSuite {
     // slower one hasn't planned yet)
     val inScore = MemoryStream[(Long, String)](spark)
     val inWin = MemoryStream[(Long, String)](spark)
+    val inBpe = MemoryStream[(Long, String)](spark)
     val qScore = graft.operators.TextAnalysis
       .classifierScore(inScore.toDS().toDF("doc_id", "text"))
       .writeStream.format("memory").queryName("score_parity_out")
@@ -268,12 +269,18 @@ class StreamingSpec extends AnyFunSuite {
       .contextWindows(inWin.toDS().toDF("doc_id", "text"), 64, 48)
       .writeStream.format("memory").queryName("windows_parity_out")
       .outputMode("append").start()
+    val qBpe = graft.operators.TextAnalysis
+      .bpeTokenCounts(inBpe.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("bpe_parity_out")
+      .outputMode("append").start()
     try {
-      inScore.addData(h1: _*); inWin.addData(h1: _*)
+      inScore.addData(h1: _*); inWin.addData(h1: _*); inBpe.addData(h1: _*)
       qScore.processAllAvailable(); qWin.processAllAvailable()
-      inScore.addData(h2: _*); inWin.addData(h2: _*)
+      qBpe.processAllAvailable()
+      inScore.addData(h2: _*); inWin.addData(h2: _*); inBpe.addData(h2: _*)
       qScore.processAllAvailable(); qWin.processAllAvailable()
-    } finally { qScore.stop(); qWin.stop() }
+      qBpe.processAllAvailable()
+    } finally { qScore.stop(); qWin.stop(); qBpe.stop() }
     val batchDf = spark.createDataFrame(docs).toDF("doc_id", "text")
     val streamedScores = spark.table("score_parity_out")
       .select("doc_id", "n_tokens", "score", "decision")
@@ -291,6 +298,15 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, String)].collect()
       .sortBy(r => (r._1, r._2)).toSeq
     assert(streamedWins == batchWins)
+    // the BPE tokenizer (merge table in the plan) is equally stateless:
+    // live ingest counts model tokens with the same expression as backfill
+    val streamedBpe = spark.table("bpe_parity_out")
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_merged_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val batchBpe = graft.operators.TextAnalysis.bpeTokenCounts(batchDf)
+      .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_merged_tokens")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(streamedBpe == batchBpe)
   }
 
   test("incremental IVF index build: streamed appends == batch-built index") {
