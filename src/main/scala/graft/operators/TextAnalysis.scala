@@ -338,6 +338,92 @@ object TextAnalysis {
       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
 
+  // -- n-gram LM fluency scoring (the CCNet-style quality filter) ------------
+  // Production curation scores documents by a small n-gram language model's
+  // log-probability (wikipedia-trained KenLM in CCNet); fluent text scores
+  // high, boilerplate/garbage scores low. Here the bigram LM trains on the
+  // corpus itself (self-scoring — an external reference corpus would slot
+  // into the same shape) with add-1 smoothing.
+  //
+  // Float discipline: the per-doc score is a SUM over pairs, and float
+  // summation order is not cross-engine stable — so each bigram's
+  // log-probability is integerized ONCE (floor of micro-nats, one ln and
+  // one floor per DISTINCT bigram, both engines computing the same double)
+  // and documents sum exact integers: order-free, hash-stable.
+  //
+  // Scale shape: pair explode is corpus-sized but map-side; the LM is
+  // bigram-vocabulary-sized. The scoring join shuffles on (w1, w2) with the
+  // LM side orders of magnitude smaller — at 100 TB the LM gets a
+  // frequency floor + unigram backoff and BROADCASTS, turning scoring into
+  // one map-side pass (same candidate-vs-index discipline as ANN).
+
+  /** (doc_id, n_pairs, micro_logp, band): micro_logp = Σ floor(10⁶·ln
+    * p(w2|w1)) over the doc's adjacent token pairs, add-1-smoothed bigram
+    * model trained on `docs` itself; band = short | fluent | odd (fluent ⇔
+    * mean log-prob ≥ −9 nats/pair). */
+  def ngramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens.as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(tokens).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val lm = c2.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * log((col("c2") + 1.0) / (col("c1") + col("vocab"))))
+          .cast("long").as("w_micro"))
+    val perDoc = pairs.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w_micro")).as("micro_logp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("micro_logp"), lit(0L)).as("micro_logp"))
+      .withColumn("band",
+        when(col("n_pairs") === 0, lit("short"))
+          .when(col("micro_logp") >= lit(-9000000L) * col("n_pairs"),
+            lit("fluent"))
+          .otherwise(lit("odd")))
+  }
+
+  private def q99(s: SparkSession, dir: String): DataFrame =
+    ngramLmScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
+
+  private val q99Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM pairs GROUP BY 1),
+      |v AS (SELECT count(DISTINCT tok) AS vocab FROM (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+      |  FROM documents)),
+      |lm AS (
+      |  SELECT w1, w2,
+      |    CAST(floor(1000000 * ln((c2 + 1.0) / (c1 + vocab))) AS BIGINT) AS w_micro
+      |  FROM c2 JOIN c1 USING (w1) CROSS JOIN v),
+      |perdoc AS (
+      |  SELECT doc_id, count(*) AS n_pairs,
+      |    CAST(sum(w_micro) AS BIGINT) AS micro_logp
+      |  FROM pairs JOIN lm USING (w1, w2) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs,
+      |  CAST(coalesce(micro_logp, 0) AS BIGINT) AS micro_logp,
+      |  CASE WHEN coalesce(n_pairs, 0) = 0 THEN 'short'
+      |    WHEN coalesce(micro_logp, 0) >= -9000000 * coalesce(n_pairs, 0)
+      |      THEN 'fluent'
+      |    ELSE 'odd' END AS band
+      |FROM documents d LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // -- BPE-budgeted sequence packing -----------------------------------------
   // q60 packs by whitespace words; a training pipeline budgets context
   // windows in MODEL tokens. Same distributed greedy fold, with the native
@@ -774,6 +860,7 @@ object TextAnalysis {
       |FROM scored, thr WHERE score >= threshold""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q99_lm_score", q99, Some(q99Sql)),
     QueryDef("q98_bpe_packing", q98, Some(q98Sql)),
     QueryDef("q97_bpe_encode", q97, Some(q97Sql)),
     QueryDef("q95_quality_prune", q95, Some(q95Sql)),
