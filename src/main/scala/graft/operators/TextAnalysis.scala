@@ -391,6 +391,58 @@ object TextAnalysis {
           .otherwise(lit("odd")))
   }
 
+  /** The 100 TB scoring path the [[ngramLmScore]] scaladoc prescribes: the
+    * bigram table is frequency-floored to its top `maxBigrams` entries
+    * (deterministic ties: count desc, then pair), pairs outside the kept
+    * set back off to 0.4 × the add-1 unigram probability (stupid-backoff),
+    * and the ENTIRE model broadcasts — scoring is one map-side pass over
+    * the corpus; the only corpus shuffle left is the per-doc partial-agg
+    * combine. Same integer micro-nat discipline, so with `maxBigrams` ≥
+    * the true bigram count the output is IDENTICAL to [[ngramLmScore]]
+    * (LmScoreSpec proves it); smaller floors trade fidelity for a
+    * plan-sized model exactly like an ANN index trades recall. */
+  def ngramLmScoreBroadcast(docs: DataFrame, maxBigrams: Int): DataFrame = {
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    val toks = docs.select(col("doc_id"), tokens.as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val kept = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(maxBigrams)
+    val totals = docs.select(explode(tokens).as("tok"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("tok")).as("vocab"))
+    val lm = kept.join(c1, Seq("w1")).crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"),
+        floor(lit(1e6) * log((col("c2") + 1.0) / (col("c1") + col("vocab"))))
+          .cast("long").as("w_micro"))
+    val backoff = docs.select(explode(tokens).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok").as("w2"),
+        floor(lit(1e6) *
+          log(lit(0.4) * (col("cu") + 1.0) / (col("n_tok") + col("vocab"))))
+          .cast("long").as("u_micro"))
+    val perDoc = pairs
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(backoff), Seq("w2"), "left")
+      .select(col("doc_id"), coalesce(col("w_micro"), col("u_micro")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("micro_logp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("micro_logp"), lit(0L)).as("micro_logp"))
+      .withColumn("band",
+        when(col("n_pairs") === 0, lit("short"))
+          .when(col("micro_logp") >= lit(-9000000L) * col("n_pairs"),
+            lit("fluent"))
+          .otherwise(lit("odd")))
+  }
+
   private def q99(s: SparkSession, dir: String): DataFrame =
     ngramLmScore(Tables.documents(s, dir)).orderBy(col("doc_id"))
 
