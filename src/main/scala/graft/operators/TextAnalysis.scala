@@ -338,6 +338,53 @@ object TextAnalysis {
       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
 
+  // -- BPE tokenizer TRAINING (the full loop, not just one step) -------------
+  // q83 computes one merge step's pair counts; this iterates the whole BPE
+  // training algorithm and returns the learned merge table — which then
+  // feeds the native apply expression (q97/q98), closing the loop:
+  // train → encode → budget, all inside the engine.
+
+  /** Learn `k` merges from `docs`. State is the DISTINCT-word frequency
+    * table (vocabulary-sized — the classic trick: corpus mass rides in
+    * `freq`, so the corpus is scanned exactly once, and each of the k
+    * iterations is a vocabulary-sized job). Per iteration: re-encode each
+    * word under the merges learned so far (the SAME native `BpeEncode`
+    * used at apply time, so train and apply can never disagree on pass
+    * semantics), count adjacent pairs weighted by freq, and take the
+    * argmax with deterministic ties (count desc, then pair asc). Stops
+    * early when no pair repeats. Returned table is well-formed by
+    * construction — each part is a char or a product of earlier merges —
+    * which is exactly the precondition of `BpeEncode`'s equivalence
+    * proof. */
+  def trainBpeMerges(docs: DataFrame, k: Int): Seq[(String, String)] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val wordFreq = docs.select(explode(tokens).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .cache()
+    try {
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var exhausted = false
+      while (merges.length < k && !exhausted) {
+        val toks = graft.functions.BpeExprs.bpeEncode(col("w"), merges.toSeq)
+        val top = wordFreq
+          .select(col("freq"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("freq"),
+            explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+          .select(element_at(col("t"), col("i")).as("l"),
+            element_at(col("t"), col("i") + 1).as("r"), col("freq"))
+          .groupBy(col("l"), col("r")).agg(sum(col("freq")).as("cnt"))
+          // a merge that fires once buys nothing: require a repeated pair
+          .filter(col("cnt") >= 2)
+          .orderBy(col("cnt").desc, col("l"), col("r")).limit(1)
+          .collect()
+        if (top.isEmpty) exhausted = true
+        else merges += ((top(0).getString(0), top(0).getString(1)))
+      }
+      merges.toSeq
+    } finally wordFreq.unpersist()
+  }
+
   // -- n-gram LM fluency scoring (the CCNet-style quality filter) ------------
   // Production curation scores documents by a small n-gram language model's
   // log-probability (wikipedia-trained KenLM in CCNet); fluent text scores

@@ -52,6 +52,43 @@ class BpeSpec extends AnyFunSuite {
     assert(enc("q", Seq(("a", "b"))) == Seq("q"))
   }
 
+  test("training learns the hand-computable table on a toy corpus") {
+    // "aa" x2, "ab" x1: pair (a,a) weighs 2, (a,b) weighs 1 → first merge
+    // (a,a); afterwards only (a,b) remains with weight 1 < 2 → stop.
+    val mini = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
+    val learned = graft.operators.TextAnalysis.trainBpeMerges(mini, k = 5)
+    assert(learned == Seq(("a", "a")))
+  }
+
+  test("training's first merge equals q83's top weighted pair") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val first = graft.operators.TextAnalysis.trainBpeMerges(docs, k = 1).head
+    val top = graft.operators.TextAnalysis
+      .bpePairCounts(docs, k = 1)
+      .select("left_sym", "right_sym").as[(String, String)].head()
+    assert(first == top,
+      "iteration 1 of training IS the q83 aggregation — they must agree")
+  }
+
+  test("each learned merge strictly shrinks the corpus token count") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(100).cache()
+    try {
+      val learned = graft.operators.TextAnalysis.trainBpeMerges(docs, k = 6)
+      assert(learned.nonEmpty)
+      val counts = (0 to learned.length).map { n =>
+        docs.select(sum(size(graft.operators.TextAnalysis
+          .bpeTokens(col("text"), learned.take(n)))))
+          .head().getLong(0)
+      }
+      counts.sliding(2).foreach { case Seq(a, b) =>
+        assert(b < a, s"merge must reduce tokens: $counts")
+      }
+      // determinism: a second training run learns the identical table
+      assert(graft.operators.TextAnalysis.trainBpeMerges(docs, k = 6) == learned)
+    } finally docs.unpersist()
+  }
+
   test("true token counts diverge from whitespace counts on the corpus") {
     val counts = graft.operators.TextAnalysis
       .bpeTokenCounts(graft.Tables.documents(spark, "/root/testdata/sf0.001"))
