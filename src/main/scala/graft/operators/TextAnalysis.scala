@@ -449,14 +449,75 @@ object TextAnalysis {
     * (LmScoreSpec proves it); smaller floors trade fidelity for a
     * plan-sized model exactly like an ANN index trades recall. */
   def ngramLmScoreBroadcast(docs: DataFrame, maxBigrams: Int): DataFrame = {
-    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
-    val toks = docs.select(col("doc_id"), tokens.as("t"))
-    val pairs = toks.filter(size(col("t")) >= 2)
+    val (lm, backoff, _) = lmFrames(docs, maxBigrams)
+    val perDoc = lmPairs(docs)
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .join(broadcast(backoff), Seq("w2"), "left")
+      .select(col("doc_id"), coalesce(col("w_micro"), col("u_micro")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("micro_logp"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("micro_logp"), lit(0L)).as("micro_logp"))
+      .withColumn("band", lmBand)
+  }
+
+  /** A frozen, plan-embeddable LM: integer micro-nat weights for the kept
+    * bigrams, backoff weights per unigram, and the OOV constant. Sized by
+    * construction: `maxBigrams` + vocabulary entries. */
+  final case class LmModel(bigram: Map[(String, String), Long],
+      unigram: Map[String, Long], oovMicro: Long)
+
+  /** Collect the floored model for [[lmScoreFrozen]] / streaming use. The
+    * collect is bounded by design (maxBigrams + vocab) — the same "model
+    * fits on every executor" premise the broadcast path already makes. */
+  def trainLmModel(docs: DataFrame, maxBigrams: Int): LmModel = {
+    val (lm, backoff, oov) = lmFrames(docs, maxBigrams)
+    LmModel(
+      lm.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap,
+      backoff.collect().map(r => r.getString(0) -> r.getLong(1)).toMap,
+      oov)
+  }
+
+  /** Score with a FROZEN model riding in the plan: one stateless native
+    * expression per row — no explode, no join, no per-doc shuffle, and
+    * therefore runs unchanged on streaming frames (the frozen-model
+    * discipline, like IVF centroids at stream start). Bit-identical to
+    * [[ngramLmScoreBroadcast]] on the training corpus (integer weights,
+    * same fold) — LmScoreSpec proves it; on NEW text, unseen words score
+    * the OOV constant, which the join formulation cannot express at all. */
+  def lmScoreFrozen(docs: DataFrame, model: LmModel): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.LmExprs.lmScore(col("text"),
+        model.bigram, model.unigram, model.oovMicro).as("s"))
+      .select(col("doc_id"), col("s.n_pairs").as("n_pairs"),
+        col("s.micro_logp").as("micro_logp"))
+      .withColumn("band", lmBand)
+
+  /** The banding rule shared by every LM-scoring formulation. */
+  private def lmBand: Column =
+    when(col("n_pairs") === 0, lit("short"))
+      .when(col("micro_logp") >= lit(-9000000L) * col("n_pairs"), lit("fluent"))
+      .otherwise(lit("odd"))
+
+  /** (doc_id, w1, w2) adjacent-pair explode shared by the LM paths. */
+  private def lmPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
       .select(col("doc_id"),
         element_at(col("t"), col("i")).as("w1"),
         element_at(col("t"), col("i") + 1).as("w2"))
+
+  /** The floored-model frames: (kept-bigram weights, unigram backoff
+    * weights, OOV constant), all integer micro-nats. */
+  private def lmFrames(docs: DataFrame,
+      maxBigrams: Int): (DataFrame, DataFrame, Long) = {
+    require(maxBigrams >= 1, s"maxBigrams must be >= 1, got $maxBigrams")
+    val pairs = lmPairs(docs)
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val kept = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("w1"), col("w2")).limit(maxBigrams)
@@ -473,21 +534,10 @@ object TextAnalysis {
         floor(lit(1e6) *
           log(lit(0.4) * (col("cu") + 1.0) / (col("n_tok") + col("vocab"))))
           .cast("long").as("u_micro"))
-    val perDoc = pairs
-      .join(broadcast(lm), Seq("w1", "w2"), "left")
-      .join(broadcast(backoff), Seq("w2"), "left")
-      .select(col("doc_id"), coalesce(col("w_micro"), col("u_micro")).as("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_pairs"), sum(col("w")).as("micro_logp"))
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("micro_logp"), lit(0L)).as("micro_logp"))
-      .withColumn("band",
-        when(col("n_pairs") === 0, lit("short"))
-          .when(col("micro_logp") >= lit(-9000000L) * col("n_pairs"),
-            lit("fluent"))
-          .otherwise(lit("odd")))
+    val t = totals.head()
+    val oov = math.floor(1e6 * math.log(
+      0.4 * 1.0 / (t.getLong(0) + t.getLong(1)))).toLong
+    (lm, backoff, oov)
   }
 
   private def q99(s: SparkSession, dir: String): DataFrame =

@@ -47,6 +47,46 @@ class LmScoreSpec extends AnyFunSuite {
     assert(bands.keySet.subsetOf(Set("short", "fluent", "odd")))
   }
 
+  test("frozen-model expression == broadcast-join formulation, bit for bit") {
+    // integer weights + the same fold order make the two formulations
+    // EXACTLY equal on the training corpus, not merely close
+    val model = TextAnalysis.trainLmModel(docs, maxBigrams = 300)
+    val viaJoin = rows(TextAnalysis.ngramLmScoreBroadcast(docs, maxBigrams = 300))
+    val viaExpr = rows(TextAnalysis.lmScoreFrozen(docs, model))
+    assert(viaExpr == viaJoin)
+    // and the frozen path totals OOV words on NEW text instead of failing
+    import spark.implicits._
+    val unseen = Seq((777L, "zzznotaword qqqneither zzznotaword"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScoreFrozen(unseen, model).collect()(0)
+    assert(scored.getAs[Long]("n_pairs") == 2L)
+    assert(scored.getAs[Long]("micro_logp") == 2 * model.oovMicro)
+  }
+
+  test("frozen-model scoring runs UNCHANGED on a streaming frame (batch parity)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val model = TextAnalysis.trainLmModel(docs, maxBigrams = 300)
+    val rowsIn = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (h1, h2) = rowsIn.splitAt(rowsIn.length / 2)
+    val input = MemoryStream[(Long, String)](spark)
+    val q = TextAnalysis.lmScoreFrozen(input.toDS().toDF("doc_id", "text"), model)
+      .writeStream.format("memory").queryName("lm_parity_out")
+      .outputMode("append").start()
+    try {
+      input.addData(h1: _*); q.processAllAvailable()
+      input.addData(h2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("lm_parity_out")
+      .select("doc_id", "n_pairs", "micro_logp", "band")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = TextAnalysis.lmScoreFrozen(
+      spark.createDataFrame(rowsIn).toDF("doc_id", "text"), model)
+      .select("doc_id", "n_pairs", "micro_logp", "band")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("synthetic fluency gap: repeated common phrase outscores shuffled rare words") {
     // the LM trains on the mini-corpus itself: doc 1's phrase repeats so its
     // bigrams are high-probability; doc 2 is the same words in a scrambled
