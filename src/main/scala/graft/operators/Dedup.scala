@@ -68,6 +68,72 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // -- materialized LSH index: incremental near-dup for arriving batches -----
+  // Production dedup doesn't re-scan the accepted corpus per batch: the
+  // band buckets are built ONCE and new documents probe them — the same
+  // index-once/probe-many discipline as the IVF tiers. Two tables:
+  //   path/bands:    (band, key, doc_id)   — slim 16-byte probe rows
+  //   path/shingles: (doc_id, sh)          — fetched only for candidates
+  // so the candidate join never carries text-derived payloads, and the
+  // exact-Jaccard verify touches only banded-collision pairs.
+
+  /** Materialize the LSH index of `docs` at `path`. `mode` "overwrite"
+    * builds fresh; "append" admits an accepted batch into the index (the
+    * incremental growth step — ids must stay unique across appends). */
+  def writeLshIndex(docs: DataFrame, path: String, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16,
+      mode: String = "overwrite"): Unit = {
+    val rows = numHashes / bands
+    val docSh = docs
+      .withColumn("sh", shingles(col("text"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    docSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id"), explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+      .write.mode(mode).parquet(s"$path/bands")
+    docSh.write.mode(mode).parquet(s"$path/shingles")
+  }
+
+  /** Near-duplicates of `newDocs` AGAINST the index (never new-vs-new —
+    * run [[minhashCandidates]] within the batch for that): (doc_id,
+    * dup_of, jaccard) for every banded collision with exact Jaccard ≥
+    * `tau`. Same signature pipeline as the index build, so a pair
+    * collides here iff it would collide in a from-scratch run over the
+    * union (LshIndexSpec proves that equality). The batch side is
+    * typically small: its banded probes broadcast, the index never
+    * shuffles — per-batch cost is one index probe join plus shingle
+    * fetches for candidates only. */
+  def nearDupAgainstIndex(spark: SparkSession, path: String,
+      newDocs: DataFrame, tau: Double, shingleN: Int = 3,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val rows = numHashes / bands
+    val newSh = newDocs
+      .withColumn("sh", shingles(col("text"), shingleN))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), col("sh"))
+    val probes = newSh
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .select(col("doc_id").as("new_id"),
+        explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("new_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val idx = spark.read.parquet(s"$path/bands")
+    val pairs = idx.join(broadcast(probes), Seq("band", "key"))
+      .select(col("new_id"), col("doc_id").as("idx_id")).distinct()
+    pairs
+      .join(spark.read.parquet(s"$path/shingles")
+        .select(col("doc_id").as("idx_id"), col("sh").as("sh_i")), Seq("idx_id"))
+      .join(newSh.select(col("doc_id").as("new_id"), col("sh").as("sh_n")),
+        Seq("new_id"))
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_i"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_n")) + size(col("sh_i")) - col("inter")))
+      .filter(col("jaccard") >= tau)
+      .select(col("new_id").as("doc_id"), col("idx_id").as("dup_of"),
+        col("jaccard"))
+  }
+
   /** Exact-duplicate collapse — the composition step that keeps the near-dup
     * operators linear on dup-heavy corpora (the sf1 stress run's one
     * superlinear case): group by the full text, keep the smallest doc_id as
