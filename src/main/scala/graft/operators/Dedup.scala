@@ -999,7 +999,38 @@ object Dedup {
       |JOIN comp c ON c.rep_id = reps.rep_id
       |ORDER BY a.doc_id""".stripMargin
 
+  // Indexed-lifecycle gate (the driver-exercised twin of LshIndexSpec, same
+  // discipline as ann_ivf_indexed): build the band index over the corpus,
+  // probe it with EXACT copies of docs 0..24 planted at doc_id+PlantOffset.
+  // Each plant must find its seed at Jaccard 1.0000 — banding an identical
+  // text produces identical band keys, so the hit is deterministic; a
+  // seed whose text also appears verbatim elsewhere in the corpus still
+  // reports found_seed via the max over its collision set.
+  private def lshIndexedOracled(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // fixed path + overwrite: repeated verify/bench runs reuse one
+    // directory (same fix as the IVF index queries)
+    val path = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_lsh_index_q").toString
+    writeLshIndex(docs, path)
+    val batch = docs.filter(col("doc_id") < PlantN)
+      .select((col("doc_id") + PlantOffset).as("doc_id"), col("text"))
+    nearDupAgainstIndex(s, path, batch, tau = 0.99)
+      .groupBy(col("doc_id")).agg(
+        max((col("dup_of") === col("doc_id") - PlantOffset).cast("int")).as("f"),
+        max(col("jaccard")).as("j"))
+      .select((col("doc_id") - PlantOffset).as("doc_id"),
+        (col("f") === 1).as("found_seed"),
+        QueryDef.dec4(col("j")).as("top_jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lshIndexedSql =
+    """SELECT doc_id, true AS found_seed, '1.0000' AS top_jaccard
+      |FROM documents WHERE doc_id < 25 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("lsh_indexed_neardup", lshIndexedOracled, Some(lshIndexedSql)),
     QueryDef("q58_neardup_clusters", clustersOracled, Some(clustersSql)),
     QueryDef("q89_dedup_near", dedupNearOracled, Some(dedupNearSql)),
     QueryDef("embedding_neardup_topk", embNearDupOracled, Some(embNearDupSql)),
