@@ -85,4 +85,57 @@ object CorpusStreaming {
       docs.selectExpr("CAST(doc_id AS LONG) AS _1", "text AS _2").as[(Long, String)],
       numBits, numHashes, buckets).toDF("doc_id", "text")
   }
+
+  // -- streaming NEAR-dup admission against the materialized LSH index -------
+  // bloomDedupStream gates EXACT duplicates with bounded in-stream state;
+  // this gates NEAR duplicates with the state held in the LSH index on
+  // disk (graft.operators.Dedup.writeLshIndex) — the live-ingest twin of
+  // batch dedupNear, same frozen-artifact discipline as the incremental
+  // IVF build.
+
+  /** One micro-batch of near-dup admission: drop docs with a ≥tau match in
+    * the index; within the batch keep a doc only if NO smaller-id
+    * batch-mate is within tau (a deterministic, conservative keep-first —
+    * a transitive chain may drop more than a strict sequential scan, never
+    * fewer); append the admitted docs to the index AND to `acceptedPath`.
+    *
+    * Replay-idempotent admission: a crash-replayed batch re-probes and
+    * finds its OWN previously-appended rows at Jaccard 1.0, so it admits
+    * nothing the second time — at-least-once delivery cannot double-admit
+    * a document (the index gains no duplicate rows; only the at-most-one
+    * uncommitted `acceptedPath` write can need compaction). */
+  def admitBatch(indexPath: String, acceptedPath: String, tau: Double)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+      .localCheckpoint() // three consumers; don't recompute the source
+    val vsIndex = graft.operators.Dedup
+      .nearDupAgainstIndex(spark, indexPath, b, tau)
+      .select(col("doc_id")).distinct()
+    val clean = b.join(vsIndex, Seq("doc_id"), "left_anti")
+    val intraDrops = graft.operators.Dedup
+      .minhashCandidates(clean)
+      .filter(col("jaccard") >= tau)
+      .select(greatest(col("doc_a"), col("doc_b")).as("doc_id")).distinct()
+    val admitted = clean.join(intraDrops, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    graft.operators.Dedup.writeLshIndex(admitted, indexPath, mode = "append")
+    admitted.write.mode("append").parquet(acceptedPath)
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(admitted)
+    org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(b)
+  }
+
+  /** Starts near-dup-gated admission over a streaming (doc_id, text) frame.
+    * `indexPath` must hold an existing index (build it over the seed corpus
+    * with `Dedup.writeLshIndex` first); admitted docs land at
+    * `acceptedPath` and become probe-visible to every later batch. */
+  def startNearDupAdmission(docs: DataFrame, indexPath: String,
+      acceptedPath: String, checkpoint: String,
+      tau: Double): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch(admitBatch(indexPath, acceptedPath, tau) _)
+      .start()
 }

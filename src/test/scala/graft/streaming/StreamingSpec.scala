@@ -309,6 +309,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedBpe == batchBpe)
   }
 
+  test("streaming near-dup admission: cross-batch gating, append visibility, replay idempotence") {
+    import graft.operators.Dedup
+    val corpus = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_admit")
+    val idxPath = s"$tmp/idx"
+    val accPath = s"$tmp/accepted"
+    Dedup.writeLshIndex(corpus, idxPath)
+    def mut(t: String) = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      (toks.take(1) ++ Array("zzmut") ++ toks.drop(2)).mkString(" ")
+    }
+    val seed = corpus.filter(col("doc_id") === 3)
+      .select(col("text")).as[String].head()
+    val fresh1 = "completely novel accepted doc about broadcast joins one"
+    val fresh2 = "unrelated second admission candidate covering shuffle partitions instead"
+    val batch1 = Seq(
+      (5000001L, mut(seed)),  // near-dup of an INDEXED doc → reject
+      (5000002L, fresh1))     // novel → admit
+    val batch2 = Seq(
+      (6000001L, fresh1 + " x"), // near-dup of batch1's ADMITTED doc → reject
+      (6000002L, fresh2))        // novel → admit
+    val input = MemoryStream[(Long, String)](spark)
+    val q = CorpusStreaming.startNearDupAdmission(
+      input.toDS().toDF("doc_id", "text"), idxPath, accPath,
+      s"$tmp/ckpt", tau = 0.6)
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val accepted = spark.read.parquet(accPath)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(accepted == Set(5000002L, 6000002L),
+      s"admission gate wrong: $accepted")
+    // replay batch1 directly (at-least-once): its survivor now matches its
+    // own indexed copy at Jaccard 1.0 → nothing admitted twice
+    CorpusStreaming.admitBatch(idxPath, accPath, tau = 0.6)(
+      batch1.toDF("doc_id", "text"), 99L)
+    val afterReplay = spark.read.parquet(accPath)
+      .select(col("doc_id")).as[Long].collect().toSeq.sorted
+    assert(afterReplay == Seq(5000002L, 6000002L),
+      s"replay double-admitted: $afterReplay")
+  }
+
   test("incremental IVF index build: streamed appends == batch-built index") {
     import graft.operators.{AnnIvf, Similarity}
     val emb = graft.Tables.embeddings(spark, dir)
