@@ -99,6 +99,47 @@ object ChunkAssigner {
     * (`SortedBoundaryRank`). Driver/broadcast footprint is one long per
     * chunk; serial dependency is K carry handoffs, not N rows.
     */
+  /** EXCLUSIVE prefix sum of `sizeCol` in `orderCols` order, appended as
+    * `outName` — the distributed scan: range-partition + sort (partitions
+    * are order-contiguous), per-partition totals collected once (K longs,
+    * one job whose shuffle files the second job reuses), then every row's
+    * offset assigned locally as partition-base + running sum. No
+    * single-task window, no join, no N-row driver state — the same
+    * carry-chain discipline as [[assignByBytes]], but with the carry
+    * reduced to one addition so a single collect replaces the K-step
+    * serial fold. `sizeCol` must be non-null (cast to long). */
+  def withPrefixSum(df: DataFrame, orderCols: Seq[Column], sizeCol: Column,
+      outName: String = "tok_off"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__psz", sizeCol.cast("long"))
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val idx = sorted.schema.fieldIndex("__psz")
+    val rdd = org.apache.spark.sql.GraftSql.toInternalRdd(sorted)
+    val totals = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(idx))
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+    val bases = totals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(bases)
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      val joiner = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      val extra = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      var acc = bc.value(i)
+      it.map { row =>
+        extra.update(0, acc)
+        acc += row.getLong(idx)
+        joiner(row, extra): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftSql.internalCreateDataFrame(spark, out,
+      StructType(sorted.schema.fields :+
+        StructField(outName, LongType, nullable = false)))
+      .drop("__psz")
+  }
+
   def assignByBytes(df: DataFrame, orderCols: Seq[Column], budgetBytes: Long,
       sizeCol: Column, lastChunk: Long = -1L): DataFrame = {
     // "__rn", not "rn": ingestion callers pass frames that already carry an

@@ -829,7 +829,91 @@ object CorpusOps {
       |  doc_id
       |FROM documents ORDER BY epoch_pos""".stripMargin
 
+  // -- trainer-shard assembly: fixed-length token-id sequences ---------------
+  // The LAST step of a training-data pipeline — the thing the trainer
+  // actually reads: every document BPE-encoded to ids under a
+  // deterministic vocab, the whole corpus laid out as one virtual token
+  // stream in doc_id order, and the stream cut into fixed seqLen sequences
+  // that cross document boundaries (GPT-style packing; only the final
+  // tail is short). The global layout needs an exclusive prefix sum of
+  // per-doc token counts — `ChunkAssigner.withPrefixSum`, the distributed
+  // scan, NOT a single-task unpartitioned window.
+
+  /** (seq_id, n_tok, id_sum, first_id, last_id, ids_md5) for the corpus
+    * packed into `seqLen`-token sequences. Vocab = the corpus's distinct
+    * BPE tokens ranked in sort order (ids 0..V−1, deterministic). */
+  def packTokenIds(docs: DataFrame, seqLen: Int,
+      merges: Seq[(String, String)] = TextAnalysis.BpeMerges): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1, got $seqLen")
+    val enc = docs.select(col("doc_id"),
+      TextAnalysis.bpeTokens(col("text"), merges).as("toks"))
+      .filter(size(col("toks")) > 0)
+    // vocabulary-sized ranking via the same distributed numbering the
+    // chunk operators use (0-based, token sort order)
+    val vocab = graft.chunk.ChunkAssigner.withRowNumber(
+      enc.select(explode(col("toks")).as("token")).distinct(),
+      Seq(col("token")), rnName = "tok_id")
+    val withOff = graft.chunk.ChunkAssigner.withPrefixSum(
+      enc, Seq(col("doc_id")), size(col("toks")), outName = "tok_off")
+    val positioned = withOff
+      .select(col("tok_off"), posexplode(col("toks")).as(Seq("j", "token")))
+      .withColumn("pos", col("tok_off") + col("j"))
+    positioned.join(vocab, Seq("token"))
+      .select((col("pos") / seqLen).cast("long").as("seq_id"),
+        (col("pos") % seqLen).as("k"), col("tok_id"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("tok_id")).as("id_sum"),
+        min_by(col("tok_id"), col("k")).as("first_id"),
+        max_by(col("tok_id"), col("k")).as("last_id"),
+        md5(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("k"), col("tok_id")))),
+            s => s.getField("tok_id")))).as("ids_md5"))
+      .select(col("seq_id"), col("n_tok"), col("id_sum"),
+        col("first_id"), col("last_id"), col("ids_md5"))
+  }
+
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    packTokenIds(Tables.documents(s, dir), seqLen = 2048)
+      .orderBy(col("seq_id"))
+
+  private lazy val q100Sql: String = {
+    val base = "'|' || array_to_string(string_split(w, ''), '||') || '|'"
+    val chain = TextAnalysis.BpeMerges.foldLeft(base) { case (acc, (l, r)) =>
+      s"replace($acc, '|$l||$r|', '|$l$r|')"
+    }
+    s"""WITH norm AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+       |      x -> x <> '') AS words
+       |  FROM documents),
+       |enc AS (
+       |  SELECT doc_id, flatten(list_transform(words, w ->
+       |    string_split(trim($chain, '|'), '||'))) AS toks
+       |  FROM norm),
+       |ne AS (SELECT doc_id, toks FROM enc WHERE len(toks) > 0),
+       |vocab AS (
+       |  SELECT token, row_number() OVER (ORDER BY token) - 1 AS tok_id
+       |  FROM (SELECT DISTINCT unnest(toks) AS token FROM ne)),
+       |off AS (
+       |  SELECT doc_id, toks, CAST(coalesce(sum(len(toks)) OVER (
+       |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |    0) AS BIGINT) AS tok_off
+       |  FROM ne),
+       |ex AS (
+       |  SELECT tok_off + j AS pos, toks[j+1] AS token
+       |  FROM off, unnest(range(len(toks))) AS u(j)),
+       |ids AS (
+       |  SELECT pos // 2048 AS seq_id, pos % 2048 AS k, tok_id
+       |  FROM ex JOIN vocab USING (token))
+       |SELECT seq_id, count(*) AS n_tok, CAST(sum(tok_id) AS BIGINT) AS id_sum,
+       |  arg_min(tok_id, k) AS first_id, arg_max(tok_id, k) AS last_id,
+       |  md5(array_to_string(list(tok_id ORDER BY k), ',')) AS ids_md5
+       |FROM ids GROUP BY seq_id ORDER BY seq_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_token_shards", q100, Some(q100Sql)),
     QueryDef("q74_epoch_shuffle", q74, Some(q74Sql)),
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),
     QueryDef("q90_substring_repeats", q90, Some(q90Sql)),

@@ -100,4 +100,29 @@ class ChunkingLawsSpec extends AnyFunSuite {
       .groupBy("chunk_number").count().as[(Long, Long)].collect()
     assert(counts.forall(_._2 > 0))
   }
+
+  test("withPrefixSum == the window cumsum, with no single-partition stage") {
+    // sizes chosen adversarially: zeros, ones, large values, shuffled input
+    val rnd = new scala.util.Random(17)
+    val rows = rnd.shuffle((0 until 2000).map(i =>
+      (i.toLong, rnd.nextInt(4) match {
+        case 0 => 0L
+        case 1 => 1L
+        case _ => rnd.nextInt(1000).toLong
+      })).toList)
+    val df = rows.toDF("id", "n")
+    val got = ChunkAssigner.withPrefixSum(df, Seq(col("id")), col("n"))
+      .select("id", "tok_off").as[(Long, Long)].collect().toMap
+    // oracle: the (correct but single-task) unpartitioned window
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = df.withColumn("off", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select("id", "off").as[(Long, Long)].collect().toMap
+    assert(got == expect)
+    // and the distributed scan never funnels the payload to one partition
+    val out = ChunkAssigner.withPrefixSum(df, Seq(col("id")), col("n"))
+    out.collect()
+    assert(out.rdd.getNumPartitions > 1,
+      "prefix sum collapsed the frame to one partition")
+  }
 }
