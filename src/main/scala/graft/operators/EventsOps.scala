@@ -85,8 +85,55 @@ object EventsOps {
       |FROM events, range(4) t(k)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -- keyless interval-overlap join (B51 batch shape) -----------------------
+  // Attention-window attribution: every view opens a 30-minute interval,
+  // every click a 5-minute one; count the concurrent clicks per view —
+  // across ALL users, so there is NO equi key and the naive plan is a
+  // cartesian product. The engine runs the binned equi-shuffle join
+  // (Joins.intervalOverlapJoin, 15-minute bins, canonical-bin dedup);
+  // DuckDB verifies with its native inequality join over the same integer
+  // microsecond bounds.
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("l_id"),
+        unix_micros(col("ts")).as("l_start"),
+        (unix_micros(col("ts")) + 1800L * 1000000L).as("l_end"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"),
+        unix_micros(col("ts")).as("r_start"),
+        (unix_micros(col("ts")) + 300L * 1000000L).as("r_end"))
+    val agg = Joins.intervalOverlapJoin(views, clicks,
+      binWidth = 900L * 1000000L)
+      .groupBy(col("l_id"))
+      .agg(count(lit(1)).as("n_overlaps"), min(col("r_id")).as("first_overlap"))
+    views.select(col("l_id")).join(agg, Seq("l_id"), "left")
+      .select(col("l_id").as("view_id"),
+        coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+        coalesce(col("first_overlap"), lit(-1L)).as("first_overlap"))
+      .orderBy(col("view_id"))
+  }
+
+  private val q101Sql =
+    """WITH v AS (
+      |  SELECT event_id AS l_id, epoch_us(ts) AS vs,
+      |    epoch_us(ts) + 1800 * 1000000 AS ve
+      |  FROM events WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS r_id, epoch_us(ts) AS cs,
+      |    epoch_us(ts) + 300 * 1000000 AS ce
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT l_id, count(*) AS n_overlaps, min(r_id) AS first_overlap
+      |  FROM v JOIN c ON v.vs < c.ce AND c.cs < v.ve GROUP BY 1)
+      |SELECT v.l_id AS view_id,
+      |  CAST(coalesce(n_overlaps, 0) AS BIGINT) AS n_overlaps,
+      |  CAST(coalesce(first_overlap, -1) AS BIGINT) AS first_overlap
+      |FROM v LEFT JOIN p USING (l_id) ORDER BY view_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q35_sessionization", q35, Some(q35Sql)),
     QueryDef("q36_tumbling_window", q36, Some(q36Sql)),
-    QueryDef("q57_sliding_window", q57, Some(q57Sql)))
+    QueryDef("q57_sliding_window", q57, Some(q57Sql)),
+    QueryDef("q101_interval_join", q101, Some(q101Sql)))
 }

@@ -162,4 +162,44 @@ object Joins {
     val cond = eqKeys.map(k => left(k) === right(k)).reduce(_ && _) && rangePred
     left.join(right, cond)
   }
+
+  /** KEYLESS interval-overlap join: every (left, right) pair whose
+    * half-open [start, end) intervals intersect — no equi key available,
+    * so the naive plan is a cartesian product with a range filter
+    * (quadratic, and Spark would pick BroadcastNestedLoopJoin).
+    *
+    * Scale shape: the time axis is cut into fixed `binWidth` buckets and
+    * each interval registers in every bucket it touches, so candidate
+    * pairs meet in an ordinary equi SHUFFLE join on the bucket id. A pair
+    * sharing several buckets is emitted exactly once — in the FIRST
+    * shared bucket, `max(first_bin_l, first_bin_r)`, a canonical-bin rule
+    * that replaces a corpus-wide `distinct()` with a codegen'd filter.
+    * The exact overlap predicate then verifies every candidate, so the
+    * result is exact for any `binWidth`; the knob only trades index
+    * fan-out (long intervals touch many buckets) against bucket occupancy
+    * (a dense moment packs one bucket) — set it near the median interval
+    * length, and salt or split a pathological bucket the same way the
+    * LSH/fuzzy indexes cap theirs.
+    *
+    * left: (l_id, l_start, l_end [, …]); right: (r_id, r_start, r_end
+    * [, …]), bounds as comparable longs (e.g. unix micros). Empty or
+    * inverted intervals (end <= start) match nothing, per half-open
+    * semantics. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    def binned(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) > col(s))
+        .withColumn("__bin0", floor(col(s) / binWidth).cast("long"))
+        .withColumn("__bin",
+          explode(sequence(col("__bin0"),
+            floor((col(e) - 1) / binWidth).cast("long"))))
+    val l = binned(left, "l_start", "l_end")
+    val r = binned(right, "r_start", "r_end")
+      .withColumnRenamed("__bin0", "__rbin0")
+    l.join(r, Seq("__bin"))
+      .filter(col("__bin") === greatest(col("__bin0"), col("__rbin0")))
+      .filter(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .drop("__bin", "__bin0", "__rbin0")
+  }
 }

@@ -172,4 +172,52 @@ class JoinsSpec extends AnyFunSuite {
         assert(math.abs(c - exact((q, n))) < 1e-12)
       }
   }
+
+  test("intervalOverlapJoin == brute force, at several bin widths") {
+    // adversarial set: touching endpoints (NOT overlap, half-open),
+    // nested, identical, long-spanning-many-bins, empty, inverted
+    val rnd = new scala.util.Random(29)
+    val lefts = (0L until 120L).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i, s, s + 1 + rnd.nextInt(300))
+    } ++ Seq((900L, 100L, 100L), (901L, 200L, 150L)) // empty + inverted
+    val rights = (0L until 150L).map { i =>
+      val s = rnd.nextInt(2000).toLong
+      (i, s, s + 1 + rnd.nextInt(80))
+    } ++ Seq((800L, 500L, 600L)) // exact touch partner below
+    val extraL = Seq((902L, 400L, 500L), (903L, 600L, 700L)) // touch 800 at both ends
+    val l = (lefts ++ extraL).toDF("l_id", "l_start", "l_end")
+    val r = rights.toDF("r_id", "r_start", "r_end")
+    val brute = l.crossJoin(r)
+      .filter(col("l_end") > col("l_start") && col("r_end") > col("r_start"))
+      .filter(col("l_start") < col("r_end") && col("r_start") < col("l_end"))
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    // touching endpoints excluded by half-open semantics
+    assert(!brute.contains((902L, 800L)) && !brute.contains((903L, 800L)))
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = Joins.intervalOverlapJoin(l, r, binWidth = w)
+        .select("l_id", "r_id").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"binWidth=$w emitted a pair more than once")
+      assert(got.toSet == brute, s"binWidth=$w diverged from brute force")
+    }
+  }
+
+  test("intervalOverlapJoin plans an equi shuffle join, not a nested loop") {
+    val l = (0L until 50L).map(i => (i, i * 10, i * 10 + 25))
+      .toDF("l_id", "l_start", "l_end")
+    val r = (0L until 50L).map(i => (i, i * 9, i * 9 + 12))
+      .toDF("r_id", "r_start", "r_end")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Joins.intervalOverlapJoin(l, r, binWidth = 20L)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"),
+        s"keyless overlap join degenerated:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected an equi shuffle join on the bin key:\n${plan.take(1500)}")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
