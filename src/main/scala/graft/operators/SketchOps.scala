@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CountMinSketchAgg}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-backed corpus operators plus deterministic batch-prep transforms —
@@ -210,7 +210,51 @@ object SketchOps {
       |    AS n_truncated
       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // -- deterministic weighted sampling (Efraimidis–Spirakis A-ES) ------------
+  // Weighted sampling WITHOUT replacement is the data-mixing primitive the
+  // hash-threshold samplers (q61/q66) can't express: inclusion probability
+  // proportional to a per-row weight, one global sample of exactly k rows.
+  // A-ES: draw u ∈ (0,1) per row, rank by u^(1/w), take the top k — a
+  // theorem, not a heuristic. The draw comes from a salted md5 of the
+  // stable key (the suite's no-RNG discipline): re-running, repartitioning
+  // or growing the corpus never changes a row's draw, and both engines
+  // compute the identical double from the identical 6 hex digits.
+
+  /** Top-`k` weighted sample of `df`: P(inclusion) ∝ `weightCol` (> 0).
+    * Runs as TakeOrdered over a map-side key — no full sort, no shuffle
+    * beyond the k-row collect-to-one-partition every global top-k pays. */
+  def weightedSample(df: DataFrame, k: Int, weightCol: Column,
+      keyCol: Column): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), keyCol.cast("string"))),
+      1, 6), 16, 10).cast("double") + 1.0) / lit(16777218.0) // (0,1) open
+    df.withColumn("__aes", pow(u, lit(1.0) / weightCol.cast("double")))
+      .orderBy(col("__aes").desc, keyCol)
+      .limit(k)
+      .drop("__aes")
+  }
+
+  // Sample 100 docs with inclusion ∝ n_chars; emit only integer columns
+  // (membership IS the assertion — the float key never leaves the engine,
+  // and the cut row's key margin is ~1/n, far beyond any cross-engine ulp)
+  private def q102(s: SparkSession, dir: String): DataFrame =
+    weightedSample(
+      Tables.documents(s, dir).filter(col("n_chars") > 0),
+      k = 100, weightCol = col("n_chars"), keyCol = col("doc_id"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val q102Sql =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    pow((CAST(concat('0x', substr(md5(concat('ws:', CAST(doc_id AS VARCHAR))), 1, 6))
+      |           AS BIGINT) + 1.0) / 16777218.0,
+      |        1.0 / n_chars) AS aes
+      |  FROM documents WHERE n_chars > 0
+      |  ORDER BY aes DESC, doc_id LIMIT 100)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_weighted_sample", q102, Some(q102Sql)),
     QueryDef("q75_bloom_dedup", q75, Some(q75Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
     QueryDef("q77_domain_mixture", q77, Some(q77Sql)),
