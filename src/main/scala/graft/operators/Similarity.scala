@@ -163,6 +163,55 @@ object Similarity {
       |FROM pred p JOIN q ON p.qid = q.qid
       |WHERE p.rk = 1 ORDER BY q.qid""".stripMargin
 
+  // -- hard-negative mining (contrastive training pairs) ---------------------
+  // For each anchor, the top-k most-similar vectors carrying a DIFFERENT
+  // label: near-miss negatives carry the most gradient signal in
+  // contrastive training (the DPR/SimCSE batch-construction step). Anchor
+  // sets are training-batch sized, so they BROADCAST and the corpus streams
+  // through one scan — same cost shape as bruteForceTopK; the per-anchor
+  // top-k ranks on the rounded score with vec_id tie-break (q37
+  // discipline). For anchor sets that grow with the corpus, compose the
+  // IVF index instead (per-anchor `AnnIvf.topK` + label post-filter —
+  // oversample k since same-label neighbors are discarded after the probe).
+
+  /** Top-k differently-labeled near neighbors per anchor.
+    * corpus: (vec_id, v, label); anchors: (qid, qv, qlabel). A same-row
+    * self-pair is impossible by construction (its label equals qlabel). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    val pairs = corpus.join(broadcast(anchors), col("label") =!= col("qlabel"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(round(col("cos"), 4).desc, col("vec_id"))
+    pairs.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"), col("label"))
+    val anchors = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlabel"))
+    hardNegatives(emb, anchors, 3)
+      .select(col("qid"), col("qlabel"), col("rank"),
+        col("vec_id").as("negative"), col("label").as("neg_label"),
+        QueryDef.dec4(col("cos")).as("score"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q104Sql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+      |pairs AS (
+      |  SELECT q.vec_id AS qid, q.label AS qlabel, e.vec_id AS negative,
+      |    e.label AS neg_label,
+      |    list_inner_product(q.v, e.v)
+      |      / (sqrt(list_inner_product(q.v, q.v)) * sqrt(list_inner_product(e.v, e.v))) AS cos
+      |  FROM e q JOIN e ON q.vec_id < 5 AND e.label <> q.label)
+      |SELECT qid, qlabel, rn AS rank, negative, neg_label,
+      |  CAST(CAST(cos AS DECIMAL(38,4)) AS VARCHAR) AS score
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY round(cos, 4) DESC, negative) AS rn FROM pairs)
+      |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
   // -- int8 embedding quantization (storage tier) ----------------------------
   // The 4× compression step for an embedding store at 100 TB: per-vector
   // max-abs scaling to int8 (q = floor(127·v/maxabs + 0.5), symmetric), all
@@ -333,5 +382,6 @@ object Similarity {
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
     QueryDef("q87_knn_label", q87, Some(q87Sql)),
     QueryDef("q88_embedding_quantize", q88, Some(q88Sql)),
-    QueryDef("q94_semantic_decontaminate", q94, Some(q94Sql)))
+    QueryDef("q94_semantic_decontaminate", q94, Some(q94Sql)),
+    QueryDef("q104_hard_negatives", q104, Some(q104Sql)))
 }
