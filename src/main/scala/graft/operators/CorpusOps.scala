@@ -912,7 +912,50 @@ object CorpusOps {
        |FROM ids GROUP BY seq_id ORDER BY seq_id""".stripMargin
   }
 
+  // ==== q105: deterministic source interleave (curriculum ordering) =========
+  //
+  // A training stream read in storage order sees long single-source runs
+  // (all of source A, then all of B, ...), which skews early training.
+  // Round-robin interleave fixes the ORDER, not the mixture: position p
+  // holds the p-th element of the (rn, source) lexicographic order, where
+  // rn is the row's rank WITHIN its source — within one "round" (fixed rn)
+  // every source that still has rows appears exactly once, in source order,
+  // so a run of one source can only happen after every other source is
+  // exhausted. Fully deterministic: no RNG, stable under repartitioning.
+  //
+  // Scale: the per-source rn is a hash-shuffle window; the global position
+  // comes from ChunkAssigner.withPrefixSum (range shuffle + per-partition
+  // base offsets — the q100 distributed exclusive scan), never a
+  // single-task global window. Two shuffles total, both on the full
+  // corpus but both key-balanced.
+
+  /** Round-robin interleave of `df` across `group`, ordered within each
+    * group by `order` (must be unique per group). Adds `rn` (1-based rank
+    * within group) and `pos` (0-based global round-robin position). */
+  def interleave(df: DataFrame, group: Column, order: Column): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order)
+    val ranked = df.withColumn("rn", row_number().over(w))
+    graft.chunk.ChunkAssigner.withPrefixSum(
+      ranked, Seq(col("rn"), group), lit(1L), outName = "pos")
+  }
+
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    interleave(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("source"), col("doc_id"))
+      .select(col("pos"), col("rn"), col("source"), col("doc_id"))
+      .orderBy(col("pos"))
+
+  private val q105Sql =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |SELECT row_number() OVER (ORDER BY rn, source) - 1 AS pos,
+      |  rn, source, doc_id
+      |FROM r ORDER BY pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q105_source_interleave", q105, Some(q105Sql)),
     QueryDef("q100_token_shards", q100, Some(q100Sql)),
     QueryDef("q74_epoch_shuffle", q74, Some(q74Sql)),
     QueryDef("q64_segment_dedup", q64, Some(q64Sql)),

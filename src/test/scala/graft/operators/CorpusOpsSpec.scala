@@ -311,4 +311,30 @@ class CorpusOpsSpec extends AnyFunSuite {
       TextAnalysis.filterByScoreQuantile(scored, 1.5)
     }
   }
+
+  test("interleave: round-robin across sources until each is exhausted") {
+    // a: 4 rows, b: 2 rows, c: 1 row → expected source sequence
+    //   round 1: a b c, round 2: a b, rounds 3-4: a a
+    val df = Seq(
+      (0L, "a"), (1L, "a"), (2L, "a"), (3L, "a"),
+      (4L, "b"), (5L, "b"), (6L, "c")
+    ).toDF("doc_id", "source")
+    val got = CorpusOps.interleave(df, col("source"), col("doc_id"))
+      .orderBy(col("pos"))
+      .select(col("pos"), col("source"), col("doc_id"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.map(_._1) == (0L until 7L), s"positions must be dense: $got")
+    assert(got.map(_._2) == Seq("a", "b", "c", "a", "b", "a", "a"), got)
+    // within each source, original order is preserved
+    assert(got.filter(_._2 == "a").map(_._3) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("interleave: repartitioning never changes any position") {
+    val df = (0L until 200L).map(i => (i, s"s${i % 7}"))
+      .toDF("doc_id", "source")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      CorpusOps.interleave(d, col("source"), col("doc_id"))
+        .select(col("doc_id"), col("pos")).as[(Long, Long)].collect().toMap
+    assert(run(df) == run(df.repartition(13)))
+  }
 }
