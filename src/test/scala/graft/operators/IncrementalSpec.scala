@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.prop.TableDrivenPropertyChecks._
+
+/** The mergeable-state law: merge(agg(A), agg(B)) == agg(A ∪ B), for any
+  * split — including splits that leave groups one-sided or empty. */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus = (0L until 400L).map { i =>
+    (i, s"l${i % 3}", s"s${i % 5}", 10L + (i * 7) % 90)
+  }.toDF("doc_id", "lang", "source", "n_chars")
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("lang", "source").collect().map(_.toSeq).toSeq
+
+  test("merge(agg(A), agg(B)) == agg(A ∪ B) for assorted splits") {
+    val splits = Table("pred",
+      col("doc_id") % 2 === 0,      // interleaved
+      col("doc_id") < 40L,          // skewed small A
+      col("doc_id") < 0L,           // empty A — merge must be identity
+      col("doc_id") >= 0L)          // empty B
+    forAll(splits) { pred =>
+      val merged = Incremental.mergeState(
+        Incremental.aggState(corpus.filter(pred)),
+        Incremental.aggState(corpus.filter(!pred)))
+      assert(canon(merged) == canon(Incremental.aggState(corpus)))
+    }
+  }
+
+  test("merge is associative across many batches") {
+    val batches = (0 until 5).map(b =>
+      Incremental.aggState(corpus.filter(col("doc_id") % 5 === b)))
+    val leftFold = batches.reduce(Incremental.mergeState)
+    val treeFold = Incremental.mergeState(
+      Incremental.mergeState(batches(0), batches(1)),
+      batches.drop(2).reduce(Incremental.mergeState))
+    assert(canon(leftFold) == canon(treeFold))
+    assert(canon(leftFold) == canon(Incremental.aggState(corpus)))
+  }
+
+  test("refresh plan touches only state + delta, never the old corpus") {
+    // the maintained state is a tiny keyed table; merging a new batch's
+    // partials must not rescan anything else — assert the merged plan's
+    // only scans are the two inputs we handed it
+    val state = Incremental.aggState(corpus.filter(col("doc_id") < 300L))
+      .cache()
+    state.count() // materialize: the merge below must reuse, not recompute
+    val delta = Incremental.aggState(corpus.filter(col("doc_id") >= 300L))
+    val plan = Incremental.mergeState(state, delta)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"prior state must come from the cached table, not recompute:\n$plan")
+    state.unpersist()
+  }
+}
