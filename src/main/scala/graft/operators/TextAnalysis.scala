@@ -1008,7 +1008,43 @@ object TextAnalysis {
       |  CAST(CAST(max(threshold) AS DECIMAL(38,4)) AS VARCHAR) AS threshold
       |FROM scored, thr WHERE score >= threshold""".stripMargin
 
+  // ==== q109: Unicode canonicalization (dedup robustness) ===================
+  //
+  // The same visible text arrives composed (á = U+00E1) or decomposed
+  // (a + U+0301) depending on its producer, and hash dedup misses the
+  // duplicate unless the corpus is canonicalized. The gate plants the
+  // decomposed form on every 'a' (the corpus is ASCII, so the planting is
+  // total and reversible), then proves NFC recomposes it to the composed
+  // plant and strip-accents recovers the original — md5s + booleans on
+  // both engines (DuckDB nfc_normalize / strip_accents). All map-side
+  // expressions on the scan; NFKC compatibility folding is spec-covered
+  // (LayoutSpec-style hand cases) since DuckDB has no NFKC twin.
+
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextNormalize
+    val decomposed = regexp_replace(col("text"), "a", "a\u0301")
+    val composed = regexp_replace(col("text"), "a", "\u00e1")
+    Tables.documents(s, dir).select(col("doc_id"),
+        md5(TextNormalize.normalize(decomposed, "NFC")).as("md5_nfc"),
+        md5(composed).as("md5_composed"),
+        (TextNormalize.normalize(decomposed, "NFC") === composed).as("nfc_ok"),
+        md5(TextNormalize.stripAccents(decomposed)).as("md5_stripped"),
+        (TextNormalize.stripAccents(decomposed) === col("text")).as("strip_ok"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q109Sql =
+    """SELECT doc_id,
+      |  md5(nfc_normalize(replace(text, 'a', 'a' || chr(769)))) AS md5_nfc,
+      |  md5(replace(text, 'a', chr(225))) AS md5_composed,
+      |  nfc_normalize(replace(text, 'a', 'a' || chr(769)))
+      |    = replace(text, 'a', chr(225)) AS nfc_ok,
+      |  md5(strip_accents(replace(text, 'a', 'a' || chr(769)))) AS md5_stripped,
+      |  strip_accents(replace(text, 'a', 'a' || chr(769))) = text AS strip_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q109_unicode_normalize", q109, Some(q109Sql)),
     QueryDef("q99_lm_score", q99, Some(q99Sql)),
     QueryDef("q98_bpe_packing", q98, Some(q98Sql)),
     QueryDef("q97_bpe_encode", q97, Some(q97Sql)),
