@@ -70,6 +70,25 @@ object Cdc {
     fs.delete(staging, true)
   }
 
+  /** Live CDC apply: every micro-batch of I/U/D changes upserts the
+    * partitioned base table through [[partitionedUpsert]]. Keyed upserts
+    * are idempotent (a replayed batch re-lands the table in the same
+    * state), so checkpoint replay after a crash is safe — the same
+    * at-least-once-with-idempotent-apply discipline as the ingestion
+    * sink's ACK rebuild. Batches arrive serially (one foreachBatch at a
+    * time), so the stage-and-swap rename window never races itself. */
+  def startStreamingUpsert(changes: DataFrame, basePath: String, key: String,
+      partCol: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          partitionedUpsert(batch.sparkSession, basePath, batch.toDF(), key, partCol)
+      }
+      .start()
+
   // ==== q106: one merge generation over documents ===========================
   //
   // The delta is derived deterministically from the corpus itself so the

@@ -67,6 +67,41 @@ class CdcSpec extends AnyFunSuite {
       4L -> "vier", 6L -> "sechs"))
   }
 
+  test("partitionedUpsert: re-applying the same delta is a no-op (replay safety)") {
+    val dir = Files.createTempDirectory("cdc_replay").toString
+    base.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val delta = Seq((2L, "TWO", "en", "U"), (3L, "", "de", "D"),
+      (5L, "fuenf", "de", "I")).toDF("id", "text", "lang", "op")
+    Cdc.partitionedUpsert(spark, dir, delta, "id", "lang")
+    val once = spark.read.parquet(dir)
+      .select(col("id"), col("text")).as[(Long, String)].collect().toMap
+    Cdc.partitionedUpsert(spark, dir, delta, "id", "lang")
+    val twice = spark.read.parquet(dir)
+      .select(col("id"), col("text")).as[(Long, String)].collect().toMap
+    assert(once == twice)
+  }
+
+  test("startStreamingUpsert applies each micro-batch of changes in order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dir = Files.createTempDirectory("cdc_stream").toString
+    base.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val input = MemoryStream[(Long, String, String, String)](spark)
+    val ckpt = Files.createTempDirectory("cdc_ckpt").toString
+    val q = Cdc.startStreamingUpsert(
+      input.toDS().toDF("id", "text", "lang", "op"), dir, "id", "lang", ckpt)
+    try {
+      input.addData((2L, "TWO", "en", "U"), (5L, "fuenf", "de", "I"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(dir).filter(col("id") === 2L)
+        .select("text").as[String].head() == "TWO")
+      input.addData((5L, "", "de", "D"), (1L, "ONE", "en", "U"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(dir)
+      .select(col("id"), col("text")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "ONE", 2L -> "TWO", 3L -> "drei", 4L -> "vier"))
+  }
+
   test("partitionedUpsert: deletes that empty a partition remove it") {
     val dir = Files.createTempDirectory("cdc_empty").toString
     base.write.mode("overwrite").partitionBy("lang").parquet(dir)
