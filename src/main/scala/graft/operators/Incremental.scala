@@ -37,6 +37,47 @@ object Incremental {
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"))
 
+  /** One exactly-once refresh of the maintained state table: merge a new
+    * batch's partials into the parquet state at `statePath`, guarded by a
+    * monotonic batch id. Unlike the CDC upsert, the merge algebra is NOT
+    * idempotent (replaying a batch would double its counts), so the applied
+    * batch id is persisted with the state and a replay is a no-op —
+    * at-least-once delivery + the guard = exactly-once state. */
+  def refreshState(spark: SparkSession, statePath: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idFile = new Path(statePath + "__applied_batch")
+    val lastApplied: Long =
+      if (fs.exists(idFile)) {
+        val in = fs.open(idFile)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      } else -1L
+    if (batchId <= lastApplied) return // replayed batch — already folded in
+    val delta = aggState(batch)
+    val next = if (fs.exists(root))
+      mergeState(spark.read.parquet(statePath), delta) else delta
+    val staging = new Path(statePath + "__refreshing")
+    next.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(root, true)
+    require(fs.rename(staging, root), s"state swap failed for $root")
+    val out = fs.create(idFile, true)
+    try out.write(batchId.toString.getBytes) finally out.close()
+  }
+
+  /** Live stats maintenance: every micro-batch of arriving documents folds
+    * its partials into the state table — the corpus is never rescanned. */
+  def startStateRefresh(docs: DataFrame, statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) refreshState(batch.sparkSession, statePath, batch.toDF(), id)
+      }
+      .start()
+
   // ==== q108: two-batch incremental refresh == full recompute ===============
   //
   // The corpus arrives as two halves (doc_id parity — both halves hit every

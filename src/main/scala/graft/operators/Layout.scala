@@ -24,13 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Morton interleave of the low `bits` bits of two non-negative integer
-    * columns: bit i of x lands at position 2i, bit i of y at 2i+1. */
+  /** Morton interleave of the low `bits` bits of k non-negative integer
+    * columns: bit i of column j lands at position i*k + j. k*bits must fit
+    * a long (≤ 63). */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.length
+    require(k >= 2 && k * bits <= 63, s"$k cols x $bits bits won't fit a long")
+    (for (i <- 0 until bits; j <- 0 until k) yield
+      shiftleft(shiftright(cols(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Two-column Morton code: bit i of x at position 2i, of y at 2i+1. */
   def zValue(x: Column, y: Column, bits: Int): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    zValueN(Seq(x, y), bits)
 
   /** The same interleave as DuckDB SQL text (generated from one loop so the
     * two engines cannot drift). */

@@ -43,6 +43,32 @@ class IncrementalSpec extends AnyFunSuite {
     assert(canon(leftFold) == canon(Incremental.aggState(corpus)))
   }
 
+  test("streamed refresh over 3 batches == batch recompute; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val statePath = java.nio.file.Files.createTempDirectory("inc_state")
+      .resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("inc_ckpt").toString
+    val rows = corpus.select("doc_id", "lang", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val input = MemoryStream[(Long, String, String, Long)](spark)
+    val q = Incremental.startStateRefresh(
+      input.toDS().toDF("doc_id", "lang", "source", "n_chars"),
+      statePath, ckpt)
+    try {
+      rows.grouped(150).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(canon(spark.read.parquet(statePath)) ==
+      canon(Incremental.aggState(corpus)))
+    // non-idempotent algebra + the batch-id guard: replaying an already-
+    // applied batch must not double its counts
+    Incremental.refreshState(spark, statePath,
+      corpus.filter(col("doc_id") < 150L), batchId = 0L)
+    assert(canon(spark.read.parquet(statePath)) ==
+      canon(Incremental.aggState(corpus)))
+  }
+
   test("refresh plan touches only state + delta, never the old corpus") {
     // the maintained state is a tiny keyed table; merging a new batch's
     // partials must not rescan anything else — assert the merged plan's

@@ -27,6 +27,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(z(255L, 255L) == 0xFFFFL)
   }
 
+  test("zValueN: 3-column interleave places bit i of col j at i*3+j") {
+    val z = (x: Long, y: Long, w: Long) => Seq((x, y, w)).toDF("x", "y", "w")
+      .select(Layout.zValueN(Seq(col("x"), col("y"), col("w")), 4).as("z"))
+      .as[Long].head()
+    assert(z(0L, 0L, 0L) == 0L)
+    assert(z(15L, 0L, 0L) == java.lang.Long.parseLong("001001001001", 2))
+    assert(z(0L, 15L, 0L) == java.lang.Long.parseLong("010010010010", 2))
+    assert(z(0L, 0L, 15L) == java.lang.Long.parseLong("100100100100", 2))
+    assert(z(15L, 15L, 15L) == java.lang.Long.parseLong("111111111111", 2))
+    assert(z(1L, 1L, 1L) == 7L)
+    // 2-col zValue is the k=2 case of the same generator
+    intercept[IllegalArgumentException] {
+      Layout.zValueN(Seq(col("x"), col("y")), 32) // 64 bits: sign overflow
+    }
+  }
+
   test("z-blocks are aligned squares: dropping 2k low bits bounds both dims") {
     val pts = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
     val blocks = pts.toDF("x", "y")
