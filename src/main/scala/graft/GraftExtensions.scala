@@ -48,6 +48,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
   }
 
+  /** Evaluates a parameter expression to a constant String, by the same
+    * clear-error discipline as [[intArg]]. */
+  private def strArg(fn: String, pos: Int, e: Expression): String = {
+    require(e.foldable,
+      s"$fn: argument ${pos + 1} must be a constant string literal, " +
+        s"got non-foldable ${e.sql}")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be a string literal, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("canonical_json"),
       info("canonical_json", "canonical_json(expr) - key-sorted canonical JSON of any value"),
@@ -92,5 +105,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cms_estimate", "cms_estimate(grid, hash, width) - min-over-rows count estimate"),
       (exprs: Seq[Expression]) => graft.functions.CmsEstimate(exprs.head,
         exprs(1), intArg("cms_estimate", 2, exprs(2)))))
+    ext.injectFunction((FunctionIdentifier("unicode_normalize"),
+      info("unicode_normalize",
+        "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode canonicalization"),
+      (exprs: Seq[Expression]) => graft.functions.UnicodeNormalize(exprs.head,
+        strArg("unicode_normalize", 1, exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("strip_accents"),
+      info("strip_accents", "strip_accents(str) - NFD-decompose, drop combining marks"),
+      (exprs: Seq[Expression]) => graft.functions.StripAccents(exprs.head)))
   }
 }

@@ -42,6 +42,15 @@ class TextNormalizeSpec extends AnyFunSuite {
     assert(strip(ascii) == ascii && norm(ascii, "NFKC") == ascii)
   }
 
+  test("SQL surface: unicode_normalize / strip_accents via extensions") {
+    val dec = "cafe\u0301" // decomposed on purpose - NFC must recompose it
+    val got = spark.sql(
+      s"SELECT unicode_normalize('$dec', 'NFC') AS n, " +
+        s"strip_accents('$dec') AS s").head()
+    assert(got.getString(0) == "caf\u00e9" && got.getString(1) == "cafe")
+    intercept[Exception] { spark.sql("SELECT unicode_normalize('x', 'NFX')").head() }
+  }
+
   test("nulls propagate, invalid form rejected at construction") {
     val got = Seq[(java.lang.Long, String)]((1L, null)).toDF("id", "t")
       .select(TextNormalize.normalize(col("t"), "NFC")).collect()
