@@ -37,6 +37,27 @@ object Incremental {
         min(col("min_chars")).as("min_chars"),
         max(col("max_chars")).as("max_chars"))
 
+  // -- mergeable DISTINCT counts ---------------------------------------------
+  // count(DISTINCT) is the one common statistic with no finite exact
+  // mergeable state — maintaining it incrementally needs a sketch. The
+  // DataSketches HLL aggregate (hll_sketch_agg / hll_union_agg) IS that
+  // state: fixed-size, exactly mergeable (union of partials == sketch of
+  // the whole, deterministically), estimate read out at query time. Same
+  // refresh algebra as [[mergeState]], so the corpus is never rescanned.
+
+  /** Per-lang state carrying a distinct-text sketch next to the exact
+    * mergeable partials. */
+  def aggStateDistinct(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        hll_sketch_agg(col("text")).as("distinct_sketch"))
+
+  /** Combine two distinct-count states. */
+  def mergeStateDistinct(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
+
   /** One exactly-once refresh of the maintained state table: merge a new
     * batch's partials into the parquet state at `statePath`, guarded by a
     * monotonic batch id. Unlike the CDC upsert, the merge algebra is NOT
@@ -104,6 +125,43 @@ object Incremental {
       |    AS avg_chars
       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
 
+  // ==== q111: incremental distinct maintenance gate =========================
+  //
+  // Two laws per lang group: (1) the estimate maintained through the
+  // two-batch merge tracks the single-pass estimate within 2% — union is
+  // order-insensitive, but the merged sketch's internal representation can
+  // differ from the direct one (HLL_4 coupon promotion), so the readouts
+  // agree to estimator resolution, NOT bitwise; and (2) the merged
+  // estimate lands within 5% of the exact distinct count (driver-gated
+  // like hll_count_distinct; the oracle emits the exact side + `true`).
+
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merged = mergeStateDistinct(
+        aggStateDistinct(docs.filter(col("doc_id") % 2 === 0)),
+        aggStateDistinct(docs.filter(col("doc_id") % 2 === 1)))
+      .select(col("lang"),
+        hll_sketch_estimate(col("distinct_sketch")).as("merged_est"))
+    val direct = aggStateDistinct(docs)
+      .select(col("lang"),
+        hll_sketch_estimate(col("distinct_sketch")).as("direct_est"))
+    val exact = docs.groupBy(col("lang"))
+      .agg(countDistinct(col("text")).as("n_exact"))
+    exact.join(merged, Seq("lang")).join(direct, Seq("lang"))
+      .select(col("lang"), col("n_exact"),
+        (abs(col("merged_est") - col("direct_est")) <=
+          greatest(col("direct_est") * 0.02, lit(1.0))).as("merge_consistent"),
+        (abs(col("merged_est") - col("n_exact")) <= col("n_exact") * 0.05)
+          .as("ok_estimate"))
+      .orderBy(col("lang"))
+  }
+
+  private val q111Sql =
+    """SELECT lang, count(DISTINCT text) AS n_exact,
+      |  true AS merge_consistent, true AS ok_estimate
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q108_incremental_agg", q108, Some(q108Sql)))
+    QueryDef("q108_incremental_agg", q108, Some(q108Sql)),
+    QueryDef("q111_incremental_distinct", q111, Some(q111Sql)))
 }

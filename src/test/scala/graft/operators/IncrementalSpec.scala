@@ -69,6 +69,33 @@ class IncrementalSpec extends AnyFunSuite {
       canon(Incremental.aggState(corpus)))
   }
 
+  test("distinct-count state: union of partials == sketch of the whole") {
+    val texts = (0L until 1000L).map(i => (i, s"l${i % 3}", s"text ${i % 257}"))
+      .toDF("doc_id", "lang", "text")
+    def estimates(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"),
+          hll_sketch_estimate(col("distinct_sketch")).as("est"))
+        .as[(String, Long)].collect().toMap
+    val whole = estimates(Incremental.aggStateDistinct(texts))
+    val merged = estimates(Incremental.mergeStateDistinct(
+      Incremental.aggStateDistinct(texts.filter(col("doc_id") < 300L)),
+      Incremental.aggStateDistinct(texts.filter(col("doc_id") >= 300L))))
+    // union is order-insensitive but the merged representation can differ
+    // from the direct sketch (coupon promotion), so readouts agree to
+    // estimator resolution, not bitwise
+    whole.foreach { case (lang, est) =>
+      assert(math.abs(merged(lang) - est) <= math.max(est * 0.02, 1.0),
+        s"$lang: merged ${merged(lang)} vs direct $est")
+    }
+    // and the estimate is sane: 257 distinct texts spread over 3 langs
+    val exact = texts.groupBy("lang").agg(countDistinct("text").as("n"))
+      .as[(String, Long)].collect().toMap
+    merged.foreach { case (lang, est) =>
+      assert(math.abs(est - exact(lang)) <= exact(lang) * 0.05,
+        s"$lang: est $est vs exact ${exact(lang)}")
+    }
+  }
+
   test("refresh plan touches only state + delta, never the old corpus") {
     // the maintained state is a tiny keyed table; merging a new batch's
     // partials must not rescan anything else — assert the merged plan's
