@@ -131,7 +131,64 @@ object EventsOps {
       |  CAST(coalesce(first_overlap, -1) AS BIGINT) AS first_overlap
       |FROM v LEFT JOIN p USING (l_id) ORDER BY view_id""".stripMargin
 
+  // ==== q112: ordered funnel analysis (view → click → purchase) =============
+  //
+  // A stage counts only if it happens STRICTLY after the previous stage's
+  // first completion — max(type='click') alone would count a click that
+  // preceded every view. Running conditional minima over the per-user
+  // event order carry "first view so far" / "first qualifying click so
+  // far" past each row, so the whole funnel is two chained window minima +
+  // one rollup: a single shuffle by user_id (the groupBy reuses the
+  // window's partitioning), no per-user event-list materialization, holds
+  // at any events scale. Time math in integer microseconds (bit-stable
+  // cross-engine, the q35 discipline).
+
+  /** Per-user funnel flags over an ordered stage list. events needs
+    * (user_id, event_id, ts, event_type). */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.withColumn("us", unix_micros(col("ts")))
+    // qual(i) = row completes stage i; first(i) = earliest completion so far
+    val withFirsts = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val qual = if (i == 0) col("event_type") === stage
+        else col("event_type") === stage &&
+          col(s"first${i - 1}").isNotNull && col("us") > col(s"first${i - 1}")
+      df.withColumn(s"qual$i", qual)
+        .withColumn(s"first$i", min(when(col(s"qual$i"), col("us"))).over(w))
+    }
+    val flags = stages.indices.map(i =>
+      max(when(col(s"qual$i"), 1).otherwise(0)).as(s"reached_${stages(i)}"))
+    withFirsts.groupBy(col("user_id")).agg(flags.head, flags.tail: _*)
+  }
+
+  private def q112(s: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(s, dir), Seq("view", "click", "purchase"))
+      .orderBy(col("user_id"))
+
+  private val q112Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first0
+      |  FROM base),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'click'
+      |      AND first0 IS NOT NULL AND us > first0 THEN us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first1
+      |  FROM v)
+      |SELECT user_id,
+      |  max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS reached_view,
+      |  max(CASE WHEN event_type = 'click' AND first0 IS NOT NULL
+      |    AND us > first0 THEN 1 ELSE 0 END) AS reached_click,
+      |  max(CASE WHEN event_type = 'purchase' AND first1 IS NOT NULL
+      |    AND us > first1 THEN 1 ELSE 0 END) AS reached_purchase
+      |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q112_funnel", q112, Some(q112Sql)),
     QueryDef("q35_sessionization", q35, Some(q35Sql)),
     QueryDef("q36_tumbling_window", q36, Some(q36Sql)),
     QueryDef("q57_sliding_window", q57, Some(q57Sql)),
