@@ -187,7 +187,47 @@ object EventsOps {
       |    AND us > first1 THEN 1 ELSE 0 END) AS reached_purchase
       |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ==== q114: cohort retention ==============================================
+  //
+  // Users grouped by first-seen day (the cohort); for each later day
+  // offset, how many of that cohort were active. Two aggregations, both
+  // key-balanced: (user → first day) then ((cohort, offset) → distinct
+  // users); the cohort table joins back on user_id — same-key shuffle,
+  // no broadcast needed, no window over the whole event stream. Day math
+  // on date_trunc only (no float), so the differential is byte-exact.
+
+  /** (cohort_day, day_offset, n_users) retention matrix. */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val day = to_date(col("ts"))
+    val firstDay = events.select(col("user_id"), day.as("day"))
+      .groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val active = events.select(col("user_id"), day.as("day")).distinct()
+    active.join(firstDay, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def q114(s: SparkSession, dir: String): DataFrame =
+    cohortRetention(Tables.events(s, dir))
+      .select(QueryDef.tsDay(col("cohort_day")).as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+
+  private val q114Sql =
+    """WITH f AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(day - cohort_day AS BIGINT) AS day_offset,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM a JOIN f USING (user_id)
+      |GROUP BY f.cohort_day, day - cohort_day
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_cohort_retention", q114, Some(q114Sql)),
     QueryDef("q112_funnel", q112, Some(q112Sql)),
     QueryDef("q35_sessionization", q35, Some(q35Sql)),
     QueryDef("q36_tumbling_window", q36, Some(q36Sql)),

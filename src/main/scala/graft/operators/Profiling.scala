@@ -103,7 +103,57 @@ object Profiling {
       |FROM documents WHERE lang = 'en'
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ==== q113: equi-depth histogram (optimizer-stats-style profiling) ========
+  //
+  // Boundaries from the exact interpolated percentile aggregate (q44
+  // established percentile/quantile_cont cross-engine parity), broadcast
+  // back as one scalar row; bucket assignment and counting are then one
+  // map-side scan — no global sort, no ntile window (ntile needs a
+  // single-partition total order, the profiling anti-pattern at scale).
+  // Bucket membership compares on dec4-rounded boundaries so a 1-ulp
+  // interpolation difference cannot flip a row at a bucket edge.
+
+  private val HistBuckets = 8
+
+  def equiDepthHistogram(df: DataFrame, colName: String, buckets: Int): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df.agg(expr(
+      s"percentile($colName, array(${ps.mkString(",")}))").as("bs"))
+    val rounded = bounds.select(transform(col("bs"),
+      b => round(b, 4)).as("bs"))
+    df.select(col(colName).as("v")).crossJoin(broadcast(rounded))
+      // bucket = #boundaries strictly below the (rounded) value
+      .select((aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(round(col("v"), 4) > b, 1).otherwise(0)))
+        .as("bucket"), col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        QueryDef.dec4(min(col("v"))).as("lo"),
+        QueryDef.dec4(max(col("v"))).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  private def q113(s: SparkSession, dir: String): DataFrame =
+    equiDepthHistogram(Tables.lineitem(s, dir), "l_extendedprice",
+      HistBuckets)
+
+  private val q113Sql =
+    """WITH b AS (
+      |  SELECT list_transform(quantile_cont(l_extendedprice,
+      |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+      |    x -> round(x, 4)) AS bs
+      |  FROM lineitem),
+      |assigned AS (
+      |  SELECT len(list_filter(bs, x -> round(l_extendedprice, 4) > x))
+      |    AS bucket, l_extendedprice AS v
+      |  FROM lineitem CROSS JOIN b)
+      |SELECT bucket, count(*) AS n,
+      |  CAST(CAST(min(v) AS DECIMAL(38,4)) AS VARCHAR) AS lo,
+      |  CAST(CAST(max(v) AS DECIMAL(38,4)) AS VARCHAR) AS hi
+      |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
-    QueryDef("q69_profile", q69, Some(q69Sql)))
+    QueryDef("q69_profile", q69, Some(q69Sql)),
+    QueryDef("q113_equidepth_histogram", q113, Some(q113Sql)))
 }

@@ -62,4 +62,26 @@ class FunnelSpec extends AnyFunSuite {
     assert(got(1L) == ((1, 0, 0)))
     assert(got(2L) == ((0, 0, 0)))
   }
+
+  test("cohortRetention: offsets from first-seen day, distinct within day") {
+    // midnight-aligned UTC base (2024-01-01T00:00Z) so +hours stays in-day
+    def day(d: Int, h: Int = 0) =
+      new Timestamp(1704067200000L + d * 86400000L + h * 3600000L)
+    val events = Seq(
+      (1L, 1L, day(0), "view"), (1L, 2L, day(0, 5), "click"), // same day twice
+      (1L, 3L, day(2), "view"),                               // back at offset 2
+      (2L, 4L, day(2), "view"), (2L, 5L, day(3), "view"))     // cohort day 2
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventsOps.cohortRetention(events)
+      .select(col("cohort_day").cast("string"), col("day_offset"), col("n_users"))
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val d0 = "2024-01-01"
+    val d2 = "2024-01-03"
+    assert(got == Map(
+      (d0, 0) -> 1L,  // user 1's two same-day events count once
+      (d0, 2) -> 1L,  // user 1 returns
+      (d2, 0) -> 1L,  // user 2's cohort starts on its own first day
+      (d2, 1) -> 1L))
+  }
 }

@@ -50,4 +50,28 @@ class ProfilingSpec extends AnyFunSuite {
     assert(scanLine.matches(".*PartitionFilters: \\[[^\\]]*lang[^\\]]*\\].*"),
       s"lang not pushed as partition filter:\n$scanLine")
   }
+
+  test("equiDepthHistogram: near-equal buckets, ordered disjoint ranges") {
+    import spark.implicits._
+    val df = (1 to 8000).map(i => i.toDouble).toDF("v")
+    val rows = Profiling.equiDepthHistogram(df, "v", 8)
+      .select(col("bucket"), col("n"), col("lo"), col("hi"))
+      .as[(Int, Long, String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0 until 8))
+    // uniform data → every bucket within 1 row of exactly n/8
+    rows.foreach { case (b, n, _, _) =>
+      assert(math.abs(n - 1000L) <= 1, s"bucket $b holds $n rows")
+    }
+    // ranges ordered and non-overlapping
+    val his = rows.map(_._4.toDouble); val los = rows.map(_._3.toDouble)
+    (0 until 7).foreach(i => assert(his(i) <= los(i + 1)))
+    // no window over a global total order: boundaries broadcast, bucket
+    // assignment map-side ("percentile" the aggregate is fine — it's the
+    // single-row bounds computation, not a per-row sort)
+    val plan = Profiling.equiDepthHistogram(df, "v", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
