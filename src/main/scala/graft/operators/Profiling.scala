@@ -115,10 +115,40 @@ object Profiling {
 
   private val HistBuckets = 8
 
+  /** Exact interpolated quantiles (quantile_cont semantics: position
+    * f·(n−1), linear interpolation) computed DISTRIBUTED: range-sort the
+    * column, number rows with the exclusive prefix scan, select only the
+    * floor/ceil order statistics each fraction needs, interpolate from
+    * those ≤2·|fractions| rows. Spark's `percentile` aggregate funnels a
+    * value-count map of the whole column through one combiner — fine at
+    * test scale, a driver-sized bottleneck at 100 TB; this path keeps the
+    * heavy phase (the sort) fully parallel. Ties make rank assignment
+    * among equal values ambiguous and equally correct: only the VALUE at
+    * a rank is consumed. */
+  def exactQuantiles(df: DataFrame, colName: String,
+      fractions: Seq[Double]): Seq[Double] = {
+    val v = df.select(col(colName).cast("double").as("v")).filter(col("v").isNotNull)
+    val n = v.count()
+    require(n > 0, s"exactQuantiles($colName): empty input")
+    val positions = fractions.map(_ * (n - 1))
+    val needed = positions.flatMap(p =>
+      Seq(math.floor(p).toLong, math.ceil(p).toLong)).distinct
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+      v, Seq(col("v")), lit(1L), outName = "rank")
+    val at = ranked.filter(col("rank").isin(needed: _*))
+      .select(col("rank"), col("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    positions.map { p =>
+      val lo = math.floor(p).toLong; val hi = math.ceil(p).toLong
+      if (lo == hi) at(lo) else at(lo) + (at(hi) - at(lo)) * (p - lo)
+    }
+  }
+
   def equiDepthHistogram(df: DataFrame, colName: String, buckets: Int): DataFrame = {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
-    val bounds = df.agg(expr(
-      s"percentile($colName, array(${ps.mkString(",")}))").as("bs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = Seq(Tuple1(exactQuantiles(df, colName, ps))).toDF("bs")
     val rounded = bounds.select(transform(col("bs"),
       b => round(b, 4)).as("bs"))
     df.select(col(colName).as("v")).crossJoin(broadcast(rounded))

@@ -51,6 +51,19 @@ class ProfilingSpec extends AnyFunSuite {
       s"lang not pushed as partition filter:\n$scanLine")
   }
 
+  test("exactQuantiles == Spark's percentile aggregate, duplicates included") {
+    import spark.implicits._
+    val data = ((1 to 500).map(_.toDouble) ++ Seq.fill(100)(250.0) ++
+      (1 to 50).map(_ => 7.5)).toDF("x")
+    val ps = Seq(0.1, 0.25, 0.5, 0.733, 0.9)
+    val dist = Profiling.exactQuantiles(data, "x", ps)
+    val agg = data.agg(expr(
+        s"percentile(x, array(${ps.mkString(",")}))").as("q"))
+      .as[Seq[Double]].head()
+    ps.indices.foreach(i => assert(math.abs(dist(i) - agg(i)) < 1e-9,
+      s"fraction ${ps(i)}: distributed ${dist(i)} vs aggregate ${agg(i)}"))
+  }
+
   test("equiDepthHistogram: near-equal buckets, ordered disjoint ranges") {
     import spark.implicits._
     val df = (1 to 8000).map(i => i.toDouble).toDF("v")
