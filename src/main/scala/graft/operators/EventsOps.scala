@@ -226,9 +226,321 @@ object EventsOps {
       |GROUP BY f.cohort_day, day - cohort_day
       |ORDER BY 1, 2""".stripMargin
 
+  // ==== q115: time-series gap fill + linear interpolation ===================
+  //
+  // Resample each user's activity onto a regular hourly grid and linearly
+  // interpolate the hours with no events — the standard prep step before
+  // feeding event streams to forecasting / feature pipelines. Grid rows are
+  // generated per-user with `sequence` (bounded by the corpus time span, not
+  // the row count, so the explode is safe at any event volume); the grid
+  // left-joins the hourly rollup on its own key (same-key shuffle), and the
+  // interpolation context comes from two frame-bounded window passes (last
+  // non-null before / first non-null after) — no per-user event-list
+  // materialization.
+  //
+  // Determinism: a naive double interpolation lands EXACTLY on dec4's
+  // half-rounding boundary whenever the gap length divides a power of two
+  // (frac i/16 → values ending …xxx5), and there the engines' ulp-level
+  // summation-order noise decides the rounding direction (observed: 409 of
+  // 105 171 rows at sf0.01). So the hourly sum is quantized once to integer
+  // 1e-4 units (2-decimal inputs sit nowhere near THAT boundary) and the
+  // interpolation + half-up rounding run entirely in 64-bit integer
+  // arithmetic — bit-identical on any engine. Gap offsets are integer HOURS
+  // (≤ corpus span), so the worst numerator is ~1e8·span — no overflow.
+
+  /** Per-user hourly series with gaps linearly interpolated (values carried
+    * at 1e-4 resolution). Edge hours are always observed (the grid spans
+    * each user's own [min, max] hour); values must be non-negative. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(round(sum(col("value")) * 10000).cast("long").as("vq"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
+    val h = expr("unix_micros(hour) div 3600000000") // integer hour index
+    val before = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("pv", last(col("vq"), ignoreNulls = true).over(before))
+      .withColumn("pt", last(when(col("vq").isNotNull, h), ignoreNulls = true).over(before))
+      .withColumn("nv", first(col("vq"), ignoreNulls = true).over(after))
+      .withColumn("nt", first(when(col("vq").isNotNull, h), ignoreNulls = true).over(after))
+      // half-up rational rounding: ⌊(2·(pv·(nt−h) + nv·(h−pt)) + n) / 2n⌋
+      .withColumn("fq", when(col("vq").isNotNull, col("vq")).otherwise(expr(
+        """(2 * (pv * (nt - unix_micros(hour) div 3600000000)
+          |     + nv * (unix_micros(hour) div 3600000000 - pt))
+          | + (nt - pt)) div (2 * (nt - pt))""".stripMargin)))
+      .select(col("user_id"), col("hour"),
+        (col("fq") / lit(10000.0)).as("filled"),
+        col("vq").isNull.cast("int").as("is_interpolated"))
+  }
+
+  private def q115(s: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables.events(s, dir))
+      .select(col("user_id"), QueryDef.tsSec(col("hour")).as("hour"),
+        QueryDef.dec4(col("filled")).as("filled"), col("is_interpolated"))
+      .orderBy(col("user_id"), col("hour"))
+
+  private val q115Sql =
+    """WITH hourly AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hour,
+      |    CAST(round(sum(value) * 10000) AS BIGINT) AS vq
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+      |  FROM (SELECT user_id, min(hour) AS mn, max(hour) AS mx
+      |        FROM hourly GROUP BY 1)),
+      |ctx AS (
+      |  SELECT g.user_id, g.hour, h.vq,
+      |    epoch_us(g.hour) // 3600000000 AS hi,
+      |    last_value(h.vq IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN h.vq IS NOT NULL
+      |      THEN epoch_us(g.hour) // 3600000000 END IGNORE NULLS) OVER wb AS pt,
+      |    first_value(h.vq IGNORE NULLS) OVER wa AS nv,
+      |    first_value(CASE WHEN h.vq IS NOT NULL
+      |      THEN epoch_us(g.hour) // 3600000000 END IGNORE NULLS) OVER wa AS nt
+      |  FROM grid g LEFT JOIN hourly h
+      |    ON g.user_id = h.user_id AND g.hour = h.hour
+      |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wa AS (PARTITION BY g.user_id ORDER BY g.hour
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  CAST(CAST(CASE WHEN vq IS NOT NULL THEN vq
+      |    ELSE (2 * (pv * (nt - hi) + nv * (hi - pt)) + (nt - pt))
+      |      // (2 * (nt - pt)) END / 10000.0 AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS filled,
+      |  CAST(vq IS NULL AS INT) AS is_interpolated
+      |FROM ctx ORDER BY user_id, hour""".stripMargin
+
+  // ==== q116: time-decayed engagement score =================================
+  //
+  // score(user) = Σ value · 2^(−age_days), age relative to the corpus max
+  // timestamp — the freshness-weighted activity signal behind ranking /
+  // sampling decisions. The reference time is one scalar broadcast; the
+  // weight is computed map-side with INTEGER arithmetic only (integer-µs
+  // age, `div` day bucketing, and 1 / (1L << k) — a power of two, exactly
+  // representable in a double on both engines, unlike libm pow/exp whose
+  // last-ulp can differ cross-engine). One shuffle: the user_id groupBy.
+
+  /** Freshness-decayed per-user activity score (half-life = 1 day). */
+  def decayedScore(events: DataFrame): DataFrame = {
+    val ref = events.agg(max(unix_micros(col("ts"))).as("t_ref"))
+    events.withColumn("us", unix_micros(col("ts")))
+      .crossJoin(broadcast(ref)) // single-row scalar stat
+      .withColumn("age_days", expr("(t_ref - us) div 86400000000"))
+      .withColumn("wt",
+        lit(1.0) / expr("cast(shiftleft(1L, cast(least(age_days, 62) as int)) as double)"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("value") * col("wt")).as("decayed_score"),
+        count(lit(1)).as("n_events"))
+  }
+
+  private def q116(s: SparkSession, dir: String): DataFrame =
+    decayedScore(Tables.events(s, dir))
+      .select(col("user_id"), QueryDef.dec4(col("decayed_score")).as("decayed_score"),
+        col("n_events"))
+      .orderBy(col("user_id"))
+
+  private val q116Sql =
+    """WITH ref AS (SELECT max(epoch_us(ts)) AS t_ref FROM events)
+      |SELECT user_id,
+      |  CAST(CAST(sum(value / CAST(CAST(1 AS BIGINT) <<
+      |    LEAST((t_ref - epoch_us(ts)) // 86400000000, 62) AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS decayed_score,
+      |  count(*) AS n_events
+      |FROM events, ref GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ==== q119: behavioral Markov transition matrix ===========================
+  //
+  // P(next event_type | event_type) from each user's ordered event sequence:
+  // one lead() window over the per-user order (single user_id shuffle), then
+  // a tiny (|types|² rows) grouped count with the row-probability normalized
+  // by a window over from_type — the second shuffle moves only the counts
+  // table, constant-size at any event volume.
+
+  /** (from_type, to_type, n, p) user-sequence transition matrix. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts.withColumn("p",
+      col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+  }
+
+  private def q119(s: SparkSession, dir: String): DataFrame =
+    markovTransitions(Tables.events(s, dir))
+      .select(col("from_type"), col("to_type"), col("n"),
+        QueryDef.dec4(col("p")).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+
+  private val q119Sql =
+    """WITH seq AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(CAST(CAST(n AS DOUBLE) / CAST(sum(n) OVER
+      |    (PARTITION BY from_type) AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS p
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  // ==== q120: trending-spike detection ======================================
+  //
+  // Flag hours where an event type's count jumps ≥3σ above its own trailing
+  // 24-hour baseline — burst/incident detection over the activity stream.
+  // The heavy phase is ONE map-side-combined groupBy down to (hour × type)
+  // counts; every window after that runs on the tiny counts table (≤ span ×
+  // |types| rows regardless of event volume). The baseline frame is RANGE
+  // over the integer hour index, so calendar gaps (hours with zero events
+  // of a type) shrink the observed baseline instead of silently stretching
+  // it — a row-frame would reach back across gaps. Spikes need ≥12 observed
+  // baseline hours and σ>0.
+
+  /** (hour, event_type, n, zscore, is_spike) hourly burst flags. */
+  def trendingSpikes(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr("unix_micros(hour) div 3600000000"))
+    val base = Window.partitionBy(col("event_type")).orderBy(col("hi"))
+      .rangeBetween(-24, -1)
+    hourly
+      .withColumn("base_n", count(col("n")).over(base))
+      .withColumn("base_mean", avg(col("n")).over(base))
+      .withColumn("base_std", stddev_samp(col("n")).over(base))
+      .withColumn("zscore",
+        when(col("base_n") >= 12 && col("base_std") > 0,
+          (col("n") - col("base_mean")) / col("base_std")))
+      .withColumn("is_spike",
+        when(col("zscore") > zThreshold, 1).otherwise(0))
+      .select(col("hour"), col("event_type"), col("n"), col("zscore"),
+        col("is_spike"))
+  }
+
+  private def q120(s: SparkSession, dir: String): DataFrame =
+    trendingSpikes(Tables.events(s, dir))
+      .select(QueryDef.tsSec(col("hour")).as("hour"), col("event_type"),
+        col("n"), QueryDef.dec4(col("zscore")).as("zscore"), col("is_spike"))
+      .orderBy(col("event_type"), col("hour"))
+
+  private val q120Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+      |  FROM events GROUP BY 1, 2),
+      |ctx AS (
+      |  SELECT *, count(n) OVER b AS base_n, avg(n) OVER b AS base_mean,
+      |    stddev_samp(n) OVER b AS base_std
+      |  FROM hourly
+      |  WINDOW b AS (PARTITION BY event_type ORDER BY hi
+      |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT *, CASE WHEN base_n >= 12 AND base_std > 0
+      |    THEN (n - base_mean) / base_std END AS zscore
+      |  FROM ctx)
+      |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, event_type, n,
+      |  CAST(CAST(zscore AS DECIMAL(38,4)) AS VARCHAR) AS zscore,
+      |  CASE WHEN zscore > 3.0 THEN 1 ELSE 0 END AS is_spike
+      |FROM z ORDER BY event_type, hour""".stripMargin
+
+  // ==== q121: association rules (market-basket over daily activity) ========
+  //
+  // Baskets are (user, day) sets of event types; rules a→b carry support,
+  // confidence, and lift. The pair space is generated by a SAME-KEY
+  // self-join on the basket id — fan-out is |types|² per basket, bounded by
+  // the type domain, never by event volume (no all-pairs anywhere). Basket
+  // and item totals are tiny aggregates; the scalar basket count broadcasts.
+  // Every metric divides the same integers in the same order on both
+  // engines, so the doubles are bit-identical.
+
+  /** (antecedent, consequent, n_pair, support, confidence, lift). */
+  def associationRules(events: DataFrame): DataFrame = {
+    val items = events
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+      .distinct()
+    val total = items.select(col("user_id"), col("day")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val singles = items.groupBy(col("event_type")).agg(count(lit(1)).as("n_item"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.day") === col("b.day") &&
+        col("a.event_type") =!= col("b.event_type"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("n_pair"))
+    pairs
+      .join(broadcast(singles.withColumnRenamed("event_type", "antecedent")
+        .withColumnRenamed("n_item", "n_ant")), Seq("antecedent"))
+      .join(broadcast(singles.withColumnRenamed("event_type", "consequent")
+        .withColumnRenamed("n_item", "n_cons")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        (col("n_pair").cast("double") / col("n_baskets").cast("double"))
+          .as("support"),
+        (col("n_pair").cast("double") / col("n_ant").cast("double"))
+          .as("confidence"),
+        ((col("n_pair").cast("double") / col("n_ant").cast("double")) /
+          (col("n_cons").cast("double") / col("n_baskets").cast("double")))
+          .as("lift"))
+  }
+
+  private def q121(s: SparkSession, dir: String): DataFrame =
+    associationRules(Tables.events(s, dir))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        QueryDef.dec4(col("support")).as("support"),
+        QueryDef.dec4(col("confidence")).as("confidence"),
+        QueryDef.dec4(col("lift")).as("lift"))
+      .orderBy(col("antecedent"), col("consequent"))
+
+  private val q121Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |  FROM events),
+      |total AS (
+      |  SELECT count(*) AS n_baskets
+      |  FROM (SELECT DISTINCT user_id, day FROM items)),
+      |singles AS (
+      |  SELECT event_type, count(*) AS n_item FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |    count(*) AS n_pair
+      |  FROM items a JOIN items b
+      |    ON a.user_id = b.user_id AND a.day = b.day
+      |    AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT antecedent, consequent, n_pair,
+      |  CAST(CAST(CAST(n_pair AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS support,
+      |  CAST(CAST(CAST(n_pair AS DOUBLE) / CAST(sa.n_item AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS confidence,
+      |  CAST(CAST((CAST(n_pair AS DOUBLE) / CAST(sa.n_item AS DOUBLE)) /
+      |    (CAST(sc.n_item AS DOUBLE) / CAST(n_baskets AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS lift
+      |FROM pairs
+      |JOIN singles sa ON sa.event_type = antecedent
+      |JOIN singles sc ON sc.event_type = consequent
+      |CROSS JOIN total
+      |ORDER BY antecedent, consequent""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q114_cohort_retention", q114, Some(q114Sql)),
+    QueryDef("q120_trending_spikes", q120, Some(q120Sql)),
+    QueryDef("q121_association_rules", q121, Some(q121Sql)),
     QueryDef("q112_funnel", q112, Some(q112Sql)),
+    QueryDef("q115_gap_fill", q115, Some(q115Sql)),
+    QueryDef("q116_decayed_score", q116, Some(q116Sql)),
+    QueryDef("q119_markov_transitions", q119, Some(q119Sql)),
     QueryDef("q35_sessionization", q35, Some(q35Sql)),
     QueryDef("q36_tumbling_window", q36, Some(q36Sql)),
     QueryDef("q57_sliding_window", q57, Some(q57Sql)),

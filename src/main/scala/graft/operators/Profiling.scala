@@ -182,8 +182,189 @@ object Profiling {
       |  CAST(CAST(max(v) AS DECIMAL(38,4)) AS VARCHAR) AS hi
       |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ==== q117: data-quality constraint report ================================
+  //
+  // Deequ-style constraint suite: uniqueness, accepted-values, range,
+  // completeness, cross-column consistency, and referential integrity, each
+  // reported as (check_name, violations, passed). Checks sharing a table are
+  // FUSED into one aggregate pass and unpivoted with stack() — the naive
+  // scan-per-check reads each table C times at 100 TB. The referential check
+  // is the one extra job: a left-anti join shuffling on the key (no
+  // broadcast assumption — both sides can be huge).
+
+  /** One row per constraint check: (check_name, violations, passed). */
+  def qualityReport(orders: DataFrame, customer: DataFrame,
+      lineitem: DataFrame, documents: DataFrame): DataFrame = {
+    val ordersChecks = orders.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("uniq_viol"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0))
+          .as("status_viol"))
+      .select(expr(
+        """stack(2,
+          |  'orders.o_orderkey is unique', uniq_viol,
+          |  'orders.o_orderstatus in (O,F,P)', status_viol)
+          |  AS (check_name, violations)""".stripMargin))
+    val lineitemChecks = lineitem.agg(
+        sum(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)
+          .otherwise(0)).as("disc_viol"),
+        sum(when(col("l_quantity") > 45, 1).otherwise(0)).as("qty_viol"))
+      .select(expr(
+        """stack(2,
+          |  'lineitem.l_discount in [0, 0.1]', disc_viol,
+          |  'lineitem.l_quantity <= 45', qty_viol)
+          |  AS (check_name, violations)""".stripMargin))
+    val customerChecks = customer
+      .agg((count(lit(1)) - count(col("c_name"))).as("v"))
+      .select(lit("customer.c_name is complete").as("check_name"),
+        col("v").as("violations"))
+    val docChecks = documents
+      .agg(sum(when(col("n_chars") =!= length(col("text")), 1).otherwise(0))
+        .as("v"))
+      .select(lit("documents.n_chars = length(text)").as("check_name"),
+        col("v").as("violations"))
+    val refChecks = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v"))
+      .select(lit("orders.o_custkey references customer").as("check_name"),
+        col("v").as("violations"))
+    ordersChecks.unionAll(lineitemChecks).unionAll(customerChecks)
+      .unionAll(docChecks).unionAll(refChecks)
+      .withColumn("passed", (col("violations") === 0).cast("int"))
+  }
+
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    qualityReport(Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.lineitem(s, dir), Tables.documents(s, dir))
+      .orderBy(col("check_name"))
+
+  private val q117Sql =
+    """SELECT check_name, violations, CAST(violations = 0 AS INT) AS passed
+      |FROM (
+      |  SELECT 'orders.o_orderkey is unique' AS check_name,
+      |    count(*) - count(DISTINCT o_orderkey) AS violations FROM orders
+      |  UNION ALL
+      |  SELECT 'orders.o_orderstatus in (O,F,P)',
+      |    CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_discount in [0, 0.1]',
+      |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+      |      THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.l_quantity <= 45',
+      |    CAST(sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'customer.c_name is complete',
+      |    count(*) - count(c_name) FROM customer
+      |  UNION ALL
+      |  SELECT 'documents.n_chars = length(text)',
+      |    CAST(sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+      |      AS BIGINT)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey references customer',
+      |    count(*) FROM orders o WHERE NOT EXISTS (
+      |      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |ORDER BY check_name""".stripMargin
+
+  // ==== q118: robust outlier detection (median/MAD) =========================
+  //
+  // Per-group robust center and spread — median and MAD (median absolute
+  // deviation), the outlier-resistant alternative to mean/stddev — then
+  // count the values outside center ± 3·1.4826·MAD (1.4826 scales MAD to
+  // σ-equivalence under normality). Two grouped percentile passes with the
+  // tiny per-group stats broadcast back between them; the group count is
+  // bounded (event types), so per-group percentile state stays parallel
+  // across groups — a single hot group at 100 TB would swap in
+  // exactQuantiles (q113) per group, same semantics.
+
+  /** (group, median, mad, n_outliers, n_total) per event_type. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withMed = events.join(broadcast(med), Seq("event_type"))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+    withMed.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        sum(when(abs(col("value") - col("med")) >
+          lit(k) * lit(1.4826) * col("mad"), 1).otherwise(0)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
+
+  private def q118(s: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables.events(s, dir))
+      .select(col("event_type"), QueryDef.dec4(col("med")).as("med"),
+        QueryDef.dec4(col("mad")).as("mad"),
+        col("n_outliers"), col("n_total"))
+      .orderBy(col("event_type"))
+
+  private val q118Sql =
+    """WITH med AS (
+      |  SELECT event_type, quantile_cont(value, 0.5) AS med
+      |  FROM events GROUP BY 1),
+      |wm AS (SELECT e.event_type, e.value, m.med
+      |  FROM events e JOIN med m USING (event_type)),
+      |mad AS (
+      |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+      |  FROM wm GROUP BY 1)
+      |SELECT event_type,
+      |  CAST(CAST(max(med) AS DECIMAL(38,4)) AS VARCHAR) AS med,
+      |  CAST(CAST(max(mad) AS DECIMAL(38,4)) AS VARCHAR) AS mad,
+      |  CAST(sum(CASE WHEN abs(value - med) > 3.0 * 1.4826 * mad
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  count(*) AS n_total
+      |FROM wm JOIN mad USING (event_type)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ==== q122: global rank-transform normalization ===========================
+  //
+  // percent_rank over the WHOLE table — the rank/quantile feature transform
+  // — without the single-partition `Window.orderBy(col)` that serializes
+  // 100 TB through one task. Pipeline: per-value counts (map-side combine),
+  // the exclusive prefix scan over the range-partitioned DISTINCT-value
+  // histogram (so the sort touches |distinct| rows, not |rows|), then one
+  // hash join assigns #smaller back to the data. pr = smaller/(n−1) divides
+  // the same integers on both engines — bit-identical doubles.
+
+  /** Adds `pct_rank` (= percent_rank of `valueCol`, ties share the rank of
+    * their first occurrence) to `df` without a global-sort window. */
+  def rankNormalize(df: DataFrame, valueCol: String): DataFrame = {
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+      counts, Seq(col(valueCol)), col("__c"), outName = "__smaller")
+    val total = ranked.agg(sum(col("__c")).as("__n"))
+    df.join(ranked, Seq(valueCol))
+      .crossJoin(broadcast(total))
+      .withColumn("pct_rank",
+        col("__smaller").cast("double") / (col("__n") - 1).cast("double"))
+      .drop("__c", "__smaller", "__n")
+  }
+
+  // (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+  // output order includes pct_rank — rows tying on all three are identical,
+  // making the differential order-stable.
+  private def q122(s: SparkSession, dir: String): DataFrame =
+    rankNormalize(Tables.lineitem(s, dir), "l_extendedprice")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        QueryDef.dec4(col("pct_rank")).as("pct_rank"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("pct_rank"))
+
+  private val q122Sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(percent_rank() OVER (ORDER BY l_extendedprice)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS pct_rank
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, pct_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
     QueryDef("q69_profile", q69, Some(q69Sql)),
-    QueryDef("q113_equidepth_histogram", q113, Some(q113Sql)))
+    QueryDef("q113_equidepth_histogram", q113, Some(q113Sql)),
+    QueryDef("q117_quality_report", q117, Some(q117Sql)),
+    QueryDef("q118_outliers_mad", q118, Some(q118Sql)),
+    QueryDef("q122_rank_normalize", q122, Some(q122Sql)))
 }

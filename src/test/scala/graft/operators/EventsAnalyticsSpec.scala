@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Laws for the round-7 event-analytics additions: hourly gap fill with
+  * linear interpolation (q115), freshness-decayed scoring (q116), and the
+  * behavioral Markov transition matrix (q119).
+  */
+class EventsAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val H = 3600000L // one hour of millis
+  private def hr(h: Int) = new Timestamp(1704067200000L + h * H) // 2024-01-01 UTC
+
+  private def gapDf(rows: Seq[(Long, Timestamp, Double)]) =
+    rows.toDF("user_id", "ts", "value")
+
+  test("gap fill: interior gaps interpolate linearly, edges are observed") {
+    val out = EventsOps.gapFillHourly(gapDf(Seq(
+        (1L, hr(0), 10.0), (1L, hr(3), 40.0))))
+      .orderBy("hour")
+      .select(col("filled"), col("is_interpolated"))
+      .as[(Double, Int)].collect()
+    assert(out.toSeq == Seq((10.0, 0), (20.0, 1), (30.0, 1), (40.0, 0)))
+  }
+
+  test("gap fill: same-hour events aggregate before filling") {
+    val out = EventsOps.gapFillHourly(gapDf(Seq(
+        (1L, hr(0), 1.0), (1L, new Timestamp(hr(0).getTime + 60000L), 2.0),
+        (1L, hr(2), 9.0))))
+      .orderBy("hour").select(col("filled"), col("is_interpolated"))
+      .as[(Double, Int)].collect()
+    assert(out.toSeq == Seq((3.0, 0), (6.0, 1), (9.0, 0)))
+  }
+
+  test("gap fill: a single active hour yields one observed row; users are independent") {
+    val out = EventsOps.gapFillHourly(gapDf(Seq(
+        (1L, hr(5), 7.0),
+        (2L, hr(0), 1.0), (2L, hr(1), 2.0))))
+      .orderBy("user_id", "hour")
+      .select(col("user_id"), col("filled"), col("is_interpolated"))
+      .as[(Long, Double, Int)].collect()
+    assert(out.toSeq == Seq((1L, 7.0, 0), (2L, 1.0, 0), (2L, 2.0, 0)))
+  }
+
+  test("decayed score: weight halves per whole day of age, newest event is weight 1") {
+    val day = 86400000L
+    val t0 = new Timestamp(1704067200000L)
+    val rows = Seq(
+      (1L, t0, 8.0),                                 // age 2 days → wt 1/4
+      (1L, new Timestamp(t0.getTime + day), 8.0),    // age 1 day  → wt 1/2
+      (1L, new Timestamp(t0.getTime + 2 * day), 8.0) // age 0      → wt 1
+    ).toDF("user_id", "ts", "value")
+    val got = EventsOps.decayedScore(rows)
+      .select(col("decayed_score"), col("n_events")).as[(Double, Long)].head()
+    assert(got == ((8.0 / 4 + 8.0 / 2 + 8.0, 3L)))
+  }
+
+  test("decayed score: partial-day ages floor to the day bucket (integer div)") {
+    val t0 = new Timestamp(1704067200000L)
+    val rows = Seq(
+      (1L, t0, 4.0), // age 1.5 days → floor 1 → wt 1/2
+      (1L, new Timestamp(t0.getTime + 129600000L), 4.0) // newest, wt 1
+    ).toDF("user_id", "ts", "value")
+    val got = EventsOps.decayedScore(rows)
+      .select(col("decayed_score")).as[Double].head()
+    assert(got == 4.0 / 2 + 4.0)
+  }
+
+  test("markov: transitions follow each user's own order; probabilities normalize per from-state") {
+    val rows = Seq(
+      (1L, 1L, hr(0), "a"), (1L, 2L, hr(1), "b"),
+      (1L, 3L, hr(2), "a"), (1L, 4L, hr(3), "b"),
+      (2L, 5L, hr(0), "b"), (2L, 6L, hr(1), "c")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = EventsOps.markovTransitions(rows)
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 1.0)),   // both a's were followed by b
+      ("b", "a") -> ((1L, 0.5)),   // user 1's first b → a
+      ("b", "c") -> ((1L, 0.5)))) // user 2's b → c; no cross-user a→b edge
+  }
+
+  test("trending spikes: a burst over a varied baseline is flagged; thin or absent baselines are not") {
+    // type 'a': hours 0..23 alternate 1 and 3 events (mean 2, σ≈1.02),
+    // hour 24 bursts to 50 → z≈47 → spike. Early hours lack 12 baseline
+    // rows → zscore null, no spike.
+    val a = (0 until 24).flatMap { h =>
+      val reps = if (h % 2 == 0) 1 else 3
+      (0 until reps).map(i => (1L, new Timestamp(hr(h).getTime + i * 1000L), "a"))
+    } ++ (0 until 50).map(i => (1L, new Timestamp(hr(24).getTime + i * 1000L), "a"))
+    // type 'b': active hours 0..11 then one far-away burst at hour 40 —
+    // the RANGE frame sees zero baseline hours there (gap), so no spike.
+    val b = (0 until 12).map(h => (2L, hr(h), "b")) ++
+      (0 until 99).map(i => (2L, new Timestamp(hr(40).getTime + i * 1000L), "b"))
+    val got = EventsOps.trendingSpikes((a ++ b).toDF("user_id", "ts", "event_type"))
+      .select(col("event_type"), col("hour"), col("n"), col("zscore"), col("is_spike"))
+      .as[(String, Timestamp, Long, Option[Double], Int)].collect()
+      .map(r => (r._1, r._2.getTime / 3600000L % 100000) -> ((r._3, r._4, r._5))).toMap
+    val h0 = hr(0).getTime / 3600000L % 100000
+    val spike = got(("a", h0 + 24))
+    assert(spike._1 == 50L && spike._3 == 1, s"burst hour should flag: $spike")
+    assert(spike._2.exists(z => z > 40), s"z should be huge: $spike")
+    assert(got(("a", h0 + 5)) == ((3L, None, 0)), "thin baseline → no z, no spike")
+    assert(got(("b", h0 + 40))._2.isEmpty, "gap-isolated burst has no baseline")
+    assert(got(("b", h0 + 40))._3 == 0)
+  }
+
+  test("association rules: hand-computed support, confidence, lift; same-day duplicates collapse") {
+    val day = hr(0)
+    val rows = Seq(
+      (1L, day, "a"), (1L, day, "b"), (1L, day, "a"), // dup 'a' collapses
+      (2L, day, "a"), (2L, day, "b"),
+      (3L, day, "a")
+    ).toDF("user_id", "ts", "event_type")
+    val got = EventsOps.associationRules(rows)
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("support"), col("confidence"), col("lift"))
+      .as[(String, String, Long, Double, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // 3 baskets; n(a)=3, n(b)=2, n(a,b)=2
+    val ab = got(("a", "b"))
+    assert(ab._1 == 2L && ab._2 == 2.0 / 3 && ab._3 == 2.0 / 3)
+    assert(ab._4 == (2.0 / 3) / (2.0 / 3.0))
+    val ba = got(("b", "a"))
+    assert(ba._1 == 2L && ba._3 == 1.0 && ba._4 == 1.0 / (3.0 / 3.0))
+  }
+
+  test("markov: per-from probabilities sum to 1") {
+    val rows = (0L until 60L).map(i =>
+        (i % 5, i, hr(i.toInt), Seq("a", "b", "c")((i % 3).toInt)))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val sums = EventsOps.markovTransitions(rows)
+      .groupBy("from_type").agg(sum("p").as("s"))
+      .select("s").as[Double].collect()
+    assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+}

@@ -87,4 +87,86 @@ class ProfilingSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("qualityReport: each injected defect is counted by exactly its check") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 10L, "O"), (1L, 10L, "O"),   // duplicate orderkey
+      (2L, 10L, "X"),                   // bad status
+      (3L, 99L, "F")                    // custkey 99 has no customer row
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val customer = Seq((10L, "alice"), (11L, null.asInstanceOf[String]))
+      .toDF("c_custkey", "c_name")
+    val lineitem = Seq((1.0, 0.05), (46.0, 0.5), (50.0, 0.0))
+      .toDF("l_quantity", "l_discount")
+    val documents = Seq(("ab", 2L), ("abc", 5L)).toDF("text", "n_chars")
+    val got = Profiling.qualityReport(orders, customer, lineitem, documents)
+      .select(col("check_name"), col("violations"), col("passed"))
+      .as[(String, Long, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("orders.o_orderkey is unique") == ((1L, 0)))
+    assert(got("orders.o_orderstatus in (O,F,P)") == ((1L, 0)))
+    assert(got("orders.o_custkey references customer") == ((1L, 0)))
+    assert(got("customer.c_name is complete") == ((1L, 0)))
+    assert(got("lineitem.l_discount in [0, 0.1]") == ((1L, 0)))
+    assert(got("lineitem.l_quantity <= 45") == ((2L, 0)))
+    assert(got("documents.n_chars = length(text)") == ((1L, 0)))
+  }
+
+  test("qualityReport: a clean dataset passes every check") {
+    import spark.implicits._
+    val orders = Seq((1L, 10L, "O"), (2L, 10L, "F"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val customer = Seq((10L, "alice")).toDF("c_custkey", "c_name")
+    val lineitem = Seq((1.0, 0.05)).toDF("l_quantity", "l_discount")
+    val documents = Seq(("ab", 2L)).toDF("text", "n_chars")
+    val got = Profiling.qualityReport(orders, customer, lineitem, documents)
+      .select(col("violations"), col("passed")).as[(Long, Int)].collect()
+    assert(got.forall(_ == ((0L, 1))), got.mkString(","))
+  }
+
+  test("madOutliers: hand-computed median, MAD, and outlier count") {
+    import spark.implicits._
+    // values 1..9 plus 100: median 5.5; |v−5.5| sorted has median 2.5;
+    // threshold 3·1.4826·2.5 = 11.1195 → only 100 is outside
+    val events = ((1 to 9).map(_.toDouble) :+ 100.0)
+      .map(v => ("a", v)).toDF("event_type", "value")
+    val got = Profiling.madOutliers(events)
+      .select(col("med"), col("mad"), col("n_outliers"), col("n_total"))
+      .as[(Double, Double, Long, Long)].head()
+    assert(got == ((5.5, 2.5, 1L, 10L)))
+  }
+
+  test("rankNormalize: ties share their first-occurrence rank; matches percent_rank") {
+    import spark.implicits._
+    val df = Seq(10.0, 20.0, 20.0, 30.0).map(Tuple1(_)).toDF("v")
+    val got = Profiling.rankNormalize(df, "v")
+      .select(col("v"), col("pct_rank")).as[(Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((10.0, 0.0), (20.0, 1.0 / 3), (20.0, 1.0 / 3), (30.0, 1.0)))
+    // larger mixed-duplicate input: must equal Spark's own percent_rank
+    val big = (1 to 500).map(i => ((i * 7919) % 97).toDouble).toDF("v")
+    val viaWindow = big.withColumn("pr", percent_rank().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"))))
+      .select("v", "pr").as[(Double, Double)].collect().sorted.toSeq
+    val viaOp = Profiling.rankNormalize(big, "v")
+      .select(col("v"), col("pct_rank")).as[(Double, Double)]
+      .collect().sorted.toSeq
+    assert(viaOp == viaWindow)
+    // and the plan must NOT contain a global-sort window
+    val plan = Profiling.rankNormalize(big, "v").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("madOutliers: groups are independent; constant group has MAD 0") {
+    import spark.implicits._
+    val events = (Seq.fill(5)(("flat", 7.0)) ++
+        Seq(("spread", 0.0), ("spread", 10.0), ("spread", 5.0)))
+      .toDF("event_type", "value")
+    val got = Profiling.madOutliers(events)
+      .select(col("event_type"), col("mad"), col("n_outliers"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("flat") == ((0.0, 0L))) // every deviation 0 → no outliers
+    assert(got("spread")._2 == 0L)     // med 5, mad 5 → nothing beyond 22.2
+  }
 }
