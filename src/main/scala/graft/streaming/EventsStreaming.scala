@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2
   * B34–B37). Every transform here is source-agnostic: it accepts either a
@@ -102,5 +103,72 @@ object EventsStreaming {
       "inner")
       .select(col("view_id"), col("user_id"), col("view_ts"),
         col("click_id"), col("click_ts"))
+  }
+
+  // ==== streaming funnel (B62's streaming twin) ==============================
+  //
+  // The batch funnel (EventsOps.funnel / q112) is a fixpoint over each
+  // user's full event-time order: first_i = min ts of stage-i events
+  // STRICTLY after first_{i-1}. That fixpoint is arrival-order-independent,
+  // so a streaming version can be EXACT under out-of-order delivery — the
+  // subtlety is state: first_{i-1} can still DECREASE when a late stage-
+  // (i−1) event arrives, which can qualify stage-i events that were
+  // rejected earlier. So each stage keeps a candidate buffer of the ts
+  // that could still become its minimum: t ∈ (watermark, first_i). Both
+  // bounds shrink the buffer monotonically — the watermark rises and
+  // first_i only falls — so with a watermark the state is bounded by the
+  // late-data volume per user; without one, exactness costs an unpruned
+  // buffer (the parity test runs that mode to prove the fixpoint).
+
+  /** Per-stage resolved minima + pending candidate ts. `Long.MaxValue` in
+    * `firsts(i)` means stage i has no qualifying event yet. */
+  case class FunnelState(firsts: Seq[Long], bufs: Seq[Seq[Long]])
+
+  /** Streaming funnel over (user_id, ts, event_type): emits the user's
+    * current reached-flags each micro-batch (update mode). Exact under any
+    * arrival order; bound state by calling withWatermark upstream. */
+  def funnelStream(events: DataFrame, stages: Seq[String])
+      : Dataset[(Long, Seq[Int])] = {
+    require(stages.nonEmpty)
+    val k = stages.size
+    val stageIdx = stages.zipWithIndex.toMap
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_type"))
+      .as[(Long, Long, String)]
+      .filter(r => stageIdx.contains(r._3))
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String)],
+         state: GroupState[FunnelState]) =>
+          // getCurrentWatermarkMs throws if the query carries no watermark
+          // (the exact/unbounded mode); treat that as watermark −∞
+          val wm = scala.util.Try(state.getCurrentWatermarkMs())
+            .toOption.filter(_ > 0).map(_ * 1000L).getOrElse(Long.MinValue)
+          val st = state.getOption.getOrElse(
+            FunnelState(Seq.fill(k)(Long.MaxValue), Seq.fill(k)(Nil)))
+          val firsts = st.firsts.toArray
+          val bufs = st.bufs.map(_.toBuffer).toArray
+          rows.foreach { case (_, us, et) => bufs(stageIdx(et)) += us }
+          // resolve the chain in stage order: stage 0's threshold is "always
+          // qualified"; each later stage consumes its buffer against the
+          // (already updated) previous first
+          var i = 0
+          while (i < k) {
+            val threshold = if (i == 0) Long.MinValue else firsts(i - 1)
+            if (threshold < Long.MaxValue) {
+              val qualified = bufs(i).filter(_ > threshold)
+              if (qualified.nonEmpty)
+                firsts(i) = math.min(firsts(i), qualified.min)
+            }
+            // keep only candidates that could still lower first_i
+            val keep = bufs(i).filter(t => t < firsts(i) && t > wm)
+            bufs(i).clear(); bufs(i) ++= keep
+            i += 1
+          }
+          state.update(FunnelState(firsts.toSeq, bufs.map(_.toSeq).toSeq))
+          (user, firsts.map(f => if (f < Long.MaxValue) 1 else 0).toSeq)
+      }
   }
 }

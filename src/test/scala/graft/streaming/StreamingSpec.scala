@@ -420,4 +420,70 @@ class StreamingSpec extends AnyFunSuite {
     }
     emb.unpersist()
   }
+
+  test("streaming funnel: a late first-stage event re-qualifies an earlier-rejected click") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventsStreaming.funnelStream(events, Seq("view", "click", "purchase"))
+      .toDF("user_id", "flags").writeStream
+      .format("memory").queryName("funnel_late_out").outputMode("update").start()
+    try {
+      // batch 1: the click arrives FIRST — no view yet, so it cannot count
+      input.addData((1L, ts("2024-01-01 10:05:00"), "click"))
+      q.processAllAvailable()
+      val mid = spark.table("funnel_late_out").as[(Long, Seq[Int])]
+        .collect().toMap
+      assert(mid(1L) == Seq(0, 0, 0), s"click before any view counted: $mid")
+      // batch 2: a LATE view with an EARLIER event time — the buffered
+      // click (10:05 > 10:00) must now qualify
+      input.addData((1L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val flags = spark.table("funnel_late_out").as[(Long, Seq[Int])]
+      .collect().groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(_._2).maxBy(_.sum) }
+    assert(flags(1L) == Seq(1, 1, 0), s"late view did not re-qualify: $flags")
+  }
+
+  test("streaming funnel parity: shuffled out-of-order micro-batches == batch funnel") {
+    // deterministic pseudo-random corpus: 40 users × 30 events, delivered
+    // in DESCENDING event-time order across 4 micro-batches — maximal
+    // out-of-orderness for the candidate-buffer fixpoint
+    val types = Vector("view", "click", "purchase", "error", "signup")
+    val rnd = new scala.util.Random(42)
+    val all = (0 until 1200).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong,
+        new Timestamp(1704067200000L + rnd.nextInt(86400) * 1000L),
+        types(rnd.nextInt(types.size)))
+    }
+    val delivery = all.sortBy(-_._3.getTime).grouped(300).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val events = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventsStreaming.funnelStream(events, Seq("view", "click", "purchase"))
+      .toDF("user_id", "flags").writeStream
+      .format("memory").queryName("funnel_parity_out").outputMode("update").start()
+    try {
+      delivery.foreach { b =>
+        input.addData(b.map(r => (r._1, r._3, r._4)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // flags are monotone over updates → final state = per-user max
+    val streamed = spark.table("funnel_parity_out").as[(Long, Seq[Int])]
+      .collect().groupBy(_._1).map { case (u, rows) =>
+        u -> rows.map(_._2).maxBy(_.sum) }
+    val batch = graft.operators.EventsOps.funnel(
+        all.toDF("user_id", "event_id", "ts", "event_type"),
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("reached_view"), col("reached_click"),
+        col("reached_purchase"))
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    // a user with no stage-typed events never emits a streaming row — its
+    // implicit flags are all-zero
+    batch.foreach { case (u, f) =>
+      assert(streamed.getOrElse(u, Seq(0, 0, 0)) == f,
+        s"user $u: streamed ${streamed.get(u)} vs batch $f")
+    }
+  }
 }
