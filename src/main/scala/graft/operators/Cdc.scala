@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed MERGE / upsert over snapshot tables — the change-data-capture
@@ -134,6 +135,110 @@ object Cdc {
       |SELECT doc_id, source, n_chars, md5(text) AS text_md5
       |FROM merged ORDER BY doc_id""".stripMargin
 
+  // ==== q126: SCD2 validity-interval build ==================================
+  //
+  // The slowly-changing-dimension (type 2) construction: a per-key change
+  // log becomes half-open validity intervals [valid_from, valid_to), the
+  // open current version carrying valid_to = NULL. One lead() window over
+  // the per-key change order — a single key shuffle, no self-join. Ties at
+  // the same microsecond order by change id, producing the same zero-length
+  // superseded intervals a warehouse build would.
+
+  /** (key..., attrs..., valid_from, valid_to) from a change log. */
+  def scd2Build(changes: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+  }
+
+  // profile-change log derived from events: 'signup' and 'error' rows set
+  // the user's profile value; everything else is fact traffic
+  private def profileChanges(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.events(s, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    scd2Build(profileChanges(s, dir), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id"),
+        QueryDef.dec4(col("value")).as("value"),
+        QueryDef.tsMicro(col("valid_from")).as("valid_from"),
+        coalesce(QueryDef.tsMicro(col("valid_to")), lit("open"))
+          .as("valid_to"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+
+  private val q126Sql =
+    """SELECT user_id, event_id,
+      |  CAST(CAST(value AS DECIMAL(38,4)) AS VARCHAR) AS value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  coalesce(strftime(lead(ts, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f'), 'open')
+      |    AS valid_to
+      |FROM events WHERE event_type IN ('signup', 'error')
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  // ==== q127: point-in-time (time-travel) join ==============================
+  //
+  // Each purchase joins the profile version VALID AT its event time —
+  // the leakage-free feature lookup for training-data builds (joining the
+  // current version leaks the future). Because SCD2 intervals PARTITION
+  // each key's timeline, interval containment matches at most one version
+  // per fact: a same-key band join needs no winner-selection rank pass.
+  // The containment predicate evaluates on equi-joined (user) pairs —
+  // per-key fan-out = that user's version count, never a cross product.
+
+  /** Facts × the dimension version whose [valid_from, valid_to) covers the
+    * fact time (left join; facts before any version survive unmatched). */
+  def pointInTimeJoin(facts: DataFrame, scd2: DataFrame, keyCol: String,
+      factTs: String): DataFrame = {
+    val dim = scd2.withColumnRenamed(keyCol, s"__pit_$keyCol")
+    facts.join(dim,
+      facts(keyCol) === dim(s"__pit_$keyCol") &&
+        dim("valid_from") <= facts(factTs) &&
+        (dim("valid_to").isNull || facts(factTs) < dim("valid_to")),
+      "left")
+      .drop(s"__pit_$keyCol")
+  }
+
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val facts = graft.Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value").as("amount"))
+    val dim = scd2Build(profileChanges(s, dir), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("value").as("profile_value"), col("valid_from"), col("valid_to"))
+    pointInTimeJoin(facts, dim, "user_id", "p_ts")
+      .select(col("p_id"), col("user_id"),
+        coalesce(col("version_id"), lit(-1L)).as("version_id"),
+        coalesce(QueryDef.dec4(col("profile_value")), lit("none"))
+          .as("profile_value"))
+      .orderBy(col("p_id"))
+  }
+
+  private val q127Sql =
+    """WITH dim AS (
+      |  SELECT user_id, event_id AS version_id, value AS profile_value,
+      |    ts AS valid_from,
+      |    lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM events WHERE event_type IN ('signup', 'error')),
+      |facts AS (
+      |  SELECT user_id, event_id AS p_id, ts AS p_ts, value AS amount
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT f.p_id, f.user_id,
+      |  coalesce(d.version_id, -1) AS version_id,
+      |  coalesce(CAST(CAST(d.profile_value AS DECIMAL(38,4)) AS VARCHAR),
+      |    'none') AS profile_value
+      |FROM facts f LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND d.valid_from <= f.p_ts
+      |  AND (d.valid_to IS NULL OR f.p_ts < d.valid_to)
+      |ORDER BY f.p_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q106_merge_upsert", q106, Some(q106Sql)))
+    QueryDef("q106_merge_upsert", q106, Some(q106Sql)),
+    QueryDef("q126_scd2_build", q126, Some(q126Sql)),
+    QueryDef("q127_pit_join", q127, Some(q127Sql)))
 }

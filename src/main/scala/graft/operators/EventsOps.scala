@@ -533,10 +533,112 @@ object EventsOps {
       |CROSS JOIN total
       |ORDER BY antecedent, consequent""".stripMargin
 
+  // ==== q125: last-touch revenue attribution ================================
+  //
+  // Each purchase attributes its value to the user's most recent view/click
+  // STRICTLY before it and within a 30-minute horizon; purchases with no
+  // qualifying touch report as 'unattributed'. This composes the engine's
+  // time-bucketed as-of join (B9 — candidate pairs bounded per bucket, no
+  // per-key quadratic blowup on power-law users) with the tolerance pushed
+  // INTO the join, so out-of-horizon touches never become candidates. Ties
+  // at the same microsecond resolve to the highest event_id on both
+  // engines.
+
+  /** (touch_type, n_purchases, revenue) last-touch attribution rollup. */
+  def lastTouchAttribution(events: DataFrame,
+      horizonSec: Long = 1800): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+    val touches = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("touch_type"))
+    Joins.asofBackward(purchases, touches, byKeys = Seq("user_id"),
+        leftTime = "p_ts", rightTime = "t_ts", tieBreak = "t_id",
+        strict = true, toleranceSec = Some(horizonSec))
+      .groupBy(coalesce(col("touch_type"), lit("unattributed")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("value")).as("revenue"))
+  }
+
+  private def q125(s: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(s, dir))
+      .select(col("touch_type"), col("n_purchases"),
+        QueryDef.dec4(col("revenue")).as("revenue"))
+      .orderBy(col("touch_type"))
+
+  private val q125Sql =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS t_id, user_id, ts AS t_ts, event_type AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |cand AS (
+      |  SELECT p.p_id, t.touch_type,
+      |    row_number() OVER (PARTITION BY p.p_id
+      |      ORDER BY t.t_ts DESC, t.t_id DESC) AS rn
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_ts < p.p_ts
+      |    AND t.t_ts >= p.p_ts - INTERVAL 1800 SECOND),
+      |best AS (SELECT p_id, touch_type FROM cand WHERE rn = 1)
+      |SELECT coalesce(b.touch_type, 'unattributed') AS touch_type,
+      |  count(*) AS n_purchases,
+      |  CAST(CAST(sum(p.value) AS DECIMAL(38,4)) AS VARCHAR) AS revenue
+      |FROM p LEFT JOIN best b USING (p_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ==== q128: rolling active users (DAU / 7-day WAU / stickiness) ===========
+  //
+  // Exact rolling-window DISTINCT users — not windowable as a frame (count
+  // distinct over sliding frames isn't decomposable), so each (user, day)
+  // activity fact registers in the ≤7 windows it contributes to (bounded
+  // ×7 fan-out, the sliding-window trick from q57) and one distinct +
+  // groupBy per window does the rest. All day math is integer datediff;
+  // stickiness divides the two counts once, identically on both engines.
+  // Windows are reported only for days present in the data.
+
+  /** (day, dau, wau7, stickiness) per observed activity day. */
+  def rollingActiveUsers(events: DataFrame): DataFrame = {
+    val daily = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = daily.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = daily
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), 6))).as("win_day"))
+      .distinct()
+      .groupBy(col("win_day")).agg(count(lit(1)).as("wau7"))
+    dau.join(wau, dau("day") === wau("win_day"))
+      .select(col("day"), col("dau"), col("wau7"),
+        (col("dau").cast("double") / col("wau7").cast("double"))
+          .as("stickiness"))
+  }
+
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    rollingActiveUsers(Tables.events(s, dir))
+      .select(QueryDef.tsDay(col("day")).as("day"), col("dau"), col("wau7"),
+        QueryDef.dec4(col("stickiness")).as("stickiness"))
+      .orderBy(col("day"))
+
+  private val q128Sql =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+      |wau AS (
+      |  SELECT win_day, count(*) AS wau7 FROM (
+      |    SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS win_day
+      |    FROM daily CROSS JOIN (SELECT unnest(range(7)) AS k))
+      |  GROUP BY 1)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau7,
+      |  CAST(CAST(CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS stickiness
+      |FROM dau JOIN wau ON day = win_day ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q114_cohort_retention", q114, Some(q114Sql)),
     QueryDef("q120_trending_spikes", q120, Some(q120Sql)),
     QueryDef("q121_association_rules", q121, Some(q121Sql)),
+    QueryDef("q125_attribution", q125, Some(q125Sql)),
+    QueryDef("q128_rolling_active", q128, Some(q128Sql)),
     QueryDef("q112_funnel", q112, Some(q112Sql)),
     QueryDef("q115_gap_fill", q115, Some(q115Sql)),
     QueryDef("q116_decayed_score", q116, Some(q116Sql)),

@@ -38,9 +38,10 @@ object Joins {
     * degrade toward the quadratic in-bucket join. */
   def asofBackward(left: DataFrame, right: DataFrame, byKeys: Seq[String],
       leftTime: String, rightTime: String, tieBreak: String,
-      strict: Boolean = false, bucketSize: Double = 3600.0): DataFrame =
+      strict: Boolean = false, bucketSize: Double = 3600.0,
+      toleranceSec: Option[Long] = None): DataFrame =
     asofImpl(left, right, byKeys, leftTime, rightTime, tieBreak,
-      strict, bucketSize, forward = false, toleranceSec = None)
+      strict, bucketSize, forward = false, toleranceSec = toleranceSec)
 
   /** As-of join, FORWARD direction with an optional tolerance: for each
     * left row, the single earliest right row with `rightTime >= leftTime`

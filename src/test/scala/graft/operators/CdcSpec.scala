@@ -112,4 +112,40 @@ class CdcSpec extends AnyFunSuite {
     val got = spark.read.parquet(dir).select(col("id")).as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  private def ts(sec: Int) = new java.sql.Timestamp(1704067200000L + sec * 1000L)
+
+  test("scd2Build: intervals chain per key; the last version stays open") {
+    val changes = Seq(
+      (1L, 10L, ts(0), 1.0), (1L, 11L, ts(60), 2.0), (1L, 12L, ts(120), 3.0),
+      (2L, 20L, ts(30), 9.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val got = Cdc.scd2Build(changes, "user_id", "ts", "event_id")
+      .select(col("event_id"), col("valid_from"), col("valid_to"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getTimestamp(1), Option(r.getTimestamp(2))))).toMap
+    assert(got(10L) == ((ts(0), Some(ts(60)))))
+    assert(got(11L) == ((ts(60), Some(ts(120)))))
+    assert(got(12L) == ((ts(120), None)), "current version must stay open")
+    assert(got(20L) == ((ts(30), None)), "keys are independent")
+  }
+
+  test("pointInTimeJoin: each fact sees exactly the version valid at its time") {
+    val dim = Cdc.scd2Build(Seq(
+        (1L, 10L, ts(0), 1.0), (1L, 11L, ts(100), 2.0))
+      .toDF("user_id", "event_id", "ts", "value"), "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("valid_from"), col("valid_to"))
+    val facts = Seq(
+      (1L, 100L, ts(50)),   // inside v10
+      (1L, 101L, ts(100)),  // exactly at the boundary → v11 (half-open)
+      (1L, 102L, ts(999)),  // open tail → v11
+      (2L, 103L, ts(50))    // no versions for user 2 → unmatched
+    ).toDF("user_id", "fact_id", "fts")
+    val got = Cdc.pointInTimeJoin(facts, dim, "user_id", "fts")
+      .select(col("fact_id"), col("version_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(100L -> 10L, 101L -> 11L, 102L -> 11L, 103L -> -1L))
+  }
 }

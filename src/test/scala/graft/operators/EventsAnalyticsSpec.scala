@@ -132,6 +132,51 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(ba._1 == 2L && ba._3 == 1.0 && ba._4 == 1.0 / (3.0 / 3.0))
   }
 
+  test("attribution: last strict-preceding touch within horizon wins; ties break on event_id") {
+    def at(sec: Int) = new Timestamp(hr(0).getTime + sec * 1000L)
+    val rows = Seq(
+      // u1: view@0, click@10, purchase@20 → click (most recent) gets 5.0
+      (1L, 1L, at(0), "view", 0.0),
+      (1L, 2L, at(10), "click", 0.0),
+      (1L, 3L, at(20), "purchase", 5.0),
+      // u2: touch 40 min before purchase → outside 30-min horizon
+      (2L, 4L, at(0), "view", 0.0),
+      (2L, 5L, at(2400), "purchase", 7.0),
+      // u3: two touches at the SAME ts → higher event_id (click) wins;
+      // the later view is AFTER the purchase and must not count
+      (3L, 6L, at(0), "view", 0.0),
+      (3L, 7L, at(0), "click", 0.0),
+      (3L, 8L, at(5), "purchase", 11.0),
+      (3L, 9L, at(10), "view", 0.0)
+    ).toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventsOps.lastTouchAttribution(rows)
+      .select(col("touch_type"), col("n_purchases"), col("revenue"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "click" -> ((2L, 16.0)), // u1's 5.0 + u3's 11.0
+      "unattributed" -> ((1L, 7.0))))
+  }
+
+  test("rolling active users: WAU window covers the trailing 7 days, distinct per window") {
+    val d = 86400000L
+    def day(n: Int, u: Long) = (u, new Timestamp(hr(0).getTime + n * d))
+    // u1 active days 0 and 3 (twice); u2 active day 3 only
+    val rows = Seq(day(0, 1L), day(3, 1L), day(3, 1L), day(3, 2L))
+      .toDF("user_id", "ts")
+    val got = EventsOps.rollingActiveUsers(rows)
+      .select(date_format(col("day"), "d").cast("int"), col("dau"),
+        col("wau7"), col("stickiness"))
+      .as[(Int, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // day 1 (Jan 1): dau {u1}=1; window [day-6, day] sees only u1
+    assert(got(1) == ((1L, 1L, 1.0)))
+    // day 4 (Jan 4): dau {u1,u2}=2; trailing window also sees day-1 u1 →
+    // still 2 DISTINCT users; u1's double activity on day 3 collapses
+    assert(got(4) == ((2L, 2L, 1.0)))
+    assert(got.size == 2, "only observed days are reported")
+  }
+
   test("markov: per-from probabilities sum to 1") {
     val rows = (0L until 60L).map(i =>
         (i % 5, i, hr(i.toInt), Seq("a", "b", "c")((i % 3).toInt)))

@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank and k-fold assignment laws (round 7, B74/B75). */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sym(pairs: (String, String)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("pageRank: ranks sum to 1 and a hub outranks its leaves") {
+    val star = sym(("hub", "a"), ("hub", "b"), ("hub", "c"))
+    val ranks = Graph.pageRank(star, iterations = 10)
+      .select(col("node"), col("rank_scaled")).as[(String, Double)]
+      .collect().toMap
+    val n = ranks.size.toDouble
+    assert(math.abs(ranks.values.map(_ / n).sum - 1.0) < 1e-9,
+      s"mass not conserved: $ranks")
+    assert(ranks("hub") > ranks("a"), s"hub should dominate: $ranks")
+    // leaves are symmetric → identical ranks
+    assert(ranks("a") == ranks("b") && ranks("b") == ranks("c"))
+  }
+
+  test("pageRank: converges toward the degree distribution on a path graph") {
+    val path = sym(("a", "b"), ("b", "c"), ("c", "d"))
+    val ranks = Graph.pageRank(path, iterations = 30)
+      .select(col("node"), col("rank_scaled")).as[(String, Double)]
+      .collect().toMap
+    // undirected path: interior nodes (deg 2) outrank endpoints (deg 1)
+    assert(ranks("b") > ranks("a") && ranks("c") > ranks("d"))
+    assert(math.abs(ranks("b") - ranks("c")) < 1e-6, s"symmetry: $ranks")
+  }
+
+  test("kFoldAssign: deterministic, in range, and every fold populated") {
+    val docs = (1L to 2000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val folds = Graph.kFoldAssign(docs, "doc_id", 5)
+      .select(col("doc_id"), col("fold")).as[(Long, Int)].collect().toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    // all folds hit, roughly balanced (md5 is uniform to 1/256)
+    val sizes = folds.values.groupBy(identity).view.mapValues(_.size)
+    assert(sizes.size == 5, s"missing folds: $sizes")
+    sizes.values.foreach(s => assert(math.abs(s - 400) < 120, sizes.toMap))
+    // re-running assigns the identical fold to every key
+    val again = Graph.kFoldAssign(docs, "doc_id", 5)
+      .select(col("doc_id"), col("fold")).as[(Long, Int)].collect().toMap
+    assert(again == folds)
+  }
+}
