@@ -496,10 +496,126 @@ object Multimodal {
       |FROM documents, unnest(range(0, doc_id % 5 + 1, 2)) AS u(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ==== q129: perceptual-hash (dHash) near-duplicate images =================
+  //
+  // The image-dedup primitive: a difference hash over a downsampled
+  // luminance grid, then near-dup pairs by Hamming distance. The hash here
+  // is 63 bits (7×10 grid, row-adjacent comparisons) — deliberately NOT 64:
+  // bit 63 would force `1<<63` sign-bit semantics both engines would have
+  // to agree on; 63 bits keep every term a positive BIGINT literal. Grid
+  // luminance comes from the payload's evenly-spaced sample bytes — for
+  // the all-ASCII stand-in corpus that is `ascii(text[i])`, which DuckDB
+  // recomputes exactly (the multimodal_features contract).
+  //
+  // Pair generation is the LSH-band shape shared with minhash dedup: the
+  // hash splits into 4 bands, candidates meet in a same-band equi shuffle
+  // join (never all-pairs), and the pigeonhole principle makes candidates
+  // COMPLETE for Hamming ≤ 3 (4 bands, ≤3 differing bits → some band is
+  // bit-identical). A skewed band (monoculture corpus) would take the
+  // frequency-cap guard from Dedup's capped index; exact here.
+
+  private val PhashGridRows = 7
+  private val PhashGridCols = 10 // 9 comparisons per row → 63 bits
+
+  /** SQL text (shared shape cross-engine) for the grid sample char code at
+    * grid position p: evenly spaced over the document. */
+  private def gridChar(p: Int, div: String, castInt: String => String) =
+    s"ascii(substr(text, ${castInt(s"(($p * length(text)) $div 70)")} + 1, 1))"
+
+  private def dhashSqlExpr(div: String, castInt: String => String): String = {
+    val terms = for {
+      r <- 0 until PhashGridRows
+      c <- 0 until PhashGridCols - 1
+    } yield {
+      val bit = r * (PhashGridCols - 1) + c
+      val weight = 1L << (62 - bit)
+      s"(CASE WHEN ${gridChar(r * PhashGridCols + c, div, castInt)} > " +
+        s"${gridChar(r * PhashGridCols + c + 1, div, castInt)} " +
+        s"THEN CAST($weight AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }
+    terms.mkString("(", " + ", ")")
+  }
+
+  /** Adds the 63-bit `phash` column from `text` (non-empty). */
+  def dHash63(docs: DataFrame): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .withColumn("phash", expr(dhashSqlExpr("div", e => s"cast($e as int)")))
+
+  /** Near-dup pairs (a < b) with Hamming ≤ `maxHamming` over (doc_id,
+    * phash). Exact and complete for maxHamming ≤ 3 (pigeonhole over 4
+    * bands). */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands guarantee completeness only to 3")
+    val bandCols = Seq(
+      shiftright(col("phash"), 47),
+      shiftright(col("phash"), 31).bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("phash"), 15).bitwiseAND(lit(0xFFFFL)),
+      col("phash").bitwiseAND(lit(0x7FFFL)))
+    val banded = hashes.select(col("doc_id"), col("phash"),
+      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+        struct(lit(i).as("band_idx"), c.as("band_val")) }: _*)).as("band"))
+      .select(col("doc_id"), col("phash"),
+        col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
+    val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_hash"),
+      col("band_idx"), col("band_val"))
+    val b = banded.select(col("doc_id").as("b_id"), col("phash").as("b_hash"),
+      col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_hash ^ b_hash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // The corpus carries no duplicate texts, so the gate PLANTS them (the
+  // established planted-recall pattern): every 50th doc gains an identical
+  // copy (Hamming 0) and a first-char-substituted copy (Hamming ≤ 1 — only
+  // the grid-(0,0) comparison samples char 1).
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val seeds = docs.filter(col("doc_id") % 50 === 0)
+    val planted = docs
+      .unionAll(seeds.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionAll(seeds.select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(lit("Z"), expr("substring(text, 2)")).as("text")))
+    phashNearDupPairs(dHash63(planted)).orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val q129Sql = {
+    val h = dhashSqlExpr("//", e => s"CAST($e AS INTEGER)")
+    s"""WITH planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 50 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 2000000, 'Z' || substr(text, 2)
+       |  FROM documents WHERE doc_id % 50 = 0),
+       |hashes AS (
+       |  SELECT doc_id, $h AS phash
+       |  FROM planted WHERE length(text) > 0),
+       |banded AS (
+       |  SELECT doc_id, phash, 0 AS band_idx, phash >> 47 AS band_val FROM hashes
+       |  UNION ALL
+       |  SELECT doc_id, phash, 1, (phash >> 31) & 65535 FROM hashes
+       |  UNION ALL
+       |  SELECT doc_id, phash, 2, (phash >> 15) & 65535 FROM hashes
+       |  UNION ALL
+       |  SELECT doc_id, phash, 3, phash & 32767 FROM hashes)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+       |FROM banded a JOIN banded b
+       |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |  AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q63_audio_roundtrip", audioRoundTrip, Some(audioRoundTripSql)),
     QueryDef("q72_image_resize", imageResizeOracled, Some(imageResizeSql)),
-    QueryDef("q73_frame_sample", frameSampleOracled, Some(frameSampleSql)))
+    QueryDef("q73_frame_sample", frameSampleOracled, Some(frameSampleSql)),
+    QueryDef("q129_phash_dedup", q129, Some(q129Sql)))
 }

@@ -183,4 +183,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getLong(3) == 500L && r.getLong(4) == 1200L)
     assert(math.abs(r.getDouble(5) - math.sqrt((300.0 * 300 + 400 * 400 + 0 + 500.0 * 500) / 4)) < 1e-9)
   }
+
+  test("dHash63: identical texts collide, a different corpus does not; 63 bits only") {
+    import spark.implicits._
+    val base = "The quick brown fox jumps over the lazy dog repeatedly today."
+    val other = "Entirely unrelated content with different letter distribution!!"
+    val hashes = Multimodal.dHash63(Seq(
+        (1L, base), (2L, base), (3L, other))
+      .toDF("doc_id", "text"))
+      .select(col("doc_id"), col("phash")).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+    hashes.values.foreach(h => assert(h >= 0L, s"sign bit must stay clear: $h"))
+  }
+
+  test("phashNearDupPairs: exact and complete vs brute force at hamming <= 3") {
+    import spark.implicits._
+    // adversarial hash set: a base value, single/double/triple bit flips in
+    // DIFFERENT bands, a 4-bit flip (must be excluded), plus pseudo-random
+    // fillers
+    val rnd = new scala.util.Random(7)
+    val base = 0x1234_5678_9ABC_DEFL
+    val crafted = Seq(
+      base,                       // 0: identical pair target
+      base,                       // 1
+      base ^ (1L << 50),          // 2: hamming 1 from base (band 0)
+      base ^ (1L << 40) ^ (1L << 20), // 3: hamming 2 (bands 1 and 2)
+      base ^ (1L << 5) ^ (1L << 25) ^ (1L << 45), // 4: hamming 3, three bands
+      base ^ 0xFL                 // 5: hamming 4 → excluded
+    )
+    val fillers = Seq.fill(40)(rnd.nextLong() & Long.MaxValue >> 1)
+    val hashes = (crafted ++ fillers).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "phash")
+    val got = Multimodal.phashNearDupPairs(hashes)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // brute-force reference
+    val all = (crafted ++ fillers).zipWithIndex
+    val expected = (for {
+      (ha, ia) <- all; (hb, ib) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia.toLong, ib.toLong) -> d).toMap
+    assert(got == expected,
+      s"missing: ${expected.keySet -- got.keySet}; extra: ${got.keySet -- expected.keySet}")
+    assert(got(((0L, 1L))) == 0 && got(((0L, 2L))) == 1 &&
+      got(((0L, 3L))) == 2 && got(((0L, 4L))) == 3)
+    assert(!got.contains((0L, 5L)), "hamming 4 must be excluded")
+  }
 }
