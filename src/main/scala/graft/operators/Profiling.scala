@@ -360,11 +360,127 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS pct_rank
       |FROM lineitem ORDER BY l_orderkey, l_linenumber, pct_rank""".stripMargin
 
+  // ==== q130: percentile winsorization ======================================
+  //
+  // Clamp a column to its [p05, p95] — the standard heavy-tail taming
+  // before feature scaling. Boundaries come from the DISTRIBUTED exact
+  // quantile path (q113's machinery: range-sort + prefix scan, no
+  // single-combiner percentile state) and broadcast as scalars; the clamp
+  // is one map-side pass. Boundaries are dec4-rounded before comparing —
+  // interpolated quantiles land on the 0.0005 grid (2-decimal data ×
+  // 0.05-step fractions), which round(·,4) maps to itself, so a 1-ulp
+  // cross-engine quantile difference cannot flip a clamp decision.
+
+  /** (n, n_clamped_lo, n_clamped_hi, sum_winsorized, lo, hi) after
+    * clamping `colName` to its [pLo, pHi] quantiles. */
+  def winsorize(df: DataFrame, colName: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val Seq(lo, hi) = exactQuantiles(df, colName, Seq(pLo, pHi))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = broadcast(Seq((math.rint(lo * 10000) / 10000,
+      math.rint(hi * 10000) / 10000)).toDF("lo", "hi"))
+    df.select(col(colName).as("v")).crossJoin(bounds)
+      .select(col("v"), col("lo"), col("hi"),
+        // the corpus-wide sum runs in EXACT decimal: a double sum of 10⁶⁺
+        // money values carries summation-order noise above dec4 resolution
+        // (observed 0.007 on a 3·10¹¹ sum at sf1)
+        greatest(least(col("v"), col("hi")), col("lo"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 4)).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo"), 1).otherwise(0)).as("n_clamped_lo"),
+        sum(when(col("v") > col("hi"), 1).otherwise(0)).as("n_clamped_hi"),
+        sum(col("w")).as("sum_winsorized"),
+        max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+  }
+
+  private def q130(s: SparkSession, dir: String): DataFrame =
+    winsorize(Tables.lineitem(s, dir), "l_extendedprice")
+      .select(col("n"), col("n_clamped_lo"), col("n_clamped_hi"),
+        QueryDef.dec4(col("sum_winsorized")).as("sum_winsorized"),
+        QueryDef.dec4(col("lo")).as("lo"), QueryDef.dec4(col("hi")).as("hi"))
+
+  private val q130Sql =
+    """WITH b AS (
+      |  SELECT round(quantile_cont(l_extendedprice, 0.05), 4) AS lo,
+      |    round(quantile_cont(l_extendedprice, 0.95), 4) AS hi
+      |  FROM lineitem)
+      |SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clamped_lo,
+      |  CAST(sum(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clamped_hi,
+      |  CAST(CAST(sum(CAST(greatest(least(l_extendedprice, hi), lo)
+      |    AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_winsorized,
+      |  CAST(CAST(max(lo) AS DECIMAL(38,4)) AS VARCHAR) AS lo,
+      |  CAST(CAST(max(hi) AS DECIMAL(38,4)) AS VARCHAR) AS hi
+      |FROM lineitem CROSS JOIN b""".stripMargin
+
+  // ==== q131: two-sample Kolmogorov–Smirnov drift statistic =================
+  //
+  // KS = max |CDF_a − CDF_b| between two slices of a metric — the
+  // distribution-shift monitor between data batches. Exact and
+  // distributed: per-value counts for both sides in ONE groupBy (map-side
+  // combined), then the exclusive prefix scan over the range-partitioned
+  // DISTINCT-value histogram (q122's machinery) gives both running CDFs;
+  // no global sort of raw rows, no window over the full table. The CDF
+  // divisions are integer/integer on both engines — bit-identical, so the
+  // max picks the same value everywhere.
+
+  /** One row: (ks, n_a, n_b) for `colName` split by boolean `sideCol`. */
+  def ksDrift(df: DataFrame, colName: String, sideA: Column): DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val withA = graft.chunk.ChunkAssigner.withPrefixSum(
+      counts, Seq(col("v")), col("ca"), outName = "pa")
+    val withB = graft.chunk.ChunkAssigner.withPrefixSum(
+      withA, Seq(col("v")), col("cb"), outName = "pb")
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    withB.crossJoin(totals)
+      .select(abs((col("pa") + col("ca")).cast("double") / col("na").cast("double") -
+        (col("pb") + col("cb")).cast("double") / col("nb").cast("double"))
+        .as("d"), col("na"), col("nb"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(max(col("d")).as("ks"))
+      .select(col("ks"), col("n_a"), col("n_b"))
+  }
+
+  private def q131(s: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables.events(s, dir), "value", col("event_id") % 2 === 0)
+      .select(QueryDef.dec4(col("ks")).as("ks"), col("n_a"), col("n_b"))
+
+  private val q131Sql =
+    """WITH counts AS (
+      |  SELECT value AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cumb
+      |  FROM counts),
+      |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM counts)
+      |SELECT CAST(CAST(max(abs(CAST(cuma AS DOUBLE) / CAST(na AS DOUBLE) -
+      |    CAST(cumb AS DOUBLE) / CAST(nb AS DOUBLE))) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS ks,
+      |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
+      |FROM cdf CROSS JOIN t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
     QueryDef("q69_profile", q69, Some(q69Sql)),
     QueryDef("q113_equidepth_histogram", q113, Some(q113Sql)),
     QueryDef("q117_quality_report", q117, Some(q117Sql)),
     QueryDef("q118_outliers_mad", q118, Some(q118Sql)),
-    QueryDef("q122_rank_normalize", q122, Some(q122Sql)))
+    QueryDef("q122_rank_normalize", q122, Some(q122Sql)),
+    QueryDef("q130_winsorize", q130, Some(q130Sql)),
+    QueryDef("q131_ks_drift", q131, Some(q131Sql)))
 }

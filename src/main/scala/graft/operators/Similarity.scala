@@ -377,7 +377,51 @@ object Similarity {
       |  CAST(CAST(max(cos) AS DECIMAL(38,4)) AS VARCHAR) AS max_cos
       |FROM p WHERE cos >= 0.98 GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ==== q132: embedding distribution drift ==================================
+  //
+  // The distribution-shift monitor for embedding corpora: per-dimension
+  // mean difference between two slices (old batch vs new batch). One
+  // posexplode + one (dim, side)-keyed aggregation — the fan-out is
+  // rows × dim but every downstream table is |dim|-sized, so the heavy
+  // phase is a single map-side-combined groupBy regardless of corpus
+  // scale. Rows are emitted per dimension ORDERED BY DIM (not by drift:
+  // near-equal drifts would make a drift-ordered row set ulp-unstable
+  // cross-engine).
+
+  /** (dim, mean_a, mean_b, drift) per embedding dimension, split by
+    * `sideA`. */
+  def embeddingDrift(embeddings: DataFrame, sideA: Column): DataFrame =
+    embeddings
+      .select(sideA.as("is_a"), posexplode(col("embedding")).as(Seq("dim", "e")))
+      .groupBy(col("dim"))
+      .agg(avg(when(col("is_a"), col("e"))).as("mean_a"),
+        avg(when(!col("is_a"), col("e"))).as("mean_b"))
+      .withColumn("drift", abs(col("mean_a") - col("mean_b")))
+
+  private def q132(s: SparkSession, dir: String): DataFrame =
+    embeddingDrift(Tables.embeddings(s, dir), col("vec_id") % 2 === 0)
+      .select(col("dim"),
+        QueryDef.dec4(col("mean_a")).as("mean_a"),
+        QueryDef.dec4(col("mean_b")).as("mean_b"),
+        QueryDef.dec4(col("drift")).as("drift"))
+      .orderBy(col("dim"))
+
+  private val q132Sql =
+    """SELECT CAST(dim - 1 AS INTEGER) AS dim,
+      |  CAST(CAST(avg(CASE WHEN vec_id % 2 = 0 THEN e END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_a,
+      |  CAST(CAST(avg(CASE WHEN vec_id % 2 <> 0 THEN e END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_b,
+      |  CAST(CAST(abs(avg(CASE WHEN vec_id % 2 = 0 THEN e END) -
+      |    avg(CASE WHEN vec_id % 2 <> 0 THEN e END))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS drift
+      |FROM (SELECT vec_id, unnest(embedding) AS e,
+      |    generate_subscripts(embedding, 1) AS dim
+      |  FROM embeddings)
+      |GROUP BY dim ORDER BY dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_embedding_drift", q132, Some(q132Sql)),
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
     QueryDef("q87_knn_label", q87, Some(q87Sql)),

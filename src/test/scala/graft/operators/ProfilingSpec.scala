@@ -158,6 +158,37 @@ class ProfilingSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("winsorize: clamp counts and sum match hand computation on 1..100") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    // p05 at position 4.95 → 5.95; p95 at 94.05 → 95.05
+    val got = Profiling.winsorize(df, "v")
+      .select(col("n"), col("n_clamped_lo"), col("n_clamped_hi"),
+        col("sum_winsorized").cast("double"), col("lo"), col("hi"))
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(got._1 == 100L && got._2 == 5L && got._3 == 5L)
+    assert(got._5 == 5.95 && got._6 == 95.05)
+    val expectedSum = 5 * 5.95 + (6 to 95).sum + 5 * 95.05
+    assert(math.abs(got._4 - expectedSum) < 1e-9)
+  }
+
+  test("ksDrift: identical slices give 0, disjoint slices give 1, shifted slices in between") {
+    import spark.implicits._
+    def ks(rows: Seq[(Double, Long)]) =
+      Profiling.ksDrift(rows.toDF("value", "event_id"), "value",
+        col("event_id") % 2 === 0)
+        .select(col("ks")).as[Double].head()
+    val same = (1 to 20).flatMap(i => Seq((i.toDouble, 0L), (i.toDouble, 1L)))
+    assert(ks(same) == 0.0)
+    val disjoint = (1 to 10).map(i => (i.toDouble, 0L)) ++
+      (11 to 20).map(i => (i.toDouble, 1L))
+    assert(ks(disjoint) == 1.0)
+    // A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 → |2/4 − 0/4| = 0.5
+    val shifted = Seq(1.0, 2.0, 3.0, 4.0).map((_, 0L)) ++
+      Seq(3.0, 4.0, 5.0, 6.0).map((_, 1L))
+    assert(ks(shifted) == 0.5)
+  }
+
   test("madOutliers: groups are independent; constant group has MAD 0") {
     import spark.implicits._
     val events = (Seq.fill(5)(("flat", 7.0)) ++
