@@ -13,7 +13,8 @@ object SparkEntry {
       CorpusOps.defs ++ Profiling.defs ++ EventsOps.defs ++ Similarity.defs ++ Dedup.defs ++
       AnnLsh.defs ++ AnnIvf.defs ++ AnnPq.defs ++ Multimodal.defs ++
       SketchOps.defs ++ FuzzyJoin.defs ++ Retrieval.defs ++ Cdc.defs ++
-      Layout.defs ++ Incremental.defs ++ Evolution.defs ++ Graph.defs
+      Layout.defs ++ Incremental.defs ++ Evolution.defs ++ Graph.defs ++
+      DimReduce.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: full-scan grouped aggregation with map-side partials. */
