@@ -143,7 +143,90 @@ object Graph {
       |  FROM documents)
       |GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ==== q134: triangle counting (degree-ordered orientation) ================
+  //
+  // Triangles per node over an undirected graph — the local-clustering
+  // signal used to find tightly-knit item communities (here: parts
+  // co-ordered in the same order). The naive triple self-join enumerates
+  // every wedge at every triangle corner; the classic fix (Schank/Wagner
+  // node-iterator, the standard MapReduce formulation) orients each edge
+  // from its lower-(degree, id) endpoint to the higher one, which (a)
+  // counts each triangle exactly once with no post-dedup and (b) bounds
+  // per-node wedge fan-out by O(√m): a hub of degree d only ORIGINATES
+  // wedges toward neighbors of even higher degree, of which there are at
+  // most O(√m). Work is O(m^{3/2}) total — at 100 TB the two shuffles
+  // (wedge build keyed on the wedge center, closing-edge probe keyed on
+  // the (v,w) pair) are both hash-balanced; no node's task grows with its
+  // raw degree.
+
+  /** Per-node triangle counts over undirected `edges` (cols a, b; any
+    * duplicates / orderings / self-loops are canonicalized away). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orientation key: (deg, id) — a total order, so exactly one direction
+    // survives per edge; carry the head's key for the wedge dedup below
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = keyed.select(
+      when(struct(col("da").as("d"), col("a").as("id")) <
+          struct(col("db").as("d"), col("b").as("id")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          struct(col("db").as("d"), col("b").as("id")).as("kd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          struct(col("da").as("d"), col("a").as("id")).as("kd"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"), col("o.kd").as("kd"))
+    // wedges u→v, u→w with kv < kw; the closing edge {v,w} is then oriented
+    // exactly v→w, so one equi-join on (v,w) finds it
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("kd").as("kv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("kd").as("kw"))
+    val wedges = o1.join(o2, Seq("src")).where(col("kv") < col("kw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  // the declared query runs on a deterministic ⅓ part-domain slice: the
+  // full co-order graph's wedge space is ~27× larger and adds ~25 s to
+  // every bench iteration at sf0.1 without testing anything the slice
+  // doesn't — the operator itself is domain-agnostic
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    triangleCounts(edges)
+      .orderBy(col("n_triangles").desc, col("node")).limit(20)
+  }
+
+  private val q134Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+      |pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |nodes AS (
+      |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |  UNION ALL SELECT z FROM tri)
+      |SELECT node, count(*) AS n_triangles FROM nodes
+      |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
-    QueryDef("q124_kfold", q124, Some(q124Sql)))
+    QueryDef("q124_kfold", q124, Some(q124Sql)),
+    QueryDef("q134_triangles", q134, Some(q134Sql)))
 }

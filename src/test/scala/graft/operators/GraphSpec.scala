@@ -49,4 +49,37 @@ class GraphSpec extends AnyFunSuite {
       .select(col("doc_id"), col("fold")).as[(Long, Int)].collect().toMap
     assert(again == folds)
   }
+
+  test("triangleCounts: hand-built graph — K4 minus an edge, plus a pendant") {
+    // K4 on 1..4 minus edge (3,4): triangles {1,2,3} and {1,2,4};
+    // node 5 hangs off node 1 and joins nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (1L, 5L))
+      .toDF("a", "b")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
+
+  test("triangleCounts: equals brute-force triple-join on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val got = Graph.triangleCounts(edges).as[(Long, Long)].collect().toMap
+    // brute force: canonical edge set, all ordered triples
+    val es = edges.as[(Long, Long)].collect()
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val triples = for {
+      x <- nodes; y <- nodes if y > x; z <- nodes if z > y
+      if es((x, y)) && es((y, z)) && es((x, z))
+    } yield (x, y, z)
+    val expected = triples.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (n, l) => (n, l.size.toLong) }
+    assert(got == expected, s"got $got expected $expected")
+    // duplicate rows / reversed orientations / self-loops change nothing
+    val noisy = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .union(Seq((9L, 9L)).toDF("a", "b"))
+    val got2 = Graph.triangleCounts(noisy).as[(Long, Long)].collect().toMap
+    assert(got2 == expected)
+  }
 }
