@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-level distribution statistics (round 7, B85–B87): character
+  * entropy (the cheap gibberish/boilerplate filter), the source×source
+  * n-gram overlap matrix (corpus-mixture audit: which sources are near-
+  * copies of each other), and out-of-vocabulary rate against the corpus
+  * head vocabulary (domain-shift signal per document).
+  */
+object CorpusStats {
+
+  // ==== q135: per-document character entropy ================================
+  //
+  // Shannon entropy over a FIXED 28-bin charset (a–z, space, other) — the
+  // standard cheap quality gate: near-0 entropy = one repeated character
+  // (boilerplate padding), abnormally high = random bytes. Fixed bins
+  // rather than per-document distinct characters keep the operator one
+  // codegen'd map-side projection — 27 replace/length passes per row, no
+  // explode, no shuffle, no per-doc hash map. Cross-engine exactness:
+  // H = ln(n) − (Σ cᵢ·ln cᵢ)/n over INTEGER counts, terms added in fixed
+  // bin order — both engines ln() the same integer-valued doubles and add
+  // in the same sequence.
+
+  private val EntropyBins: Seq[String] = ('a' to 'z').map(_.toString) :+ " "
+
+  /** (n_chars, entropy_nats) columns for `text`. */
+  def charEntropy(text: Column): (Column, Column) = {
+    val n = length(text)
+    val counts = EntropyBins.map(ch => n - length(replace(text, lit(ch), lit(""))))
+    val other = n - counts.reduceLeft(_ + _)
+    val terms = (counts :+ other).map { c =>
+      when(c > 0, c.cast("double") * log(c.cast("double"))).otherwise(lit(0.0))
+    }
+    val h = log(n.cast("double")) - terms.reduceLeft(_ + _) / n.cast("double")
+    (n, h)
+  }
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    val (n, h) = charEntropy(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), n.as("n_chars_measured"),
+        QueryDef.dec4(h).as("entropy_nats"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q135Sql = {
+    val cnt = (i: Int, ch: String) =>
+      s"length(text) - length(replace(text, '$ch', '')) AS c$i"
+    val cntCols = EntropyBins.zipWithIndex
+      .map { case (ch, i) => cnt(i + 1, ch) }.mkString(",\n    ")
+    val sumC = (1 to EntropyBins.size).map(i => s"c$i").mkString(" + ")
+    val term = (i: Int) =>
+      s"CASE WHEN c$i > 0 THEN CAST(c$i AS DOUBLE) * ln(CAST(c$i AS DOUBLE)) " +
+        "ELSE CAST(0 AS DOUBLE) END"
+    val terms = (1 to EntropyBins.size + 1).map(term).mkString("\n      + ")
+    s"""WITH c AS (
+       |  SELECT doc_id, length(text) AS n,
+       |    $cntCols
+       |  FROM documents),
+       |c2 AS (SELECT *, n - ($sumC) AS c${EntropyBins.size + 1} FROM c)
+       |SELECT doc_id, n AS n_chars_measured,
+       |  CAST(CAST(ln(CAST(n AS DOUBLE)) - ($terms) / CAST(n AS DOUBLE)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS entropy_nats
+       |FROM c2 ORDER BY doc_id""".stripMargin
+  }
+
+  // ==== q136: source×source n-gram overlap matrix ===========================
+  //
+  // Pairwise Jaccard between per-source distinct 3-gram sets — the corpus-
+  // mixture audit (two "different" crawls that are 80% the same inflate
+  // dedup debt and skew mixture weights). Scale shape: the pair space is
+  // generated from a gram-keyed inverted index, so fan-out per gram is
+  // bounded by |sources|² (a DOMAIN constant, thousands at most) — never by
+  // corpus volume; the reused PairCombos kernel emits each gram's source
+  // pairs in one tight loop. No source×source×grams cross join anywhere.
+
+  /** Pairwise (ga < gb) n-gram Jaccard between groups. `docs`: (gid, text). */
+  def groupOverlap(docs: DataFrame, shingleN: Int): DataFrame = {
+    val grams = docs
+      .select(col("gid"), explode(Dedup.shingles(col("text"), shingleN)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy(col("gid")).agg(count(lit(1)).as("sz"))
+    val buckets = grams.groupBy(col("g")).agg(
+      sort_array(collect_list(struct(col("gid").as("doc_id"), lit(0L).as("p"))))
+        .as("members"))
+    val inter = buckets
+      .select(explode(graft.functions.PairCombos.of(col("members"))).as("pr"))
+      .groupBy(col("pr.doc_a").as("ga"), col("pr.doc_b").as("gb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("gid").as("ga"), col("sz").as("sza"))), Seq("ga"))
+      .join(broadcast(sizes.select(col("gid").as("gb"), col("sz").as("szb"))), Seq("gb"))
+      .select(col("ga"), col("gb"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("uni"),
+        QueryDef.dec4(col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  private def q136(s: SparkSession, dir: String): DataFrame =
+    groupOverlap(
+      Tables.documents(s, dir)
+        .select(substring(col("source"), 4, 10).cast("long").as("gid"), col("text")),
+      shingleN = 3)
+      .orderBy(col("ga"), col("gb"))
+
+  private val q136Sql =
+    """WITH toks AS (
+      |  SELECT CAST(substr(source, 4) AS BIGINT) AS gid,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT gid, array_to_string(t[i:i+2], ' ') AS s
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+      |  UNION
+      |  SELECT gid, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 2),
+      |sz AS (SELECT gid, count(*) AS sz FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT a.gid AS ga, b.gid AS gb, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.gid < b.gid GROUP BY 1, 2)
+      |SELECT ga, gb, inter, sa.sz + sb.sz - inter AS uni,
+      |  CAST(CAST(CAST(inter AS DOUBLE) /
+      |    CAST(sa.sz + sb.sz - inter AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS jaccard
+      |FROM inter JOIN sz sa ON sa.gid = ga JOIN sz sb ON sb.gid = gb
+      |ORDER BY ga, gb""".stripMargin
+
+  // ==== q137: out-of-vocabulary rate against the corpus head ================
+  //
+  // Per-document fraction of token OCCURRENCES outside the top-V corpus
+  // vocabulary — the cheap domain-shift / tokenizer-fit signal. The vocab
+  // is V rows (TakeOrdered over the token counts), collected and pushed
+  // back as a literal array, so scoring is pure map-side: one array filter
+  // per document, no second shuffle, no join. The V-row collect is the
+  // bounded-scalar class (like the IVF probe-cell lists), not a data
+  // collect.
+
+  /** Adds n_tokens / n_oov / oov_rate against the top-`vocabSize` tokens
+    * (ties broken by token text ascending). */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val vocab = docs
+      .select(explode(Tok.ws(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t"))
+      .limit(vocabSize)
+      .select(col("t")).collect().map(_.getString(0))
+    val toks = Tok.ws(col("text"))
+    val inVocab = typedLit(vocab.toSeq)
+    docs.withColumn("n_tokens", size(toks))
+      .withColumn("n_oov",
+        size(filter(toks, t => not(array_contains(inVocab, t)))))
+      .withColumn("oov_rate", QueryDef.dec4(
+        col("n_oov").cast("double") / col("n_tokens").cast("double")))
+  }
+
+  private def q137(s: SparkSession, dir: String): DataFrame =
+    oovRate(Tables.documents(s, dir).select(col("doc_id"), col("text")), 15)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+      .orderBy(col("doc_id"))
+
+  private val q137Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT t FROM tok GROUP BY t ORDER BY count(*) DESC, t LIMIT 15),
+      |st AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(CASE WHEN t IN (SELECT t FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+      |  FROM tok GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_oov,
+      |  CAST(CAST(CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS oov_rate
+      |FROM st ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q135_char_entropy", q135, Some(q135Sql)),
+    QueryDef("q136_source_overlap", q136, Some(q136Sql)),
+    QueryDef("q137_oov_rate", q137, Some(q137Sql)))
+}

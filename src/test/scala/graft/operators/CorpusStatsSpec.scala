@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Entropy / overlap / OOV laws (round 7, B85–B87). */
+class CorpusStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def entropyOf(s: String): Double = {
+    val df = Seq((1L, s)).toDF("doc_id", "text")
+    val (_, h) = CorpusStats.charEntropy(col("text"))
+    df.select(h.as("h")).as[Double].head()
+  }
+
+  test("charEntropy: hand-computed values") {
+    assert(entropyOf("aaaa") == 0.0)
+    // two equiprobable symbols → ln 2
+    assert(math.abs(entropyOf("abab") - math.log(2)) < 1e-12)
+    // 4 distinct symbols once each → ln 4; 'z','q' in-bin, '!','7' → other
+    // (two "other" chars form ONE bin of count 2 → H = 3/4 ln 4 + ... )
+    val h = entropyOf("zq!7")
+    val expected = 2 * (0.25 * math.log(4)) + 0.5 * math.log(2)
+    assert(math.abs(h - expected) < 1e-12, s"got $h want $expected")
+  }
+
+  test("groupOverlap: identical groups score 1, disjoint groups are absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"), // identical to group 1
+      (3L, "zeta eta theta iota")     // shares no 3-gram with anyone
+    ).toDF("gid", "text")
+    val got = CorpusStats.groupOverlap(docs, 3)
+      .select(col("ga"), col("gb"), col("jaccard"))
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((1L, 2L, "1.0000")), s"got $got")
+  }
+
+  test("groupOverlap: partial overlap matches hand-set arithmetic") {
+    // group 1 grams: {a b c, b c d}; group 2 grams: {b c d, c d e}
+    // inter = 1, union = 3 → 1/3
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("gid", "text")
+    val got = CorpusStats.groupOverlap(docs, 3)
+      .select(col("inter"), col("uni"), col("jaccard"))
+      .as[(Long, Long, String)].head()
+    assert(got == ((1L, 3L, "0.3333")), s"got $got")
+  }
+
+  test("oovRate: occurrences outside the head vocab, ties broken by token") {
+    // counts: x=4, y=3, z=2, w=1 → vocab(2) = {x, y}
+    val docs = Seq(
+      (1L, "x x y z"), (2L, "x x y y z w")).toDF("doc_id", "text")
+    val got = CorpusStats.oovRate(docs, 2)
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"))
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((4, 1)) && got(2L) == ((6, 2)), s"got $got")
+  }
+}
