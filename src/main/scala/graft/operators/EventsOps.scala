@@ -633,7 +633,63 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS stickiness
       |FROM dau JOIN wau ON day = win_day ORDER BY day""".stripMargin
 
+  // ==== q139: rolling distinct users via mergeable daily HLL sketches =======
+  //
+  // The 100 TB twin of q128: the exact rolling WAU registers every (user,
+  // day) into its ≤7 trailing windows, so the shuffle carries 7× the
+  // distinct-user volume. Here each DAY aggregates once into a fixed-size
+  // HLL sketch (map-side partials) and only the ~days×7 SKETCHES — constant
+  // size regardless of user count — are registered into windows and merged
+  // with hll_union_agg. That is the standard precompute-daily-sketches DAU
+  // architecture: adding a day never rescans history, and window width
+  // changes are a re-merge of existing sketches. Driver-gated like
+  // hll_count_distinct: output carries the EXACT rolling distinct (hash-
+  // matched) plus an ok boolean proving the estimate landed within ±5%.
+
+  def rollingDistinctSketched(events: DataFrame): DataFrame = {
+    val daily = events.select(to_date(col("ts")).as("day"), col("user_id"))
+    val daySketches = daily.groupBy(col("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val est = daySketches
+      .select(explode(sequence(col("day"), date_add(col("day"), 6)))
+        .as("win_day"), col("sk"))
+      .groupBy(col("win_day"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("wau_est"))
+    val exact = daily.distinct()
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), 6))).as("win_day"))
+      .distinct()
+      .groupBy(col("win_day")).agg(count(lit(1)).as("wau_exact"))
+    // report only observed days (the estimate view also has run-out days)
+    exact.join(est, Seq("win_day"))
+      .join(daily.select(col("day")).distinct(),
+        col("win_day") === col("day"))
+      .select(col("win_day"), col("wau_exact"),
+        (abs(col("wau_est") - col("wau_exact")) <=
+          col("wau_exact") * 0.05).as("ok_est"))
+  }
+
+  private def q139(s: SparkSession, dir: String): DataFrame =
+    rollingDistinctSketched(Tables.events(s, dir))
+      .select(QueryDef.tsDay(col("win_day")).as("win_day"),
+        col("wau_exact"), col("ok_est"))
+      .orderBy(col("win_day"))
+
+  private val q139Sql =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |wau AS (
+      |  SELECT win_day, count(*) AS wau_exact FROM (
+      |    SELECT DISTINCT user_id, day + CAST(k AS INTEGER) AS win_day
+      |    FROM daily CROSS JOIN (SELECT unnest(range(7)) AS k))
+      |  GROUP BY 1)
+      |SELECT strftime(win_day, '%Y-%m-%d') AS win_day, wau_exact,
+      |  true AS ok_est
+      |FROM wau WHERE win_day IN (SELECT day FROM daily)
+      |ORDER BY win_day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q139_rolling_hll", q139, Some(q139Sql)),
     QueryDef("q114_cohort_retention", q114, Some(q114Sql)),
     QueryDef("q120_trending_spikes", q120, Some(q120Sql)),
     QueryDef("q121_association_rules", q121, Some(q121Sql)),

@@ -186,4 +186,22 @@ class EventsAnalyticsSpec extends AnyFunSuite {
       .select("s").as[Double].collect()
     assert(sums.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  test("rollingDistinctSketched: exact WAU column matches brute force; gate holds") {
+    // 3 users across 3 days; day d's 7-day window covers days d-6..d
+    val days = Seq(
+      (1L, new Timestamp(1704067200000L)),                 // u1 day0
+      (2L, new Timestamp(1704067200000L + 86400000L)),     // u2 day1
+      (1L, new Timestamp(1704067200000L + 2 * 86400000L)), // u1 day2
+      (3L, new Timestamp(1704067200000L + 2 * 86400000L))  // u3 day2
+    ).toDF("user_id", "ts")
+    val got = EventsOps.rollingDistinctSketched(days)
+      .select(col("win_day").cast("string"), col("wau_exact"), col("ok_est"))
+      .as[(String, Long, Boolean)].collect().sortBy(_._1)
+    // windows ending day0: {u1}=1; day1: {u1,u2}=2; day2: all three = 3
+    assert(got.map(r => (r._1, r._2)).toSeq ==
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 3L)), got.toSeq)
+    // HLL is exact at tiny cardinalities - the gate must hold
+    assert(got.forall(_._3), got.toSeq)
+  }
 }

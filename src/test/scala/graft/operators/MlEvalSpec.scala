@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exact grouped ROC-AUC laws (round 7, B89). */
+class MlEvalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def auc(rows: Seq[(String, Long, Boolean)]): Map[String, Option[Double]] =
+    MlEval.groupedAuc(rows.toDF("g", "s", "lbl"), "g", "s", "lbl")
+      .select(col("g"), col("auc")).as[(String, Option[Double])]
+      .collect().toMap
+
+  test("perfect separation scores 1, reversed scores 0") {
+    val m = auc(Seq(
+      ("up", 1L, false), ("up", 2L, false), ("up", 3L, true), ("up", 4L, true),
+      ("dn", 1L, true), ("dn", 2L, true), ("dn", 3L, false), ("dn", 4L, false)))
+    assert(m("up").contains(1.0) && m("dn").contains(0.0), s"got $m")
+  }
+
+  test("all-tied scores give AUC 0.5; single class gives null") {
+    val m = auc(Seq(
+      ("t", 5L, true), ("t", 5L, false), ("t", 5L, true), ("t", 5L, false),
+      ("one", 1L, true), ("one", 2L, true)))
+    assert(m("t").contains(0.5), s"got $m")
+    assert(m("one").isEmpty, s"got $m")
+  }
+
+  test("hand-computed mixed case with a tie straddling the classes") {
+    // scores: neg {1, 3}, pos {3, 4}. avg ranks: 1→1, 3,3→2.5, 4→4
+    // U = (2.5 + 4) − 2·3/2 = 3.5 → AUC = 3.5/4 = 0.875
+    val m = auc(Seq(
+      ("g", 1L, false), ("g", 3L, false), ("g", 3L, true), ("g", 4L, true)))
+    assert(m("g").contains(0.875), s"got $m")
+  }
+}
