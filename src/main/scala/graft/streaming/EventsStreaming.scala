@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2
   * B34–B37). Every transform here is source-agnostic: it accepts either a
@@ -123,6 +124,56 @@ object EventsStreaming {
   /** Per-stage resolved minima + pending candidate ts. `Long.MaxValue` in
     * `firsts(i)` means stage i has no qualifying event yet. */
   case class FunnelState(firsts: Seq[Long], bufs: Seq[Seq[Long]])
+
+  // ==== per-user hourly admission quota (transformWithState, B90) ==========
+  //
+  // The ingest-protection throttle: admit at most `maxPerHour` events per
+  // (user, event-time hour); everything beyond the quota is flagged, not
+  // dropped, so downstream can route rejects to a spill topic. Built on
+  // Spark 4's transformWithState — the successor of mapGroupsWithState —
+  // because the quota state is naturally a MAP keyed by hour bucket:
+  // MapState gives per-hour point lookups/updates where a GroupState blob
+  // would rewrite the whole map every event, and state TTL (wall-clock)
+  // retires old hour buckets without a manual sweep — the state store
+  // carries |active users| × |recent hours| counters, bounded at any
+  // event volume. Admission is by PROCESSING order (what a real throttle
+  // does): micro-batch sequence, event-time order inside a batch (the
+  // handler sorts its slice so replays are deterministic).
+
+  /** Input (user_id, event_id, us); output adds the admitted flag. */
+  class HourlyQuotaProcessor(maxPerHour: Int)
+      extends StatefulProcessor[Long, (Long, Long, Long), (Long, Long, Long, Boolean)] {
+    @transient private var admits: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admits = getHandle.getMapState[Long, Long]("hour_admits",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+      rows.toSeq.sortBy(r => (r._3, r._2)).iterator.map { case (u, eid, us) =>
+        val hour = Math.floorDiv(us, 3600000000L)
+        val sofar = if (admits.containsKey(hour)) admits.getValue(hour) else 0L
+        val admit = sofar < maxPerHour
+        if (admit) admits.updateValue(hour, sofar + 1)
+        (u, eid, us, admit)
+      }
+    }
+  }
+
+  /** Per-user hourly quota over a (streaming) events frame. Caller must run
+    * with the RocksDB state store provider (transformWithState requires it). */
+  def quotaStream(events: DataFrame, maxPerHour: Int)
+      : Dataset[(Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HourlyQuotaProcessor(maxPerHour),
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** Streaming funnel over (user_id, ts, event_type): emits the user's
     * current reached-flags each micro-batch (update mode). Exact under any

@@ -486,4 +486,38 @@ class StreamingSpec extends AnyFunSuite {
         s"user $u: streamed ${streamed.get(u)} vs batch $f")
     }
   }
+
+  test("B90: transformWithState hourly quota — per-batch arrival order, state across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, Long)](spark)
+      val events = input.toDF().toDF("ts", "user_id", "event_id")
+      val q = EventsStreaming.quotaStream(events, maxPerHour = 2).writeStream
+        .format("memory").queryName("quota_out").outputMode("update").start()
+      try {
+        // batch 1: user 1 sends 3 events in hour 10 -> 2 admitted (lowest
+        // (ts, event_id) first), 1 rejected; user 2 sends 1 -> admitted
+        input.addData(
+          (ts("2024-01-01 10:05:00"), 1L, 103L),
+          (ts("2024-01-01 10:01:00"), 1L, 101L),
+          (ts("2024-01-01 10:03:00"), 1L, 102L),
+          (ts("2024-01-01 10:30:00"), 2L, 201L))
+        q.processAllAvailable()
+        // batch 2: quota for (u1, hour 10) is FULL from batch 1 -> reject,
+        // even though this event's ts precedes the batch-1 ones (a throttle
+        // admits by processing order); hour 11 opens fresh
+        input.addData(
+          (ts("2024-01-01 10:00:30"), 1L, 104L),
+          (ts("2024-01-01 11:00:00"), 1L, 105L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("quota_out")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(got == Map(101L -> true, 102L -> true, 103L -> false,
+        201L -> true, 104L -> false, 105L -> true), s"got $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
