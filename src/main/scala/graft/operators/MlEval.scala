@@ -77,6 +77,119 @@ object MlEval {
       |    ELSE NULL END AS DECIMAL(38,4)) AS VARCHAR) AS auc
       |FROM agg ORDER BY source""".stripMargin
 
+  // ==== q141: retrieval evaluation — recall@10, MRR@20, nDCG@10 =============
+  //
+  // The eval harness for the engine's own retrieval tier: score the BM25
+  // ranking (q103 machinery) against an exact binary relevance oracle
+  // (docs containing ALL query terms). Scale shape: each query is one
+  // corpus scan + top-k (bm25TopK's shape); every metric then computes on
+  // the ≤k system rows + one scalar relevant-count — per-query cost is
+  // independent of corpus size beyond the scans. Exactness: recall and MRR
+  // divide integers; nDCG uses INTEGER rank weights w_r = ⌊10⁶/log₂(r+1)⌋
+  // precomputed in Scala and embedded as the same literals in the oracle —
+  // no cross-engine transcendental ever happens.
+
+  private[operators] val EvalQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("hash", "vector", "stream"),
+    2 -> Seq("join", "filter"),
+    3 -> Seq("window", "sort", "merge"))
+
+  /** w_r = ⌊10⁶ / log₂(r+1)⌋ for r = 1..10 (binary-gain DCG weights). */
+  private[operators] val DcgW: Seq[Long] =
+    (1 to 10).map(r => (1e6 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+  private[operators] val DcgPrefix: Seq[Long] = DcgW.scanLeft(0L)(_ + _).tail
+
+  /** Metrics for one ranked system list against the all-terms truth set. */
+  private[operators] def metricsFor(docs: DataFrame, qid: Int, terms: Seq[String]): DataFrame = {
+    val sys = Retrieval.bm25TopK(docs, terms, 20)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(round(col("score"), 4).desc, col("doc_id"))).as("rank"))
+    val isRel = terms.map(t => array_contains(Tok.ws(col("text")), t))
+      .reduce(_ && _)
+    val truth = docs.filter(isRel).select(col("doc_id"), lit(1).as("rel"))
+    val nRel = truth.count() // scalar; the truth set is a query-sized list
+    val wCol = element_at(typedLit(DcgW), col("rank").cast("int"))
+    val idcg = DcgPrefix(math.min(nRel, 10L).toInt - 1)
+    sys.join(truth, Seq("doc_id"), "left")
+      .agg(
+        sum(when(col("rel") === 1 && col("rank") <= 10, 1L).otherwise(0L))
+          .as("hits10"),
+        coalesce(max(when(col("rel") === 1,
+          lit(1.0) / col("rank").cast("double"))), lit(0.0)).as("mrr"),
+        sum(when(col("rel") === 1 && col("rank") <= 10, wCol).otherwise(0L))
+          .as("dcg"))
+      .select(lit(qid).as("qid"), lit(nRel).as("n_rel"), col("hits10"),
+        QueryDef.dec4(col("hits10").cast("double") / lit(nRel).cast("double"))
+          .as("recall10"),
+        QueryDef.dec4(col("mrr")).as("mrr20"),
+        QueryDef.dec4(col("dcg").cast("double") / lit(idcg).cast("double"))
+          .as("ndcg10"))
+  }
+
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    EvalQueries.map { case (qid, terms) => metricsFor(docs, qid, terms) }
+      .reduce(_ unionByName _)
+      .orderBy(col("qid"))
+  }
+
+  // per-query CTEs generated from the SAME term lists and DCG literals
+  private val q141Sql = {
+    def one(qid: Int, terms: Seq[String]): String = {
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(t, x -> x = '$t')) AS tf$i" }.mkString(", ")
+      val dfCols = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val scoreTerms = terms.indices.map(i =>
+        s"ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5)) * tf$i * 2.2" +
+          s" / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))").mkString("\n      + ")
+      val relCond = terms.indices.map(i => s"tf$i > 0").mkString(" AND ")
+      val wCase = (1 to 10).map(r => s"WHEN rank = $r THEN ${DcgW(r - 1)}")
+        .mkString(" ")
+      val idcgCase = (1 to 10).map(r =>
+        s"WHEN least(n_rel, 10) = $r THEN ${DcgPrefix(r - 1)}").mkString(" ")
+      s"""d$qid AS (
+         |  SELECT doc_id, len(t) AS dl, $tfCols, ($relCond) AS rel
+         |  FROM (SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+         |    FROM documents)),
+         |st$qid AS (
+         |  SELECT count(*) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl, $dfCols,
+         |    CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+         |  FROM d$qid),
+         |sys$qid AS (
+         |  SELECT doc_id, rel, n_rel,
+         |    row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+         |  FROM (
+         |    SELECT doc_id, rel, n_rel, $scoreTerms AS score
+         |    FROM d$qid CROSS JOIN st$qid)
+         |  ORDER BY round(score, 4) DESC, doc_id LIMIT 20),
+         |m$qid AS (
+         |  SELECT $qid AS qid, max(n_rel) AS n_rel,
+         |    CAST(sum(CASE WHEN rel AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits10,
+         |    coalesce(max(CASE WHEN rel THEN CAST(1 AS DOUBLE) / rank END),
+         |      CAST(0 AS DOUBLE)) AS mrr,
+         |    CAST(sum(CASE WHEN rel AND rank <= 10 THEN
+         |      CASE $wCase END ELSE 0 END) AS BIGINT) AS dcg,
+         |    max(CASE $idcgCase END) AS idcg
+         |  FROM sys$qid)""".stripMargin
+    }
+    val ctes = EvalQueries.map { case (q, t) => one(q, t) }.mkString(",\n")
+    val unions = EvalQueries.map { case (q, _) =>
+      s"""SELECT qid, n_rel, hits10,
+         |  CAST(CAST(CAST(hits10 AS DOUBLE) / CAST(n_rel AS DOUBLE)
+         |    AS DECIMAL(38,4)) AS VARCHAR) AS recall10,
+         |  CAST(CAST(mrr AS DECIMAL(38,4)) AS VARCHAR) AS mrr20,
+         |  CAST(CAST(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+         |    AS DECIMAL(38,4)) AS VARCHAR) AS ndcg10
+         |FROM m$q""".stripMargin }.mkString("\nUNION ALL\n")
+    s"WITH $ctes\n$unions\nORDER BY qid"
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q140_grouped_auc", q140, Some(q140Sql)))
+    QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
+    QueryDef("q141_retrieval_eval", q141, Some(q141Sql)))
 }

@@ -36,4 +36,23 @@ class MlEvalSpec extends AnyFunSuite {
       ("g", 1L, false), ("g", 3L, false), ("g", 3L, true), ("g", 4L, true)))
     assert(m("g").contains(0.875), s"got $m")
   }
+
+  test("retrieval metrics: perfect retrieval scores 1.0 across the board") {
+    // both relevant docs contain x AND y and outrank the noise docs
+    val docs = Seq(
+      (1L, "x y x y x"), (2L, "x y"), (3L, "x z z"), (4L, "z w")
+    ).toDF("doc_id", "text")
+    val m = MlEval.metricsFor(docs, 9, Seq("x", "y"))
+      .select(col("n_rel"), col("hits10"), col("recall10"), col("mrr20"),
+        col("ndcg10"))
+      .as[(Long, Long, String, String, String)].head()
+    assert(m == ((2L, 2L, "1.0000", "1.0000", "1.0000")), s"got $m")
+  }
+
+  test("retrieval metrics: DCG weights are the pinned integer table") {
+    // w_r = floor(1e6 / log2(r+1)): spot-pin the endpoints
+    assert(MlEval.DcgW.head == 1000000L)
+    assert(MlEval.DcgW(9) == (1e6 / (math.log(11.0) / math.log(2.0))).toLong)
+    assert(MlEval.DcgW == MlEval.DcgW.sorted.reverse, "weights must decay")
+  }
 }
