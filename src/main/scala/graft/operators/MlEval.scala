@@ -189,7 +189,61 @@ object MlEval {
     s"WITH $ctes\n$unions\nORDER BY qid"
   }
 
+  // ==== q143: score calibration / reliability bins ==========================
+  //
+  // The companion to AUC: AUC says a score RANKS the classes, calibration
+  // says what the score VALUES mean — bucket the corpus into equal-depth
+  // score deciles and report the positive rate per bin (a reliability
+  // diagram as a table). Reuses the q113 discipline: exact interpolated
+  // decile boundaries via the distributed order-statistics path, rounded
+  // to the dec4 grid and broadcast; bin assignment and the label rollup
+  // are then one map-side pass + one domain-sized groupBy. pos_rate
+  // divides integers — bit-identical across engines.
+
+  /** Equal-depth `buckets` of `score` with per-bin positive rates. */
+  def calibrationBins(df: DataFrame, score: String, label: String,
+      buckets: Int): DataFrame = {
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bounds = Seq(Tuple1(Profiling.exactQuantiles(df, score, ps))).toDF("bs")
+    val rounded = bounds.select(transform(col("bs"), b => round(b, 4)).as("bs"))
+    df.select(col(score).cast("double").as("v"),
+        when(expr(label), 1L).otherwise(0L).as("pos"))
+      .crossJoin(broadcast(rounded))
+      .select(aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(round(col("v"), 4) > b, 1).otherwise(0))
+        .as("bin"), col("pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+      .select(col("bin"), col("n"), col("npos"),
+        QueryDef.dec4(col("npos").cast("double") / col("n").cast("double"))
+          .as("pos_rate"))
+  }
+
+  private def q143(s: SparkSession, dir: String): DataFrame =
+    calibrationBins(Tables.documents(s, dir), "n_chars", "lang = 'en'", 10)
+      .orderBy(col("bin"))
+
+  private val q143Sql = {
+    val fracs = (1 to 9).map(i => s"0.${i}").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT list_transform(quantile_cont(n_chars, [$fracs]),
+       |    x -> round(x, 4)) AS bs
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT len(list_filter(bs, x -> round(CAST(n_chars AS DOUBLE), 4) > x))
+       |      AS bin,
+       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |  FROM documents CROSS JOIN b)
+       |SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS npos,
+       |  CAST(CAST(CAST(sum(pos) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS pos_rate
+       |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
-    QueryDef("q141_retrieval_eval", q141, Some(q141Sql)))
+    QueryDef("q141_retrieval_eval", q141, Some(q141Sql)),
+    QueryDef("q143_calibration_bins", q143, Some(q143Sql)))
 }

@@ -474,7 +474,90 @@ object Profiling {
       |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b
       |FROM cdf CROSS JOIN t""".stripMargin
 
+  // ==== q144: grouped ordinary least squares (exact integer moments) ========
+  //
+  // Per-group linear fit y ~ a·x + b with slope/intercept/R² — the
+  // drift-vs-covariate profiling primitive (e.g. does doc length predict
+  // vocabulary richness differently per source?). Scale shape: ONE
+  // map-side-combined groupBy accumulates the five integer moments
+  // (Σx, Σy, Σxy, Σx², Σy²) — constant state per group, no second pass,
+  // no windows. Exactness: x and y are INTEGERS, so every moment is an
+  // exact BIGINT; the closed-form numerators/denominators are computed in
+  // BIGINT and only the final divisions happen in double — both engines
+  // divide identical integers (R² squares the long-valued numerator in
+  // double: same input bits, same IEEE result).
+
+  /** Per-`group` OLS of integer columns `y` on `x`: slope, intercept, R².
+    * Degenerate groups (zero x-variance) report nulls. */
+  def groupedOls(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val m = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      sum(col(x).cast("long")).as("sx"),
+      sum(col(y).cast("long")).as("sy"),
+      sum(col(x).cast("long") * col(y).cast("long")).as("sxy"),
+      sum(col(x).cast("long") * col(x).cast("long")).as("sxx"),
+      sum(col(y).cast("long") * col(y).cast("long")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denX = col("n") * col("sxx") - col("sx") * col("sx")
+    val denY = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col(group), col("n"),
+      when(denX =!= 0, num.cast("double") / denX.cast("double")).as("slope"),
+      when(denX =!= 0,
+        (col("sy").cast("double") - (num.cast("double") / denX.cast("double"))
+          * col("sx").cast("double")) / col("n").cast("double")).as("intercept"),
+      when(denX =!= 0 && denY =!= 0,
+        (num.cast("double") * num.cast("double")) /
+          (denX.cast("double") * denY.cast("double"))).as("r2"))
+  }
+
+  // x = token occurrences, y = distinct tokens per doc — integer by
+  // construction, and the relationship genuinely differs by source
+  private def q144(s: SparkSession, dir: String): DataFrame =
+    groupedOls(
+      Tables.documents(s, dir).select(col("source"),
+        size(Tok.ws(col("text"))).as("x"),
+        size(array_distinct(Tok.ws(col("text")))).as("y")),
+      "source", "x", "y")
+      .select(col("source"), col("n"), QueryDef.dec4(col("slope")).as("slope"),
+        QueryDef.dec4(col("intercept")).as("intercept"),
+        QueryDef.dec4(col("r2")).as("r2"))
+      .orderBy(col("source"))
+
+  private val q144Sql =
+    """WITH d AS (
+      |  SELECT source,
+      |    len(list_filter(string_split(text, ' '), e -> e <> '')) AS x,
+      |    len(list_distinct(list_filter(string_split(text, ' '), e -> e <> '')))
+      |      AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT source, n,
+      |    n * sxy - sx * sy AS num, n * sxx - sx * sx AS denx,
+      |    n * syy - sy * sy AS deny, sx, sy
+      |  FROM m)
+      |SELECT source, n,
+      |  CAST(CAST(CASE WHEN denx <> 0 THEN
+      |    CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+      |  CAST(CAST(CASE WHEN denx <> 0 THEN
+      |    (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(denx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS intercept,
+      |  CAST(CAST(CASE WHEN denx <> 0 AND deny <> 0 THEN
+      |    (CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+      |      (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS r2
+      |FROM c ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_grouped_ols", q144, Some(q144Sql)),
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
     QueryDef("q69_profile", q69, Some(q69Sql)),
     QueryDef("q113_equidepth_histogram", q113, Some(q113Sql)),

@@ -253,7 +253,73 @@ object SketchOps {
       |  ORDER BY aes DESC, doc_id LIMIT 100)
       |ORDER BY doc_id""".stripMargin
 
+  // ==== q142: sketch-based join-cardinality estimation ======================
+  //
+  // Estimate |keys(A) ∩ keys(B)| — the join-planning statistic — WITHOUT
+  // executing the join: one HLL sketch per side (each one scan with
+  // map-side merge, fixed-size state) and inclusion–exclusion on the
+  // merged union sketch: est∩ = est(A) + est(B) − est(A∪B). At 100 TB this
+  // is how a planner decides broadcast-vs-shuffle and pre-sizes skew
+  // handling: two sketch scans replace the join itself, and the per-side
+  // sketches are reusable table statistics (the q108 incremental-state
+  // pattern applies — refresh per arriving batch, merge, never rescan).
+  // Driver-gated like hll_count_distinct: exact distinct counts + exact
+  // intersection are hash-matched; ok_est proves the estimate landed
+  // within ±10% (inclusion–exclusion compounds the per-sketch error, so
+  // the gate is wider than the single-sketch ±5%).
+
+  def joinCardinalityEstimate(a: DataFrame, aKey: String,
+      b: DataFrame, bKey: String): DataFrame = {
+    val sa = a.agg(expr(s"hll_sketch_agg($aKey)").as("ska"),
+      countDistinct(col(aKey)).as("na"))
+    val sb = b.agg(expr(s"hll_sketch_agg($bKey)").as("skb"),
+      countDistinct(col(bKey)).as("nb"))
+    val inter = a.select(col(aKey).as("k")).distinct()
+      .join(b.select(col(bKey).as("k")).distinct(), Seq("k"))
+      .agg(count(lit(1)).as("n_inter"))
+    sa.crossJoin(sb).crossJoin(inter)
+      .withColumn("est_inter",
+        expr("hll_sketch_estimate(ska) + hll_sketch_estimate(skb) " +
+          "- hll_sketch_estimate(hll_union(ska, skb))"))
+      .select(col("na"), col("nb"), col("n_inter"),
+        (abs(col("est_inter") - col("n_inter")) <=
+          col("n_inter") * 0.10).as("ok_est"))
+  }
+
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val oc = joinCardinalityEstimate(
+      Tables.orders(s, dir), "o_custkey", Tables.customer(s, dir), "c_custkey")
+      .select(lit("orders_customer").as("pair"), col("na"), col("nb"),
+        col("n_inter"), col("ok_est"))
+    val lp = joinCardinalityEstimate(
+      Tables.lineitem(s, dir), "l_partkey", Tables.part(s, dir), "p_partkey")
+      .select(lit("lineitem_part").as("pair"), col("na"), col("nb"),
+        col("n_inter"), col("ok_est"))
+    oc.unionByName(lp).orderBy(col("pair"))
+  }
+
+  private val q142Sql =
+    """SELECT 'lineitem_part' AS pair,
+      |  (SELECT count(DISTINCT l_partkey) FROM lineitem) AS na,
+      |  (SELECT count(DISTINCT p_partkey) FROM part) AS nb,
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT l_partkey FROM lineitem) a
+      |    JOIN (SELECT DISTINCT p_partkey FROM part) b
+      |      ON a.l_partkey = b.p_partkey) AS n_inter,
+      |  true AS ok_est
+      |UNION ALL
+      |SELECT 'orders_customer',
+      |  (SELECT count(DISTINCT o_custkey) FROM orders),
+      |  (SELECT count(DISTINCT c_custkey) FROM customer),
+      |  (SELECT count(*) FROM
+      |    (SELECT DISTINCT o_custkey FROM orders) a
+      |    JOIN (SELECT DISTINCT c_custkey FROM customer) b
+      |      ON a.o_custkey = b.c_custkey),
+      |  true
+      |ORDER BY pair""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q142_join_cardinality", q142, Some(q142Sql)),
     QueryDef("q102_weighted_sample", q102, Some(q102Sql)),
     QueryDef("q75_bloom_dedup", q75, Some(q75Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),

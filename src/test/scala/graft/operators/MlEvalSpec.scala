@@ -55,4 +55,32 @@ class MlEvalSpec extends AnyFunSuite {
     assert(MlEval.DcgW(9) == (1e6 / (math.log(11.0) / math.log(2.0))).toLong)
     assert(MlEval.DcgW == MlEval.DcgW.sorted.reverse, "weights must decay")
   }
+
+  test("calibrationBins: bins are equal-depth and rates are exact") {
+    // scores 1..100, label = score > 90 -> only the top bin is positive
+    val df = (1L to 100L).map(i => (i, i > 90)).toDF("s", "lbl")
+    val got = MlEval.calibrationBins(df, "s", "lbl", 10)
+      .select(col("bin"), col("n"), col("npos")).as[(Int, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 to 9), s"missing bins: ${got.toSeq}")
+    assert(got.map(_._2).sum == 100L)
+    // positives live only in the last bin
+    assert(got.dropRight(1).forall(_._3 == 0L), got.toSeq)
+    assert(got.last._3 == 10L, got.toSeq)
+  }
+
+  test("groupedOls: recovers an exact linear relationship") {
+    // y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    val df = (1L to 50L).map(x => ("g", x, 3 * x + 2)).toDF("grp", "x", "y")
+    val got = Profiling.groupedOls(df, "grp", "x", "y")
+      .select(col("slope"), col("intercept"), col("r2"))
+      .as[(Double, Double, Double)].head()
+    assert(got._1 == 3.0 && got._2 == 2.0 && got._3 == 1.0, s"got $got")
+    // degenerate group (constant x) reports nulls, not a crash
+    val deg = Seq(("d", 5L, 1L), ("d", 5L, 2L)).toDF("grp", "x", "y")
+    val row = Profiling.groupedOls(deg, "grp", "x", "y")
+      .select(col("slope").isNull, col("r2").isNull)
+      .as[(Boolean, Boolean)].head()
+    assert(row == ((true, true)))
+  }
 }
