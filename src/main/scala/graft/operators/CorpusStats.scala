@@ -176,8 +176,56 @@ object CorpusStats {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS oov_rate
       |FROM st ORDER BY doc_id""".stripMargin
 
+  // ==== q147: n-gram novelty — fraction of a doc's grams unseen elsewhere ===
+  //
+  // The memorization/uniqueness signal: a doc whose 3-grams all appear in
+  // other docs is boilerplate; a doc of df=1 grams is novel content. One
+  // (doc, gram)-distinct projection, one gram-keyed document-frequency
+  // aggregate, one join back — the inherent tf-idf shuffle shape (q54).
+  // Skew is benign: a gram with huge df joins its own rows against ONE
+  // df row. Novelty = df-1 gram count / distinct gram count — integers
+  // divided.
+
+  /** Adds per-doc distinct-gram counts and the df=1 novelty rate. */
+  def ngramNovelty(docs: DataFrame, shingleN: Int): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), shingleN)).as("g"))
+      .distinct()
+    val dfTab = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    grams.join(dfTab, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        QueryDef.dec4(col("n_unique").cast("double") /
+          col("n_grams").cast("double")).as("novelty"))
+  }
+
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(s, dir).select(col("doc_id"), col("text")), 3)
+      .orderBy(col("doc_id"))
+
+  private val q147Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, unnest(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3
+      |  UNION
+      |  SELECT doc_id, array_to_string(t, ' ') FROM toks
+      |  WHERE len(t) BETWEEN 1 AND 2),
+      |dfs AS (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(CAST(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(count(*) AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS novelty
+      |FROM sh JOIN dfs USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),
     QueryDef("q136_source_overlap", q136, Some(q136Sql)),
-    QueryDef("q137_oov_rate", q137, Some(q137Sql)))
+    QueryDef("q137_oov_rate", q137, Some(q137Sql)),
+    QueryDef("q147_ngram_novelty", q147, Some(q147Sql)))
 }

@@ -225,8 +225,65 @@ object Graph {
       |SELECT node, count(*) AS n_triangles FROM nodes
       |GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20""".stripMargin
 
+  // ==== q146: hierarchy transitive closure by pointer doubling ==============
+  //
+  // Root ancestor + depth for every node of a parent forest — the
+  // org-chart / BOM / category-tree expansion Spark cannot express as a
+  // recursive CTE. The naive loop (follow one parent edge per round) costs
+  // depth rounds of joins; POINTER DOUBLING joins the state with itself
+  // (each node's known ancestor jumps to THAT node's known ancestor,
+  // depths adding), halving the remaining distance every round —
+  // ⌈log₂ depth⌉ shuffles total, the same trick as the dedup CC kernel.
+  // Roots self-loop at depth 0, so converged rows are fixpoints and extra
+  // rounds are no-ops. At 100 TB each round is one hash join on the
+  // ancestor key — no driver state, no per-level barrier accumulation.
+
+  /** (node, root, depth) for a forest given (node, parent); `parent` null
+    * or = node marks a root. `rounds` r covers depth ≤ 2^r. */
+  def ancestorClosure(nodes: DataFrame, rounds: Int): DataFrame = {
+    var state = nodes.select(col("node"),
+      when(col("parent").isNull || col("parent") === col("node"), col("node"))
+        .otherwise(col("parent")).as("anc"),
+      when(col("parent").isNull || col("parent") === col("node"), lit(0L))
+        .otherwise(lit(1L)).as("depth"))
+    for (_ <- 1 to rounds) {
+      val lookup = state.select(col("node").as("anc"),
+        col("anc").as("anc2"), col("depth").as("d2"))
+      state = state.join(lookup, Seq("anc"))
+        .select(col("node"), col("anc2").as("anc"),
+          (col("depth") + col("d2")).as("depth"))
+    }
+    state.select(col("node"), col("anc").as("root"), col("depth"))
+  }
+
+  // forest over parts: parent(p) = p div 10, roots p < 10 — the derived
+  // category tree (depth ≈ digit count, so 5 doubling rounds cover any
+  // realistic key domain)
+  private def q146(s: SparkSession, dir: String): DataFrame =
+    ancestorClosure(
+      Tables.part(s, dir).select(col("p_partkey").as("node"),
+        when(col("p_partkey") < 10, col("p_partkey"))
+          .otherwise(expr("p_partkey div 10")).as("parent")),
+      rounds = 5)
+      .groupBy(col("root"), col("depth")).agg(count(lit(1)).as("n"))
+      .orderBy(col("root"), col("depth"))
+
+  // DuckDB HAS recursive CTEs — the perfect differential for an iterative
+  // Spark implementation: same forest, level-by-level recursion
+  private val q146Sql =
+    """WITH RECURSIVE anc AS (
+      |  SELECT p_partkey AS node, p_partkey AS root, CAST(0 AS BIGINT) AS depth
+      |  FROM part WHERE p_partkey < 10
+      |  UNION ALL
+      |  SELECT c.p_partkey, a.root, a.depth + 1
+      |  FROM part c JOIN anc a ON c.p_partkey // 10 = a.node
+      |  WHERE c.p_partkey >= 10)
+      |SELECT root, depth, count(*) AS n FROM anc
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
     QueryDef("q124_kfold", q124, Some(q124Sql)),
-    QueryDef("q134_triangles", q134, Some(q134Sql)))
+    QueryDef("q134_triangles", q134, Some(q134Sql)),
+    QueryDef("q146_hierarchy_closure", q146, Some(q146Sql)))
 }

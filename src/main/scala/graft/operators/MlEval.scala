@@ -242,8 +242,93 @@ object MlEval {
        |FROM assigned GROUP BY bin ORDER BY bin""".stripMargin
   }
 
+  // ==== q145: embedding class-separation report =============================
+  //
+  // Mean pairwise dot product within and between label classes — the
+  // label-coherence check before trusting labels for hard-negative mining
+  // or purity-based filtering. The pair space is NEVER materialized: with
+  // S_c = Σ_{v∈c} v and Q_c = Σ ‖v‖², the within-class mean pairwise dot
+  // is (‖S_c‖² − Q_c) / (n_c(n_c−1)) and the between-class mean is
+  // S_a·S_b / (n_a·n_b) — all from per-class SUMS, one aggregation pass,
+  // O(labels²·dim) post-work for any corpus size. Exactness: vectors are
+  // first snapped to a fixed integer grid (⌊1000·x⌉ — the q88 int8 idea
+  // with a GLOBAL scale so dots are comparable), making every moment an
+  // exact BIGINT; the final division rescales by 10⁻⁶ — both engines
+  // divide identical integers by identical powers of ten.
+
+  /** (label_a ≤ label_b) → n_pairs + mean pairwise dot (grid units /1e6).
+    * `emb`: (label, v: array<double>). */
+  def classSeparation(emb: DataFrame): DataFrame = {
+    val q = emb.select(col("label"),
+      transform(col("v"), x => floor(x * 1000.0 + 0.5).cast("long")).as("qv"))
+    val perClass = q.groupBy(col("label")).agg(
+      count(lit(1)).as("n"),
+      sum(aggregate(col("qv"), lit(0L), (a, x) => a + x * x)).as("qsum"))
+    val dims = q.select(col("label"), posexplode(col("qv")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim")).agg(sum(col("x")).as("s"))
+    val within = dims.groupBy(col("label")).agg(sum(col("s") * col("s")).as("ss2"))
+      .join(perClass, Seq("label"))
+      .filter(col("n") > 1)
+      .select(col("label").as("label_a"), col("label").as("label_b"),
+        (col("n") * (col("n") - 1)).as("n_pairs"),
+        ((col("ss2") - col("qsum")).cast("double") /
+          ((col("n") * (col("n") - 1)).cast("double") * lit(1e6))).as("mean_dot"))
+    val a = dims.select(col("label").as("la"), col("dim"), col("s").as("sa"))
+    val b = dims.select(col("label").as("lb"), col("dim"), col("s").as("sb"))
+    val cross = a.join(b, Seq("dim")).filter(col("la") < col("lb"))
+      .groupBy(col("la"), col("lb")).agg(sum(col("sa") * col("sb")).as("dot"))
+      .join(broadcast(perClass.select(col("label").as("la"), col("n").as("na"))), Seq("la"))
+      .join(broadcast(perClass.select(col("label").as("lb"), col("n").as("nb"))), Seq("lb"))
+      .select(col("la").as("label_a"), col("lb").as("label_b"),
+        (col("na") * col("nb")).as("n_pairs"),
+        (col("dot").cast("double") /
+          ((col("na") * col("nb")).cast("double") * lit(1e6))).as("mean_dot"))
+    within.unionByName(cross)
+  }
+
+  private def q145(s: SparkSession, dir: String): DataFrame =
+    classSeparation(Tables.embeddings(s, dir)
+      .select(col("label"), Similarity.toDouble(col("embedding")).as("v")))
+      .select(col("label_a"), col("label_b"), col("n_pairs"),
+        QueryDef.dec4(col("mean_dot")).as("mean_dot"))
+      .orderBy(col("label_a"), col("label_b"))
+
+  private val q145Sql =
+    """WITH q AS (
+      |  SELECT label, list_transform(CAST(embedding AS DOUBLE[]),
+      |    x -> CAST(floor(x * 1000.0 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pc AS (
+      |  SELECT label, count(*) AS n,
+      |    CAST(sum(list_aggregate(list_transform(qv, x -> x * x), 'sum'))
+      |      AS BIGINT) AS qsum
+      |  FROM q GROUP BY 1),
+      |dims AS (
+      |  SELECT label, i AS dim, CAST(sum(qv[i]) AS BIGINT) AS s
+      |  FROM q, unnest(range(1, 65)) AS u(i) GROUP BY 1, 2),
+      |within AS (
+      |  SELECT d.label AS label_a, d.label AS label_b,
+      |    pc.n * (pc.n - 1) AS n_pairs,
+      |    CAST(CAST(sum(d.s * d.s) AS BIGINT) - max(pc.qsum) AS DOUBLE) /
+      |      (CAST(pc.n * (pc.n - 1) AS DOUBLE) * 1e6) AS mean_dot
+      |  FROM dims d JOIN pc ON d.label = pc.label
+      |  WHERE pc.n > 1 GROUP BY d.label, pc.n),
+      |cross_c AS (
+      |  SELECT a.label AS label_a, b.label AS label_b,
+      |    pa.n * pb.n AS n_pairs,
+      |    CAST(CAST(sum(a.s * b.s) AS BIGINT) AS DOUBLE) /
+      |      (CAST(pa.n * pb.n AS DOUBLE) * 1e6) AS mean_dot
+      |  FROM dims a JOIN dims b ON a.dim = b.dim AND a.label < b.label
+      |  JOIN pc pa ON pa.label = a.label JOIN pc pb ON pb.label = b.label
+      |  GROUP BY a.label, b.label, pa.n, pb.n)
+      |SELECT label_a, label_b, n_pairs,
+      |  CAST(CAST(mean_dot AS DECIMAL(38,4)) AS VARCHAR) AS mean_dot
+      |FROM (SELECT * FROM within UNION ALL SELECT * FROM cross_c)
+      |ORDER BY label_a, label_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
     QueryDef("q141_retrieval_eval", q141, Some(q141Sql)),
-    QueryDef("q143_calibration_bins", q143, Some(q143Sql)))
+    QueryDef("q143_calibration_bins", q143, Some(q143Sql)),
+    QueryDef("q145_class_separation", q145, Some(q145Sql)))
 }

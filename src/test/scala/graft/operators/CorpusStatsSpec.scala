@@ -57,4 +57,17 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got(1L) == ((4, 1)) && got(2L) == ((6, 2)), s"got $got")
   }
+
+  test("ngramNovelty: shared grams score 0, unique-only docs score 1") {
+    val docs = Seq(
+      (1L, "a b c d"),  // grams {a b c, b c d} - both also in doc 2
+      (2L, "a b c d"),
+      (3L, "x y z w")   // grams {x y z, y z w} - unique
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, 3)
+      .select(col("doc_id"), col("n_grams"), col("n_unique"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((2L, 0L)), 3L -> ((2L, 2L))),
+      s"got $got")
+  }
 }

@@ -82,4 +82,24 @@ class GraphSpec extends AnyFunSuite {
     val got2 = Graph.triangleCounts(noisy).as[(Long, Long)].collect().toMap
     assert(got2 == expected)
   }
+
+  test("ancestorClosure: chains resolve to roots with exact depths") {
+    // forest: 1 <- 12 <- 123 <- 1234 (depths 0..3); 7 root alone;
+    // 9 self-parent root; null-parent root 8
+    val nodes = Seq(
+      (1L, Option(1L)), (12L, Option(1L)), (123L, Option(12L)),
+      (1234L, Option(123L)), (7L, None: Option[Long]), (9L, Option(9L)),
+      (8L, None: Option[Long])
+    ).toDF("node", "parent")
+    val got = Graph.ancestorClosure(nodes, rounds = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L)), 12L -> ((1L, 1L)), 123L -> ((1L, 2L)),
+      1234L -> ((1L, 3L)), 7L -> ((7L, 0L)), 9L -> ((9L, 0L)),
+      8L -> ((8L, 0L))), s"got $got")
+    // extra rounds are no-ops past convergence
+    val more = Graph.ancestorClosure(nodes, rounds = 6)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(more == got)
+  }
 }

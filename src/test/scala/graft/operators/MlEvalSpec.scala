@@ -83,4 +83,19 @@ class MlEvalSpec extends AnyFunSuite {
       .as[(Boolean, Boolean)].head()
     assert(row == ((true, true)))
   }
+
+  test("classSeparation: hand-built geometry — tight class vs orthogonal class") {
+    // class 0: two identical unit-x vectors -> within mean dot = 1e6/1e6 = 1
+    // class 1: one unit-y vector -> cross dot 0
+    val emb = Seq(
+      (0, Seq(1.0, 0.0)), (0, Seq(1.0, 0.0)), (1, Seq(0.0, 1.0))
+    ).toDF("label", "v")
+    val got = MlEval.classSeparation(emb)
+      .select(col("label_a"), col("label_b"), col("n_pairs"), col("mean_dot"))
+      .as[(Int, Int, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got((0, 0)) == ((2L, 1.0)), s"got $got")   // 2 ordered pairs, dot 1
+    assert(got((0, 1)) == ((2L, 0.0)), s"got $got")   // orthogonal
+    assert(!got.contains((1, 1)), "singleton class has no pairs")
+  }
 }
