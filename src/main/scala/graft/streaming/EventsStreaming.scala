@@ -175,6 +175,88 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ==== session summaries via event-time timers (transformWithState, B92) ===
+  //
+  // The timer-based twin of session_window: a session closes either when a
+  // LATER event reveals a gap (emitted inline) or when the WATERMARK passes
+  // last_event + gap with no successor — which only a timer can observe
+  // (session_window holds the same state internally; here the state machine
+  // is explicit, so the summary can carry arbitrary per-session fields and
+  // side-effects). One ValueState tuple per user + one registered event-time
+  // timer — state is O(active users), timers GC'd on every re-registration.
+
+  /** (user, start_us, end_us, n_events, total_value, closed_by). */
+  type SessionOut = (Long, Long, Long, Long, Double, String)
+
+  class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long, Long, Double), SessionOut] {
+    // (start_us, last_us, n, sum_value, registered_timer_ms)
+    @transient private var cur: org.apache.spark.sql.streaming.ValueState[(Long, Long, Long, Double, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState("session",
+        Encoders.product[(Long, Long, Long, Double, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, Double)],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, _, us, v) =>
+        if (!cur.exists()) {
+          cur.update((us, us, 1L, v, -1L))
+        } else {
+          val (s0, last, n, sv, t0) = cur.get()
+          if (us - last <= gapUs)
+            cur.update((s0, math.max(last, us), n + 1, sv + v, t0))
+          else { // gap revealed in-stream
+            out += ((user, s0, last, n, sv, "gap"))
+            if (t0 > 0) getHandle.deleteTimer(t0)
+            cur.update((us, us, 1L, v, -1L))
+          }
+        }
+      }
+      // (re)arm the timeout for the open session at last + gap (event time)
+      if (cur.exists()) {
+        val (s0, last, n, sv, t0) = cur.get()
+        val want = (last + gapUs) / 1000L + 1
+        if (t0 != want) {
+          if (t0 > 0) getHandle.deleteTimer(t0)
+          getHandle.registerTimer(want)
+          cur.update((s0, last, n, sv, want))
+        }
+      }
+      out.iterator
+    }
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] =
+      if (cur.exists()) {
+        val (s0, last, n, sv, _) = cur.get()
+        cur.clear()
+        Iterator((user, s0, last, n, sv, "timer"))
+      } else Iterator.empty
+  }
+
+  /** Explicit session summaries: closes on an observed gap or on the
+    * watermark passing `gap` after the last event (event-time timer).
+    * Exact vs the batch gap-sessionization when arrival is event-time
+    * ordered per user. Requires the RocksDB state store. */
+  def sessionTimerStream(events: DataFrame, gap: String = "30 minutes",
+      delay: String = "1 hour"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    val us = gapUs.days * 86400000000L + gapUs.microseconds
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")), col("value").cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(us),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Streaming funnel over (user_id, ts, event_type): emits the user's
     * current reached-flags each micro-batch (update mode). Exact under any
     * arrival order; bound state by calling withWatermark upstream. */

@@ -520,4 +520,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("B92: event-time timers close sessions — gap closes inline, watermark closes tails") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Timestamp, Long, Long, Double)](spark)
+      val events = input.toDF().toDF("ts", "user_id", "event_id", "value")
+      val q = EventsStreaming.sessionTimerStream(events,
+        gap = "30 minutes", delay = "10 minutes").writeStream
+        .format("memory").queryName("sess_timer_out").outputMode("append").start()
+      try {
+        // batch 1: u1 two events in one session; u2 one event
+        input.addData(
+          (ts("2024-01-01 10:00:00"), 1L, 1L, 1.0),
+          (ts("2024-01-01 10:10:00"), 1L, 2L, 2.0),
+          (ts("2024-01-01 10:05:00"), 2L, 3L, 5.0))
+        q.processAllAvailable()
+        // batch 2: u1's 11:00 event reveals a >30min gap -> inline close;
+        // watermark advances to 10:50, past u2's 10:35 timeout -> timer close
+        input.addData((ts("2024-01-01 11:00:00"), 1L, 4L, 3.0))
+        q.processAllAvailable()
+        // batches 3-4: same-session filler for u9 pushes the watermark past
+        // u1's open-session timeout (11:30) without closing u9's own session
+        input.addData((ts("2024-01-01 13:00:00"), 9L, 5L, 0.0))
+        q.processAllAvailable()
+        input.addData((ts("2024-01-01 13:20:00"), 9L, 6L, 0.0))
+        q.processAllAvailable()
+        input.addData((ts("2024-01-01 13:40:00"), 9L, 7L, 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("sess_timer_out")
+        .as[(Long, Long, Long, Long, Double, String)].collect()
+        .map(r => (r._1, r._2 / 1000000L % 86400, r._3 / 1000000L % 86400,
+          r._4, r._5, r._6)).toSet
+      def sec(h: Int, m: Int) = (h * 3600 + m * 60).toLong
+      val expected = Set(
+        (1L, sec(10, 0), sec(10, 10), 2L, 3.0, "gap"),
+        (2L, sec(10, 5), sec(10, 5), 1L, 5.0, "timer"),
+        (1L, sec(11, 0), sec(11, 0), 1L, 3.0, "timer"))
+      assert(got == expected, s"got $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
