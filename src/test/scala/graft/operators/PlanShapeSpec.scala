@@ -139,4 +139,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"q81 has a cartesian product:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"q81 has a nested-loop join:\n$p")
   }
+
+  test("round-7 additions keep their declared plan shapes") {
+    // q133/q135: pure map-side projections - the only exchange allowed is
+    // the deterministic output sort's range partitioning, never a hash
+    // shuffle of the data
+    Seq("q133_random_projection", "q135_char_entropy").foreach { q =>
+      val pl = plan(q)
+      assert(!pl.contains("Exchange hashpartitioning"),
+        s"$q grew a hash shuffle:\n$pl")
+    }
+    // q136: per-source sizes broadcast back, never shuffled as a join side
+    val ov = plan("q136_source_overlap")
+    assert(ov.contains("BroadcastHashJoin"), ov)
+    // q134: both triangle joins are hash joins - a plan regression to
+    // BroadcastNestedLoop/cartesian would be quadratic at scale
+    val tri = plan("q134_triangles")
+    assert(!tri.contains("BroadcastNestedLoopJoin") && !tri.contains("CartesianProduct"),
+      s"triangle join degraded:\n$tri")
+    // q140/q144: one map-side-combined aggregation feeds the stats
+    Seq("q140_grouped_auc", "q144_grouped_ols").foreach { q =>
+      val pl = plan(q)
+      assert("HashAggregate".r.findAllIn(pl).size >= 2, s"$q lost partial agg:\n$pl")
+    }
+  }
 }
