@@ -326,9 +326,156 @@ object MlEval {
       |FROM (SELECT * FROM within UNION ALL SELECT * FROM cross_c)
       |ORDER BY label_a, label_b""".stripMargin
 
+  // ==== q148/q149: classifier agreement — report + Cohen's kappa ============
+  //
+  // Per-class precision/recall/F1 plus chance-corrected agreement for a
+  // categorical predictor (here: the q33 marker-word lang-id against the
+  // labeled lang). Everything reduces over the |classes|² confusion
+  // matrix: one map-side-combined groupBy on (actual, predicted), then
+  // domain-sized arithmetic — the corpus is scanned once regardless of
+  // size. Exactness: kappa = (N·Σdiag − Σ rowᵢ·colᵢ) / (N² − Σ rowᵢ·colᵢ)
+  // — the integer form (multiply through by N²), so both engines divide
+  // identical BIGINTs; P/R/F1 divide small integers.
+
+  /** Confusion counts → per-class n_true/n_pred/tp + P/R/F1. `df` needs
+    * `actual` and `predicted` string columns. */
+  def classifierReport(df: DataFrame): DataFrame = {
+    val conf = df.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy(col("actual").as("cls"))
+      .agg(sum(col("n")).as("n_true"),
+        sum(when(col("predicted") === col("actual"), col("n")).otherwise(0L))
+          .as("tp"))
+    val byPred = conf.groupBy(col("predicted").as("cls"))
+      .agg(sum(col("n")).as("n_pred"))
+    byTrue.join(byPred, Seq("cls"), "full")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision", when(col("n_pred") > 0,
+        col("tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall", when(col("n_true") > 0,
+        col("tp").cast("double") / col("n_true").cast("double")))
+      .withColumn("f1", when(col("n_pred") + col("n_true") > 0,
+        (lit(2.0) * col("tp").cast("double")) /
+          (col("n_pred") + col("n_true")).cast("double")))
+  }
+
+  /** Cohen's kappa in the all-integer form: one row
+    * (n, sum_diag, sum_chance, kappa). */
+  def cohensKappa(df: DataFrame): DataFrame = {
+    val conf = df.groupBy(col("actual"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val byTrue = conf.groupBy(col("actual").as("cls")).agg(sum(col("n")).as("rt"))
+    val byPred = conf.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("cp"))
+    val chance = byTrue.join(byPred, Seq("cls"), "full")
+      .agg(sum(coalesce(col("rt"), lit(0L)) * coalesce(col("cp"), lit(0L)))
+        .as("sum_chance"))
+    val agree = conf.agg(sum(col("n")).as("n"),
+      sum(when(col("actual") === col("predicted"), col("n")).otherwise(0L))
+        .as("sum_diag"))
+    agree.crossJoin(chance)
+      .select(col("n"), col("sum_diag"), col("sum_chance"),
+        ((col("n") * col("sum_diag") - col("sum_chance")).cast("double") /
+          (col("n") * col("n") - col("sum_chance")).cast("double")).as("kappa"))
+  }
+
+  // the q33 predictor as (actual, predicted); 'zh' has no marker list, so
+  // the confusion matrix genuinely exercises the unseen-class paths
+  private def langPred(s: SparkSession, dir: String): DataFrame = {
+    val t = Tok.ws(col("text"))
+    def sc(m: Seq[String]) = size(filter(t, x => x.isin(m: _*)))
+    Tables.documents(s, dir)
+      .select(col("lang").as("actual"),
+        sc(Seq("the", "a", "of", "is")).as("en"),
+        sc(Seq("der", "die", "das", "und")).as("de"),
+        sc(Seq("el", "los", "y", "es")).as("es"),
+        sc(Seq("le", "les", "et", "est")).as("fr"))
+      .withColumn("predicted",
+        when(col("en") >= col("de") && col("en") >= col("es") &&
+          col("en") >= col("fr"), "en")
+          .when(col("de") >= col("es") && col("de") >= col("fr"), "de")
+          .when(col("es") >= col("fr"), "es")
+          .otherwise("fr"))
+  }
+
+  private val langPredSql =
+    """SELECT lang AS actual,
+      |  CASE WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+      |    WHEN de >= es AND de >= fr THEN 'de'
+      |    WHEN es >= fr THEN 'es' ELSE 'fr' END AS predicted
+      |FROM (SELECT lang,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','is'))) AS en,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und'))) AS de,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('el','los','y','es'))) AS es,
+      |    len(list_filter(string_split(text,' '), x -> x IN ('le','les','et','est'))) AS fr
+      |  FROM documents)""".stripMargin
+
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    classifierReport(langPred(s, dir))
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"),
+        QueryDef.dec4(col("precision")).as("precision"),
+        QueryDef.dec4(col("recall")).as("recall"),
+        QueryDef.dec4(col("f1")).as("f1"))
+      .orderBy(col("cls"))
+
+  private val q148Sql =
+    s"""WITH pred AS ($langPredSql),
+       |conf AS (SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+       |bt AS (
+       |  SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN predicted = actual THEN n ELSE 0 END) AS BIGINT) AS tp
+       |  FROM conf GROUP BY 1),
+       |bp AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+       |  FROM conf GROUP BY 1),
+       |j AS (
+       |  SELECT coalesce(bt.cls, bp.cls) AS cls,
+       |    coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+       |    coalesce(tp, 0) AS tp
+       |  FROM bt FULL JOIN bp ON bt.cls = bp.cls)
+       |SELECT cls, n_true, n_pred, tp,
+       |  CAST(CAST(CASE WHEN n_pred > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS precision,
+       |  CAST(CAST(CASE WHEN n_true > 0 THEN
+       |    CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS recall,
+       |  CAST(CAST(CASE WHEN n_pred + n_true > 0 THEN
+       |    (CAST(2 AS DOUBLE) * CAST(tp AS DOUBLE)) /
+       |      CAST(n_pred + n_true AS DOUBLE) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS f1
+       |FROM j ORDER BY cls""".stripMargin
+
+  private def q149(s: SparkSession, dir: String): DataFrame =
+    cohensKappa(langPred(s, dir))
+      .select(col("n"), col("sum_diag"), col("sum_chance"),
+        QueryDef.dec4(col("kappa")).as("kappa"))
+
+  private val q149Sql =
+    s"""WITH pred AS ($langPredSql),
+       |conf AS (SELECT actual, predicted, count(*) AS n FROM pred GROUP BY 1, 2),
+       |bt AS (SELECT actual AS cls, CAST(sum(n) AS BIGINT) AS rt FROM conf GROUP BY 1),
+       |bp AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS cp FROM conf GROUP BY 1),
+       |ch AS (
+       |  SELECT CAST(sum(coalesce(rt, 0) * coalesce(cp, 0)) AS BIGINT) AS sum_chance
+       |  FROM bt FULL JOIN bp ON bt.cls = bp.cls),
+       |ag AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN actual = predicted THEN n ELSE 0 END) AS BIGINT)
+       |      AS sum_diag
+       |  FROM conf)
+       |SELECT n, sum_diag, sum_chance,
+       |  CAST(CAST(CAST(n * sum_diag - sum_chance AS DOUBLE) /
+       |    CAST(n * n - sum_chance AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS kappa
+       |FROM ag CROSS JOIN ch""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
     QueryDef("q141_retrieval_eval", q141, Some(q141Sql)),
     QueryDef("q143_calibration_bins", q143, Some(q143Sql)),
-    QueryDef("q145_class_separation", q145, Some(q145Sql)))
+    QueryDef("q145_class_separation", q145, Some(q145Sql)),
+    QueryDef("q148_classifier_report", q148, Some(q148Sql)),
+    QueryDef("q149_cohens_kappa", q149, Some(q149Sql)))
 }

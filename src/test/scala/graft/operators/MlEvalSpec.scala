@@ -98,4 +98,21 @@ class MlEvalSpec extends AnyFunSuite {
     assert(got((0, 1)) == ((2L, 0.0)), s"got $got")   // orthogonal
     assert(!got.contains((1, 1)), "singleton class has no pairs")
   }
+
+  test("classifierReport and kappa: hand-computed 2x2 case") {
+    // actual a,a,a,b ; predicted a,a,b,b -> tp(a)=2 tp(b)=1
+    val df = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"))
+      .toDF("actual", "predicted")
+    val rep = MlEval.classifierReport(df)
+      .select(col("cls"), col("n_true"), col("n_pred"), col("tp"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rep == Map("a" -> ((3L, 2L, 2L)), "b" -> ((1L, 2L, 1L))), rep)
+    // kappa: po = 3/4, pe = (3*2 + 1*2)/16 = 1/2 -> kappa = (3/4-1/2)/(1/2) = 0.5
+    val k = MlEval.cohensKappa(df).select(col("kappa")).as[Double].head()
+    assert(k == 0.5, s"got $k")
+    // perfect agreement -> kappa 1; a class in predicted only still counts
+    val perfect = Seq(("x", "x"), ("y", "y")).toDF("actual", "predicted")
+    assert(MlEval.cohensKappa(perfect).select(col("kappa")).as[Double].head() == 1.0)
+  }
 }
