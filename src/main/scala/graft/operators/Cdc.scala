@@ -71,6 +71,49 @@ object Cdc {
     fs.delete(staging, true)
   }
 
+  /** Small-file compaction for a partitioned table — the maintenance job
+    * every streaming/CDC sink eventually needs: repeated upserts and
+    * micro-batch appends leave partitions with dozens of small parquet
+    * files, and scan cost grows with file count (footer reads, task
+    * scheduling) rather than data volume. Policy: any partition holding
+    * more than `maxFiles` data files is rewritten to `targetFiles`
+    * file(s); partitions at or under the threshold are NOT touched — their
+    * files stay byte-identical, so concurrent readers of cold partitions
+    * never see churn. Same staging + rename-swap discipline as
+    * [[partitionedUpsert]] (readers see old-or-new, never half). The
+    * driver loop touches only the affected partition list — at 100 TB the
+    * rewrite itself is a distributed job per the normal write path; only
+    * the rename is driver-side. Returns (partition, files_before,
+    * files_after) for the audit log. */
+  def compactPartitions(spark: SparkSession, basePath: String,
+      partCol: String, maxFiles: Int, targetFiles: Int = 1): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val root = new Path(basePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith(s"$partCol="))
+    def dataFiles(p: Path): Int =
+      fs.listStatus(p).count(f => f.isFile && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith("."))
+    val crowded = parts.map(p => p -> dataFiles(p)).filter(_._2 > maxFiles)
+    val report = crowded.map { case (p, before) =>
+      val staging = new Path(basePath + "__compacting", p.getName)
+      spark.read.parquet(p.toString)
+        .repartition(targetFiles)
+        .write.mode("overwrite").parquet(staging.toString)
+      // drop Spark's bookkeeping files so the swapped dir holds data only
+      fs.listStatus(staging).map(_.getPath)
+        .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        .foreach(f => fs.delete(f, false))
+      fs.delete(p, true)
+      require(fs.rename(staging, p), s"compaction swap failed for $p")
+      (p.getName, before, dataFiles(p))
+    }
+    fs.delete(new Path(basePath + "__compacting"), true)
+    report.toSeq.toDF("partition", "files_before", "files_after")
+  }
+
   /** Live CDC apply: every micro-batch of I/U/D changes upserts the
     * partitioned base table through [[partitionedUpsert]]. Keyed upserts
     * are idempotent (a replayed batch re-lands the table in the same

@@ -148,4 +148,36 @@ class CdcSpec extends AnyFunSuite {
         (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got == Map(100L -> 10L, 101L -> 11L, 102L -> 11L, 103L -> -1L))
   }
+
+  test("compactPartitions: crowded partitions collapse, cold partitions untouched") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    // partition en: 6 tiny files (appends); de: 1 file (cold)
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"doc$i", "en")).toDF("id", "text", "lang")
+        .coalesce(1).write.mode("append").partitionBy("lang").parquet(dir)
+    }
+    Seq((100L, "kalt", "de")).toDF("id", "text", "lang")
+      .coalesce(1).write.mode("append").partitionBy("lang").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(part: String) = fs.listStatus(new Path(dir, part))
+      .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+        !f.getPath.getName.startsWith(".")).map(_.getPath.getName).sorted
+    val deBefore = files("lang=de")
+    val before = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+
+    val report = Cdc.compactPartitions(spark, dir, "lang", maxFiles = 2)
+      .as[(String, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(report.keySet == Set("lang=en"), s"report $report")
+    assert(files("lang=en").length == 1, "en not compacted to one file")
+    // cold partition: exact same file names, nothing rewritten
+    assert(files("lang=de").sameElements(deBefore), "cold partition churned")
+    // content identical after compaction
+    val after = spark.read.parquet(dir).orderBy("id")
+      .collect().map(_.toString).toSeq
+    assert(after == before, "compaction changed table content")
+    // idempotent: a second run reports nothing to do
+    assert(Cdc.compactPartitions(spark, dir, "lang", maxFiles = 2).isEmpty)
+  }
 }
