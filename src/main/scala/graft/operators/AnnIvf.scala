@@ -433,5 +433,46 @@ object AnnIvf {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ann_ivf_topk", ivfTop, Some(AnnLsh.annGateSql)),
     QueryDef("ann_ivf_indexed", ivfIndexed, Some(AnnLsh.annGateSql)),
-    QueryDef("ann_ivf_quantized", ivfQuantized, Some(AnnLsh.annGateSql)))
+    QueryDef("ann_ivf_quantized", ivfQuantized, Some(AnnLsh.annGateSql)),
+    QueryDef("ann_probe_curve", probeCurve, Some(probeCurveSql)))
+
+  // ==== ann_probe_curve: the recall/cost tradeoff, self-documented ==========
+  //
+  // True recall@5 against the exact brute-force answer for nprobe ∈
+  // {1, 2, 4, 8, 16} over the k=16 index — the table an operator reads to
+  // pick nprobe for a 100 TB deployment. Two laws the driver gates every
+  // round: recall is monotone non-decreasing in nprobe (probing more cells
+  // can only add candidates, and the re-rank is exact), and nprobe = k
+  // IS brute force — recall must be exactly 1. Each probe level is one
+  // pruned search; hit counting joins two 25-row lists.
+  private def probeCurve(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
+    val qs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = emb.cache()
+    try {
+      val centroids = trainCentroids(c, k = 16)
+      // the exact answer computes ONCE; each probe level joins against it
+      val bruteRows = Similarity.bruteForceTopK(c, qs, 5)
+        .select(col("qid"), col("vec_id").as("neighbor")).collect()
+      val brute = bruteRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = brute.size
+      val hits = Seq(1, 2, 4, 8, 16).map { np =>
+        val ann = topK(c, qs, 5, centroids, nprobe = np)
+          .select(col("qid"), col("neighbor")).collect()
+        np -> ann.count(r => brute((r.getLong(0), r.getLong(1)))).toLong
+      }
+      hits.zipWithIndex.map { case ((np, h), i) =>
+        val prev = if (i == 0) 0L else hits(i - 1)._2
+        (np, h >= prev, np < 16 || h == exact.toLong)
+      }.toDF("nprobe", "ok_monotone", "ok_full_exact")
+    } finally c.unpersist()
+  }
+
+  private def probeCurveSql: String =
+    """SELECT nprobe, true AS ok_monotone, true AS ok_full_exact
+      |FROM (VALUES (1), (2), (4), (8), (16)) AS t(nprobe)
+      |ORDER BY nprobe""".stripMargin
 }
