@@ -688,7 +688,211 @@ object EventsOps {
       |FROM wau WHERE win_day IN (SELECT day FROM daily)
       |ORDER BY win_day""".stripMargin
 
+  // ==== q150: funnel conversion latency percentiles =========================
+  //
+  // Time from first view to first qualifying purchase (the q112 strict-
+  // order chain), summarized as exact interpolated percentiles — the SLA
+  // number behind every funnel. The chain reuses the running-window
+  // semantics (first_i visible at row t iff it happened before t); the
+  // percentile runs on the converters-only latency column via the
+  // distributed order-statistics path (q113), not a global sort.
+
+  def conversionLatency(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events.withColumn("us", unix_micros(col("ts")))
+    val withFirsts = stages.zipWithIndex.foldLeft(base) { case (df, (stage, i)) =>
+      val qual = if (i == 0) col("event_type") === stage
+        else col("event_type") === stage &&
+          col(s"first${i - 1}").isNotNull && col("us") > col(s"first${i - 1}")
+      df.withColumn(s"qual$i", qual)
+        .withColumn(s"first$i", min(when(col(s"qual$i"), col("us"))).over(w))
+    }
+    val last = stages.size - 1
+    val lat = withFirsts.groupBy(col("user_id"))
+      .agg(min(when(col("qual0"), col("us"))).as("f0"),
+        min(when(col(s"qual$last"), col("us"))).as("fl"))
+      .filter(col("f0").isNotNull && col("fl").isNotNull)
+      // integer seconds: micros-scale quantiles interpolate at ~1e12 where a
+      // double ulp is 1e-4 — exactly the dec4 digit; seconds keep the
+      // interpolation 6 orders below the rounding grid
+      .select(expr("(fl - f0) div 1000000").as("lat_s"))
+    val Seq(p50, p90) = Profiling.exactQuantiles(lat, "lat_s", Seq(0.5, 0.9))
+    val spark = events.sparkSession
+    import spark.implicits._
+    lat.agg(count(lit(1)).as("n_converted"))
+      .crossJoin(broadcast(Seq((p50, p90)).toDF("p50_s", "p90_s")))
+  }
+
+  private def q150(s: SparkSession, dir: String): DataFrame =
+    conversionLatency(Tables.events(s, dir), Seq("view", "click", "purchase"))
+      .select(col("n_converted"), QueryDef.dec4(col("p50_s")).as("p50_s"),
+        QueryDef.dec4(col("p90_s")).as("p90_s"))
+
+  private val q150Sql =
+    """WITH base AS (
+      |  SELECT user_id, event_id, event_type, ts, epoch_us(ts) AS us FROM events),
+      |v AS (SELECT *, min(CASE WHEN event_type = 'view' THEN us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first0
+      |  FROM base),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'click'
+      |      AND first0 IS NOT NULL AND us > first0 THEN us END) OVER
+      |    (PARTITION BY user_id ORDER BY ts, event_id
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first1
+      |  FROM v),
+      |firsts AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN us END) AS f0,
+      |    min(CASE WHEN event_type = 'purchase' AND first1 IS NOT NULL
+      |      AND us > first1 THEN us END) AS fl
+      |  FROM c GROUP BY user_id),
+      |lat AS (
+      |  SELECT (fl - f0) // 1000000 AS lat_s FROM firsts
+      |  WHERE f0 IS NOT NULL AND fl IS NOT NULL)
+      |SELECT count(*) AS n_converted,
+      |  CAST(CAST(quantile_cont(lat_s, 0.5) AS DECIMAL(38,4)) AS VARCHAR) AS p50_s,
+      |  CAST(CAST(quantile_cont(lat_s, 0.9) AS DECIMAL(38,4)) AS VARCHAR) AS p90_s
+      |FROM lat""".stripMargin
+
+  // ==== q151: additive time-series decomposition (trend/seasonal/residual) ==
+  //
+  // The classical-decomposition baseline for anomaly work: trend = centered
+  // 25-hour moving average (only where the window is FULL — edges stay
+  // null rather than biased), seasonal = hour-of-day mean of the detrended
+  // series, residual = the rest. Scale shape: one map-side-combined
+  // groupBy to the HOURLY table; every window after that orders ≤ hours
+  // rows (8.8k/year) — the q120 discipline. Exactness: counts are
+  // integers, so the three components are rationals with denominators
+  // 25 / 25k / 25k; each is computed as an integer numerator divided once
+  // — both engines divide identical BIGINTs.
+
+  def decomposeHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr("unix_micros(hour) div 3600000000"))
+    val w25 = Window.orderBy(col("hi")).rangeBetween(-12, 12)
+    val t = hourly
+      .withColumn("wsum", sum(col("n")).over(w25))
+      .withColumn("wcnt", count(col("n")).over(w25))
+      .withColumn("detr25", when(col("wcnt") === 25, lit(25) * col("n") - col("wsum")))
+    val seasonal = t.filter(col("detr25").isNotNull)
+      .groupBy((col("hi") % 24).as("hod"))
+      .agg(sum(col("detr25")).as("ssum"), count(lit(1)).as("k"))
+    t.join(broadcast(seasonal), col("hi") % 24 === col("hod"), "left")
+      .select(col("hour"), col("n"),
+        when(col("wcnt") === 25,
+          col("wsum").cast("double") / lit(25.0)).as("trend"),
+        (col("ssum").cast("double") /
+          (lit(25.0) * col("k").cast("double"))).as("seasonal"),
+        when(col("detr25").isNotNull,
+          (col("k") * col("detr25") - col("ssum")).cast("double") /
+            (lit(25.0) * col("k").cast("double"))).as("resid"))
+  }
+
+  private def q151(s: SparkSession, dir: String): DataFrame =
+    decomposeHourly(Tables.events(s, dir))
+      .select(QueryDef.tsSec(col("hour")).as("hour"), col("n"),
+        QueryDef.dec4(col("trend")).as("trend"),
+        QueryDef.dec4(col("seasonal")).as("seasonal"),
+        QueryDef.dec4(col("resid")).as("resid"))
+      .orderBy(col("hour"))
+
+  private val q151Sql =
+    """WITH hourly AS (
+      |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+      |  FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER w AS BIGINT) AS wsum,
+      |    count(n) OVER w AS wcnt
+      |  FROM hourly
+      |  WINDOW w AS (ORDER BY hi RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+      |t2 AS (
+      |  SELECT *, CASE WHEN wcnt = 25 THEN 25 * n - wsum END AS detr25 FROM t),
+      |seas AS (
+      |  SELECT hi % 24 AS hod, CAST(sum(detr25) AS BIGINT) AS ssum,
+      |    count(*) AS k
+      |  FROM t2 WHERE detr25 IS NOT NULL GROUP BY 1)
+      |SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n,
+      |  CAST(CAST(CASE WHEN wcnt = 25 THEN CAST(wsum AS DOUBLE) / 25.0 END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS trend,
+      |  CAST(CAST(CAST(ssum AS DOUBLE) / (25.0 * CAST(k AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS seasonal,
+      |  CAST(CAST(CASE WHEN detr25 IS NOT NULL THEN
+      |    CAST(k * detr25 - ssum AS DOUBLE) / (25.0 * CAST(k AS DOUBLE)) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS resid
+      |FROM t2 LEFT JOIN seas ON t2.hi % 24 = seas.hod
+      |ORDER BY hour""".stripMargin
+
+  // ==== q152: autocorrelation of the hourly series at fixed lags ============
+  //
+  // Pearson r between (x_t, x_{t−lag}) for lag 1 h and 24 h — the
+  // seasonality detector that motivates q151's 24-hour cycle. Pairs come
+  // from a calendar-correct self-join on the hour INDEX (a window lag()
+  // would silently pair across gaps); moments are the q144 integer set,
+  // divided once and rooted in double from identical inputs.
+
+  def hourlyAutocorr(events: DataFrame, lags: Seq[Int]): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr("unix_micros(hour) div 3600000000"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lagDf = lags.toDF("lag")
+    val a = hourly.select(col("hi"), col("n").as("x"))
+    val b = hourly.select(col("hi").as("hib"), col("n").as("y"))
+    a.crossJoin(broadcast(lagDf))
+      .join(b, col("hib") === col("hi") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+  }
+
+  private def q152(s: SparkSession, dir: String): DataFrame =
+    hourlyAutocorr(Tables.events(s, dir), Seq(1, 24))
+      .select(col("lag"), col("n_pairs"), QueryDef.dec4(col("r")).as("r"))
+      .orderBy(col("lag"))
+
+  private val q152Sql =
+    """WITH hourly AS (
+      |  SELECT count(*) AS n,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+      |  FROM events GROUP BY date_trunc('hour', ts)),
+      |pairs AS (
+      |  SELECT l.lag, a.n AS x, b.n AS y
+      |  FROM hourly a CROSS JOIN (VALUES (1), (24)) AS l(lag)
+      |  JOIN hourly b ON b.hi = a.hi - l.lag),
+      |m AS (
+      |  SELECT lag, count(*) AS np,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT lag, np AS n_pairs,
+      |  CAST(CAST(CAST(np * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
+      |      CAST(np * syy - sy * sy AS DOUBLE)) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS r
+      |FROM m ORDER BY lag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_conversion_latency", q150, Some(q150Sql)),
+    QueryDef("q151_stl_decompose", q151, Some(q151Sql)),
+    QueryDef("q152_hourly_autocorr", q152, Some(q152Sql)),
     QueryDef("q139_rolling_hll", q139, Some(q139Sql)),
     QueryDef("q114_cohort_retention", q114, Some(q114Sql)),
     QueryDef("q120_trending_spikes", q120, Some(q120Sql)),

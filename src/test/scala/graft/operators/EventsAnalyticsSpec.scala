@@ -204,4 +204,51 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     // HLL is exact at tiny cardinalities - the gate must hold
     assert(got.forall(_._3), got.toSeq)
   }
+
+  test("decomposeHourly: pure 24h-periodic series has flat trend and zero residual") {
+    // 72 hours of period-24 pattern: n = 10 + (hour % 24 == 0 ? 24 : 0)
+    // every full 25-window sums to 10*25 + 24 -> constant trend
+    val rows = (0 until 72).flatMap { h =>
+      val n = if (h % 24 == 0) 34 else 10
+      (0 until n).map(i => (h.toLong * 1000 + i, new Timestamp(1704067200000L + h * H)))
+    }.toDF("event_id", "ts")
+    val got = EventsOps.decomposeHourly(rows)
+      .select(col("n"), col("trend"), col("seasonal"), col("resid"))
+      .as[(Long, Option[Double], Double, Option[Double])].collect()
+    val interior = got.filter(_._2.isDefined)
+    assert(interior.nonEmpty)
+    // a 25-hour window over a 24-hour cycle holds one spike or two:
+    // trend is (250+24)/25 or (250+48)/25, nothing else
+    assert(interior.forall(r => r._2.contains(274.0 / 25.0) ||
+      r._2.contains(298.0 / 25.0)), interior.take(3).toSeq)
+    // residual identically zero on the interior
+    assert(interior.forall(_._4.contains(0.0)), interior.take(3).toSeq)
+    // seasonal: spike hour carries +24*24/25/... sum of seasonals over a day = 0
+    val seasonalByN = got.map(r => r._1 -> r._3).distinct.toMap
+    assert(seasonalByN(34L) > 20.0 && seasonalByN(10L) < 0.0)
+  }
+
+  test("hourlyAutocorr: perfect period-24 series scores r = 1 at lag 24") {
+    val rows = (0 until 96).flatMap { h =>
+      val n = 5 + (h % 24)  // sawtooth with period 24
+      (0 until n).map(i => (h.toLong * 1000 + i, new Timestamp(1704067200000L + h * H)))
+    }.toDF("event_id", "ts")
+    val r = EventsOps.hourlyAutocorr(rows, Seq(24))
+      .select(col("r")).as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12, s"got $r")
+  }
+
+  test("conversionLatency: hand-built funnel latencies") {
+    // u1 converts in 3600s; u2 has purchase BEFORE view -> not converted
+    val rows = Seq(
+      (1L, 1L, hr(0), "view"), (1L, 2L, hr(1), "click"),
+      (1L, 3L, new Timestamp(1704067200000L + 3600000L), "purchase"),
+      (2L, 4L, hr(2), "purchase"), (2L, 5L, hr(3), "view")
+    ).map(r => (r._1, r._2, r._3, r._4, 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventsOps.conversionLatency(rows, Seq("view", "purchase"))
+      .select(col("n_converted"), col("p50_s"), col("p90_s"))
+      .as[(Long, Double, Double)].head()
+    assert(got == ((1L, 3600.0, 3600.0)), s"got $got")
+  }
 }
