@@ -281,9 +281,81 @@ object Graph {
       |SELECT root, depth, count(*) AS n FROM anc
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ==== q153: label-propagation communities =================================
+  //
+  // Synchronous LPA, the near-linear community detector: every node adopts
+  // the most frequent label among its neighbors each round (ties to the
+  // smallest label — REQUIRED for determinism; classic LPA breaks ties
+  // randomly and is irreproducible). Each round is one edge-side hash join
+  // + one map-side-combined (node, label) count + a struct-min argmax —
+  // the PageRank shuffle shape, labels never leave the cluster. Fixed
+  // round count (the deterministic variant's convergence guard: synchronous
+  // LPA can oscillate on bipartite structures, so rounds are a parameter,
+  // not a fixpoint test).
+
+  /** Labels after `rounds` of synchronous propagation over symmetric
+    * (src, dst) edges. Isolated nodes keep their own id as label. */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val nodes = e.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val counts = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy(col("node"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("lbl").as("l")))
+          .getField("l").as("new_lbl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    labelPropagation(pairs, rounds = 3)
+      .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy(col("size"))
+  }
+
+  private val q153Sql = {
+    val round = (i: Int) =>
+      s"""l$i AS (
+         |  SELECT l.node, coalesce(b.new_lbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT node, lbl AS new_lbl FROM (
+         |      SELECT e.dst AS node, r.lbl, count(*) AS cnt,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY count(*) DESC, r.lbl) AS rn
+         |      FROM e JOIN l${i - 1} r ON e.src = r.node
+         |      GROUP BY e.dst, r.lbl)
+         |    WHERE rn = 1) b ON l.node = b.node)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT size, count(*) AS n_communities FROM (
+       |  SELECT lbl, count(*) AS size FROM l3 GROUP BY 1)
+       |GROUP BY size ORDER BY size""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
     QueryDef("q124_kfold", q124, Some(q124Sql)),
     QueryDef("q134_triangles", q134, Some(q134Sql)),
-    QueryDef("q146_hierarchy_closure", q146, Some(q146Sql)))
+    QueryDef("q146_hierarchy_closure", q146, Some(q146Sql)),
+    QueryDef("q153_label_propagation", q153, Some(q153Sql)))
 }

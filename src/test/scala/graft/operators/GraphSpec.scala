@@ -102,4 +102,17 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(more == got)
   }
+
+  test("labelPropagation: two cliques joined by one edge split into two communities") {
+    // cliques {1,2,3} and {7,8,9} bridged by 3-7
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(7L, 8L, 9L)) ++
+      Seq((3L, 7L), (7L, 3L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // each clique converges to its min label; the bridge does not merge them
+    assert(got(1L) == got(2L) && got(2L) == got(3L), s"got $got")
+    assert(got(7L) == got(8L) && got(8L) == got(9L), s"got $got")
+    assert(got(1L) != got(7L), s"cliques merged: $got")
+  }
 }
