@@ -262,13 +262,20 @@ object EventsOps {
     val h = expr("unix_micros(hour) div 3600000000") // integer hour index
     val before = Window.partitionBy(col("user_id")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val after = Window.partitionBy(col("user_id")).orderBy(col("hour"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "next observed" is the same running last-ignoreNulls over the
+    // REVERSED order — NOT first() over (currentRow, unboundedFollowing):
+    // Spark evaluates an unbounded-FOLLOWING frame by re-scanning the
+    // remainder of the partition for every row (quadratic in the grid
+    // span), and when AQE coalesces this modest shuffle into one
+    // partition that put the whole sf1 grid on a single core for half an
+    // hour. The descending running frame is incremental O(n) per pass.
+    val after = Window.partitionBy(col("user_id")).orderBy(col("hour").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid.join(hourly, Seq("user_id", "hour"), "left")
       .withColumn("pv", last(col("vq"), ignoreNulls = true).over(before))
       .withColumn("pt", last(when(col("vq").isNotNull, h), ignoreNulls = true).over(before))
-      .withColumn("nv", first(col("vq"), ignoreNulls = true).over(after))
-      .withColumn("nt", first(when(col("vq").isNotNull, h), ignoreNulls = true).over(after))
+      .withColumn("nv", last(col("vq"), ignoreNulls = true).over(after))
+      .withColumn("nt", last(when(col("vq").isNotNull, h), ignoreNulls = true).over(after))
       // half-up rational rounding: ⌊(2·(pv·(nt−h) + nv·(h−pt)) + n) / 2n⌋
       .withColumn("fq", when(col("vq").isNotNull, col("vq")).otherwise(expr(
         """(2 * (pv * (nt - unix_micros(hour) div 3600000000)
