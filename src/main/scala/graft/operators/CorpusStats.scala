@@ -223,9 +223,140 @@ object CorpusStats {
       |FROM sh JOIN dfs USING (g)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ==== q154: token burstiness (variance-to-mean ratio) =====================
+  //
+  // Burstiness separates topical words (appear many times in few docs —
+  // VMR ≫ 1) from function words (spread evenly — VMR ≈ 1): the signal
+  // behind stopword discovery and keyword extraction. One explode + one
+  // token-keyed map-side-combined aggregation over integer per-doc counts;
+  // VMR = (N·Σc² − (Σc)²) / (Σc·N) uses the q144 integer-moment form —
+  // one division of exact BIGINTs. N (corpus doc count) is one broadcast
+  // scalar: docs where the token does NOT appear contribute zeros to the
+  // variance without ever materializing (the sparse-moment trick).
+
+  /** Per-token (df, total occurrences, VMR) over the corpus; `minDf`
+    * prunes the long tail. */
+  def tokenBurstiness(docs: DataFrame, minDf: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.count()
+    val perDoc = docs
+      .select(col("doc_id"), explode(Tok.ws(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    perDoc.groupBy(col("t"))
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sq"))
+      .filter(col("df") >= minDf)
+      .select(col("t"), col("df"), col("total"),
+        QueryDef.dec4((lit(nDocs) * col("sq") - col("total") * col("total"))
+          .cast("double") /
+          (col("total") * lit(nDocs)).cast("double")).as("vmr"))
+  }
+
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    tokenBurstiness(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      minDf = 5)
+      .orderBy(col("t"))
+
+  private val q154Sql =
+    """WITH n AS (SELECT count(*) AS nd FROM documents),
+      |per_doc AS (
+      |  SELECT doc_id, t, count(*) AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT t, count(*) AS df, CAST(sum(c) AS BIGINT) AS total,
+      |    CAST(sum(c * c) AS BIGINT) AS sq
+      |  FROM per_doc GROUP BY 1)
+      |SELECT t, df, total,
+      |  CAST(CAST(CAST(nd * sq - total * total AS DOUBLE) /
+      |    CAST(total * nd AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS vmr
+      |FROM m CROSS JOIN n WHERE df >= 5 ORDER BY t""".stripMargin
+
+  // ==== q155: population stability index (PSI) between corpus slices ========
+  //
+  // THE production drift metric (scorecard monitoring): bin the baseline
+  // slice into equal-depth deciles, then PSI = Σ (p_b − p_a)·ln(p_b/p_a).
+  // Complements q131's KS (KS = worst single point; PSI = total
+  // distribution movement). Bins come from the distributed exact-quantile
+  // boundaries of slice A (the q143 machinery) broadcast to one map-side
+  // pass; per-bin proportions divide integers, and the ln/sum runs over
+  // exactly `buckets` rows in fixed bin order — cross-engine stable.
+
+  /** One-row PSI of `colName` between sideA (baseline) and the rest. */
+  def psi(df: DataFrame, colName: String, sideA: Column, buckets: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = Profiling.exactQuantiles(df.filter(sideA), colName, ps)
+    val rounded = Seq(Tuple1(bounds.map(b => math.rint(b * 10000) / 10000)))
+      .toDF("bs")
+    val binned = df
+      .select(col(colName).cast("double").as("v"),
+        when(sideA, 1L).otherwise(0L).as("a"))
+      .crossJoin(broadcast(rounded))
+      .select(aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(round(col("v"), 4) > b, 1).otherwise(0))
+        .as("bin"), col("a"))
+      .groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val tot = broadcast(binned.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
+    // Laplace +1 smoothing: an empty bin makes raw PSI infinite (ln 0); the
+    // standard fix adds one pseudo-count per bin on BOTH slices, keeping
+    // identical slices at exactly 0 and disjoint slices large but finite
+    val pa = (col("ca") + 1).cast("double") /
+      (col("na") + lit(buckets)).cast("double")
+    val pb = (col("cb") + 1).cast("double") /
+      (col("nb") + lit(buckets)).cast("double")
+    binned.crossJoin(tot)
+      // fixed bin order: sum as an ordered fold over the collected bin list
+      .select(col("bin"), (pb - pa).as("dp"), (log(pb) - log(pa)).as("dl"))
+      .select(sort_array(collect_list(struct(col("bin"), (col("dp") * col("dl")).as("term"))))
+        .as("terms"))
+      .select(QueryDef.dec4(aggregate(col("terms"), lit(0.0),
+        (acc, x) => acc + x.getField("term"))).as("psi"))
+  }
+
+  // slices: even vs odd doc_id over n_chars — near-identical distributions,
+  // so the PSI is small but nonzero (the realistic monitoring value)
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    psi(Tables.documents(s, dir), "n_chars", col("doc_id") % 2 === 0, 10)
+
+  private val q155Sql =
+    """WITH b AS (
+      |  SELECT list_transform(quantile_cont(n_chars,
+      |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+      |    x -> round(x, 4)) AS bs
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |assigned AS (
+      |  SELECT len(list_filter(bs, x -> round(CAST(n_chars AS DOUBLE), 4) > x))
+      |      AS bin,
+      |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a
+      |  FROM documents CROSS JOIN b),
+      |counts AS (
+      |  SELECT bin, CAST(sum(a) AS BIGINT) AS ca,
+      |    CAST(sum(1 - a) AS BIGINT) AS cb
+      |  FROM assigned GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+      |terms AS (
+      |  SELECT bin,
+      |    (CAST(cb + 1 AS DOUBLE) / (nb + 10) - CAST(ca + 1 AS DOUBLE) / (na + 10)) *
+      |    (ln(CAST(cb + 1 AS DOUBLE) / (nb + 10)) -
+      |     ln(CAST(ca + 1 AS DOUBLE) / (na + 10))) AS term
+      |  FROM counts CROSS JOIN tot),
+      |folded AS (
+      |  SELECT list_aggregate(list(term ORDER BY bin), 'sum') AS psi
+      |  FROM terms)
+      |SELECT CAST(CAST(psi AS DECIMAL(38,4)) AS VARCHAR) AS psi FROM folded""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),
     QueryDef("q136_source_overlap", q136, Some(q136Sql)),
     QueryDef("q137_oov_rate", q137, Some(q137Sql)),
-    QueryDef("q147_ngram_novelty", q147, Some(q147Sql)))
+    QueryDef("q147_ngram_novelty", q147, Some(q147Sql)),
+    QueryDef("q154_token_burstiness", q154, Some(q154Sql)),
+    QueryDef("q155_psi", q155, Some(q155Sql)))
 }

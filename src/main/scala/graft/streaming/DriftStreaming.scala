@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming distribution-drift monitor (round 7, B101): every micro-batch
+  * of an incoming value stream is KS-tested against a fixed reference
+  * sample, and the per-batch statistic + alarm lands in an append-only
+  * audit table — the data-quality tripwire in front of a training-data
+  * ingest (a upstream schema change or unit mixup shows up as a
+  * distribution jump long before any model metric moves).
+  *
+  * Reuses the EXACT two-sample KS machinery (`Profiling.ksDrift`: dual-
+  * count histogram + distributed prefix scan — no global sort), so the
+  * alarm threshold is compared against the true statistic, not a sketch.
+  * Scale notes: the reference should arrive pre-cached (it is re-read per
+  * batch); its first fold inside ksDrift collapses it to its distinct-value
+  * histogram, so a 100 TB deployment passes the persisted histogram, not
+  * raw rows. Batch results append as one row each — the audit table grows
+  * with batch count, not data volume.
+  */
+object DriftStreaming {
+
+  /** Start monitoring `values` (streaming, column `v`) against `reference`
+    * (batch, column `v`). Appends (batch_id, n_ref, n_batch, ks, alarm)
+    * rows under `outPath`. */
+  def startDriftMonitor(values: DataFrame, reference: DataFrame,
+      threshold: Double, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val combined = reference.select(col("v"), lit(true).as("is_ref"))
+            .unionByName(batch.toDF().select(col("v"), lit(false).as("is_ref")))
+          graft.operators.Profiling.ksDrift(combined, "v", col("is_ref"))
+            .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
+              col("n_b").as("n_batch"), col("ks"),
+              (col("ks") > threshold).as("alarm"))
+            .coalesce(1)
+            .write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+}

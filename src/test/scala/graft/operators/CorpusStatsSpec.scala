@@ -70,4 +70,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 0L)), 2L -> ((2L, 0L)), 3L -> ((2L, 2L))),
       s"got $got")
   }
+
+  test("tokenBurstiness: even spread scores ~0 excess, bursty token scores high") {
+    // 'e' once in each of 4 docs (VMR = (4*4-16)/(4*4) = 0); 'b' 4x in one doc
+    // VMR(b) = (4*16 - 16)/(4*4) = 3
+    val docs = Seq(
+      (1L, "e b b b b"), (2L, "e"), (3L, "e"), (4L, "e")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.tokenBurstiness(docs, minDf = 1)
+      .select(col("t"), col("vmr")).as[(String, String)].collect().toMap
+    assert(got("e") == "0.0000", s"got $got")
+    assert(got("b") == "3.0000", s"got $got")
+  }
+
+  test("psi: identical slices score 0; a shifted slice scores big") {
+    // two interleaved identical uniform slices -> every decile 50/50
+    val same = (1L to 2000L).map(i => (i, i / 2)).toDF("doc_id", "n_chars")
+    val p0 = CorpusStats.psi(same, "n_chars", col("doc_id") % 2 === 0, 10)
+      .as[String].head()
+    assert(p0 == "0.0000", s"got $p0")
+    // slice B wholly in A's top decile -> large PSI
+    val shifted = ((1L to 1000L).map(i => (2 * i, i)) ++
+      (1L to 1000L).map(i => (2 * i + 1, 950L + (i % 50)))).toDF("doc_id", "n_chars")
+    val p1 = CorpusStats.psi(shifted, "n_chars", col("doc_id") % 2 === 0, 10)
+      .as[String].head().toDouble
+    assert(p1 > 1.0, s"got $p1")
+  }
 }

@@ -563,4 +563,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("B101: drift monitor - in-distribution batch quiet, shifted batch alarms") {
+    val tmp = java.nio.file.Files.createTempDirectory("drift").toString
+    val reference = (1L to 1000L).toDF("v").cache()
+    reference.count()
+    val input = MemoryStream[Long](spark)
+    val q = DriftStreaming.startDriftMonitor(
+      input.toDF().toDF("v"), reference, threshold = 0.2,
+      outPath = s"$tmp/out", checkpoint = s"$tmp/ckpt")
+    try {
+      // batch 0: a uniform subsample of the reference range - small KS
+      input.addData((1L to 1000L by 10): _*)
+      q.processAllAvailable()
+      // batch 1: shifted wholly above the reference - KS -> 1
+      input.addData((2001L to 2100L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(s"$tmp/out")
+      .select(col("batch_id"), col("n_batch"), col("ks"), col("alarm"))
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.length == 2, out.toSeq)
+    val (quiet, shifted) = (out(0), out(1))
+    assert(quiet._2 == 100L && quiet._3 < 0.2 && !quiet._4, s"quiet: $quiet")
+    // disjoint-above distribution: exact KS is 1.0
+    assert(shifted._3 == 1.0 && shifted._4, s"shifted: $shifted")
+  }
 }
