@@ -24,7 +24,7 @@ PATTERNS = {
     "internal-import": re.compile(
         r"^\s*import\s+(?!org\.apache\.|java\.|javax\.|scala\.|graft\.|"
         r"com\.sun\.|org\.scalatest|org\.scalacheck|org\.slf4j|org\.xml|"
-        r"spark\.implicits|\w+\.implicits|docs\.sparkSession)[a-z]\w+\.\w+"),
+        r"spark\.implicits|[\w.]+\.implicits|docs\.sparkSession)[a-z]\w+\.\w+"),
     "internal-url": re.compile(
         r"https?://(?!localhost|127\.0\.0\.1|www\.w3\.org|github\.com|"
         r"spark\.apache\.org|duckdb\.org|issues\.apache\.org|schemas\.openxmlformats\.org|www\.ecma-international\.org)[\w.-]+\.[a-z]{2,}"),
