@@ -161,6 +161,56 @@ object EventsStreaming {
     }
   }
 
+  /** The quota processor bootstrapped from batch history — the restart/
+    * migration path: when the throttle comes up mid-hour (deploy, region
+    * failover), already-admitted counts from the batch ledger seed the
+    * state BEFORE the first micro-batch, so the quota is not silently
+    * doubled across the restart. `handleInitialState` runs once per key
+    * with the grouped initial rows (hour, admitted). */
+  class SeededQuotaProcessor(maxPerHour: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Long, Long), (Long, Long, Long, Boolean), (Long, Long, Long)] {
+    @transient private var admits: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admits = getHandle.getMapState[Long, Long]("hour_admits",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInitialState(user: Long, row: (Long, Long, Long),
+        tv: TimerValues): Unit =
+      admits.updateValue(row._2, row._3)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
+        tv: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+      rows.toSeq.sortBy(r => (r._3, r._2)).iterator.map { case (u, eid, us) =>
+        val hour = Math.floorDiv(us, 3600000000L)
+        val sofar = if (admits.containsKey(hour)) admits.getValue(hour) else 0L
+        val admit = sofar < maxPerHour
+        if (admit) admits.updateValue(hour, sofar + 1)
+        (u, eid, us, admit)
+      }
+    }
+  }
+
+  /** [[quotaStream]] seeded from a batch ledger of (user_id, hour_bucket,
+    * admitted) rows. */
+  def quotaStreamSeeded(events: DataFrame, maxPerHour: Int,
+      history: DataFrame): Dataset[(Long, Long, Long, Boolean)] = {
+    import events.sparkSession.implicits._
+    val init = history
+      .select(col("user_id").cast("long"), col("hour_bucket").cast("long"),
+        col("admitted").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SeededQuotaProcessor(maxPerHour),
+        TimeMode.None(), OutputMode.Update(), init)
+  }
+
   /** Per-user hourly quota over a (streaming) events frame. Caller must run
     * with the RocksDB state store provider (transformWithState requires it). */
   def quotaStream(events: DataFrame, maxPerHour: Int)

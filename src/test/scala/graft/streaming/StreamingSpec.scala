@@ -589,4 +589,36 @@ class StreamingSpec extends AnyFunSuite {
     // disjoint-above distribution: exact KS is 1.0
     assert(shifted._3 == 1.0 && shifted._4, s"shifted: $shifted")
   }
+
+  test("B90b: initial-state quota — batch ledger seeds the throttle across a restart") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // hour bucket of 2024-01-01 10:xx
+      val hour10 = ts("2024-01-01 10:00:00").getTime * 1000L / 3600000000L
+      // ledger: user 1 already admitted 2 events in hour 10 (quota FULL);
+      // user 2 admitted 1 (one slot left)
+      val history = Seq((1L, hour10, 2L), (2L, hour10, 1L))
+        .toDF("user_id", "hour_bucket", "admitted")
+      val input = MemoryStream[(Timestamp, Long, Long)](spark)
+      val events = input.toDF().toDF("ts", "user_id", "event_id")
+      val q = EventsStreaming.quotaStreamSeeded(events, maxPerHour = 2, history)
+        .writeStream.format("memory").queryName("seeded_quota_out")
+        .outputMode("update").start()
+      try {
+        input.addData(
+          (ts("2024-01-01 10:30:00"), 1L, 11L),  // u1 full -> reject
+          (ts("2024-01-01 10:31:00"), 2L, 21L),  // u2 last slot -> admit
+          (ts("2024-01-01 10:32:00"), 2L, 22L),  // u2 now full -> reject
+          (ts("2024-01-01 11:05:00"), 1L, 12L))  // fresh hour -> admit
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("seeded_quota_out")
+        .as[(Long, Long, Long, Boolean)].collect()
+        .map(r => r._2 -> r._4).toMap
+      assert(got == Map(11L -> false, 21L -> true, 22L -> false, 12L -> true),
+        s"got $got")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
