@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level distribution statistics (round 7, B85–B87): character
@@ -352,11 +353,142 @@ object CorpusStats {
       |  FROM terms)
       |SELECT CAST(CAST(psi AS DECIMAL(38,4)) AS VARCHAR) AS psi FROM folded""".stripMargin
 
+
+  // ==== q156: Gini concentration of corpus mass =============================
+  //
+  // How unequal is the corpus? Token-frequency Gini ≈ 1 means a handful of
+  // tokens carry all the mass (dedup/boilerplate debt); source-volume Gini
+  // ≈ 1 means one crawl dominates the mixture. G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx)
+  // / (n·Σx) over ascending-sorted masses — the rank window runs on the
+  // GROUP table (vocab-sized / source-sized), never raw rows, and the
+  // numerator is an exact BIGINT (ranks × integer masses), divided once.
+
+  /** One Gini row per labeled mass table. `masses`: (dim, k, x). */
+  def gini(masses: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("dim")).orderBy(col("x"), col("k"))
+    masses.withColumn("i", row_number().over(w))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("dim"), col("n"),
+        QueryDef.dec4((lit(2) * col("six") - (col("n") + 1) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double")).as("gini"))
+  }
+
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokenMass = docs.select(explode(Tok.ws(col("text"))).as("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("x"))
+      .select(lit("token_freq").as("dim"), col("k"), col("x"))
+    val sourceMass = docs.groupBy(col("source").as("k"))
+      .agg(sum(col("n_chars")).as("x"))
+      .select(lit("source_chars").as("dim"), col("k"), col("x"))
+    gini(tokenMass.unionByName(sourceMass)).orderBy(col("dim"))
+  }
+
+  private val q156Sql =
+    """WITH masses AS (
+      |  SELECT 'token_freq' AS dim, t AS k, CAST(count(*) AS BIGINT) AS x
+      |  FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |        AS t FROM documents) GROUP BY 2
+      |  UNION ALL
+      |  SELECT 'source_chars', source, CAST(sum(n_chars) AS BIGINT)
+      |  FROM documents GROUP BY 2),
+      |ranked AS (
+      |  SELECT dim, x,
+      |    row_number() OVER (PARTITION BY dim ORDER BY x, k) AS i
+      |  FROM masses),
+      |m AS (
+      |  SELECT dim, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(i * x) AS BIGINT) AS six
+      |  FROM ranked GROUP BY 1)
+      |SELECT dim, n,
+      |  CAST(CAST(CAST(2 * six - (n + 1) * sx AS DOUBLE) /
+      |    CAST(n * sx AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS gini
+      |FROM m ORDER BY dim""".stripMargin
+
+  // ==== q157: top co-occurrence pairs by pointwise mutual information =======
+  //
+  // PMI(w₁, w₂) = ln(N·df₁₂ / (df₁·df₂)) over document-level co-occurrence
+  // — the collocation/topic-structure statistic. The pair space comes from
+  // per-doc DISTINCT token lists (bounded by the vocab cap per doc, the
+  // PairCombos kernel again), never from a token×token cross join; dfs are
+  // one map-side-combined aggregation each. At 100 TB the vocabulary is
+  // first capped to the broadcast top-V head (the q137 pattern) so per-doc
+  // pair fan-out is ≤ V². PMI takes ln of a ratio of exact integers;
+  // ranking rounds to 4 dp with a (w1, w2) tie-break (the q37 discipline).
+
+  /** Top-`k` token pairs by PMI among tokens with df ≥ `minDf`. */
+  def pmiPairs(docs: DataFrame, minDf: Long, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nDocs = docs.count()
+    val docToks = docs
+      .select(col("doc_id"), explode(array_distinct(Tok.ws(col("text")))).as("t"))
+    val dfTab = docToks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    // dense ids in token sort order (bounded vocab — a scalar-class collect)
+    val vocab = dfTab.select(col("t")).orderBy(col("t"))
+      .collect().map(_.getString(0))
+    val ids = typedLit(vocab.toSeq)
+    val byDoc = docToks
+      .withColumn("tid", array_position(ids, col("t")))
+      .filter(col("tid") > 0)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct((col("tid") - 1).as("doc_id"),
+        lit(0L).as("p")))).as("members"))
+    val pairDf = byDoc
+      .select(explode(graft.functions.PairCombos.of(col("members"))).as("pr"))
+      .groupBy(col("pr.doc_a").as("ia"), col("pr.doc_b").as("ib"))
+      .agg(count(lit(1)).as("df12"))
+      .select(element_at(ids, col("ia").cast("int") + 1).as("w1"),
+        element_at(ids, col("ib").cast("int") + 1).as("w2"), col("df12"))
+    pairDf
+      .join(broadcast(dfTab.select(col("t").as("w1"), col("df").as("df1"))), Seq("w1"))
+      .join(broadcast(dfTab.select(col("t").as("w2"), col("df").as("df2"))), Seq("w2"))
+      .select(col("w1"), col("w2"), col("df12"), col("df1"), col("df2"),
+        log(lit(nDocs).cast("double") * col("df12").cast("double") /
+          (col("df1") * col("df2")).cast("double")).as("pmi"))
+      .orderBy(round(col("pmi"), 4).desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    pmiPairs(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      minDf = 5, k = 20)
+      .select(col("w1"), col("w2"), col("df12"), col("df1"), col("df2"),
+        QueryDef.dec4(col("pmi")).as("pmi"))
+
+  private val q157Sql =
+    """WITH n AS (SELECT count(*) AS nd FROM documents),
+      |dt AS (
+      |  SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id,
+      |      unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |    FROM documents)),
+      |dfs AS (
+      |  SELECT t, count(*) AS df FROM dt GROUP BY 1 HAVING count(*) >= 5),
+      |dt2 AS (SELECT dt.doc_id, dt.t FROM dt JOIN dfs USING (t)),
+      |pairs AS (
+      |  SELECT a.t AS w1, b.t AS w2, count(*) AS df12
+      |  FROM dt2 a JOIN dt2 b ON a.doc_id = b.doc_id AND a.t < b.t
+      |  GROUP BY 1, 2)
+      |SELECT w1, w2, df12, d1.df AS df1, d2.df AS df2,
+      |  CAST(CAST(ln(CAST(nd AS DOUBLE) * CAST(df12 AS DOUBLE) /
+      |    CAST(d1.df * d2.df AS DOUBLE)) AS DECIMAL(38,4)) AS VARCHAR) AS pmi
+      |FROM pairs JOIN dfs d1 ON d1.t = w1 JOIN dfs d2 ON d2.t = w2
+      |CROSS JOIN n
+      |ORDER BY round(ln(CAST(nd AS DOUBLE) * CAST(df12 AS DOUBLE) /
+      |  CAST(d1.df * d2.df AS DOUBLE)), 4) DESC, w1, w2
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),
     QueryDef("q136_source_overlap", q136, Some(q136Sql)),
     QueryDef("q137_oov_rate", q137, Some(q137Sql)),
     QueryDef("q147_ngram_novelty", q147, Some(q147Sql)),
     QueryDef("q154_token_burstiness", q154, Some(q154Sql)),
-    QueryDef("q155_psi", q155, Some(q155Sql)))
+    QueryDef("q155_psi", q155, Some(q155Sql)),
+    QueryDef("q156_gini", q156, Some(q156Sql)),
+    QueryDef("q157_pmi_pairs", q157, Some(q157Sql)))
 }

@@ -96,4 +96,28 @@ class CorpusStatsSpec extends AnyFunSuite {
       .as[String].head().toDouble
     assert(p1 > 1.0, s"got $p1")
   }
+
+  test("gini: equal masses score 0, one-holder concentration approaches 1") {
+    val equal = (1 to 10).map(i => ("eq", s"k$i", 5L))
+    val conc = Seq(("cc", "whale", 1000L)) ++ (1 to 9).map(i => ("cc", s"m$i", 1L))
+    val got = CorpusStats.gini((equal ++ conc).toDF("dim", "k", "x"))
+      .select(col("dim"), col("gini")).as[(String, String)].collect().toMap
+    assert(got("eq") == "0.0000", s"got $got")
+    assert(got("cc").toDouble > 0.85, s"got $got")
+  }
+
+  test("pmiPairs: always-together tokens outrank independent ones") {
+    // p,q co-occur in every doc containing either; x,y independent-ish
+    val docs = Seq(
+      (1L, "p q x"), (2L, "p q y"), (3L, "p q x y"), (4L, "p q"),
+      (5L, "x a a a a"), (6L, "y a a a a"), (7L, "a x"), (8L, "a y")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.pmiPairs(docs, minDf = 2, k = 30)
+      .select(col("w1"), col("w2"), col("pmi"))
+      .as[(String, String, Double)].collect()
+    val asMap = got.map(r => (r._1, r._2) -> r._3).toMap
+    // PMI(p,q) = ln(8*4/(4*4)) = ln 2 — the maximum present
+    assert(math.abs(asMap(("p", "q")) - math.log(2)) < 1e-12, s"got $asMap")
+    assert(got.head._1 == "p" && got.head._2 == "q", s"top pair: ${got.head}")
+  }
 }
