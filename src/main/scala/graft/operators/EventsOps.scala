@@ -896,7 +896,64 @@ object EventsOps {
       |    AS r
       |FROM m ORDER BY lag""".stripMargin
 
+  // ==== q159: inter-arrival burstiness per user =============================
+  //
+  // Mean and squared coefficient of variation of each user's event
+  // inter-arrival gaps — CV² ≈ 1 is Poisson (memoryless) behavior, ≫ 1 is
+  // bursty sessions, ≪ 1 is scripted/bot regularity: the behavioral
+  // fingerprint behind bot filtering and load modeling. One lag() window
+  // in the single user_id shuffle, then integer moments (the q144 form)
+  // over gaps in integer SECONDS — micros-squared would overflow BIGINT
+  // at month-long gaps; seconds keep Σgap² comfortably inside. CV² =
+  // (n·Σg² − (Σg)²) / (Σg)² divides exact integers.
+
+  def interArrival(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap_s", expr("(us - lag(us, 1) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sg"),
+        sum(col("gap_s") * col("gap_s")).as("sgg"))
+      .filter(col("sg") > 0)
+      // floor-scaled integers, not dec4: integer/integer means land EXACTLY
+      // on the half grid whenever n_gaps is a power of two (observed:
+      // 39823.78125 s), and there Spark's HALF_UP and DuckDB's half-even
+      // disagree; floor of the identically-rounded double is ulp-safe
+      .select(col("user_id"), col("n_gaps"),
+        floor((col("sg") * 10000L).cast("double") / col("n_gaps").cast("double"))
+          .cast("long").as("mean_gap_e4"),
+        floor((col("n_gaps") * col("sgg") - col("sg") * col("sg"))
+          .cast("double") * 10000.0 / (col("sg") * col("sg")).cast("double"))
+          .cast("long").as("cv2_e4"))
+  }
+
+  private def q159(s: SparkSession, dir: String): DataFrame =
+    interArrival(Tables.events(s, dir)).orderBy(col("user_id"))
+
+  private val q159Sql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    (epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS gap_s
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum(gap_s) AS BIGINT) AS sg,
+      |    CAST(sum(gap_s * gap_s) AS BIGINT) AS sgg
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |  CAST(floor(CAST(sg * 10000 AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+      |    AS BIGINT) AS mean_gap_e4,
+      |  CAST(floor(CAST(n_gaps * sgg - sg * sg AS DOUBLE) * 10000.0 /
+      |    CAST(sg * sg AS DOUBLE)) AS BIGINT) AS cv2_e4
+      |FROM m WHERE sg > 0 ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q159_inter_arrival", q159, Some(q159Sql)),
     QueryDef("q150_conversion_latency", q150, Some(q150Sql)),
     QueryDef("q151_stl_decompose", q151, Some(q151Sql)),
     QueryDef("q152_hourly_autocorr", q152, Some(q152Sql)),

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-management operators: single-pass column profiling and an ORC
@@ -556,7 +557,58 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS r2
       |FROM c ORDER BY source""".stripMargin
 
+  // ==== q158: group-wise exact weighted median ==============================
+  //
+  // The engine's quantile tier (q44/q113/q130) is unweighted; mixture and
+  // budget decisions need the WEIGHTED middle ("the doc length at which
+  // half the corpus TOKENS sit below"). Lower weighted median with an
+  // integer rule: the smallest value whose doubled cumulative weight
+  // reaches the group total — no halves, no interpolation, deterministic
+  // on both engines. One map-side-combined (group, value) weight
+  // histogram; the cumulative window orders only that histogram (the
+  // q140 discipline), then one argmin per group.
+
+  /** Per-`group` lower weighted median of `value` under integer `weight`. */
+  def weightedMedian(df: DataFrame, group: String, value: String,
+      weight: String): DataFrame = {
+    val hist = df.groupBy(col(group), col(value).as("v"))
+      .agg(sum(col(weight).cast("long")).as("w"))
+    val win = Window.partitionBy(col(group)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum", sum(col("w")).over(win))
+      .withColumn("tot", sum(col("w")).over(Window.partitionBy(col(group))))
+      .filter(lit(2) * col("cum") >= col("tot"))
+      .groupBy(col(group))
+      .agg(min(col("v")).as("w_median"), max(col("tot")).as("total_weight"))
+  }
+
+  // weighted by token count: "the doc length at which half the corpus
+  // tokens sit below", per language
+  private def q158(s: SparkSession, dir: String): DataFrame =
+    weightedMedian(
+      Tables.documents(s, dir).select(col("lang"), col("n_chars"),
+        size(Tok.ws(col("text"))).as("w")),
+      "lang", "n_chars", "w")
+      .orderBy(col("lang"))
+
+  private val q158Sql =
+    """WITH d AS (
+      |  SELECT lang, n_chars AS v,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+      |  FROM documents),
+      |hist AS (
+      |  SELECT lang, v, CAST(sum(w) AS BIGINT) AS w FROM d GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, v, w,
+      |    CAST(sum(w) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |    CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      |  FROM hist)
+      |SELECT lang, min(v) AS w_median, max(tot) AS total_weight
+      |FROM c WHERE 2 * cum >= tot GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q158_weighted_median", q158, Some(q158Sql)),
     QueryDef("q144_grouped_ols", q144, Some(q144Sql)),
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),
     QueryDef("q69_profile", q69, Some(q69Sql)),

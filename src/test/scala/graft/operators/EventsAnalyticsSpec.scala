@@ -251,4 +251,18 @@ class EventsAnalyticsSpec extends AnyFunSuite {
       .as[(Long, Double, Double)].head()
     assert(got == ((1L, 3600.0, 3600.0)), s"got $got")
   }
+
+  test("interArrival: regular schedule scores cv2 = 0; bursty pattern scores high") {
+    // u1: events every hour exactly -> all gaps equal -> cv2 0
+    val regular = (0 until 10).map(i => (1L, i.toLong, new Timestamp(1704067200000L + i * H)))
+    // u2: 9 events in one minute, then one 9 hours later (bursty)
+    val bursty = (0 until 9).map(i => (2L, 100L + i, new Timestamp(1704067200000L + i * 6000L))) :+
+      ((2L, 200L, new Timestamp(1704067200000L + 9 * H)))
+    val df = (regular ++ bursty).toDF("user_id", "event_id", "ts")
+    val got = EventsOps.interArrival(df)
+      .select(col("user_id"), col("n_gaps"), col("cv2_e4"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((9L, 0L)), s"got $got")
+    assert(got(2L)._2 > 30000L, s"bursty cv2 too low: $got") // cv2 >> 1 (e4 units)
+  }
 }

@@ -200,4 +200,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(got("flat") == ((0.0, 0L))) // every deviation 0 → no outliers
     assert(got("spread")._2 == 0L)     // med 5, mad 5 → nothing beyond 22.2
   }
+
+  test("weightedMedian: weight shifts the middle; lower-median tie rule") {
+    // values 1..4 weight 1 -> total 4, 2*cum>=4 first at v=2 (lower median)
+    val flat = (1L to 4L).map(v => ("f", v, 1L)).toDF("g", "v", "w")
+    import org.apache.spark.sql.functions.col
+    val m1 = Profiling.weightedMedian(flat, "g", "v", "w")
+      .select(col("w_median")).as[Long].head()
+    assert(m1 == 2L)
+    // a heavy weight at v=4 drags the weighted middle up to 4
+    val heavy = (flat.as[(String, Long, Long)].collect().toSeq :+ (("f", 4L, 10L)))
+      .toDF("g", "v", "w")
+    val m2 = Profiling.weightedMedian(heavy, "g", "v", "w")
+      .select(col("w_median")).as[Long].head()
+    assert(m2 == 4L, s"got $m2")
+  }
 }
