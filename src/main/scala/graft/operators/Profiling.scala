@@ -607,7 +607,124 @@ object Profiling {
       |SELECT lang, min(v) AS w_median, max(tot) AS total_weight
       |FROM c WHERE 2 * cum >= tot GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==== q160: Benford first-digit conformance ===============================
+  //
+  // The classic fabricated-data tripwire: organically-grown monetary
+  // amounts follow Benford's law (P(d) = log10(1 + 1/d)); synthetic or
+  // tampered columns don't. One map-side digit extraction + a 9-row
+  // groupBy, then chi-square against the Benford expectation. Cross-
+  // engine exactness: the nine Benford probabilities are PRECOMPUTED in
+  // Scala and embedded as identical literals in the oracle (the DCG-
+  // weight trick) — no cross-engine log10 ever runs; the chi-square sums
+  // nine identically-computed doubles in fixed digit order.
+
+  private[operators] val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
+  /** Per-digit observed/expected counts + the chi-square statistic of
+    * `colName`'s first significant digits (zeros/nulls excluded). */
+  def benford(df: DataFrame, colName: String): DataFrame = {
+    val digits = df
+      .select(substring(regexp_replace(abs(col(colName)).cast("string"),
+        "[^1-9]", ""), 1, 1).as("d"))
+      .filter(col("d") =!= "")
+      .groupBy(col("d")).agg(count(lit(1)).as("obs"))
+    val tot = broadcast(digits.agg(sum(col("obs")).as("n")))
+    val expCase = BenfordP.zipWithIndex.tail.foldLeft(
+      when(col("d") === "1", lit(BenfordP.head))) {
+      case (acc, (pv, i)) => acc.when(col("d") === (i + 1).toString, lit(pv))
+    }
+    val withExp = digits.crossJoin(tot)
+      .withColumn("expected", expCase * col("n").cast("double"))
+      .withColumn("chi_term",
+        (col("obs").cast("double") - col("expected")) *
+          (col("obs").cast("double") - col("expected")) / col("expected"))
+    withExp.select(
+      sort_array(collect_list(struct(col("d"), col("obs"),
+        col("expected"), col("chi_term")))).as("rows"))
+      .select(explode(col("rows")).as("r"),
+        aggregate(col("rows"), lit(0.0), (a, x) => a + x.getField("chi_term"))
+          .as("chi2"))
+      .select(col("r.d").as("digit"), col("r.obs").as("obs"),
+        QueryDef.dec4(col("r.expected")).as("expected"),
+        QueryDef.dec4(col("chi2")).as("chi2"))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame =
+    benford(Tables.orders(s, dir), "o_totalprice")
+      .orderBy(col("digit"))
+
+  private val q160Sql = {
+    val pCase = BenfordP.zipWithIndex
+      .map { case (pv, i) => s"WHEN d = '${i + 1}' THEN $pv" }.mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT d, count(*) AS obs FROM (
+       |    SELECT substr(regexp_replace(CAST(abs(o_totalprice) AS VARCHAR),
+       |      '[^1-9]', '', 'g'), 1, 1) AS d
+       |    FROM orders)
+       |  WHERE d <> '' GROUP BY 1),
+       |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM digits),
+       |terms AS (
+       |  SELECT d, obs,
+       |    (CASE $pCase END) * CAST(n AS DOUBLE) AS expected,
+       |    (CAST(obs AS DOUBLE) - (CASE $pCase END) * CAST(n AS DOUBLE)) *
+       |    (CAST(obs AS DOUBLE) - (CASE $pCase END) * CAST(n AS DOUBLE)) /
+       |      ((CASE $pCase END) * CAST(n AS DOUBLE)) AS chi_term
+       |  FROM digits CROSS JOIN tot),
+       |chi AS (
+       |  SELECT list_aggregate(list(chi_term ORDER BY d), 'sum') AS chi2
+       |  FROM terms)
+       |SELECT d AS digit, obs,
+       |  CAST(CAST(expected AS DECIMAL(38,4)) AS VARCHAR) AS expected,
+       |  CAST(CAST(chi2 AS DECIMAL(38,4)) AS VARCHAR) AS chi2
+       |FROM terms CROSS JOIN chi ORDER BY digit""".stripMargin
+  }
+
+  // ==== q161: exact total-variation distance between slices =================
+  //
+  // TV = ½·Σ_v |p_a(v) − p_b(v)| — the L1 member of the drift family
+  // (q131 KS = sup-norm, q155 PSI = log-weighted). EXACT in integers:
+  // over the common denominator n_a·n_b, TV = Σ|c_b·n_a − c_a·n_b| /
+  // (2·n_a·n_b) — one BIGINT absolute-difference sum over the distinct-
+  // value histogram, divided once. One dual-count groupBy; no windows,
+  // no sort.
+
+  /** One-row exact TV distance of `colName` between sideA and the rest. */
+  def totalVariation(df: DataFrame, colName: String, sideA: Column): DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val tot = broadcast(counts.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb")))
+    counts.crossJoin(tot)
+      .agg(sum(abs(col("cb") * col("na") - col("ca") * col("nb"))).as("num"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .select(col("na"), col("nb"),
+        QueryDef.dec4(col("num").cast("double") /
+          (lit(2.0) * col("na").cast("double") * col("nb").cast("double")))
+          .as("tv"))
+  }
+
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    totalVariation(Tables.events(s, dir), "value", col("event_id") % 2 === 0)
+
+  private val q161Sql =
+    """WITH counts AS (
+      |  SELECT value AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      |  FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts)
+      |SELECT na, nb,
+      |  CAST(CAST(CAST(sum(abs(cb * na - ca * nb)) AS DOUBLE) /
+      |    (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS tv
+      |FROM counts CROSS JOIN tot GROUP BY na, nb""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_benford", q160, Some(q160Sql)),
+    QueryDef("q161_total_variation", q161, Some(q161Sql)),
     QueryDef("q158_weighted_median", q158, Some(q158Sql)),
     QueryDef("q144_grouped_ols", q144, Some(q144Sql)),
     QueryDef("q68_orc_roundtrip", q68, Some(q68Sql)),

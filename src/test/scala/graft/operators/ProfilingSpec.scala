@@ -215,4 +215,33 @@ class ProfilingSpec extends AnyFunSuite {
       .select(col("w_median")).as[Long].head()
     assert(m2 == 4L, s"got $m2")
   }
+
+  test("benford: probabilities pinned; perfect Benford sample scores chi2 ~ 0") {
+    import org.apache.spark.sql.functions.col
+    assert(math.abs(Profiling.BenfordP.sum - 1.0) < 1e-12)
+    assert(math.abs(Profiling.BenfordP.head - math.log10(2.0)) < 1e-15)
+    // a sample with counts exactly proportional to Benford's law
+    val n = 10000
+    val rows = (1 to 9).flatMap { d =>
+      val c = math.round(Profiling.BenfordP(d - 1) * n).toInt
+      Seq.fill(c)(d.toLong * 1000L)
+    }.toDF("x")
+    val got = Profiling.benford(rows, "x")
+      .select(col("digit"), col("chi2")).as[(String, String)].collect()
+    assert(got.length == 9)
+    assert(got.head._2.toDouble < 0.01, s"chi2 should be ~0: ${got.head}")
+  }
+
+  test("totalVariation: identical slices 0, disjoint slices 1") {
+    import org.apache.spark.sql.functions.col
+    val same = (2L to 101L).map(i => (i, i / 2)).toDF("id", "v")
+    val tv0 = Profiling.totalVariation(same, "v", col("id") % 2 === 0)
+      .select(col("tv")).as[String].head()
+    assert(tv0 == "0.0000", s"got $tv0")
+    val disjoint = ((1L to 50L).map(i => (2 * i, i)) ++
+      (1L to 50L).map(i => (2 * i + 1, 1000L + i))).toDF("id", "v")
+    val tv1 = Profiling.totalVariation(disjoint, "v", col("id") % 2 === 0)
+      .select(col("tv")).as[String].head()
+    assert(tv1 == "1.0000", s"got $tv1")
+  }
 }
