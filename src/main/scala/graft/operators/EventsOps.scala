@@ -952,7 +952,65 @@ object EventsOps {
       |    CAST(sg * sg AS DOUBLE)) AS BIGINT) AS cv2_e4
       |FROM m WHERE sg > 0 ORDER BY user_id""".stripMargin
 
+  // ==== q162: daily bounce rate ============================================
+  //
+  // Fraction of sessions that contain exactly one event, per session-start
+  // day — the engagement-quality headline. Reuses the q35 gap
+  // sessionization (30-min inactivity) wholesale: one lag window + one
+  // running sum in the single user_id shuffle, then a constant-size
+  // (day) rollup; the rate divides integers.
+
+  def bounceRate(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sessions = events
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMinutes * 60000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), to_date(min(col("ts"))).as("day"))
+    sessions.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+      .select(col("day"), col("n_sessions"), col("n_bounce"),
+        QueryDef.dec4(col("n_bounce").cast("double") /
+          col("n_sessions").cast("double")).as("bounce_rate"))
+  }
+
+  private def q162(s: SparkSession, dir: String): DataFrame =
+    bounceRate(Tables.events(s, dir))
+      .select(QueryDef.tsDay(col("day")).as("day"), col("n_sessions"),
+        col("n_bounce"), col("bounce_rate"))
+      .orderBy(col("day"))
+
+  private val q162Sql =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, count(*) AS n_events,
+      |    CAST(min(ts) AS DATE) AS day
+      |  FROM (SELECT user_id, ts,
+      |      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS session_id
+      |    FROM (SELECT *, CASE WHEN prev_us IS NULL
+      |          OR epoch_us(ts) - prev_us > 30 * 60000000 THEN 1 ELSE 0 END
+      |          AS is_new
+      |      FROM (SELECT *, lag(epoch_us(ts), 1) OVER (
+      |          PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |        FROM events)))
+      |  GROUP BY 1, 2)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, count(*) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounce,
+      |  CAST(CAST(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS bounce_rate
+      |FROM sess GROUP BY day ORDER BY day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_bounce_rate", q162, Some(q162Sql)),
     QueryDef("q159_inter_arrival", q159, Some(q159Sql)),
     QueryDef("q150_conversion_latency", q150, Some(q150Sql)),
     QueryDef("q151_stl_decompose", q151, Some(q151Sql)),

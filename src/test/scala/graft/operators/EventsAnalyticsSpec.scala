@@ -265,4 +265,21 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(got(1L) == ((9L, 0L)), s"got $got")
     assert(got(2L)._2 > 30000L, s"bursty cv2 too low: $got") // cv2 >> 1 (e4 units)
   }
+
+  test("bounceRate: single-event sessions bounce, multi-event do not; split by start day") {
+    val rows = Seq(
+      // u1 day 1: a 2-event session (no bounce)
+      (1L, 1L, hr(0)), (1L, 2L, hr(0)),
+      // u1 later day 1: isolated event (bounce) - 31+ min after
+      (1L, 3L, new Timestamp(1704067200000L + 2 * H)),
+      // u2 day 2: one isolated event (bounce)
+      (2L, 4L, new Timestamp(1704067200000L + 26 * H))
+    ).map(r => (r._1, r._2, r._3, "view", 0.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val got = EventsOps.bounceRate(rows)
+      .select(col("day").cast("string"), col("n_sessions"), col("n_bounce"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map("2024-01-01" -> ((2L, 1L)), "2024-01-02" -> ((1L, 1L))),
+      s"got $got")
+  }
 }
