@@ -722,7 +722,82 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS tv
       |FROM counts CROSS JOIN tot GROUP BY na, nb""".stripMargin
 
+  // ==== q163: grouped higher moments (skewness, excess kurtosis) ============
+  //
+  // Completes the per-group moment family (q144 fits lines from the first
+  // two moments; this reports the shape of the distribution itself).
+  // Population skewness g1 = m3/m2^1.5 and excess kurtosis g2 = m4/m2²−3,
+  // with the central moments expanded in RAW integer power sums:
+  //   n²·m2 = n·S2 − S1²
+  //   n³·m3 = n²·S3 − 3n·S1·S2 + 2·S1³
+  //   n⁴·m4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
+  // One map-side-combined groupBy accumulates S1..S4 exactly (BIGINT);
+  // the scale-free ratios then divide identically-computed doubles:
+  //   g1 = n^... — computed as (n⁴m4-form)/(n²m2-form) powers so every
+  // operand derives from the same exact integers on both engines.
+
+  /** Per-`group` skewness and excess kurtosis of integer column `x`.
+    * Groups with zero variance report nulls. */
+  def higherMoments(df: DataFrame, group: String, x: String): DataFrame = {
+    val xl = col(x).cast("long")
+    val m = df.groupBy(col(group)).agg(
+      count(lit(1)).as("n"),
+      sum(xl).as("s1"), sum(xl * xl).as("s2"),
+      sum(xl * xl * xl).as("s3"), sum(xl * xl * xl * xl).as("s4"))
+    val n = col("n").cast("double")
+    val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
+    val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
+    val m2n2 = n * s2 - s1 * s1                       // n²·m2
+    val m3n3 = n * n * s3 - lit(3.0) * n * s1 * s2 + lit(2.0) * s1 * s1 * s1
+    val m4n4 = n * n * n * s4 - lit(4.0) * n * n * s1 * s3 +
+      lit(6.0) * n * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1
+    // the n-powers cancel exactly: m3/m2^1.5 = m3n3/(m2n2)^1.5 and
+    // m4/m2² = m4n4/(m2n2)²
+    m.select(col(group), col("n"),
+      when(m2n2 > 0, m3n3 / sqrt(m2n2 * m2n2 * m2n2)).as("skewness"),
+      when(m2n2 > 0, m4n4 / (m2n2 * m2n2) - lit(3.0)).as("kurtosis_ex"))
+  }
+
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    higherMoments(Tables.documents(s, dir), "source", "n_chars")
+      .select(col("source"), col("n"),
+        QueryDef.dec4(col("skewness")).as("skewness"),
+        QueryDef.dec4(col("kurtosis_ex")).as("kurtosis_ex"))
+      .orderBy(col("source"))
+
+  private val q163Sql =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS s1,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
+      |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
+      |    CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
+      |  FROM documents GROUP BY 1),
+      |d AS (
+      |  SELECT source, n,
+      |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,
+      |    CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+      |    CAST(s4 AS DOUBLE) AS s4
+      |  FROM m),
+      |c AS (
+      |  SELECT source, n,
+      |    nd * s2 - s1 * s1 AS m2n2,
+      |    nd * nd * s3 - 3.0 * nd * s1 * s2 + 2.0 * s1 * s1 * s1 AS m3n3,
+      |    nd * nd * nd * s4 - 4.0 * nd * nd * s1 * s3 +
+      |      6.0 * nd * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1 AS m4n4,
+      |    nd
+      |  FROM d)
+      |SELECT source, n,
+      |  CAST(CAST(CASE WHEN m2n2 > 0 THEN
+      |    m3n3 / sqrt(m2n2 * m2n2 * m2n2) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS skewness,
+      |  CAST(CAST(CASE WHEN m2n2 > 0 THEN
+      |    m4n4 / (m2n2 * m2n2) - 3.0 END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS kurtosis_ex
+      |FROM c ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_higher_moments", q163, Some(q163Sql)),
     QueryDef("q160_benford", q160, Some(q160Sql)),
     QueryDef("q161_total_variation", q161, Some(q161Sql)),
     QueryDef("q158_weighted_median", q158, Some(q158Sql)),

@@ -244,4 +244,24 @@ class ProfilingSpec extends AnyFunSuite {
       .select(col("tv")).as[String].head()
     assert(tv1 == "1.0000", s"got $tv1")
   }
+
+  test("higherMoments: symmetric data skew 0; uniform kurtosis -1.2; constant nulls") {
+    import org.apache.spark.sql.functions.col
+    // symmetric triple -> skew exactly 0
+    val sym = Seq(("s", 1L), ("s", 2L), ("s", 3L)).toDF("g", "x")
+    val r1 = Profiling.higherMoments(sym, "g", "x")
+      .select(col("skewness")).as[Double].head()
+    assert(r1 == 0.0, s"got $r1")
+    // large discrete uniform -> excess kurtosis -> -1.2 (analytic -6/5 * (n^2+1)/(n^2-1))
+    val uni = (1L to 1000L).map(v => ("u", v)).toDF("g", "x")
+    val r2 = Profiling.higherMoments(uni, "g", "x")
+      .select(col("kurtosis_ex")).as[Double].head()
+    assert(math.abs(r2 - (-1.2)) < 0.01, s"got $r2")
+    // zero variance -> nulls, not NaN/crash
+    val const = Seq(("c", 7L), ("c", 7L)).toDF("g", "x")
+    val r3 = Profiling.higherMoments(const, "g", "x")
+      .select(col("skewness").isNull && col("kurtosis_ex").isNull)
+      .as[Boolean].head()
+    assert(r3)
+  }
 }
