@@ -49,24 +49,52 @@ object Cdc {
     * Restriction (the usual hive-layout one): `partCol` is immutable under
     * updates — a row cannot move partitions, since its old partition would
     * not be rewritten. */
+  /** Recover from a swap interrupted mid-rename: a dir named
+    * `...=X__old` beside a live `...=X` means the swap completed (drop the
+    * aside); an `__old` with NO live sibling means the crash hit between
+    * the two renames (rename it back). Run before any read/list of the
+    * table so partition discovery never sees a phantom `X__old` value. */
+  private def recoverAsides(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.endsWith("__old")).foreach { aside =>
+          val live = new org.apache.hadoop.fs.Path(root,
+            aside.getName.stripSuffix("__old"))
+          if (fs.exists(live)) fs.delete(aside, true)
+          else require(fs.rename(aside, live), s"aside recovery failed: $aside")
+        }
+
   def partitionedUpsert(spark: SparkSession, basePath: String,
       changes: DataFrame, key: String, partCol: String): Unit = {
     import org.apache.hadoop.fs.Path
     val affected = changes.select(col(partCol)).distinct()
+    val fs = new Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAsides(fs, new Path(basePath))
     val base = spark.read.parquet(basePath)
     val touched = base.join(broadcast(affected), Seq(partCol), "left_semi")
     val staging = new Path(basePath + "__upserting")
     mergeByKey(touched, changes, key)
       .write.mode("overwrite").partitionBy(partCol).parquet(staging.toString)
-    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
     // one driver-side loop over TOUCHED partitions only (small by contract)
     affected.collect().map(_.get(0).toString).foreach { p =>
       val src = new Path(staging, s"$partCol=$p")
       val dst = new Path(basePath, s"$partCol=$p")
-      fs.delete(dst, true)
+      // Rename-aside swap: the live dir is moved aside (one metadata op),
+      // the staged dir renamed in, THEN the aside deleted. The live data
+      // is never deleted before its replacement is in place — a crash at
+      // any point leaves the partition in either `dst` or `dst__old`
+      // (recoverable), and the reader-visible gap is two renames, not a
+      // recursive delete.
+      val aside = new Path(basePath, s"$partCol=${p}__old")
+      fs.delete(aside, true) // stale leftover from a prior crashed swap
+      if (fs.exists(dst))
+        require(fs.rename(dst, aside), s"upsert aside failed for $dst")
       if (fs.exists(src))
         require(fs.rename(src, dst), s"upsert swap failed for $dst")
       // else: every row of the partition was deleted — dst stays removed
+      fs.delete(aside, true)
     }
     fs.delete(staging, true)
   }
@@ -79,8 +107,11 @@ object Cdc {
     * more than `maxFiles` data files is rewritten to `targetFiles`
     * file(s); partitions at or under the threshold are NOT touched — their
     * files stay byte-identical, so concurrent readers of cold partitions
-    * never see churn. Same staging + rename-swap discipline as
-    * [[partitionedUpsert]] (readers see old-or-new, never half). The
+    * never see churn. Same staging + rename-ASIDE discipline as
+    * [[partitionedUpsert]]: readers see whole-old or whole-new, never a
+    * half-written dir; the only visibility gap is the two-rename metadata
+    * window (no distributed delete sits between them), and a crash at any
+    * point is repaired by [[recoverAsides]] on the next maintenance run. The
     * driver loop touches only the affected partition list — at 100 TB the
     * rewrite itself is a distributed job per the normal write path; only
     * the rename is driver-side. Returns (partition, files_before,
@@ -91,6 +122,7 @@ object Cdc {
     import spark.implicits._
     val root = new Path(basePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverAsides(fs, root)
     val parts = fs.listStatus(root).filter(_.isDirectory)
       .map(_.getPath).filter(_.getName.startsWith(s"$partCol="))
     def dataFiles(p: Path): Int =
@@ -106,8 +138,14 @@ object Cdc {
       fs.listStatus(staging).map(_.getPath)
         .filter(f => f.getName.startsWith("_") || f.getName.startsWith("."))
         .foreach(f => fs.delete(f, false))
-      fs.delete(p, true)
+      // rename-aside, as in partitionedUpsert: live dir is moved aside and
+      // only deleted AFTER the compacted dir is in place — a crash mid-swap
+      // leaves the data in `p` or `p__old`, never only in staging.
+      val aside = new Path(p.getParent, p.getName + "__old")
+      fs.delete(aside, true)
+      require(fs.rename(p, aside), s"compaction aside failed for $p")
       require(fs.rename(staging, p), s"compaction swap failed for $p")
+      fs.delete(aside, true)
       (p.getName, before, dataFiles(p))
     }
     fs.delete(new Path(basePath + "__compacting"), true)

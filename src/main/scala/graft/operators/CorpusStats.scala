@@ -418,34 +418,39 @@ object CorpusStats {
   // pair fan-out is ≤ V². PMI takes ln of a ratio of exact integers;
   // ranking rounds to 4 dp with a (w1, w2) tie-break (the q37 discipline).
 
-  /** Top-`k` token pairs by PMI among tokens with df ≥ `minDf`. */
+  /** Top-`k` token pairs by PMI among tokens with df ≥ `minDf`.
+    *
+    * Dense token ids come from the distributed exclusive prefix scan over
+    * the df table sorted by token (count-of-one ⇒ 0-based rank in token
+    * sort order) and attach to the exploded tokens via a BROADCAST join —
+    * no vocab-sized plan literal, no per-token `array_position` scan. Ids
+    * are assigned in token sort order, so `ia < ib` from the pair kernel
+    * still means `w1 < w2` lexically (matching the oracle's `a.t < b.t`).
+    * The id↔word map is the vocab-sized aggregate, broadcast thrice; the
+    * raw token stream only ever hash-joins against it. */
   def pmiPairs(docs: DataFrame, minDf: Long, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val nDocs = docs.count()
     val docToks = docs
       .select(col("doc_id"), explode(array_distinct(Tok.ws(col("text")))).as("t"))
     val dfTab = docToks.groupBy(col("t")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-    // dense ids in token sort order (bounded vocab — a scalar-class collect)
-    val vocab = dfTab.select(col("t")).orderBy(col("t"))
-      .collect().map(_.getString(0))
-    val ids = typedLit(vocab.toSeq)
+    val vocabIds = graft.chunk.ChunkAssigner.withPrefixSum(
+        dfTab.withColumn("__one", lit(1L)), Seq(col("t")), col("__one"),
+        outName = "tid")
+      .drop("__one")
     val byDoc = docToks
-      .withColumn("tid", array_position(ids, col("t")))
-      .filter(col("tid") > 0)
+      .join(broadcast(vocabIds.select(col("t"), col("tid"))), Seq("t"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct((col("tid") - 1).as("doc_id"),
+      .agg(sort_array(collect_list(struct(col("tid").as("doc_id"),
         lit(0L).as("p")))).as("members"))
-    val pairDf = byDoc
+    byDoc
       .select(explode(graft.functions.PairCombos.of(col("members"))).as("pr"))
       .groupBy(col("pr.doc_a").as("ia"), col("pr.doc_b").as("ib"))
       .agg(count(lit(1)).as("df12"))
-      .select(element_at(ids, col("ia").cast("int") + 1).as("w1"),
-        element_at(ids, col("ib").cast("int") + 1).as("w2"), col("df12"))
-    pairDf
-      .join(broadcast(dfTab.select(col("t").as("w1"), col("df").as("df1"))), Seq("w1"))
-      .join(broadcast(dfTab.select(col("t").as("w2"), col("df").as("df2"))), Seq("w2"))
+      .join(broadcast(vocabIds.select(col("tid").as("ia"),
+        col("t").as("w1"), col("df").as("df1"))), Seq("ia"))
+      .join(broadcast(vocabIds.select(col("tid").as("ib"),
+        col("t").as("w2"), col("df").as("df2"))), Seq("ib"))
       .select(col("w1"), col("w2"), col("df12"), col("df1"), col("df2"),
         log(lit(nDocs).cast("double") * col("df12").cast("double") /
           (col("df1") * col("df2")).cast("double")).as("pmi"))

@@ -36,16 +36,24 @@ object Graph {
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     for (_ <- 1 to iterations) {
+      val prev = ranks
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      // truncate lineage every iteration: without this the plan deepens by
+      // two joins per power step — fine at 5 iterations, an
+      // optimizer-time/stack bomb at 20+. The checkpoint is node-sized;
+      // the superseded round's blocks are released immediately (the
+      // labelPropagation/Dedup loop discipline).
       ranks = nodes.crossJoin(nRow)
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+        .localCheckpoint()
+      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(prev)
     }
     ranks.crossJoin(nRow)
       .select(col("node"), (col("rank") * col("n")).as("rank_scaled"))
@@ -300,6 +308,7 @@ object Graph {
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node"))
     for (_ <- 1 to rounds) {
+      val prev = labels
       val counts = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
@@ -310,6 +319,11 @@ object Graph {
       labels = labels.join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
         .localCheckpoint()
+      // the superseded round's checkpoint blocks are dead the moment the
+      // new one materializes — release them (the Dedup/AnnIvf loop
+      // discipline) so memory stays O(1 round), not O(rounds). A no-op on
+      // round 1, whose `prev` is the un-checkpointed seed frame.
+      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(prev)
     }
     labels
   }

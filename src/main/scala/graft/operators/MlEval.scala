@@ -110,7 +110,12 @@ object MlEval {
     val truth = docs.filter(isRel).select(col("doc_id"), lit(1).as("rel"))
     val nRel = truth.count() // scalar; the truth set is a query-sized list
     val wCol = element_at(typedLit(DcgW), col("rank").cast("int"))
-    val idcg = DcgPrefix(math.min(nRel, 10L).toInt - 1)
+    // Empty truth set: recall and nDCG are undefined (÷0 / DcgPrefix(-1)) —
+    // emit NULL for both, matching what the SQL twin's NULLIF would yield,
+    // instead of crashing the whole eval run on one degenerate term set.
+    val idcg = if (nRel == 0) 1L else DcgPrefix(math.min(nRel, 10L).toInt - 1)
+    def orNull(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (nRel == 0) lit(null).cast("string") else QueryDef.dec4(c)
     sys.join(truth, Seq("doc_id"), "left")
       .agg(
         sum(when(col("rel") === 1 && col("rank") <= 10, 1L).otherwise(0L))
@@ -120,10 +125,10 @@ object MlEval {
         sum(when(col("rel") === 1 && col("rank") <= 10, wCol).otherwise(0L))
           .as("dcg"))
       .select(lit(qid).as("qid"), lit(nRel).as("n_rel"), col("hits10"),
-        QueryDef.dec4(col("hits10").cast("double") / lit(nRel).cast("double"))
+        orNull(col("hits10").cast("double") / lit(nRel).cast("double"))
           .as("recall10"),
         QueryDef.dec4(col("mrr")).as("mrr20"),
-        QueryDef.dec4(col("dcg").cast("double") / lit(idcg).cast("double"))
+        orNull(col("dcg").cast("double") / lit(idcg).cast("double"))
           .as("ndcg10"))
   }
 
@@ -206,8 +211,12 @@ object MlEval {
     val ps = (1 until buckets).map(i => i.toDouble / buckets)
     val spark = df.sparkSession
     import spark.implicits._
-    val bounds = Seq(Tuple1(Profiling.exactQuantiles(df, score, ps))).toDF("bs")
-    val rounded = bounds.select(transform(col("bs"), b => round(b, 4)).as("bs"))
+    // Half-even (math.rint) boundary snapping — the ONE rounding rule for
+    // all broadcast quantile boundaries in this repo (q159 note: rint
+    // matches DuckDB's round on exact half-grid ties; Spark's round() is
+    // HALF_UP and disagrees there), shared with CorpusStats.psi.
+    val rounded = Seq(Tuple1(Profiling.exactQuantiles(df, score, ps)
+      .map(b => math.rint(b * 10000) / 10000))).toDF("bs")
     df.select(col(score).cast("double").as("v"),
         when(expr(label), 1L).otherwise(0L).as("pos"))
       .crossJoin(broadcast(rounded))

@@ -511,8 +511,9 @@ object Multimodal {
   // hash splits into 4 bands, candidates meet in a same-band equi shuffle
   // join (never all-pairs), and the pigeonhole principle makes candidates
   // COMPLETE for Hamming ≤ 3 (4 bands, ≤3 differing bits → some band is
-  // bit-identical). A skewed band (monoculture corpus) would take the
-  // frequency-cap guard from Dedup's capped index; exact here.
+  // bit-identical). Mass-duplicate skew (the monoculture corpus) never
+  // reaches the band join: identical hashes collapse first and the bands
+  // carry DISTINCT hash values only — see phashNearDupPairs.
 
   private val PhashGridRows = 7
   private val PhashGridCols = 10 // 9 comparisons per row → 63 bits
@@ -543,29 +544,69 @@ object Multimodal {
 
   /** Near-dup pairs (a < b) with Hamming ≤ `maxHamming` over (doc_id,
     * phash). Exact and complete for maxHamming ≤ 3 (pigeonhole over 4
-    * bands). */
-  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * bands).
+    *
+    * Skew discipline (the production image-dedup input is MASS-duplicate —
+    * millions of byte-identical images land on the same four band values):
+    *  - identical hashes never enter the band join at all; they pair via a
+    *    plain equi self-join on `phash` (hamming 0 by construction), which
+    *    shuffles by full hash, not band value;
+    *  - the band join runs over DISTINCT hash values only, so a bucket's
+    *    cost is quadratic in distinct hashes near each other, not in
+    *    images — hash-level pairs then expand back through two member
+    *    joins (output-sized work, which IS the answer);
+    *  - the hamming filter runs BEFORE dedup of the ≤4-way band collisions,
+    *    so the distinct shuffles surviving pairs only;
+    *  - `maxBandHashes` (off by default, the `maxShingleFreq` discipline
+    *    from [[Dedup.ngramJaccardPairs]]) drops band buckets holding more
+    *    distinct hashes than the cap — a documented recall tradeoff for
+    *    adversarially dense hash neighborhoods. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
+      maxBandHashes: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4 bands guarantee completeness only to 3")
+    val h = hashes.select(col("doc_id"), col("phash"))
+    val intra = h.select(col("doc_id").as("a_id"), col("phash"))
+      .join(h.select(col("doc_id").as("b_id"), col("phash")), Seq("phash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(cast(0 as bigint))").as("hamming"))
     val bandCols = Seq(
       shiftright(col("phash"), 47),
       shiftright(col("phash"), 31).bitwiseAND(lit(0xFFFFL)),
       shiftright(col("phash"), 15).bitwiseAND(lit(0xFFFFL)),
       col("phash").bitwiseAND(lit(0x7FFFL)))
-    val banded = hashes.select(col("doc_id"), col("phash"),
-      explode(array(bandCols.zipWithIndex.map { case (c, i) =>
-        struct(lit(i).as("band_idx"), c.as("band_val")) }: _*)).as("band"))
-      .select(col("doc_id"), col("phash"),
+    val bandedAll = h.select(col("phash")).distinct()
+      .select(col("phash"),
+        explode(array(bandCols.zipWithIndex.map { case (c, i) =>
+          struct(lit(i).as("band_idx"), c.as("band_val")) }: _*)).as("band"))
+      .select(col("phash"),
         col("band.band_idx").as("band_idx"), col("band.band_val").as("band_val"))
-    val a = banded.select(col("doc_id").as("a_id"), col("phash").as("a_hash"),
+    val banded =
+      if (maxBandHashes == Int.MaxValue) bandedAll
+      else {
+        val sizes = bandedAll.groupBy(col("band_idx"), col("band_val"))
+          .agg(count(lit(1)).as("__bn"))
+          .filter(col("__bn") <= maxBandHashes)
+        bandedAll.join(sizes.drop("__bn"), Seq("band_idx", "band_val"))
+      }
+    val pa = banded.select(col("phash").as("a_hash"),
       col("band_idx"), col("band_val"))
-    val b = banded.select(col("doc_id").as("b_id"), col("phash").as("b_hash"),
+    val pb = banded.select(col("phash").as("b_hash"),
       col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    val hashPairs = pa.join(pb, Seq("band_idx", "band_val"))
+      .filter(col("a_hash") < col("b_hash"))
+      .select(col("a_hash"), col("b_hash"),
         expr("bit_count(a_hash ^ b_hash)").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
+    val cross = hashPairs
+      .join(h.select(col("doc_id").as("ida"), col("phash").as("a_hash")),
+        Seq("a_hash"))
+      .join(h.select(col("doc_id").as("idb"), col("phash").as("b_hash")),
+        Seq("b_hash"))
+      .select(least(col("ida"), col("idb")).as("a_id"),
+        greatest(col("ida"), col("idb")).as("b_id"), col("hamming"))
+    intra.unionByName(cross)
   }
 
   // The corpus carries no duplicate texts, so the gate PLANTS them (the

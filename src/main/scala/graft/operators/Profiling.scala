@@ -731,19 +731,25 @@ object Profiling {
   //   n²·m2 = n·S2 − S1²
   //   n³·m3 = n²·S3 − 3n·S1·S2 + 2·S1³
   //   n⁴·m4 = n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴
-  // One map-side-combined groupBy accumulates S1..S4 exactly (BIGINT);
-  // the scale-free ratios then divide identically-computed doubles:
+  // One map-side-combined groupBy accumulates S1..S4 exactly; S2..S4 ride
+  // DECIMAL (x as DECIMAL(9,0); x⁴ ≤ 1e36, sums to DECIMAL(38,0)) so a
+  // 100 TB group CANNOT silently wrap a BIGINT fourth-power sum — Spark's
+  // non-ANSI long sum wraps where DuckDB's HUGEINT doesn't, which would
+  // diverge silently; decimal overflow instead surfaces as NULL/error on
+  // both. Requires |x| < 1e9 (true for any char/token count). The
+  // scale-free ratios then divide identically-computed doubles:
   //   g1 = n^... — computed as (n⁴m4-form)/(n²m2-form) powers so every
   // operand derives from the same exact integers on both engines.
 
-  /** Per-`group` skewness and excess kurtosis of integer column `x`.
-    * Groups with zero variance report nulls. */
+  /** Per-`group` skewness and excess kurtosis of integer column `x`
+    * (|x| < 1e9). Groups with zero variance report nulls. */
   def higherMoments(df: DataFrame, group: String, x: String): DataFrame = {
     val xl = col(x).cast("long")
+    val xd = col(x).cast("decimal(9,0)")
     val m = df.groupBy(col(group)).agg(
       count(lit(1)).as("n"),
-      sum(xl).as("s1"), sum(xl * xl).as("s2"),
-      sum(xl * xl * xl).as("s3"), sum(xl * xl * xl * xl).as("s4"))
+      sum(xl).as("s1"), sum(xd * xd).as("s2"),
+      sum(xd * xd * xd).as("s3"), sum(xd * xd * xd * xd).as("s4"))
     val n = col("n").cast("double")
     val s1 = col("s1").cast("double"); val s2 = col("s2").cast("double")
     val s3 = col("s3").cast("double"); val s4 = col("s4").cast("double")
@@ -769,10 +775,11 @@ object Profiling {
     """WITH m AS (
       |  SELECT source, count(*) AS n,
       |    CAST(sum(n_chars) AS BIGINT) AS s1,
-      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2,
-      |    CAST(sum(n_chars * n_chars * n_chars) AS BIGINT) AS s3,
-      |    CAST(sum(n_chars * n_chars * n_chars * n_chars) AS BIGINT) AS s4
-      |  FROM documents GROUP BY 1),
+      |    sum(x * x) AS s2,
+      |    sum(x * x * x) AS s3,
+      |    sum(x * x * x * x) AS s4
+      |  FROM (SELECT source, CAST(n_chars AS DECIMAL(9,0)) AS x, n_chars
+      |        FROM documents) GROUP BY 1),
       |d AS (
       |  SELECT source, n,
       |    CAST(n AS DOUBLE) AS nd, CAST(s1 AS DOUBLE) AS s1,

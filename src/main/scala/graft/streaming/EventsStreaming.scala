@@ -133,12 +133,32 @@ object EventsStreaming {
   // Spark 4's transformWithState — the successor of mapGroupsWithState —
   // because the quota state is naturally a MAP keyed by hour bucket:
   // MapState gives per-hour point lookups/updates where a GroupState blob
-  // would rewrite the whole map every event, and state TTL (wall-clock)
-  // retires old hour buckets without a manual sweep — the state store
-  // carries |active users| × |recent hours| counters, bounded at any
-  // event volume. Admission is by PROCESSING order (what a real throttle
-  // does): micro-batch sequence, event-time order inside a batch (the
-  // handler sorts its slice so replays are deterministic).
+  // would rewrite the whole map every event. Old hour buckets are retired
+  // by EVENT time, not wall-clock TTL: after each slice the handler drops
+  // map keys more than QuotaKeepHours behind the newest bucket seen — so
+  // the state store carries |active users| × ≤QuotaKeepHours counters,
+  // bounded at any event volume, and replays stay deterministic (a
+  // wall-clock TTLConfig would admit differently depending on when the
+  // replay runs). An event arriving > QuotaKeepHours late re-opens a fresh
+  // bucket — the standard throttle tradeoff. Admission is by PROCESSING
+  // order (what a real throttle does): micro-batch sequence, event-time
+  // order inside a batch (the handler sorts its slice).
+
+  /** Hour buckets kept per user; older buckets are dropped after each
+    * slice so long-running streams hold bounded state per key. */
+  val QuotaKeepHours = 24
+
+  /** Drop hour buckets more than [[QuotaKeepHours]] behind the newest
+    * one in the map — the deterministic (event-time) stand-in for a
+    * wall-clock TTL. Called once per processed slice, so the sweep cost
+    * is O(kept buckets), not O(events). */
+  private def retireOldHours(admits: MapState[Long, Long]): Unit = {
+    val ks = admits.keys().toArray
+    if (ks.nonEmpty) {
+      val cut = ks.max - QuotaKeepHours
+      ks.filter(_ < cut).foreach(admits.removeKey)
+    }
+  }
 
   /** Input (user_id, event_id, us); output adds the admitted flag. */
   class HourlyQuotaProcessor(maxPerHour: Int)
@@ -151,13 +171,15 @@ object EventsStreaming {
 
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
         tv: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
-      rows.toSeq.sortBy(r => (r._3, r._2)).iterator.map { case (u, eid, us) =>
+      val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (u, eid, us) =>
         val hour = Math.floorDiv(us, 3600000000L)
         val sofar = if (admits.containsKey(hour)) admits.getValue(hour) else 0L
         val admit = sofar < maxPerHour
         if (admit) admits.updateValue(hour, sofar + 1)
         (u, eid, us, admit)
       }
+      retireOldHours(admits)
+      out.iterator
     }
   }
 
@@ -182,13 +204,15 @@ object EventsStreaming {
 
     override def handleInputRows(user: Long, rows: Iterator[(Long, Long, Long)],
         tv: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
-      rows.toSeq.sortBy(r => (r._3, r._2)).iterator.map { case (u, eid, us) =>
+      val out = rows.toSeq.sortBy(r => (r._3, r._2)).map { case (u, eid, us) =>
         val hour = Math.floorDiv(us, 3600000000L)
         val sofar = if (admits.containsKey(hour)) admits.getValue(hour) else 0L
         val admit = sofar < maxPerHour
         if (admit) admits.updateValue(hour, sofar + 1)
         (u, eid, us, admit)
       }
+      retireOldHours(admits)
+      out.iterator
     }
   }
 

@@ -230,4 +230,43 @@ class MultimodalSpec extends AnyFunSuite {
       got(((0L, 3L))) == 2 && got(((0L, 4L))) == 3)
     assert(!got.contains((0L, 5L)), "hamming 4 must be excluded")
   }
+
+  test("phashNearDupPairs: mass-duplicate skew — 30% identical, band join sees distinct hashes only") {
+    import spark.implicits._
+    // production image-dedup shape: a monoculture block (30% of the corpus
+    // byte-identical => one phash) plus a near-neighbor and random fillers
+    val rnd = new scala.util.Random(11)
+    val hot = 0x7AB1_0203_0405_060L
+    val dupes = Seq.fill(60)(hot)
+    val near = Seq(hot ^ (1L << 33))
+    val fillers = Seq.fill(139)(rnd.nextLong() & Long.MaxValue >> 1)
+    val all = (dupes ++ near ++ fillers).zipWithIndex
+    val hashes = all.map { case (h, i) => (i.toLong, h) }.toDF("doc_id", "phash")
+    val got = Multimodal.phashNearDupPairs(hashes)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val expected = (for {
+      (ha, ia) <- all; (hb, ib) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia.toLong, ib.toLong) -> d).toMap
+    assert(got == expected,
+      s"missing: ${(expected.keySet -- got.keySet).take(5)}; " +
+        s"extra: ${(got.keySet -- expected.keySet).take(5)}")
+    // the monoculture block contributes exactly C(60,2) hamming-0 pairs —
+    // all via the equi self-join, never the band join
+    assert(got.count(_._2 == 0) >= 60 * 59 / 2)
+    // candidate bound: the band join's input is DISTINCT hashes, so the
+    // hot bucket holds ≤ nDistinct rows, not 60 — quadratic in hash
+    // diversity, not corpus size
+    val nDistinct = hashes.select(col("phash")).distinct().count()
+    assert(nDistinct <= 1 + 1 + 139)
+    // the maxBandHashes cap drops dense buckets (recall tradeoff) but can
+    // NEVER lose identical-hash pairs — those bypass the bands entirely
+    val capped = Multimodal.phashNearDupPairs(hashes, maxBandHashes = 1)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped.keySet.subsetOf(got.keySet))
+    assert(expected.filter(_._2 == 0).keySet.subsetOf(capped.keySet),
+      "capped run must keep every identical-hash pair")
+  }
 }
