@@ -28,32 +28,45 @@ object Graph {
     * directions for an undirected graph (also guarantees outdeg ≥ 1). */
   def pageRank(edges: DataFrame, iterations: Int = 5,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+    // Lineage discipline, measured both ways: a SHORT chain (≤ LineageEvery
+    // iterations) must stay ONE query — Spark then computes the edge
+    // distinct/outdeg shuffles once and reuses the shuffle files across
+    // every power step, and a per-iteration localCheckpoint would instead
+    // re-run them once per iteration (a 15× slowdown at sf0.1). A LONG
+    // chain can't stay one query — the plan deepens by two joins per step
+    // (optimizer-time/stack bomb at 20+) — so lineage truncates every
+    // LineageEvery steps, and the loop-invariant e/outdeg/nodes are
+    // checkpointed ONCE up front so each truncation job re-reads
+    // node/edge-sized blocks instead of rescanning the source. Superseded
+    // rank checkpoints are released as soon as the next lands.
+    val LineageEvery = 8
+    val longRun = iterations > LineageEvery
+    def pin(df: DataFrame): DataFrame = if (longRun) df.localCheckpoint() else df
+    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val outdeg = pin(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val nodes = pin(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
-    for (_ <- 1 to iterations) {
-      val prev = ranks
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iterations) {
       val contrib = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
-      // truncate lineage every iteration: without this the plan deepens by
-      // two joins per power step — fine at 5 iterations, an
-      // optimizer-time/stack bomb at 20+. The checkpoint is node-sized;
-      // the superseded round's blocks are released immediately (the
-      // labelPropagation/Dedup loop discipline).
       ranks = nodes.crossJoin(nRow)
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") +
             lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
-        .localCheckpoint()
-      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(prev)
+      if (longRun && i % LineageEvery == 0 && i < iterations) {
+        val cp = ranks.localCheckpoint()
+        lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
+        lastCp = Some(cp)
+        ranks = cp
+      }
     }
     ranks.crossJoin(nRow)
       .select(col("node"), (col("rank") * col("n")).as("rank_scaled"))

@@ -564,7 +564,11 @@ object Multimodal {
   def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3,
       maxBandHashes: Int = Int.MaxValue): DataFrame = {
     require(maxHamming <= 3, "4 bands guarantee completeness only to 3")
-    val h = hashes.select(col("doc_id"), col("phash"))
+    // (doc_id, phash) is read five times (intra ×2, distinct, expansion
+    // ×2) — materialize it once (16 bytes/doc, distributed blocks) instead
+    // of recomputing the 63-term hash expression per scan; the caller's
+    // per-query BlockRelease reclaims it.
+    val h = hashes.select(col("doc_id"), col("phash")).localCheckpoint()
     val intra = h.select(col("doc_id").as("a_id"), col("phash"))
       .join(h.select(col("doc_id").as("b_id"), col("phash")), Seq("phash"))
       .filter(col("a_id") < col("b_id"))
