@@ -14,7 +14,8 @@ object SparkEntry {
       AnnLsh.defs ++ AnnIvf.defs ++ AnnPq.defs ++ Multimodal.defs ++
       SketchOps.defs ++ FuzzyJoin.defs ++ Retrieval.defs ++ Cdc.defs ++
       Layout.defs ++ Incremental.defs ++ Evolution.defs ++ Graph.defs ++
-      DimReduce.defs ++ CorpusStats.defs ++ Diversity.defs ++ MlEval.defs
+      DimReduce.defs ++ CorpusStats.defs ++ Diversity.defs ++ MlEval.defs ++
+      UnigramLm.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: full-scan grouped aggregation with map-side partials. */
