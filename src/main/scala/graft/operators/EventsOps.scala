@@ -1009,7 +1009,160 @@ object EventsOps {
       |    AS bounce_rate
       |FROM sess GROUP BY day ORDER BY day""".stripMargin
 
+  // ==== q167: multi-touch (position-based) revenue attribution ==============
+  //
+  // The U-shaped counterpart of q125's last-touch: a purchase's value
+  // splits across ALL its qualifying touches — 40% first, 40% last, the
+  // remaining 20% over the middles. Candidate generation is the SAME
+  // time-bucketed shape as the as-of join (purchase explodes to the two
+  // horizon-width buckets its lookback spans, equi-join on (user, bucket),
+  // window-filter) so per-purchase candidates stay bounded by horizon ×
+  // touch rate — never a per-user quadratic blowup. The per-purchase rank
+  // window partitions by PURCHASE (each partition = one purchase's
+  // candidate list), not by user — skew-safe under power-law users.
+  //
+  // Exactness: weights are integer MILLIONTHS with the middle share
+  // distributed by integer division, remainder to the earliest middles
+  // (n=1 → 1000000; n=2 → 500000+500000; n≥3 → 400000 / base+1… / 400000);
+  // credit = cents × weight, summed in BIGINT (≤ 9.2e18 micro-cents ≈
+  // $92T of attributed revenue before overflow — not a 100 TB concern).
+
+  /** (touch_type, n_touches, credit_micro_cents): position-based
+    * attribution rollup; purchases with no qualifying touch report their
+    * full value under 'unattributed'. */
+  def multiTouchAttribution(events: DataFrame,
+      horizonSec: Long = 1800): DataFrame = {
+    val h = horizonSec * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val t = events.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_id").as("t_id"),
+        unix_micros(col("ts")).as("t_us"),
+        col("event_type").as("touch_type"))
+    val pb = p.withColumn("bkt",
+      explode(array(expr(s"p_us div $h"), expr(s"p_us div $h") - 1)))
+    val tb = t.withColumn("bkt", expr(s"t_us div $h"))
+    val cand = pb.join(tb, Seq("user_id", "bkt"))
+      .filter(col("t_us") < col("p_us") && col("t_us") >= col("p_us") - h)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_id")).orderBy(col("t_us"), col("t_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    val ranked = cand
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val mid = col("rn") - 1 // middle index 1..n-2
+    val weight = when(col("n") === 1, lit(1000000L))
+      .when(col("n") === 2, lit(500000L))
+      .when(col("rn") === 1 || col("rn") === col("n"), lit(400000L))
+      .otherwise(expr("200000 div (n - 2)") +
+        when(mid <= expr("200000 % (n - 2)"), 1L).otherwise(0L))
+    val attributed = ranked
+      .select(col("touch_type"), (col("cents") * weight).as("credit"))
+    val unattributed = p
+      .join(cand.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+      .select(lit("unattributed").as("touch_type"),
+        (col("cents") * 1000000L).as("credit"))
+    attributed.unionByName(unattributed)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit")).as("credit_micro_cents"))
+  }
+
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    multiTouchAttribution(Tables.events(s, dir)).orderBy(col("touch_type"))
+
+  private val q167Sql =
+    """WITH p AS (
+      |  SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT event_id AS t_id, user_id, epoch_us(ts) AS t_us,
+      |    event_type AS touch_type
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |cand AS (
+      |  SELECT p.p_id, p.cents, t.touch_type, t.t_us, t.t_id
+      |  FROM p JOIN t ON p.user_id = t.user_id
+      |    AND t.t_us < p.p_us AND t.t_us >= p.p_us - 1800000000),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY p_id
+      |      ORDER BY t_us, t_id) AS rn,
+      |    count(*) OVER (PARTITION BY p_id) AS n
+      |  FROM cand),
+      |credits AS (
+      |  SELECT touch_type, cents * (CASE
+      |    WHEN n = 1 THEN 1000000
+      |    WHEN n = 2 THEN 500000
+      |    WHEN rn = 1 OR rn = n THEN 400000
+      |    ELSE 200000 // (n - 2) +
+      |      CASE WHEN rn - 1 <= 200000 % (n - 2) THEN 1 ELSE 0 END
+      |    END) AS credit
+      |  FROM ranked
+      |  UNION ALL
+      |  SELECT 'unattributed', cents * 1000000
+      |  FROM p WHERE p_id NOT IN (SELECT p_id FROM cand))
+      |SELECT touch_type, count(*) AS n_touches,
+      |  CAST(sum(credit) AS BIGINT) AS credit_micro_cents
+      |FROM credits GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ==== q169: integer EWMA smoothing of hourly series =======================
+  //
+  // Exponentially-weighted smoothing of the per-type hourly event rate —
+  // the standard pre-step for alerting baselines. α is fixed at 1/2 and
+  // the recurrence INTEGERIZED: s₁ = x₁, sₜ = (sₜ₋₁ + xₜ) div 2 — floor
+  // halving on non-negative integers, so the whole series is exact BIGINT
+  // arithmetic with zero cross-engine float risk (a float EWMA's 2⁻ᵗ
+  // tails overflow the 53-bit mantissa and drift per engine). The fold is
+  // inherently sequential but runs per SERIES over hour-level aggregates
+  // (the q151/q152 discipline: series length = observed hours, bounded
+  // domain — collect_list here is hours-sized, never event-sized); the
+  // corpus-sized work is one map-side-combined groupBy.
+
+  /** (event_type, hr, cnt, ewma): floor-halving EWMA over hourly counts. */
+  def ewmaHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("cnt")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<hr: bigint, cnt: bigint, s: bigint>>),
+          |  (acc, e) -> acc || array(cast(named_struct('hr', e.hr, 'cnt', e.cnt,
+          |    's', case when size(acc) = 0 then e.cnt
+          |         else (element_at(acc, -1).s + e.cnt) div 2 end)
+          |    as struct<hr: bigint, cnt: bigint, s: bigint>)))""".stripMargin))
+        .as("r"))
+      .select(col("event_type"), col("r.hr").as("hr"), col("r.cnt").as("cnt"),
+        col("r.s").as("ewma"))
+  }
+
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    ewmaHourly(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
+
+  private val q169Sql =
+    """WITH RECURSIVE h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      |  FROM h),
+      |rec(event_type, rn, hr, cnt, s) AS (
+      |  SELECT event_type, rn, hr, cnt, cnt FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.rn, r.hr, r.cnt, (rec.s + r.cnt) // 2
+      |  FROM rec JOIN r ON r.event_type = rec.event_type
+      |    AND r.rn = rec.rn + 1)
+      |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(s AS BIGINT) AS ewma
+      |FROM rec ORDER BY event_type, hr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_ewma_hourly", q169, Some(q169Sql)),
+    QueryDef("q167_multitouch_attribution", q167, Some(q167Sql)),
     QueryDef("q162_bounce_rate", q162, Some(q162Sql)),
     QueryDef("q159_inter_arrival", q159, Some(q159Sql)),
     QueryDef("q150_conversion_latency", q150, Some(q150Sql)),

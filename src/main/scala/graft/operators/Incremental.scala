@@ -161,7 +161,120 @@ object Incremental {
       |  true AS merge_consistent, true AS ok_estimate
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // -- mergeable QUANTILE state (fixed-grid histogram sketch) ----------------
+  // Percentile monitoring is the other statistic with no finite exact
+  // mergeable state. The fixed-grid histogram is its sketch: an
+  // array<long> of bucket counts per group — fixed-size, EXACTLY
+  // mergeable (element-wise sum, so merge(h(A), h(B)) == h(A ∪ B)
+  // bitwise, a stronger law than HLL's estimator-resolution agreement),
+  // readout entirely in integers. Quantile resolves to its bucket's upper
+  // bound — rank error bounded by one bucket's width, the documented
+  // approximation contract (KLL/t-digest trade that bound differently but
+  // cannot be exactly oracled; the grid can).
+
+  /** Per-group histogram state over integer `valueCol`: bucket
+    * b = clamp((x − lo) div width, 0, nBuckets−1), state = counts array.
+    * One map-side-combined aggregation; state size = nBuckets longs. */
+  def histState(df: DataFrame, valueCol: String, keys: Seq[String],
+      lo: Long, width: Long, nBuckets: Int): DataFrame = {
+    // integer floor-div (`div`), mirroring the oracle's `//` — never a
+    // double division that would truncate differently at extreme values
+    val b = least(greatest(
+      expr(s"(cast($valueCol as bigint) - $lo) div $width"),
+      lit(0L)), lit(nBuckets - 1L))
+    df.select(keys.map(col) :+ b.as("__b"): _*)
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(collect_list(struct(col("__b"), col("__c"))).as("__bc"))
+      .select(keys.map(col) :+
+        transform(sequence(lit(0L), lit(nBuckets - 1L)), i =>
+          coalesce(try_element_at(
+            filter(col("__bc"), e => e.getField("__b") === i), lit(1))
+            .getField("__c"), lit(0L))).as("hist"): _*)
+  }
+
+  /** Combine two histogram states: element-wise sum (groups absent from
+    * one side pass through unchanged). */
+  def mergeHistState(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .select(keys.map(col) :+ posexplode(col("hist")).as(Seq("__b", "__c")): _*)
+      .groupBy((keys :+ "__b").map(col): _*)
+      .agg(sum(col("__c")).as("__c"))
+      .groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__bc"))
+      .select(keys.map(col) :+
+        transform(col("__bc"), e => e.getField("__c")).as("hist"): _*)
+
+  /** Percentile readout from a state table: for each p (in percent), the
+    * upper bound `lo + (b+1)·width` of the smallest bucket whose
+    * cumulative count reaches rank ⌈p·n/100⌉. Integer arithmetic only —
+    * bit-identical on any engine. The scan is over the state table
+    * (groups × nBuckets rows), never the data. */
+  def histQuantiles(state: DataFrame, keys: Seq[String], lo: Long,
+      width: Long, ps: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("__b"))
+    val cum = state
+      .select(keys.map(col) :+ posexplode(col("hist")).as(Seq("__b", "__c")): _*)
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+    val aggs = count(lit(1)).as("__nb") +:
+      ps.map(p => min(when(col("__cum") * 100 >= col("__n") * p,
+        lit(lo) + (col("__b") + 1) * width)).as(s"p$p"))
+    cum.groupBy(keys.map(col) :+ col("__n").as("n"): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .drop("__nb")
+  }
+
+  // ==== q166: merged histogram state == from-scratch quantile readout ======
+  //
+  // Two-batch arrival (doc_id parity), merge, then p50/p90/p99 readout per
+  // source. The oracle recomputes the SAME grid walk from the raw table —
+  // equality certifies both the merge law and the integer readout. Rank
+  // test uses cum·100 ≥ n·p (integer cross-multiplication), never a
+  // float ceil.
+
+  private val HistLo = 0L
+  private val HistWidth = 20L
+  private val HistBuckets = 32
+
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val keys = Seq("source")
+    val merged = mergeHistState(
+      histState(docs.filter(col("doc_id") % 2 === 0), "n_chars", keys,
+        HistLo, HistWidth, HistBuckets),
+      histState(docs.filter(col("doc_id") % 2 === 1), "n_chars", keys,
+        HistLo, HistWidth, HistBuckets), keys)
+    histQuantiles(merged, keys, HistLo, HistWidth, Seq(50, 90, 99))
+      .orderBy(col("source"))
+  }
+
+  private val q166Sql =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    least(greatest((n_chars - $HistLo) // $HistWidth, 0),
+       |      ${HistBuckets - 1}) AS b
+       |  FROM documents),
+       |c AS (SELECT source, b, count(*) AS cnt FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT source, b, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY b) AS cum,
+       |    sum(cnt) OVER (PARTITION BY source) AS total
+       |  FROM c)
+       |SELECT source, CAST(max(total) AS BIGINT) AS n,
+       |  CAST(min(CASE WHEN cum * 100 >= total * 50
+       |    THEN $HistLo + (b + 1) * $HistWidth END) AS BIGINT) AS p50,
+       |  CAST(min(CASE WHEN cum * 100 >= total * 90
+       |    THEN $HistLo + (b + 1) * $HistWidth END) AS BIGINT) AS p90,
+       |  CAST(min(CASE WHEN cum * 100 >= total * 99
+       |    THEN $HistLo + (b + 1) * $HistWidth END) AS BIGINT) AS p99
+       |FROM cum GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_incremental_agg", q108, Some(q108Sql)),
-    QueryDef("q111_incremental_distinct", q111, Some(q111Sql)))
+    QueryDef("q111_incremental_distinct", q111, Some(q111Sql)),
+    QueryDef("q166_hist_quantile_state", q166, Some(q166Sql)))
 }

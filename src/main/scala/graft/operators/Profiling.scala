@@ -803,7 +803,58 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS kurtosis_ex
       |FROM c ORDER BY source""".stripMargin
 
+  // ==== q168: label indexing (categorical → dense id) =======================
+  //
+  // The StringIndexer step of every feature pipeline: map each categorical
+  // label to a dense integer id, most-frequent-first (ids 0..k−1 in
+  // (count desc, label asc) order — the ML convention, and a total order
+  // so re-fitting on the same corpus is byte-stable). The rank comes from
+  // the SAME distributed exclusive prefix scan as q122/q157 — counts are
+  // label-domain-sized, no single-task window even at 10⁸ labels; the
+  // transform side is then one broadcast hash join of the mapping onto
+  // the data (see [[encodeLabels]]).
+
+  /** Fit: (dim, label, cnt, id) for each categorical column in `dims`. */
+  def labelIndex(df: DataFrame, dims: Seq[String]): DataFrame =
+    dims.map { d =>
+      val counts = df.groupBy(col(d).as("label"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.chunk.ChunkAssigner.withPrefixSum(
+          counts.withColumn("__one", lit(1L)),
+          Seq(col("cnt").desc, col("label")), col("__one"), outName = "id")
+        .select(lit(d).as("dim"), col("label"), col("cnt"), col("id"))
+    }.reduce(_ unionByName _)
+
+  /** Transform: adds `<dim>_idx` for each fitted dim (broadcast join —
+    * the mapping is label-domain-sized). Unseen labels index NULL. */
+  def encodeLabels(df: DataFrame, mapping: DataFrame): DataFrame = {
+    val dims = mapping.select(col("dim")).distinct()
+      .collect().map(_.getString(0)).sorted
+    dims.foldLeft(df) { (acc, d) =>
+      acc.join(broadcast(mapping.filter(col("dim") === d)
+          .select(col("label").as(d), col("id").as(s"${d}_idx"))),
+        Seq(d), "left")
+    }
+  }
+
+  private def q168(s: SparkSession, dir: String): DataFrame =
+    labelIndex(Tables.documents(s, dir), Seq("source", "lang"))
+      .orderBy(col("dim"), col("id"))
+
+  private val q168Sql =
+    """SELECT dim, label, cnt, id FROM (
+      |  SELECT 'source' AS dim, source AS label,
+      |    CAST(count(*) AS BIGINT) AS cnt,
+      |    row_number() OVER (ORDER BY count(*) DESC, source) - 1 AS id
+      |  FROM documents GROUP BY source
+      |  UNION ALL
+      |  SELECT 'lang', lang, CAST(count(*) AS BIGINT),
+      |    row_number() OVER (ORDER BY count(*) DESC, lang) - 1
+      |  FROM documents GROUP BY lang)
+      |ORDER BY dim, id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_label_index", q168, Some(q168Sql)),
     QueryDef("q163_higher_moments", q163, Some(q163Sql)),
     QueryDef("q160_benford", q160, Some(q160Sql)),
     QueryDef("q161_total_variation", q161, Some(q161Sql)),

@@ -208,6 +208,70 @@ object UnigramLm {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ==== q165: context-window packing budgeted in unigram tokens ============
+  //
+  // Closes the second tokenizer family's loop the way q98 closes BPE's:
+  // train → encode → pack, with the native Viterbi count as the size
+  // column of the SAME distributed greedy fold (ChunkAssigner's prefix
+  // scan — no single-task window). The oracle reuses q164's DP to get
+  // per-doc counts, then replays the fold row-by-row (the q98 recursive-
+  // CTE pattern; the slice is id-bounded so the oracle's O(N²) replay
+  // stays fixed-size at every scale factor).
+
+  private def q165(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packByTokens(
+      Tables.documents(s, dir).filter(col("doc_id") < 2000),
+      budgetTokens = 512L,
+      tokenCount = graft.functions.UnigramExprs
+        .unigramEncode(norm(col("text")), DemoPieces, DemoOov)
+        .getField("n_pieces"))
+      .orderBy(col("doc_id"))
+
+  private lazy val q165Sql: String = {
+    val m = DemoPieces.map { case (p, v) => s"'$p': CAST($v AS BIGINT)" }
+      .mkString("MAP {", ", ", "}")
+    val maxLen = DemoPieces.map(_._1.length).max
+    val score = s"map_extract($m, substr(w, j + 1, i + 1 - j))[1]"
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id, list_filter(string_split(
+       |    regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+       |    x -> x <> '') AS words
+       |  FROM documents WHERE doc_id < 2000),
+       |occ AS (SELECT doc_id, u.w AS w FROM norm, unnest(words) AS u(w)),
+       |dw AS (SELECT DISTINCT w FROM occ),
+       |rec(w, i, dp) AS (
+       |  SELECT w, 0, [CAST(0 AS BIGINT)] FROM dw
+       |  UNION ALL
+       |  SELECT w, i + 1,
+       |    list_append(dp, list_max(list_filter(list_transform(
+       |      range(greatest(0, i + 1 - $maxLen), i + 1), j ->
+       |        CASE
+       |          WHEN $score IS NOT NULL
+       |            THEN dp[j + 1] + $score * 1048576 - 1
+       |          WHEN i + 1 - j = 1
+       |            THEN dp[j + 1] + CAST($DemoOov AS BIGINT) * 1048576 - 1
+       |          ELSE NULL END),
+       |      x -> x IS NOT NULL)))
+       |  FROM rec WHERE i < len(w)),
+       |fin AS (SELECT w, dp[len(w) + 1] AS c FROM rec WHERE i = len(w)),
+       |pw AS (SELECT w, (-c) % 1048576 AS ntok FROM fin),
+       |d AS (
+       |  SELECT n.doc_id,
+       |    CAST(coalesce((SELECT sum(p.ntok) FROM occ o JOIN pw p USING (w)
+       |      WHERE o.doc_id = n.doc_id), 0) AS BIGINT) AS nt,
+       |    row_number() OVER (ORDER BY n.doc_id) AS rn
+       |  FROM norm n),
+       |fold(rn, doc_id, nt, pack_id, acc) AS (
+       |  SELECT rn, doc_id, nt, CAST(0 AS BIGINT), nt FROM d WHERE rn = 1
+       |  UNION ALL
+       |  SELECT d.rn, d.doc_id, d.nt,
+       |    CASE WHEN f.acc + d.nt > 512 THEN f.pack_id + 1 ELSE f.pack_id END,
+       |    CASE WHEN f.acc + d.nt > 512 THEN d.nt ELSE f.acc + d.nt END
+       |  FROM fold f JOIN d ON d.rn = f.rn + 1)
+       |SELECT doc_id, nt AS n_tokens, pack_id FROM fold ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q164_unigram_encode", q164, Some(q164Sql)))
+    QueryDef("q164_unigram_encode", q164, Some(q164Sql)),
+    QueryDef("q165_unigram_packing", q165, Some(q165Sql)))
 }

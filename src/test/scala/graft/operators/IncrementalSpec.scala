@@ -96,6 +96,38 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("histogram state: merge law is BITWISE, readout bounds rank error by one bucket") {
+    val keys = Seq("lang")
+    def st(pred: org.apache.spark.sql.Column) = Incremental.histState(
+      corpus.filter(pred), "n_chars", keys, lo = 0L, width = 10L, nBuckets = 12)
+    val merged = Incremental.mergeHistState(
+      st(col("doc_id") % 2 === 0), st(col("doc_id") % 2 === 1), keys)
+    val direct = st(lit(true))
+    def arrs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("hist")).as[(String, Seq[Long])]
+        .collect().toMap
+    // stronger than the HLL law: the merged state is byte-identical to the
+    // from-scratch state, not merely estimator-close
+    assert(arrs(merged) == arrs(direct))
+    // readout: p50 upper bound must sit within one bucket width of the
+    // exact median, and at least half the group's mass must be ≤ it
+    val q = Incremental.histQuantiles(merged, keys, 0L, 10L, Seq(50))
+      .as[(String, Long, Long)].collect()
+      .map { case (l, n, p) => l -> ((n, p)) }.toMap
+    val rows = corpus.select(col("lang"), col("n_chars"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (lang, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val exact = sorted((sorted.length - 1) / 2)
+      val (n, p50) = q(lang)
+      assert(n == sorted.length)
+      assert(sorted.count(_ <= p50) * 2 >= sorted.length,
+        s"$lang: p50 bound $p50 covers under half the mass")
+      assert(p50 >= exact && p50 <= exact + 10L + 10L,
+        s"$lang: p50 $p50 vs exact median $exact (width 10)")
+    }
+  }
+
   test("refresh plan touches only state + delta, never the old corpus") {
     // the maintained state is a tiny keyed table; merging a new batch's
     // partials must not rescan anything else — assert the merged plan's
