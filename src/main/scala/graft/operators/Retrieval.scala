@@ -114,6 +114,92 @@ object Retrieval {
       |ORDER BY round(score, 4) DESC, doc_id
       |LIMIT 20""".stripMargin
 
+  // ==== q170: hybrid retrieval — reciprocal-rank fusion (RRF) ===============
+  //
+  // The production hybrid-search combiner (keyword BM25 + embedding
+  // cosine): RRF(d) = Σ_lists 1/(K + rank_d), K = 60 — rank-based, so the
+  // two engines' incomparable score scales never mix. Both input rankings
+  // are the engine's own oracled primitives (q103's scan-and-broadcast
+  // BM25, q37's broadcast brute cosine); the fusion itself is a join of
+  // two k-row lists — driver-trivial, kept distributed. Exactness: each
+  // reciprocal is integerized as 1000000 div (K + rank) BEFORE summing —
+  // the sum of integer micro-credits is engine-exact, where a float
+  // 1/(60+r) sum would be summation-order-dependent.
+
+  /** Top-`kOut` docs by RRF over the BM25-top-`kPer` for `terms` and the
+    * cosine-top-`kPer` around query embedding `qid`. Ranks are NULL for a
+    * doc present in only one list (it scores only that list's credit). */
+  def rrfFusion(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+      qid: Long, kPer: Int, kOut: Int, rrfK: Int = 60): DataFrame = {
+    val kw = bm25TopK(docs, terms, kPer)
+      .select(col("doc_id"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(round(col("score"), 4).desc, col("doc_id")))
+        .cast("long").as("rank_kw"))
+    val vecs = emb.select(col("vec_id"),
+      Similarity.toDouble(col("embedding")).as("v"))
+    val q = vecs.filter(col("vec_id") === qid)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val sem = Similarity.bruteForceTopK(vecs, q, kPer, excludeSelf = false)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_sem"))
+    kw.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_kw"), col("rank_sem"),
+        (coalesce(expr(s"1000000 div ($rrfK + rank_kw)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + rank_sem)"), lit(0L)))
+          .as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(kOut)
+  }
+
+  private def q170(s: SparkSession, dir: String): DataFrame =
+    rrfFusion(Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      Tables.embeddings(s, dir), QTerms, qid = 7L, kPer = 50, kOut = 20)
+
+  private val q170Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'stream')) AS tf2
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+      |  FROM d),
+      |scored AS (
+      |  SELECT doc_id,
+      |    ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)) * tf0 * 2.2
+      |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+      |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+      |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS score
+      |  FROM d CROSS JOIN stats),
+      |kw AS (
+      |  SELECT doc_id, CAST(rn AS BIGINT) AS rank_kw FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY round(score, 4) DESC, doc_id) AS rn FROM scored)
+      |  WHERE rn <= 50),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sem AS (
+      |  SELECT doc_id, CAST(rn AS BIGINT) AS rank_sem FROM (
+      |    SELECT e.vec_id AS doc_id, row_number() OVER (ORDER BY
+      |      round(list_inner_product(q.v, e.v)
+      |        / (sqrt(list_inner_product(q.v, q.v))
+      |           * sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+      |      e.vec_id) AS rn
+      |    FROM e CROSS JOIN (SELECT v FROM e WHERE vec_id = 7) q)
+      |  WHERE rn <= 50)
+      |SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id, rank_kw, rank_sem,
+      |  CAST(coalesce(1000000 // (60 + rank_kw), 0)
+      |    + coalesce(1000000 // (60 + rank_sem), 0) AS BIGINT) AS rrf_micro
+      |FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
+      |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q103_bm25_topk", q103, Some(q103Sql)))
+    QueryDef("q103_bm25_topk", q103, Some(q103Sql)),
+    QueryDef("q170_rrf_fusion", q170, Some(q170Sql)))
 }
