@@ -318,8 +318,63 @@ object Cdc {
       |  AND (d.valid_to IS NULL OR f.p_ts < d.valid_to)
       |ORDER BY f.p_id""".stripMargin
 
+  // ==== q172: snapshot diff — change DETECTION (the inverse of mergeByKey) ==
+  //
+  // Given two keyed snapshots, emit the I/U/D delta that turns old into
+  // new — what a crawler without CDC hooks needs before it can feed
+  // [[mergeByKey]]/[[partitionedUpsert]]. One hash-partitioned full-outer
+  // join on the key; change detection compares md5 digests of the tracked
+  // columns so wide rows never ship twice (digests are computed map-side,
+  // the join carries key + 16-byte hashes). At 100 TB both snapshots
+  // shuffle once on the key — the unavoidable lower bound for keyed diff —
+  // and bucketing both snapshots by key removes even that (the
+  // BucketingSpec co-location discipline).
+
+  /** (key, op) ∈ I/U/D for rows added, digest-changed, or removed.
+    * `tracked`: columns whose change constitutes an update. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
+      tracked: Seq[String]): DataFrame = {
+    def digested(df: DataFrame, side: String) = df.select(col(key),
+      md5(concat_ws("", tracked.map(c => col(c).cast("string")): _*))
+        .as(s"__d_$side"))
+    digested(oldSnap, "old")
+      .join(digested(newSnap, "new"), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__d_old").isNull, lit("I"))
+          .when(col("__d_new").isNull, lit("D"))
+          .when(col("__d_old") =!= col("__d_new"), lit("U")))
+      .toDF(key, "op")
+      .filter(col("op").isNotNull)
+  }
+
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // the same deterministic delta corpus as q106, applied — then diffed
+    // back against the original: the detector must recover exactly the
+    // I/U/D set that produced the new snapshot
+    val next = mergeByKey(docs, changesOf(docs), "doc_id")
+    snapshotDiff(docs, next, "doc_id", Seq("text", "n_chars", "source"))
+      .groupBy(col("op")).agg(count(lit(1)).as("n"),
+        sum(col("doc_id")).as("sum_keys"))
+      .orderBy(col("op"))
+  }
+
+  private val q172Sql =
+    """WITH changes AS (
+      |  SELECT doc_id, text || ' [rev2]' AS text, n_chars + 7 AS n_chars,
+      |    source, 'U' AS op FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, text, n_chars, source, 'D' FROM documents
+      |  WHERE doc_id % 10 = 1
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, n_chars, 'patch', 'I' FROM documents
+      |  WHERE doc_id % 10 = 2)
+      |SELECT op, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_keys
+      |FROM changes GROUP BY op ORDER BY op""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q106_merge_upsert", q106, Some(q106Sql)),
     QueryDef("q126_scd2_build", q126, Some(q126Sql)),
-    QueryDef("q127_pit_join", q127, Some(q127Sql)))
+    QueryDef("q127_pit_join", q127, Some(q127Sql)),
+    QueryDef("q172_snapshot_diff", q172, Some(q172Sql)))
 }

@@ -378,4 +378,51 @@ object EventsStreaming {
           (user, firsts.map(f => if (f < Long.MaxValue) 1 else 0).toSeq)
       }
   }
+
+  // ==== streaming heavy hitters (B105's stream side) =========================
+  //
+  // Misra–Gries as per-key transformWithState: the MG counters ARE the
+  // MapState (≤ k entries per key forever — the state store never grows
+  // with stream volume, the property a groupBy-count stream lacks on an
+  // unbounded item domain). Same estimate laws as the batch operator:
+  // underestimates only, error ≤ n_key/(k+1), every item with frequency
+  // > n_key/(k+1) is present; with k ≥ distinct items per key the counters
+  // are exact (the spec's parity regime). After each slice the processor
+  // emits the key's full current summary (Update mode — latest wins).
+
+  class HeavyHitterProcessor(k: Int)
+      extends StatefulProcessor[String, (String, String), (String, String, Long)] {
+    @transient private var counts: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long]("mg_counts",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, String)],
+        tv: TimerValues): Iterator[(String, String, Long)] = {
+      rows.foreach { case (_, item) =>
+        if (counts.containsKey(item)) counts.updateValue(item, counts.getValue(item) + 1)
+        else if (counts.keys().size < k) counts.updateValue(item, 1L)
+        else counts.keys().toArray.foreach { other =>
+          val v = counts.getValue(other) - 1
+          if (v == 0) counts.removeKey(other) else counts.updateValue(other, v)
+        }
+      }
+      counts.keys().toArray.sorted.iterator
+        .map(item => (key, item, counts.getValue(item)))
+    }
+  }
+
+  /** Per-`keyCol` streaming MG top items over `itemCol`. Caller must run
+    * with the RocksDB state store provider. */
+  def heavyHitterStream(events: DataFrame, keyCol: String, itemCol: String,
+      k: Int): Dataset[(String, String, Long)] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHitterProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

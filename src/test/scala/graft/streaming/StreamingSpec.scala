@@ -590,6 +590,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(shifted._3 == 1.0 && shifted._4, s"shifted: $shifted")
   }
 
+  test("B105s: streaming Misra-Gries — exact at k >= distinct, bounded and law-abiding below") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // skewed per-type item stream split over two micro-batches
+      val all = (0 until 300).map { i =>
+        (if (i % 2 == 0) "view" else "click", s"u${i % (10 + i % 3)}")
+      }
+      def run(k: Int, name: String, batches: Int): Map[(String, String), Long] = {
+        val input = MemoryStream[(String, String)](spark)
+        val events = input.toDF().toDF("event_type", "item")
+        val q = EventsStreaming.heavyHitterStream(events, "event_type", "item", k)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          all.grouped(math.max(1, all.length / batches)).foreach { slice =>
+            input.addData(slice: _*)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+        // Update mode re-emits the summary per batch. In the EXACT regime
+        // counters only grow, so max-per-pair == final state; the
+        // approximate run uses ONE batch, making the table the final
+        // summary verbatim (decrements inside a slice never re-emit).
+        spark.table(name).as[(String, String, Long)].collect()
+          .groupBy(r => (r._1, r._2)).map { case (p, rs) => p -> rs.map(_._3).max }
+      }
+      val exact = all.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+      // exact regime: k dominates per-type distinct items; state crosses
+      // micro-batches (3 slices)
+      assert(run(64, "hh_exact", batches = 3) == exact)
+      // approximate regime: ≤ k entries per key survive and never overestimate
+      val approx = run(4, "hh_small", batches = 1)
+      approx.groupBy(_._1._1).foreach { case (t, m) =>
+        assert(m.size <= 4, s"$t carries ${m.size} > k entries")
+      }
+      approx.foreach { case (p, est) =>
+        assert(est <= exact(p), s"$p overestimated: $est > ${exact(p)}")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B90b: initial-state quota — batch ledger seeds the throttle across a restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
