@@ -1160,7 +1160,54 @@ object EventsOps {
       |  CAST(s AS BIGINT) AS ewma
       |FROM rec ORDER BY event_type, hr""".stripMargin
 
+  // ==== q173: sequence pattern matching (MATCH_RECOGNIZE-lite) ==============
+  //
+  // The row-pattern operator SQL engines bolt on as MATCH_RECOGNIZE and
+  // Spark lacks: count non-overlapping occurrences of a regex over each
+  // user's time-ordered event-type sequence. Encoding: one char per event
+  // (first letter of the type — distinct across the domain), sequence
+  // built from ONE shuffle (the q112 funnel shape: per-user collect of
+  // (ts, id, char) structs, sorted inside the row), pattern applied with
+  // the engine's regex. Leftmost non-overlapping greedy semantics are
+  // identical in Java regex and RE2 for patterns without backrefs — the
+  // portable subset this operator contracts to.
+
+  /** (user_id, seq_len, n_matches) for regex `pattern` over the user's
+    * chronological type-letter sequence. */
+  def sequenceMatches(events: DataFrame, pattern: String): DataFrame =
+    events
+      .select(col("user_id"), struct(unix_micros(col("ts")).as("us"),
+        col("event_id"), substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("ch")), "").as("s"))
+      .select(col("user_id"), length(col("s")).cast("long").as("seq_len"),
+        regexp_count(col("s"), lit(pattern)).cast("long").as("n_matches"))
+
+  // view (clicks)* purchase — the canonical browse-to-buy motif
+  private val SeqPattern = "vc*p"
+
+  private def q173(s: SparkSession, dir: String): DataFrame =
+    sequenceMatches(Tables.events(s, dir), SeqPattern)
+      .groupBy(col("n_matches"))
+      .agg(count(lit(1)).as("n_users"), sum(col("seq_len")).as("sum_len"))
+      .orderBy(col("n_matches"))
+
+  private val q173Sql =
+    s"""WITH seq AS (
+       |  SELECT user_id,
+       |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+       |  FROM events GROUP BY user_id),
+       |m AS (
+       |  SELECT user_id, len(s) AS seq_len,
+       |    len(regexp_extract_all(s, '$SeqPattern')) AS n_matches
+       |  FROM seq)
+       |SELECT CAST(n_matches AS BIGINT) AS n_matches,
+       |  count(*) AS n_users, CAST(sum(seq_len) AS BIGINT) AS sum_len
+       |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q173_seq_match", q173, Some(q173Sql)),
     QueryDef("q169_ewma_hourly", q169, Some(q169Sql)),
     QueryDef("q167_multitouch_attribution", q167, Some(q167Sql)),
     QueryDef("q162_bounce_rate", q162, Some(q162Sql)),

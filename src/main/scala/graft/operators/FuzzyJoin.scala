@@ -205,6 +205,80 @@ object FuzzyJoin {
       |  AND levenshtein(qkey, key) <= 2
       |ORDER BY query_id, doc_id""".stripMargin
 
+  // ==== q174: entity resolution — block, score, cluster =====================
+  //
+  // The full ER pipeline as one composition of the engine's own oracled
+  // parts: PassJoin-blocked edit-distance SELF-join (candidates from
+  // segment buckets, never all-pairs; probes shuffled, not broadcast —
+  // the both-sides-huge regime) → match edges at ≤ 2 edits → connected
+  // components (pointer jumping) → cluster-size census. The oracle pays
+  // the O(n²) cross product + recursive closure it exists to avoid, so
+  // the entity slice is id-bounded (doc_id < 500 — fixed test surface at
+  // every SF, the q98 discipline); the engine-side shapes are the
+  // unbounded-scale ones throughout.
+
+  /** (cluster_size, n_clusters) census after resolving `entities`
+    * (id, key) at ≤ `maxDist` edits. */
+  def resolveEntities(entities: DataFrame, maxDist: Int): DataFrame = {
+    val edges = editDistanceJoin(
+        entities.select(col("id"), col("key")),
+        entities.select(col("id").as("query_id"), col("key").as("qkey")),
+        maxDist, broadcastProbes = false)
+      .filter(col("query_id") < col("id"))
+      .select(col("query_id").as("src"), col("id").as("dst"))
+    Dedup.connectedComponents(edges, entities.select(col("id")))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+  }
+
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), normKey(col("text")).as("key"))
+      .filter(length(col("key")) >= MinKeyLen)
+    // planted duplicate identities: every doc < 40 returns with its first
+    // two chars rewritten — a deterministic ≤ 2-edit alias
+    val clones = keyed.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(lit("zz"), col("key").substr(lit(3), length(col("key"))))
+          .as("key"))
+    resolveEntities(
+      keyed.unionByName(clones).select(col("doc_id").as("id"), col("key")),
+      maxDist = 2)
+      .orderBy(col("cluster_size"))
+  }
+
+  private val q174Sql =
+    """WITH RECURSIVE k AS (
+      |  SELECT doc_id,
+      |    substring(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      1, 32) AS key
+      |  FROM documents WHERE doc_id < 500),
+      |keyed AS (SELECT doc_id, key FROM k WHERE length(key) >= 6),
+      |aug AS (
+      |  SELECT doc_id, key FROM keyed
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, 'zz' || substr(key, 3) FROM keyed
+      |  WHERE doc_id < 40),
+      |p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db
+      |  FROM aug a JOIN aug b ON a.doc_id < b.doc_id
+      |    AND abs(length(a.key) - length(b.key)) <= 2
+      |    AND levenshtein(a.key, b.key) <= 2),
+      |edges AS (SELECT da AS u, db AS v FROM p UNION SELECT db, da FROM p),
+      |reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+      |lab AS (
+      |  SELECT a.doc_id, least(a.doc_id, coalesce(min(r.v), a.doc_id))
+      |    AS cluster_id
+      |  FROM aug a LEFT JOIN reach r ON r.u = a.doc_id GROUP BY a.doc_id),
+      |sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY 1)
+      |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+      |  count(*) AS n_clusters
+      |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("q92_fuzzy_join", fuzzyOracled, Some(fuzzySql)))
+    QueryDef("q92_fuzzy_join", fuzzyOracled, Some(fuzzySql)),
+    QueryDef("q174_entity_resolution", q174, Some(q174Sql)))
 }
