@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: answer registered base-table aggregates from their
+    // maintained Incremental state table (see MaterializedAggRewrite)
+    ext.injectOptimizerRule(spark => new graft.plans.MaterializedAggRewrite(spark))
     ext.injectFunction((FunctionIdentifier("canonical_json"),
       info("canonical_json", "canonical_json(expr) - key-sorted canonical JSON of any value"),
       (exprs: Seq[Expression]) => CanonicalJsonExpr(exprs.head)))
