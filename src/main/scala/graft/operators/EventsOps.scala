@@ -1206,7 +1206,132 @@ object EventsOps {
        |  count(*) AS n_users, CAST(sum(seq_len) AS BIGINT) AS sum_len
        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ==== q175: RFM segmentation ===============================================
+  //
+  // The classic customer-value segmentation: per user, Recency (days since
+  // last purchase vs the corpus's last purchase day), Frequency (purchase
+  // count) and Monetary (total cents), each bucketed 0..2 by its OWN
+  // p25/p75 boundaries — self-calibrating, like the q95 quantile pruning.
+  // Exactness discipline: R/F/M are integers (datediff / count / rounded
+  // cents); boundaries come from the distributed exact-quantile machinery
+  // at fractions 0.25/0.75 (exact binary fractions, so the interpolation
+  // weights are identical doubles on both engines) and are rint-snapped to
+  // the 4-dp grid (the repo's ONE boundary-rounding rule); bucketing is
+  // the `v > b` count idiom shared with psi/calibration. Scale shape: two
+  // aggregations (per-user rollup, then segment census) plus the quantile
+  // order statistics — the events table shuffles once on user_id.
+
+  /** (segment, n_users) where segment = "R<r>F<f>M<m>", each 0..2. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("freq"),
+        sum(col("cents")).as("monetary"))
+    val maxD = broadcast(perUser.agg(max(col("last_d")).as("max_d")))
+    val rfm = perUser.crossJoin(maxD)
+      .select(col("user_id"),
+        datediff(col("max_d"), col("last_d")).cast("long").as("recency"),
+        col("freq"), col("monetary"))
+      .localCheckpoint() // the quantile passes below re-read it
+    def bounds(c: String): Seq[Double] =
+      Profiling.exactQuantiles(rfm, c, Seq(0.25, 0.75))
+        .map(b => math.rint(b * 10000) / 10000)
+    def score(c: String, bs: Seq[Double]): org.apache.spark.sql.Column =
+      bs.map(b => when(col(c).cast("double") > b, 1L).otherwise(0L))
+        .reduce(_ + _)
+    val (rb, fb, mb) = (bounds("recency"), bounds("freq"), bounds("monetary"))
+    rfm.select(concat(lit("R"), score("recency", rb),
+        lit("F"), score("freq", fb), lit("M"), score("monetary", mb))
+        .as("segment"))
+      .groupBy(col("segment")).agg(count(lit(1)).as("n_users"))
+  }
+
+  private def q175(s: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.events(s, dir)).orderBy(col("segment"))
+
+  private val q175Sql =
+    """WITH pu AS (
+      |  SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |rfm AS (
+      |  SELECT user_id,
+      |    CAST(datediff('day', last_d, (SELECT max(last_d) FROM pu))
+      |      AS BIGINT) AS recency, freq, monetary
+      |  FROM pu),
+      |b AS (
+      |  SELECT
+      |    round(quantile_cont(recency, 0.25), 4) AS r1,
+      |    round(quantile_cont(recency, 0.75), 4) AS r2,
+      |    round(quantile_cont(freq, 0.25), 4) AS f1,
+      |    round(quantile_cont(freq, 0.75), 4) AS f2,
+      |    round(quantile_cont(monetary, 0.25), 4) AS m1,
+      |    round(quantile_cont(monetary, 0.75), 4) AS m2
+      |  FROM rfm),
+      |seg AS (
+      |  SELECT 'R' ||
+      |    (CASE WHEN CAST(recency AS DOUBLE) > r1 THEN 1 ELSE 0 END +
+      |     CASE WHEN CAST(recency AS DOUBLE) > r2 THEN 1 ELSE 0 END) ||
+      |    'F' ||
+      |    (CASE WHEN CAST(freq AS DOUBLE) > f1 THEN 1 ELSE 0 END +
+      |     CASE WHEN CAST(freq AS DOUBLE) > f2 THEN 1 ELSE 0 END) ||
+      |    'M' ||
+      |    (CASE WHEN CAST(monetary AS DOUBLE) > m1 THEN 1 ELSE 0 END +
+      |     CASE WHEN CAST(monetary AS DOUBLE) > m2 THEN 1 ELSE 0 END)
+      |    AS segment
+      |  FROM rfm CROSS JOIN b)
+      |SELECT segment, count(*) AS n_users FROM seg
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ==== q176: seasonal-naive forecast evaluation =============================
+  //
+  // The alerting/capacity baseline every pipeline needs BEFORE any model:
+  // forecast(hour h) = actual(h − 24), scored with MAE over all hours
+  // where both sides exist. Hourly counts are integers, the error sum is
+  // an exact BIGINT, and MAE divides two integers once — the only float is
+  // the final rendered ratio. One groupBy + one self equi-join on
+  // (type, hour−24), both on hour-level aggregates.
+
+  /** (event_type, n_eval, total_abs_err, mae) of the h−24 naive forecast. */
+  def seasonalNaiveEval(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val actual = hourly.select(col("event_type"), col("hr"), col("cnt"))
+    val lagged = hourly.select(col("event_type"), (col("hr") + 24).as("hr"),
+      col("cnt").as("forecast"))
+    actual.join(lagged, Seq("event_type", "hr"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("cnt") - col("forecast"))).as("total_abs_err"))
+      .select(col("event_type"), col("n_eval"), col("total_abs_err"),
+        QueryDef.dec4(col("total_abs_err").cast("double") /
+          col("n_eval").cast("double")).as("mae"))
+  }
+
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    seasonalNaiveEval(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  private val q176Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.event_type, abs(a.cnt - f.cnt) AS err
+      |  FROM h a JOIN h f ON a.event_type = f.event_type
+      |    AND a.hr = f.hr + 24)
+      |SELECT event_type, count(*) AS n_eval,
+      |  CAST(sum(err) AS BIGINT) AS total_abs_err,
+      |  CAST(CAST(CAST(sum(err) AS DOUBLE) / count(*) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mae
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q175_rfm_segments", q175, Some(q175Sql)),
+    QueryDef("q176_seasonal_naive", q176, Some(q176Sql)),
     QueryDef("q173_seq_match", q173, Some(q173Sql)),
     QueryDef("q169_ewma_hourly", q169, Some(q169Sql)),
     QueryDef("q167_multitouch_attribution", q167, Some(q167Sql)),

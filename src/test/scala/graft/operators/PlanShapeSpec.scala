@@ -163,4 +163,33 @@ class PlanShapeSpec extends AnyFunSuite {
       assert("HashAggregate".r.findAllIn(pl).size >= 2, s"$q lost partial agg:\n$pl")
     }
   }
+
+  test("round-8 additions keep their declared plan shapes") {
+    // q167: candidate generation is a (user, bucket) equi hash join — a
+    // degradation to nested-loop/cartesian would be per-user quadratic
+    val mt = plan("q167_multitouch_attribution")
+    assert(!mt.contains("CartesianProduct") && !mt.contains("BroadcastNestedLoopJoin"),
+      s"multi-touch candidate join degraded:\n$mt")
+    // q157: the vocabulary attaches by BROADCAST hash joins — the round-7
+    // finding was a vocab-sized plan literal; neither a literal-scan nor a
+    // shuffled vocab join may come back
+    val pmi = plan("q157_pmi_pairs")
+    assert(pmi.contains("BroadcastHashJoin"), s"pmi vocab join not broadcast:\n$pmi")
+    // q129: the band join's inputs are DISTINCT hashes (aggregated before
+    // the self-join), and intra-hash pairs come from an equi join — no
+    // nested loops anywhere
+    val ph = plan("q129_phash_dedup")
+    assert(!ph.contains("CartesianProduct") && !ph.contains("BroadcastNestedLoopJoin"),
+      s"phash pair join degraded:\n$ph")
+    // q164/q169: map-side encode / hour-level fold — no hash shuffle beyond
+    // the aggregates' own exchanges; never a join
+    Seq("q164_unigram_encode", "q173_seq_match").foreach { q =>
+      val pl = plan(q)
+      assert(!pl.contains("Join"), s"$q grew a join:\n$pl")
+    }
+    // q166: the histogram state build is one map-side-combined aggregation
+    // chain; quantile readout scans the state, never the data twice
+    val hq = plan("q166_hist_quantile_state")
+    assert("HashAggregate".r.findAllIn(hq).size >= 2, s"q166 lost partial agg:\n$hq")
+  }
 }
