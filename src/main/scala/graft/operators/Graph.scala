@@ -379,7 +379,82 @@ object Graph {
        |GROUP BY size ORDER BY size""".stripMargin
   }
 
+  // ==== q178: degree assortativity ===========================================
+  //
+  // Pearson correlation of endpoint degrees over the (symmetric) edge
+  // list — the one-number answer to "do hubs connect to hubs?" that
+  // decides whether degree-based partitioning or hub-isolation helps a
+  // graph workload. Exactness: degrees are integers; all five moments
+  // accumulate via the q163 DECIMAL discipline (degree as DECIMAL(9,0),
+  // products ≤ DECIMAL(38,0)) so no edge count can silently wrap a
+  // BIGINT; r divides identically-derived doubles once. Shape: one degree
+  // aggregation + two hash joins keyed by endpoint + one global moment
+  // aggregation — no windows, no loops.
+
+  /** One row: (n_edges, r) — assortativity of `edges` (give both
+    * directions for undirected semantics, as pageRank does). */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val withDegs = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .select(col("dx").cast("decimal(9,0)").as("x"),
+        col("dy").cast("decimal(9,0)").as("y"))
+    val m = withDegs.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val denX = n * d("sxx") - d("sx") * d("sx")
+    val denY = n * d("syy") - d("sy") * d("sy")
+    m.select(col("n").as("n_edges"),
+      when(denX > 0 && denY > 0, num / sqrt(denX * denY)).as("r"))
+  }
+
+  private def q178(s: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(custPartEdges(s, dir))
+      .select(col("n_edges"), QueryDef.dec4(col("r")).as("r"))
+
+  private val q178Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem),
+      |pairs AS (
+      |  SELECT 'c' || o.o_custkey AS c, 'p' || li.l_partkey AS p
+      |  FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey),
+      |e AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT c AS src, p AS dst FROM pairs
+      |    UNION ALL SELECT p, c FROM pairs)),
+      |deg AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY 1),
+      |xy AS (
+      |  SELECT CAST(da.deg AS DECIMAL(9,0)) AS x,
+      |    CAST(db.deg AS DECIMAL(9,0)) AS y
+      |  FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_edges,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS r
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_assortativity", q178, Some(q178Sql)),
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
     QueryDef("q124_kfold", q124, Some(q124Sql)),
     QueryDef("q134_triangles", q134, Some(q134Sql)),

@@ -853,7 +853,54 @@ object Profiling {
       |  FROM documents GROUP BY lang)
       |ORDER BY dim, id""".stripMargin
 
+  // ==== q177: join-key skew report ===========================================
+  //
+  // The diagnostic run BEFORE choosing a join strategy at scale: per key
+  // column, how concentrated is the key distribution — max key count vs
+  // the mean (the "skew ratio" that decides between plain hash join,
+  // AQE skew splitting, and explicit salting). One map-side-combined
+  // count per dim; the report is computed on the key-count table
+  // (key-cardinality-sized). All counts are integers; the two ratios
+  // divide integers once at render.
+
+  /** One row per (dim): n_keys, n_rows, max_cnt, mean and skew ratio. */
+  def skewReport(dims: Seq[(String, DataFrame, String)]): DataFrame =
+    dims.map { case (name, df, key) =>
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+          max(col("c")).as("max_cnt"))
+        .select(lit(name).as("dim"), col("n_keys"), col("n_rows"),
+          col("max_cnt"),
+          QueryDef.dec4(col("n_rows").cast("double") /
+            col("n_keys").cast("double")).as("mean_cnt"),
+          QueryDef.dec4(col("max_cnt").cast("double") * col("n_keys")
+            .cast("double") / col("n_rows").cast("double")).as("skew_ratio"))
+    }.reduce(_ unionByName _)
+
+  private def q177(s: SparkSession, dir: String): DataFrame =
+    skewReport(Seq(
+      ("lineitem.l_partkey", Tables.lineitem(s, dir), "l_partkey"),
+      ("lineitem.l_orderkey", Tables.lineitem(s, dir), "l_orderkey"),
+      ("orders.o_custkey", Tables.orders(s, dir), "o_custkey")))
+      .orderBy(col("dim"))
+
+  private val q177Sql = {
+    def one(dim: String, table: String, key: String) =
+      s"""SELECT '$dim' AS dim, count(*) AS n_keys,
+         |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(max(c) AS BIGINT) AS max_cnt,
+         |  CAST(CAST(CAST(sum(c) AS DOUBLE) / count(*) AS DECIMAL(38,4))
+         |    AS VARCHAR) AS mean_cnt,
+         |  CAST(CAST(CAST(max(c) AS DOUBLE) * count(*) / CAST(sum(c) AS DOUBLE)
+         |    AS DECIMAL(38,4)) AS VARCHAR) AS skew_ratio
+         |FROM (SELECT $key, count(*) AS c FROM $table GROUP BY 1)""".stripMargin
+    Seq(one("lineitem.l_partkey", "lineitem", "l_partkey"),
+      one("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+      one("orders.o_custkey", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY dim")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_skew_report", q177, Some(q177Sql)),
     QueryDef("q168_label_index", q168, Some(q168Sql)),
     QueryDef("q163_higher_moments", q163, Some(q163Sql)),
     QueryDef("q160_benford", q160, Some(q160Sql)),
