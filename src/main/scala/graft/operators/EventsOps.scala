@@ -1329,7 +1329,54 @@ object EventsOps {
       |    AS VARCHAR) AS mae
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ==== q179: hourly SLA percentiles (exact, bounded-domain) ================
+  //
+  // The operational p50/p95 dashboard: per hour, exact value percentiles.
+  // Values are 2-dp money ⇒ integer cents with a bounded domain, so the
+  // per-hour percentile is EXACT with zero percentile-accumulator state:
+  // group to (hour, cents) counts, cumulative-rank walk, pick the
+  // smallest cents whose cumulative count reaches ⌈p·n⌉ (integer
+  // cross-multiplication — the q166 readout idiom). The rank window runs
+  // on the (hour × distinct cents) table, never raw events; at 100 TB
+  // that is hours × ≤ domain rows.
+
+  /** (hr, n, p50_cents, p95_cents) exact per-hour percentiles. */
+  def hourlyPercentiles(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(expr("unix_micros(ts) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("hr"), col("cents")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hr")).orderBy(col("cents"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("hr"))
+    counts
+      .withColumn("cum", sum(col("c")).over(w))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy(col("hr"), col("n").as("n"))
+      .agg(min(when(col("cum") * 100 >= col("n") * 50, col("cents"))).as("p50_cents"),
+        min(when(col("cum") * 100 >= col("n") * 95, col("cents"))).as("p95_cents"))
+  }
+
+  private def q179(s: SparkSession, dir: String): DataFrame =
+    hourlyPercentiles(Tables.events(s, dir)).orderBy(col("hr"))
+
+  private val q179Sql =
+    """WITH c AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS cents, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT hr, cents, c,
+      |    sum(c) OVER (PARTITION BY hr ORDER BY cents) AS cum,
+      |    sum(c) OVER (PARTITION BY hr) AS n
+      |  FROM c)
+      |SELECT hr, CAST(max(n) AS BIGINT) AS n,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN cents END) AS p50_cents,
+      |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
+      |FROM cum GROUP BY hr ORDER BY hr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_hourly_percentiles", q179, Some(q179Sql)),
     QueryDef("q175_rfm_segments", q175, Some(q175Sql)),
     QueryDef("q176_seasonal_naive", q176, Some(q176Sql)),
     QueryDef("q173_seq_match", q173, Some(q173Sql)),

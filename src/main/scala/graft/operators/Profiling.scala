@@ -899,7 +899,63 @@ object Profiling {
       .mkString("", "\nUNION ALL\n", "\nORDER BY dim")
   }
 
+  // ==== q180: foreign-key integrity audit ====================================
+  //
+  // Referential health across the warehouse: per declared FK relation,
+  // how many child rows point at nothing (orphans) and how many distinct
+  // parents are unreferenced. Orphans = LEFT ANTI against the parent key
+  // set (broadcastable for dimension parents); unreferenced = parent
+  // ANTI child keys. Both sides are key-projected before the join, so
+  // the scan reads one column. Complements q117's column-level quality
+  // report at the cross-table level.
+
+  /** One row per (relation): child rows, orphan rows, unreferenced
+    * parent keys. */
+  def fkAudit(relations: Seq[(String, DataFrame, String, DataFrame, String)])
+      : DataFrame =
+    relations.map { case (name, child, ck, parent, pk) =>
+      val childKeys = child.select(col(ck).as("k"))
+      val parentKeys = parent.select(col(pk).as("k")).distinct()
+      val orphans = childKeys.join(parentKeys, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val unreferenced = parentKeys
+        .join(childKeys.distinct(), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_unreferenced"))
+      childKeys.agg(count(lit(1)).as("n_child_rows"))
+        .crossJoin(orphans).crossJoin(unreferenced)
+        .select(lit(name).as("relation"), col("n_child_rows"),
+          col("n_orphans"), col("n_unreferenced"))
+    }.reduce(_ unionByName _)
+
+  private def q180(s: SparkSession, dir: String): DataFrame =
+    fkAudit(Seq(
+      ("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      ("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      ("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey")))
+      .orderBy(col("relation"))
+
+  private val q180Sql = {
+    def one(name: String, child: String, ck: String, parent: String,
+        pk: String) =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT count(*) FROM $child) AS n_child_rows,
+         |  (SELECT count(*) FROM $child c
+         |   WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+         |    AS n_orphans,
+         |  (SELECT count(*) FROM (SELECT DISTINCT $pk FROM $parent) p
+         |   WHERE NOT EXISTS (SELECT 1 FROM $child c WHERE c.$ck = p.$pk))
+         |    AS n_unreferenced""".stripMargin
+    Seq(one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q180_fk_audit", q180, Some(q180Sql)),
     QueryDef("q177_skew_report", q177, Some(q177Sql)),
     QueryDef("q168_label_index", q168, Some(q168Sql)),
     QueryDef("q163_higher_moments", q163, Some(q163Sql)),
