@@ -228,6 +228,50 @@ object Incremental {
       .drop("__nb")
   }
 
+  /** Exactly-once refresh of a maintained histogram-state table — the
+    * [[refreshState]] discipline (monotonic batch-id guard; the merge
+    * algebra is not idempotent) applied to the quantile sketch: arriving
+    * batches fold in via [[mergeHistState]], percentile dashboards read
+    * [[histQuantiles]] off the state, and the corpus is never rescanned. */
+  def refreshHistState(spark: SparkSession, statePath: String,
+      batch: DataFrame, batchId: Long, valueCol: String, keys: Seq[String],
+      lo: Long, width: Long, nBuckets: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idFile = new Path(statePath + "__applied_batch")
+    val lastApplied: Long =
+      if (fs.exists(idFile)) {
+        val in = fs.open(idFile)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      } else -1L
+    if (batchId <= lastApplied) return
+    val delta = histState(batch, valueCol, keys, lo, width, nBuckets)
+    val next = if (fs.exists(root))
+      mergeHistState(spark.read.parquet(statePath), delta, keys) else delta
+    val staging = new Path(statePath + "__refreshing")
+    next.write.mode("overwrite").parquet(staging.toString)
+    fs.delete(root, true)
+    require(fs.rename(staging, root), s"state swap failed for $root")
+    val out = fs.create(idFile, true)
+    try out.write(batchId.toString.getBytes) finally out.close()
+  }
+
+  /** Streaming percentile maintenance: each micro-batch folds its
+    * histogram partials into the state table. */
+  def startHistRefresh(docs: DataFrame, statePath: String, checkpoint: String,
+      valueCol: String, keys: Seq[String], lo: Long, width: Long,
+      nBuckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty)
+          refreshHistState(batch.sparkSession, statePath, batch.toDF(), id,
+            valueCol, keys, lo, width, nBuckets)
+      }
+      .start()
+
   // ==== q166: merged histogram state == from-scratch quantile readout ======
   //
   // Two-batch arrival (doc_id parity), merge, then p50/p90/p99 readout per

@@ -69,6 +69,36 @@ class IncrementalSpec extends AnyFunSuite {
       canon(Incremental.aggState(corpus)))
   }
 
+  test("streamed histogram refresh over batches == from-scratch state; replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val statePath = java.nio.file.Files.createTempDirectory("hist_state")
+      .resolve("state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hist_ckpt").toString
+    val rows = corpus.select("doc_id", "lang", "source", "n_chars")
+      .as[(Long, String, String, Long)].collect().toSeq
+    val input = MemoryStream[(Long, String, String, Long)](spark)
+    val q = Incremental.startHistRefresh(
+      input.toDS().toDF("doc_id", "lang", "source", "n_chars"),
+      statePath, ckpt, "n_chars", Seq("lang"), lo = 0L, width = 10L,
+      nBuckets = 12)
+    try {
+      rows.grouped(130).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def arrs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("lang"), col("hist")).as[(String, Seq[Long])]
+        .collect().toMap
+    val direct = Incremental.histState(corpus, "n_chars", Seq("lang"),
+      0L, 10L, 12)
+    assert(arrs(spark.read.parquet(statePath)) == arrs(direct))
+    // the batch-id guard: a replayed batch must not double its buckets
+    Incremental.refreshHistState(spark, statePath,
+      corpus.filter(col("doc_id") < 130L), batchId = 0L, "n_chars",
+      Seq("lang"), 0L, 10L, 12)
+    assert(arrs(spark.read.parquet(statePath)) == arrs(direct))
+  }
+
   test("distinct-count state: union of partials == sketch of the whole") {
     val texts = (0L until 1000L).map(i => (i, s"l${i % 3}", s"text ${i % 257}"))
       .toDF("doc_id", "lang", "text")
