@@ -335,7 +335,10 @@ object Cdc {
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame, key: String,
       tracked: Seq[String]): DataFrame = {
     def digested(df: DataFrame, side: String) = df.select(col(key),
-      md5(concat_ws("", tracked.map(c => col(c).cast("string")): _*))
+      // canonical JSON of the tracked struct: a separator-joined string
+      // concat silently SKIPS null columns (("a", NULL) == ("a")) —
+      // canonical_json (the A14 primitive) keeps nulls and boundaries
+      md5(graft.canon.CanonicalJson(struct(tracked.map(col): _*)))
         .as(s"__d_$side"))
     digested(oldSnap, "old")
       .join(digested(newSnap, "new"), Seq(key), "full_outer")
