@@ -58,6 +58,28 @@ object Incremental {
       .agg(sum(col("n_docs")).as("n_docs"),
         hll_union_agg(col("distinct_sketch")).as("distinct_sketch"))
 
+  /** Rename-aside swap + crash recovery for the maintained state tables —
+    * the same discipline as Cdc's partition swaps: the live state is
+    * never deleted before its replacement is in place, and a crash at any
+    * point leaves the data in `root` or `root__old`. */
+  private def recoverStateAside(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(root.toString + "__old")
+    if (!fs.exists(root) && fs.exists(aside))
+      require(fs.rename(aside, root), s"state recovery failed: $aside")
+  }
+
+  private def swapStateAside(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      staging: org.apache.hadoop.fs.Path): Unit = {
+    val aside = new org.apache.hadoop.fs.Path(root.toString + "__old")
+    fs.delete(aside, true)
+    if (fs.exists(root))
+      require(fs.rename(root, aside), s"state aside failed for $root")
+    require(fs.rename(staging, root), s"state swap failed for $root")
+    fs.delete(aside, true)
+  }
+
   /** One exactly-once refresh of the maintained state table: merge a new
     * batch's partials into the parquet state at `statePath`, guarded by a
     * monotonic batch id. Unlike the CDC upsert, the merge algebra is NOT
@@ -76,13 +98,13 @@ object Incremental {
         try new String(in.readAllBytes()).trim.toLong finally in.close()
       } else -1L
     if (batchId <= lastApplied) return // replayed batch — already folded in
+    recoverStateAside(fs, root)
     val delta = aggState(batch)
     val next = if (fs.exists(root))
       mergeState(spark.read.parquet(statePath), delta) else delta
     val staging = new Path(statePath + "__refreshing")
     next.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(root, true)
-    require(fs.rename(staging, root), s"state swap failed for $root")
+    swapStateAside(fs, root, staging)
     val out = fs.create(idFile, true)
     try out.write(batchId.toString.getBytes) finally out.close()
   }
@@ -246,13 +268,13 @@ object Incremental {
         try new String(in.readAllBytes()).trim.toLong finally in.close()
       } else -1L
     if (batchId <= lastApplied) return
+    recoverStateAside(fs, root)
     val delta = histState(batch, valueCol, keys, lo, width, nBuckets)
     val next = if (fs.exists(root))
       mergeHistState(spark.read.parquet(statePath), delta, keys) else delta
     val staging = new Path(statePath + "__refreshing")
     next.write.mode("overwrite").parquet(staging.toString)
-    fs.delete(root, true)
-    require(fs.rename(staging, root), s"state swap failed for $root")
+    swapStateAside(fs, root, staging)
     val out = fs.create(idFile, true)
     try out.write(batchId.toString.getBytes) finally out.close()
   }

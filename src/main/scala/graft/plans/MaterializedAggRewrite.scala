@@ -86,7 +86,7 @@ class MaterializedAggRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case al @ Alias(ae: AggregateExpression, _)
           if !ae.isDistinct && ae.filter.isEmpty =>
         val mapped: org.apache.spark.sql.Column = ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) => sum(col("n_docs"))
+          case Count(Seq(Literal(v, _))) if v != null => sum(col("n_docs"))
           case Sum(a: AttributeReference, _) if a.name == r.valueCol =>
             sum(col("sum_chars"))
           case Min(a: AttributeReference) if a.name == r.valueCol =>
