@@ -9,6 +9,34 @@ class FunctionsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("dot_product generates real code: fallback disabled, value exact, stage codegen'd") {
+    // spark.sql.codegen.fallback=false makes a Janino failure FATAL instead
+    // of a silent interpreted fallback — this pins that DotProduct's
+    // doGenCode actually compiles
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      // repartition defeats ConvertToLocalRelation, which would otherwise
+      // evaluate the projection at optimize time (interpreted) and leave
+      // nothing to codegen
+      val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+        .repartition(1)
+        .select(graft.functions.VectorExprs
+          .dotProduct(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")).as("d"))
+      assert(df.collect()(0).getDouble(0) == 32.0)
+      // "*(n)" is the whole-stage-codegen marker in the AQE plan string
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("*(") && plan.contains("dot_product"), plan)
+      // null propagation through the generated null-safe wrapper
+      val withNull = Seq((Seq(1.0), null.asInstanceOf[Seq[Double]]))
+        .toDF("a", "b")
+        .select(graft.functions.VectorExprs
+          .dotProduct(org.apache.spark.sql.functions.col("a"),
+            org.apache.spark.sql.functions.col("b")).as("d"))
+      assert(withNull.collect()(0).isNullAt(0))
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
+  }
+
   test("rolling fingerprints: identical text → identical set; shared runs → shared fps") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away"
     val copy = base
