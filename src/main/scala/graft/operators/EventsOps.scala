@@ -1142,6 +1142,62 @@ object EventsOps {
   private def q169(s: SparkSession, dir: String): DataFrame =
     ewmaHourly(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
 
+  // ==== q181: rate-anomaly flags over the EWMA baseline ======================
+  //
+  // Closes the q169 loop into detection: an hour is anomalous when its
+  // count deviates from the PRE-fold EWMA baseline by more than k Poisson
+  // standard deviations — tested as (cnt − baseline)² > k²·baseline, so
+  // the whole decision is exact BIGINT arithmetic (no sqrt, no floats
+  // anywhere). The first hour of a series has no baseline and is never
+  // flagged. Same per-series hour-level fold shape as q169.
+
+  /** (event_type, hr, cnt, baseline, anomaly) with k=3 Poisson sigmas. */
+  def rateAnomalies(events: DataFrame, k: Long = 3L): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("cnt")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<hr: bigint, cnt: bigint, s: bigint, prev: bigint>>),
+          |  (acc, e) -> acc || array(cast(named_struct('hr', e.hr, 'cnt', e.cnt,
+          |    's', case when size(acc) = 0 then e.cnt
+          |         else (element_at(acc, -1).s + e.cnt) div 2 end,
+          |    'prev', case when size(acc) = 0 then -1L
+          |         else element_at(acc, -1).s end)
+          |    as struct<hr: bigint, cnt: bigint, s: bigint, prev: bigint>)))""".stripMargin))
+        .as("r"))
+      .select(col("event_type"), col("r.hr").as("hr"), col("r.cnt").as("cnt"),
+        when(col("r.prev") >= 0, col("r.prev")).as("baseline"),
+        (col("r.prev") >= 0 &&
+          (col("r.cnt") - col("r.prev")) * (col("r.cnt") - col("r.prev")) >
+            lit(k * k) * col("r.prev")).as("anomaly"))
+  }
+
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    rateAnomalies(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
+
+  private val q181Sql =
+    """WITH RECURSIVE h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      |  FROM h),
+      |rec(event_type, rn, hr, cnt, s, prev) AS (
+      |  SELECT event_type, rn, hr, cnt, cnt, CAST(NULL AS BIGINT) FROM r
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.rn, r.hr, r.cnt, (rec.s + r.cnt) // 2, rec.s
+      |  FROM rec JOIN r ON r.event_type = rec.event_type
+      |    AND r.rn = rec.rn + 1)
+      |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(prev AS BIGINT) AS baseline,
+      |  (prev IS NOT NULL AND (cnt - prev) * (cnt - prev) > 9 * prev)
+      |    AS anomaly
+      |FROM rec ORDER BY event_type, hr""".stripMargin
+
   private val q169Sql =
     """WITH RECURSIVE h AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
@@ -1376,6 +1432,7 @@ object EventsOps {
       |FROM cum GROUP BY hr ORDER BY hr""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),
     QueryDef("q179_hourly_percentiles", q179, Some(q179Sql)),
     QueryDef("q175_rfm_segments", q175, Some(q175Sql)),
     QueryDef("q176_seasonal_naive", q176, Some(q176Sql)),
