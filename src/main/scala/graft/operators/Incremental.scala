@@ -294,6 +294,53 @@ object Incremental {
       }
       .start()
 
+  // -- incremental JOIN maintenance (IVM beyond aggregates) -------------------
+  // The textbook delta rule for insert-only view maintenance of A ⋈ B:
+  //   Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+  // — three joins, each with a DELTA side, so refresh cost scales with the
+  // arriving batches and the accumulated other side, never A_full ⋈ B_full.
+  // With the accumulated sides bucketed by the join key (the BucketingSpec
+  // discipline) the two big-side joins shuffle only their delta.
+
+  /** The view delta for one insert batch (da, db) against the accumulated
+    * sides (aOld, bOld). Append it to the maintained view. */
+  def joinDelta(aOld: DataFrame, da: DataFrame, bOld: DataFrame,
+      db: DataFrame, key: String): DataFrame =
+    da.join(bOld, Seq(key))
+      .unionByName(aOld.join(db, Seq(key)))
+      .unionByName(da.join(db, Seq(key)))
+
+  // ==== q182: incrementally maintained join == direct join ==================
+  //
+  // Both sides arrive in two parity batches; the view is built ONLY
+  // through initial ⋈ + the delta rule and must equal — the oracle
+  // computes — the direct full join, rolled up per order priority.
+
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val b = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val (a0, a1) = (a.filter(col("o_orderkey") % 2 === 0),
+      a.filter(col("o_orderkey") % 2 === 1))
+    val (b0, b1) = (b.filter(col("l_quantity").cast("long") % 2 === 0),
+      b.filter(col("l_quantity").cast("long") % 2 === 1))
+    val view = a0.join(b0, Seq("o_orderkey"))
+      .unionByName(joinDelta(a0, a1, b0, b1, "o_orderkey"))
+    view.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("string")
+          .as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q182Sql =
+    """SELECT o_orderpriority, count(*) AS n_rows,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2))
+      |    AS VARCHAR) AS sum_qty
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ==== q166: merged histogram state == from-scratch quantile readout ======
   //
   // Two-batch arrival (doc_id parity), merge, then p50/p90/p99 readout per
@@ -342,5 +389,6 @@ object Incremental {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_incremental_agg", q108, Some(q108Sql)),
     QueryDef("q111_incremental_distinct", q111, Some(q111Sql)),
-    QueryDef("q166_hist_quantile_state", q166, Some(q166Sql)))
+    QueryDef("q166_hist_quantile_state", q166, Some(q166Sql)),
+    QueryDef("q182_incremental_join", q182, Some(q182Sql)))
 }
