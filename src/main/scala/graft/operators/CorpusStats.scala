@@ -487,7 +487,98 @@ object CorpusStats {
       |  CAST(d1.df * d2.df AS DOUBLE)), 4) DESC, w1, w2
       |LIMIT 20""".stripMargin
 
+  // ==== q183: Zipf-law fit over the token frequency spectrum ================
+  //
+  // How Zipfian is the corpus — the one-number natural-language sanity
+  // check (machine-generated/boilerplate text bends away from slope −1).
+  // Fit ln(freq) ~ ln(rank) by least squares with the q99 integer-log
+  // discipline: both logs are floored to micro-nat INTEGERS per distinct
+  // token (one ln each, same double on both engines), so the regression
+  // moments are exact integer sums (DECIMAL-accumulated, the q163 rule)
+  // and the slope/r² divide identically-derived doubles — no
+  // float-summation-order dependence anywhere. Rank comes from the
+  // distributed prefix scan (count desc, token), like q168.
+
+  /** One row: (n_tokens, slope, r2) of ln freq vs ln rank, over tokens
+    * with freq ≥ `minFreq`. */
+  def zipfFit(docs: DataFrame, minFreq: Long): DataFrame = {
+    val counts = docs.select(explode(Tok.ws(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minFreq)
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+      counts.withColumn("__one", lit(1L)),
+      Seq(col("cnt").desc, col("t")), col("__one"), outName = "r0")
+    val xy = ranked.select(
+      floor(lit(1e6) * log(col("r0").cast("double") + 1.0))
+        .cast("decimal(18,0)").as("x"),
+      floor(lit(1e6) * log(col("cnt").cast("double")))
+        .cast("decimal(18,0)").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val denX = n * d("sxx") - d("sx") * d("sx")
+    val denY = n * d("syy") - d("sy") * d("sy")
+    m.select(col("n").as("n_tokens"),
+      when(denX > 0, num / denX).as("slope"),
+      when(denX > 0 && denY > 0, num * num / (denX * denY)).as("r2"))
+  }
+
+  private def q183(s: SparkSession, dir: String): DataFrame =
+    zipfFit(Tables.documents(s, dir), minFreq = 5)
+      .select(col("n_tokens"), QueryDef.dec4(col("slope")).as("slope"),
+        QueryDef.dec4(col("r2")).as("r2"))
+
+  private val q183Sql =
+    """WITH counts AS (
+      |  SELECT t, count(*) AS cnt FROM (
+      |    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS t FROM documents)
+      |  GROUP BY 1 HAVING count(*) >= 5),
+      |ranked AS (
+      |  SELECT cnt,
+      |    row_number() OVER (ORDER BY cnt DESC, t) - 1 AS r0
+      |  FROM counts),
+      |xy AS (
+      |  SELECT CAST(floor(1e6 * ln(CAST(r0 AS DOUBLE) + 1.0))
+      |      AS DECIMAL(18,0)) AS x,
+      |    CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE))) AS DECIMAL(18,0)) AS y
+      |  FROM ranked),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_tokens,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS r2
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_zipf_fit", q183, Some(q183Sql)),
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),
     QueryDef("q136_source_overlap", q136, Some(q136Sql)),
     QueryDef("q137_oov_rate", q137, Some(q137Sql)),
