@@ -255,12 +255,13 @@ object UnigramLm {
        |  FROM rec WHERE i < len(w)),
        |fin AS (SELECT w, dp[len(w) + 1] AS c FROM rec WHERE i = len(w)),
        |pw AS (SELECT w, (-c) % 1048576 AS ntok FROM fin),
+       |sums AS (
+       |  SELECT o.doc_id, sum(p.ntok) AS nt
+       |  FROM occ o JOIN pw p USING (w) GROUP BY 1),
        |d AS (
-       |  SELECT n.doc_id,
-       |    CAST(coalesce((SELECT sum(p.ntok) FROM occ o JOIN pw p USING (w)
-       |      WHERE o.doc_id = n.doc_id), 0) AS BIGINT) AS nt,
+       |  SELECT n.doc_id, CAST(coalesce(s.nt, 0) AS BIGINT) AS nt,
        |    row_number() OVER (ORDER BY n.doc_id) AS rn
-       |  FROM norm n),
+       |  FROM norm n LEFT JOIN sums s USING (doc_id)),
        |fold(rn, doc_id, nt, pack_id, acc) AS (
        |  SELECT rn, doc_id, nt, CAST(0 AS BIGINT), nt FROM d WHERE rn = 1
        |  UNION ALL
