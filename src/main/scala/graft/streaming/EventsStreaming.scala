@@ -379,6 +379,37 @@ object EventsStreaming {
       }
   }
 
+  // ==== stream-stream interval join (B121) ===================================
+  //
+  // The two-unbounded-sides join Spark executes with symmetric state: each
+  // side buffers rows until the OTHER side's watermark proves no future
+  // match can arrive, so state stays bounded by (watermark delay + join
+  // horizon) × arrival rate — the attribution join (purchase ⋈ its
+  // preceding touches) run continuously instead of as a batch job. The
+  // event-time range condition is what lets Spark derive the state
+  // eviction bound; an unconstrained stream-stream join would buffer
+  // forever and is rejected in append mode.
+
+  /** Continuous touch attribution: purchases joined to same-user touches
+    * in [p_ts − horizon, p_ts). Inner join — unmatched purchases surface
+    * when the batch twin reports them as 'unattributed'. */
+  def streamStreamTouchJoin(purchases: DataFrame, touches: DataFrame,
+      horizonSec: Long, delay: String = "10 minutes"): DataFrame = {
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", delay)
+    val t = touches
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("ts").as("t_ts"), col("event_type").as("touch_type"))
+      .withWatermark("t_ts", delay)
+    p.join(t,
+      col("user_id") === col("t_user") &&
+        col("t_ts") < col("p_ts") &&
+        col("t_ts") >= col("p_ts") - expr(s"INTERVAL $horizonSec SECONDS"))
+      .select(col("p_id"), col("t_id"), col("touch_type"), col("value"))
+  }
+
   // ==== streaming heavy hitters (B105's stream side) =========================
   //
   // Misra–Gries as per-key transformWithState: the MG counters ARE the

@@ -590,6 +590,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(shifted._3 == 1.0 && shifted._4, s"shifted: $shifted")
   }
 
+  test("B121: stream-stream interval join matches the batch pair set across batches") {
+    val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
+    val events = input.toDF()
+      .toDF("ts", "user_id", "event_id", "event_type", "value")
+    val purchases = events.filter(col("event_type") === "purchase")
+    val touches = events.filter(col("event_type").isin("view", "click"))
+    val q = EventsStreaming.streamStreamTouchJoin(purchases, touches,
+      horizonSec = 1800).writeStream
+      .format("memory").queryName("ssjoin_out").outputMode("append").start()
+    val all = Seq(
+      // u1: two touches inside the 30-min horizon, one outside, one after
+      (ts("2024-01-01 09:20:00"), 1L, 10L, "view", 0.0),     // outside (>30m)
+      (ts("2024-01-01 09:40:00"), 1L, 11L, "view", 0.0),     // inside
+      (ts("2024-01-01 09:55:00"), 1L, 12L, "click", 0.0),    // inside
+      (ts("2024-01-01 10:00:00"), 1L, 13L, "purchase", 9.99),
+      (ts("2024-01-01 10:05:00"), 1L, 14L, "view", 0.0),     // after → no
+      // u2: purchase arrives in a LATER batch than its touch
+      (ts("2024-01-01 10:10:00"), 2L, 20L, "click", 0.0),
+      (ts("2024-01-01 10:30:00"), 2L, 21L, "purchase", 5.00))
+    try {
+      input.addData(all.take(5): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(5): _*)
+      q.processAllAvailable()
+      // watermark-advancing filler so buffered pairs flush to append output
+      input.addData((ts("2024-01-01 12:00:00"), 9L, 99L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjoin_out")
+      .select(col("p_id"), col("t_id")).as[(Long, Long)].collect().toSet
+    assert(got == Set((13L, 11L), (13L, 12L), (21L, 20L)), s"got $got")
+  }
+
   test("B105s: streaming Misra-Gries — exact at k >= distinct, bounded and law-abiding below") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
