@@ -331,52 +331,73 @@ object EventsStreaming {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** The funnel fixpoint on transformWithState (same state-backend story
+    * as the quota/session/heavy-hitter processors: RocksDB + the Spark 4
+    * API). State = per-stage resolved minima + candidate buffers in one
+    * ValueState; the candidate-buffer fixpoint is identical to the old
+    * mapGroupsWithState formulation, so the descending-order replay
+    * parity is unchanged. The watermark (when the query carries one)
+    * prunes candidates at or below it — store-bounded without a TTL. */
+  class FunnelProcessor(stages: Seq[String])
+      extends StatefulProcessor[Long, (Long, Long, String), (Long, Seq[Int])] {
+    private val k = stages.size
+    private val stageIdx = stages.zipWithIndex.toMap
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[(Long, Long, String)],
+        tv: TimerValues): Iterator[(Long, Seq[Int])] = {
+      // −1 when the query carries no watermark (the exact/unbounded
+      // mode); treat that as watermark −∞
+      val wmMs = tv.getCurrentWatermarkInMs()
+      val wm = if (wmMs > 0) wmMs * 1000L else Long.MinValue
+      val cur = if (st.exists()) st.get()
+        else FunnelState(Seq.fill(k)(Long.MaxValue), Seq.fill(k)(Nil))
+      val firsts = cur.firsts.toArray
+      val bufs = cur.bufs.map(_.toBuffer).toArray
+      rows.foreach { case (_, us, et) => bufs(stageIdx(et)) += us }
+      // resolve the chain in stage order: stage 0's threshold is "always
+      // qualified"; each later stage consumes its buffer against the
+      // (already updated) previous first
+      var i = 0
+      while (i < k) {
+        val threshold = if (i == 0) Long.MinValue else firsts(i - 1)
+        if (threshold < Long.MaxValue) {
+          val qualified = bufs(i).filter(_ > threshold)
+          if (qualified.nonEmpty)
+            firsts(i) = math.min(firsts(i), qualified.min)
+        }
+        // keep only candidates that could still lower first_i
+        val keep = bufs(i).filter(t => t < firsts(i) && t > wm)
+        bufs(i).clear(); bufs(i) ++= keep
+        i += 1
+      }
+      st.update(FunnelState(firsts.toSeq, bufs.map(_.toSeq).toSeq))
+      Iterator((user, firsts.map(f => if (f < Long.MaxValue) 1 else 0).toSeq))
+    }
+  }
+
   /** Streaming funnel over (user_id, ts, event_type): emits the user's
     * current reached-flags each micro-batch (update mode). Exact under any
-    * arrival order; bound state by calling withWatermark upstream. */
+    * arrival order; bound state by calling withWatermark upstream (the
+    * watermark prunes dead candidates). Requires the RocksDB state store
+    * provider (transformWithState). */
   def funnelStream(events: DataFrame, stages: Seq[String])
       : Dataset[(Long, Seq[Int])] = {
     require(stages.nonEmpty)
-    val k = stages.size
-    val stageIdx = stages.zipWithIndex.toMap
+    val stageSet = stages.toSet
     import events.sparkSession.implicits._
     events
       .select(col("user_id").cast("long"), unix_micros(col("ts")),
         col("event_type"))
       .as[(Long, Long, String)]
-      .filter(r => stageIdx.contains(r._3))
+      .filter(r => stageSet.contains(r._3))
       .groupByKey(_._1)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, String)],
-         state: GroupState[FunnelState]) =>
-          // getCurrentWatermarkMs throws if the query carries no watermark
-          // (the exact/unbounded mode); treat that as watermark −∞
-          val wm = scala.util.Try(state.getCurrentWatermarkMs())
-            .toOption.filter(_ > 0).map(_ * 1000L).getOrElse(Long.MinValue)
-          val st = state.getOption.getOrElse(
-            FunnelState(Seq.fill(k)(Long.MaxValue), Seq.fill(k)(Nil)))
-          val firsts = st.firsts.toArray
-          val bufs = st.bufs.map(_.toBuffer).toArray
-          rows.foreach { case (_, us, et) => bufs(stageIdx(et)) += us }
-          // resolve the chain in stage order: stage 0's threshold is "always
-          // qualified"; each later stage consumes its buffer against the
-          // (already updated) previous first
-          var i = 0
-          while (i < k) {
-            val threshold = if (i == 0) Long.MinValue else firsts(i - 1)
-            if (threshold < Long.MaxValue) {
-              val qualified = bufs(i).filter(_ > threshold)
-              if (qualified.nonEmpty)
-                firsts(i) = math.min(firsts(i), qualified.min)
-            }
-            // keep only candidates that could still lower first_i
-            val keep = bufs(i).filter(t => t < firsts(i) && t > wm)
-            bufs(i).clear(); bufs(i) ++= keep
-            i += 1
-          }
-          state.update(FunnelState(firsts.toSeq, bufs.map(_.toSeq).toSeq))
-          (user, firsts.map(f => if (f < Long.MaxValue) 1 else 0).toSeq)
-      }
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Update())
   }
 
   // ==== stream-stream interval join (B121) ===================================

@@ -422,6 +422,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("streaming funnel: a late first-stage event re-qualifies an earlier-rejected click") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val events = input.toDF().toDF("user_id", "ts", "event_type")
     val q = EventsStreaming.funnelStream(events, Seq("view", "click", "purchase"))
@@ -438,7 +440,10 @@ class StreamingSpec extends AnyFunSuite {
       // click (10:05 > 10:00) must now qualify
       input.addData((1L, ts("2024-01-01 10:00:00"), "view"))
       q.processAllAvailable()
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     val flags = spark.table("funnel_late_out").as[(Long, Seq[Int])]
       .collect().groupBy(_._1).map { case (u, rows) =>
         u -> rows.map(_._2).maxBy(_.sum) }
@@ -457,6 +462,8 @@ class StreamingSpec extends AnyFunSuite {
         types(rnd.nextInt(types.size)))
     }
     val delivery = all.sortBy(-_._3.getTime).grouped(300).toSeq
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val input = MemoryStream[(Long, Timestamp, String)](spark)
     val events = input.toDF().toDF("user_id", "ts", "event_type")
     val q = EventsStreaming.funnelStream(events, Seq("view", "click", "purchase"))
@@ -467,7 +474,10 @@ class StreamingSpec extends AnyFunSuite {
         input.addData(b.map(r => (r._1, r._3, r._4)))
         q.processAllAvailable()
       }
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
     // flags are monotone over updates → final state = per-user max
     val streamed = spark.table("funnel_parity_out").as[(Long, Seq[Int])]
       .collect().groupBy(_._1).map { case (u, rows) =>
