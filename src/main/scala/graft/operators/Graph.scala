@@ -453,7 +453,101 @@ object Graph {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS r
       |FROM m""".stripMargin
 
+  // ==== q185: k-core decomposition by h-index iteration =====================
+  //
+  // Core numbers — the standard "how deep in the dense part of the graph
+  // is this node" signal (community cores, spam/bot rings, influencer
+  // tiers) — via the distributed h-index iteration (Montresor, De Pellegrini,
+  // Miorandi, "Distributed k-core decomposition", 2011): every node's
+  // estimate starts at its degree; each round it becomes the h-index of
+  // its neighbors' estimates (the largest h such that ≥ h neighbors
+  // estimate ≥ h). Estimates fall monotonically and converge to the exact
+  // core numbers — no sequential peeling (the textbook algorithm removes
+  // min-degree nodes one at a time; useless distributed).
+  //
+  // Round shape = the LPA/PageRank discipline: one edge-side hash join
+  // (estimate lookup by src), one per-node h-index, one join back; lineage
+  // truncates per round with superseded blocks released. The h-index uses
+  // a per-node window (rank estimates desc, h = max(min(rank, est))) —
+  // per-node work is degree-sized; for 100 TB hub nodes swap the window
+  // for a (node, min(est, deg)-bucket) count aggregate (h = max bucket b
+  // with running count ≥ b), which is fully combinable — the window form
+  // is the clearer plan and hub-safe up to millions of neighbors.
+  //
+  // Fixed `rounds`, like LPA: synchronous h-index iteration converges in
+  // O(graph diameter)-ish rounds; the declared query runs enough rounds to
+  // converge on its graph (GraphSpec proves exactness against brute-force
+  // peeling on a random graph at rounds = 10), and the oracle replays the
+  // same round count, so even a hypothetical non-converged run would still
+  // hash-match.
+
+  /** (node, core) estimates after `rounds` h-index iterations over
+    * symmetric (src, dst) edges; exact core numbers once converged. */
+  def kCoreDecomposition(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var est = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("est"))
+    var lastCp: Option[DataFrame] = None
+    for (_ <- 1 to rounds) {
+      val prev = est
+      val neigh = e
+        .join(est.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("est"))
+      val h = neigh
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("node")).orderBy(col("est").desc)))
+        .groupBy(col("node"))
+        .agg(max(least(col("rn").cast("long"), col("est"))).as("h"))
+      est = prev.join(h, Seq("node"))
+        .select(col("node"), least(col("est"), col("h")).as("est"))
+        .localCheckpoint()
+      lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
+      lastCp = Some(est)
+    }
+    est.select(col("node"), col("est").as("core"))
+  }
+
+  // same ⅓-sliced part co-order graph as q134/q153; 6 rounds converge it
+  // (GraphSpec pins convergence margin on a denser random graph)
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    kCoreDecomposition(pairs, rounds = 6)
+      .groupBy(col("core")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("core"))
+  }
+
+  private val q185Sql = {
+    val round = (i: Int) =>
+      s"""h$i AS (
+         |  SELECT node, max(least(rn, est)) AS h FROM (
+         |    SELECT e.dst AS node, r.est,
+         |      row_number() OVER (PARTITION BY e.dst ORDER BY r.est DESC) AS rn
+         |    FROM e JOIN est${i - 1} r ON e.src = r.node)
+         |  GROUP BY node),
+         |est$i AS (
+         |  SELECT p.node, least(p.est, h.h) AS est
+         |  FROM est${i - 1} p JOIN h$i h USING (node))""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |est0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS est
+       |  FROM e GROUP BY 1),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT est AS core, count(*) AS n_nodes FROM est6
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_kcore", q185, Some(q185Sql)),
     QueryDef("q178_assortativity", q178, Some(q178Sql)),
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
     QueryDef("q124_kfold", q124, Some(q124Sql)),

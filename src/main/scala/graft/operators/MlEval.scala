@@ -480,7 +480,75 @@ object MlEval {
        |    AS kappa
        |FROM ag CROSS JOIN ch""".stripMargin
 
+  // ==== q186: grouped average precision (the PR-AUC twin of q140) ===========
+  //
+  // AP = (1/n₊)·Σ_{ranks k of positives} precision@k — the ranking metric
+  // that, unlike ROC-AUC, collapses under class imbalance exactly when a
+  // retrieval/quality ranker does, which is why curation pipelines report
+  // both. Ties broken by doc_id (the q141 precedent) — deterministic and
+  // engine-portable where "average over tie permutations" is not. Float
+  // discipline: each term precision@k = cum₊/k integerizes once
+  // (⌊10⁹·cum₊/k⌋ — both engines divide the same exact integers and floor)
+  // and the group sums INTEGERS — order-free, hash-stable. Scale shape:
+  // one per-group window over member rows (group-sized, like q141's
+  // per-query ranking); corpus-scale groups would move to the q140
+  // histogram form at the cost of a tie convention.
+
+  /** Per-`group` average precision of ranking by (`score` desc, `id`) for
+    * `label`. Groups with no positives report null AP. */
+  def groupedAveragePrecision(df: DataFrame, group: String, score: String,
+      id: String, label: String): DataFrame = {
+    val w = Window.partitionBy(col(group))
+      .orderBy(col(score).desc, col(id))
+    val ranked = df
+      .select(col(group), col(score), col(id),
+        when(expr(label), 1L).otherwise(0L).as("y"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cumpos", sum(col("y")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    ranked.groupBy(col(group))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("npos"),
+        sum(when(col("y") === 1L,
+          floor(lit(1e9) * col("cumpos").cast("double") /
+            col("rn").cast("double")).cast("long"))
+          .otherwise(0L)).as("s9"))
+      .select(col(group), col("n"), col("npos"),
+        when(col("npos") > 0,
+          col("s9").cast("double") / (lit(1e9) * col("npos").cast("double")))
+          .as("ap"))
+  }
+
+  private def q186(s: SparkSession, dir: String): DataFrame =
+    groupedAveragePrecision(Tables.documents(s, dir),
+      "source", "n_chars", "doc_id", "lang = 'en'")
+      .select(col("source"), col("n"), col("npos"),
+        QueryDef.dec4(col("ap")).as("ap"))
+      .orderBy(col("source"))
+
+  private val q186Sql =
+    """WITH ranked AS (
+      |  SELECT source,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rn,
+      |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) OVER (
+      |      PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumpos
+      |  FROM documents),
+      |agg AS (
+      |  SELECT source, count(*) AS n, CAST(sum(y) AS BIGINT) AS npos,
+      |    CAST(sum(CASE WHEN y = 1 THEN CAST(floor(1000000000.0 *
+      |      CAST(cumpos AS DOUBLE) / CAST(rn AS DOUBLE)) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS s9
+      |  FROM ranked GROUP BY 1)
+      |SELECT source, n, npos,
+      |  CAST(CAST(CASE WHEN npos > 0 THEN CAST(s9 AS DOUBLE) /
+      |      (1000000000.0 * CAST(npos AS DOUBLE)) ELSE NULL END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS ap
+      |FROM agg ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q186_average_precision", q186, Some(q186Sql)),
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
     QueryDef("q141_retrieval_eval", q141, Some(q141Sql)),
     QueryDef("q143_calibration_bins", q143, Some(q143Sql)),

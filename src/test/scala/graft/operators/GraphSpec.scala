@@ -115,4 +115,55 @@ class GraphSpec extends AnyFunSuite {
     assert(got(7L) == got(8L) && got(8L) == got(9L), s"got $got")
     assert(got(1L) != got(7L), s"cliques merged: $got")
   }
+
+  /** Textbook sequential peeling — the exact core numbers. */
+  private def coreNumbersBrute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val (v, ns) = adj.minBy { case (n, s) => (s.size.toLong, n) }
+      k = math.max(k, ns.size.toLong)
+      core(v) = k
+      ns.foreach(u => adj.get(u).foreach(_ -= v))
+      adj.remove(v)
+    }
+    core.toMap
+  }
+
+  test("kCoreDecomposition: clique-with-pendants exact cores") {
+    // 4-clique {1..4} (core 3), pendant 5-1 (core 1), triangle {6,7,8}
+    // attached via 8-4 (core 2)
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val und = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(6L, 7L, 8L)) ++
+      Seq((5L, 1L), (8L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.kCoreDecomposition(edges, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(got == coreNumbersBrute(und), s"got $got")
+  }
+
+  test("kCoreDecomposition: converged h-index iteration == brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(31)
+    val und = (0 until 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val got = Graph.kCoreDecomposition(edges, rounds = 10)
+      .as[(Long, Long)].collect().toMap
+    val want = coreNumbersBrute(und)
+    assert(got == want,
+      s"diff: ${got.toSet.diff(want.toSet)} vs ${want.toSet.diff(got.toSet)}")
+    // and the declared query's round count (6) already suffices here too —
+    // the convergence-margin guard for q185's fixed rounds
+    val at6 = Graph.kCoreDecomposition(edges, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(at6 == want, "6 rounds did not converge on the spec graph")
+  }
 }
