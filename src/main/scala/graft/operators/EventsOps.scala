@@ -1431,7 +1431,115 @@ object EventsOps {
       |  min(CASE WHEN cum * 100 >= n * 95 THEN cents END) AS p95_cents
       |FROM cum GROUP BY hr ORDER BY hr""".stripMargin
 
+  // ==== q188: CUSUM changepoint detection via prefix-sum/running-min ========
+  //
+  // The Page (1954) cumulative-sum detector over per-type hourly rates —
+  // the standard "did the level shift" monitor, complementing q181's
+  // per-hour spike flags (CUSUM accumulates many small deviations a
+  // per-point test never sees). The textbook recurrence S_t = max(0,
+  // S_{t-1} + x_t − μ − κ) looks inherently sequential (q169/q181 pay a
+  // per-series fold for that shape); CUSUM's max() dissolves instead into
+  // the closed form S_t = P_t − min_{j≤t} P_j over the deviation prefix
+  // sums P — so the WHOLE detector is two stacked windows (running sum,
+  // running min) over hour-level aggregates. No fold, no recursion; at
+  // 100 TB the event-scale work is one map-side-combined groupBy and the
+  // windows run on the hours×types domain.
+  //
+  // Exactness: with μ = total/N and κ = μ/4, scaling everything by 4N
+  // makes the deviation d'_t = 4N·x_t − 5·total an exact BIGINT; prefix
+  // sums, running minima and the alarm test (S' > 8·total ⇔ S > 2μ) stay
+  // integer end-to-end. |P| ≤ hours·4N·max(x) — BIGINT-safe until ~10¹⁸
+  // scaled event-hours; renormalize κ's denominator first at that scale.
+
+  /** (event_type, hr, cnt, cusum, alarm): one-sided upward CUSUM with
+    * drift κ = μ/4 and threshold 2μ; `cusum` is rendered in count units
+    * (S′ div 4N). */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).as("total"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hourly.join(broadcast(tot), Seq("event_type"))
+      .withColumn("d",
+        lit(4L) * col("n") * col("cnt") - lit(5L) * col("total"))
+      .withColumn("p", sum(col("d")).over(w))
+      .withColumn("s", col("p") - least(min(col("p")).over(w), lit(0L)))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        expr("s div (4 * n)").as("cusum"),
+        (col("s") > lit(8L) * col("total")).as("alarm"))
+  }
+
+  private def q188(s: SparkSession, dir: String): DataFrame =
+    cusumChangepoints(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("hr"))
+
+  private val q188Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM h GROUP BY 1),
+      |d AS (
+      |  SELECT h.*, t.total, t.n, 4 * t.n * h.cnt - 5 * t.total AS dd
+      |  FROM h JOIN t USING (event_type)),
+      |p AS (
+      |  SELECT *, sum(dd) OVER (PARTITION BY event_type ORDER BY hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp
+      |  FROM d),
+      |s AS (
+      |  SELECT *, pp - least(min(pp) OVER (PARTITION BY event_type
+      |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    0) AS sc
+      |  FROM p)
+      |SELECT event_type, hr, cnt, CAST(sc // (4 * n) AS BIGINT) AS cusum,
+      |  sc > 8 * total AS alarm
+      |FROM s ORDER BY event_type, hr""".stripMargin
+
+  // ==== q189: top user journeys (daily path census) =========================
+  //
+  // The product-analytics "what do users actually do" census: each user's
+  // chronological type-letter sequence per DAY (the q173 encoding — one
+  // char per event, one shuffle, sort inside the row), rolled up to the
+  // most frequent paths. q173 counts a GIVEN pattern; this discovers the
+  // patterns worth asking about. Path strings are day-bounded, so row
+  // width is capped by per-user daily volume; the rollup is a
+  // map-side-combined count on the path-domain; top-k is a TakeOrdered.
+
+  /** Top-`k` (path, n) daily event-type journeys. Ties: count desc, then
+    * lexicographic path. */
+  def topJourneys(events: DataFrame, k: Int): DataFrame =
+    events
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("ch")).as("e"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(array_join(transform(sort_array(collect_list(col("e"))),
+        e => e.getField("ch")), "").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+
+  private def q189(s: SparkSession, dir: String): DataFrame =
+    topJourneys(Tables.events(s, dir), 20)
+
+  private val q189Sql =
+    """WITH seq AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+      |    string_agg(substr(event_type, 1, 1), ''
+      |      ORDER BY epoch_us(ts), event_id) AS path
+      |  FROM events GROUP BY 1, 2)
+      |SELECT path, count(*) AS n FROM seq
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),
     QueryDef("q179_hourly_percentiles", q179, Some(q179Sql)),
     QueryDef("q175_rfm_segments", q175, Some(q175Sql)),

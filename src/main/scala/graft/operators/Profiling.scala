@@ -954,7 +954,62 @@ object Profiling {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  // ==== q190: Theil–Sen robust trend (grouped) ==============================
+  //
+  // The median-of-pairwise-slopes estimator — the robust twin of q144's
+  // OLS: a level shift or a handful of spike hours moves OLS arbitrarily
+  // but moves the slope MEDIAN not at all (29% breakdown point). Declared
+  // over DOMAIN-sized series (per-type hourly rates: pairs = hours², never
+  // events²) — the same bounded-blowup contract as the q8 theta join.
+  // Exactness: every pairwise slope divides two exact BIGINTs once
+  // (exactly-rounded double, bit-identical both engines); the median is
+  // the q44-established percentile/quantile_cont parity — averaging the
+  // two mid doubles is itself exactly rounded.
+
+  /** Per-`group` Theil–Sen slope of integer `y` on integer `x`: pairs
+    * with distinct x, slope = median of (Δy/Δx). Groups with < 2 distinct
+    * x values vanish (no pairs). */
+  def theilSenSlope(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val a = df.select(col(group), col(x).cast("long").as("xa"),
+      col(y).cast("long").as("ya"))
+    val b = df.select(col(group), col(x).cast("long").as("xb"),
+      col(y).cast("long").as("yb"))
+    a.join(b, Seq(group)).where(col("xa") < col("xb"))
+      .withColumn("slope", (col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double"))
+      .groupBy(col(group))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("slope"))
+  }
+
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    theilSenSlope(hourly, "event_type", "hr", "cnt")
+      .select(col("event_type"), col("n_pairs"),
+        QueryDef.dec4(col("slope")).as("slope"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q190Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.event_type,
+      |    CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.hr - a.hr AS DOUBLE)
+      |      AS slope
+      |  FROM h a JOIN h b
+      |    ON a.event_type = b.event_type AND a.hr < b.hr)
+      |SELECT event_type, count(*) AS n_pairs,
+      |  CAST(CAST(quantile_cont(slope, 0.5) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS slope
+      |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q190_theil_sen", q190, Some(q190Sql)),
     QueryDef("q180_fk_audit", q180, Some(q180Sql)),
     QueryDef("q177_skew_report", q177, Some(q177Sql)),
     QueryDef("q168_label_index", q168, Some(q168Sql)),
