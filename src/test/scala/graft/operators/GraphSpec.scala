@@ -160,10 +160,34 @@ class GraphSpec extends AnyFunSuite {
     val want = coreNumbersBrute(und)
     assert(got == want,
       s"diff: ${got.toSet.diff(want.toSet)} vs ${want.toSet.diff(got.toSet)}")
-    // and the declared query's round count (6) already suffices here too —
-    // the convergence-margin guard for q185's fixed rounds
-    val at6 = Graph.kCoreDecomposition(edges, rounds = 6)
-      .as[(Long, Long)].collect().toMap
-    assert(at6 == want, "6 rounds did not converge on the spec graph")
+  }
+
+  test("kCoreExact: fixpoint detection reaches brute-force cores with no round tuning") {
+    val rnd = new scala.util.Random(47)
+    val und = (0 until 500).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val got = Graph.kCoreExact(edges).as[(Long, Long)].collect().toMap
+    assert(got == coreNumbersBrute(und))
+  }
+
+  test("kCoreDecomposition: fixed-round estimates are monotone upper bounds on the cores") {
+    val rnd = new scala.util.Random(53)
+    val und = (0 until 300).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val want = coreNumbersBrute(und)
+    val prev = scala.collection.mutable.Map.empty[Long, Long]
+    Seq(1, 2, 4).foreach { r =>
+      val est = Graph.kCoreDecomposition(edges, rounds = r)
+        .as[(Long, Long)].collect().toMap
+      est.foreach { case (n, e) =>
+        assert(e >= want(n), s"round $r underestimated node $n: $e < ${want(n)}")
+        prev.get(n).foreach(p => assert(e <= p, s"round $r loosened node $n"))
+        prev(n) = e
+      }
+    }
   }
 }
