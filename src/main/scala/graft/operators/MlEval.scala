@@ -547,7 +547,134 @@ object MlEval {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS ap
       |FROM agg ORDER BY source""".stripMargin
 
+  // ==== q191: split-conformal prediction intervals ==========================
+  //
+  // Distribution-free uncertainty for ANY point predictor (Vovk et al.;
+  // the Angelopoulos–Bates recipe): fit on the train split, take the
+  // ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual on a held-out
+  // calibration split (the finite-sample correction — NOT an interpolated
+  // quantile), and ŷ ± q̂ then covers new points with probability ≥ 1−α,
+  // no matter how wrong the model is. The engine closes the loop:
+  // fit (q144's exact-integer-moment OLS) → calibrate → audit empirical
+  // coverage on a test split.
+  //
+  // Determinism: moments are exact BIGINTs; slope/intercept/residuals are
+  // exactly-rounded doubles (identical bits both engines); q̂ is an ORDER
+  // STATISTIC of those doubles (rank selection, no interpolation); the
+  // coverage test compares bit-identical doubles. Scale shape: one moment
+  // aggregation, one map-side residual pass, one rank on the calibration
+  // split (at 100 TB: replace with the q113 distributed order-statistic
+  // selection), one counting pass.
+
+  /** One row: OLS of `y` on `x` fit on train (key%4 ∈ {1,2}), conformal
+    * q̂ at miscoverage `alpha` from calibration (key%4 = 3), empirical
+    * coverage on test (key%4 = 0). */
+  def conformalInterval(df: DataFrame, key: String, x: String, y: String,
+      alpha: Double): DataFrame = {
+    val tagged = df.select(col(key).cast("long").as("k"),
+      col(x).cast("long").as("x"), col(y).cast("long").as("y"))
+      .withColumn("split", pmod(col("k"), lit(4L)))
+    val m = tagged.filter(col("split").isin(1L, 2L)).agg(
+      count(lit(1)).as("n_train"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val fit = m.select(col("n_train"),
+      ((col("n_train") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_train") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .as("slope"),
+      col("sx").cast("double").as("dsx"), col("sy").cast("double").as("dsy"))
+      .select(col("n_train"), col("slope"),
+        ((col("dsy") - col("slope") * col("dsx")) /
+          col("n_train").cast("double")).as("intercept"))
+    val resid = tagged.crossJoin(broadcast(fit))
+      .withColumn("r", abs(col("y").cast("double") -
+        (col("slope") * col("x").cast("double") + col("intercept"))))
+    val cal = resid.filter(col("split") === 3L)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual
+    val ranked = cal
+      .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("k"))))
+      .crossJoin(broadcast(nCal))
+      .filter(col("rn") ===
+        ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
+      .select(col("r").as("q_hat"), col("n_cal"))
+    val test = resid.filter(col("split") === 0L).crossJoin(broadcast(ranked))
+      .agg(first(col("n_cal")).as("n_cal"),
+        first(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("r") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+    test.crossJoin(broadcast(fit))
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        col("slope"), col("intercept"), col("q_hat"),
+        col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
+
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    conformalInterval(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(Tok.ws(col("text"))).as("nt"),
+          col("n_chars")),
+      "doc_id", "nt", "n_chars", alpha = 0.1)
+      .select(col("n_train"), col("n_cal"), col("n_test"),
+        QueryDef.dec4(col("slope")).as("slope"),
+        QueryDef.dec4(col("intercept")).as("intercept"),
+        QueryDef.dec4(col("q_hat")).as("q_hat"),
+        col("n_covered"), QueryDef.dec4(col("coverage")).as("coverage"))
+
+  private val q191Sql =
+    """WITH d AS (
+      |  SELECT doc_id AS k,
+      |    CAST(len(list_filter(string_split(text, ' '), e -> e <> ''))
+      |      AS BIGINT) AS x,
+      |    n_chars AS y, doc_id % 4 AS split
+      |  FROM documents),
+      |m AS (
+      |  SELECT count(*) AS n_train,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM d WHERE split IN (1, 2)),
+      |fit AS (
+      |  SELECT n_train,
+      |    CAST(n_train * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n_train * sxx - sx * sx AS DOUBLE) AS slope, sx, sy
+      |  FROM m),
+      |fit2 AS (
+      |  SELECT n_train, slope,
+      |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) /
+      |      CAST(n_train AS DOUBLE) AS intercept
+      |  FROM fit),
+      |resid AS (
+      |  SELECT d.k, d.split,
+      |    abs(CAST(d.y AS DOUBLE) -
+      |      (f.slope * CAST(d.x AS DOUBLE) + f.intercept)) AS r
+      |  FROM d CROSS JOIN fit2 f),
+      |nc AS (SELECT count(*) AS n_cal FROM resid WHERE split = 3),
+      |qh AS (
+      |  SELECT r AS q_hat, nc.n_cal FROM (
+      |    SELECT r, row_number() OVER (ORDER BY r, k) AS rn
+      |    FROM resid WHERE split = 3) x CROSS JOIN nc
+      |  WHERE x.rn = CAST(ceil((nc.n_cal + 1) * 0.9) AS BIGINT)),
+      |tst AS (
+      |  SELECT max(qh.n_cal) AS n_cal, max(qh.q_hat) AS q_hat,
+      |    count(*) AS n_test,
+      |    CAST(sum(CASE WHEN resid.r <= qh.q_hat THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_covered
+      |  FROM resid CROSS JOIN qh WHERE resid.split = 0)
+      |SELECT f.n_train, t.n_cal, t.n_test,
+      |  CAST(CAST(f.slope AS DECIMAL(38,4)) AS VARCHAR) AS slope,
+      |  CAST(CAST(f.intercept AS DECIMAL(38,4)) AS VARCHAR) AS intercept,
+      |  CAST(CAST(t.q_hat AS DECIMAL(38,4)) AS VARCHAR) AS q_hat,
+      |  t.n_covered,
+      |  CAST(CAST(CAST(t.n_covered AS DOUBLE) / CAST(t.n_test AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS coverage
+      |FROM tst t CROSS JOIN fit2 f""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q191_conformal", q191, Some(q191Sql)),
     QueryDef("q186_average_precision", q186, Some(q186Sql)),
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),
     QueryDef("q141_retrieval_eval", q141, Some(q141Sql)),
