@@ -477,4 +477,58 @@ object EventsStreaming {
       .transformWithState(new HeavyHitterProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ==== streaming CUSUM changepoint monitor (q188's stream twin) ============
+  //
+  // The batch operator dissolves CUSUM's max() into prefix-sum − running-
+  // min; the SAME closed form makes the streaming state O(1) per series:
+  // just (P, minP), two BIGINTs forever — where the textbook recurrence
+  // would also be O(1) but this form keeps the arithmetic IDENTICAL to
+  // the batch plan, so batch and stream agree bit-for-bit. The baseline
+  // (per-series total, n) is FROZEN from batch history at stream start —
+  // the lmScoreFrozen/IVF-centroid discipline: a monitor tests against a
+  // reference level, it does not re-estimate the level from the data it
+  // is judging. Contract: rows are per-series hourly aggregates arriving
+  // in hour order across batches (each slice is sorted; CUSUM is order-
+  // sensitive by definition).
+
+  class CusumProcessor(baseline: Map[String, (Long, Long)])
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long, Boolean)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("cusum",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Long, Boolean)] = {
+      val (total, n) = baseline.getOrElse(key, (0L, 0L))
+      if (n == 0) Iterator.empty // unknown series: no baseline, no verdict
+      else {
+        var (p, minp) = if (st.exists()) st.get() else (0L, 0L)
+        val out = rows.toSeq.sortBy(_._2).map { case (_, hr, cnt) =>
+          p += 4L * n * cnt - 5L * total
+          minp = math.min(minp, p)
+          val s = p - math.min(minp, 0L)
+          (key, hr, cnt, s / (4L * n), s > 8L * total)
+        }
+        st.update((p, minp))
+        out.iterator
+      }
+    }
+  }
+
+  /** Streaming CUSUM over pre-aggregated (series, hr, cnt) rows with a
+    * frozen per-series baseline (total, n). RocksDB required. */
+  def cusumStream(hourly: DataFrame, baseline: Map[String, (Long, Long)])
+      : Dataset[(String, Long, Long, Long, Boolean)] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .select(col("event_type").cast("string"), col("hr").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new CusumProcessor(baseline),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -676,6 +676,55 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("B120s: streaming CUSUM == batch CUSUM on the same series, state across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two series over 48 hours; 'click' level-shifts +14/hour at hour 30
+      // — the accumulating drift a per-point detector misses
+      val base = 1704067200000000L
+      val events = (0 until 48).flatMap { h =>
+        val clicks = if (h >= 30) 18 else 4
+        (0 until 5).map(i => ("view", base + h * 3600000000L + i * 1000L)) ++
+          (0 until clicks).map(i =>
+            ("click", base + h * 3600000000L + 500000L + i * 1000L))
+      }.zipWithIndex.map { case ((t, us), id) =>
+        (id.toLong, id.toLong, new Timestamp(us / 1000L), t)
+      }
+      val eventsDf = events.toDF("user_id", "event_id", "ts", "event_type")
+      val batch = graft.operators.EventsOps.cusumChangepoints(eventsDf)
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      assert(batch.exists(_._5), "fixture must trip the alarm")
+      assert(batch.filter(_._1 == "view").forall(!_._5), "view must stay quiet")
+      // stream the hourly aggregates in hour order over 4 micro-batches,
+      // baseline frozen from the same batch totals
+      val hourly = eventsDf
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      val baseline = hourly.groupBy(_._1).map { case (t, rs) =>
+        t -> ((rs.map(_._3).sum, rs.length.toLong))
+      }
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val q = EventsStreaming.cusumStream(
+        input.toDF().toDF("event_type", "hr", "cnt"), baseline)
+        .writeStream.format("memory").queryName("cusum_out")
+        .outputMode("update").start()
+      try {
+        hourly.grouped(hourly.length / 4 + 1).foreach { slice =>
+          input.addData(slice: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("cusum_out")
+        .as[(String, Long, Long, Long, Boolean)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B90b: initial-state quota — batch ledger seeds the throttle across a restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
