@@ -656,7 +656,140 @@ object Multimodal {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  // ==== q192: audio spectral features via the Walsh–Hadamard transform ======
+  //
+  // Frame-level "spectral" audio features with EXACT integer arithmetic —
+  // the property an FFT/Goertzel bank cannot give cross-engine (trig
+  // coefficients are libm calls and their recurrences compound last-ulp
+  // drift over hundreds of steps). The WHT is the orthogonal transform
+  // whose basis is ±1 (sequency analysis; used in audio fingerprinting):
+  // W_k = Σ_i x_i·(−1)^popcount(i∧k) over each 64-sample frame — only
+  // adds/subtracts, so frame coefficients and their squared energies are
+  // exact BIGINTs, and the oracle states the SAME closed form with
+  // bit_count(), no recursion. Low-k coefficients track slow envelope,
+  // high-k track alternation — the band split a voice/noise/tone triage
+  // needs. Plus the zero-crossing rate (sign-product test, integer).
+  //
+  // Scale shape: decode + transform ride the existing per-partition codec
+  // pass (the documented imperative-RDD use); everything after is one
+  // groupBy per doc. Bounds: |W_k| ≤ 64·32767 < 2²², W² < 2⁴⁴, summed
+  // over frames — BIGINT-safe to ~2¹⁹ frames per doc.
+
+  /** Per-frame WHT sequency bands to extract (k = 1 slow … 32 fastest). */
+  private val WhtBands = Seq(1, 2, 32)
+  private val FrameLen = 64
+
+  val audioSpectralSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("zero_crossings", LongType, nullable = false),
+    StructField("e_w1", LongType, nullable = false),
+    StructField("e_w2", LongType, nullable = false),
+    StructField("e_w32", LongType, nullable = false)))
+
+  /** WHT band energies + zero-crossing count over a binary WAV column.
+    * Frames are consecutive [[FrameLen]]-sample blocks; a trailing
+    * partial frame is dropped (stated, both sides). */
+  def audioSpectralFeatures(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Option(r.getAs[Array[Byte]](1)).flatMap(WavCodec.decode).map {
+          case (_, samples) =>
+            var zc = 0L
+            var i = 1
+            while (i < samples.length) {
+              if (samples(i - 1).toInt * samples(i).toInt < 0) zc += 1
+              i += 1
+            }
+            val nFrames = samples.length / FrameLen
+            val energies = Array.fill(WhtBands.size)(0L)
+            var f = 0
+            while (f < nFrames) {
+              var b = 0
+              while (b < WhtBands.size) {
+                val k = WhtBands(b)
+                var w = 0L
+                var p = 0
+                while (p < FrameLen) {
+                  val s = samples(f * FrameLen + p).toLong
+                  w += (if (Integer.bitCount(p & k) % 2 == 0) s else -s)
+                  p += 1
+                }
+                energies(b) += w * w
+                b += 1
+              }
+              f += 1
+            }
+            Row(r.getLong(0), samples.length.toLong, nFrames.toLong, zc,
+              energies(0), energies(1), energies(2))
+        }
+      }
+    }
+    spark.createDataFrame(rdd, audioSpectralSchema)
+  }
+
+  /** q192: the q63 synthesis (REAL WAV per doc from its text) pushed
+    * through the spectral path; DuckDB restates the WHT closed form and
+    * the sign-product crossing test from the text directly. */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .filter(col("text").rlike("^[ -~]+$"))
+    val spark = docs.sparkSession
+    val wavSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val wavs = spark.createDataFrame(
+      docs.rdd.mapPartitions(_.map { r =>
+        val samples = r.getString(1).getBytes("US-ASCII")
+          .map(b => ((b - 96) * 256).toShort)
+        Row(r.getLong(0), WavCodec.encode(samples, 8000))
+      }), wavSchema)
+    audioSpectralFeatures(wavs)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q192Sql =
+    """WITH s AS (
+      |  SELECT doc_id, i - 1 AS i0,
+      |    CAST((ascii(text[i]) - 96) * 256 AS BIGINT) AS smp
+      |  FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+      |  WHERE regexp_matches(text, '^[ -~]+$')),
+      |n AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples
+      |  FROM s GROUP BY 1),
+      |zc AS (
+      |  SELECT a.doc_id, CAST(count(*) FILTER (a.smp * b.smp < 0)
+      |    AS BIGINT) AS zero_crossings
+      |  FROM s a JOIN s b ON a.doc_id = b.doc_id AND b.i0 = a.i0 + 1
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT doc_id, i0 // 64 AS f,
+      |    CAST(sum(CASE WHEN bit_count(CAST((i0 % 64) & 1 AS BIGINT)) % 2 = 0
+      |      THEN smp ELSE -smp END) AS BIGINT) AS w1,
+      |    CAST(sum(CASE WHEN bit_count(CAST((i0 % 64) & 2 AS BIGINT)) % 2 = 0
+      |      THEN smp ELSE -smp END) AS BIGINT) AS w2,
+      |    CAST(sum(CASE WHEN bit_count(CAST((i0 % 64) & 32 AS BIGINT)) % 2 = 0
+      |      THEN smp ELSE -smp END) AS BIGINT) AS w32
+      |  FROM s GROUP BY 1, 2 HAVING count(*) = 64),
+      |e AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |    CAST(sum(w1 * w1) AS BIGINT) AS e_w1,
+      |    CAST(sum(w2 * w2) AS BIGINT) AS e_w2,
+      |    CAST(sum(w32 * w32) AS BIGINT) AS e_w32
+      |  FROM w GROUP BY 1)
+      |SELECT n.doc_id, n.n_samples,
+      |  coalesce(e.n_frames, 0) AS n_frames,
+      |  coalesce(zc.zero_crossings, 0) AS zero_crossings,
+      |  coalesce(e.e_w1, 0) AS e_w1, coalesce(e.e_w2, 0) AS e_w2,
+      |  coalesce(e.e_w32, 0) AS e_w32
+      |FROM n LEFT JOIN zc ON n.doc_id = zc.doc_id
+      |LEFT JOIN e ON n.doc_id = e.doc_id
+      |ORDER BY n.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q192_audio_wht", q192, Some(q192Sql)),
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
     QueryDef("q63_audio_roundtrip", audioRoundTrip, Some(audioRoundTripSql)),
