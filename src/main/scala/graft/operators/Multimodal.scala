@@ -788,7 +788,128 @@ object Multimodal {
       |LEFT JOIN e ON n.doc_id = e.doc_id
       |ORDER BY n.doc_id""".stripMargin
 
+  // ==== q193: image sharpness via Sobel edge energy ==========================
+  //
+  // The image-quality gate of multimodal curation: blurry/empty frames
+  // carry near-zero gradient energy, real content does not — filter on
+  // Σ(Gx²+Gy²) over the luminance plane (Sobel 3×3, the standard
+  // gradient stencil). All-integer: luminance = (r+g+b) div 3 ∈ [0,255],
+  // kernel weights ±1/±2, so per-pixel responses and the energy sum are
+  // exact BIGINTs (|G| ≤ 4·255, per-pixel energy ≤ 2·(1020)² < 2²¹ —
+  // BIGINT-safe to ~2⁴² pixels per image). Decode + convolution ride the
+  // per-partition codec pass like every image op here.
+  //
+  // The oracle plants a KNOWN gradient: a vertical step edge (left half
+  // g1, right half g2) whose Sobel response has a closed form — the two
+  // columns astride the step, interior rows only, |Gx| = 4Δ, Gy = 0 —
+  // so DuckDB predicts energy = 32·Δ²·(h−2) and count = 2·(h−2) from
+  // the metadata alone, certifying decode + stencil end to end (the
+  // solid-PNG q72 pattern, extended to a non-constant image).
+
+  /** (doc_id, width, height, edge_energy, n_edge_pixels): Sobel energy
+    * over interior luminance pixels; n_edge_pixels counts nonzero
+    * responses. Undecodable payloads drop. */
+  def imageEdgeEnergy(withPayload: DataFrame): DataFrame = {
+    val spark = withPayload.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("edge_energy", LongType, nullable = false),
+      StructField("n_edge_pixels", LongType, nullable = false)))
+    val rdd = withPayload.select("doc_id", "payload").rdd.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          catch { case _: Exception => null }
+        Option(img).map { im =>
+          val w = im.getWidth; val h = im.getHeight
+          // integer luminance plane
+          val lum = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              lum(y)(x) = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+              x += 1
+            }
+            y += 1
+          }
+          var energy = 0L
+          var nEdge = 0L
+          y = 1
+          while (y < h - 1) {
+            var x = 1
+            while (x < w - 1) {
+              val gx = (lum(y - 1)(x + 1) + 2 * lum(y)(x + 1) + lum(y + 1)(x + 1)) -
+                (lum(y - 1)(x - 1) + 2 * lum(y)(x - 1) + lum(y + 1)(x - 1))
+              val gy = (lum(y + 1)(x - 1) + 2 * lum(y + 1)(x) + lum(y + 1)(x + 1)) -
+                (lum(y - 1)(x - 1) + 2 * lum(y - 1)(x) + lum(y - 1)(x + 1))
+              if (gx != 0 || gy != 0) {
+                nEdge += 1
+                energy += gx.toLong * gx + gy.toLong * gy
+              }
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), w, h, energy, nEdge)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** A w×h PNG, left half gray g1, right half (x ≥ w/2) gray g2. */
+  private def stepPng(w: Int, h: Int, g1: Int, g2: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(g1, g1, g1))
+    g.fillRect(0, 0, w / 2, h)
+    g.setColor(new java.awt.Color(g2, g2, g2))
+    g.fillRect(w / 2, 0, w - w / 2, h)
+    g.dispose()
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pngs = s.createDataFrame(docs.rdd.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val docId = r.getLong(0)
+        val nc = r.getLong(1)
+        stepPng((nc % 32 + 4).toInt, (nc % 24 + 3).toInt,
+          (docId % 256).toInt, ((docId * 5 + 17) % 256).toInt) match {
+          case png => Row(docId, png)
+        }
+      }
+    }, payloadSchema)
+    imageEdgeEnergy(pngs).orderBy(col("doc_id"))
+  }
+
+  private val q193Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    CAST(n_chars % 32 + 4 AS INTEGER) AS w,
+      |    CAST(n_chars % 24 + 3 AS INTEGER) AS h,
+      |    CAST(doc_id % 256 AS BIGINT) AS g1,
+      |    CAST((doc_id * 5 + 17) % 256 AS BIGINT) AS g2
+      |  FROM documents)
+      |SELECT doc_id, w AS width, h AS height,
+      |  CAST(32 * (g2 - g1) * (g2 - g1) * (h - 2) AS BIGINT) AS edge_energy,
+      |  CAST(CASE WHEN g1 = g2 THEN 0 ELSE 2 * (h - 2) END AS BIGINT)
+      |    AS n_edge_pixels
+      |FROM m ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_image_edges", q193, Some(q193Sql)),
     QueryDef("q192_audio_wht", q192, Some(q192Sql)),
     QueryDef("q38_multimodal_meta", q38, Some(q38Sql)),
     QueryDef("multimodal_features", multimodalFeatures, Some(multimodalFeaturesSql)),
