@@ -1008,7 +1008,142 @@ object Profiling {
       |    AS slope
       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ==== q194: correlation matrix in one pass ================================
+  //
+  // All pairwise Pearson correlations of k integer measures from ONE
+  // map-side-combined aggregation — the k(k+1)/2 cross moments accumulate
+  // together, the matrix assembles from closed forms; no per-pair passes,
+  // no windows (the q144/q163 integer-moment discipline: DECIMAL(38,0)
+  // sums so no measure product can silently wrap, one double division per
+  // cell at render). The redundancy screen run before feature selection
+  // or mixture design.
+
+  /** Upper-triangle correlation rows (m_a, m_b, n, r) for the named
+    * integer measure columns; degenerate pairs (zero variance) give null
+    * r. */
+  def correlationMatrix(df: DataFrame, measures: Seq[String]): DataFrame = {
+    require(measures.size >= 2)
+    val dec = measures.map(m => col(m).cast("decimal(18,0)").as(m))
+    val d = df.select(dec: _*)
+    val aggs = measures.map(m => sum(col(m)).as(s"s_$m")) ++
+      (for (a <- measures; b <- measures if a <= b)
+        yield sum(col(a) * col(b)).as(s"p_${a}_$b"))
+    val m = d.agg(count(lit(1)).as("n"), aggs: _*)
+    val pairs = for (a <- measures; b <- measures if a < b) yield (a, b)
+    val rows = pairs.map { case (a, b) =>
+      def dd(c: String) = col(c).cast("double")
+      val num = dd("n") * dd(s"p_${a}_$b") - dd(s"s_$a") * dd(s"s_$b")
+      val denA = dd("n") * dd(s"p_${a}_$a") - dd(s"s_$a") * dd(s"s_$a")
+      val denB = dd("n") * dd(s"p_${b}_$b") - dd(s"s_$b") * dd(s"s_$b")
+      m.select(lit(a).as("m_a"), lit(b).as("m_b"), col("n"),
+        when(denA > 0 && denB > 0, num / sqrt(denA * denB)).as("r"))
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  private def q194(s: SparkSession, dir: String): DataFrame =
+    correlationMatrix(
+      Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c"),
+        col("l_partkey").cast("long").as("part")),
+      Seq("disc_c", "part", "price_c", "qty"))
+      .select(col("m_a"), col("m_b"), col("n"), QueryDef.dec4(col("r")).as("r"))
+      .orderBy(col("m_a"), col("m_b"))
+
+  private val q194Sql = {
+    val ms = Seq("disc_c", "part", "price_c", "qty")
+    val pairs = for (a <- ms; b <- ms if a < b) yield (a, b)
+    val sel = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS m_a, '$b' AS m_b, n,
+         |  CAST(CAST(CASE WHEN
+         |      CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE) > 0
+         |      AND CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+         |        - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE) > 0
+         |    THEN (CAST(n AS DOUBLE) * CAST(p_${a}_$b AS DOUBLE)
+         |        - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE))
+         |      / sqrt((CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+         |          - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))
+         |        * (CAST(n AS DOUBLE) * CAST(p_${b}_$b AS DOUBLE)
+         |          - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)))
+         |    END AS DECIMAL(38,4)) AS VARCHAR) AS r
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val moments = ms.map(m => s"sum($m) AS s_$m").mkString(", ") + ", " +
+      (for (a <- ms; b <- ms if a <= b)
+        yield s"sum($a * $b) AS p_${a}_$b").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0)) AS qty,
+       |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      AS DECIMAL(18,0)) AS price_c,
+       |    CAST(CAST(round(l_discount * 100) AS BIGINT)
+       |      AS DECIMAL(18,0)) AS disc_c,
+       |    CAST(l_partkey AS DECIMAL(18,0)) AS part
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n, $moments FROM d)
+       |SELECT * FROM ($sel)
+       |ORDER BY m_a, m_b""".stripMargin
+  }
+
+  // ==== q195: mutual information between categorical columns ================
+  //
+  // MI(X;Y) = Σ_cells (c_ij/N)·ln(N·c_ij/(n_i·n_j)) — the dependence
+  // screen that catches what Pearson cannot (categorical, non-monotone).
+  // Scale shape: three map-side-combined counts (joint, two marginals)
+  // on CATEGORY domains, one broadcast-joined render. Float discipline:
+  // one ln per DISTINCT cell over exact integers, floored to micro-nats
+  // WEIGHTED by the exact cell count (the q99/q183 rule); the per-cell
+  // integer terms sum order-free, one division by N at the end.
+
+  /** One row per (x, y) pair: n, n_cells, mi_micro (Σ c·⌊10⁶·ln term⌋
+    * still divided by N at render as dec4 nats). */
+  def mutualInformation(df: DataFrame, x: String, y: String): DataFrame = {
+    val joint = df.groupBy(col(x).as("xv"), col(y).as("yv"))
+      .agg(count(lit(1)).as("c"))
+    val mx = joint.groupBy(col("xv")).agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy(col("yv")).agg(sum(col("c")).as("cy"))
+    val n = joint.agg(sum(col("c")).as("n"))
+    joint.join(broadcast(mx), Seq("xv")).join(broadcast(my), Seq("yv"))
+      .crossJoin(broadcast(n))
+      .select(col("c"), col("n"),
+        (col("c") * floor(lit(1e6) * log(
+          (col("n") * col("c")).cast("double") /
+            (col("cx") * col("cy")).cast("double"))).cast("long")).as("t"))
+      .agg(first(col("n")).as("n"), count(lit(1)).as("n_cells"),
+        sum(col("t")).as("t"))
+      .select(col("n"), col("n_cells"),
+        QueryDef.dec4(col("t").cast("double") /
+          (lit(1e6) * col("n").cast("double"))).as("mi_nats"))
+  }
+
+  private def q195(s: SparkSession, dir: String): DataFrame =
+    mutualInformation(
+      Tables.lineitem(s, dir), "l_returnflag", "l_linestatus")
+
+  private val q195Sql =
+    """WITH joint AS (
+      |  SELECT l_returnflag AS xv, l_linestatus AS yv,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |mx AS (SELECT xv, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+      |my AS (SELECT yv, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+      |terms AS (
+      |  SELECT j.c, n.n,
+      |    j.c * CAST(floor(1000000.0 * ln(
+      |      CAST(n.n * j.c AS DOUBLE) / CAST(mx.cx * my.cy AS DOUBLE)))
+      |      AS BIGINT) AS t
+      |  FROM joint j JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN n)
+      |SELECT max(n) AS n, count(*) AS n_cells,
+      |  CAST(CAST(CAST(sum(t) AS DOUBLE) / (1000000.0 * CAST(max(n) AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mi_nats
+      |FROM terms""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
+    QueryDef("q195_mutual_information", q195, Some(q195Sql)),
     QueryDef("q190_theil_sen", q190, Some(q190Sql)),
     QueryDef("q180_fk_audit", q180, Some(q180Sql)),
     QueryDef("q177_skew_report", q177, Some(q177Sql)),
