@@ -420,7 +420,112 @@ object Similarity {
       |  FROM embeddings)
       |GROUP BY dim ORDER BY dim""".stripMargin
 
+  // ==== q196: DBSCAN density clustering over embeddings =====================
+  //
+  // The density family the engine's clustering tier lacked (k-means lives
+  // in AnnIvf; CC-over-near-dup-edges in Dedup): DBSCAN finds arbitrary-
+  // shape clusters and, unlike k-means, names its OUTLIERS — the "noise"
+  // tier is exactly the weird-embedding triage a curation pipeline wants.
+  // Semantics (Ester et al. 1996, ε as cosine floor): core ⇔ ≥ minPts
+  // points within ε (self included); clusters = connected components of
+  // the core-core ε-graph (labels = min member id via the Dedup pointer-
+  // jumping kernel — deterministic); border = non-core with a core
+  // ε-neighbor, assigned its SMALLEST core cluster label (the
+  // deterministic stand-in for DBSCAN's arrival-order assignment); rest
+  // is noise.
+  //
+  // Scale shape: the ε-pair space here comes from the brute slice (the
+  // oracle's cross product bounds the declared query to an id slice, the
+  // q174 discipline); at corpus scale the SAME downstream (core filter,
+  // CC, border argmin) runs off LSH/IVF candidate pairs instead — the
+  // operator takes any (id, v) frame and builds pairs internally, so the
+  // swap is the pair source, not the algorithm. Float risk: none — the
+  // native dotProduct folds in a fixed order, so cos ≥ ε decides
+  // identically in both engines (the q37/q41 parity).
+
+  /** (vec_id, role, cluster): role ∈ core | border | noise; cluster =
+    * min member vec_id of the core component (null for noise). */
+  def dbscan(vectors: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val v = vectors.select(col("id"), col("v"))
+    val a = v.select(col("id").as("a"), col("v").as("va"))
+    val b = v.select(col("id").as("b"), col("v").as("vb"))
+    val pairs = a.join(b, col("a") =!= col("b"))
+      .withColumn("cos", dotProduct(col("va"), col("vb")) /
+        (sqrt(dotProduct(col("va"), col("va"))) *
+          sqrt(dotProduct(col("vb"), col("vb")))))
+      .filter(col("cos") >= eps)
+      .select(col("a"), col("b"))
+      .localCheckpoint() // reused 3×: core counts, core edges, border argmin
+    val degrees = pairs.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+    val core = degrees.filter(col("deg") >= minPts - 1).select(col("id"))
+    val coreEdges = pairs
+      .join(core.select(col("id").as("a")), Seq("a"))
+      .join(core.select(col("id").as("b")), Seq("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val coreLabels = Dedup.connectedComponents(coreEdges, core)
+      .select(col("id"), col("cluster_id").as("label"))
+    val border = pairs
+      .join(core.select(col("id").as("b")), Seq("b")) // b side is core
+      .join(coreLabels.select(col("id").as("b"), col("label")), Seq("b"))
+      .join(core.select(col("id").as("a"), lit(1).as("ac")), Seq("a"), "left_anti")
+      .groupBy(col("a").as("id")).agg(min(col("label")).as("label"))
+    val labeled = coreLabels.select(col("id"), col("label"), lit("core").as("role"))
+      .unionByName(border.select(col("id"), col("label"), lit("border").as("role")))
+    vectors.select(col("id"))
+      .join(labeled, Seq("id"), "left")
+      .select(col("id").as("vec_id"),
+        coalesce(col("role"), lit("noise")).as("role"),
+        col("label").as("cluster"))
+  }
+
+  // eps/minPts chosen so the sf0.01 slice yields all three roles; the id
+  // slice bounds the oracle's cross product (operator is slice-agnostic)
+  private def q196(s: SparkSession, dir: String): DataFrame =
+    dbscan(
+      Tables.embeddings(s, dir).filter(col("vec_id") < 600)
+        .select(col("vec_id").as("id"), toDouble(col("embedding")).as("v")),
+      eps = 0.34, minPts = 4)
+      .orderBy(col("vec_id"))
+
+  private val q196Sql =
+    """WITH e AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id < 600),
+      |pairs AS (
+      |  SELECT a.id AS a, b.id AS b
+      |  FROM e a JOIN e b ON a.id <> b.id
+      |  WHERE list_inner_product(a.v, b.v)
+      |    / (sqrt(list_inner_product(a.v, a.v))
+      |      * sqrt(list_inner_product(b.v, b.v))) >= 0.34),
+      |core AS (
+      |  SELECT a AS id FROM pairs GROUP BY 1 HAVING count(*) >= 3),
+      |ce AS (
+      |  SELECT p.a AS src, p.b AS dst FROM pairs p
+      |  JOIN core ca ON p.a = ca.id JOIN core cb ON p.b = cb.id),
+      |lbl AS (
+      |  WITH RECURSIVE reach(id, lbl) AS (
+      |    SELECT id, id AS lbl FROM core
+      |    UNION
+      |    SELECT ce.src, reach.lbl FROM ce JOIN reach ON ce.dst = reach.id
+      |    WHERE reach.lbl < ce.src)
+      |  SELECT id, min(lbl) AS label FROM reach GROUP BY 1),
+      |border AS (
+      |  SELECT p.a AS id, min(l.label) AS label
+      |  FROM pairs p JOIN core cb ON p.b = cb.id
+      |  JOIN lbl l ON l.id = p.b
+      |  WHERE p.a NOT IN (SELECT id FROM core)
+      |  GROUP BY 1),
+      |roles AS (
+      |  SELECT id, label, 'core' AS role FROM lbl
+      |  UNION ALL SELECT id, label, 'border' FROM border)
+      |SELECT e.id AS vec_id, coalesce(r.role, 'noise') AS role,
+      |  r.label AS cluster
+      |FROM e LEFT JOIN roles r ON e.id = r.id
+      |ORDER BY e.id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_dbscan", q196, Some(q196Sql)),
     QueryDef("q132_embedding_drift", q132, Some(q132Sql)),
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
