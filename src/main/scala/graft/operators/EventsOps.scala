@@ -1537,7 +1537,69 @@ object EventsOps {
       |SELECT path, count(*) AS n FROM seq
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  // ==== q198: hourly OHLC + VWAP bars =======================================
+  //
+  // The bar-building aggregation of every metrics/market pipeline: per
+  // (event_type, hour) the Opening/High/Low/Closing value plus the
+  // count-weighted mean — downsampling a value stream to fixed-interval
+  // bars. Open/close are exact argmin/argmax over the (ts, event_id)
+  // total order via the min/max-of-struct idiom (one aggregation, no
+  // windows, no self-joins — min(struct) keeps whole-stage codegen and
+  // map-side partials). Values in cents (the round idiom), so H/L/VWAP
+  // numerators are exact BIGINTs; the single VWAP division happens at
+  // render. One map-side-combined groupBy — the ideal 100 TB shape.
+
+  /** (event_type, hr, n, open_c, high_c, low_c, close_c, vwap_micro):
+    * hourly bars over `value` (cents); vwap_micro = ⌊10⁶·Σc/n⌋ — an
+    * EXACT integer division, because a dec4 render of Σc/n lands on
+    * half-grid ties whenever n divides a power of two (n=320 at sf1 did:
+    * Spark rounds the exact binary up, DuckDB rounds the shortest repr
+    * even — the one documented cross-engine decimal gap). */
+  def hourlyBars(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"),
+        unix_micros(col("ts")).as("us"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("hr"))
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max(struct(col("us"), col("event_id"), col("cents")))
+          .getField("cents").as("close_c"),
+        sum(col("cents")).as("sum_c"))
+      .select(col("event_type"), col("hr"), col("n"), col("open_c"),
+        col("high_c"), col("low_c"), col("close_c"),
+        expr("(sum_c * 1000000) div n").as("vwap_micro"))
+
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    hourlyBars(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
+
+  private val q198Sql =
+    """WITH d AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    epoch_us(ts) AS us, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY us, event_id) AS rn_a,
+      |    row_number() OVER (PARTITION BY event_type, hr
+      |      ORDER BY us DESC, event_id DESC) AS rn_d
+      |  FROM d)
+      |SELECT event_type, hr, count(*) AS n,
+      |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_c,
+      |  CAST(max(cents) AS BIGINT) AS high_c,
+      |  CAST(min(cents) AS BIGINT) AS low_c,
+      |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_c,
+      |  CAST(CAST(sum(cents) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+      |    AS vwap_micro
+      |FROM r GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),

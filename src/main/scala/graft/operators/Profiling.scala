@@ -1141,7 +1141,102 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS mi_nats
       |FROM terms""".stripMargin
 
+  // ==== q197: grouped Welch t-test ==========================================
+  //
+  // The A/B primitive: per segment, does the treatment cohort's mean
+  // differ from control's, WITHOUT assuming equal variances (Welch).
+  // t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂), df by Welch–Satterthwaite — reported
+  // as statistics, not p-values (a p-value needs the t CDF, a libm
+  // special function with engine-specific last-ulp behavior; the
+  // statistic is closed-form over exact moments and hash-stable).
+  // Complements q131 (KS, distribution-free omnibus) with the standard
+  // mean-shift test. One map-side-combined groupBy accumulating
+  // per-(segment, arm) integer moments; everything after is arithmetic
+  // on the segment domain.
+
+  /** Per-`group` Welch t of integer `x` between arm = 0/1 (`armExpr`
+    * boolean ⇒ arm 1). Segments missing an arm or with n < 2 report
+    * nulls. */
+  def welchTTest(df: DataFrame, group: String, x: String, armExpr: String): DataFrame = {
+    val m = df.groupBy(col(group),
+      when(expr(armExpr), 1L).otherwise(0L).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x).cast("decimal(18,0)")).as("s"),
+        sum(col(x).cast("decimal(18,0)") * col(x).cast("decimal(18,0)"))
+          .as("ss"))
+    def side(a: Int) = m.filter(col("arm") === a)
+      .select(col(group), col("n").as(s"n$a"), col("s").as(s"s$a"),
+        col("ss").as(s"ss$a"))
+    val j = side(0).join(side(1), Seq(group))
+    def dd(c: String) = col(c).cast("double")
+    // unbiased variance: (n·ss − s²) / (n·(n−1))
+    def v(a: Int) =
+      (dd(s"n$a") * dd(s"ss$a") - dd(s"s$a") * dd(s"s$a")) /
+        (dd(s"n$a") * (dd(s"n$a") - lit(1.0)))
+    val se0 = v(0) / dd("n0")
+    val se1 = v(1) / dd("n1")
+    j.select(col(group), col("n0"), col("n1"),
+      when(col("n0") > 1 && col("n1") > 1,
+        (dd("s1") / dd("n1") - dd("s0") / dd("n0")) / sqrt(se0 + se1))
+        .as("t"),
+      when(col("n0") > 1 && col("n1") > 1,
+        (se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (dd("n0") - lit(1.0)) +
+            se1 * se1 / (dd("n1") - lit(1.0)))).as("df"))
+  }
+
+  // arm = even order key (a deterministic stand-in for assignment);
+  // outcome = order total in cents; segment = order priority
+  private def q197(s: SparkSession, dir: String): DataFrame =
+    welchTTest(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey")),
+      "o_orderpriority", "cents", "o_orderkey % 2 = 0")
+      .select(col("o_orderpriority"), col("n0"), col("n1"),
+        QueryDef.dec4(col("t")).as("t"), QueryDef.dec4(col("df")).as("df"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q197Sql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS g,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS arm,
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      AS x
+      |  FROM orders),
+      |m AS (
+      |  SELECT g, arm, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss
+      |  FROM d GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.g, a.n AS n0, a.s AS s0, a.ss AS ss0,
+      |    b.n AS n1, b.s AS s1, b.ss AS ss1
+      |  FROM m a JOIN m b ON a.g = b.g AND a.arm = 0 AND b.arm = 1),
+      |c AS (
+      |  SELECT g, n0, n1,
+      |    (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0))
+      |      / CAST(n0 AS DOUBLE) AS se0,
+      |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))
+      |      / CAST(n1 AS DOUBLE) AS se1,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff
+      |  FROM j)
+      |SELECT g AS o_orderpriority, n0, n1,
+      |  CAST(CAST(CASE WHEN n0 > 1 AND n1 > 1
+      |    THEN diff / sqrt(se0 + se1) END AS DECIMAL(38,4)) AS VARCHAR) AS t,
+      |  CAST(CAST(CASE WHEN n0 > 1 AND n1 > 1
+      |    THEN (se0 + se1) * (se0 + se1) /
+      |      (se0 * se0 / (CAST(n0 AS DOUBLE) - 1.0)
+      |        + se1 * se1 / (CAST(n1 AS DOUBLE) - 1.0))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS df
+      |FROM c ORDER BY o_orderpriority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_welch_ttest", q197, Some(q197Sql)),
     QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
     QueryDef("q195_mutual_information", q195, Some(q195Sql)),
     QueryDef("q190_theil_sen", q190, Some(q190Sql)),
