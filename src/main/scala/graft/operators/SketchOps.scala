@@ -33,6 +33,55 @@ import org.apache.spark.sql.functions._
   */
 object SketchOps {
 
+  // ==== q199: Bloom-prefiltered semi-join (runtime-filter reduction) ========
+  //
+  // The join-side counterpart of q75: when a huge probe side semi-joins a
+  // selective build side, the probe's non-matching rows still pay the
+  // shuffle in a plain SortMergeJoin/ShuffledHashJoin. Building a Bloom
+  // filter over the build keys (one scan, fixed 256 KiB state), broadcasting
+  // the finished bitset, and filtering the probe MAP-SIDE drops ~all
+  // non-matching rows before they ever shuffle — the manual form of the
+  // runtime row-filter AQE injects when statistics let it, made explicit
+  // and composable. No false negatives ⇒ the exact semi-join that follows
+  // sees a superset of the true matches and removes the ≤fp-rate
+  // survivors, so the OUTPUT is bit-identical to the plain semi-join (the
+  // oracle states the plain semi-join; BloomJoinSpec pins the reduction
+  // itself and output equality).
+
+  /** `probe` left-semi `build` on `key`, with a broadcast Bloom prefilter
+    * dropping non-matching probe rows before the shuffle. Output ==
+    * plain left-semi join (zero false negatives; FPs cleaned exactly). */
+  def bloomSemiJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame = {
+    val bloom = build.agg(
+      BloomFilterAgg.of(xxhash64(col(key)), BloomBits, BloomK).as("bloom"))
+    probe.crossJoin(broadcast(bloom))
+      .filter(BloomMightContain.of(col("bloom"), xxhash64(col(key)), BloomK))
+      .drop("bloom")
+      .join(build.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
+  // probe = lineitem (the big side), build = one brand's parts (1/25 of
+  // the domain) — the selective-dimension shape where the prefilter pays
+  // for itself
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val build = Tables.part(s, dir)
+      .filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey").as("l_partkey"))
+    bloomSemiJoin(Tables.lineitem(s, dir), build, "l_partkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q199Sql =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem
+      |WHERE l_partkey IN (
+      |  SELECT p_partkey FROM part WHERE p_brand = 'Brand#13')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ==== q75: Bloom-filter incremental dedup ================================
 
   private val BloomBits = 1 << 21 // 256 KiB — capacity ~150k items at 1% fp
@@ -321,6 +370,7 @@ object SketchOps {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q142_join_cardinality", q142, Some(q142Sql)),
     QueryDef("q102_weighted_sample", q102, Some(q102Sql)),
+    QueryDef("q199_bloom_semijoin", q199, Some(q199Sql)),
     QueryDef("q75_bloom_dedup", q75, Some(q75Sql)),
     QueryDef("q76_heavy_hitters", q76, Some(q76Sql)),
     QueryDef("q77_domain_mixture", q77, Some(q77Sql)),
