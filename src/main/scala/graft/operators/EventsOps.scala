@@ -1598,7 +1598,184 @@ object EventsOps {
       |    AS vwap_micro
       |FROM r GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin
 
+  // ==== q200: rolling-median robust z-score =================================
+  //
+  // Robust per-hour anomaly scoring: detrend each series by its trailing
+  // 24-hour MEDIAN (level shifts and spikes cannot drag a median the way
+  // they drag the mean/EWMA), then flag hours whose deviation exceeds
+  // k× the series' global MAD (q118's scale estimate — a per-row rolling
+  // MAD is not expressible as stacked windows because each frame would
+  // need deviations from ITS OWN median; the global scale is the
+  // standard hybrid). Exactness: counts are integers; the 24-value
+  // median and the MAD interpolate identically in both engines (the
+  // q44/q118 percentile parity), and k·MAD comparisons double against
+  // double, bit-stable. Windows run on the hours×types domain only.
+
+  /** (event_type, hr, cnt, roll_med, mad, outlier): trailing-`win`-hour
+    * median detrend, |cnt − med| > k·MAD flag. Warm-up rows (fewer than
+    * `win` trailing hours) still score against their shorter window. */
+  def rollingRobustZ(events: DataFrame, win: Int = 24, k: Double = 5.0): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val rolled = hourly.withColumn("roll_med",
+      expr(s"percentile(cnt, 0.5) over (partition by event_type order by hr " +
+        s"rows between ${win - 1} preceding and current row)"))
+    val mad = hourly
+      .groupBy(col("event_type")).agg(expr("percentile(cnt, 0.5)").as("gmed"))
+    val madv = hourly.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(abs(cnt - gmed), 0.5)").as("mad"))
+    rolled.join(broadcast(madv), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("cnt"), col("roll_med"),
+        col("mad"),
+        (abs(col("cnt") - col("roll_med")) > lit(k) * col("mad")).as("outlier"))
+  }
+
+  private def q200(s: SparkSession, dir: String): DataFrame =
+    rollingRobustZ(Tables.events(s, dir))
+      .select(col("event_type"), col("hr"), col("cnt"),
+        QueryDef.dec4(col("roll_med")).as("roll_med"),
+        QueryDef.dec4(col("mad")).as("mad"), col("outlier"))
+      .orderBy(col("event_type"), col("hr"))
+
+  private val q200Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, median(cnt) AS gmed FROM h GROUP BY 1),
+      |m AS (
+      |  SELECT h.event_type, median(abs(h.cnt - g.gmed)) AS mad
+      |  FROM h JOIN g USING (event_type) GROUP BY 1),
+      |r AS (
+      |  SELECT event_type, hr, cnt,
+      |    median(cnt) OVER (PARTITION BY event_type ORDER BY hr
+      |      ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS roll_med
+      |  FROM h)
+      |SELECT r.event_type, r.hr, r.cnt,
+      |  CAST(CAST(r.roll_med AS DECIMAL(38,4)) AS VARCHAR) AS roll_med,
+      |  CAST(CAST(m.mad AS DECIMAL(38,4)) AS VARCHAR) AS mad,
+      |  abs(r.cnt - r.roll_med) > 5.0 * m.mad AS outlier
+      |FROM r JOIN m USING (event_type)
+      |ORDER BY r.event_type, r.hr""".stripMargin
+
+  // ==== q201: segmented regression at the CUSUM changepoint =================
+  //
+  // Closes the q188 loop from detection into QUANTIFICATION: take the
+  // hour where the CUSUM statistic peaks (deterministic: max S, earliest
+  // hour on ties), fit separate OLS lines to the hours before and after,
+  // and report per series the slope change and the level shift at the
+  // break — "the rate jumped by X/hour and the trend changed by Y" that
+  // an alert consumer actually wants. Moments per segment are exact
+  // BIGINTs over hour indices re-based at the break (the q144
+  // discipline); the break selection compares exact integers.
+
+  /** (event_type, break_hr, n_pre, n_post, slope_pre, slope_post,
+    * level_shift): OLS per side of the per-series CUSUM argmax. */
+  def segmentedAtChangepoint(events: DataFrame): DataFrame = {
+    val cusum = cusumChangepoints(events)
+      .select(col("event_type"), col("hr"), col("cnt"), col("cusum"))
+    val break_ = cusum
+      .groupBy(col("event_type"))
+      .agg(min(struct((-col("cusum")).as("nc"), col("hr").as("h")))
+        .getField("h").as("break_hr"))
+    val sided = cusum.join(broadcast(break_), Seq("event_type"))
+      .select(col("event_type"), col("break_hr"),
+        (col("hr") - col("break_hr")).as("x"), col("cnt").as("y"),
+        when(col("hr") < col("break_hr"), lit(0)).otherwise(lit(1)).as("side"))
+    val m = sided.groupBy(col("event_type"), col("break_hr"), col("side"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    def dd(c: String) = col(c).cast("double")
+    val fitted = m.select(col("event_type"), col("break_hr"), col("side"),
+      col("n"),
+      ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx"))).as("slope"),
+      ((dd("sy") - ((dd("n") * dd("sxy") - dd("sx") * dd("sy")) /
+        (dd("n") * dd("sxx") - dd("sx") * dd("sx"))) * dd("sx")) / dd("n"))
+        .as("icpt"))
+    val pre = fitted.filter(col("side") === 0)
+      .select(col("event_type"), col("break_hr"), col("n").as("n_pre"),
+        col("slope").as("slope_pre"), col("icpt").as("icpt_pre"))
+    val post = fitted.filter(col("side") === 1)
+      .select(col("event_type"), col("break_hr"), col("n").as("n_post"),
+        col("slope").as("slope_post"), col("icpt").as("icpt_post"))
+    pre.join(post, Seq("event_type", "break_hr"))
+      .select(col("event_type"), col("break_hr"), col("n_pre"), col("n_post"),
+        col("slope_pre"), col("slope_post"),
+        (col("icpt_post") - col("icpt_pre")).as("level_shift"))
+  }
+
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    segmentedAtChangepoint(Tables.events(s, dir))
+      .select(col("event_type"), col("break_hr"), col("n_pre"), col("n_post"),
+        QueryDef.dec4(col("slope_pre")).as("slope_pre"),
+        QueryDef.dec4(col("slope_post")).as("slope_post"),
+        QueryDef.dec4(col("level_shift")).as("level_shift"))
+      .orderBy(col("event_type"))
+
+  private val q201Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM h GROUP BY 1),
+      |p AS (
+      |  SELECT h.*, t.total, t.n,
+      |    sum(4 * t.n * h.cnt - 5 * t.total) OVER (PARTITION BY h.event_type
+      |      ORDER BY h.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pp
+      |  FROM h JOIN t USING (event_type)),
+      |s AS (
+      |  SELECT *, CAST((pp - least(min(pp) OVER (PARTITION BY event_type
+      |    ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    0)) // (4 * n) AS BIGINT) AS cusum
+      |  FROM p),
+      |brk AS (
+      |  SELECT event_type, hr AS break_hr FROM (
+      |    SELECT event_type, hr,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY cusum DESC, hr) AS rn
+      |    FROM s) WHERE rn = 1),
+      |sided AS (
+      |  SELECT s.event_type, b.break_hr, s.hr - b.break_hr AS x,
+      |    s.cnt AS y, CASE WHEN s.hr < b.break_hr THEN 0 ELSE 1 END AS side
+      |  FROM s JOIN brk b ON s.event_type = b.event_type),
+      |m AS (
+      |  SELECT event_type, break_hr, side, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM sided GROUP BY 1, 2, 3),
+      |f AS (
+      |  SELECT event_type, break_hr, side, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |    (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icpt
+      |  FROM m)
+      |SELECT a.event_type, a.break_hr, a.n AS n_pre, b.n AS n_post,
+      |  CAST(CAST(a.slope AS DECIMAL(38,4)) AS VARCHAR) AS slope_pre,
+      |  CAST(CAST(b.slope AS DECIMAL(38,4)) AS VARCHAR) AS slope_post,
+      |  CAST(CAST(b.icpt - a.icpt AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS level_shift
+      |FROM f a JOIN f b ON a.event_type = b.event_type
+      |  AND a.break_hr = b.break_hr AND a.side = 0 AND b.side = 1
+      |ORDER BY a.event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q200_rolling_robust_z", q200, Some(q200Sql)),
+    QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
