@@ -1235,7 +1235,59 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS df
       |FROM c ORDER BY o_orderpriority""".stripMargin
 
+  // ==== q202: k-anonymity / l-diversity privacy audit =======================
+  //
+  // The data-governance gate before a dataset ships: group rows by their
+  // quasi-identifier combination (the columns an adversary can link
+  // externally); an equivalence class of size < k re-identifies its
+  // members, and a class whose SENSITIVE attribute takes < l distinct
+  // values leaks it even at size ≥ k (Sweeney's k-anonymity; Machanavajjhala's
+  // l-diversity). One map-side-combined groupBy to the QI domain plus a
+  // scalar rollup — the audit never touches row payloads twice. Report:
+  // class count, minimum class size, rows in classes < k (the
+  // suppression set), and rows l-diverse-safe.
+
+  /** One row: (n_rows, n_classes, min_class_size, rows_below_k,
+    * rows_not_ldiverse) for quasi-identifiers `qi` and sensitive column
+    * `sensitive` at the given k and l. */
+  def privacyAudit(df: DataFrame, qi: Seq[String], sensitive: String,
+      k: Int, l: Int): DataFrame = {
+    val classes = df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("sz"),
+        countDistinct(col(sensitive)).as("nsens"))
+    classes.agg(
+      sum(col("sz")).as("n_rows"),
+      count(lit(1)).as("n_classes"),
+      min(col("sz")).as("min_class_size"),
+      sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("rows_below_k"),
+      sum(when(col("nsens") < l, col("sz")).otherwise(0L))
+        .as("rows_not_ldiverse"))
+  }
+
+  // QI = (nation, market segment) over customers; sensitive = account
+  // balance in cents
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    privacyAudit(
+      Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
+        round(col("c_acctbal") * 100).cast("long").as("bal_c")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_c", k = 10, l = 5)
+
+  private val q202Sql =
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS sz,
+      |    count(DISTINCT CAST(round(c_acctbal * 100) AS BIGINT)) AS nsens
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  count(*) AS n_classes,
+      |  CAST(min(sz) AS BIGINT) AS min_class_size,
+      |  CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_below_k,
+      |  CAST(sum(CASE WHEN nsens < 5 THEN sz ELSE 0 END) AS BIGINT)
+      |    AS rows_not_ldiverse
+      |FROM cls""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_privacy_audit", q202, Some(q202Sql)),
     QueryDef("q197_welch_ttest", q197, Some(q197Sql)),
     QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
     QueryDef("q195_mutual_information", q195, Some(q195Sql)),
