@@ -60,6 +60,28 @@ object EventsStreaming {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("n"))
 
+  /** B126b/q198 twin: streaming hourly OHLC + VWAP bars. Open/close ride
+    * min_by/max_by over the (us, event_id) total order — declarative
+    * aggregates, so the SAME plan shape runs batch or streaming; cents
+    * keep the numerators exact and vwap_micro is the q198 integer
+    * division. Complete/update mode; add a watermark upstream for
+    * append. */
+  def barsStream(events: DataFrame): DataFrame =
+    events
+      .select(col("ts"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min_by(col("cents"), struct(col("us"), col("event_id"))).as("open_c"),
+        max(col("cents")).as("high_c"),
+        min(col("cents")).as("low_c"),
+        max_by(col("cents"), struct(col("us"), col("event_id"))).as("close_c"),
+        sum(col("cents")).as("sum_c"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("open_c"), col("high_c"), col("low_c"), col("close_c"),
+        expr("(sum_c * 1000000) div n").as("vwap_micro"))
+
   /** B35: native session windows (30-minute gap). */
   def sessionAgg(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events

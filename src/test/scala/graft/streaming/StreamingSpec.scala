@@ -32,6 +32,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed.sameElements(batch))
   }
 
+  test("B126b parity: streaming OHLC bars == the same windowed plan on batch") {
+    val stream = EventsStreaming.loadStream(spark, dir)
+    val q = EventsStreaming.barsStream(stream).writeStream
+      .format("memory").queryName("bars_out").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("bars_out")
+      .collect().map(_.toString).sorted
+    val batch = EventsStreaming.barsStream(graft.Tables.events(spark, dir))
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // and the bar fields agree with the q198 batch operator row-for-row
+    val viaOperator = graft.operators.EventsOps
+      .hourlyBars(graft.Tables.events(spark, dir))
+      .select(col("event_type"), col("hr"), col("n"), col("open_c"),
+        col("high_c"), col("low_c"), col("close_c"), col("vwap_micro"))
+      .collect().map(_.toString).sorted
+    val viaStreamShape = spark.table("bars_out")
+      .select(col("event_type"),
+        expr("unix_micros(hour_start) div 3600000000").as("hr"),
+        col("n"), col("open_c"), col("high_c"), col("low_c"),
+        col("close_c"), col("vwap_micro"))
+      .collect().map(_.toString).sorted
+    assert(viaStreamShape.sameElements(viaOperator))
+  }
+
   test("B34 parity: streaming sliding agg == batch sliding agg") {
     val stream = EventsStreaming.loadStream(spark, dir)
     val q = EventsStreaming.slidingAgg(stream).writeStream
