@@ -688,6 +688,20 @@ object Multimodal {
     StructField("e_w2", LongType, nullable = false),
     StructField("e_w32", LongType, nullable = false)))
 
+  /** One WHT coefficient W_k = Σ_p x_p·(−1)^popcount(p∧k) over the
+    * [[FrameLen]] samples at `off` — the exact-integer transform kernel
+    * (WhtSpec pins Parseval/orthogonality and linearity laws on it). */
+  private[operators] def whtCoeff(samples: Array[Short], off: Int, k: Int): Long = {
+    var w = 0L
+    var p = 0
+    while (p < FrameLen) {
+      val s = samples(off + p).toLong
+      w += (if (Integer.bitCount(p & k) % 2 == 0) s else -s)
+      p += 1
+    }
+    w
+  }
+
   /** WHT band energies + zero-crossing count over a binary WAV column.
     * Frames are consecutive [[FrameLen]]-sample blocks; a trailing
     * partial frame is dropped (stated, both sides). */
@@ -709,14 +723,7 @@ object Multimodal {
             while (f < nFrames) {
               var b = 0
               while (b < WhtBands.size) {
-                val k = WhtBands(b)
-                var w = 0L
-                var p = 0
-                while (p < FrameLen) {
-                  val s = samples(f * FrameLen + p).toLong
-                  w += (if (Integer.bitCount(p & k) % 2 == 0) s else -s)
-                  p += 1
-                }
+                val w = whtCoeff(samples, f * FrameLen, WhtBands(b))
                 energies(b) += w * w
                 b += 1
               }
