@@ -116,5 +116,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("strip_accents"),
       info("strip_accents", "strip_accents(str) - NFD-decompose, drop combining marks"),
       (exprs: Seq[Expression]) => graft.functions.StripAccents(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (boost 0.7, prefix cap 4)"),
+      (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs.head,
+        exprs(1))))
   }
 }
