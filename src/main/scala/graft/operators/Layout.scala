@@ -90,6 +90,105 @@ object Layout {
        |FROM z GROUP BY zb ORDER BY zb""".stripMargin
   }
 
+  // ==== Hilbert curve: the locality-stronger sibling of Z-order ===========
+  //
+  // The Z-curve jumps: consecutive z-values can sit a whole half-plane
+  // apart (z=0b0111 -> 0b1000 crosses the diagonal), so a file of
+  // consecutive z rows occasionally spans a wide rectangle. The Hilbert
+  // curve's defining property is unit-step adjacency — consecutive d are
+  // ALWAYS grid neighbors — so equal-size d-ranges have asymptotically
+  // tighter bounding boxes (Moon et al., "Analysis of the clustering
+  // properties of the Hilbert space-filling curve", TKDE 2001). Same
+  // plain-Spark layout mechanics as zorder: compute d, range-partition,
+  // sort within partitions, write; footer stats do the pruning.
+  //
+  // The index is the canonical xy2d state machine (flip+swap per level),
+  // unrolled over `bits` levels as pure when/bit expressions — static
+  // expression tree, fully codegen'd, no loop at runtime. The DuckDB twin
+  // unrolls the identical recurrence as a CTE chain generated from the
+  // same per-level formulas, so the engines cannot drift.
+
+  /** Hilbert d-index of (x, y) on the 2^bits x 2^bits grid — a native
+    * codegen'd expression (graft.functions.HilbertIndex). Unrolling the
+    * flip+swap recurrence as Columns is O(3^bits) plan size; the loop
+    * lives in one generated function instead. */
+  def hilbertD(x0: Column, y0: Column, bits: Int): Column =
+    graft.functions.HilbertIndex.of(x0, y0, bits)
+
+  /** DuckDB twin of [[hilbertD]] as a generated CTE chain: `srcCte` must
+    * expose columns `x0`, `y0` (and anything else to carry through via
+    * `carry`); the final CTE `hfin` exposes carry columns + `hd`. Each
+    * step writes freshly-named x{k}/y{k}/d{k} columns so DuckDB's lateral
+    * alias resolution can never shadow the previous level's values. */
+  def hilbertSqlCtes(srcCte: String, bits: Int, carry: Seq[String]): String = {
+    val n = 1L << bits
+    val carrySel = carry.map(c => s"$c, ").mkString
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val prev = if (k == 0) srcCte else s"h$k"
+      val (x, y) = (s"x$k", s"y$k")
+      val d0 = if (k == 0) s"CAST(0 AS BIGINT)" else s"d$k"
+      s"""h${k + 1} AS (
+         |  SELECT $carrySel
+         |    CASE WHEN (($y & $s) > 0) THEN $x
+         |         WHEN (($x & $s) > 0) THEN ${n - 1} - $y ELSE $y END
+         |      AS x${k + 1},
+         |    CASE WHEN (($y & $s) > 0) THEN $y
+         |         WHEN (($x & $s) > 0) THEN ${n - 1} - $x ELSE $x END
+         |      AS y${k + 1},
+         |    $d0 + ${s * s} * xor(3 * (CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END),
+         |      CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END) AS d${k + 1}
+         |  FROM $prev)""".stripMargin
+    }
+    steps.mkString(",\n") +
+      s",\nhfin AS (SELECT $carrySel d$bits AS hd FROM h$bits)"
+  }
+
+  /** Cluster `df` on the Hilbert curve of (x, y) — same mechanics as
+    * [[zorder]], tighter per-file bounding boxes. */
+  def hilbert(df: DataFrame, x: Column, y: Column, bits: Int,
+      numPartitions: Int): DataFrame = {
+    df.withColumn("__hd", hilbertD(x, y, bits))
+      .repartitionByRange(numPartitions, col("__hd"))
+      .sortWithinPartitions(col("__hd"))
+      .drop("__hd")
+  }
+
+  // ==== q206: Hilbert-block locality over lineitem ==========================
+  //
+  // The q107 twin on the Hilbert index: 8-bit buckets of
+  // (l_partkey, l_suppkey), blocks of 256 consecutive d values (d >> 8),
+  // per-block counts and bounding boxes. Because consecutive d are grid
+  // neighbors, each 256-cell block is a connected region — the emitted
+  // min/max rectangles are the file-skipping evidence, directly
+  // comparable against q107's z-blocks.
+
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select((col("l_partkey") % 256).as("px"),
+        (col("l_suppkey") % 256).as("sx"))
+    li.withColumn("hb", shiftright(hilbertD(col("px"), col("sx"), 8), 8))
+      .groupBy(col("hb"))
+      .agg(count(lit(1)).as("n"),
+        min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+        min(col("sx")).as("min_sx"), max(col("sx")).as("max_sx"))
+      .orderBy(col("hb"))
+  }
+
+  private val q206Sql = {
+    val ctes = hilbertSqlCtes("b", 8, Seq("px", "sx"))
+    s"""WITH b AS (
+       |  SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sx,
+       |    l_partkey % 256 AS x0, l_suppkey % 256 AS y0
+       |  FROM lineitem),
+       |$ctes
+       |SELECT hd >> 8 AS hb, count(*) AS n,
+       |  min(px) AS min_px, max(px) AS max_px,
+       |  min(sx) AS min_sx, max(sx) AS max_sx
+       |FROM hfin GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q107_zorder_blocks", q107, Some(q107Sql)))
+    QueryDef("q107_zorder_blocks", q107, Some(q107Sql)),
+    QueryDef("q206_hilbert_blocks", q206, Some(q206Sql)))
 }

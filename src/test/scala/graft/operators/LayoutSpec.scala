@@ -85,4 +85,75 @@ class LayoutSpec extends AnyFunSuite {
     assert(zScan <= zTotal / 2,
       s"z layout should skip most partitions: scanned $zScan of $zTotal")
   }
+
+  // Canonical xy2d (flip+swap state machine) as the independent reference
+  // for the unrolled expression tree.
+  private def refHilbert(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var (x, y, d) = (x0, y0, 0L)
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  test("hilbertD: matches the canonical xy2d state machine") {
+    val pts = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("x", "y")
+    val got = pts.select(col("x"), col("y"),
+        Layout.hilbertD(col("x"), col("y"), 4).as("d"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, d) => assert(d == refHilbert(4, x, y), s"($x,$y)") }
+  }
+
+  test("hilbertD: bijection + unit-step adjacency (the property z lacks)") {
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y))
+      .toDF("x", "y")
+    val byD = pts.select(Layout.hilbertD(col("x"), col("y"), 5).as("d"),
+        col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(byD.map(_._1).toSeq == (0L until 1024L).toSeq, "bijection")
+    byD.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve must step to a grid neighbor: ($x1,$y1)->($x2,$y2)")
+    }
+    // and z-order does NOT have this property (documents why hilbert exists)
+    val byZ = pts.select(Layout.zValue(col("x"), col("y"), 5).as("z"),
+        col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val jumps = byZ.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(jumps > 0)
+  }
+
+  test("hilbert layout: block bounding boxes never exceed the block size") {
+    // 256 cells per block on a 256x256 grid: a connected 256-cell region
+    // has bbox side <= 256 cells worth of walk -> both sides <= 31 is the
+    // empirical Hilbert bound at this scale; assert the weaker invariant
+    // that every block's bbox area stays within 4x the block's cell count
+    // (z-order blocks can hit the full-diagonal worst case instead).
+    val pts = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+    val boxes = pts
+      .select(shiftright(Layout.hilbertD(col("x"), col("y"), 6), 6).as("b"),
+        col("x"), col("y"))
+      .groupBy(col("b"))
+      .agg(min(col("x")).as("x0"), max(col("x")).as("x1"),
+        min(col("y")).as("y0"), max(col("y")).as("y1"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    boxes.foreach { case (b, x0, x1, y0, y1, n) =>
+      val area = (x1 - x0 + 1) * (y1 - y0 + 1)
+      assert(area <= 4 * n, s"block $b bbox area $area vs $n cells")
+    }
+  }
 }
