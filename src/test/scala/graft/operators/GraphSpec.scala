@@ -190,4 +190,67 @@ class GraphSpec extends AnyFunSuite {
       }
     }
   }
+
+  /** Brute-force cumulative reach via BFS over an undirected pair list. */
+  private def reachBrute(und: Seq[(Long, Long)], maxHop: Int)
+      : Map[(Long, Int), Long] = {
+    val adj = (und ++ und.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.keys.flatMap { v =>
+      var seen = Set(v)
+      var frontier = Set(v)
+      (1 to maxHop).map { hop =>
+        frontier = frontier.flatMap(adj.getOrElse(_, Set.empty)) -- seen
+        seen ++= frontier
+        (v, hop) -> (seen.size - 1).toLong
+      }
+    }.toMap
+  }
+
+  test("neighborhoodProfile: equals brute-force BFS reach on a random graph") {
+    val rnd = new scala.util.Random(61)
+    val und = (0 until 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val want = reachBrute(und, 2)
+    val got = Graph.neighborhoodProfile(edges)
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == want.keys.map(_._1).toSet.size)
+    got.foreach { case (n, r1, r2) =>
+      assert(r1 == want((n, 1)), s"node $n reach1 $r1 != ${want((n, 1))}")
+      assert(r2 == want((n, 2)), s"node $n reach2 $r2 != ${want((n, 2))}")
+      assert(r2 >= r1, s"node $n reach must be cumulative")
+    }
+  }
+
+  test("anf: HLL estimates track exact reach and grow monotonically in hop") {
+    val rnd = new scala.util.Random(67)
+    val und = (0 until 600).map(_ =>
+      (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val want = reachBrute(und, 3)
+    val got = Graph.anf(edges, rounds = 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, h, e) => (n, h) -> e }.toMap
+    assert(got.keySet == want.keySet)
+    // lgK=12 HLL: relative standard error ~1.6%; reaches here are ≤149,
+    // where the sketch is still in exact (sparse) mode — allow 5% slack
+    got.foreach { case ((n, h), e) =>
+      val w = want((n, h))
+      assert(math.abs(e - w) <= math.max(1L, (w * 0.05).toLong),
+        s"node $n hop $h: est $e vs exact $w")
+    }
+    // cumulative-union monotonicity: estimates never shrink as hops grow
+    want.keys.map(_._1).toSet[Long].foreach { n =>
+      assert(got((n, 1)) <= got((n, 2)) && got((n, 2)) <= got((n, 3)),
+        s"node $n: non-monotone ANF ${(1 to 3).map(h => got((n, h)))}")
+    }
+    // deterministic under re-run (sketch unions are value-set functions)
+    val again = Graph.anf(edges, rounds = 3)
+      .as[(Long, Int, Long)].collect()
+      .map { case (n, h, e) => (n, h) -> e }.toMap
+    assert(again == got)
+  }
 }
