@@ -700,7 +700,83 @@ object Graph {
       |SELECT node, reach1, reach2 FROM c1 JOIN c2 USING (node)
       |ORDER BY reach2 DESC, node LIMIT 100""".stripMargin
 
+  // ==== q209: multi-source BFS distances (bounded rounds) ===================
+  //
+  // Shortest hop-distance from a SEED SET to every reachable node — the
+  // "distance to a trusted core" signal (seed-based quality propagation à
+  // la TrustRank, blast-radius queries, taxonomy distance). Classic
+  // frontier BFS keeps a mutable visited set — driver state Spark can't
+  // have; the distributed form is bounded-round MIN-PLUS propagation:
+  // dist₀ = 0 on seeds; each round dist(u) = min(dist(u), min over
+  // in-neighbors v of dist(v) + 1). After r rounds every distance ≤ r is
+  // EXACT (BFS layer k is complete after k rounds — induction on layers)
+  // and deeper nodes are simply absent: a fixed-round contract a static
+  // oracle replays round-for-round, like q185's. Round shape is the
+  // PageRank/k-core discipline — one edge hash-join + one min-combine per
+  // round, lineage truncated, superseded blocks released. Min-plus is
+  // idempotent, so extra rounds past the eccentricity are no-ops (the
+  // fixpoint form would add the kCoreExact changed-count loop unchanged).
+
+  /** (node, dist) for every node within `rounds` hops of `seeds` (col
+    * `node`) over symmetric (src, dst) edges; dist is exact (≤ rounds). */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    var state = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var lastCp: Option[DataFrame] = Some(state)
+    for (_ <- 1 to rounds) {
+      val hop = e.join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      state = state.unionByName(hop)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
+      lastCp = Some(state)
+    }
+    state
+  }
+
+  // co-order slice; seeds = every 97th part id — distance-to-seed-core
+  // histogram after 4 rounds (exact for the ≤4-hop shells it reports)
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    val seeds = pairs.select(col("src").as("node"))
+      .where(col("node") % 97 === 0).distinct()
+    bfsDistances(pairs, seeds, rounds = 4)
+      .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("dist"))
+  }
+
+  private val q209Sql = {
+    val round = (i: Int) =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst, s.dist + 1 FROM d${i - 1} s JOIN e ON e.src = s.node)
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |d0 AS (
+       |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist FROM e
+       |  WHERE src % 97 = 0),
+       |${(1 to 4).map(round).mkString(",\n")}
+       |SELECT dist, count(*) AS n_nodes FROM d4
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q209_bfs_distance", q209, Some(q209Sql)),
     QueryDef("q207_neighborhood", q207, Some(q207Sql)),
     QueryDef("q185_kcore", q185, Some(q185Sql)),
     QueryDef("q178_assortativity", q178, Some(q178Sql)),

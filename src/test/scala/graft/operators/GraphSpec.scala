@@ -253,4 +253,37 @@ class GraphSpec extends AnyFunSuite {
       .map { case (n, h, e) => (n, h) -> e }.toMap
     assert(again == got)
   }
+
+  test("bfsDistances: equals brute-force BFS layers within the round budget") {
+    val rnd = new scala.util.Random(79)
+    val und = (0 until 500).map(_ =>
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val seedIds = Seq(0L, 7L, 13L)
+    val seeds = seedIds.toDF("node")
+    // brute-force multi-source BFS
+    val adj = (und ++ und.map(_.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keySet
+    var dist = seedIds.filter(nodes.contains).map(_ -> 0L).toMap
+    var frontier = dist.keySet
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj.getOrElse(_, Set.empty))
+        .filterNot(dist.contains)
+      dist ++= frontier.map(_ -> d)
+    }
+    for (rounds <- Seq(1, 3, 8)) {
+      val got = Graph.bfsDistances(edges, seeds, rounds)
+        .as[(Long, Long)].collect().toMap
+      val want = dist.filter(_._2 <= rounds)
+      assert(got == want, s"rounds=$rounds: ${got.size} vs ${want.size}")
+    }
+    // idempotence past the eccentricity: extra rounds change nothing
+    val fix = Graph.bfsDistances(edges, seeds, 30).as[(Long, Long)]
+      .collect().toMap
+    assert(fix == dist)
+  }
 }
