@@ -1178,6 +1178,82 @@ object EventsOps {
   private def q181(s: SparkSession, dir: String): DataFrame =
     rateAnomalies(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
 
+  // ==== q210: Holt linear-trend smoothing (integer double smoothing) ========
+  //
+  // The level+trend extension of q169's EWMA — the classic Holt (1957)
+  // forecaster behind capacity baselines ("where is this rate HEADING"),
+  // with α = β = 1/2 integerized: l₁ = x₁, b₁ = 0, then
+  //   lₜ = ⌊(lₜ₋₁ + bₜ₋₁ + xₜ) / 2⌋      (smooth toward the trend-advanced level)
+  //   bₜ = ⌊(bₜ₋₁ + (lₜ − lₜ₋₁)) / 2⌋    (smooth the level delta)
+  // and the one-step forecast is lₜ + bₜ. Unlike q169, the TREND is
+  // signed, and the engines' integer divisions disagree on negatives
+  // (Spark `div` truncates toward zero, DuckDB `//` floors) — so the
+  // halving is spelled as the sign-free floor identity
+  // (x − pmod(x, 2)) div 2, which both engines evaluate identically on
+  // every integer. Same per-series hours-domain fold shape as q169.
+
+  /** (event_type, hr, cnt, level, trend, forecast): Holt smoothing with
+    * α = β = 1/2 over hourly counts; forecast = next-hour prediction. */
+  def holtHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    hourly.groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("cnt")))).as("xs"))
+      .select(col("event_type"), explode(expr(
+        """aggregate(xs,
+          |  cast(array() as array<struct<hr: bigint, cnt: bigint, l: bigint, b: bigint>>),
+          |  (acc, e) -> acc || array(cast(
+          |    case when size(acc) = 0 then
+          |      named_struct('hr', e.hr, 'cnt', e.cnt, 'l', e.cnt, 'b', 0L)
+          |    else named_struct('hr', e.hr, 'cnt', e.cnt,
+          |      'l', (element_at(acc, -1).l + element_at(acc, -1).b + e.cnt
+          |            - pmod(element_at(acc, -1).l + element_at(acc, -1).b + e.cnt, 2)) div 2,
+          |      'b', (element_at(acc, -1).b
+          |            + ((element_at(acc, -1).l + element_at(acc, -1).b + e.cnt
+          |                - pmod(element_at(acc, -1).l + element_at(acc, -1).b + e.cnt, 2)) div 2)
+          |            - element_at(acc, -1).l
+          |            - pmod(element_at(acc, -1).b
+          |              + ((element_at(acc, -1).l + element_at(acc, -1).b + e.cnt
+          |                  - pmod(element_at(acc, -1).l + element_at(acc, -1).b + e.cnt, 2)) div 2)
+          |              - element_at(acc, -1).l, 2)) div 2)
+          |    end
+          |    as struct<hr: bigint, cnt: bigint, l: bigint, b: bigint>)))""".stripMargin))
+        .as("r"))
+      .select(col("event_type"), col("r.hr").as("hr"), col("r.cnt").as("cnt"),
+        col("r.l").as("level"), col("r.b").as("trend"),
+        (col("r.l") + col("r.b")).as("forecast"))
+  }
+
+  private def q210(s: SparkSession, dir: String): DataFrame =
+    holtHourly(Tables.events(s, dir)).orderBy(col("event_type"), col("hr"))
+
+  private val q210Sql =
+    """WITH RECURSIVE h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY hr) AS rn
+      |  FROM h),
+      |rec(event_type, rn, hr, cnt, l, b) AS (
+      |  SELECT event_type, rn, hr, cnt, cnt, CAST(0 AS BIGINT) FROM r
+      |  WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.event_type, r.rn, r.hr, r.cnt,
+      |    (rec.l + rec.b + r.cnt - ((rec.l + rec.b + r.cnt) % 2 + 2) % 2) // 2,
+      |    (rec.b
+      |     + ((rec.l + rec.b + r.cnt - ((rec.l + rec.b + r.cnt) % 2 + 2) % 2) // 2)
+      |     - rec.l
+      |     - ((rec.b
+      |         + ((rec.l + rec.b + r.cnt - ((rec.l + rec.b + r.cnt) % 2 + 2) % 2) // 2)
+      |         - rec.l) % 2 + 2) % 2) // 2
+      |  FROM rec JOIN r ON r.event_type = rec.event_type
+      |    AND r.rn = rec.rn + 1)
+      |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+      |  CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+      |  CAST(l + b AS BIGINT) AS forecast
+      |FROM rec ORDER BY event_type, hr""".stripMargin
+
   private val q181Sql =
     """WITH RECURSIVE h AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
@@ -1780,6 +1856,7 @@ object EventsOps {
     QueryDef("q188_cusum", q188, Some(q188Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),
+    QueryDef("q210_holt_trend", q210, Some(q210Sql)),
     QueryDef("q179_hourly_percentiles", q179, Some(q179Sql)),
     QueryDef("q175_rfm_segments", q175, Some(q175Sql)),
     QueryDef("q176_seasonal_naive", q176, Some(q176Sql)),

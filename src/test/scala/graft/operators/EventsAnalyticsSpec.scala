@@ -282,4 +282,47 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(got == Map("2024-01-01" -> ((2L, 1L)), "2024-01-02" -> ((1L, 1L))),
       s"got $got")
   }
+
+  /** Reference Holt fold (α = β = 1/2, floor halving) for bit parity. */
+  private def holtRef(xs: Seq[Long]): Seq[(Long, Long)] =
+    xs.foldLeft(Vector.empty[(Long, Long)]) { (acc, x) =>
+      if (acc.isEmpty) acc :+ ((x, 0L))
+      else {
+        val (l0, b0) = acc.last
+        val l = Math.floorDiv(l0 + b0 + x, 2)
+        val b = Math.floorDiv(b0 + (l - l0), 2)
+        acc :+ ((l, b))
+      }
+    }
+
+  test("holtHourly: bit parity with the sequential fold, incl. negative trends") {
+    // rise then crash: the downswing drives the trend negative, which is
+    // exactly where truncating vs flooring division would diverge
+    val counts = Seq(5L, 20L, 40L, 65L, 90L, 60L, 25L, 10L, 3L, 1L)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(i => (i, hr(h), "load"))
+    }.toDF("user_id", "ts", "event_type")
+    val got = EventsOps.holtHourly(rows)
+      .orderBy("hr").select(col("cnt"), col("level"), col("trend"),
+        col("forecast"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val want = holtRef(counts)
+    assert(got.map(_._1) == counts)
+    got.zip(want).foreach { case ((_, l, b, f), (wl, wb)) =>
+      assert(l == wl && b == wb && f == wl + wb,
+        s"got ${got.map(r => (r._2, r._3))} want $want")
+    }
+    assert(got.exists(_._3 < 0), "fixture must exercise a negative trend")
+  }
+
+  test("holtHourly: trend converges to the slope of a linear ramp") {
+    val counts = (1 to 30).map(t => 10L * t)
+    val rows = counts.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(i => (i, hr(h), "ramp"))
+    }.toDF("user_id", "ts", "event_type")
+    val last = EventsOps.holtHourly(rows).orderBy("hr")
+      .select(col("trend")).as[Long].collect().last
+    // integer halving quantizes; the smoothed trend must sit at the slope
+    assert(math.abs(last - 10L) <= 2, s"trend $last far from slope 10")
+  }
 }
