@@ -98,6 +98,86 @@ object Keyphrase {
       |FROM plen pl JOIN psc ON pl.doc_id = psc.doc_id AND pl.p = psc.p
       |GROUP BY 1 ORDER BY min(psc.score) DESC, pl.phrase LIMIT 20""".stripMargin
 
+  // ==== q211: TextRank keywords =============================================
+  //
+  // The graph-based counterpart of RAKE (Mihalcea & Tarau, "TextRank:
+  // Bringing Order into Texts", EMNLP 2004): words vote for each other
+  // through co-occurrence edges and PageRank finds the consensus — no
+  // stopword list needed, frequency alone doesn't win, connectivity does.
+  // Graph: one undirected edge per DISTINCT adjacent token pair (window
+  // w = 2, the paper's default) across the corpus; ranks from the same
+  // fixed-iteration [[Graph.pageRank]] kernel as q123 (one edge join +
+  // one map-side-combined sum per power step). The graph lives on the
+  // VOCABULARY domain — nodes = distinct tokens, edges = distinct
+  // bigrams — so the corpus-sized work is exactly one adjacent-pair
+  // projection + a distinct; everything after is vocab-sized. Top-k
+  // orders by the ROUNDED rank with a lexicographic tie-break (the q37
+  // discipline), so the cut is cross-engine stable.
+
+  /** Top-`k` TextRank keywords (word, rank) over adjacent-pair
+    * co-occurrence; `iterations` fixed power steps. */
+  def textRankKeywords(docs: DataFrame, k: Int,
+      iterations: Int = 5): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Tok.ws(col("text"))).as(Seq("i", "tok")))
+    val nxt = toks.select(col("doc_id"), (col("i") + 1).as("i"),
+      col("tok").as("prev"))
+    val pairs = toks.join(nxt, Seq("doc_id", "i"))
+      .where(col("prev") =!= col("tok"))
+      .select(col("prev").as("a"), col("tok").as("b"))
+    val edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    Graph.pageRank(edges, iterations)
+      .select(col("node").as("word"),
+        col("rank_scaled").cast(org.apache.spark.sql.types.DecimalType(38, 4))
+          .as("rdec"))
+      .orderBy(col("rdec").desc, col("word"))
+      .limit(k)
+      .select(col("word"), col("rdec").cast("string").as("rank"))
+  }
+
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    textRankKeywords(Tables.documents(s, dir), 25)
+
+  private val q211Sql = {
+    val iter = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT nodes.node,
+         |    (1 - CAST(0.85 AS DOUBLE)) / n.n + CAST(0.85 AS DOUBLE) *
+         |      coalesce(c.in_sum, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes CROSS JOIN n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / o.outdeg) AS in_sum
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) c ON nodes.node = c.node)""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+       |  FROM documents),
+       |adj AS (
+       |  SELECT t[i] AS a, t[i + 1] AS b
+       |  FROM toks, unnest(range(1, len(t))) AS u(i)
+       |  WHERE t[i] <> t[i + 1]),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT a AS src, b AS dst FROM adj
+       |    UNION ALL SELECT b AS src, a AS dst FROM adj)),
+       |outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |n AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (
+       |  SELECT node, CAST(1 AS DOUBLE) / n.n AS rank FROM nodes CROSS JOIN n),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT word, CAST(rdec AS VARCHAR) AS rank FROM (
+       |  SELECT node AS word, CAST(rank * n.n AS DECIMAL(38,4)) AS rdec
+       |  FROM r5 CROSS JOIN n
+       |  ORDER BY rdec DESC, word LIMIT 25)
+       |ORDER BY rdec DESC, word""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q187_rake_keyphrases", q187, Some(q187Sql)))
+    QueryDef("q187_rake_keyphrases", q187, Some(q187Sql)),
+    QueryDef("q211_textrank", q211, Some(q211Sql)))
 }
