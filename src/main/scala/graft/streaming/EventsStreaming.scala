@@ -553,4 +553,58 @@ object EventsStreaming {
       .transformWithState(new CusumProcessor(baseline),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ==== streaming Holt forecaster (q210's stream twin) ======================
+  //
+  // The batch operator's integer recurrence IS already an O(1)-state
+  // machine — (level, trend), two BIGINTs per series forever — so the
+  // stream twin just runs it under transformWithState: no window, no
+  // buffered history, bit-equal to the batch fold by construction
+  // (Math.floorDiv == the batch plan's (x − pmod(x,2)) div 2 on every
+  // integer). Unlike CUSUM there is no frozen baseline: Holt is
+  // self-initializing (l₁ = x₁, b₁ = 0), which also makes it the
+  // "forecast at the edge" shape — each arriving hourly aggregate
+  // updates two integers and emits the next-hour prediction. Same
+  // ordering contract as CUSUM: per-series hour order across batches.
+
+  class HoltProcessor
+      extends StatefulProcessor[String, (String, Long, Long), (String, Long, Long, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[(Long, Long, Boolean)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("holt",
+        Encoders.product[(Long, Long, Boolean)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Long, Long, Long)] = {
+      var (l, b, started) =
+        if (st.exists()) st.get() else (0L, 0L, false)
+      val out = rows.toSeq.sortBy(_._2).map { case (_, hr, cnt) =>
+        if (!started) { l = cnt; b = 0L; started = true }
+        else {
+          val l1 = Math.floorDiv(l + b + cnt, 2L)
+          b = Math.floorDiv(b + (l1 - l), 2L)
+          l = l1
+        }
+        (key, hr, cnt, l, b, l + b)
+      }
+      st.update((l, b, started))
+      out.iterator
+    }
+  }
+
+  /** Streaming Holt smoothing over pre-aggregated (series, hr, cnt) rows:
+    * (series, hr, cnt, level, trend, forecast), bit-equal to the batch
+    * [[graft.operators.EventsOps.holtHourly]]. RocksDB required. */
+  def holtStream(hourly: DataFrame)
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .select(col("event_type").cast("string"), col("hr").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new HoltProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

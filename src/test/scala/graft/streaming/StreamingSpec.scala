@@ -750,6 +750,50 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("B147s: streaming Holt == batch Holt bit-for-bit, state across batches") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // rise-then-crash series: the downswing forces negative trends,
+      // where floor-vs-truncate halving would diverge
+      val base = 1704067200000000L
+      val counts = Seq(5, 20, 40, 65, 90, 60, 25, 10, 3, 1)
+      val events = counts.zipWithIndex.flatMap { case (c, h) =>
+        (0 until c).map(i => ("load", base + h * 3600000000L + i * 1000L)) ++
+          (0 until (h + 1)).map(i => ("ramp", base + h * 3600000000L + i * 1000L))
+      }.zipWithIndex.map { case ((t, us), id) =>
+        (id.toLong, new Timestamp(us / 1000L), t)
+      }
+      val eventsDf = events.toDF("user_id", "ts", "event_type")
+      val batch = graft.operators.EventsOps.holtHourly(eventsDf)
+        .select(col("event_type"), col("hr"), col("cnt"), col("level"),
+          col("trend"), col("forecast"))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(batch.exists(_._5 < 0), "fixture must exercise a negative trend")
+      val hourly = eventsDf
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+        .as[(String, Long, Long)].collect().sortBy(r => (r._2, r._1))
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val q = EventsStreaming.holtStream(
+        input.toDF().toDF("event_type", "hr", "cnt"))
+        .writeStream.format("memory").queryName("holt_out")
+        .outputMode("update").start()
+      try {
+        hourly.grouped(hourly.length / 4 + 1).foreach { slice =>
+          input.addData(slice: _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("holt_out")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch diverged: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B90b: initial-state quota — batch ledger seeds the throttle across a restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
