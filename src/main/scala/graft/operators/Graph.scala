@@ -125,6 +125,106 @@ object Graph {
        |FROM r5 CROSS JOIN n ORDER BY node""".stripMargin
   }
 
+  // ==== q212: personalized PageRank (seed-restart) ==========================
+  //
+  // PageRank's teleport mass redirected to a SEED SET instead of the
+  // uniform vector — the random-walk-with-restart relevance measure
+  // behind item-to-item recommendation and seed-expansion retrieval
+  // (Haveliwala, "Topic-Sensitive PageRank", WWW 2002): nodes rank by
+  // proximity to the seeds, not global centrality. Same per-iteration
+  // shape as q123 (one edge join + one map-side-combined sum); the only
+  // change is the restart term (1−d)·1/|S| paid on seed rows only, via a
+  // LEFT join against the seed frame. Seeds with no outgoing rank still
+  // receive restart mass, so the walk never dies.
+
+  /** Fixed-iteration personalized PageRank over directed (src, dst)
+    * edges with uniform restart over `seeds` (col `node`). Returns every
+    * node's rank (sums to ~1 over the graph). */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val s = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1L))
+    val sRow = broadcast(s.agg(count(lit(1)).as("ns")))
+    // restart vector: 1/|S| on seeds, 0 elsewhere — also the initial rank
+    val restart = nodes.join(broadcast(s), Seq("node"), "left")
+      .crossJoin(sRow)
+      .select(col("node"),
+        (coalesce(col("is_seed"), lit(0L)).cast("double") / col("ns"))
+          .as("restart"))
+    var ranks = restart.select(col("node"), col("restart").as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
+      ranks = restart
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          ((lit(1.0) - lit(damping)) * col("restart") +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+    }
+    ranks
+  }
+
+  // seed cohort: every 100th customer; the ranking surfaces the parts
+  // (and peer customers) closest to the cohort's purchase neighborhood
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.orders(s, dir)
+      .select(concat(lit("c"), col("o_custkey")).as("node"))
+      .where(col("o_custkey") % 100 === 0).distinct()
+    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 5)
+      .select(col("node"),
+        col("rank").cast(org.apache.spark.sql.types.DecimalType(38, 8))
+          .as("rdec"))
+      .orderBy(col("rdec").desc, col("node")).limit(25)
+      .select(col("node"), col("rdec").cast("string").as("rank"))
+  }
+
+  private val q212Sql = {
+    val iter = (i: Int) =>
+      s"""r$i AS (
+         |  SELECT rst.node,
+         |    (1 - CAST(0.85 AS DOUBLE)) * rst.restart + CAST(0.85 AS DOUBLE) *
+         |      coalesce(c.in_sum, CAST(0 AS DOUBLE)) AS rank
+         |  FROM rst LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank / o.outdeg) AS in_sum
+         |    FROM e JOIN r${i - 1} r ON e.src = r.node
+         |    JOIN outd o ON e.src = o.src
+         |    GROUP BY e.dst) c ON rst.node = c.node)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |    'p' || CAST(l_partkey AS VARCHAR) AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT c AS src, p AS dst FROM pairs
+       |    UNION ALL SELECT p AS src, c AS dst FROM pairs)),
+       |outd AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+       |seeds AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS node
+       |  FROM orders WHERE o_custkey % 100 = 0),
+       |ns AS (SELECT count(*) AS ns FROM seeds),
+       |rst AS MATERIALIZED (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN CAST(0 AS DOUBLE)
+       |         ELSE CAST(1 AS DOUBLE) / ns.ns END AS restart
+       |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node CROSS JOIN ns),
+       |r0 AS (SELECT node, restart AS rank FROM rst),
+       |${(1 to 5).map(iter).mkString(",\n")}
+       |SELECT node, CAST(rdec AS VARCHAR) AS rank FROM (
+       |  SELECT node, CAST(rank AS DECIMAL(38,8)) AS rdec FROM r5
+       |  ORDER BY rdec DESC, node LIMIT 25)
+       |ORDER BY rdec DESC, node""".stripMargin
+  }
+
   // ==== q124: deterministic k-fold split assignment =========================
   //
   // Cross-validation folds from a content-independent hash of the key —
@@ -777,6 +877,7 @@ object Graph {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q209_bfs_distance", q209, Some(q209Sql)),
+    QueryDef("q212_personalized_pagerank", q212, Some(q212Sql)),
     QueryDef("q207_neighborhood", q207, Some(q207Sql)),
     QueryDef("q185_kcore", q185, Some(q185Sql)),
     QueryDef("q178_assortativity", q178, Some(q178Sql)),

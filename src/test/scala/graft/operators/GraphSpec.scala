@@ -254,6 +254,25 @@ class GraphSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("personalizedPageRank: mass conserved, locality beats global centrality") {
+    // barbell: hub1-(a,b,c) ... bridge ... hub2-(x,y,z); seed = hub1 side
+    val g = sym(("h1", "a"), ("h1", "b"), ("h1", "c"), ("h1", "br"),
+      ("br", "h2"), ("h2", "x"), ("h2", "y"), ("h2", "z"))
+    val ranks = Graph.personalizedPageRank(g, Seq("h1").toDF("node"),
+        iterations = 20)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9, s"mass: $ranks")
+    // h2 is as central as h1 globally, but the walk restarts at h1:
+    // every h1-side node must outrank its mirror on the h2 side
+    assert(ranks("h1") > ranks("h2"), s"seed side must win: $ranks")
+    assert(ranks("a") > ranks("x"), s"seed-adjacent must win: $ranks")
+    // uniform-PageRank sanity: the same graph WITHOUT personalization
+    // ranks the two hubs equally (symmetry) — the seed is what breaks it
+    val uni = Graph.pageRank(g, iterations = 20)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(uni("h1") - uni("h2")) < 1e-9)
+  }
+
   test("bfsDistances: equals brute-force BFS layers within the round budget") {
     val rnd = new scala.util.Random(79)
     val und = (0 until 500).map(_ =>
