@@ -1141,6 +1141,78 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS mi_nats
       |FROM terms""".stripMargin
 
+  // ==== q213: chi-square independence test + Cramér's V =====================
+  //
+  // Pearson's χ² over a categorical contingency table — the classic
+  // "are these two labels independent" screen (q195's MI in hypothesis-
+  // test clothing), reported as the STATISTIC + dof + Cramér's V, not a
+  // p-value (the χ² CDF is a libm special function — the q197 rule).
+  // Algebra: Σ(O−E)²/E with E = cₓc_y/N telescopes to N·Σ O²/(cₓc_y) − N,
+  // so the only float op is ONE division per DISTINCT cell, floored to
+  // nano units (the q195 discipline) — cell terms sum order-free, and
+  // χ² = Σt/10⁹ − N recovers exactly the same double in both engines.
+  // Cramér's V = √(χ²/(N·min(r−1,c−1))) rides on that double: sqrt is
+  // correctly rounded by IEEE in both engines, so no new drift source.
+  // Scale shape: identical to q195 — category-domain counts, broadcast
+  // margins, scalar render.
+
+  /** One row: (n, n_rows, n_cols, dof, chi2, cramers_v) for the x × y
+    * contingency table of `df`. */
+  def chiSquareTest(df: DataFrame, x: String, y: String): DataFrame = {
+    val joint = df.groupBy(col(x).as("xv"), col(y).as("yv"))
+      .agg(count(lit(1)).as("c"))
+    val mx = joint.groupBy(col("xv")).agg(sum(col("c")).as("cx"))
+    val my = joint.groupBy(col("yv")).agg(sum(col("c")).as("cy"))
+    val n = joint.agg(sum(col("c")).as("n"))
+    val nr = broadcast(mx.agg(count(lit(1)).as("r")))
+    val nc = broadcast(my.agg(count(lit(1)).as("cc")))
+    joint.join(broadcast(mx), Seq("xv")).join(broadcast(my), Seq("yv"))
+      .crossJoin(broadcast(n))
+      .select(col("n"),
+        floor(lit(1e9) * (col("n") * col("c") * col("c")).cast("double") /
+          (col("cx") * col("cy")).cast("double")).cast("long").as("t"))
+      .agg(first(col("n")).as("n"), sum(col("t")).as("t"))
+      .crossJoin(nr).crossJoin(nc)
+      .select(col("n"), col("r").as("n_rows"), col("cc").as("n_cols"),
+        ((col("r") - 1) * (col("cc") - 1)).as("dof"),
+        (col("t").cast("double") / lit(1e9) - col("n").cast("double"))
+          .as("chi2"),
+        sqrt((col("t").cast("double") / lit(1e9) - col("n").cast("double")) /
+          (col("n").cast("double") *
+            least(col("r") - 1, col("cc") - 1).cast("double"))).as("v"))
+      .select(col("n"), col("n_rows"), col("n_cols"), col("dof"),
+        QueryDef.dec4(col("chi2")).as("chi2"),
+        QueryDef.dec4(col("v")).as("cramers_v"))
+  }
+
+  private def q213(s: SparkSession, dir: String): DataFrame =
+    chiSquareTest(Tables.documents(s, dir), "lang", "source")
+
+  private val q213Sql =
+    """WITH joint AS (
+      |  SELECT lang AS xv, source AS yv, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |mx AS (SELECT xv, CAST(sum(c) AS BIGINT) AS cx FROM joint GROUP BY 1),
+      |my AS (SELECT yv, CAST(sum(c) AS BIGINT) AS cy FROM joint GROUP BY 1),
+      |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM joint),
+      |nr AS (SELECT count(*) AS r FROM mx),
+      |nc AS (SELECT count(*) AS cc FROM my),
+      |terms AS (
+      |  SELECT n.n,
+      |    CAST(floor(1000000000.0 *
+      |      CAST(n.n * j.c * j.c AS DOUBLE) / CAST(mx.cx * my.cy AS DOUBLE))
+      |      AS BIGINT) AS t
+      |  FROM joint j JOIN mx USING (xv) JOIN my USING (yv) CROSS JOIN n),
+      |agg AS (SELECT max(n) AS n, CAST(sum(t) AS BIGINT) AS t FROM terms)
+      |SELECT n, nr.r AS n_rows, nc.cc AS n_cols,
+      |  (nr.r - 1) * (nc.cc - 1) AS dof,
+      |  CAST(CAST(CAST(t AS DOUBLE) / 1000000000.0 - CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2,
+      |  CAST(CAST(sqrt((CAST(t AS DOUBLE) / 1000000000.0 - CAST(n AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(least(nr.r - 1, nc.cc - 1) AS DOUBLE)))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS cramers_v
+      |FROM agg CROSS JOIN nr CROSS JOIN nc""".stripMargin
+
   // ==== q197: grouped Welch t-test ==========================================
   //
   // The A/B primitive: per segment, does the treatment cohort's mean
@@ -1288,6 +1360,7 @@ object Profiling {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_privacy_audit", q202, Some(q202Sql)),
+    QueryDef("q213_chi_square", q213, Some(q213Sql)),
     QueryDef("q197_welch_ttest", q197, Some(q197Sql)),
     QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
     QueryDef("q195_mutual_information", q195, Some(q195Sql)),

@@ -264,4 +264,27 @@ class ProfilingSpec extends AnyFunSuite {
       .as[Boolean].head()
     assert(r3)
   }
+
+  test("chiSquareTest: textbook 2x2 value, zero under exact independence") {
+    import spark.implicits._
+    // classic 2x2: rows (t1, t2) x cols (a, b) with counts 20/30/30/20 —
+    // chi2 = N(ad-bc)^2 / (r1 r2 c1 c2) = 100*(400-900)^2/50^4 = 4.0
+    val dep = (Seq.fill(20)(("t1", "a")) ++ Seq.fill(30)(("t1", "b")) ++
+      Seq.fill(30)(("t2", "a")) ++ Seq.fill(20)(("t2", "b")))
+      .toDF("x", "y")
+    val got = Profiling.chiSquareTest(dep, "x", "y")
+      .select("n", "dof", "chi2", "cramers_v")
+      .as[(Long, Long, String, String)].head()
+    assert(got._1 == 100L && got._2 == 1L)
+    assert(math.abs(BigDecimal(got._3).toDouble - 4.0) < 1e-3, got)
+    // V for 2x2 = sqrt(chi2/N) = 0.2
+    assert(math.abs(BigDecimal(got._4).toDouble - 0.2) < 1e-3, got)
+    // exact independence: counts proportional to margin products
+    val ind = (Seq.fill(10)(("t1", "a")) ++ Seq.fill(20)(("t1", "b")) ++
+      Seq.fill(20)(("t2", "a")) ++ Seq.fill(40)(("t2", "b")))
+      .toDF("x", "y")
+    val chi0 = Profiling.chiSquareTest(ind, "x", "y")
+      .select("chi2").as[String].head()
+    assert(math.abs(BigDecimal(chi0).toDouble) < 1e-3, chi0)
+  }
 }
