@@ -896,6 +896,80 @@ object EventsOps {
       |    AS r
       |FROM m ORDER BY lag""".stripMargin
 
+  // ==== q214: cross-correlation between two event-type series ===============
+  //
+  // q152's Pearson machinery pointed ACROSS series: r(lag) between
+  // series A at hour t and series B at hour t−lag, for positive and
+  // NEGATIVE lags — the lead/lag detector ("do clicks follow views, and
+  // by how many hours?") behind campaign attribution and cascading-
+  // failure forensics; the argmax lag estimates the delay. Same
+  // calendar-correct hour-index join (window lag() would pair across
+  // gaps), same exact integer moments divided once in double from
+  // identical inputs. Hour-domain sizes throughout; the lag frame
+  // broadcasts.
+
+  /** (lag, n_pairs, r) of Pearson r between hourly counts of `typeA` at
+    * t and `typeB` at t − lag, per lag in `lags` (negative = A leads). */
+  def crossCorrHourly(events: DataFrame, typeA: String, typeB: String,
+      lags: Seq[Int]): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("hi", expr("unix_micros(hour) div 3600000000"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lagDf = lags.toDF("lag")
+    val a = hourly.where(col("event_type") === typeA)
+      .select(col("hi"), col("n").as("x"))
+    val b = hourly.where(col("event_type") === typeB)
+      .select(col("hi").as("hib"), col("n").as("y"))
+    a.crossJoin(broadcast(lagDf))
+      .join(b, col("hib") === col("hi") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        ((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("r"))
+  }
+
+  private def q214(s: SparkSession, dir: String): DataFrame =
+    crossCorrHourly(Tables.events(s, dir), "click", "view",
+      Seq(-24, -2, -1, 0, 1, 2, 24))
+      .select(col("lag"), col("n_pairs"), QueryDef.dec4(col("r")).as("r"))
+      .orderBy(col("lag"))
+
+  private val q214Sql =
+    """WITH hourly AS (
+      |  SELECT event_type, count(*) AS n,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS hi
+      |  FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      |pairs AS (
+      |  SELECT l.lag, a.n AS x, b.n AS y
+      |  FROM hourly a
+      |  CROSS JOIN (VALUES (-24), (-2), (-1), (0), (1), (2), (24)) AS l(lag)
+      |  JOIN hourly b ON b.hi = a.hi - l.lag
+      |  WHERE a.event_type = 'click' AND b.event_type = 'view'),
+      |m AS (
+      |  SELECT lag, count(*) AS np,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM pairs GROUP BY 1)
+      |SELECT lag, np AS n_pairs,
+      |  CAST(CAST(CAST(np * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(np * sxx - sx * sx AS DOUBLE) *
+      |      CAST(np * syy - sy * sy AS DOUBLE)) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS r
+      |FROM m ORDER BY lag""".stripMargin
+
   // ==== q159: inter-arrival burstiness per user =============================
   //
   // Mean and squared coefficient of variation of each user's event
@@ -1857,6 +1931,7 @@ object EventsOps {
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),
     QueryDef("q210_holt_trend", q210, Some(q210Sql)),
+    QueryDef("q214_cross_corr", q214, Some(q214Sql)),
     QueryDef("q179_hourly_percentiles", q179, Some(q179Sql)),
     QueryDef("q175_rfm_segments", q175, Some(q175Sql)),
     QueryDef("q176_seasonal_naive", q176, Some(q176Sql)),

@@ -315,6 +315,25 @@ class EventsAnalyticsSpec extends AnyFunSuite {
     assert(got.exists(_._3 < 0), "fixture must exercise a negative trend")
   }
 
+  test("crossCorrHourly: recovers a planted 2-hour lead at the argmax lag") {
+    // view counts vary; click at hour h replays view's count from h-2
+    val viewCounts = Seq(3L, 14L, 9L, 2L, 13L, 5L, 8L, 15L, 4L, 11L,
+      6L, 12L, 7L, 10L, 2L, 9L)
+    val rows = viewCounts.zipWithIndex.flatMap { case (c, h) =>
+      (1L to c).map(i => (i, hr(h), "view")) ++
+        (if (h >= 2) (1L to viewCounts(h - 2)).map(i => (i, hr(h), "click"))
+         else Nil)
+    }.toDF("user_id", "ts", "event_type")
+    val r = EventsOps.crossCorrHourly(rows, "click", "view",
+        Seq(-2, -1, 0, 1, 2))
+      .select(col("lag"), col("r")).as[(Int, Double)].collect().toMap
+    // click at t equals view at t-2: perfect correlation at lag +2,
+    // and the argmax over lags is unique there
+    assert(math.abs(r(2) - 1.0) < 1e-9, s"planted lag must peak: $r")
+    assert(r.maxBy(_._2)._1 == 2, s"argmax wrong: $r")
+    r.filter(_._1 != 2).values.foreach(v => assert(v < 0.95, s"peak not unique: $r"))
+  }
+
   test("holtHourly: trend converges to the slope of a linear ramp") {
     val counts = (1 to 30).map(t => 10L * t)
     val rows = counts.zipWithIndex.flatMap { case (c, h) =>
