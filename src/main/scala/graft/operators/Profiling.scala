@@ -1141,6 +1141,98 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS mi_nats
       |FROM terms""".stripMargin
 
+  // ==== q216: grouped Mann–Whitney U test ===================================
+  //
+  // The rank-based (distribution-free) two-sample test — q197's Welch for
+  // data where means mislead (heavy tails, ordinal outcomes): U compares
+  // every A observation against every B observation, computed WITHOUT the
+  // quadratic comparison via the rank-sum identity U₁ = R₁ − n₁(n₁+1)/2.
+  // Ranks are MIDRANKS over the DISTINCT-VALUE histogram: for value v
+  // with c_v occurrences and S_v smaller rows, 2·midrank = 2S_v + c_v + 1
+  // — kept ×2 so every quantity is an exact BIGINT until the final z
+  // division (the engine-wide integer-moments rule). The z statistic
+  // carries the textbook tie correction Σ(c³−c); statistic-not-p-value
+  // (normal CDF is libm — the q197 rule). Scale shape: one corpus-sized
+  // groupBy to the (group, value) histogram; the rank window runs on
+  // DISTINCT VALUES per group (the q200 domain-window discipline), never
+  // on rows.
+
+  /** One row per `group`: (g, n0, n1, u1, z) — U for arm 1 (midranks) and
+    * the tie-corrected normal approximation z. `armExpr` selects arm 1. */
+  def mannWhitneyU(df: DataFrame, group: String, x: String,
+      armExpr: String): DataFrame = {
+    val hist = df
+      .select(col(group).as("g"), col(x).as("v"),
+        when(expr(armExpr), 1L).otherwise(0L).as("a"))
+      .groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("a")).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    def dd(c: Column) = c.cast("double")
+    hist
+      .withColumn("s", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(sum(col("c") - col("c1")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c1") * (lit(2L) * col("s") + col("c") + 1L)).as("r2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .select(col("g"), col("n0"), col("n1"),
+        ((col("r2") - col("n1") * (col("n1") + 1L)).cast("double") / 2.0)
+          .as("u1"),
+        col("r2"), col("ties"))
+      .withColumn("nn", col("n0") + col("n1"))
+      .withColumn("z",
+        (col("u1") - dd(col("n0")) * dd(col("n1")) / 2.0) /
+          sqrt(dd(col("n0")) * dd(col("n1")) / 12.0 *
+            (dd(col("nn")) + 1.0 -
+              dd(col("ties")) / (dd(col("nn")) * (dd(col("nn")) - 1.0)))))
+      .select(col("g"), col("n0"), col("n1"),
+        QueryDef.dec4(col("u1")).as("u1"), QueryDef.dec4(col("z")).as("z"))
+  }
+
+  // same experiment frame as q197: arm = even order key, outcome = cents
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    mannWhitneyU(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey")),
+      "o_orderpriority", "cents", "o_orderkey % 2 = 0")
+      .orderBy(col("g"))
+
+  private val q216Sql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS g,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      |  FROM orders),
+      |hist AS (
+      |  SELECT g, v, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(a) AS BIGINT) AS c1
+      |  FROM d GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT g, v, c, c1,
+      |    CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS s
+      |  FROM hist),
+      |m AS (
+      |  SELECT g, CAST(sum(c - c1) AS BIGINT) AS n0,
+      |    CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c1 * (2 * s + c + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM ranked GROUP BY 1)
+      |SELECT g, n0, n1,
+      |  CAST(CAST(CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS u1,
+      |  CAST(CAST(
+      |    (CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+      |      - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0) /
+      |    sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+      |      (CAST(n0 + n1 AS DOUBLE) + 1.0 - CAST(ties AS DOUBLE) /
+      |        (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0))))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM m ORDER BY g""".stripMargin
+
   // ==== q213: chi-square independence test + Cramér's V =====================
   //
   // Pearson's χ² over a categorical contingency table — the classic
@@ -1361,6 +1453,7 @@ object Profiling {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q202_privacy_audit", q202, Some(q202Sql)),
     QueryDef("q213_chi_square", q213, Some(q213Sql)),
+    QueryDef("q216_mann_whitney", q216, Some(q216Sql)),
     QueryDef("q197_welch_ttest", q197, Some(q197Sql)),
     QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
     QueryDef("q195_mutual_information", q195, Some(q195Sql)),

@@ -265,6 +265,23 @@ class ProfilingSpec extends AnyFunSuite {
     assert(r3)
   }
 
+  test("mannWhitneyU: equals the brute-force pairwise definition with ties") {
+    import spark.implicits._
+    val arm0 = Seq(3L, 5L, 5L, 8L, 12L, 12L, 20L)
+    val arm1 = Seq(5L, 9L, 12L, 15L, 15L, 31L)
+    val rows = (arm0.map(v => ("g", v, 0L)) ++ arm1.map(v => ("g", v, 1L)))
+      .zipWithIndex.map { case ((g, v, a), i) => (g, v, a, i.toLong) }
+      .toDF("g", "v", "arm", "id")
+    val got = Profiling.mannWhitneyU(rows, "g", "v", "arm = 1")
+      .select("n0", "n1", "u1").as[(Long, Long, String)].head()
+    // brute force: U1 = #{b > a} + 0.5 #{b = a}
+    val wins = (for (a <- arm0; b <- arm1) yield
+      if (b > a) 1.0 else if (b == a) 0.5 else 0.0).sum
+    assert(got._1 == 7L && got._2 == 6L)
+    assert(math.abs(BigDecimal(got._3).toDouble - wins) < 1e-9,
+      s"U1 ${got._3} != brute $wins")
+  }
+
   test("chiSquareTest: textbook 2x2 value, zero under exact independence") {
     import spark.implicits._
     // classic 2x2: rows (t1, t2) x cols (a, b) with counts 20/30/30/20 —
