@@ -1923,7 +1923,60 @@ object EventsOps {
       |  AND a.break_hr = b.break_hr AND a.side = 0 AND b.side = 1
       |ORDER BY a.event_type""".stripMargin
 
+  // ==== q220: sequential-pattern pair support ================================
+  //
+  // The length-2 core of sequential pattern mining (GSP/PrefixSpan's
+  // seed step, and the input to "users who do A tend to do B next"
+  // analyses): for every ordered type pair (a, b), how many users have
+  // SOME a-event strictly before SOME b-event. The naive count is a
+  // per-user event self-join — quadratic in the hottest user's history.
+  // The rewrite: ∃ tsₐ < ts_b ⟺ min(tsₐ) < max(ts_b), so one map-side-
+  // combined groupBy to the (user, type) domain carrying (min_us, max_us)
+  // suffices, and the self-join runs on ≤ |types| rows per user — fan-out
+  // bounded by the TYPE domain, immune to per-user event skew (the q112
+  // funnel discipline). Support fractions divide integers.
+
+  /** Ordered pairs (first_type, then_type, n_users, frac) where n_users
+    * counts users with some first_type event strictly before some
+    * then_type event. */
+  def sequencePairSupport(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_micros(col("ts"))).as("tmin"),
+        max(unix_micros(col("ts"))).as("tmax"))
+    val total = stats.select(col("user_id")).distinct().count() // one scalar
+    stats.toDF("user_id", "first_type", "tmin_a", "tmax_a")
+      .join(stats.toDF("user_id", "then_type", "tmin_b", "tmax_b"),
+        Seq("user_id"))
+      .where(col("first_type") =!= col("then_type") &&
+        col("tmin_a") < col("tmax_b"))
+      .groupBy(col("first_type"), col("then_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("frac", QueryDef.dec4(
+        col("n_users").cast("double") / lit(total.toDouble)))
+  }
+
+  private def q220(s: SparkSession, dir: String): DataFrame =
+    sequencePairSupport(Tables.events(s, dir))
+      .orderBy(col("first_type"), col("then_type"))
+
+  // naive oracle: raw event self-join with EXISTS semantics — the
+  // differential proves the min/max rewrite, not a replay
+  private val q220Sql =
+    """WITH u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+      |p AS (
+      |  SELECT a.event_type AS first_type, b.event_type AS then_type,
+      |    count(DISTINCT a.user_id) AS n_users
+      |  FROM events a JOIN events b
+      |    ON a.user_id = b.user_id AND a.ts < b.ts
+      |    AND a.event_type <> b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT first_type, then_type, n_users,
+      |  CAST(CAST(CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS frac
+      |FROM p CROSS JOIN u ORDER BY first_type, then_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_seq_pair_support", q220, Some(q220Sql)),
     QueryDef("q200_rolling_robust_z", q200, Some(q200Sql)),
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),

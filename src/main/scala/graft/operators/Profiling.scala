@@ -1450,7 +1450,137 @@ object Profiling {
       |    AS rows_not_ldiverse
       |FROM cls""".stripMargin
 
+  // ==== q218: functional-dependency / candidate-key audit ===================
+  //
+  // Schema profiling's core discovery question (Papenbrock et al.'s FD
+  // discovery, the metadata layer of every data catalog): does column A
+  // functionally determine column B — equivalently, is A a key for the
+  // (A, B) projection? Exact per declared pair: one map-side-combined
+  // groupBy to the DETERMINANT domain counting distinct dependents, then a
+  // domain-sized rollup. Each pair is an independent two-column shuffle —
+  // at 100 TB, pairs run in one job over shared scans (Spark reuses the
+  // cached/columnar scan across the unioned branches, and each branch
+  // projects just its two columns, so the parquet reader never widens).
+  // A violating determinant value is one whose group maps to > 1 distinct
+  // dependent; fd_holds ⟺ zero violations; n_det == n_rows flags A as a
+  // candidate KEY of the relation (the FD A → everything).
+
+  /** Per (determinant, dependent) pair over `df`: determinant-domain size,
+    * violating-determinant count, max dependents under one determinant,
+    * and whether the FD holds exactly. */
+  def fdAudit(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (det, dep) =>
+      df.groupBy(col(det)).agg(countDistinct(col(dep)).as("ndep"))
+        .agg(count(lit(1)).as("n_det"),
+          sum(when(col("ndep") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max(col("ndep")).as("max_deps"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n_det"), col("n_violating"), col("max_deps"),
+          (col("n_violating") === 0L).as("fd_holds"))
+    }.reduce(_ unionAll _)
+
+  private def q218(s: SparkSession, dir: String): DataFrame =
+    fdAudit(Tables.lineitem(s, dir), Seq(
+      "l_orderkey" -> "l_returnflag",
+      "l_orderkey" -> "l_suppkey",
+      "l_partkey" -> "l_shipdate",
+      "l_suppkey" -> "l_linestatus"))
+      .unionAll(fdAudit(Tables.orders(s, dir), Seq(
+        "o_orderkey" -> "o_custkey",
+        "o_custkey" -> "o_orderpriority")))
+      .orderBy(col("determinant"), col("dependent"))
+
+  private val q218Sql = {
+    def one(table: String, det: String, dep: String) =
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         |  count(*) AS n_det,
+         |  CAST(sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_violating,
+         |  CAST(max(ndep) AS BIGINT) AS max_deps,
+         |  sum(CASE WHEN ndep > 1 THEN 1 ELSE 0 END) = 0 AS fd_holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS ndep
+         |      FROM $table GROUP BY $det)""".stripMargin
+    Seq(one("lineitem", "l_orderkey", "l_returnflag"),
+      one("lineitem", "l_orderkey", "l_suppkey"),
+      one("lineitem", "l_partkey", "l_shipdate"),
+      one("lineitem", "l_suppkey", "l_linestatus"),
+      one("orders", "o_orderkey", "o_custkey"),
+      one("orders", "o_custkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY determinant, dependent")
+  }
+
+  // ==== q219: HBOS anomaly scoring ===========================================
+  //
+  // Histogram-Based Outlier Score (Goldstein & Dengel 2012) — the
+  // linear-time unsupervised outlier detector: per feature, an equal-width
+  // histogram; a row's score is Σ_f ln(N / freq_f(bin_f(row))) — rare bins
+  // on many features ⇒ high score. Complements q118's distance-style
+  // MAD detector with a density-style one. All binning is exact BIGINT
+  // arithmetic ((v − min)·B div (max − min + 1) — no float boundary), the
+  // histograms are feature-domain tables (B rows each) joined back
+  // broadcast, and each ln is computed ONCE per distinct bin and floored
+  // to micro-nats (the q99/q183/q195 rule) so per-row scores are integer
+  // sums — order-free and cross-engine exact.
+
+  /** Top-`k` outliers of `df` by HBOS over integral feature columns
+    * `features` (each with `buckets` equal-width bins): (id, score_unats). */
+  def hbosOutliers(df: DataFrame, idCol: String, features: Seq[String],
+      buckets: Int, k: Int): DataFrame = {
+    // ONE stats pass for n + every feature's range (2·|features|+1 scalars)
+    val statsRow = df.agg(count(lit(1)),
+      features.flatMap(f =>
+        Seq(min(col(f).cast("long")), max(col(f).cast("long")))): _*).head
+    val n = statsRow.getLong(0)
+    val scored = features.zipWithIndex.map { case (f, i) =>
+      val (lo, hi) = (statsRow.getLong(1 + 2 * i), statsRow.getLong(2 + 2 * i))
+      val binned = df.select(col(idCol),
+        expr(s"((CAST($f AS BIGINT) - ${lo}L) * ${buckets}L)" +
+          s" div ${hi - lo + 1}L").as("bin"))
+      val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+        .withColumn(s"s$i",
+          floor(log(lit(n.toDouble) / col("c").cast("double")) * 1e6)
+            .cast("long"))
+        .select(col("bin"), col(s"s$i"))
+      binned.join(broadcast(hist), Seq("bin")).select(col(idCol), col(s"s$i"))
+    }.reduce(_.join(_, idCol))
+    scored.select(col(idCol),
+      features.indices.map(i => col(s"s$i")).reduce(_ + _).as("score_unats"))
+      .orderBy(col("score_unats").desc, col(idCol)).limit(k)
+  }
+
+  private def q219(s: SparkSession, dir: String): DataFrame =
+    hbosOutliers(
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"),
+        size(Tok.ws(col("text"))).cast("long").as("n_tokens")),
+      "doc_id", Seq("n_chars", "n_tokens"), buckets = 16, k = 20)
+
+  private val q219Sql =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT min(n_chars) AS lo1, max(n_chars) AS hi1,
+      |             min(n_tokens) AS lo2, max(n_tokens) AS hi2,
+      |             count(*) AS n FROM d),
+      |b AS (
+      |  SELECT doc_id,
+      |    ((n_chars - lo1) * 16) // (hi1 - lo1 + 1) AS bin1,
+      |    ((n_tokens - lo2) * 16) // (hi2 - lo2 + 1) AS bin2
+      |  FROM d CROSS JOIN r),
+      |h1 AS (SELECT bin1, CAST(floor(ln(CAST((SELECT n FROM r) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s1
+      |  FROM b GROUP BY bin1),
+      |h2 AS (SELECT bin2, CAST(floor(ln(CAST((SELECT n FROM r) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE)) * 1e6) AS BIGINT) AS s2
+      |  FROM b GROUP BY bin2)
+      |SELECT doc_id, s1 + s2 AS score_unats
+      |FROM b JOIN h1 USING (bin1) JOIN h2 USING (bin2)
+      |ORDER BY score_unats DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q218_fd_audit", q218, Some(q218Sql)),
+    QueryDef("q219_hbos_outliers", q219, Some(q219Sql)),
     QueryDef("q202_privacy_audit", q202, Some(q202Sql)),
     QueryDef("q213_chi_square", q213, Some(q213Sql)),
     QueryDef("q216_mann_whitney", q216, Some(q216Sql)),
