@@ -136,7 +136,60 @@ object Bitmaps {
       |FROM d JOIN e ON e.day BETWEEN d.day - 6 AND d.day
       |GROUP BY d.day ORDER BY day""".stripMargin
 
+  // ==== q224: distinct-count cube from ONE fine-grain bitmap pass ===========
+  //
+  // The payoff of mergeable distinct state: COUNT(DISTINCT) under GROUPING
+  // SETS normally re-expands the raw data once per grouping (Spark's
+  // distinct-over-cube plan does exactly that). Here the event stream is
+  // compressed ONCE to (type, day, block) bitmaps; every coarser level —
+  // per type, per day, grand total — is a word-wise OR re-aggregation of
+  // those domain-sized rows. At 100 TB the raw scan happens once; adding
+  // another rollup level costs only bitmap-domain work. (HLL state, B59,
+  // composes the same way approximately; bitmaps make the cube EXACT.)
+
+  /** Exact distinct `idCol` at four levels: (type, day), (type), (day),
+    * and overall — from one fine-grain bitmap build. */
+  def distinctCube(events: DataFrame, typeCol: String, idCol: String): DataFrame = {
+    val bm = blockBitmaps(
+      events.select(col(typeCol).as("t"), to_date(col("ts")).as("d"), col(idCol)),
+      Seq("t", "d"), col(idCol))
+    val day = date_format(col("d"), "yyyy-MM-dd")
+    def cnt = sum(BitmapExprs.bitCount(col("bits"))).as("n_users")
+    val fine = bm.groupBy(col("t"), col("d")).agg(cnt)
+      .select(col("t"), day.as("day"), col("n_users"))
+    val byType = bm.groupBy(col("t"), col("block"))
+      .agg(BitmapExprs.bitmapMergeAgg(col("bits")).as("bits"))
+      .groupBy(col("t")).agg(cnt)
+      .select(col("t"), lit(null).cast("string").as("day"), col("n_users"))
+    val byDay = bm.groupBy(col("d"), col("block"))
+      .agg(BitmapExprs.bitmapMergeAgg(col("bits")).as("bits"))
+      .groupBy(col("d")).agg(cnt)
+      .select(lit(null).cast("string").as("t"), day.as("day"), col("n_users"))
+    val total = bm.groupBy(col("block"))
+      .agg(BitmapExprs.bitmapMergeAgg(col("bits")).as("bits"))
+      .agg(cnt)
+      .select(lit(null).cast("string").as("t"),
+        lit(null).cast("string").as("day"), col("n_users"))
+    fine.unionAll(byType).unionAll(byDay).unionAll(total)
+      .withColumnRenamed("t", "event_type")
+  }
+
+  private def q224(s: SparkSession, dir: String): DataFrame =
+    distinctCube(Tables.events(s, dir), "event_type", "user_id")
+      .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+
+  private val q224Sql =
+    """WITH e AS (
+      |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+      |    user_id
+      |  FROM events)
+      |SELECT event_type, day, count(DISTINCT user_id) AS n_users
+      |FROM e
+      |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
+      |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q221_bitmap_overlap", q221, Some(q221Sql)),
-    QueryDef("q223_rolling_distinct", q223, Some(q223Sql)))
+    QueryDef("q223_rolling_distinct", q223, Some(q223Sql)),
+    QueryDef("q224_distinct_cube", q224, Some(q224Sql)))
 }

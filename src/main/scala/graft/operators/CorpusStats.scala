@@ -577,7 +577,115 @@ object CorpusStats {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS r2
       |FROM m""".stripMargin
 
+  // ==== q225: Heaps-law vocabulary growth fit ================================
+  //
+  // Zipf's companion (q183 fits the frequency SPECTRUM; this fits the
+  // GROWTH curve): Heaps' law V(n) ≈ K·n^β says how fast new vocabulary
+  // appears as the corpus grows — the number every tokenizer-budget and
+  // corpus-size decision reads off. Corpus order = doc_id order. The
+  // naive curve needs a running scan; distributed, both cumulative series
+  // come from the SAME exclusive-prefix-scan machinery as q122/q183:
+  //   V(d) = # tokens whose FIRST document is ≤ d  — first-doc = one
+  //          min() groupBy to the token domain, then a prefix sum of
+  //          new-token counts over the doc domain;
+  //   n(d) = cumulative token count — a prefix sum of per-doc lengths.
+  // The log-log OLS then follows the q183 discipline to the letter: one
+  // ln per DOC floored to micro-nat integers, exact DECIMAL moments, two
+  // double divisions at render.
+
+  /** One row: (n_docs, beta, r2) of the log-log Heaps fit over the
+    * doc-id-ordered growth curve of `docs` (doc_id, text). */
+  def heapsFit(docs: DataFrame): DataFrame = {
+    val docTok = docs.select(col("doc_id"), explode(Tok.ws(col("text"))).as("t"))
+    val newPerDoc = docTok.groupBy(col("t")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("nv"))
+    val perDoc = docs
+      .select(col("doc_id"), size(Tok.ws(col("text"))).cast("long").as("nt"))
+      .join(newPerDoc, Seq("doc_id"), "left")
+      .withColumn("nv", coalesce(col("nv"), lit(0L)))
+    val cumV = graft.chunk.ChunkAssigner.withPrefixSum(
+      perDoc, Seq(col("doc_id")), col("nv"), outName = "cv0")
+    val cum = graft.chunk.ChunkAssigner.withPrefixSum(
+      cumV, Seq(col("doc_id")), col("nt"), outName = "cn0")
+      .select((col("cv0") + col("nv")).as("v"), (col("cn0") + col("nt")).as("n"))
+      .filter(col("v") > 0 && col("n") > 0)
+    val xy = cum.select(
+      floor(lit(1e6) * log(col("n").cast("double"))).cast("decimal(18,0)").as("x"),
+      floor(lit(1e6) * log(col("v").cast("double"))).cast("decimal(18,0)").as("y"))
+    val m = xy.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val n = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    val num = n * d("sxy") - d("sx") * d("sy")
+    val denX = n * d("sxx") - d("sx") * d("sx")
+    val denY = n * d("syy") - d("sy") * d("sy")
+    m.select(col("n").as("n_docs"),
+      when(denX > 0, num / denX).as("beta"),
+      when(denX > 0 && denY > 0, num * num / (denX * denY)).as("r2"))
+  }
+
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    heapsFit(Tables.documents(s, dir))
+      .select(col("n_docs"), QueryDef.dec4(col("beta")).as("beta"),
+        QueryDef.dec4(col("r2")).as("r2"))
+
+  private val q225Sql =
+    """WITH dt AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      |  FROM documents),
+      |npd AS (
+      |  SELECT doc_id, count(*) AS nv FROM (
+      |    SELECT t, min(doc_id) AS doc_id FROM dt GROUP BY t)
+      |  GROUP BY doc_id),
+      |pd AS (
+      |  SELECT d.doc_id,
+      |    CAST(len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS nt,
+      |    COALESCE(npd.nv, 0) AS nv
+      |  FROM documents d LEFT JOIN npd USING (doc_id)),
+      |cum AS (
+      |  SELECT sum(nv) OVER (ORDER BY doc_id) AS v,
+      |    sum(nt) OVER (ORDER BY doc_id) AS n
+      |  FROM pd),
+      |xy AS (
+      |  SELECT CAST(floor(1e6 * ln(CAST(n AS DOUBLE))) AS DECIMAL(18,0)) AS x,
+      |    CAST(floor(1e6 * ln(CAST(v AS DOUBLE))) AS DECIMAL(18,0)) AS y
+      |  FROM cum WHERE v > 0 AND n > 0),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy)
+      |SELECT n AS n_docs,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS beta,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS r2
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q225_heaps_fit", q225, Some(q225Sql)),
     QueryDef("q183_zipf_fit", q183, Some(q183Sql)),
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),
     QueryDef("q136_source_overlap", q136, Some(q136Sql)),

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState,
-  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2
   * B34–B37). Every transform here is source-agnostic: it accepts either a
@@ -605,6 +605,73 @@ object EventsStreaming {
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new HoltProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  // ==== streaming exact distinct via block bitmaps (B155s) ==================
+  //
+  // The streaming twin of graft.operators.Bitmaps: per segment, MapState
+  // keyed by id-block holding that block's bitmap (RocksDB point
+  // lookups/updates — a GroupState blob would rewrite every block on
+  // every event), plus a running total maintained INCREMENTALLY (+1 only
+  // when a bit flips 0→1, so the count never rescans the map). State is
+  // bounded by occupied blocks × numBits/8 bytes per segment — a pure
+  // function of the distinct-id SET, so checkpoint replays are
+  // deterministic, and the final count is bit-equal to the batch
+  // popcount at any micro-batch slicing.
+
+  /** Input (segment, id); output the segment's running exact distinct
+    * count after each slice. */
+  class BitmapDistinctProcessor(numBits: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Long)] {
+    @transient private var blocks: MapState[Long, Array[Byte]] = _
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      blocks = getHandle.getMapState[Long, Array[Byte]]("bitmap_blocks",
+        Encoders.scalaLong, Encoders.BINARY, TTLConfig.NONE)
+      total = getHandle.getValueState[Long]("distinct_total",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(seg: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long)] = {
+      var n = if (total.exists()) total.get() else 0L
+      var curBlock = Long.MinValue
+      var cur: Array[Byte] = null
+      def flush(): Unit = if (cur != null) blocks.updateValue(curBlock, cur)
+      rows.foreach { case (_, id) =>
+        require(id >= 0, s"bitmap ids must be non-negative: $id")
+        val block = id / numBits
+        if (block != curBlock) {
+          flush()
+          curBlock = block
+          cur = if (blocks.containsKey(block)) blocks.getValue(block)
+            else new Array[Byte](numBits / 8)
+        }
+        val off = (id % numBits).toInt
+        val mask = (1 << (off & 7)).toByte
+        if ((cur(off >>> 3) & mask) == 0) {
+          cur(off >>> 3) = (cur(off >>> 3) | mask).toByte
+          n += 1
+        }
+      }
+      flush()
+      total.update(n)
+      Iterator.single((seg, n))
+    }
+  }
+
+  /** Running exact distinct `idCol` per `segCol` over a streaming frame.
+    * RocksDB required. */
+  def bitmapDistinctStream(events: DataFrame, segCol: String, idCol: String)
+      : Dataset[(String, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col(segCol).cast("string"), col(idCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new BitmapDistinctProcessor(graft.operators.Bitmaps.BlockBits),
         TimeMode.None(), OutputMode.Update())
   }
 }

@@ -825,4 +825,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("B155s: streaming bitmap distinct — running counts == batch prefix truth") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(33)
+      // ids straddle block boundaries (BlockBits = 65536) and repeat across
+      // batches — replays of an id must NOT increment the count again
+      val all = (1 to 900).map { _ =>
+        (s"s${rnd.nextInt(3)}", rnd.nextInt(200000).toLong)
+      }
+      val slices = all.grouped(300).toSeq
+      val input = MemoryStream[(String, Long)](spark)
+      val events = input.toDF().toDF("seg", "id")
+      val q = EventsStreaming.bitmapDistinctStream(events, "seg", "id")
+        .writeStream.format("memory").queryName("bm_distinct_out")
+        .outputMode("update").start()
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+      try {
+        slices.foreach { s =>
+          input.addData(s: _*)
+          q.processAllAvailable()
+          perBatch += spark.table("bm_distinct_out").as[(String, Long)]
+            .collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+        }
+      } finally q.stop()
+      // after each slice the running count equals the exact distinct of the
+      // PREFIX consumed so far (update mode re-emits; counts only grow, so
+      // max == latest)
+      slices.inits.toSeq.reverse.drop(1).zip(perBatch).foreach {
+        case (prefix, got) =>
+          val truth = prefix.flatten.groupBy(_._1)
+            .map { case (s, v) => s -> v.map(_._2).distinct.size.toLong }
+          assert(got == truth, s"prefix of ${prefix.size} batches")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
