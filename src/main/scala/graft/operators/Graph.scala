@@ -884,7 +884,161 @@ object Graph {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ==== q226: HITS hubs & authorities ========================================
+  //
+  // Kleinberg's HITS (JACM 1999) — the OTHER eigenvector centrality: on a
+  // DIRECTED graph, hub scores flow to authority scores and back
+  // (h = A·a, a = Aᵀ·h), converging to the principal singular vectors of
+  // the adjacency matrix. On the customer→part purchase graph that reads
+  // as "influential buyers" vs "authoritative products" — the bipartite
+  // structure PageRank's single score conflates. Same fixed-iteration
+  // power-step discipline as q123/q211/q212: per iteration ONE edge join +
+  // one map-side-combined sum per direction, no driver round trips, no
+  // per-round normalization (the fixed count keeps magnitudes in double
+  // range: ‖a‖ grows ≤ (d_max²)^iters ≈ 1e33 at test scales); scores
+  // normalize ONCE at render by their sum. The oracle unrolls the same
+  // power steps as CTEs — a replay differential, like the PageRank family.
+
+  /** (node, hub, auth) after `iterations` un-normalized HITS power steps
+    * over directed (src, dst) edges, h and a each scaled by their sums. */
+  def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val srcs = e.select(col("src").as("node")).distinct()
+    val dsts = e.select(col("dst").as("node")).distinct()
+    var auth = dsts.withColumn("a", lit(1.0))
+    var hub = srcs.withColumn("h", lit(1.0))
+    for (_ <- 1 to iterations) {
+      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
+      auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+    }
+    val ha = broadcast(hub.agg(sum(col("h")).as("hs")))
+    val aa = broadcast(auth.agg(sum(col("a")).as("as")))
+    hub.crossJoin(ha).select(col("node"), (col("h") / col("hs")).as("score"),
+        lit("hub").as("kind"))
+      .unionAll(auth.crossJoin(aa).select(col("node"),
+        (col("a") / col("as")).as("score"), lit("authority").as("kind")))
+  }
+
+  /** Directed purchase edges customer → part (no symmetrization). */
+  private def buyEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("p"), col("l_partkey")).as("dst"))
+  }
+
+  // top-12 per kind on the ROUNDED score (lexicographic tie-break — the
+  // q211 cut discipline)
+  private def q226(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
+      .orderBy(round(col("score"), 4).desc, col("node"))
+    hits(buyEdges(s, dir), iterations = 5)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 12)
+      .select(col("kind"), col("rn"), col("node"),
+        QueryDef.dec4(col("score")).as("score"))
+      .orderBy(col("kind"), col("rn"))
+  }
+
+  private val q226Sql = {
+    val iter = (i: Int) =>
+      s"""h$i AS (
+         |  SELECT e.src AS node, sum(a.a) AS h
+         |  FROM e JOIN a${i - 1} a ON e.dst = a.node GROUP BY e.src),
+         |a$i AS (
+         |  SELECT e.dst AS node, sum(h.h) AS a
+         |  FROM e JOIN h$i h ON e.src = h.node GROUP BY e.dst)""".stripMargin
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+       |    'p' || CAST(l_partkey AS VARCHAR) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |a0 AS (SELECT DISTINCT dst AS node, CAST(1 AS DOUBLE) AS a FROM e),
+       |${(1 to 5).map(iter).mkString(",\n")},
+       |hs AS (SELECT sum(h) AS s FROM h5),
+       |asum AS (SELECT sum(a) AS s FROM a5),
+       |scored AS (
+       |  SELECT 'hub' AS kind, node, h / hs.s AS score FROM h5 CROSS JOIN hs
+       |  UNION ALL
+       |  SELECT 'authority', node, a / asum.s FROM a5 CROSS JOIN asum),
+       |ranked AS (
+       |  SELECT kind, node, score, row_number() OVER (
+       |    PARTITION BY kind ORDER BY round(score, 4) DESC, node) AS rn
+       |  FROM scored)
+       |SELECT kind, rn, node,
+       |  CAST(CAST(score AS DECIMAL(38,4)) AS VARCHAR) AS score
+       |FROM ranked WHERE rn <= 12 ORDER BY kind, rn""".stripMargin
+  }
+
+  // ==== q227: Adamic–Adar co-purchase link prediction ========================
+  //
+  // The classic common-neighbor link predictor (Adamic & Adar 2003): two
+  // parts are likely related if they share buyers, each shared buyer
+  // weighted 1/ln(degree) — a super-connector says little, a specialist
+  // buyer says a lot. Weights are integerized ONCE per customer
+  // (⌊10⁶/ln d⌋ — one ln per distinct degree, the q99/q183 rule), so pair
+  // scores are exact integer sums. Pair enumeration rides the
+  // [[graft.functions.PairCombos]] kernel over per-customer sorted part
+  // lists — the inverted-index shape shared with q58/q157 — with the
+  // same declared skew contract: customers above `maxDeg` distinct parts
+  // are dropped BEFORE the collect (their pairs are both quadratic and
+  // individually ≈ weightless), so per-row work is bounded at
+  // C(maxDeg, 2) and the shuffle carries capped lists, never raw pairs.
+
+  /** Top-`k` part pairs by Adamic–Adar over (buyer, item) rows. */
+  def adamicAdar(bought: DataFrame, maxDeg: Int, k: Int): DataFrame = {
+    val cp = bought.select(col("c"), col("p")).distinct()
+    val deg = cp.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= 2 && col("d") <= maxDeg)
+      .withColumn("w", floor(lit(1e6) / log(col("d").cast("double")))
+        .cast("long"))
+    val lists = cp.join(deg, Seq("c"))
+      .groupBy(col("c"))
+      .agg(sort_array(collect_list(struct(col("p").as("doc_id"),
+        col("w").as("payload")))).as("members"))
+    val pairs = lists.select(explode(graft.functions.PairCombos.of(
+      col("members"))).as("pr"))
+    pairs.groupBy(col("pr.doc_a").as("p1"), col("pr.doc_b").as("p2"))
+      .agg(sum(col("pr.pa")).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  // the declared slice keeps 20% of parts so the ORACLE's naive pair join
+  // stays tractable at sf1 (the q174 id-bounded-slice precedent); the
+  // engine runs the same capped kernel either way
+  private def q227(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(pmod(col("l_partkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val bought = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    adamicAdar(bought, maxDeg = 128, k = 20)
+  }
+
+  private val q227Sql =
+    """WITH cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_partkey % 5 = 0),
+      |deg AS (
+      |  SELECT c, CAST(floor(1e6 / ln(CAST(count(*) AS DOUBLE))) AS BIGINT)
+      |    AS w
+      |  FROM cp GROUP BY c HAVING count(*) BETWEEN 2 AND 128),
+      |pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, deg.w
+      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      |  JOIN deg ON deg.c = a.c)
+      |SELECT p1, p2, CAST(sum(w) AS BIGINT) AS aa_score
+      |FROM pairs GROUP BY p1, p2
+      |ORDER BY aa_score DESC, p1, p2 LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q226_hits", q226, Some(q226Sql)),
+    QueryDef("q227_adamic_adar", q227, Some(q227Sql)),
     QueryDef("q209_bfs_distance", q209, Some(q209Sql)),
     QueryDef("q212_personalized_pagerank", q212, Some(q212Sql)),
     QueryDef("q207_neighborhood", q207, Some(q207Sql)),
