@@ -121,5 +121,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "jaro_winkler(a, b) - Jaro-Winkler similarity (boost 0.7, prefix cap 4)"),
       (exprs: Seq[Expression]) => graft.functions.JaroWinkler(exprs.head,
         exprs(1))))
+    // round 9: bitmap set algebra + KMV distinct sketches as SQL aggregates
+    ext.injectFunction((FunctionIdentifier("bitmap_or_agg"),
+      info("bitmap_or_agg", "bitmap_or_agg(offset, numBits) - block bitset of observed offsets"),
+      (exprs: Seq[Expression]) => graft.functions.BitmapOrAgg(exprs.head,
+        intArg("bitmap_or_agg", 1, exprs(1)))))
+    ext.injectFunction((FunctionIdentifier("bitmap_merge_agg"),
+      info("bitmap_merge_agg", "bitmap_merge_agg(bits) - word-wise OR of equal-width bitmaps"),
+      (exprs: Seq[Expression]) => graft.functions.BitmapOrMergeAgg(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bitmap_bit_count"),
+      info("bitmap_bit_count", "bitmap_bit_count(bits) - popcount"),
+      (exprs: Seq[Expression]) => graft.functions.BitmapBitCount(exprs.head)))
+    ext.injectFunction((FunctionIdentifier("bitmap_and_count"),
+      info("bitmap_and_count", "bitmap_and_count(a, b) - popcount of the word-wise AND"),
+      (exprs: Seq[Expression]) => graft.functions.BitmapAndCount(exprs.head, exprs(1))))
+    ext.injectFunction((FunctionIdentifier("kmv_agg"),
+      info("kmv_agg", "kmv_agg(hash, k) - k unsigned-smallest distinct sign-flipped hashes"),
+      (exprs: Seq[Expression]) => graft.functions.MinKHashAgg(exprs.head,
+        intArg("kmv_agg", 1, exprs(1)))))
   }
 }

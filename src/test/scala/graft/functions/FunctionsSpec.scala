@@ -110,4 +110,27 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).getSeq[Long](0)
     assert(top == Seq(49L, 48L, 47L))
   }
+
+  test("bitmap and kmv aggregates work from plain SQL") {
+    spark.range(200).createOrReplaceTempView("bm_in")
+    val row = spark.sql(
+        """WITH b AS (
+          |  SELECT id % 2 AS par,
+          |    bitmap_or_agg(id, 1024) AS bits,
+          |    kmv_agg(xxhash64(id), 64) AS kmv
+          |  FROM bm_in GROUP BY id % 2),
+          |m AS (
+          |  SELECT bitmap_merge_agg(bits) AS merged,
+          |    min(bitmap_bit_count(bits)) AS per_side
+          |  FROM b)
+          |SELECT per_side, bitmap_bit_count(merged) AS total,
+          |  (SELECT bitmap_and_count(x.bits, y.bits)
+          |   FROM b x JOIN b y ON x.par < y.par) AS inter,
+          |  (SELECT size(kmv) FROM b WHERE par = 0) AS kmv_sz
+          |FROM m""".stripMargin).collect()(0)
+    assert(row.getLong(0) == 100L) // each parity holds 100 distinct ids
+    assert(row.getLong(1) == 200L) // OR-merge unions them
+    assert(row.getLong(2) == 0L)   // parities are disjoint
+    assert(row.getInt(3) == 64)    // KMV capped at k
+  }
 }
