@@ -65,6 +65,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer rule: answer registered base-table aggregates from their
     // maintained Incremental state table (see MaterializedAggRewrite)
     ext.injectOptimizerRule(spark => new graft.plans.MaterializedAggRewrite(spark))
+    // round 9: COUNT(DISTINCT) over a registered base table answered from
+    // maintained block bitmaps (see BitmapDistinctRewrite)
+    ext.injectOptimizerRule(spark => new graft.plans.BitmapDistinctRewrite(spark))
     ext.injectFunction((FunctionIdentifier("canonical_json"),
       info("canonical_json", "canonical_json(expr) - key-sorted canonical JSON of any value"),
       (exprs: Seq[Expression]) => CanonicalJsonExpr(exprs.head)))
