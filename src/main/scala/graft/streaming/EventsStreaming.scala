@@ -674,4 +674,64 @@ object EventsStreaming {
         new BitmapDistinctProcessor(graft.operators.Bitmaps.BlockBits),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ==== streaming KMV distinct estimate (B156s) ==============================
+  //
+  // The approximate twin of B155s for id spaces too sparse for bitmaps
+  // (URLs, content hashes): per segment ONE ValueState holding the k
+  // unsigned-smallest sign-flipped hashes — k·8 bytes per key FOREVER,
+  // regardless of stream volume. State is a pure function of the distinct
+  // hash SET, so replays and re-orderings are bit-deterministic, and the
+  // final sketch equals the batch MinKHashAgg over the same prefix.
+  // Emits the running estimate: exact |set| while the sketch is not full
+  // (the q222 exact-regime contract), (k−1)/frac(kth) once it is.
+
+  /** Input (segment, hash). Output (segment, n_sketch, est_distinct). */
+  class KmvDistinctProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Int, Long)] {
+    @transient private var st: ValueState[Array[Long]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Long]]("kmv",
+        Encoders.kryo[Array[Long]], TTLConfig.NONE)
+
+    override def handleInputRows(seg: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Int, Long)] = {
+      val set = new java.util.TreeSet[java.lang.Long]()
+      if (st.exists()) st.get().foreach(set.add(_))
+      rows.foreach { case (_, h) =>
+        val f = h ^ Long.MinValue
+        if (set.size < k) { set.add(f); () }
+        else if (f < set.last()) {
+          set.add(f)
+          if (set.size > k) { set.pollLast(); () }
+        }
+      }
+      val arr = new Array[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      st.update(arr)
+      val est =
+        if (arr.length < k) arr.length.toLong
+        else {
+          val frac = (arr.last.toDouble + 9.223372036854776e18 + 1.0) /
+            1.8446744073709552e19
+          ((k - 1).toDouble / frac).toLong
+        }
+      Iterator.single((seg, arr.length, est))
+    }
+  }
+
+  /** Running distinct estimate per segment from a streaming frame; hashes
+    * computed map-side with xxhash64. RocksDB required. */
+  def kmvDistinctStream(events: DataFrame, segCol: String, idCol: String,
+      k: Int): Dataset[(String, Int, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col(segCol).cast("string"), xxhash64(col(idCol)))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new KmvDistinctProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

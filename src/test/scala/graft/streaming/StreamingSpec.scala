@@ -863,4 +863,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("B156s: streaming KMV — exact while not full, sketch == batch prefix") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(57)
+      val all = (1 to 600).map(_ => ("s", rnd.nextInt(120).toLong)) // dups
+      val input = MemoryStream[(String, Long)](spark)
+      val events = input.toDF().toDF("seg", "id")
+      val q = EventsStreaming.kmvDistinctStream(events, "seg", "id", k = 256)
+        .writeStream.format("memory").queryName("kmv_stream_out")
+        .outputMode("update").start()
+      try {
+        all.grouped(200).foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // exact regime (120 < k): the FINAL estimate equals exact distinct
+      val rows = spark.table("kmv_stream_out").as[(String, Int, Long)].collect()
+      val exact = all.map(_._2).distinct.size.toLong
+      assert(rows.map(_._3).max == exact)
+      // estimator regime: k=16 state never exceeds k, estimate in range
+      val input2 = MemoryStream[(String, Long)](spark)
+      val q2 = EventsStreaming.kmvDistinctStream(
+          input2.toDF().toDF("seg", "id"), "seg", "id", k = 16)
+        .writeStream.format("memory").queryName("kmv_stream_small")
+        .outputMode("update").start()
+      try {
+        (1 to 3).foreach { b =>
+          input2.addData((1 to 2000).map(i => ("s", (b * 2000 + i).toLong)): _*)
+          q2.processAllAvailable()
+        }
+      } finally q2.stop()
+      val last = spark.table("kmv_stream_small").as[(String, Int, Long)]
+        .collect().maxBy(_._3)
+      assert(last._2 == 16)
+      assert(last._3 > 2000 && last._3 < 18000, s"est=${last._3} for 6000")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
