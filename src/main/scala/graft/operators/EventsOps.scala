@@ -1975,7 +1975,105 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS frac
       |FROM p CROSS JOIN u ORDER BY first_type, then_type""".stripMargin
 
+  // ==== q229: Kaplan–Meier survival curve ====================================
+  //
+  // Time-to-event with right censoring — the retention/conversion curve
+  // done correctly (a naive "fraction converted by day t" UNDERSTATES
+  // survival because users observed for less than t aren't failures):
+  // S(t) = Π_{u ≤ t} (1 − d_u/n_u) over distinct event times u, d = events
+  // at u, n = at-risk (duration ≥ u, deaths-before-censoring convention).
+  // Subject = user, event = first "purchase" after the user's first
+  // observed event, censoring = the corpus observation end for users who
+  // never purchase.
+  //
+  // Scale + determinism shape: one groupBy to the user domain (durations),
+  // one to the duration domain (the curve's support, ≤ observation hours);
+  // at-risk counts come from an exclusive prefix sum over that domain and
+  // the survival PRODUCT telescopes into a cumulative SUM of per-time
+  // ⌊10⁶·ln(1−d/n)⌋ integers (one ln per DISTINCT time — the q99/q183
+  // rule), so the curve is exact integer arithmetic end to end; windows
+  // run on the hours domain only (the q179 discipline).
+
+  /** Per distinct event-time hour: (t_hr, n_risk, d_events,
+    * log_surv_unats) — log-survival in micro-nats. A d = n time (S hits
+    * exactly 0, possible only at the curve's end) contributes a NULL step,
+    * which both engines' null-skipping window sums leave out — the row
+    * then carries the last finite log-survival. */
+  def kaplanMeier(events: DataFrame, eventType: String): DataFrame = {
+    val spark = events.sparkSession
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val durs = byUser.crossJoin(end).select(
+      when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    // duration-domain histogram: deaths + total leaving at each t
+    val hist = durs.groupBy(col("t"))
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("leave"))
+    val total = broadcast(durs.agg(count(lit(1)).as("n_total")))
+    // at-risk(t) = total − Σ_{u < t} leave(u): exclusive prefix over the
+    // hours-domain (≤ observation-window hours — single tiny window)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wInc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist.crossJoin(total)
+      .withColumn("n_risk", col("n_total") - coalesce(sum(col("leave")).over(w), lit(0L)))
+      .where(col("d") > 0)
+      .withColumn("step",
+        when(col("d") < col("n_risk"),
+          floor(lit(1e6) * log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double"))).cast("long")))
+      .withColumn("log_surv_unats", sum(col("step")).over(wInc))
+      .select(col("t").as("t_hr"), col("n_risk"), col("d").as("d_events"),
+        col("log_surv_unats"))
+  }
+
+  private def q229(s: SparkSession, dir: String): DataFrame =
+    kaplanMeier(Tables.events(s, dir), "purchase").orderBy(col("t_hr"))
+
+  private val q229Sql =
+    """WITH bu AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |    max(epoch_us(ts)) AS tmax_u
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM bu),
+      |durs AS (
+      |  SELECT CASE WHEN tp IS NOT NULL
+      |      THEN CAST(floor(CAST(tp - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |      ELSE CAST(floor(CAST(tend - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |    END AS t,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM bu CROSS JOIN e),
+      |hist AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS leave
+      |  FROM durs GROUP BY t),
+      |tot AS (SELECT count(*) AS n_total FROM durs),
+      |risk AS (
+      |  SELECT t, d, leave,
+      |    n_total - COALESCE(sum(leave) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM hist CROSS JOIN tot),
+      |steps AS (
+      |  SELECT t, n_risk, d,
+      |    CASE WHEN d < n_risk THEN CAST(floor(1e6 * ln(1.0 -
+      |      CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))) AS BIGINT) END AS step
+      |  FROM risk WHERE d > 0)
+      |SELECT t AS t_hr, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+      |  CAST(sum(step) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS BIGINT) AS log_surv_unats
+      |FROM steps ORDER BY t_hr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_kaplan_meier", q229, Some(q229Sql)),
     QueryDef("q220_seq_pair_support", q220, Some(q220Sql)),
     QueryDef("q200_rolling_robust_z", q200, Some(q200Sql)),
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),

@@ -1578,7 +1578,102 @@ object Profiling {
       |FROM b JOIN h1 USING (bin1) JOIN h2 USING (bin2)
       |ORDER BY score_unats DESC, doc_id LIMIT 20""".stripMargin
 
+  // ==== q230: stratified ATT (covariate-adjusted treatment effect) ==========
+  //
+  // The causal-adjustment step q197/q216 lack: a raw treated-vs-control
+  // mean difference is confounded when treatment correlates with a
+  // covariate; stratifying on the covariate and re-weighting per-stratum
+  // differences by the TREATED counts estimates the ATT (average effect
+  // on the treated) under ignorability-within-strata — the workhorse
+  // adjustment (Cochran 1968) behind every experiment-analysis readout.
+  // Strata = covariate deciles from the distributed exact-quantile path
+  // (rint-snapped broadcast boundaries, the psi/calibration/rfm 'v > b'
+  // idiom); all moments are exact BIGINT cents; each per-stratum mean
+  // difference and the treated-weighted combine divide those integers
+  // once at render — bit-stable cross-engine.
+
+  /** Per covariate-decile stratum (n_t, n_c, att = ȳ_T − ȳ_C) plus an
+    * '(all)' row with the treated-weighted ATT. `df` carries integer
+    * outcome `y`, boolean `t`, double covariate `x`. */
+  def stratifiedAtt(df: DataFrame, buckets: Int = 10): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ps = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = Seq(Tuple1(exactQuantiles(df, "x", ps)
+      .map(b => math.rint(b * 10000) / 10000))).toDF("bs")
+    val strata = df.crossJoin(broadcast(bounds))
+      .select(aggregate(col("bs"), lit(0),
+        (acc, b) => acc + when(round(col("x"), 4) > b, 1).otherwise(0))
+        .as("stratum"), col("t"), col("y"))
+      .groupBy(col("stratum"))
+      .agg(sum(when(col("t"), 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("t"), col("y")).otherwise(0L)).as("sy_t"),
+        sum(when(!col("t"), 1L).otherwise(0L)).as("n_c"),
+        sum(when(!col("t"), col("y")).otherwise(0L)).as("sy_c"))
+    val per = strata.select(col("stratum").cast("string").as("stratum"),
+      col("n_t"), col("n_c"),
+      QueryDef.dec4(col("sy_t").cast("double") / col("n_t").cast("double") -
+        col("sy_c").cast("double") / col("n_c").cast("double")).as("att"))
+    // treated-weighted combine: Σ n_t·(ȳT − ȳC) / Σ n_t, from the same
+    // exact integers
+    val overall = strata.agg(
+      sum(col("n_t")).as("n_t"), sum(col("n_c")).as("n_c"),
+      sum(col("n_t").cast("double") *
+        (col("sy_t").cast("double") / col("n_t").cast("double") -
+          col("sy_c").cast("double") / col("n_c").cast("double"))).as("wsum"))
+      .select(lit("(all)").as("stratum"), col("n_t"), col("n_c"),
+        QueryDef.dec4(col("wsum") / col("n_t").cast("double")).as("att"))
+    per.unionAll(overall)
+  }
+
+  // treatment = even order key (the q197/q216 arm convention), outcome =
+  // order value in cents, covariate = the customer's account balance
+  private def q230(s: SparkSession, dir: String): DataFrame =
+    stratifiedAtt(
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .select(round(col("o_totalprice") * 100).cast("long").as("y"),
+          (col("o_orderkey") % 2 === 0).as("t"),
+          col("c_acctbal").cast("double").as("x")))
+      .orderBy(col("stratum"))
+
+  private val q230Sql =
+    """WITH d AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+      |    o_orderkey % 2 = 0 AS t, CAST(c_acctbal AS DOUBLE) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |b AS (
+      |  SELECT list_transform(
+      |    quantile_cont(x, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+      |    v -> round(v, 4)) AS bs
+      |  FROM d),
+      |s AS (
+      |  SELECT len(list_filter(bs, v -> round(x, 4) > v)) AS stratum, t, y
+      |  FROM d CROSS JOIN b),
+      |m AS (
+      |  SELECT stratum,
+      |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN t THEN y ELSE 0 END) AS BIGINT) AS sy_t,
+      |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    CAST(sum(CASE WHEN NOT t THEN y ELSE 0 END) AS BIGINT) AS sy_c
+      |  FROM s GROUP BY stratum)
+      |SELECT CAST(stratum AS VARCHAR) AS stratum, n_t, n_c,
+      |  CAST(CAST(CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |    - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS att
+      |FROM m
+      |UNION ALL
+      |SELECT '(all)', CAST(sum(n_t) AS BIGINT), CAST(sum(n_c) AS BIGINT),
+      |  CAST(CAST(sum(CAST(n_t AS DOUBLE) *
+      |      (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |        - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)))
+      |    / CAST(sum(n_t) AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR)
+      |FROM m
+      |ORDER BY stratum""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q230_stratified_att", q230, Some(q230Sql)),
     QueryDef("q218_fd_audit", q218, Some(q218Sql)),
     QueryDef("q219_hbos_outliers", q219, Some(q219Sql)),
     QueryDef("q202_privacy_audit", q202, Some(q202Sql)),
