@@ -186,7 +186,7 @@ object Graph {
     val seeds = Tables.orders(s, dir)
       .select(concat(lit("c"), col("o_custkey")).as("node"))
       .where(col("o_custkey") % 100 === 0).distinct()
-    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 1)
+    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 5)
       .select(col("node"),
         col("rank").cast(org.apache.spark.sql.types.DecimalType(38, 8))
           .as("rdec"))
