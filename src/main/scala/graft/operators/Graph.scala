@@ -1056,7 +1056,95 @@ object Graph {
       |FROM pairs GROUP BY p1, p2
       |ORDER BY aa_score DESC, p1, p2 LIMIT 20""".stripMargin
 
+  // ==== q231: modularity of detected communities =============================
+  //
+  // Closes the community-detection loop (q153 reports SIZES; this scores
+  // QUALITY): Newman–Girvan modularity Q = Σ_c [e_cc/m − (d_c/m)²] over a
+  // symmetric directed edge list (m = |E|, e_cc = within-community edges,
+  // d_c = community out-degree mass) — the number that says whether the
+  // labels mean anything (Q ≈ 0 ⇒ no better than random wiring). Exactness:
+  // Q telescopes to (m·Σe_cc − Σd_c²) / m², ALL integer sums (d_c² in
+  // DECIMAL so hub communities cannot wrap), ONE double division at
+  // render. Shape: two label joins on the edge list + degree/community
+  // domain aggregations — no loops beyond the LPA rounds themselves.
+
+  /** One row: (n_edges, n_communities, within_edges, q_modularity) for
+    * `labels` (node, lbl) on symmetric `edges`. */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct()
+    val withL = e
+      .join(labels.toDF("src", "lbl_s"), Seq("src"))
+      .join(labels.toDF("dst", "lbl_d"), Seq("dst"))
+    val byC = withL.groupBy(col("lbl_s"))
+      .agg(count(lit(1)).cast("decimal(18,0)").as("d_c"),
+        sum(when(col("lbl_s") === col("lbl_d"), 1L).otherwise(0L))
+          .as("within"))
+    byC.agg(sum(col("d_c")).cast("long").as("n_edges"),
+        count(lit(1)).as("n_communities"),
+        sum(col("within")).as("within_edges"),
+        sum(col("d_c") * col("d_c")).as("sum_d2"))
+      .select(col("n_edges"), col("n_communities"), col("within_edges"),
+        QueryDef.dec4(
+          (col("n_edges").cast("double") * col("within_edges").cast("double") -
+            col("sum_d2").cast("double")) /
+            (col("n_edges").cast("double") * col("n_edges").cast("double")))
+          .as("q_modularity"))
+  }
+
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    modularity(pairs, labelPropagation(pairs, rounds = 3))
+  }
+
+  private val q231Sql = {
+    // the same 3 unrolled LPA rounds as q153Sql, closed with the
+    // modularity aggregation
+    val round = (i: Int) =>
+      s"""l$i AS (
+         |  SELECT l.node, coalesce(b.new_lbl, l.lbl) AS lbl
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT node, lbl AS new_lbl FROM (
+         |      SELECT e.dst AS node, r.lbl, count(*) AS cnt,
+         |        row_number() OVER (PARTITION BY e.dst
+         |          ORDER BY count(*) DESC, r.lbl) AS rn
+         |      FROM e JOIN l${i - 1} r ON e.src = r.node
+         |      GROUP BY e.dst, r.lbl)
+         |    WHERE rn = 1) b ON l.node = b.node)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |wl AS (
+       |  SELECT ls.lbl AS lbl_s, ld.lbl AS lbl_d
+       |  FROM e JOIN l3 ls ON e.src = ls.node JOIN l3 ld ON e.dst = ld.node),
+       |byc AS (
+       |  SELECT lbl_s, CAST(count(*) AS DECIMAL(18,0)) AS d_c,
+       |    CAST(sum(CASE WHEN lbl_s = lbl_d THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS within
+       |  FROM wl GROUP BY lbl_s)
+       |SELECT CAST(sum(d_c) AS BIGINT) AS n_edges,
+       |  count(*) AS n_communities,
+       |  CAST(sum(within) AS BIGINT) AS within_edges,
+       |  CAST(CAST((CAST(CAST(sum(d_c) AS BIGINT) AS DOUBLE)
+       |      * CAST(CAST(sum(within) AS BIGINT) AS DOUBLE)
+       |      - CAST(sum(d_c * d_c) AS DOUBLE))
+       |    / (CAST(CAST(sum(d_c) AS BIGINT) AS DOUBLE)
+       |      * CAST(CAST(sum(d_c) AS BIGINT) AS DOUBLE))
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS q_modularity
+       |FROM byc""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q231_modularity", q231, Some(q231Sql)),
     QueryDef("q226_hits", q226, Some(q226Sql)),
     QueryDef("q227_adamic_adar", q227, Some(q227Sql)),
     QueryDef("q209_bfs_distance", q209, Some(q209Sql)),
