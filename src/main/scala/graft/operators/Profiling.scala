@@ -1672,7 +1672,93 @@ object Profiling {
       |FROM m
       |ORDER BY stratum""".stripMargin
 
+  // ==== q234: Spearman rank correlation =====================================
+  //
+  // q194's Pearson on RANKS — the monotone-association measure that heavy
+  // tails and outliers cannot distort. Ties take MIDRANKS (the q216
+  // convention), kept ×2 so every rank is an exact integer: 2·midrank =
+  // 2·S_v + c_v + 1 from the distinct-value histogram's EXCLUSIVE prefix
+  // sum — computed with the q122 distributed prefix-scan machinery, so
+  // ranking touches |distinct values| rows, never a single-partition
+  // window over the corpus. Both rank columns join back by value, and ρ
+  // is Pearson over exact DECIMAL integer moments — one double division
+  // at render.
+
+  /** One row: (n, rho) — Spearman correlation of `xCol`, `yCol`. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    def rank2(d: DataFrame, c: String): DataFrame = {
+      val h = d.groupBy(col(c)).agg(count(lit(1)).as("__c"))
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        h, Seq(col(c)), col("__c"), outName = "__s")
+        .select(col(c),
+          (lit(2L) * col("__s") + col("__c") + 1L).as(s"__r_$c"))
+    }
+    val d = df.select(col(xCol), col(yCol))
+    val ranked = d
+      .join(rank2(d, xCol), Seq(xCol))
+      .join(rank2(d, yCol), Seq(yCol))
+      .select(col(s"__r_$xCol").cast("decimal(18,0)").as("rx"),
+        col(s"__r_$yCol").cast("decimal(18,0)").as("ry"))
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum(col("rx") * col("ry")).as("sxy"),
+      sum(col("rx") * col("rx")).as("sxx"),
+      sum(col("ry") * col("ry")).as("syy"))
+    def dd(c: String) = col(c).cast("double")
+    val num = dd("n") * dd("sxy") - dd("sx") * dd("sy")
+    val denX = dd("n") * dd("sxx") - dd("sx") * dd("sx")
+    val denY = dd("n") * dd("syy") - dd("sy") * dd("sy")
+    m.select(col("n"),
+      QueryDef.dec4(when(denX > 0 && denY > 0,
+        num / sqrt(denX * denY))).as("rho"))
+  }
+
+  private def q234(s: SparkSession, dir: String): DataFrame =
+    spearman(
+      Tables.lineitem(s, dir).select(col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c")),
+      "qty", "price_c")
+
+  private val q234Sql =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+      |  FROM lineitem),
+      |hx AS (SELECT qty, count(*) AS c FROM d GROUP BY qty),
+      |rx AS (
+      |  SELECT qty, 2 * COALESCE(sum(c) OVER (ORDER BY qty
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS r FROM hx),
+      |hy AS (SELECT price_c, count(*) AS c FROM d GROUP BY price_c),
+      |ry AS (
+      |  SELECT price_c, 2 * COALESCE(sum(c) OVER (ORDER BY price_c
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS r FROM hy),
+      |rk AS (
+      |  SELECT CAST(rx.r AS HUGEINT) AS rxv, CAST(ry.r AS HUGEINT) AS ryv
+      |  FROM d JOIN rx USING (qty) JOIN ry USING (price_c)),
+      |m AS (
+      |  SELECT count(*) AS n, sum(rxv) AS sx, sum(ryv) AS sy,
+      |    sum(rxv * ryv) AS sxy, sum(rxv * rxv) AS sxx,
+      |    sum(ryv * ryv) AS syy
+      |  FROM rk)
+      |SELECT n,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+      |      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+      |    THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS rho
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q234_spearman", q234, Some(q234Sql)),
     QueryDef("q230_stratified_att", q230, Some(q230Sql)),
     QueryDef("q218_fd_audit", q218, Some(q218Sql)),
     QueryDef("q219_hbos_outliers", q219, Some(q219Sql)),

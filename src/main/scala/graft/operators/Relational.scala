@@ -889,7 +889,50 @@ object Relational {
       |  SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part)
       |ORDER BY p_partkey, metric""".stripMargin
 
+  // ==== q235: grouped top-k via the bounded-state aggregate =================
+  //
+  // The declared-query face of functions/TopKAgg: q13 ranks with
+  // `row_number() OVER (PARTITION BY ...)` — which shuffles EVERY row to
+  // its group's reducer and sorts the whole group; this answers the same
+  // question with k-bounded state everywhere (map-side partials carry ≤ k
+  // structs per group, reducers merge k-lists), the shape that survives a
+  // hot group at 100 TB. The differential against the window-formulated
+  // oracle proves the multiset top-k semantics equal rank() <= k row for
+  // row, ties included.
+
+  /** Top-`k` rows per group by (ordCol desc, tieCol asc):
+    * (group, rank, tie, ord). */
+  def groupedTopK(df: DataFrame, groupCol: String, ordCol: String,
+      tieCol: String, k: Int): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(graft.functions.TopKAgg.of(
+        struct(col(ordCol).as("o"), (-col(tieCol)).as("nt")), k).as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("r0", "t")))
+      .select(col(groupCol), (col("r0") + 1).as("rank"),
+        (-col("t.nt")).as(tieCol), col("t.o").as(ordCol))
+
+  private def q235(s: SparkSession, dir: String): DataFrame =
+    groupedTopK(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        col("o_orderkey")),
+      "o_orderpriority", "price_c", "o_orderkey", k = 3)
+      .orderBy(col("o_orderpriority"), col("rank"))
+
+  private val q235Sql =
+    """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank,
+      |  o_orderkey, price_c
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+      |        o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q235_grouped_topk", q235, Some(q235Sql)),
     QueryDef("q49_correlated_subquery", q49, Some(q49Sql)),
     QueryDef("q56_join_asof_forward", q56, Some(q56Sql)),
     QueryDef("q50_regexp", q50, Some(q50Sql)),

@@ -199,7 +199,62 @@ object Retrieval {
       |FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id
       |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin
 
+  // ==== q233: positional phrase search ======================================
+  //
+  // Exact phrase match — the retrieval mode BM25's bag-of-words cannot
+  // express ("window table" ≠ "table window"). The classic positional-
+  // inverted-index evaluation: tokens explode once to (doc, pos, tok);
+  // each phrase term selects its posting rows; terms ALIGN through an
+  // equi-join on (doc, pos − offset) — occurrences (overlapping included)
+  // fall out as join matches, never a per-doc scan of the full text.
+  // Scale: postings are term-selective BEFORE the join (the most frequent
+  // phrase term bounds the join input), the join keys on (doc, pos) so
+  // no position ever fans out, and the phrase plan is |phrase|−1 chained
+  // equi-joins — at 100 TB this is the standard positional-index shape
+  // (Lucene's PhraseQuery evaluated set-at-a-time).
+
+  /** Per-doc occurrence counts of the exact token `phrase`, top-`k` by
+    * (count desc, doc_id). */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2)
+    val toks = docs.select(col("doc_id"),
+      posexplode(Tok.ws(col("text"))).as(Seq("pos", "tok")))
+    val anchors = toks.where(col("tok") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val aligned = phrase.zipWithIndex.tail.foldLeft(anchors) {
+      case (acc, (w, off)) =>
+        acc.join(
+          toks.where(col("tok") === w)
+            .select(col("doc_id"), (col("pos") - off).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    aligned.groupBy(col("doc_id")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("doc_id")).limit(k)
+  }
+
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(s, dir), Seq("table", "table"), 20)
+
+  // the oracle counts occurrences per doc with an indexed list scan — a
+  // DIFFERENT evaluation strategy (per-doc positional scan vs the
+  // engine's postings join), so the differential proves the join
+  // decomposition, overlapping occurrences included
+  private val q233Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS ws
+      |  FROM documents),
+      |hits AS (
+      |  SELECT doc_id,
+      |    len(list_filter(ws, (x, i) -> x = 'table'
+      |      AND i < len(ws) AND ws[i + 1] = 'table')) AS n_occurrences
+      |  FROM t)
+      |SELECT doc_id, CAST(n_occurrences AS BIGINT) AS n_occurrences
+      |FROM hits WHERE n_occurrences > 0
+      |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q103_bm25_topk", q103, Some(q103Sql)),
-    QueryDef("q170_rrf_fusion", q170, Some(q170Sql)))
+    QueryDef("q170_rrf_fusion", q170, Some(q170Sql)),
+    QueryDef("q233_phrase_search", q233, Some(q233Sql)))
 }
