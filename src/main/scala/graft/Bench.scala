@@ -37,13 +37,23 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
     // optional args = query-name filter (for single-query stress timings)
     val wanted = args.toSet
+    // Default action is df.count() — kept for artifact continuity with
+    // every earlier round's recorded numbers. Caveat (measured round 9):
+    // Catalyst optimizes the plan FOR the count, and a query whose render
+    // tops out in a left join against unique keys (the PageRank-family
+    // shape) collapses almost entirely — q123 reads ~0.8s under count()
+    // but ~8s executing its declared output. SPARK_GRAFT_BENCH_ACTION=rdd
+    // executes the declared plan verbatim (toRdd.count()) for honest
+    // per-query engineering measurements.
+    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted.isEmpty || wanted(q._1))
       .map { case (name, fn) =>
       val times = (1 to iterations).map { _ =>
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          val df = fn(spark, sfDir)
+          if (action == "rdd") df.queryExecution.toRdd.count() else df.count()
           (System.nanoTime() - t0) / 1e9
         } catch { case e: Throwable =>
           // a broken query must read as a FAILURE, not a fast timing
