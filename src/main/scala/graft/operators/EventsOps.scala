@@ -2072,7 +2072,88 @@ object EventsOps {
       |    AND CURRENT ROW) AS BIGINT) AS log_surv_unats
       |FROM steps ORDER BY t_hr""".stripMargin
 
+  // ==== q236: deterministic bootstrap confidence interval ====================
+  //
+  // Nonparametric uncertainty for an arbitrary statistic — the CI that
+  // needs no normality assumption (Efron 1979). Statistic here: mean
+  // hourly event count. B resamples of the HOUR-DOMAIN series (n ≈ 720
+  // rows), each drawing n indices with replacement; the 2.5%/97.5%
+  // order statistics of the resample means are the interval.
+  //
+  // Determinism discipline: draws come from salted md5 of (b, i) — the
+  // q102/q124 trick — never a seeded RNG (whose stream depends on row
+  // order); resample MEANS compare as exact integer SUMS (n is constant
+  // across resamples), so the order statistics are integer-exact and the
+  // single float division per bound happens at render. Scale shape: the
+  // corpus-sized work is ONE hourly aggregation; the bootstrap operates
+  // on B×n domain-sized rows (144k at B=200) — resampling never touches
+  // raw events, which is exactly why bootstrap-over-aggregates is the
+  // 100 TB-viable form.
+
+  /** One row: (n_hours, b, mean, lo95, hi95) — percentile bootstrap CI
+    * of the mean hourly count, B resamples, ranks ⌈0.025B⌉/⌈0.975B⌉. */
+  def bootstrapMeanCi(events: DataFrame, b: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    val hourly = events
+      .groupBy(floor(unix_micros(col("ts")) / lit(3600000000L)).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+    val idx = graft.chunk.ChunkAssigner.withPrefixSum(
+      hourly.withColumn("__one", lit(1L)), Seq(col("hr")), col("__one"),
+      outName = "i").select(col("i"), col("cnt")) // dense 0-based index
+    val n = broadcast(idx.agg(count(lit(1)).as("n"), sum(col("cnt")).as("tot")))
+    val draws = idx.select(col("i").as("di"))
+      .crossJoin(spark.range(b).toDF("b"))
+      .crossJoin(n)
+      .select(col("b"),
+        pmod(conv(substring(md5(concat(lit("bs:"), col("b"), lit("_"),
+          col("di"))), 1, 6), 16, 10).cast("long"), col("n")).as("i"))
+    val drawn = idx.join(draws, Seq("i"))
+    val sums = drawn.groupBy(col("b")).agg(sum(col("cnt")).as("s"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s"), col("b"))))
+    val loRk = math.ceil(0.025 * b).toInt
+    val hiRk = math.ceil(0.975 * b).toInt
+    sums.crossJoin(n)
+      .agg(max(col("n")).as("n_hours"), lit(b.toLong).as("b"),
+        QueryDef.dec4(max(col("tot")).cast("double") /
+          max(col("n")).cast("double")).as("mean"),
+        QueryDef.dec4(max(when(col("rk") === loRk, col("s"))).cast("double") /
+          max(col("n")).cast("double")).as("lo95"),
+        QueryDef.dec4(max(when(col("rk") === hiRk, col("s"))).cast("double") /
+          max(col("n")).cast("double")).as("hi95"))
+  }
+
+  private def q236(s: SparkSession, dir: String): DataFrame =
+    bootstrapMeanCi(Tables.events(s, dir), b = 200)
+
+  private val q236Sql =
+    """WITH hourly AS (
+      |  SELECT epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |idx AS (
+      |  SELECT row_number() OVER (ORDER BY hr) - 1 AS i, cnt FROM hourly),
+      |nn AS (SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS tot FROM idx),
+      |draws AS (
+      |  SELECT b.b, CAST(CAST(concat('0x', substr(md5(
+      |      concat('bs:', CAST(b.b AS VARCHAR), '_', CAST(d.i AS VARCHAR))),
+      |      1, 6)) AS BIGINT) % nn.n AS BIGINT) AS i
+      |  FROM range(200) b(b) CROSS JOIN idx d CROSS JOIN nn),
+      |sums AS (
+      |  SELECT d.b, CAST(sum(idx.cnt) AS BIGINT) AS s
+      |  FROM draws d JOIN idx ON idx.i = d.i GROUP BY d.b),
+      |ranked AS (
+      |  SELECT s, row_number() OVER (ORDER BY s, b) AS rk FROM sums)
+      |SELECT nn.n AS n_hours, CAST(200 AS BIGINT) AS b,
+      |  CAST(CAST(CAST(nn.tot AS DOUBLE) / CAST(nn.n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean,
+      |  CAST(CAST((SELECT CAST(s AS DOUBLE) FROM ranked WHERE rk = 5)
+      |    / CAST(nn.n AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS lo95,
+      |  CAST(CAST((SELECT CAST(s AS DOUBLE) FROM ranked WHERE rk = 195)
+      |    / CAST(nn.n AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS hi95
+      |FROM nn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q236_bootstrap_ci", q236, Some(q236Sql)),
     QueryDef("q229_kaplan_meier", q229, Some(q229Sql)),
     QueryDef("q220_seq_pair_support", q220, Some(q220Sql)),
     QueryDef("q200_rolling_robust_z", q200, Some(q200Sql)),

@@ -33,6 +33,25 @@ class CausalSurvivalSpec extends AnyFunSuite {
     assert(got(2)._4.contains(ln(3.0 / 4) + ln(2.0 / 3) + ln(1.0 / 2)))
   }
 
+  test("bootstrapMeanCi: interval brackets the mean and tightens with data") {
+    val rnd = new scala.util.Random(8)
+    def events(hours: Int, perHour: Int) = (0 until hours).flatMap { h =>
+      (0 until perHour + rnd.nextInt(21)).map { _ =>
+        Tuple1(java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(1700000000L + h * 3600L)))
+      }
+    }.toDF("ts")
+    val r = EventsOps.bootstrapMeanCi(events(300, 40), b = 200)
+      .select(col("mean"), col("lo95"), col("hi95"))
+      .as[(String, String, String)].head()
+    val (m, lo, hi) = (r._1.toDouble, r._2.toDouble, r._3.toDouble)
+    assert(lo <= m && m <= hi, s"($lo, $m, $hi)")
+    assert(hi - lo > 0, "degenerate interval")
+    // per-hour counts ∈ [40, 60]: a 95% CI of the mean over 300 hours
+    // must be far tighter than the data range
+    assert(hi - lo < 5.0, s"width ${hi - lo}")
+  }
+
   test("stratifiedAtt recovers the true effect under confounding") {
     // Confound: high-x rows are mostly treated AND have higher baseline y.
     // True additive effect = +100 in every stratum; the NAIVE difference
