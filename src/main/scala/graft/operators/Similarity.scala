@@ -524,7 +524,107 @@ object Similarity {
       |FROM e LEFT JOIN roles r ON e.id = r.id
       |ORDER BY e.id""".stripMargin
 
+  // ==== q237: LOF local outlier factor ======================================
+  //
+  // Breunig et al. 2000 — the LOCAL anomaly detector completing the
+  // outlier family: q118's MAD is global-distance, q219's HBOS is
+  // global-density, q196's DBSCAN labels noise binarily; LOF scores each
+  // point by how much sparser its neighborhood is than its neighbors'
+  // neighborhoods — the only one that finds an outlier INSIDE a dense
+  // region's margin. Formulated on SQUARED L2 over ⌊10⁶·e⌋ integerized
+  // embeddings (a monotone transform — the standard exactness variant):
+  // every pairwise distance, k-distance and reachability sum is then an
+  // exact BIGINT ((aᵢ−bᵢ)² sums ≤ 4e13 — also exact in the double-typed
+  // native dot product), and each lrd ratio is integerized ONCE
+  // (⌊10⁹·Σreach_p/Σreach_o⌋), so per-point LOF scores are integer sums
+  // — order-free, cross-engine exact.
+  //
+  // Scale shape: exact kNN needs all pairs, so the DECLARED query runs on
+  // an id-bounded slice (the q174/q227 oracle-cost precedent) and the
+  // operator documents the corpus path: at 100 TB the pair source swaps
+  // to IVF/LSH candidate generation exactly as [[dbscan]] declares — LOF
+  // only ever reads each point's k nearest, which ANN candidates cover.
+  // Windows partition per point (slice-bounded), never globally.
+
+  /** Top-`topN` LOF outliers of `emb` (vec_id, embedding) with `k`
+    * neighbors: (vec_id, kdist, lof_nano = ⌊avg(10⁹·lrd-ratio)⌋). */
+  def lofOutliers(emb: DataFrame, k: Int, topN: Int): DataFrame = {
+    import graft.functions.VectorExprs.dotProduct
+    val ints = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6).cast("double")).as("x")) // integral doubles
+    val withNorm = ints.withColumn("n2", dotProduct(col("x"), col("x")))
+    val a = withNorm.toDF("ida", "xa", "n2a")
+    val b = withNorm.toDF("idb", "xb", "n2b")
+    val pairs = a.crossJoin(b).where(col("ida") =!= col("idb"))
+      .select(col("ida"), col("idb"),
+        (col("n2a") + col("n2b") -
+          lit(2.0) * dotProduct(col("xa"), col("xb"))).cast("long").as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ida")).orderBy(col("d2"), col("idb"))
+    val top = pairs.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    val kdist = top.groupBy(col("ida").as("id")).agg(max(col("d2")).as("kdist"))
+    // reach(p,o) = max(kdist(o), d2(p,o)); Σreach per point — exact BIGINT
+    val sreach = top
+      .join(kdist.toDF("idb", "kdist_o"), Seq("idb"))
+      .groupBy(col("ida").as("id"))
+      .agg(sum(greatest(col("kdist_o"), col("d2"))).as("sreach"))
+    // LOF terms: lrd(o)/lrd(p) = Σreach(p)/Σreach(o), floored to nanos
+    val lof = top
+      .join(sreach.toDF("ida", "sreach_p"), Seq("ida"))
+      .join(sreach.toDF("idb", "sreach_o"), Seq("idb"))
+      .groupBy(col("ida").as("id"))
+      .agg((sum(floor(lit(1e9) * col("sreach_p").cast("double") /
+        col("sreach_o").cast("double")).cast("long")) / k).cast("long")
+        .as("lof_nano"))
+    lof.join(kdist, Seq("id"))
+      .select(col("id").as("vec_id"), col("kdist"), col("lof_nano"))
+      .orderBy(col("lof_nano").desc, col("vec_id")).limit(topN)
+  }
+
+  private def q237(s: SparkSession, dir: String): DataFrame =
+    lofOutliers(
+      Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id"), col("embedding")),
+      k = 10, topN = 20)
+
+  private val q237Sql =
+    """WITH e AS (
+      |  SELECT vec_id AS id,
+      |    list_transform(embedding,
+      |      v -> floor(CAST(v AS DOUBLE) * 1e6)) AS x
+      |  FROM embeddings WHERE vec_id % 4 = 0),
+      |n AS (SELECT id, x, list_inner_product(x, x) AS n2 FROM e),
+      |pairs AS (
+      |  SELECT a.id AS ida, b.id AS idb,
+      |    CAST(a.n2 + b.n2 - 2 * list_inner_product(a.x, b.x) AS BIGINT)
+      |      AS d2
+      |  FROM n a JOIN n b ON a.id <> b.id),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT ida, idb, d2,
+      |      row_number() OVER (PARTITION BY ida ORDER BY d2, idb) AS rn
+      |    FROM pairs) WHERE rn <= 10),
+      |kd AS (SELECT ida AS id, max(d2) AS kdist FROM top GROUP BY ida),
+      |sr AS (
+      |  SELECT t.ida AS id,
+      |    CAST(sum(greatest(ko.kdist, t.d2)) AS BIGINT) AS sreach
+      |  FROM top t JOIN kd ko ON ko.id = t.idb GROUP BY t.ida),
+      |lof AS (
+      |  SELECT t.ida AS id,
+      |    CAST(CAST(sum(CAST(floor(1e9 * CAST(sp.sreach AS DOUBLE)
+      |        / CAST(so.sreach AS DOUBLE)) AS BIGINT)) AS BIGINT)
+      |      // 10 AS BIGINT) AS lof_nano
+      |  FROM top t
+      |  JOIN sr sp ON sp.id = t.ida
+      |  JOIN sr so ON so.id = t.idb
+      |  GROUP BY t.ida)
+      |SELECT lof.id AS vec_id, kd.kdist, lof.lof_nano
+      |FROM lof JOIN kd ON kd.id = lof.id
+      |ORDER BY lof_nano DESC, vec_id LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_lof", q237, Some(q237Sql)),
     QueryDef("q196_dbscan", q196, Some(q196Sql)),
     QueryDef("q132_embedding_drift", q132, Some(q132Sql)),
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
