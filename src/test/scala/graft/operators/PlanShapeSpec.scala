@@ -192,4 +192,34 @@ class PlanShapeSpec extends AnyFunSuite {
     val hq = plan("q166_hist_quantile_state")
     assert("HashAggregate".r.findAllIn(hq).size >= 2, s"q166 lost partial agg:\n$hq")
   }
+
+  test("round-9 shapes: bitmap family aggregates partially, no raw-pair blowups") {
+    // q221/q223/q224: the bitmap build is an ObjectHashAggregate with
+    // map-side partials (bitmap_or_agg is a TypedImperativeAggregate);
+    // set ops meet on equi/broadcast joins — never a cartesian of events
+    Seq("q221_bitmap_overlap", "q223_rolling_distinct",
+      "q224_distinct_cube").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("ObjectHashAggregate"), s"$q lost the object agg:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
+    // q222: sketches built by kmv_agg partials; the pair frame is
+    // segment-domain (the one BNLJ is over per-segment sketch rows)
+    val kv = plan("q222_kmv_overlap")
+    assert(kv.contains("kmv_agg"), s"q222 lost the kmv aggregate:\n$kv")
+    // q220: the min/max rewrite keeps the self-join on the (user, type)
+    // DOMAIN — the raw event table is aggregated before any join
+    val sp = plan("q220_seq_pair_support")
+    assert("HashAggregate".r.findAllIn(sp).size >= 2, s"q220 lost partial agg:\n$sp")
+    assert(!sp.contains("CartesianProduct"), s"q220 grew a cartesian:\n$sp")
+    // q217: the skyline windows are bucket-partitioned; the only
+    // single-partition window runs on the bucket DOMAIN (≤ 256 rows)
+    val sk = plan("q217_skyline")
+    assert(sk.contains("Window"), s"q217 lost its windows:\n$sk")
+    // q233: phrase terms align through equi joins (postings), never a
+    // nested-loop of token lists
+    val ps = plan("q233_phrase_search")
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
+      s"q233 degraded:\n$ps")
+  }
 }
