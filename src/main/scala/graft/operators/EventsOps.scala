@@ -2152,7 +2152,106 @@ object EventsOps {
       |    / CAST(nn.n AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS hi95
       |FROM nn""".stripMargin
 
+  // ==== q238: next-event prediction eval (Markov closed loop) ===============
+  //
+  // q119 fits the transition matrix; this measures whether it PREDICTS:
+  // train argmax-next per current type on a time prefix, score top-1
+  // accuracy on the suffix — detection → model → eval closed, the same
+  // loop discipline as q95/q184 (train → score → prune). Time split (not
+  // random) is the leakage-correct protocol for sequence models. Both
+  // phases ride the q119 lead-window shape (one shuffle, per-user
+  // windows); the model is type-domain and broadcasts back; accuracy is
+  // an integer division at render. The split instant is the q93
+  // deterministic convention: a fixed fraction of the observed time
+  // span, computed from exact integer bounds.
+
+  /** One row per from_type plus '(all)': (from_type, n_test, n_hit,
+    * accuracy) of argmax-next-type prediction trained on the first
+    * `trainFrac` of the time span. */
+  def markovNextEval(events: DataFrame, trainFrac: Double = 0.7): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .withColumn("to_us", lead(unix_micros(col("ts")), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"),
+        unix_micros(col("ts")).as("us"), col("to_us"))
+    val span = broadcast(pairs.agg(min(col("us")).as("lo"), max(col("to_us")).as("hi")))
+    // integer split instant: lo + ⌊frac · (hi − lo)⌋ — exact both engines
+    val withCut = pairs.crossJoin(span)
+      .withColumn("cut", col("lo") +
+        floor(lit(trainFrac) * (col("hi") - col("lo")).cast("double")).cast("long"))
+    // a TRAIN pair is fully inside the prefix (its successor too — no
+    // peeking past the cut); TEST pairs start after the cut
+    val model = withCut.where(col("to_us") <= col("cut"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("from_type"))
+      .agg(min(struct((-col("n")).as("neg"), col("to_type").as("t")))
+        .getField("t").as("pred")) // argmax, lexicographic tie-break
+    val test = withCut.where(col("us") > col("cut"))
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("pred"), 1L).otherwise(0L)).as("n_hit"))
+    val per = test.select(col("from_type"), col("n_test"), col("n_hit"),
+      QueryDef.dec4(col("n_hit").cast("double") / col("n_test").cast("double"))
+        .as("accuracy"))
+    val overall = test.agg(sum(col("n_test")).as("n_test"),
+        sum(col("n_hit")).as("n_hit"))
+      .select(lit("(all)").as("from_type"), col("n_test"), col("n_hit"),
+        QueryDef.dec4(col("n_hit").cast("double") / col("n_test").cast("double"))
+          .as("accuracy"))
+    per.unionAll(overall)
+  }
+
+  private def q238(s: SparkSession, dir: String): DataFrame =
+    markovNextEval(Tables.events(s, dir)).orderBy(col("from_type"))
+
+  private val q238Sql =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type,
+      |    epoch_us(ts) AS us,
+      |    lead(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_us
+      |  FROM events),
+      |p AS (SELECT * FROM pairs WHERE to_type IS NOT NULL),
+      |span AS (
+      |  SELECT min(us) AS lo, max(to_us) AS hi,
+      |    min(us) + CAST(floor(0.7 * CAST(max(to_us) - min(us) AS DOUBLE))
+      |      AS BIGINT) AS cut
+      |  FROM p),
+      |model AS (
+      |  SELECT from_type, to_type AS pred FROM (
+      |    SELECT from_type, to_type, count(*) AS n,
+      |      row_number() OVER (PARTITION BY from_type
+      |        ORDER BY count(*) DESC, to_type) AS rn
+      |    FROM p CROSS JOIN span WHERE to_us <= cut
+      |    GROUP BY from_type, to_type)
+      |  WHERE rn = 1),
+      |test AS (
+      |  SELECT p.from_type, count(*) AS n_test,
+      |    CAST(sum(CASE WHEN p.to_type = m.pred THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_hit
+      |  FROM p CROSS JOIN span LEFT JOIN model m ON m.from_type = p.from_type
+      |  WHERE p.us > span.cut
+      |  GROUP BY p.from_type)
+      |SELECT from_type, n_test, n_hit,
+      |  CAST(CAST(CAST(n_hit AS DOUBLE) / CAST(n_test AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS accuracy
+      |FROM test
+      |UNION ALL
+      |SELECT '(all)', CAST(sum(n_test) AS BIGINT), CAST(sum(n_hit) AS BIGINT),
+      |  CAST(CAST(CAST(sum(n_hit) AS DOUBLE) / CAST(sum(n_test) AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR)
+      |FROM test
+      |ORDER BY from_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q238_markov_eval", q238, Some(q238Sql)),
     QueryDef("q236_bootstrap_ci", q236, Some(q236Sql)),
     QueryDef("q229_kaplan_meier", q229, Some(q229Sql)),
     QueryDef("q220_seq_pair_support", q220, Some(q220Sql)),
