@@ -2250,7 +2250,62 @@ object EventsOps {
       |FROM test
       |ORDER BY from_type""".stripMargin
 
+  // ==== q239: frequent triples (beyond-pairs market basket) =================
+  //
+  // q121 stops at pairs; bundle design and "frequently bought TOGETHER"
+  // recommendations need the 3-itemset tier. The enumeration is a chained
+  // same-key self-join with a < b < c — per-basket fan-out is C(k, 3) in
+  // the BASKET size k, never in corpus volume, and the declared slice
+  // bounds k (the q174/q227 contract; at full width the standard
+  // mitigation is the a-priori prune: join the third item only onto
+  // pairs that already pass min-support — same join shape, one extra
+  // filter). Supports divide the same integers on both engines.
+
+  /** Top-`k` part triples co-purchased in one order, with basket support:
+    * (p1 < p2 < p3, n_orders, support). */
+  def frequentTriples(baskets: DataFrame, k: Int): DataFrame = {
+    val items = baskets.select(col("bid"), col("item")).distinct()
+    val total = broadcast(items.select(col("bid")).distinct()
+      .agg(count(lit(1)).as("n_baskets")))
+    items.toDF("bid", "p1")
+      .join(items.toDF("bid", "p2"), Seq("bid")).where(col("p1") < col("p2"))
+      .join(items.toDF("bid", "p3"), Seq("bid")).where(col("p2") < col("p3"))
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(total)
+      .select(col("p1"), col("p2"), col("p3"), col("n_orders"),
+        QueryDef.dec4(col("n_orders").cast("double") /
+          col("n_baskets").cast("double")).as("support"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"), col("p3"))
+      .limit(k)
+  }
+
+  private def q239(s: SparkSession, dir: String): DataFrame =
+    frequentTriples(
+      Tables.lineitem(s, dir).where(pmod(col("l_partkey"), lit(5)) === 0)
+        .select(col("l_orderkey").as("bid"), col("l_partkey").as("item")),
+      k = 20)
+
+  private val q239Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS bid, l_partkey AS item
+      |  FROM lineitem WHERE l_partkey % 5 = 0),
+      |tot AS (SELECT count(DISTINCT bid) AS n_baskets FROM items),
+      |t AS (
+      |  SELECT a.item AS p1, b.item AS p2, c.item AS p3,
+      |    count(*) AS n_orders
+      |  FROM items a
+      |  JOIN items b ON a.bid = b.bid AND a.item < b.item
+      |  JOIN items c ON b.bid = c.bid AND b.item < c.item
+      |  GROUP BY 1, 2, 3)
+      |SELECT p1, p2, p3, n_orders,
+      |  CAST(CAST(CAST(n_orders AS DOUBLE) / CAST(n_baskets AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS support
+      |FROM t CROSS JOIN tot
+      |ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q239_itemset_triples", q239, Some(q239Sql)),
     QueryDef("q238_markov_eval", q238, Some(q238Sql)),
     QueryDef("q236_bootstrap_ci", q236, Some(q236Sql)),
     QueryDef("q229_kaplan_meier", q229, Some(q229Sql)),
