@@ -734,4 +734,96 @@ object EventsStreaming {
       .transformWithState(new KmvDistinctProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  // ==== streaming sequence-pattern matcher (B110s, CEP-lite) ================
+  //
+  // The ONLINE twin of the batch MATCH_RECOGNIZE-lite (q173): counts
+  // leftmost non-overlapping matches of a linear pattern (literal steps,
+  // optional c* stars — the q173 class) per user as events arrive, with
+  // O(1) state per user FOREVER: (pattern position, match count, length)
+  // — never the event history, never even a tail buffer, because for
+  // patterns whose step letters are pairwise distinct (asserted at
+  // construction) the leftmost-first scan is a backtrack-free state
+  // machine: a failing letter either restarts an attempt (it equals the
+  // first step) or returns to idle, exactly reproducing Java-regex
+  // find() semantics. Arrival contract: event-time order across batches
+  // (the Holt/B147 contract); inside a slice the handler sorts.
+
+  /** Linear pattern: steps of (letter, isStar). "vc*p" ⇒
+    * [(v,false),(c,true),(p,false)]. Letters must be pairwise distinct. */
+  private[streaming] def compileLinear(pattern: String): Array[(Char, Boolean)] = {
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Char, Boolean)]
+    var i = 0
+    while (i < pattern.length) {
+      val c = pattern.charAt(i)
+      require(c.isLetter, s"unsupported pattern char: $c")
+      val star = i + 1 < pattern.length && pattern.charAt(i + 1) == '*'
+      steps += ((c, star))
+      i += (if (star) 2 else 1)
+    }
+    require(steps.map(_._1).distinct.size == steps.size,
+      "streaming matcher requires pairwise-distinct step letters")
+    steps.toArray
+  }
+
+  /** Input (user, us, event_id, ch); output running (user, seq_len,
+    * n_matches) after each slice. */
+  class SeqMatchProcessor(pattern: String)
+      extends StatefulProcessor[Long, (Long, Long, Long, String), (Long, Long, Long)] {
+    private val steps = compileLinear(pattern)
+    require(!steps.head._2 && !steps.last._2,
+      "pattern must start and end with a literal step")
+    @transient private var st: ValueState[(Int, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long, Long)]("seq_match",
+        Encoders.product[(Int, Long, Long)], TTLConfig.NONE)
+
+    /** One char through the machine at `pos`; returns (newPos, matched). */
+    private def step(pos: Int, c: Char): (Int, Boolean) = {
+      // skip star steps whose letter is not c (they match empty here)
+      var i = pos
+      while (i < steps.length && steps(i)._2 && steps(i)._1 != c) i += 1
+      if (i < steps.length && steps(i)._1 == c) {
+        if (steps(i)._2) (i, false) // star absorbs c, stays hungry
+        else if (i + 1 == steps.length) (0, true) // final literal: match
+        else (i + 1, false)
+      } else {
+        // attempt failed: with pairwise-distinct letters the only viable
+        // restart is at step 0 (a literal, asserted)
+        if (c == steps(0)._1) {
+          if (steps.length == 1) (0, true) else (1, false)
+        } else (0, false)
+      }
+    }
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, Long, String)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (pos, matches, len) =
+        if (st.exists()) st.get() else (0, 0L, 0L)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, s) =>
+        len += 1
+        val (p2, hit) = step(pos, s.charAt(0))
+        pos = p2
+        if (hit) matches += 1
+      }
+      st.update((pos, matches, len))
+      Iterator.single((user, len, matches))
+    }
+  }
+
+  /** Running leftmost non-overlapping `pattern` matches per user over a
+    * streaming events frame (type's first letter, the q173 encoding).
+    * RocksDB required. */
+  def sequenceMatchStream(events: DataFrame, pattern: String)
+      : Dataset[(Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id").cast("long"), unix_micros(col("ts")),
+        col("event_id").cast("long"), substring(col("event_type"), 1, 1))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(new SeqMatchProcessor(pattern),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -864,6 +864,39 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("B110s: streaming sequence matcher == batch regexp across batch cuts") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(77)
+      val types = Seq("view", "click", "purchase", "search")
+      // random per-user streams; batch cuts land mid-pattern on purpose
+      val all = (1 to 1200).map { i =>
+        (rnd.nextInt(25).toLong,
+          new Timestamp(1700000000000L + i * 1000L),
+          i.toLong, types(rnd.nextInt(types.size)))
+      }
+      val input = MemoryStream[(Long, Timestamp, Long, String)](spark)
+      val events = input.toDF().toDF("user_id", "ts", "event_id", "event_type")
+      val q = EventsStreaming.sequenceMatchStream(events, "vc*p")
+        .writeStream.format("memory").queryName("seq_match_out")
+        .outputMode("update").start()
+      try {
+        all.grouped(137).foreach { s => input.addData(s: _*); q.processAllAvailable() }
+      } finally q.stop()
+      // update mode re-emits per batch; len only grows, so max == final
+      val got = spark.table("seq_match_out").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (u, v) =>
+          u -> (v.map(_._2).max, v.map(_._3).max) }
+      val batch = graft.operators.EventsOps.sequenceMatches(
+        all.toDF("user_id", "ts", "event_id", "event_type"), "vc*p")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == batch)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B156s: streaming KMV — exact while not full, sketch == batch prefix") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
