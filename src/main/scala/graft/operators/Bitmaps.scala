@@ -37,7 +37,11 @@ object Bitmaps {
     * non-negative (`div` truncation == floor only then, and the block
     * grid has no negative rooms). */
   def blockBitmaps(df: DataFrame, groupNames: Seq[String], id: Column): DataFrame = {
-    val idl = id.cast("long")
+    // a negative id would silently land in the WRONG block (`div` truncates
+    // toward zero while pmod wraps positive) — raise instead of corrupting
+    val idl = when(id.cast("long") < 0,
+      raise_error(concat(lit("bitmap ids must be non-negative: "),
+        id.cast("string")))).otherwise(id.cast("long"))
     df.select(groupNames.map(col) :+ (idl.cast("long")).as("__id"): _*)
       .select(groupNames.map(col) :+
         expr(s"__id div ${BlockBits}L").as("block") :+

@@ -1531,6 +1531,8 @@ object Profiling {
       features.flatMap(f =>
         Seq(min(col(f).cast("long")), max(col(f).cast("long")))): _*).head
     val n = statsRow.getLong(0)
+    if (n == 0) // empty in, empty out — not an NPE on the null min/max
+      return df.select(col(idCol), lit(0L).as("score_unats")).limit(0)
     val scored = features.zipWithIndex.map { case (f, i) =>
       val (lo, hi) = (statsRow.getLong(1 + 2 * i), statsRow.getLong(2 + 2 * i))
       val binned = df.select(col(idCol),

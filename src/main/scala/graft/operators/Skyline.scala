@@ -56,6 +56,7 @@ object Skyline {
       .groupBy(col(xCol).cast("long").as("x"), col(yCol).cast("long").as("y"))
       .agg(count(lit(1)).as("cnt"))
     val r = grid.agg(min(col("x")), max(col("x"))).head // two scalars
+    if (r.isNullAt(0)) return grid.select(col("x"), col("y"), col("cnt")) // empty in, empty out
     val (xmin, xmax) = (r.getLong(0), r.getLong(1))
     val w = (xmax - xmin) / buckets + 1 // ≥ 1 ⇒ bucket order respects x order
     // integer floor-div (x - xmin ≥ 0): Column./ is double division, whose
