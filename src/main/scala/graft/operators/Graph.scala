@@ -1143,7 +1143,88 @@ object Graph {
        |FROM byc""".stripMargin
   }
 
+  // ==== q240: weighted shortest paths (bounded min-plus) ====================
+  //
+  // B146's BFS with COSTS: dist(v) = min over ≤r-hop paths of summed edge
+  // weights — bounded-round Bellman–Ford, the same min-plus induction
+  // contract as q209 (exact for every path of ≤ `rounds` hops; absent
+  // nodes are farther in hops). Per round ONE edge join + one
+  // map-side-combined min per node, checkpoint-truncated with superseded
+  // block release; weights are exact integer cents, so distances compare
+  // exactly — no float tie at any frontier.
+
+  /** (node, dist) after `rounds` min-plus steps over weighted (src, dst,
+    * w) edges from `seeds` (node). */
+  def weightedDistances(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var state = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var lastCp: Option[DataFrame] = Some(state)
+    for (_ <- 1 to rounds) {
+      val hop = e.join(state.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      state = state.unionByName(hop)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
+      lastCp = Some(state)
+    }
+    state
+  }
+
+  // same co-order slice as q209, weight = cheapest shared order's combined
+  // price cents for the pair; top-25 closest non-seeds
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"),
+      col("cents").as("ca"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"),
+      col("cents").as("cb"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .groupBy(col("a").as("src"), col("b").as("dst"))
+      .agg(min(col("ca") + col("cb")).as("w"))
+    val seeds = edges.select(col("src").as("node"))
+      .where(col("node") % 97 === 0).distinct()
+    weightedDistances(edges, seeds, rounds = 3)
+      .join(seeds.withColumn("is_seed", lit(1)), Seq("node"), "left")
+      .where(col("is_seed").isNull)
+      .select(col("node"), col("dist"))
+      .orderBy(col("dist"), col("node")).limit(25)
+  }
+
+  private val q240Sql = {
+    val round = (i: Int) =>
+      s"""d$i AS (
+         |  SELECT node, min(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, d.dist + e.w AS dist
+         |    FROM e JOIN d${i - 1} d ON e.src = d.node)
+         |  GROUP BY node)""".stripMargin
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem WHERE l_partkey % 3 = 0),
+       |e AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       |    min(a.cents + b.cents) AS w
+       |  FROM li a JOIN li b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+       |  GROUP BY 1, 2),
+       |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 97 = 0),
+       |d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM seeds),
+       |${(1 to 3).map(round).mkString(",\n")}
+       |SELECT node, CAST(dist AS BIGINT) AS dist
+       |FROM d3 WHERE node NOT IN (SELECT node FROM seeds)
+       |ORDER BY dist, node LIMIT 25""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q240_weighted_paths", q240, Some(q240Sql)),
     QueryDef("q231_modularity", q231, Some(q231Sql)),
     QueryDef("q226_hits", q226, Some(q226Sql)),
     QueryDef("q227_adamic_adar", q227, Some(q227Sql)),
