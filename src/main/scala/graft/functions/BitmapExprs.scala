@@ -53,6 +53,10 @@ object BitmapExprs {
     GraftSql.column(BitmapAndCount(GraftSql.expression(a), GraftSql.expression(b)))
 
   private[functions] def words(bytes: Array[Byte]): Array[Long] = {
+    // bitmap_merge_agg is SQL-registered, so arbitrary binaries can reach
+    // here: reject misaligned input instead of silently dropping tail bits
+    require(bytes.length % 8 == 0,
+      s"bitmap binary length ${bytes.length} is not a multiple of 8")
     val out = new Array[Long](bytes.length / 8)
     ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
     out

@@ -902,6 +902,7 @@ object Graph {
   /** (node, hub, auth) after `iterations` un-normalized HITS power steps
     * over directed (src, dst) edges, h and a each scaled by their sums. */
   def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, s"hits needs >= 1 iteration, got $iterations")
     // Lineage discipline — measured the OTHER way round than q123: HITS
     // references frames twice (hub_i feeds auth_i AND the render; auth_i
     // feeds hub_{i+1} AND the render), and AQE does not re-use the edge

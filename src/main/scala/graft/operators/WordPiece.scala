@@ -35,7 +35,7 @@ object WordPiece {
       "table", "value", "scan", "window", "stream", "quer",
       "ta", "str", "val", "win", "sc", "ro", "jo", "ba", "fa")
   val DemoConts: Seq[String] =
-    ("abcdefghijklmnopqrstuvwy0123456789").map(_.toString) ++ Seq(
+    ("abcdefghijklmnoprstuvwy0123456789").map(_.toString) ++ Seq(
       "ble", "ow", "ue", "eam", "dow", "er", "in", "an", "or", "ch", "st")
 
   /** Per-doc WordPiece accounting under the frozen vocab:

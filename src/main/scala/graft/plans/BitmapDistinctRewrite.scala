@@ -105,9 +105,12 @@ class BitmapDistinctRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         // fine grain: (keys, block) rows are disjoint — popcount sums directly
         state.groupBy(groupNames.map(col): _*).agg(cnt)
       } else if (groupNames.isEmpty) {
+        // empty state: sum over zero rows is NULL, vanilla count(DISTINCT)
+        // is 0 — coalesce so the rewrite is result-identical in that case
         state.groupBy(col("block"))
           .agg(graft.functions.BitmapExprs.bitmapMergeAgg(col("bits")).as("bits"))
-          .agg(cnt)
+          .agg(coalesce(sum(graft.functions.BitmapExprs.bitCount(col("bits"))),
+            lit(0L)).as("__bm0"))
       } else {
         state.groupBy((groupNames :+ "block").map(col): _*)
           .agg(graft.functions.BitmapExprs.bitmapMergeAgg(col("bits")).as("bits"))

@@ -78,4 +78,20 @@ class BitmapRewriteSpec extends AnyFunSuite {
       assert(planOf(mixed).contains(base))
     } finally BitmapStateRegistry.clear()
   }
+
+  test("global count-distinct over an EMPTY registered table is 0, not NULL") {
+    val base = java.nio.file.Files.createTempDirectory("bm_base").toString
+    val state = java.nio.file.Files.createTempDirectory("bm_state").toString + "/s"
+    Seq.empty[(String, String, Long)].toDF("seg", "day", "uid")
+      .write.mode("overwrite").parquet(base)
+    Bitmaps.blockBitmaps(spark.read.parquet(base), Seq("seg", "day"), col("uid"))
+      .write.mode("overwrite").parquet(state)
+    try {
+      BitmapStateRegistry.register(base, state, Seq("seg", "day"), "uid")
+      val q = spark.read.parquet(base).agg(countDistinct(col("uid")).as("n"))
+      assert(planOf(q).contains(state), "rewrite must still fire on empty state")
+      assert(q.collect().map(_.getLong(0)).toSeq == Seq(0L),
+        "must match vanilla count(DISTINCT) = 0 on an empty table")
+    } finally BitmapStateRegistry.clear()
+  }
 }
