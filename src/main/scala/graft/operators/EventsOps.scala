@@ -2304,7 +2304,256 @@ object EventsOps {
       |FROM t CROSS JOIN tot
       |ORDER BY n_orders DESC, p1, p2, p3 LIMIT 20""".stripMargin
 
+  // ==== q241: log-rank test — two-group survival comparison =================
+  //
+  // The inference companion to q229: does time-to-conversion DIFFER between
+  // two randomized cohorts? Mantel–Haenszel log-rank over the duration
+  // domain: at each distinct death time t with d(t) total deaths and
+  // n1/n2 at risk, O1 accumulates d1(t), E1 accumulates d(t)·n1(t)/n(t),
+  // V accumulates d·n1·n2·(n−d)/(n²·(n−1)) — the hypergeometric variance.
+  // Statistic (O1, E1, V, χ²) not p-value: the χ² CDF is libm territory,
+  // the q197/q213 rule. Group = user_id parity — the deterministic
+  // stand-in for a randomized assignment column.
+  //
+  // Scale + determinism shape: the user-domain groupBy is the ONLY
+  // corpus-sized pass (exactly q229's shape, one extra projected column);
+  // the O/E/V sums run on the duration DOMAIN (≤ observation hours, a
+  // single tiny window). E and V accumulate as per-time ⌊10⁶·x⌋ integers —
+  // ONE double expression per DISTINCT death time, written
+  // operand-for-operand identically in both engines (the micro-unit
+  // rule), so the cross-engine totals are exact integer sums and the
+  // single-row render does one division.
+
+  /** One row: (n1_users, n2_users, o1, o2, e1_micro, v_micro, chi2) —
+    * log-rank comparison of time-to-`eventType` between user_id-parity
+    * cohorts (group 1 = even user_id). Censoring and duration semantics
+    * are exactly [[kaplanMeier]]'s. */
+  def logRankTest(events: DataFrame, eventType: String): DataFrame = {
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val durs = byUser.crossJoin(end).select(
+      when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(2L).as("g"),
+      when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    // duration-domain two-group histogram: deaths + total leaving at t
+    val hist = durs.groupBy(col("t")).agg(
+      sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d1"),
+      sum(when(col("g") === 2, col("ev")).otherwise(0L)).as("d2"),
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("l1"),
+      sum(when(col("g") === 2, 1L).otherwise(0L)).as("l2"))
+    val tot = broadcast(durs.agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1tot"),
+      sum(when(col("g") === 2, 1L).otherwise(0L)).as("n2tot")))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist.crossJoin(tot)
+      .withColumn("n1",
+        col("n1tot") - coalesce(sum(col("l1")).over(w), lit(0L)))
+      .withColumn("n2",
+        col("n2tot") - coalesce(sum(col("l2")).over(w), lit(0L)))
+      .withColumn("d", col("d1") + col("d2"))
+      .withColumn("n", col("n1") + col("n2"))
+      .where(col("d") > 0)
+    val terms = risk
+      .withColumn("e1_u", floor(lit(1e6) * col("d").cast("double") *
+        col("n1").cast("double") / col("n").cast("double")).cast("long"))
+      .withColumn("v_u", when(col("n") > 1,
+        floor(lit(1e6) * col("d").cast("double") * col("n1").cast("double") *
+          col("n2").cast("double") * (col("n") - col("d")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") *
+            (col("n") - lit(1)).cast("double"))).cast("long"))
+        .otherwise(lit(0L)))
+    terms.agg(
+      max(col("n1tot")).as("n1_users"), max(col("n2tot")).as("n2_users"),
+      sum(col("d1")).as("o1"), sum(col("d2")).as("o2"),
+      sum(col("e1_u")).as("e1_micro"), sum(col("v_u")).as("v_micro"))
+      .select(col("n1_users"), col("n2_users"), col("o1"), col("o2"),
+        col("e1_micro"), col("v_micro"),
+        QueryDef.dec4(
+          (col("o1").cast("double") - col("e1_micro").cast("double") / lit(1e6)) *
+            (col("o1").cast("double") - col("e1_micro").cast("double") / lit(1e6)) /
+            (col("v_micro").cast("double") / lit(1e6))).as("chi2"))
+  }
+
+  private def q241(s: SparkSession, dir: String): DataFrame =
+    logRankTest(Tables.events(s, dir), "purchase")
+
+  private val q241Sql =
+    """WITH bu AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |    max(epoch_us(ts)) AS tmax_u
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM bu),
+      |durs AS (
+      |  SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 2 END AS g,
+      |    CASE WHEN tp IS NOT NULL
+      |      THEN CAST(floor(CAST(tp - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |      ELSE CAST(floor(CAST(tend - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |    END AS t,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM bu CROSS JOIN e),
+      |hist AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN g = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+      |    CAST(sum(CASE WHEN g = 2 THEN ev ELSE 0 END) AS BIGINT) AS d2,
+      |    CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS l1,
+      |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS l2
+      |  FROM durs GROUP BY t),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1tot,
+      |    CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2tot
+      |  FROM durs),
+      |risk AS (
+      |  SELECT t, d1, d2, n1tot, n2tot,
+      |    n1tot - COALESCE(sum(l1) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+      |    n2tot - COALESCE(sum(l2) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n2
+      |  FROM hist CROSS JOIN tot),
+      |terms AS (
+      |  SELECT d1, d2, n1tot, n2tot,
+      |    CAST(floor(1e6 * CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |      / CAST(n1 + n2 AS DOUBLE)) AS BIGINT) AS e1_u,
+      |    CASE WHEN n1 + n2 > 1 THEN
+      |      CAST(floor(1e6 * CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+      |        * CAST(n2 AS DOUBLE)
+      |        * CAST((n1 + n2) - (d1 + d2) AS DOUBLE)
+      |        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)
+      |          * CAST((n1 + n2) - 1 AS DOUBLE))) AS BIGINT)
+      |      ELSE 0 END AS v_u
+      |  FROM risk WHERE d1 + d2 > 0),
+      |s AS (
+      |  SELECT max(n1tot) AS n1_users, max(n2tot) AS n2_users,
+      |    CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(d2) AS BIGINT) AS o2,
+      |    CAST(sum(e1_u) AS BIGINT) AS e1_micro,
+      |    CAST(sum(v_u) AS BIGINT) AS v_micro
+      |  FROM terms)
+      |SELECT n1_users, n2_users, o1, o2, e1_micro, v_micro,
+      |  CAST(CAST(
+      |    (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+      |    * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
+      |    / (CAST(v_micro AS DOUBLE) / 1e6)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2
+      |FROM s""".stripMargin
+
+  // ==== q242: deterministic permutation test ================================
+  //
+  // The exact-randomization companion to q236's bootstrap: is the observed
+  // difference in per-user mean spend between the two assignment cohorts
+  // (user_id parity — q241's A/B) explainable by chance? For each of B
+  // label permutations, users are re-ranked by salted md5 and the first
+  // n1 ranks form pseudo-group A (a deterministic uniform permutation —
+  // the q102/q124 no-RNG rule); the tail count of permuted |diff| ≥
+  // observed |diff| is the test.
+  //
+  // Determinism + scale shape: per-user spend integerizes to CENTS, and
+  // because every permutation preserves the group sizes (n1, n2), the
+  // mean comparison |s1/n1 − s2/n2| clears denominators to the exact
+  // integer comparison |s1·n2 − s2·n1| — no float enters the decision,
+  // only the two rendered means divide. Corpus-sized work = ONE user-domain
+  // groupBy; the permutation machinery runs on B × |users| rows of
+  // aggregates (the bootstrap-over-aggregates argument). The per-b md5
+  // rank window is user-domain-sized; for 1e9-user corpora replace it
+  // with the q122 bucketed prefix scan per b.
+
+  /** One row: (n1, n2, b, mean1, mean2, n_ge, p_frac) — permutation test
+    * of the per-user mean spend (cents of `value`) difference between
+    * even- and odd-user_id cohorts; n_ge counts the B md5-drawn
+    * permutations whose |diff| is at least the observed |diff|. */
+  def permutationTest(events: DataFrame, b: Int = 200): DataFrame = {
+    val spark = events.sparkSession
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val obs = broadcast(users.agg(
+      sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n1"),
+      sum(when(pmod(col("user_id"), lit(2)) === 0, col("cents"))
+        .otherwise(0L)).as("s1"),
+      sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n2"),
+      sum(when(pmod(col("user_id"), lit(2)) === 1, col("cents"))
+        .otherwise(0L)).as("s2")))
+    val perms = users.crossJoin(spark.range(b).toDF("b"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("b")).orderBy(
+          md5(concat(lit("pt:"), col("b"), lit("_"), col("user_id"))),
+          col("user_id"))))
+    val sums = perms.crossJoin(obs).groupBy(col("b")).agg(
+      sum(when(col("rk") <= col("n1"), col("cents")).otherwise(0L)).as("p1"),
+      sum(when(col("rk") > col("n1"), col("cents")).otherwise(0L)).as("p2"))
+    sums.crossJoin(obs)
+      .agg(
+        max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+        lit(b.toLong).as("b"),
+        QueryDef.dec4(max(col("s1")).cast("double") /
+          max(col("n1")).cast("double") / lit(100.0)).as("mean1"),
+        QueryDef.dec4(max(col("s2")).cast("double") /
+          max(col("n2")).cast("double") / lit(100.0)).as("mean2"),
+        sum(when(
+          abs(col("p1") * col("n2") - col("p2") * col("n1")) >=
+            abs(col("s1") * col("n2") - col("s2") * col("n1")), 1L)
+          .otherwise(0L)).as("n_ge"))
+      .withColumn("p_frac",
+        QueryDef.dec4(col("n_ge").cast("double") / lit(b.toDouble)))
+  }
+
+  private def q242(s: SparkSession, dir: String): DataFrame =
+    permutationTest(Tables.events(s, dir), b = 200)
+
+  private val q242Sql =
+    """WITH users AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY user_id),
+      |obs AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s1,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n2,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS s2
+      |  FROM users),
+      |perms AS (
+      |  SELECT b.b, u.cents, row_number() OVER (PARTITION BY b.b ORDER BY
+      |      md5(concat('pt:', CAST(b.b AS VARCHAR), '_',
+      |        CAST(u.user_id AS VARCHAR))), u.user_id) AS rk
+      |  FROM users u CROSS JOIN range(200) b(b)),
+      |sums AS (
+      |  SELECT p.b,
+      |    CAST(sum(CASE WHEN p.rk <= obs.n1 THEN p.cents ELSE 0 END)
+      |      AS BIGINT) AS p1,
+      |    CAST(sum(CASE WHEN p.rk > obs.n1 THEN p.cents ELSE 0 END)
+      |      AS BIGINT) AS p2
+      |  FROM perms p CROSS JOIN obs GROUP BY p.b),
+      |agg AS (
+      |  SELECT max(obs.n1) AS n1, max(obs.n2) AS n2, CAST(200 AS BIGINT) AS b,
+      |    CAST(CAST(max(obs.s1) AS DOUBLE) / CAST(max(obs.n1) AS DOUBLE)
+      |      / 100.0 AS DECIMAL(38,4)) AS m1,
+      |    CAST(CAST(max(obs.s2) AS DOUBLE) / CAST(max(obs.n2) AS DOUBLE)
+      |      / 100.0 AS DECIMAL(38,4)) AS m2,
+      |    CAST(sum(CASE WHEN abs(s.p1 * obs.n2 - s.p2 * obs.n1)
+      |        >= abs(obs.s1 * obs.n2 - obs.s2 * obs.n1)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      |  FROM sums s CROSS JOIN obs)
+      |SELECT n1, n2, b, CAST(m1 AS VARCHAR) AS mean1,
+      |  CAST(m2 AS VARCHAR) AS mean2, n_ge,
+      |  CAST(CAST(CAST(n_ge AS DOUBLE) / 200.0 AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS p_frac
+      |FROM agg""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q242_permutation_test", q242, Some(q242Sql)),
+    QueryDef("q241_logrank_test", q241, Some(q241Sql)),
     QueryDef("q239_itemset_triples", q239, Some(q239Sql)),
     QueryDef("q238_markov_eval", q238, Some(q238Sql)),
     QueryDef("q236_bootstrap_ci", q236, Some(q236Sql)),

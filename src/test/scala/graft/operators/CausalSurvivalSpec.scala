@@ -52,6 +52,111 @@ class CausalSurvivalSpec extends AnyFunSuite {
     assert(hi - lo < 5.0, s"width ${hi - lo}")
   }
 
+  test("logRankTest: mirrored cohorts score chi2 ~ 0, planted effect does not") {
+    def ev(u: Long, h: Long, t: String) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), t)
+    // mirrored: user 2k and 2k+1 have identical streams → groups identical
+    val mirrored = (0L until 40L).flatMap { u =>
+      Seq(ev(u, 0, "view"), ev(u, (u / 2) % 7 + 1,
+        if ((u / 2) % 3 == 0) "purchase" else "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val m = EventsOps.logRankTest(mirrored, "purchase")
+      .as[(Long, Long, Long, Long, Long, Long, String)].head()
+    assert(m._1 == 20 && m._2 == 20)
+    assert(m._3 == m._4, "mirrored groups must have equal death counts")
+    // E1 = O1 up to the per-time floor error (≤ 1 micro-unit per time)
+    assert(math.abs(m._5 - m._3 * 1000000L) <= 20,
+      s"e1_micro=${m._5} vs o1=${m._3}")
+    assert(m._7.toDouble < 0.01, s"chi2=${m._7}")
+
+    // planted: even users all convert at h1, odd users never (censored h12)
+    val planted = (0L until 40L).flatMap { u =>
+      if (u % 2 == 0) Seq(ev(u, 0, "view"), ev(u, 1, "purchase"))
+      else Seq(ev(u, 0, "view"), ev(u, 12, "view"))
+    }.toDF("user_id", "ts", "event_type")
+    val p = EventsOps.logRankTest(planted, "purchase")
+      .as[(Long, Long, Long, Long, Long, Long, String)].head()
+    assert(p._3 == 20 && p._4 == 0)
+    assert(p._7.toDouble > 10, s"chi2=${p._7}")
+  }
+
+  test("logRankTest matches a sequential brute-force recomputation") {
+    val rnd = new scala.util.Random(11)
+    def ev(u: Long, h: Long, t: String) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+        .toInstant.plusSeconds(h * 3600), t)
+    val raw = (0L until 60L).flatMap { u =>
+      val first = rnd.nextInt(5).toLong
+      val extra = (1 to rnd.nextInt(4)).map(_ =>
+        ev(u, first + 1 + rnd.nextInt(20), if (rnd.nextBoolean()) "purchase" else "view"))
+      ev(u, first, "view") +: extra
+    }
+    val df = raw.map { case (u, i, t) => (u, java.sql.Timestamp.from(i), t) }
+      .toDF("user_id", "ts", "event_type")
+    val got = EventsOps.logRankTest(df, "purchase")
+      .as[(Long, Long, Long, Long, Long, Long, String)].head()
+    // sequential reference: identical duration/censoring semantics
+    val byUser = raw.groupBy(_._1).map { case (u, evs) =>
+      val t0 = evs.map(_._2.getEpochSecond).min
+      val tp = evs.filter(_._3 == "purchase").map(_._2.getEpochSecond)
+        .minOption
+      (u, t0, tp)
+    }.toSeq
+    val tend = raw.map(_._2.getEpochSecond).max
+    val durs = byUser.map { case (u, t0, tp) =>
+      val g = if (u % 2 == 0) 1 else 2
+      (g, (tp.getOrElse(tend) - t0) / 3600L, tp.isDefined)
+    }
+    val n1tot = durs.count(_._1 == 1); val n2tot = durs.count(_._1 == 2)
+    var o1 = 0L; var o2 = 0L; var e1 = 0L; var v = 0L
+    for (t <- durs.map(_._2).distinct.sorted) {
+      val d1 = durs.count(d => d._1 == 1 && d._2 == t && d._3)
+      val d2 = durs.count(d => d._1 == 2 && d._2 == t && d._3)
+      val n1 = durs.count(d => d._1 == 1 && d._2 >= t)
+      val n2 = durs.count(d => d._1 == 2 && d._2 >= t)
+      val d = d1 + d2; val n = n1 + n2
+      if (d > 0) {
+        o1 += d1; o2 += d2
+        e1 += math.floor(1e6 * d.toDouble * n1.toDouble / n.toDouble).toLong
+        if (n > 1) v += math.floor(1e6 * d.toDouble * n1.toDouble *
+          n2.toDouble * (n - d).toDouble /
+          (n.toDouble * n.toDouble * (n - 1).toDouble)).toLong
+      }
+    }
+    assert(got._1 == n1tot && got._2 == n2tot)
+    assert(got._3 == o1 && got._4 == o2)
+    assert(got._5 == e1, s"e1_micro ${got._5} != $e1")
+    assert(got._6 == v, s"v_micro ${got._6} != $v")
+  }
+
+  test("permutationTest: zero observed diff → p = 1; planted effect → p ~ 0") {
+    def ev(u: Long, v: Double) =
+      (u, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "view", v)
+    // mirrored spend: users 2k / 2k+1 spend identically → observed diff 0,
+    // every permuted |diff| ≥ 0 → n_ge = B exactly
+    val mirrored = (0L until 40L).map(u => ev(u, 1.0 + (u / 2).toDouble))
+      .toDF("user_id", "ts", "event_type", "value")
+    val m = EventsOps.permutationTest(mirrored, b = 100)
+      .as[(Long, Long, Long, String, String, Long, String)].head()
+    assert(m._1 == 20 && m._2 == 20)
+    assert(m._6 == 100, s"n_ge=${m._6}")
+    assert(m._7 == "1.0000")
+
+    // maximal separation: even users spend 100.00, odd users 0.01 — no
+    // md5 permutation reproduces the perfect split
+    val planted = (0L until 40L).map(u =>
+      ev(u, if (u % 2 == 0) 100.0 else 0.01))
+      .toDF("user_id", "ts", "event_type", "value")
+    val p = EventsOps.permutationTest(planted, b = 100)
+      .as[(Long, Long, Long, String, String, Long, String)].head()
+    assert(p._4 == "100.0000" && p._5 == "0.0100")
+    assert(p._6 == 0, s"n_ge=${p._6}")
+    // determinism: bit-identical on re-run
+    val p2 = EventsOps.permutationTest(planted, b = 100)
+      .as[(Long, Long, Long, String, String, Long, String)].head()
+    assert(p == p2)
+  }
+
   test("stratifiedAtt recovers the true effect under confounding") {
     // Confound: high-x rows are mostly treated AND have higher baseline y.
     // True additive effect = +100 in every stratum; the NAIVE difference
