@@ -1759,7 +1759,107 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS rho
       |FROM m""".stripMargin
 
+  // ==== q243: Kendall tau-b rank correlation ================================
+  //
+  // The pair-concordance companion to q234's Spearman: tau-b counts
+  // concordant vs discordant pairs and corrects BOTH tie dimensions,
+  // τ_b = (C−D)/√((T0−Tx)(T0−Ty)). A naive pair scan is O(n²) — dead at
+  // 100 TB. Scale shape: collapse the corpus to the JOINT-VALUE histogram
+  // (x, y, c) in one map-side-combined groupBy (the q213 contingency /
+  // B8 bounded-domain contract: integerized measures with modest value
+  // domains, here |qty|·|disc| ≤ 550 cells), then count pairs on the CELL
+  // domain — C = Σ_{ax<bx, ay<by} ca·cb over an O(cells²) broadcast
+  // nested-loop join that never touches corpus rows. Tie terms come from
+  // the cell marginals. All counts accumulate as DECIMAL(38,0) (n²-scaled
+  // quantities overflow BIGINT past ~4.3e9 rows); doubling the tie terms
+  // (U = 2(T0−Tx)) keeps every intermediate an exact integer — no /2 —
+  // and τ_b = 2(C−D)/√(U·V) does ONE double division at render.
+
+  /** One row: (n, n_cells, concordant, discordant, tau_b) — Kendall tau-b
+    * between integerized `xCol` and `yCol`. Contract: bounded joint value
+    * domain (cells² pairs are enumerated). */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+    val a = cells.select(col("x").as("ax"), col("y").as("ay"),
+      col("c").as("ca"))
+    val b = cells.select(col("x").as("bx"), col("y").as("by"),
+      col("c").as("cb"))
+    val zero = lit(0).cast("decimal(38,0)")
+    val cd = a.join(broadcast(b), col("ax") < col("bx"))
+      .agg(
+        coalesce(sum(when(col("ay") < col("by"), col("ca") * col("cb"))),
+          zero).as("conc"),
+        coalesce(sum(when(col("ay") > col("by"), col("ca") * col("cb"))),
+          zero).as("disc"))
+    val m = cells.agg(count(lit(1)).as("n_cells"), sum(col("c")).as("n"))
+    // 2·(T0 − Ttie) = (n² − n) − Σ_g (c_g² − c_g), per tie dimension
+    val tx = cells.groupBy(col("x")).agg(sum(col("c")).as("cx"))
+      .agg(coalesce(sum(col("cx") * col("cx") - col("cx")), zero).as("sx"))
+    val ty = cells.groupBy(col("y")).agg(sum(col("c")).as("cy"))
+      .agg(coalesce(sum(col("cy") * col("cy") - col("cy")), zero).as("sy"))
+    def dd(c: Column) = c.cast("double")
+    m.crossJoin(broadcast(cd)).crossJoin(broadcast(tx))
+      .crossJoin(broadcast(ty))
+      .select(col("n").cast("long").as("n"), col("n_cells"),
+        col("conc").cast(org.apache.spark.sql.types.StringType)
+          .as("concordant"),
+        col("disc").cast(org.apache.spark.sql.types.StringType)
+          .as("discordant"),
+        QueryDef.dec4 {
+          val u = dd(col("n")) * dd(col("n")) - dd(col("n")) - dd(col("sx"))
+          val v = dd(col("n")) * dd(col("n")) - dd(col("n")) - dd(col("sy"))
+          when(u > 0 && v > 0,
+            lit(2.0) * (dd(col("conc")) - dd(col("disc"))) / sqrt(u * v))
+        }.as("tau_b"))
+  }
+
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    kendallTau(
+      Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100).cast("long").as("disc_c")),
+      "qty", "disc_c")
+
+  private val q243Sql =
+    """WITH d AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_discount * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |cells AS (
+      |  SELECT x, y, CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY x, y),
+      |cd AS (
+      |  SELECT
+      |    COALESCE(sum(CASE WHEN a.y < b.y THEN a.c * b.c END),
+      |      CAST(0 AS HUGEINT)) AS conc,
+      |    COALESCE(sum(CASE WHEN a.y > b.y THEN a.c * b.c END),
+      |      CAST(0 AS HUGEINT)) AS disc
+      |  FROM cells a JOIN cells b ON a.x < b.x),
+      |m AS (SELECT count(*) AS n_cells, sum(c) AS n FROM cells),
+      |tx AS (
+      |  SELECT COALESCE(sum(cx * cx - cx), CAST(0 AS HUGEINT)) AS sx
+      |  FROM (SELECT sum(c) AS cx FROM cells GROUP BY x)),
+      |ty AS (
+      |  SELECT COALESCE(sum(cy * cy - cy), CAST(0 AS HUGEINT)) AS sy
+      |  FROM (SELECT sum(c) AS cy FROM cells GROUP BY y))
+      |SELECT CAST(m.n AS BIGINT) AS n, m.n_cells,
+      |  CAST(cd.conc AS VARCHAR) AS concordant,
+      |  CAST(cd.disc AS VARCHAR) AS discordant,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE)
+      |        - CAST(tx.sx AS DOUBLE) > 0
+      |      AND CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE) - CAST(m.n AS DOUBLE)
+      |        - CAST(ty.sy AS DOUBLE) > 0
+      |    THEN 2.0 * (CAST(cd.conc AS DOUBLE) - CAST(cd.disc AS DOUBLE))
+      |      / sqrt((CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+      |          - CAST(m.n AS DOUBLE) - CAST(tx.sx AS DOUBLE))
+      |        * (CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE)
+      |          - CAST(m.n AS DOUBLE) - CAST(ty.sy AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS tau_b
+      |FROM m CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q243_kendall_tau", q243, Some(q243Sql)),
     QueryDef("q234_spearman", q234, Some(q234Sql)),
     QueryDef("q230_stratified_att", q230, Some(q230Sql)),
     QueryDef("q218_fd_audit", q218, Some(q218Sql)),
