@@ -673,7 +673,209 @@ object MlEval {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS coverage
       |FROM tst t CROSS JOIN fit2 f""".stripMargin
 
+  // ==== q244: probabilistic-classifier metrics — Brier, ECE, MCC ============
+  //
+  // q143 draws the reliability diagram; this scores it. The evaluated
+  // predictor is a REAL confidence with signal: s = stopword-token
+  // fraction (TextAnalysis.stopwords — the shared quality-band list)
+  // read as P(lang = 'en'), evaluated against the actual lang label.
+  // Brier = mean (s−y)², ECE = Σ_b (n_b/N)·|mean-conf_b − pos-rate_b|
+  // over 10 equal-WIDTH confidence bins (the standard ECE binning;
+  // q143's equal-DEPTH bins answer a different question), MCC from the
+  // confusion matrix at s ≥ 0.5.
+  //
+  // Exact-integer discipline: s is floored to milli-units per doc, so
+  //   • Brier numerator Σ(s_milli − 1000y)² sums exact integers;
+  //   • the bin term n_b·|mean-conf_b − pos-rate_b| collapses to
+  //     |Σ s_milli − 1000·pos_b| — integer inside the abs, so ECE's
+  //     numerator is an exact integer sum too;
+  //   • the 0.5 threshold is a bin boundary (s_milli ≥ 500), so the
+  //     confusion counts come from the SAME bin pass.
+  // Scale shape: one corpus projection → one 10-bin groupBy → one
+  // 10-row rollup; three double divisions + one sqrt at render.
+
+  /** (s, y): per-doc milli-unit stopword-fraction confidence + 0/1 label —
+    * the shared front end of q244 (metrics) and q245 (isotonic fit). */
+  private def confidenceBase(docs: DataFrame, label: String): DataFrame = {
+    val t = Tok.ws(col("text"))
+    docs
+      .select(size(t).cast("long").as("m"),
+        size(filter(t, x => x.isin(TextAnalysis.stopwords: _*)))
+          .cast("long").as("k"),
+        when(expr(label), 1L).otherwise(0L).as("y"))
+      .select(when(col("m") > 0,
+        floor(lit(1000.0) * col("k") / col("m")).cast("long"))
+        .otherwise(0L).as("s"), col("y"))
+  }
+
+  /** DuckDB twin of [[confidenceBase]], as a `base(s, y)` CTE body. */
+  private def confidenceBaseSql: String = {
+    val stop = TextAnalysis.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""SELECT CASE WHEN m > 0
+       |      THEN CAST(floor(1000.0 * k / m) AS BIGINT) ELSE 0 END AS s,
+       |    y
+       |  FROM (
+       |    SELECT CAST(len(toks) AS BIGINT) AS m,
+       |      CAST(len(list_filter(toks, x -> x IN ($stop))) AS BIGINT) AS k,
+       |      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+       |    FROM (SELECT list_filter(string_split(text, ' '),
+       |        x -> x <> '') AS toks, lang FROM documents))""".stripMargin
+  }
+
+  /** One row: (n, pos, tp, fp, tn, fn, brier, ece, mcc) for the
+    * stopword-fraction confidence against boolean `label`. */
+  def calibrationMetrics(docs: DataFrame, label: String): DataFrame = {
+    val base = confidenceBase(docs, label)
+    val dev = col("s") - lit(1000L) * col("y")
+    val bins = base
+      .groupBy(least(expr("s DIV 100"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"),
+        sum(col("s")).as("ssum_b"), sum(dev * dev).as("br_b"),
+        sum(when(col("s") >= 500 && col("y") === 1, 1L).otherwise(0L))
+          .as("tp_b"),
+        sum(when(col("s") >= 500 && col("y") === 0, 1L).otherwise(0L))
+          .as("fp_b"),
+        sum(when(col("s") < 500 && col("y") === 0, 1L).otherwise(0L))
+          .as("tn_b"),
+        sum(when(col("s") < 500 && col("y") === 1, 1L).otherwise(0L))
+          .as("fn_b"))
+    val m = bins.agg(sum(col("n_b")).as("n"), sum(col("pos_b")).as("pos"),
+      sum(col("br_b")).as("brier_num"),
+      sum(abs(col("ssum_b") - lit(1000L) * col("pos_b"))).as("ece_num"),
+      sum(col("tp_b")).as("tp"), sum(col("fp_b")).as("fp"),
+      sum(col("tn_b")).as("tn"), sum(col("fn_b")).as("fn"))
+    def dd(c: String) = col(c).cast("double")
+    m.select(col("n"), col("pos"), col("tp"), col("fp"), col("tn"),
+      col("fn"),
+      QueryDef.dec4(dd("brier_num") / (dd("n") * lit(1e6))).as("brier"),
+      QueryDef.dec4(dd("ece_num") / (dd("n") * lit(1000.0))).as("ece"),
+      QueryDef.dec4(when(
+        col("tp") + col("fp") > 0 && col("tp") + col("fn") > 0 &&
+          col("tn") + col("fp") > 0 && col("tn") + col("fn") > 0,
+        (dd("tp") * dd("tn") - dd("fp") * dd("fn")) /
+          sqrt((dd("tp") + dd("fp")) * (dd("tp") + dd("fn")) *
+            (dd("tn") + dd("fp")) * (dd("tn") + dd("fn"))))).as("mcc"))
+  }
+
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    calibrationMetrics(Tables.documents(s, dir), "lang = 'en'")
+
+  private val q244Sql = {
+    s"""WITH base AS (
+       |  $confidenceBaseSql),
+       |bins AS (
+       |  SELECT least(s // 100, 9) AS bin, count(*) AS n_b,
+       |    CAST(sum(y) AS BIGINT) AS pos_b,
+       |    CAST(sum(s) AS BIGINT) AS ssum_b,
+       |    CAST(sum((s - 1000 * y) * (s - 1000 * y)) AS BIGINT) AS br_b,
+       |    CAST(sum(CASE WHEN s >= 500 AND y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp_b,
+       |    CAST(sum(CASE WHEN s >= 500 AND y = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp_b,
+       |    CAST(sum(CASE WHEN s < 500 AND y = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn_b,
+       |    CAST(sum(CASE WHEN s < 500 AND y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn_b
+       |  FROM base GROUP BY 1),
+       |m AS (
+       |  SELECT CAST(sum(n_b) AS BIGINT) AS n,
+       |    CAST(sum(pos_b) AS BIGINT) AS pos,
+       |    CAST(sum(br_b) AS BIGINT) AS brier_num,
+       |    CAST(sum(abs(ssum_b - 1000 * pos_b)) AS BIGINT) AS ece_num,
+       |    CAST(sum(tp_b) AS BIGINT) AS tp, CAST(sum(fp_b) AS BIGINT) AS fp,
+       |    CAST(sum(tn_b) AS BIGINT) AS tn, CAST(sum(fn_b) AS BIGINT) AS fn
+       |  FROM bins)
+       |SELECT n, pos, tp, fp, tn, fn,
+       |  CAST(CAST(CAST(brier_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS brier,
+       |  CAST(CAST(CAST(ece_num AS DOUBLE) / (CAST(n AS DOUBLE) * 1000.0)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS ece,
+       |  CAST(CAST(CASE WHEN tp + fp > 0 AND tp + fn > 0
+       |      AND tn + fp > 0 AND tn + fn > 0
+       |    THEN (CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)
+       |        - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))
+       |      / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+       |        * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+       |        * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+       |        * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))
+       |    END AS DECIMAL(38,4)) AS VARCHAR) AS mcc
+       |FROM m""".stripMargin
+  }
+
+  // ==== q245: isotonic (PAV) calibration over confidence bins ===============
+  //
+  // The FIX for what q244's ECE measures: fit the best monotone
+  // non-decreasing calibration map raw-confidence-bin → P(y=1). Pool
+  // Adjacent Violators is inherently sequential, but its solution has a
+  // closed minimax form — ŷ_i = max_{j≤i} min_{k≥i} avg(pos, n over bins
+  // j..k) (Robertson–Wright–Dykstra; PAV's pooled blocks are exactly the
+  // argmin/argmax intervals) — which IS expressible as joins when the fit
+  // runs on the BIN domain: with B = 10 bins there are 55 intervals and
+  // ≤ 10·55 (i, interval) pairs, all broadcast-sized. Scale shape: ONE
+  // corpus pass (the shared q244 projection + 10-bin groupBy); the
+  // minimax runs on domain-sized frames. Interval averages divide exact
+  // ≤2⁵³ integers — correctly-rounded identical doubles in both engines,
+  // so min/max pick identical values.
+
+  /** Per confidence bin: (bin, n, pos, raw_rate, iso_rate) with iso_rate
+    * the PAV-fitted monotone positive rate. */
+  def isotonicCalibration(docs: DataFrame, label: String): DataFrame = {
+    val bins = confidenceBase(docs, label)
+      .groupBy(least(expr("s DIV 100"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("pos_b"))
+    val iv = broadcast(bins.select(col("bin").as("j")))
+      .join(broadcast(bins.select(col("bin").as("k"))), col("j") <= col("k"))
+    val ivAgg = iv
+      .join(broadcast(bins), col("bin").between(col("j"), col("k")))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("pos_b")).cast("double") /
+        sum(col("n_b")).cast("double")).as("avg_r"))
+    val minK = ivAgg
+      .join(broadcast(bins.select(col("bin").as("i"))),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("avg_r")).as("mn"))
+    val iso = minK.groupBy(col("i")).agg(max(col("mn")).as("iso"))
+    bins.join(broadcast(iso), col("bin") === col("i"))
+      .select(col("bin"), col("n_b").as("n"), col("pos_b").as("pos"),
+        QueryDef.dec4(col("pos_b").cast("double") /
+          col("n_b").cast("double")).as("raw_rate"),
+        QueryDef.dec4(col("iso")).as("iso_rate"))
+      .orderBy(col("bin"))
+  }
+
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    isotonicCalibration(Tables.documents(s, dir), "lang = 'en'")
+
+  private val q245Sql =
+    s"""WITH base AS (
+       |  $confidenceBaseSql),
+       |bins AS (
+       |  SELECT least(s // 100, 9) AS bin, count(*) AS n_b,
+       |    CAST(sum(y) AS BIGINT) AS pos_b
+       |  FROM base GROUP BY 1),
+       |iv AS (
+       |  SELECT a.bin AS j, b.bin AS k
+       |  FROM bins a JOIN bins b ON a.bin <= b.bin),
+       |ivagg AS (
+       |  SELECT j, k, CAST(sum(pos_b) AS DOUBLE)
+       |      / CAST(sum(n_b) AS DOUBLE) AS avg_r
+       |  FROM iv JOIN bins ON bins.bin BETWEEN iv.j AND iv.k
+       |  GROUP BY j, k),
+       |mink AS (
+       |  SELECT d.bin AS i, j, min(avg_r) AS mn
+       |  FROM ivagg JOIN bins d ON ivagg.j <= d.bin AND d.bin <= ivagg.k
+       |  GROUP BY d.bin, j),
+       |iso AS (SELECT i, max(mn) AS iso FROM mink GROUP BY i)
+       |SELECT bin, n_b AS n, pos_b AS pos,
+       |  CAST(CAST(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS raw_rate,
+       |  CAST(CAST(iso AS DECIMAL(38,4)) AS VARCHAR) AS iso_rate
+       |FROM bins JOIN iso ON bins.bin = iso.i
+       |ORDER BY bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q245_isotonic_calibration", q245, Some(q245Sql)),
+    QueryDef("q244_calibration_metrics", q244, Some(q244Sql)),
     QueryDef("q191_conformal", q191, Some(q191Sql)),
     QueryDef("q186_average_precision", q186, Some(q186Sql)),
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  private val stopwords = Seq("the", "a", "and", "of", "to")
+  private[operators] val stopwords = Seq("the", "a", "and", "of", "to")
 
   // tokens of the already-lowercased corpus; empty strings dropped
   private def tokens = Tok.ws(col("text"))

@@ -51,4 +51,87 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.getAs[String]("tau_b") == "1.0000")
     assert(got.getAs[String]("discordant") == "0")
   }
+
+  // synthetic corpus: text with a controlled stopword fraction; label
+  // correlates with that fraction but imperfectly (the calibration-metric
+  // operators must see a non-degenerate confusion matrix)
+  private def calCorpus(n: Int, seed: Int): Seq[(Long, String, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val m = 2 + rnd.nextInt(8)
+      val k = rnd.nextInt(m + 1)
+      val toks = Seq.fill(k)("the") ++ Seq.fill(m - k)("zzz")
+      val frac = k.toDouble / m
+      val lang = if (rnd.nextDouble() < 0.2 + 0.6 * frac) "en" else "de"
+      (i.toLong, toks.mkString(" "), lang)
+    }
+  }
+
+  test("calibrationMetrics matches direct Brier/ECE/MCC recomputation") {
+    val rows = calCorpus(600, 44)
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = MlEval.calibrationMetrics(df, "lang = 'en'").head()
+    // naive recomputation on the same milli-unit grid
+    val sy = rows.map { case (_, text, lang) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      val s = if (t.isEmpty) 0L
+        else math.floor(1000.0 * t.count(Set("the", "a", "and", "of", "to")) /
+          t.length).toLong
+      (s, if (lang == "en") 1L else 0L)
+    }
+    val n = sy.size
+    val brier = sy.map { case (s, y) =>
+      val d = s - 1000 * y; d * d }.sum.toDouble / (n * 1e6)
+    val ece = sy.groupBy { case (s, _) => math.min(s / 100, 9) }.values
+      .map(b => math.abs(b.map(_._1).sum - 1000 * b.map(_._2).sum))
+      .sum.toDouble / (n * 1000.0)
+    val tp = sy.count(p => p._1 >= 500 && p._2 == 1).toDouble
+    val fp = sy.count(p => p._1 >= 500 && p._2 == 0).toDouble
+    val tn = sy.count(p => p._1 < 500 && p._2 == 0).toDouble
+    val fn = sy.count(p => p._1 < 500 && p._2 == 1).toDouble
+    val mcc = (tp * tn - fp * fn) /
+      math.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    def d4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(got.getAs[String]("brier") == d4(brier))
+    assert(got.getAs[String]("ece") == d4(ece))
+    assert(got.getAs[String]("mcc") == d4(mcc))
+    assert(got.getAs[Long]("tp") == tp.toLong &&
+      got.getAs[Long]("fn") == fn.toLong)
+  }
+
+  test("isotonicCalibration equals stack-based PAV and is monotone") {
+    val rows = calCorpus(800, 45)
+    val df = rows.toDF("doc_id", "text", "lang")
+    val got = MlEval.isotonicCalibration(df, "lang = 'en'")
+      .select("bin", "n", "pos", "iso_rate")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // classic PAV over the same bins: pool adjacent violating blocks
+    val binned = rows.map { case (_, text, lang) =>
+      val t = text.split(" ").filter(_.nonEmpty)
+      val s = if (t.isEmpty) 0L
+        else math.floor(1000.0 * t.count(Set("the", "a", "and", "of", "to")) /
+          t.length).toLong
+      (math.min(s / 100, 9), if (lang == "en") 1L else 0L)
+    }.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, g) => (b, g.size.toLong, g.map(_._2).sum) }
+    case class Block(n: Long, pos: Long) { def r: Double = pos.toDouble / n }
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+    for ((_, n, pos) <- binned) {
+      var blk = Block(n, pos); var cnt = 1
+      while (stack.nonEmpty && stack.last._1.r >= blk.r) {
+        val (top, c) = stack.remove(stack.size - 1)
+        blk = Block(top.n + blk.n, top.pos + blk.pos); cnt += c
+      }
+      stack += ((blk, cnt))
+    }
+    val pav = stack.flatMap { case (b, c) => Seq.fill(c)(b.r) }
+    def d4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(got.map(_._4).toSeq == pav.map(d4).toSeq)
+    // fitted rates never decrease
+    val rates = got.map(_._4.toDouble)
+    assert(rates.zip(rates.tail).forall { case (a, b) => a <= b })
+  }
 }
