@@ -2551,6 +2551,91 @@ object EventsOps {
       |    AS p_frac
       |FROM agg""".stripMargin
 
+  // ==== q246: sequential probability ratio test (SPRT) ======================
+  //
+  // Wald's always-valid A/B stopping rule — the sequential-native
+  // hypothesis test (experimentation platforms ship exactly this so a
+  // running experiment stops the moment evidence suffices). Bernoulli
+  // x = (event_type = eventType) over the (ts, event_id) total order;
+  // H0: p = 0.19 vs H1: p = 0.21, α = β = 0.05. After n events with k
+  // successes, LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)); accept H1
+  // at LLR ≥ ln((1−β)/α), H0 at LLR ≤ ln(β/(1−α)). The synthetic
+  // corpus's true purchase rate (≈0.198) sits BETWEEN the hypotheses, so
+  // the walk drifts slowly — the decision lands deep in the stream or
+  // not at all, and both outcomes are exercised across SFs.
+  //
+  // Float discipline: the four ln's are COMPILE-TIME constants, hard-coded
+  // as ⌊10⁶·ln⌋ micro-nat integer literals in both engines (derivations on
+  // each literal) — every runtime quantity is an exact integer; the query
+  // contains no floating point at all. Scale shape: a sequential test
+  // needs the total order — two distributed prefix scans (range-partition
+  // + per-partition accumulate, the q122 machinery), never a
+  // single-partition window; the decision row is a min-struct over
+  // crossing rows (n is unique, so struct order = earliest), an ordinary
+  // aggregation with no driver loop.
+
+  /** One row: (decision, n_decide, k_decide, llr_micro) — 'accept_h1',
+    * 'accept_h0', or 'continue' (with stream totals) if the data ends
+    * before either boundary is crossed. */
+  def sprt(events: DataFrame, eventType: String): DataFrame = {
+    val succ = 100083L   // ⌊10⁶·ln(0.21/0.19)⌋
+    val fail = -25002L   // ⌊10⁶·ln(0.79/0.81)⌋
+    val aUp = 2944438L   // ⌊10⁶·ln(0.95/0.05)⌋
+    val bLo = -2944439L  // ⌊10⁶·ln(0.05/0.95)⌋
+    val e = events.select(col("ts"), col("event_id"),
+      when(col("event_type") === eventType, 1L).otherwise(0L).as("x"))
+    val order = Seq(col("ts"), col("event_id"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(e, order, lit(1L), "n0"),
+      order, col("x"), "k0")
+      .select((col("n0") + 1L).as("n"), (col("k0") + col("x")).as("k"))
+      .withColumn("llr", col("k") * succ + (col("n") - col("k")) * fail)
+    scanned.agg(
+      min(when(col("llr") >= aUp || col("llr") <= bLo,
+        struct(col("n"), col("k"), col("llr")))).as("fc"),
+      count(lit(1)).as("n_tot"), max(col("k")).as("k_tot"))
+      .select(
+        when(col("fc").isNull, lit("continue"))
+          .when(col("fc.llr") >= aUp, lit("accept_h1"))
+          .otherwise(lit("accept_h0")).as("decision"),
+        coalesce(col("fc.n"), col("n_tot")).as("n_decide"),
+        coalesce(col("fc.k"), col("k_tot")).as("k_decide"),
+        coalesce(col("fc.llr"),
+          col("k_tot") * succ + (col("n_tot") - col("k_tot")) * fail)
+          .as("llr_micro"))
+  }
+
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    sprt(Tables.events(s, dir), "purchase")
+
+  private val q246Sql =
+    """WITH e AS (
+      |  SELECT ts, event_id,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+      |  FROM events),
+      |c AS (
+      |  SELECT row_number() OVER w AS n, CAST(sum(x) OVER w AS BIGINT) AS k
+      |  FROM e
+      |  WINDOW w AS (ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |l AS (SELECT n, k, k * 100083 + (n - k) * (-25002) AS llr FROM c),
+      |fc AS (
+      |  SELECT n, k, llr FROM l
+      |  WHERE llr >= 2944438 OR llr <= -2944439
+      |  ORDER BY n LIMIT 1),
+      |tot AS (SELECT count(*) AS n_tot, CAST(sum(x) AS BIGINT) AS k_tot
+      |  FROM e)
+      |SELECT
+      |  CASE WHEN fc.n IS NULL THEN 'continue'
+      |    WHEN fc.llr >= 2944438 THEN 'accept_h1'
+      |    ELSE 'accept_h0' END AS decision,
+      |  COALESCE(fc.n, tot.n_tot) AS n_decide,
+      |  COALESCE(fc.k, tot.k_tot) AS k_decide,
+      |  COALESCE(fc.llr,
+      |    tot.k_tot * 100083 + (tot.n_tot - tot.k_tot) * (-25002))
+      |    AS llr_micro
+      |FROM tot LEFT JOIN fc ON TRUE""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q242_permutation_test", q242, Some(q242Sql)),
     QueryDef("q241_logrank_test", q241, Some(q241Sql)),
@@ -2563,6 +2648,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q246_sprt", q246, Some(q246Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),
     QueryDef("q210_holt_trend", q210, Some(q210Sql)),

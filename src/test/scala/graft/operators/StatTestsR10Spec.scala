@@ -134,4 +134,47 @@ class StatTestsR10Spec extends AnyFunSuite {
     val rates = got.map(_._4.toDouble)
     assert(rates.zip(rates.tail).forall { case (a, b) => a <= b })
   }
+
+  private def sprtEvents(xs: Seq[Int]): org.apache.spark.sql.DataFrame =
+    xs.zipWithIndex.map { case (x, i) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        1700000000L + i)), i.toLong,
+        if (x == 1) "purchase" else "view")
+    }.toDF("ts", "event_id", "event_type")
+
+  private def naiveSprt(xs: Seq[Int]): (String, Int, Long, Long) = {
+    var k = 0L; var llr = 0L
+    for ((x, i) <- xs.zipWithIndex) {
+      k += x; llr = k * 100083L + (i + 1 - k) * -25002L
+      if (llr >= 2944438L) return ("accept_h1", i + 1, k, llr)
+      if (llr <= -2944439L) return ("accept_h0", i + 1, k, llr)
+    }
+    ("continue", xs.size, k, llr)
+  }
+
+  test("sprt matches the sequential replay on both decision directions") {
+    val rnd = new scala.util.Random(46)
+    // high-rate stream → accept_h1; low-rate stream → accept_h0
+    for (p <- Seq(0.35, 0.05)) {
+      val xs = Seq.fill(3000)(if (rnd.nextDouble() < p) 1 else 0)
+      val want = naiveSprt(xs)
+      assert(want._1 != "continue") // the streams are long enough to decide
+      val got = EventsOps.sprt(sprtEvents(xs), "purchase").head()
+      assert((got.getAs[String]("decision"), got.getAs[Long]("n_decide"),
+        got.getAs[Long]("k_decide"), got.getAs[Long]("llr_micro")) ==
+        ((want._1, want._2.toLong, want._3, want._4)))
+    }
+  }
+
+  test("sprt reports continue with totals when the stream ends undecided") {
+    // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
+    val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
+    val want = naiveSprt(xs)
+    assert(want._1 == "continue")
+    val got = EventsOps.sprt(sprtEvents(xs), "purchase").head()
+    assert(got.getAs[String]("decision") == "continue")
+    assert(got.getAs[Long]("n_decide") == 200L)
+    assert(got.getAs[Long]("k_decide") == 40L)
+    assert(got.getAs[Long]("llr_micro") == want._4)
+  }
 }
