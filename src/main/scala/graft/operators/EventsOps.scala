@@ -2551,6 +2551,111 @@ object EventsOps {
       |    AS p_frac
       |FROM agg""".stripMargin
 
+  // ==== q250: exact Shapley-value channel attribution ========================
+  //
+  // The game-theoretic upgrade of q125 (last-touch) / q167 (multi-touch):
+  // each channel's credit is its Shapley value under the coalition game
+  // v(S) = FAST-conversion rate (first purchase within 24 h of the user's
+  // first event — plain "ever converts" is 100% on this corpus and gives
+  // the degenerate all-zero game) among users whose pre-conversion touch
+  // set is EXACTLY S (the standard simplified-Shapley marketing
+  // formulation; unobserved sets contribute v = 0). With k = 4 channels
+  // the subset
+  // lattice has 16 nodes, so the EXACT value is computable — no sampling:
+  // φ_i = Σ_{S∋i} (|S|−1)!(k−|S|)!/k! · (v(S) − v(S∖i)).
+  //
+  // Scale shape: two user-domain shuffles (first-purchase timestamp, then
+  // a bit_or mask fold — q241's cohort shape), one 16-row groupBy, and a
+  // 64-row static coefficient join. Exactness: v is integerized as
+  // ⌊1000·conv/users⌋ via INTEGER division (no doubles anywhere); the
+  // factorial weights are scaled by k! = 24 so φ·24 accumulates as exact
+  // integers, divided once at render. The spec pins the efficiency axiom
+  // Σφ = v(full) − v(∅), which the telescoping sum guarantees for any v.
+
+  private val shapChannels = Seq(
+    ("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+
+  /** Per channel: (channel, phi24_milli, phi) — exact Shapley credit.
+    * phi sums to v(full) − v(∅) across channels (efficiency). */
+  def shapleyAttribution(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("ts"), col("event_type"))
+    val fp = e.groupBy(col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("fe"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("fp"))
+    val bit = shapChannels.foldLeft(lit(0L)) { case (acc, (name, b)) =>
+      when(col("event_type") === name, lit(b.toLong)).otherwise(acc) }
+    val perUser = e.join(fp, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(bit_or(when(col("event_type") =!= "purchase" &&
+          (col("fp").isNull || unix_micros(col("ts")) < col("fp")), bit)
+        .otherwise(0L)).as("mask"),
+        max(when(col("fp").isNotNull &&
+          col("fp") - col("fe") <= 86400000000L, 1L).otherwise(0L))
+          .as("conv"))
+    val v = perUser.groupBy(col("mask"))
+      .agg(expr("(1000 * sum(conv)) DIV count(*)").as("v_milli"))
+    // (channel, subset, ±(|S|−1)!(4−|S|)!) — 64 static rows
+    val f = Array(1L, 1L, 2L, 6L, 24L)
+    val coefRows = for {
+      (name, b) <- shapChannels
+      s <- 1 to 15 if (s & b) != 0
+      c = f(Integer.bitCount(s) - 1) * f(4 - Integer.bitCount(s))
+      (m, sign) <- Seq((s, 1L), (s ^ b, -1L))
+    } yield (name, m.toLong, sign * c)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val coefs = broadcast(coefRows.toDF("channel", "s", "c"))
+    coefs.join(v, coefs("s") === v("mask"), "left")
+      .groupBy(col("channel"))
+      .agg(sum(col("c") * coalesce(col("v_milli"), lit(0L)))
+        .as("phi24_milli"))
+      .select(col("channel"), col("phi24_milli"),
+        QueryDef.dec4(col("phi24_milli").cast("double") / lit(24000.0))
+          .as("phi"))
+      .orderBy(col("channel"))
+  }
+
+  private def q250(s: SparkSession, dir: String): DataFrame =
+    shapleyAttribution(Tables.events(s, dir))
+
+  private val q250Sql = {
+    val f = Array(1L, 1L, 2L, 6L, 24L)
+    val coefRows = (for {
+      (name, b) <- shapChannels
+      s <- 1 to 15 if (s & b) != 0
+      c = f(Integer.bitCount(s) - 1) * f(4 - Integer.bitCount(s))
+      (m, sign) <- Seq((s, 1L), (s ^ b, -1L))
+    } yield s"('$name', $m, ${sign * c})").mkString(", ")
+    val bitCase = shapChannels
+      .map { case (n, b) => s"WHEN '$n' THEN $b" }.mkString(" ")
+    s"""WITH fp AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS fe,
+       |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS fp
+       |  FROM events GROUP BY 1),
+       |pu AS (
+       |  SELECT e.user_id,
+       |    bit_or(CASE WHEN e.event_type <> 'purchase'
+       |        AND (fp.fp IS NULL OR epoch_us(e.ts) < fp.fp)
+       |      THEN CASE e.event_type $bitCase ELSE 0 END
+       |      ELSE 0 END) AS mask,
+       |    max(CASE WHEN fp.fp IS NOT NULL
+       |      AND fp.fp - fp.fe <= 86400000000 THEN 1 ELSE 0 END) AS conv
+       |  FROM events e JOIN fp USING (user_id) GROUP BY 1),
+       |v AS (
+       |  SELECT mask,
+       |    (1000 * CAST(sum(conv) AS BIGINT)) // count(*) AS v_milli
+       |  FROM pu GROUP BY 1),
+       |coef(channel, s, c) AS (VALUES $coefRows)
+       |SELECT channel,
+       |  CAST(sum(c * COALESCE(v_milli, 0)) AS BIGINT) AS phi24_milli,
+       |  CAST(CAST(CAST(sum(c * COALESCE(v_milli, 0)) AS DOUBLE) / 24000.0
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS phi
+       |FROM coef LEFT JOIN v ON coef.s = v.mask
+       |GROUP BY channel ORDER BY channel""".stripMargin
+  }
+
   // ==== q246: sequential probability ratio test (SPRT) ======================
   //
   // Wald's always-valid A/B stopping rule — the sequential-native
@@ -2648,6 +2753,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q250_shapley_attribution", q250, Some(q250Sql)),
     QueryDef("q246_sprt", q246, Some(q246Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),
     QueryDef("q181_rate_anomaly", q181, Some(q181Sql)),

@@ -1043,7 +1043,83 @@ object TextAnalysis {
       |  strip_accents(replace(text, 'a', 'a' || chr(769))) = text AS strip_ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ==== q249: Flesch reading-ease readability ================================
+  //
+  // The classic curation signal between raw length stats (q32) and a
+  // trained classifier (q184): score = 206.835 − 1.015·(words/sentences)
+  // − 84.6·(syllables/words). Syllables use the standard vowel-group
+  // heuristic — max(1, #maximal [aeiouy]+ runs per token) — and sentences
+  // count [.!?]+ runs (min 1). Both are plain regexp counts with
+  // identical semantics in Java regex and RE2, so every per-doc input is
+  // an exact integer; the score is ONE double expression per doc,
+  // micro-floored (the q195/q99 rule), and per-source aggregation sums
+  // integers. Scale shape: one corpus pass, one source-domain groupBy.
+
+  /** Per source: (source, n_docs, avg_flesch, n_easy, n_standard,
+    * n_difficult) — bands at score ≥ 70 / [50, 70) / < 50. Empty-token
+    * docs are excluded (words = 0 has no defined score). */
+  def readability(docs: DataFrame): DataFrame = {
+    val t = Tok.ws(col("text"))
+    val perDoc = docs
+      .select(col("source"), size(t).cast("long").as("w"),
+        greatest(lit(1L),
+          regexp_count(col("text"), lit("[.!?]+")).cast("long")).as("s"),
+        aggregate(t, lit(0L), (acc, tok) => acc + greatest(lit(1L),
+          regexp_count(lower(tok), lit("[aeiouy]+")).cast("long")))
+          .as("syl"))
+      .filter(col("w") > 0)
+      .select(col("source"),
+        floor(lit(1e6) * (lit(206.835)
+          - lit(1.015) * col("w").cast("double") / col("s").cast("double")
+          - lit(84.6) * col("syl").cast("double") / col("w").cast("double")))
+          .cast("long").as("sc"))
+    perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("sc")).as("sum_sc"),
+        sum(when(col("sc") >= 70000000L, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("sc") >= 50000000L && col("sc") < 70000000L, 1L)
+          .otherwise(0L)).as("n_standard"),
+        sum(when(col("sc") < 50000000L, 1L).otherwise(0L)).as("n_difficult"))
+      .select(col("source"), col("n_docs"),
+        QueryDef.dec4(col("sum_sc").cast("double") /
+          (col("n_docs").cast("double") * lit(1e6))).as("avg_flesch"),
+        col("n_easy"), col("n_standard"), col("n_difficult"))
+      .orderBy(col("source"))
+  }
+
+  private def q249(s: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(s, dir))
+
+  private val q249Sql =
+    """WITH perdoc AS (
+      |  SELECT source,
+      |    CAST(floor(1000000.0 * (206.835
+      |      - 1.015 * CAST(w AS DOUBLE) / CAST(s AS DOUBLE)
+      |      - 84.6 * CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+      |      AS BIGINT) AS sc
+      |  FROM (
+      |    SELECT source, CAST(len(toks) AS BIGINT) AS w,
+      |      greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |        AS BIGINT)) AS s,
+      |      CAST(list_sum(list_transform(toks, tok -> greatest(1,
+      |        len(regexp_extract_all(lower(tok), '[aeiouy]+')))))
+      |        AS BIGINT) AS syl
+      |    FROM (SELECT source, text, list_filter(string_split(text, ' '),
+      |        x -> x <> '') AS toks FROM documents))
+      |  WHERE w > 0)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(CAST(CAST(sum(sc) AS DOUBLE)
+      |    / (CAST(count(*) AS DOUBLE) * 1000000.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS avg_flesch,
+      |  CAST(sum(CASE WHEN sc >= 70000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_easy,
+      |  CAST(sum(CASE WHEN sc >= 50000000 AND sc < 70000000
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_standard,
+      |  CAST(sum(CASE WHEN sc < 50000000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_difficult
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q249_readability", q249, Some(q249Sql)),
     QueryDef("q109_unicode_normalize", q109, Some(q109Sql)),
     QueryDef("q99_lm_score", q99, Some(q99Sql)),
     QueryDef("q98_bpe_packing", q98, Some(q98Sql)),

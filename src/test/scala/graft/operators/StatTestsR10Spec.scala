@@ -166,6 +166,83 @@ class StatTestsR10Spec extends AnyFunSuite {
     }
   }
 
+  test("readability matches the per-doc Flesch recomputation") {
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran away quickly!", "en", "s1"),
+      (2L, "Incomprehensible bureaucratic administration", "en", "s1"),
+      (3L, "Go. Stop. Run. Hide.", "en", "s2"),
+      (4L, "xyz qqq zzz", "de", "s2")) // no vowels: 1 syllable per token
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.readability(docs)
+      .select("source", "n_docs", "avg_flesch")
+      .as[(String, Long, String)].collect().sortBy(_._1)
+    def syl(tok: String): Long =
+      math.max(1, "[aeiouy]+".r.findAllIn(tok.toLowerCase).size).toLong
+    def score(text: String): Long = {
+      val w = text.split(" ").count(_.nonEmpty).toLong
+      val s = math.max(1, "[.!?]+".r.findAllIn(text).size).toLong
+      val sy = text.split(" ").filter(_.nonEmpty).map(syl).sum
+      math.floor(1e6 * (206.835 - 1.015 * w.toDouble / s -
+        84.6 * sy.toDouble / w)).toLong
+    }
+    val want = Seq(
+      (1L, "The cat sat. The dog ran away quickly!", "s1"),
+      (2L, "Incomprehensible bureaucratic administration", "s1"),
+      (3L, "Go. Stop. Run. Hide.", "s2"),
+      (4L, "xyz qqq zzz", "s2"))
+      .groupBy(_._3).toSeq.sortBy(_._1)
+      .map { case (src, g) =>
+        (src, g.size.toLong, g.map(d => score(d._2)).sum.toDouble /
+          (g.size * 1e6)) }
+    for ((g, w) <- got.zip(want)) {
+      assert(g._1 == w._1 && g._2 == w._2)
+      assert(g._3 == new java.math.BigDecimal(w._3)
+        .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString)
+    }
+  }
+
+  test("shapleyAttribution matches naive subset enumeration + efficiency") {
+    // users with controlled touch sets and fast/slow conversions
+    val h = 3600000000L // one hour in micros
+    def ev(u: Long, t: Long, typ: String) =
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(0)
+        .plusNanos(t * 1000)), u, typ)
+    val events = Seq(
+      // u1: {click} then fast purchase
+      ev(1, 0, "click"), ev(1, h, "purchase"),
+      // u2: {click,view} then slow purchase (> 24 h)
+      ev(2, 0, "click"), ev(2, h, "view"), ev(2, 30 * h, "purchase"),
+      // u3: {} fast purchase (purchase only)
+      ev(3, 0, "purchase"),
+      // u4: {error,signup} fast purchase
+      ev(4, 0, "error"), ev(4, h, "signup"), ev(4, 2 * h, "purchase"),
+      // u5: {view} never converts
+      ev(5, 0, "view"), ev(5, h, "view"),
+      // u6: {click} slow purchase
+      ev(6, 0, "click"), ev(6, 48 * h, "purchase"))
+      .toDF("ts", "user_id", "event_type")
+    val got = EventsOps.shapleyAttribution(events)
+      .select("channel", "phi24_milli")
+      .as[(String, Long)].collect().toMap
+    // naive: v over exact masks, missing = 0; full 16-subset enumeration
+    val users = Map( // mask -> (users, fastConvs)
+      1L -> (2L, 1L), 9L -> (1L, 0L), 0L -> (1L, 1L),
+      6L -> (1L, 1L), 8L -> (1L, 0L))
+    def v(mask: Long): Long =
+      users.get(mask).map { case (n, c) => 1000L * c / n }.getOrElse(0L)
+    val f = Array(1L, 1L, 2L, 6L, 24L)
+    val want = Seq(("click", 1), ("error", 2), ("signup", 4), ("view", 8))
+      .map { case (name, b) =>
+        name -> (1 to 15).filter(s => (s & b) != 0).map { s =>
+          val c = f(Integer.bitCount(s) - 1) * f(4 - Integer.bitCount(s))
+          c * (v(s) - v(s ^ b))
+        }.sum
+      }.toMap
+    assert(got == want)
+    // efficiency: Σφ·24 = 24·(v(full) − v(∅))
+    assert(got.values.sum == 24L * (v(15) - v(0)))
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
