@@ -2551,6 +2551,91 @@ object EventsOps {
       |    AS p_frac
       |FROM agg""".stripMargin
 
+  // ==== q251: difference-in-differences estimator ============================
+  //
+  // The panel-data causal workhorse completing the q230 (stratified ATT) /
+  // q241 (log-rank) / q242 (permutation) family: with treatment = user_id
+  // parity (the repo's deterministic randomization stand-in) and the
+  // period split at the OBSERVED time-range midpoint, DiD = (ȳ_T,post −
+  // ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) cancels both the group baseline and
+  // the common time trend. Scale shape: ONE corpus pass into a 4-cell
+  // aggregate (group × period), after a broadcast of the 1-row min/max
+  // range; the estimate is arithmetic over the 4 cells. Value sums follow
+  // the q36 double-sum precedent; the midpoint is exact integer micros.
+
+  /** One row: per-cell counts/means plus the DiD estimate of `value`.
+    * Treatment = odd user_id; post = ts at or after the range midpoint. */
+  def diffInDiff(events: DataFrame): DataFrame = {
+    val range = broadcast(events.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long").divide(lit(2L))).cast("long").as("cut")))
+    val cells = events.crossJoin(range)
+      .select(
+        when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L).as("t"),
+        when(unix_micros(col("ts")) >= col("cut"), 1L).otherwise(0L)
+          .as("post"),
+        col("value"), col("cut"))
+      .groupBy(col("t"), col("post"))
+      .agg(max(col("cut")).as("cut"), count(lit(1)).as("n"),
+        sum(col("value")).as("s"))
+    def cell(t: Int, post: Int, c: String) =
+      max(when(col("t") === t && col("post") === post, col(c)))
+    val w = cells.agg(
+      max(col("cut")).as("cut_us"),
+      cell(1, 0, "n").as("n_t_pre"), cell(1, 1, "n").as("n_t_post"),
+      cell(0, 0, "n").as("n_c_pre"), cell(0, 1, "n").as("n_c_post"),
+      cell(1, 0, "s").as("s_t_pre"), cell(1, 1, "s").as("s_t_post"),
+      cell(0, 0, "s").as("s_c_pre"), cell(0, 1, "s").as("s_c_post"))
+    def m(s: String, n: String) = col(s) / col(n).cast("double")
+    w.select(col("cut_us"),
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      QueryDef.dec4(m("s_t_pre", "n_t_pre")).as("mean_t_pre"),
+      QueryDef.dec4(m("s_t_post", "n_t_post")).as("mean_t_post"),
+      QueryDef.dec4(m("s_c_pre", "n_c_pre")).as("mean_c_pre"),
+      QueryDef.dec4(m("s_c_post", "n_c_post")).as("mean_c_post"),
+      QueryDef.dec4((m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre"))
+        - (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre"))).as("did"))
+  }
+
+  private def q251(s: SparkSession, dir: String): DataFrame =
+    diffInDiff(Tables.events(s, dir))
+
+  private val q251Sql =
+    """WITH rg AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS BIGINT) AS cut FROM events),
+      |cells AS (
+      |  SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS t,
+      |    CASE WHEN epoch_us(ts) >= cut THEN 1 ELSE 0 END AS post,
+      |    max(cut) AS cut, count(*) AS n, sum(value) AS s
+      |  FROM events CROSS JOIN rg GROUP BY 1, 2),
+      |w AS (
+      |  SELECT max(cut) AS cut_us,
+      |    max(CASE WHEN t = 1 AND post = 0 THEN n END) AS n_t_pre,
+      |    max(CASE WHEN t = 1 AND post = 1 THEN n END) AS n_t_post,
+      |    max(CASE WHEN t = 0 AND post = 0 THEN n END) AS n_c_pre,
+      |    max(CASE WHEN t = 0 AND post = 1 THEN n END) AS n_c_post,
+      |    max(CASE WHEN t = 1 AND post = 0 THEN s END) AS s_t_pre,
+      |    max(CASE WHEN t = 1 AND post = 1 THEN s END) AS s_t_post,
+      |    max(CASE WHEN t = 0 AND post = 0 THEN s END) AS s_c_pre,
+      |    max(CASE WHEN t = 0 AND post = 1 THEN s END) AS s_c_post
+      |  FROM cells)
+      |SELECT cut_us, n_t_pre, n_t_post, n_c_pre, n_c_post,
+      |  CAST(CAST(s_t_pre / CAST(n_t_pre AS DOUBLE) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mean_t_pre,
+      |  CAST(CAST(s_t_post / CAST(n_t_post AS DOUBLE) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mean_t_post,
+      |  CAST(CAST(s_c_pre / CAST(n_c_pre AS DOUBLE) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mean_c_pre,
+      |  CAST(CAST(s_c_post / CAST(n_c_post AS DOUBLE) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mean_c_post,
+      |  CAST(CAST((s_t_post / CAST(n_t_post AS DOUBLE)
+      |      - s_t_pre / CAST(n_t_pre AS DOUBLE))
+      |    - (s_c_post / CAST(n_c_post AS DOUBLE)
+      |      - s_c_pre / CAST(n_c_pre AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS did
+      |FROM w""".stripMargin
+
   // ==== q250: exact Shapley-value channel attribution ========================
   //
   // The game-theoretic upgrade of q125 (last-touch) / q167 (multi-touch):
@@ -2753,6 +2838,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q250_shapley_attribution", q250, Some(q250Sql)),
     QueryDef("q246_sprt", q246, Some(q246Sql)),
     QueryDef("q189_top_journeys", q189, Some(q189Sql)),

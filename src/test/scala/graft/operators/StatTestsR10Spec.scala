@@ -243,6 +243,57 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.values.sum == 24L * (v(15) - v(0)))
   }
 
+  test("diffInDiff recovers a planted treatment effect exactly") {
+    // control: 10.0 pre and post (no trend); treated: 10.0 pre, 13.5 post
+    // → DiD = +3.5. Midpoint of [0, 100] s is at 50 s.
+    def ev(u: Long, sec: Long, v: Double) =
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        u, "view", v)
+    val rows = Seq(
+      ev(1, 0, 10.0), ev(1, 100, 13.5),  // treated (odd)
+      ev(3, 10, 10.0), ev(3, 90, 13.5),  // treated
+      ev(2, 0, 10.0), ev(2, 100, 10.0),  // control
+      ev(4, 20, 10.0), ev(4, 80, 10.0))  // control
+    val got = EventsOps.diffInDiff(
+      rows.toDF("ts", "user_id", "event_type", "value")).head()
+    assert(got.getAs[Long]("n_t_pre") == 2L &&
+      got.getAs[Long]("n_t_post") == 2L)
+    assert(got.getAs[String]("mean_t_post") == "13.5000")
+    assert(got.getAs[String]("mean_c_post") == "10.0000")
+    assert(got.getAs[String]("did") == "3.5000")
+  }
+
+  test("fellegiSunter scores match the per-field weight recomputation") {
+    val cust = Seq(
+      // block 1: near-identical names, close balances, same segment
+      (1L, "Customer#000000001", 1L, 100.00, "AUTO"),
+      (2L, "Customer#000000002", 1L, 150.00, "AUTO"),
+      // block 1: dissimilar on every field
+      (3L, "Zed#999", 1L, 9000.00, "HOUSE"),
+      // block 2: only one record — no pairs
+      (4L, "Customer#000000004", 2L, 100.00, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    val got = StringSim.fellegiSunter(cust)
+      .select("a", "b", "jw_agree", "bal_agree", "seg_agree", "score_micro")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // pairs only within block 1: (1,2), (1,3), (2,3)
+    assert(got.map(r => (r._1, r._2)).toSet ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    def score(jw: Long, bal: Long, seg: Long) =
+      (if (jw == 1) 2197224L else -2197225L) +
+        (if (bal == 1) 3555348L else -1183771L) +
+        (if (seg == 1) 1504077L else -2079442L)
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    // (1,2): all three fields agree
+    assert(byPair((1L, 2L))._6 == score(1, 1, 1))
+    assert(byPair((1L, 2L))._3 == 1L)
+    // (1,3): all disagree
+    assert(byPair((1L, 3L))._6 == score(0, 0, 0))
+    // ordering: the all-agree pair ranks first
+    assert(got.head._1 == 1L && got.head._2 == 2L)
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
