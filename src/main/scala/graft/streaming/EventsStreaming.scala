@@ -422,6 +422,74 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ==== streaming SPRT monitor (q246's always-on twin) =======================
+  //
+  // Wald's SPRT is sequential by nature — this is the operator the batch
+  // q246 exists to backfill. One ValueState row carries (n, k, decided?,
+  // decision stats); each micro-batch folds its rows in (ts, event_id)
+  // order and the FIRST boundary crossing freezes the decision (a stopped
+  // sequential test stays stopped — that is the test's validity
+  // guarantee, so later data cannot re-open it). Parity contract: fed
+  // (ts, event_id)-ordered micro-batches, the final emitted row equals
+  // the batch [[graft.operators.EventsOps.sprt]] exactly (spec-pinned).
+  // Constants are q246's micro-nat integer literals — integer state only.
+  // The single logical key is the experiment itself; a global sequential
+  // test has no parallelism to lose.
+
+  case class SprtState(n: Long, k: Long, decided: Boolean,
+      decN: Long, decK: Long, decLlr: Long)
+
+  class SprtProcessor
+      extends StatefulProcessor[Long, (Long, Long, Long, Long),
+        (String, Long, Long, Long)] {
+    private val Succ = 100083L; private val Fail = -25002L
+    private val AUp = 2944438L; private val BLo = -2944439L
+    @transient private var st: ValueState[SprtState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("sprt",
+        Encoders.product[SprtState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      var s = if (st.exists()) st.get()
+        else SprtState(0L, 0L, decided = false, 0L, 0L, 0L)
+      // fold in event order within the batch; ordered delivery across
+      // batches is the caller's contract (see parity note above)
+      rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, x) =>
+        val n = s.n + 1; val k = s.k + x
+        val llr = k * Succ + (n - k) * Fail
+        val crossed = !s.decided && (llr >= AUp || llr <= BLo)
+        s = SprtState(n, k, s.decided || crossed,
+          if (crossed) n else s.decN, if (crossed) k else s.decK,
+          if (crossed) llr else s.decLlr)
+      }
+      st.update(s)
+      val out =
+        if (s.decided)
+          (if (s.decLlr >= AUp) "accept_h1" else "accept_h0",
+            s.decN, s.decK, s.decLlr)
+        else ("continue", s.n, s.k, s.k * Succ + (s.n - s.k) * Fail)
+      Iterator(out)
+    }
+  }
+
+  /** Streaming SPRT over the events stream: emits the monitor's current
+    * (decision, n_decide, k_decide, llr_micro) each micro-batch. Requires
+    * the RocksDB state store provider (transformWithState). */
+  def sprtStream(events: DataFrame, eventType: String)
+      : Dataset[(String, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(lit(0L).as("exp"), unix_micros(col("ts")).as("tsu"),
+      col("event_id").cast("long"),
+      when(col("event_type") === eventType, 1L).otherwise(0L).as("x"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SprtProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ==== stream-stream interval join (B121) ===================================
   //
   // The two-unbounded-sides join Spark executes with symmetric state: each

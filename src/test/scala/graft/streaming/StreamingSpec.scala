@@ -934,4 +934,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("streaming SPRT parity: ordered micro-batches == batch sprt, decision sticky") {
+    // a high-rate stream decides accept_h1 partway in; later batches must
+    // not move the frozen decision stats
+    val rnd = new scala.util.Random(49)
+    val all = (0 until 3000).map { i =>
+      (new Timestamp(1704067200000L + i * 1000L), i.toLong,
+        if (rnd.nextDouble() < 0.35) "purchase" else "view")
+    }
+    val batchRow = graft.operators.EventsOps.sprt(
+      all.toDF("ts", "event_id", "event_type"), "purchase").head()
+    assert(batchRow.getAs[String]("decision") == "accept_h1")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val events = input.toDF().toDF("ts", "event_id", "event_type")
+    val q = EventsStreaming.sprtStream(events, "purchase")
+      .toDF("decision", "n_decide", "k_decide", "llr_micro").writeStream
+      .format("memory").queryName("sprt_out").outputMode("update").start()
+    try {
+      all.grouped(600).foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val emitted = spark.table("sprt_out")
+      .as[(String, Long, Long, Long)].collect()
+    val fin = emitted.last
+    assert(fin == ((batchRow.getAs[String]("decision"),
+      batchRow.getAs[Long]("n_decide"), batchRow.getAs[Long]("k_decide"),
+      batchRow.getAs[Long]("llr_micro"))), s"stream $fin != batch")
+    // stickiness: every post-decision emission reports the SAME frozen row
+    val decidedRows = emitted.filter(_._1 != "continue")
+    assert(decidedRows.nonEmpty && decidedRows.toSet.size == 1,
+      s"decision moved: ${decidedRows.toSet}")
+  }
 }
