@@ -222,4 +222,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoopJoin"),
       s"q233 degraded:\n$ps")
   }
+
+  test("round-10 shapes: stat tests stay on domain-sized pair frames") {
+    // q243: the ONLY corpus pass is the joint-histogram aggregate; the
+    // O(cells²) pair join runs as a broadcast nested loop over the tiny
+    // cell domain (that BNLJ is the DESIGN, not a degradation), and the
+    // corpus never meets a cartesian
+    val kt = plan("q243_kendall_tau")
+    assert("HashAggregate".r.findAllIn(kt).size >= 2,
+      s"q243 lost the partial histogram agg:\n$kt")
+    assert(kt.contains("BroadcastNestedLoopJoin"),
+      s"q243 cell pairing is not broadcast:\n$kt")
+    assert(!kt.contains("CartesianProduct"), s"q243 grew a cartesian:\n$kt")
+    // q244/q245: one corpus scan into a 10-bin aggregate; the isotonic
+    // minimax joins are all broadcast over bin-domain frames
+    Seq("q244_calibration_metrics", "q245_isotonic_calibration").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // q247/q248: gram counting aggregates partially on (doc, n, gram);
+    // the clip join is an equi-join (SMJ/shuffled-hash on the same key),
+    // never nested-loop over gram rows
+    Seq("q247_bleu", "q248_rouge_n").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"$q clip join is not a co-partitioned equi-join:\n$p")
+    }
+    // q250: two user-domain shuffles + a 64-row coefficient join; q252:
+    // blocked self-join stays an equi-join on the block key
+    Seq("q250_shapley_attribution", "q252_fellegi_sunter").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to BNLJ:\n$p")
+    }
+    // q253: ranking touches the distinct-value histogram (two partial
+    // aggs) and joins back by value — no corpus-sized window anywhere
+    val kw = plan("q253_kruskal_wallis")
+    assert(!kw.contains("Window"), s"q253 grew a corpus window:\n$kw")
+    assert("HashAggregate".r.findAllIn(kw).size >= 2,
+      s"q253 lost partial aggregation:\n$kw")
+  }
 }
