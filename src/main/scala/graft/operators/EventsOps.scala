@@ -2636,6 +2636,141 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS did
       |FROM w""".stripMargin
 
+  // ==== q254: CUPED variance-reduced experiment readout ======================
+  //
+  // The industry-standard experiment accelerator (Deng et al., WSDM'13):
+  // regress the experiment-period metric on the PRE-period covariate and
+  // report the adjusted lift — same expectation, variance shrunk by ρ².
+  // Per user: X = pre-period value cents, Y = experiment-period value
+  // cents (the q251 midpoint splits the periods; q241's parity assigns
+  // treatment). θ = cov(X,Y)/var(X) pooled; by linearity the adjusted
+  // diff needs only group moments — no per-user adjusted column ever
+  // materializes: diff_cuped = (ȲT−ȲC) − θ(X̄T−X̄C), and the variance
+  // reduction ratio is exactly ρ² = cov²/(varX·varY).
+  //
+  // Exactness: X and Y are integer cents (round(value·100) per row — the
+  // q194 money rule), so every moment (Σx, Σxy, Σx², group sums) is an
+  // exact DECIMAL integer and the double formulas at render see identical
+  // operands in both engines. Scale shape: one corpus pass → user-domain
+  // groupBy → single-row moment aggregate.
+
+  /** One row: (n_t, n_c, theta, raw_diff, cuped_diff, var_reduction) —
+    * CUPED readout of per-user value cents, treatment = odd user_id. */
+  def cuped(events: DataFrame): DataFrame = {
+    val range = broadcast(events.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long").divide(lit(2L))).cast("long").as("cut")))
+    val perUser = events.crossJoin(range)
+      .select(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L).as("t"),
+        when(unix_micros(col("ts")) < col("cut"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("xr"),
+        when(unix_micros(col("ts")) >= col("cut"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("yr"))
+      .groupBy(col("user_id"))
+      .agg(max(col("t")).as("t"),
+        sum(col("xr")).cast("decimal(18,0)").as("x"),
+        sum(col("yr")).cast("decimal(18,0)").as("y"))
+    val m = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_t"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_c"),
+      sum(when(col("t") === 1, col("x"))).as("sx_t"),
+      sum(when(col("t") === 0, col("x"))).as("sx_c"),
+      sum(when(col("t") === 1, col("y"))).as("sy_t"),
+      sum(when(col("t") === 0, col("y"))).as("sy_c"))
+    def dd(c: String) = col(c).cast("double")
+    val nD = dd("n")
+    val cov = dd("sxy") / nD - dd("sx") / nD * (dd("sy") / nD)
+    val varX = dd("sxx") / nD - dd("sx") / nD * (dd("sx") / nD)
+    val varY = dd("syy") / nD - dd("sy") / nD * (dd("sy") / nD)
+    val theta = cov / varX
+    val rawDiff = dd("sy_t") / dd("n_t") - dd("sy_c") / dd("n_c")
+    val xDiff = dd("sx_t") / dd("n_t") - dd("sx_c") / dd("n_c")
+    m.select(col("n_t"), col("n_c"),
+      QueryDef.dec4(theta).as("theta"),
+      QueryDef.dec4(rawDiff / lit(100.0)).as("raw_diff"),
+      QueryDef.dec4((rawDiff - theta * xDiff) / lit(100.0))
+        .as("cuped_diff"),
+      QueryDef.dec4(when(varX > 0 && varY > 0,
+        cov * cov / (varX * varY))).as("var_reduction"))
+  }
+
+  private def q254(s: SparkSession, dir: String): DataFrame =
+    cuped(Tables.events(s, dir))
+
+  private val q254Sql =
+    """WITH rg AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS BIGINT) AS cut FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < cut
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS HUGEINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_us(ts) >= cut
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS HUGEINT) AS y
+      |  FROM events CROSS JOIN rg GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy,
+      |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+      |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+      |    sum(CASE WHEN t = 1 THEN x END) AS sx_t,
+      |    sum(CASE WHEN t = 0 THEN x END) AS sx_c,
+      |    sum(CASE WHEN t = 1 THEN y END) AS sy_t,
+      |    sum(CASE WHEN t = 0 THEN y END) AS sy_c
+      |  FROM pu)
+      |SELECT n_t, n_c,
+      |  CAST(CAST((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS theta,
+      |  CAST(CAST((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |      - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 100.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS raw_diff,
+      |  CAST(CAST(((CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |      - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+      |    - (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(sx_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+      |        - CAST(sx_c AS DOUBLE) / CAST(n_c AS DOUBLE))) / 100.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS cuped_diff,
+      |  CAST(CAST(CASE WHEN
+      |      CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+      |      AND CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+      |    THEN (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      / ((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+      |          * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS var_reduction
+      |FROM m""".stripMargin
+
   // ==== q250: exact Shapley-value channel attribution ========================
   //
   // The game-theoretic upgrade of q125 (last-touch) / q167 (multi-touch):
@@ -2838,6 +2973,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q254_cuped", q254, Some(q254Sql)),
     QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q250_shapley_attribution", q250, Some(q250Sql)),
     QueryDef("q246_sprt", q246, Some(q246Sql)),

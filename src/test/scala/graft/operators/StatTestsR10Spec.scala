@@ -333,6 +333,27 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.getAs[String]("h_tie_corrected") == d4(hStat / corr))
   }
 
+  test("cuped: paired covariates give theta = 1 and recover the planted lift") {
+    // users come in (control, treated) pairs with IDENTICAL pre-period
+    // values, so cov(X, treatment) = 0 exactly: theta = cov(X,Y)/var(X)
+    // = 1 and the adjusted diff equals the planted +5.0 exactly
+    def ev(u: Long, sec: Long, v: Double) =
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        u, "view", v)
+    val rows = (0 until 20).flatMap { i =>
+      val base = 3.0 + i // pre-period value, shared by the pair
+      val even = 2L * i; val odd = 2L * i + 1 // control / treated
+      Seq(ev(even, 0, base), ev(even, 100, base),
+        ev(odd, 0, base), ev(odd, 100, base + 5.0))
+    }
+    val got = EventsOps.cuped(
+      rows.toDF("ts", "user_id", "event_type", "value")).head()
+    assert(got.getAs[Long]("n_t") == 20L && got.getAs[Long]("n_c") == 20L)
+    assert(got.getAs[String]("theta") == "1.0000")
+    assert(got.getAs[String]("raw_diff") == "5.0000")
+    assert(got.getAs[String]("cuped_diff") == "5.0000")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
