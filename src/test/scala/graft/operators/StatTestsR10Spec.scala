@@ -354,6 +354,33 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.getAs[String]("cuped_diff") == "5.0000")
   }
 
+  test("bradleyTerry: MM converges to the 2-item closed form") {
+    // w(A,B)=3, w(B,A)=1 → P(A beats B)=3/4 → θA/θB = 3; with Σθ = 2·10⁶
+    // the fixpoint is θA = 1.5e6, θB = 0.5e6 (integer state → ±1 micro)
+    val th = Preference.mmFit(Map(("A", "B") -> 3L, ("B", "A") -> 1L))
+    assert(math.abs(th("A") - 1500000L) <= 1L, th.toString)
+    assert(math.abs(th("B") - 500000L) <= 1L, th.toString)
+  }
+
+  test("bradleyTerry end-to-end: duel counts and rank order") {
+    // doc duels: (0,1), (2,3), (4,5) — en always beats de by length;
+    // es beats en once
+    val docs = Seq(
+      (0L, "en", 100L), (1L, "de", 50L),   // en beats de
+      (2L, "de", 30L), (3L, "en", 80L),    // en beats de
+      (4L, "es", 90L), (5L, "en", 40L))    // es beats en
+      .toDF("doc_id", "lang", "n_chars")
+      .withColumn("text", org.apache.spark.sql.functions.lit("x"))
+    val got = Preference.bradleyTerry(docs)
+      .select("lang", "wins", "games")
+      .as[(String, Long, Long)].collect()
+    val m = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m("en") == ((2L, 3L)) && m("de") == ((0L, 2L)) &&
+      m("es") == ((1L, 1L)))
+    // undefeated es ranks above en; winless de ranks last
+    assert(got.head._1 == "es" && got.last._1 == "de")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
