@@ -684,7 +684,80 @@ object CorpusStats {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS r2
       |FROM m""".stripMargin
 
+  // ==== q257: leave-one-source-out influence ================================
+  //
+  // The "which source is hurting the corpus?" diagnostic — the algebraic
+  // core of data valuation: for every source s, what happens to the
+  // corpus-level metric when s is removed? For mean-type metrics the
+  // leave-one-out needs NO second pass: mean_{¬s} = (T − t_s)/(N − n_s)
+  // from the same per-source aggregates that produce the overall mean.
+  // Two metrics: mean doc length (chars) and English fraction. Exactness:
+  // all sums are integers; each influence is ONE double expression per
+  // SOURCE row (micro-floored would be overkill — dec4 renders the
+  // identical doubles both engines compute from identical integers).
+  // Scale shape: one corpus pass → source-domain groupBy → broadcast of
+  // the 1-row totals.
+
+  /** Per source: (source, n_docs, mean_chars_all, mean_chars_without,
+    * chars_influence, en_frac_without, en_influence) — positive influence
+    * = the metric RISES when the source is dropped. */
+  def sourceInfluence(docs: DataFrame): DataFrame = {
+    val per = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("n_chars")).cast("decimal(38,0)").as("t_s"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("e_s"))
+    val tot = broadcast(per.agg(sum(col("n_s")).as("n"),
+      sum(col("t_s")).as("t"), sum(col("e_s")).as("e")))
+    def dd(c: Column) = c.cast("double")
+    val meanAll = dd(col("t")) / dd(col("n"))
+    val meanWo = (dd(col("t")) - dd(col("t_s"))) /
+      (dd(col("n")) - dd(col("n_s")))
+    val enAll = dd(col("e")) / dd(col("n"))
+    val enWo = (dd(col("e")) - dd(col("e_s"))) /
+      (dd(col("n")) - dd(col("n_s")))
+    per.crossJoin(tot)
+      .select(col("source"), col("n_s").as("n_docs"),
+        QueryDef.dec4(meanAll).as("mean_chars_all"),
+        QueryDef.dec4(meanWo).as("mean_chars_without"),
+        QueryDef.dec4(meanWo - meanAll).as("chars_influence"),
+        QueryDef.dec4(enWo).as("en_frac_without"),
+        QueryDef.dec4(enWo - enAll).as("en_influence"))
+      .orderBy(col("source"))
+  }
+
+  private def q257(s: SparkSession, dir: String): DataFrame =
+    sourceInfluence(graft.Tables.documents(s, dir))
+
+  private val q257Sql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_s,
+      |    CAST(sum(n_chars) AS HUGEINT) AS t_s,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS e_s
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n, sum(t_s) AS t,
+      |  CAST(sum(e_s) AS BIGINT) AS e FROM per)
+      |SELECT source, n_s AS n_docs,
+      |  CAST(CAST(CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_chars_all,
+      |  CAST(CAST((CAST(t AS DOUBLE) - CAST(t_s AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - CAST(n_s AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_chars_without,
+      |  CAST(CAST((CAST(t AS DOUBLE) - CAST(t_s AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - CAST(n_s AS DOUBLE))
+      |      - CAST(t AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chars_influence,
+      |  CAST(CAST((CAST(e AS DOUBLE) - CAST(e_s AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - CAST(n_s AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS en_frac_without,
+      |  CAST(CAST((CAST(e AS DOUBLE) - CAST(e_s AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) - CAST(n_s AS DOUBLE))
+      |      - CAST(e AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS en_influence
+      |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q257_source_influence", q257, Some(q257Sql)),
     QueryDef("q225_heaps_fit", q225, Some(q225Sql)),
     QueryDef("q183_zipf_fit", q183, Some(q183Sql)),
     QueryDef("q135_char_entropy", q135, Some(q135Sql)),

@@ -1759,6 +1759,88 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS rho
       |FROM m""".stripMargin
 
+  // ==== q256: Wasserstein-1 (earth mover) drift ==============================
+  //
+  // The magnitude-aware companion to q131's KS and q161's TV: W1 =
+  // ∫|F_a − F_b|dx feels HOW FAR the mass moved, not just the worst
+  // vertical gap. Discrete identity over the distinct-value histogram:
+  // W1 = Σ_v |F_a(v) − F_b(v)|·(next(v) − v). Same machinery as q131
+  // (per-value two-side counts in one groupBy, exclusive prefix scans for
+  // both CDFs) plus a THIRD prefix scan of 1s that dense-indexes the
+  // distinct values — next(v) then comes from a co-partitioned self-join
+  // on idx = idx+1, NOT a global window (the q122 no-corpus-window rule;
+  // the final interval contributes 0 because both CDFs are 1 there, so
+  // the inner join dropping it is exact). Everything is integer: the
+  // per-interval term |cum_a·n_b − cum_b·n_a|·gap sums as DECIMAL and ONE
+  // division renders W1.
+
+  /** One row: (w1, n_a, n_b) — earth-mover distance between the two
+    * `sideA` slices of integer-cent `colName`, in value units. */
+  def wassersteinDrift(df: DataFrame, colName: String, sideA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        graft.chunk.ChunkAssigner.withPrefixSum(
+          counts, Seq(col("v")), col("ca"), outName = "pa"),
+        Seq(col("v")), col("cb"), outName = "pb"),
+      Seq(col("v")), lit(1L), outName = "idx")
+    val nxt = scanned.select((col("idx") - 1L).as("idx"),
+      col("v").as("v_next"))
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    scanned.join(nxt, Seq("idx")).crossJoin(totals)
+      .select(
+        (abs((col("pa") + col("ca")) * col("nb") -
+          (col("pb") + col("cb")) * col("na")).cast("decimal(38,0)") *
+          (col("v_next") - col("v"))).as("term"),
+        col("na"), col("nb"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("term")).as("num"))
+      .select(
+        QueryDef.dec4(col("num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double") *
+            lit(100.0))).as("w1"),
+        col("n_a"), col("n_b"))
+  }
+
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    wassersteinDrift(
+      Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("vc"),
+          col("event_id")),
+      "vc", col("event_id") % 2 === 0)
+
+  private val q256Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, lead(v) OVER (ORDER BY v) AS v_next,
+      |    sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+      |    sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+      |  FROM counts),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts)
+      |SELECT
+      |  CAST(CAST(CAST(sum(CAST(abs(cum_a * nb - cum_b * na) AS HUGEINT)
+      |      * (v_next - v)) AS DOUBLE)
+      |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 100.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS w1,
+      |  na AS n_a, nb AS n_b
+      |FROM cdf CROSS JOIN tot
+      |WHERE v_next IS NOT NULL
+      |GROUP BY na, nb""".stripMargin
+
   // ==== q253: Kruskal–Wallis k-group rank test ===============================
   //
   // The k-group generalization of q216's Mann–Whitney: do the per-group
@@ -1948,6 +2030,7 @@ object Profiling {
       |FROM m CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q256_wasserstein_drift", q256, Some(q256Sql)),
     QueryDef("q253_kruskal_wallis", q253, Some(q253Sql)),
     QueryDef("q243_kendall_tau", q243, Some(q243Sql)),
     QueryDef("q234_spearman", q234, Some(q234Sql)),

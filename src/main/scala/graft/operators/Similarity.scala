@@ -79,6 +79,80 @@ object Similarity {
       |    ORDER BY round(cos, 4) DESC, neighbor) AS rn FROM pairs)
       |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
+  // ==== q258: Matryoshka truncation eval =====================================
+  //
+  // The modern embedding-cost question (Kusupati et al., MRL): how much
+  // retrieval quality survives if only the FIRST d dims are stored? For
+  // each probe query, top-k under full 64-dim cosine vs top-k under the
+  // 16-dim prefix, reporting overlap@k — the measurement that licenses a
+  // 4× index-size cut. Both rankings ride the q37 brute-force path (the
+  // oracle-able baseline; the 100 TB path swaps in the ANN indexes, same
+  // contract); the overlap join is two k-row lists per query. Ranking
+  // determinism is q37's: 4-dp-rounded score + neighbor-id tie-break.
+
+  /** Per probe query: (qid, overlap, recall_at_k) — |full∩trunc| of the
+    * two top-k neighbor sets and its fraction of k. */
+  def matryoshkaEval(emb: DataFrame, dims: Int, k: Int): DataFrame = {
+    def top(view: DataFrame, out: String) = {
+      val qs = view.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      bruteForceTopK(view, qs, k)
+        .select(col("qid"), col("vec_id").as(out))
+    }
+    val full = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val trunc = emb.select(col("vec_id"),
+      slice(toDouble(col("embedding")), 1, dims).as("v"))
+    val ft = top(full, "nf")
+    val tt = top(trunc, "nt")
+    ft.join(tt, ft("qid") === tt("qid") && col("nf") === col("nt"))
+      .groupBy(ft("qid").as("qid")).agg(count(lit(1)).as("overlap"))
+      // probes with ZERO overlap would vanish from the inner join; the
+      // full list re-joins them back with overlap 0
+      .join(ft.select(col("qid")).distinct(), Seq("qid"), "right")
+      .select(col("qid"), coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .select(col("qid"), col("overlap"),
+        QueryDef.dec4(col("overlap").cast("double") / lit(k.toDouble))
+          .as("recall_at_k"))
+      .orderBy(col("qid"))
+  }
+
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    matryoshkaEval(Tables.embeddings(s, dir), dims = 16, k = 10)
+
+  private val q258Sql =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ft AS (
+      |  SELECT qid, neighbor FROM (
+      |    SELECT q.vec_id AS qid, e.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_inner_product(q.v, e.v)
+      |          / (sqrt(list_inner_product(q.v, q.v))
+      |            * sqrt(list_inner_product(e.v, e.v))), 4) DESC,
+      |        e.vec_id) AS rn
+      |    FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id <> q.vec_id)
+      |  WHERE rn <= 10),
+      |t AS (SELECT vec_id, v[1:16] AS v FROM e),
+      |tt AS (
+      |  SELECT qid, neighbor FROM (
+      |    SELECT q.vec_id AS qid, t.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |        round(list_inner_product(q.v, t.v)
+      |          / (sqrt(list_inner_product(q.v, q.v))
+      |            * sqrt(list_inner_product(t.v, t.v))), 4) DESC,
+      |        t.vec_id) AS rn
+      |    FROM t q JOIN t ON q.vec_id < 5 AND t.vec_id <> q.vec_id)
+      |  WHERE rn <= 10),
+      |ov AS (
+      |  SELECT ft.qid, count(*) AS overlap
+      |  FROM ft JOIN tt ON ft.qid = tt.qid AND ft.neighbor = tt.neighbor
+      |  GROUP BY ft.qid)
+      |SELECT q.qid, COALESCE(ov.overlap, 0) AS overlap,
+      |  CAST(CAST(CAST(COALESCE(ov.overlap, 0) AS DOUBLE) / 10.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS recall_at_k
+      |FROM (SELECT DISTINCT qid FROM ft) q LEFT JOIN ov ON ov.qid = q.qid
+      |ORDER BY q.qid""".stripMargin
+
   // -- embedding column statistics (oracled — exact dot-product math) --------
   private def q41(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
@@ -627,6 +701,7 @@ object Similarity {
     QueryDef("q237_lof", q237, Some(q237Sql)),
     QueryDef("q196_dbscan", q196, Some(q196Sql)),
     QueryDef("q132_embedding_drift", q132, Some(q132Sql)),
+    QueryDef("q258_matryoshka_eval", q258, Some(q258Sql)),
     QueryDef("q37_cosine_topk", q37, Some(q37Sql)),
     QueryDef("q41_embedding_stats", q41, Some(q41Sql)),
     QueryDef("q87_knn_label", q87, Some(q87Sql)),

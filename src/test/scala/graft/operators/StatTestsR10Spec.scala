@@ -381,6 +381,68 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.head._1 == "es" && got.last._1 == "de")
   }
 
+  test("wassersteinDrift equals the naive sorted-sample recomputation") {
+    val rnd = new scala.util.Random(50)
+    // unequal slice sizes, shifted B distribution, cent-integer values
+    val rows = (1 to 700).map { i =>
+      val side = i % 3 == 0 // a third on side A
+      val v = (if (side) rnd.nextInt(300) else 50 + rnd.nextInt(300)).toLong
+      (v, i.toLong)
+    }
+    val got = Profiling.wassersteinDrift(
+      rows.toDF("vc", "event_id"), "vc",
+      org.apache.spark.sql.functions.col("event_id") % 3 === 0).head()
+    val a = rows.filter(_._2 % 3 == 0).map(_._1).sorted
+    val b = rows.filter(_._2 % 3 != 0).map(_._1).sorted
+    // ∫|Fa−Fb| over the integer grid, exactly
+    val lo = (a ++ b).min; val hi = (a ++ b).max
+    var num = BigInt(0)
+    for (x <- lo until hi) {
+      val fa = BigInt(a.count(_ <= x)) * b.size
+      val fb = BigInt(b.count(_ <= x)) * a.size
+      num += (fa - fb).abs
+    }
+    val want = num.toDouble / (a.size.toDouble * b.size * 100.0)
+    assert(got.getAs[Long]("n_a") == a.size.toLong)
+    assert(got.getAs[Long]("n_b") == b.size.toLong)
+    assert(got.getAs[String]("w1") == new java.math.BigDecimal(want)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString)
+  }
+
+  test("sourceInfluence: dropping the long-doc source lowers the mean") {
+    val docs = Seq(
+      (1L, "en", "big", 1000L), (2L, "en", "big", 1200L),
+      (3L, "de", "small", 100L), (4L, "en", "small", 120L),
+      (5L, "de", "small", 80L))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = CorpusStats.sourceInfluence(docs)
+      .select("source", "n_docs", "mean_chars_without", "chars_influence",
+        "en_frac_without")
+      .as[(String, Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // overall mean = 2500/5 = 500; without big = 300/3 = 100
+    assert(got("big")._3 == "100.0000")
+    assert(got("big")._4 == "-400.0000")
+    // without small = 2200/2 = 1100 → influence +600
+    assert(got("small")._4 == "600.0000")
+    // en fraction without big: 1/3 of the remaining docs are en
+    assert(got("big")._5 == "0.3333")
+  }
+
+  test("matryoshkaEval: identical prefixes give perfect recall") {
+    // vectors whose LAST 48 dims are zero: the 16-dim prefix carries all
+    // the signal, so truncated top-k must equal full top-k exactly
+    val rnd = new scala.util.Random(51)
+    val emb = (0L until 60L).map { i =>
+      (i, (Seq.fill(16)(rnd.nextInt(100) / 100.0f) ++
+        Seq.fill(48)(0.0f)), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.matryoshkaEval(emb, dims = 16, k = 10)
+      .select("qid", "overlap").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got.values.forall(_ == 10L), got.toString)
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
