@@ -684,6 +684,86 @@ object CorpusStats {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS r2
       |FROM m""".stripMargin
 
+  // ==== q259: Dunning log-likelihood (G²) collocations =======================
+  //
+  // The collocation test that behaves at LOW counts where q157's PMI
+  // explodes (Dunning 1993): for each ADJACENT bigram (a,b), G² =
+  // 2·Σ_cells O·ln(O·N/(R·C)) over the 2×2 contingency of "next-word is
+  // b" vs "current word is a" — sequential collocation, complementary to
+  // PMI's document-level co-occurrence. Margins come from the bigram
+  // table itself (R_a = bigrams starting with a, C_b = ending with b), so
+  // the corpus-sized work is ONE bigram explode + count; margins are two
+  // token-domain rollups joined back on their keys. G² is one double
+  // expression per DISTINCT bigram row from exact integers (identical
+  // operands both engines); ranking uses ⌊10⁶·G²⌋ with (a,b) tie-break.
+
+  /** Top-`k` adjacent-bigram collocations with count ≥ `minCount`:
+    * (a, b, n_ab, g2_micro, g2). */
+  def collocationsG2(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val t = Tok.ws(col("text"))
+    val big = docs.select(explode(when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => struct(element_at(t, i + lit(1)).as("a"),
+          element_at(t, i + lit(2)).as("b"))))
+      .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val cnt = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val ra = cnt.groupBy(col("a")).agg(sum(col("c")).as("ra"))
+    val cb = cnt.groupBy(col("b")).agg(sum(col("c")).as("cb"))
+    val n = broadcast(cnt.agg(sum(col("c")).as("n")))
+    def dd(c: Column) = c.cast("double")
+    def term(o: Column, r: Column, cc: Column) =
+      when(o > 0, dd(o) * log(dd(o) * dd(col("n")) / (dd(r) * dd(cc))))
+        .otherwise(lit(0.0))
+    val o11 = col("c"); val o12 = col("ra") - col("c")
+    val o21 = col("cb") - col("c")
+    val o22 = col("n") - col("ra") - col("cb") + col("c")
+    val r2 = col("n") - col("ra"); val c2 = col("n") - col("cb")
+    val g2 = lit(2.0) * (term(o11, col("ra"), col("cb")) +
+      term(o12, col("ra"), c2) + term(o21, r2, col("cb")) +
+      term(o22, r2, c2))
+    cnt.filter(col("c") >= minCount)
+      .join(ra, Seq("a")).join(cb, Seq("b")).crossJoin(n)
+      .select(col("a"), col("b"), col("c").as("n_ab"),
+        floor(lit(1e6) * g2).cast("long").as("g2_micro"),
+        QueryDef.dec4(g2).as("g2"))
+      .orderBy(col("g2_micro").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    collocationsG2(Tables.documents(s, dir), minCount = 5L, k = 20)
+
+  private val q259Sql = {
+    def term(o: String, r: String, c: String) =
+      s"""CASE WHEN $o > 0 THEN CAST($o AS DOUBLE)
+         |    * ln(CAST($o AS DOUBLE) * CAST(n AS DOUBLE)
+         |      / (CAST($r AS DOUBLE) * CAST($c AS DOUBLE)))
+         |    ELSE 0.0 END""".stripMargin
+    val g2 = s"""2.0 * (${term("c", "ra", "cb")}
+       | + ${term("(ra - c)", "ra", "(n - cb)")}
+       | + ${term("(cb - c)", "(n - ra)", "cb")}
+       | + ${term("(n - ra - cb + c)", "(n - ra)", "(n - cb)")})"""
+      .stripMargin
+    s"""WITH big AS (
+       |  SELECT p[1] AS a, p[2] AS b FROM (
+       |    SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+       |      list_transform(range(1, len(toks)),
+       |        i -> [toks[i], toks[i + 1]]) ELSE [] END) AS p
+       |    FROM (SELECT list_filter(string_split(text, ' '),
+       |      x -> x <> '') AS toks FROM documents))),
+       |cnt AS (SELECT a, b, count(*) AS c FROM big GROUP BY a, b),
+       |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ra FROM cnt GROUP BY a),
+       |cb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cnt GROUP BY b),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cnt)
+       |SELECT a, b, c AS n_ab,
+       |  CAST(floor(1000000.0 * ($g2)) AS BIGINT) AS g2_micro,
+       |  CAST(CAST(($g2) AS DECIMAL(38,4)) AS VARCHAR) AS g2
+       |FROM cnt JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+       |WHERE c >= 5
+       |ORDER BY g2_micro DESC, a, b LIMIT 20""".stripMargin
+  }
+
   // ==== q257: leave-one-source-out influence ================================
   //
   // The "which source is hurting the corpus?" diagnostic — the algebraic
@@ -757,6 +837,7 @@ object CorpusStats {
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q259_collocations_g2", q259, Some(q259Sql)),
     QueryDef("q257_source_influence", q257, Some(q257Sql)),
     QueryDef("q225_heaps_fit", q225, Some(q225Sql)),
     QueryDef("q183_zipf_fit", q183, Some(q183Sql)),

@@ -443,6 +443,45 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.values.forall(_ == 10L), got.toString)
   }
 
+  test("collocationsG2 matches the naive 2x2 log-likelihood recomputation") {
+    val rnd = new scala.util.Random(52)
+    // 'new york' planted as a strong collocation inside noise
+    val vocab = Vector("alpha", "beta", "gamma", "delta")
+    val docs = (1 to 120).map { i =>
+      val noise = Seq.fill(8)(vocab(rnd.nextInt(vocab.size)))
+      val toks =
+        if (i % 2 == 0) noise.take(4) ++ Seq("new", "york") ++ noise.drop(4)
+        else noise
+      (i.toLong, toks.mkString(" "))
+    }
+    val got = CorpusStats.collocationsG2(
+      docs.toDF("doc_id", "text"), minCount = 5L, k = 5)
+      .select("a", "b", "n_ab", "g2_micro")
+      .as[(String, String, Long, Long)].collect()
+    // naive bigram contingency + G²
+    val bigrams = docs.flatMap(d =>
+      d._2.split(" ").filter(_.nonEmpty).sliding(2).filter(_.size == 2)
+        .map(p => (p(0), p(1))).toSeq)
+    val cnt = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val raM = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val cbM = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = bigrams.size.toLong
+    def g2(a: String, b: String): Long = {
+      val c = cnt((a, b)); val ra = raM(a); val cb = cbM(b)
+      def t(o: Long, r: Long, cc: Long) =
+        if (o > 0) o.toDouble * math.log(o.toDouble * n / (r.toDouble * cc))
+        else 0.0
+      math.floor(1e6 * (2.0 * (t(c, ra, cb) + t(ra - c, ra, n - cb) +
+        t(cb - c, n - ra, cb) + t(n - ra - cb + c, n - ra, n - cb))))
+        .toLong
+    }
+    // the planted pair tops the list with the exact naive statistic
+    assert(got.head._1 == "new" && got.head._2 == "york")
+    assert(got.head._3 == cnt(("new", "york")))
+    assert(got.head._4 == g2("new", "york"))
+    got.foreach(r => assert(r._4 == g2(r._1, r._2), r.toString))
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
