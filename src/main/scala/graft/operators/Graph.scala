@@ -1224,7 +1224,135 @@ object Graph {
        |ORDER BY dist, node LIMIT 25""".stripMargin
   }
 
+  // ==== q260: k-truss decomposition ==========================================
+  //
+  // The EDGE-cohesion tier between q134's triangles and B-q185's k-core:
+  // the k-truss keeps only edges supported by ≥ k−2 triangles, re-checked
+  // after every peel (removing a weak edge can orphan its neighbors'
+  // triangles) — the standard community-core extractor that node-degree
+  // cores cannot express. Support per round reuses the q134 degree-
+  // ordered wedge orientation (each triangle found ONCE, per-node fan-out
+  // O(√m)), exploded to its three canonical edges and counted — two
+  // hash shuffles per round, no wedge ever enumerated at a hub's raw
+  // degree. Bounded-round contract (the q185 fixed-round form): `rounds`
+  // peels give a SUPERSET of the true truss, exact when converged —
+  // both engines run exactly the same rounds, so results match
+  // regardless. Pure integer counting end-to-end; per-round
+  // localCheckpoint keeps lineage flat (the q153 discipline).
+
+  /** Canonical per-edge triangle support: (a, b, support) for a < b. */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("n")).union(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val keyed = e
+      .join(deg.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = keyed.select(
+      when(struct(col("da").as("d"), col("a").as("id")) <
+          struct(col("db").as("d"), col("b").as("id")),
+        struct(col("a").as("src"), col("b").as("dst"),
+          struct(col("db").as("d"), col("b").as("id")).as("kd")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+          struct(col("da").as("d"), col("a").as("id")).as("kd"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"),
+        col("o.kd").as("kd"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"),
+      col("kd").as("kv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"),
+      col("kd").as("kw"))
+    val tris = o1.join(o2, Seq("src")).where(col("kv") < col("kw"))
+      .select(col("src").as("u"), col("v"), col("w"))
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"))
+    tris.select(explode(array(
+      struct(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b")),
+      struct(least(col("u"), col("w")).as("a"),
+        greatest(col("u"), col("w")).as("b")),
+      struct(least(col("v"), col("w")).as("a"),
+        greatest(col("v"), col("w")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** Surviving edges of the `rounds`-peel k-truss with their final
+    * support: (a, b, support). Exact truss when converged within
+    * `rounds`; a superset otherwise (both declared). */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3 && rounds >= 1)
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      e = e.join(edgeSupport(e), Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= (k - 2).toLong)
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+    }
+    e.join(edgeSupport(e), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    kTruss(edges, k = 4, rounds = 4)
+      .orderBy(col("support").desc, col("a"), col("b")).limit(20)
+  }
+
+  private val q260Sql = {
+    def round(r: Int): String = {
+      val prev = s"e${r - 1}"
+      s"""tr$r AS MATERIALIZED (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $prev e1
+         |    JOIN $prev e2 ON e2.a = e1.a AND e2.b > e1.b
+         |    JOIN $prev e3 ON e3.a = e1.b AND e3.b = e2.b),
+         |s$r AS MATERIALIZED (
+         |  SELECT a, b, count(*) AS s FROM (
+         |    SELECT x AS a, y AS b FROM tr$r
+         |    UNION ALL SELECT x, z FROM tr$r
+         |    UNION ALL SELECT y, z FROM tr$r) GROUP BY a, b),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM $prev e LEFT JOIN s$r
+         |    ON s$r.a = e.a AND s$r.b = e.b
+         |  WHERE COALESCE(s$r.s, 0) >= 2),""".stripMargin
+    }
+    val rounds = (1 to 4).map(round).mkString("\n")
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_partkey % 3 = 0),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+       |    greatest(x.l_partkey, y.l_partkey) AS b
+       |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+       |    AND x.l_partkey < y.l_partkey),
+       |$rounds
+       |trf AS MATERIALIZED (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM e4 e1
+       |    JOIN e4 e2 ON e2.a = e1.a AND e2.b > e1.b
+       |    JOIN e4 e3 ON e3.a = e1.b AND e3.b = e2.b),
+       |sf AS MATERIALIZED (
+       |  SELECT a, b, count(*) AS s FROM (
+       |    SELECT x AS a, y AS b FROM trf
+       |    UNION ALL SELECT x, z FROM trf
+       |    UNION ALL SELECT y, z FROM trf) GROUP BY a, b)
+       |SELECT e.a, e.b, CAST(COALESCE(sf.s, 0) AS BIGINT) AS support
+       |FROM e4 e LEFT JOIN sf ON sf.a = e.a AND sf.b = e.b
+       |ORDER BY support DESC, e.a, e.b LIMIT 20""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q260_ktruss", q260, Some(q260Sql)),
     QueryDef("q240_weighted_paths", q240, Some(q240Sql)),
     QueryDef("q231_modularity", q231, Some(q231Sql)),
     QueryDef("q226_hits", q226, Some(q226Sql)),

@@ -482,6 +482,46 @@ class StatTestsR10Spec extends AnyFunSuite {
     got.foreach(r => assert(r._4 == g2(r._1, r._2), r.toString))
   }
 
+  test("kTruss equals the naive peel; cliques survive, trees die") {
+    // a 5-clique (every edge in 3 triangles), a triangle (support 1 each
+    // at k=4 → dies), a path (no triangles → dies), plus random noise
+    val clique = for (i <- 100L to 104L; j <- (i + 1) to 104L) yield (i, j)
+    val tri = Seq((110L, 111L), (111L, 112L), (110L, 112L))
+    val path = Seq((120L, 121L), (121L, 122L), (122L, 123L))
+    val rnd = new scala.util.Random(53)
+    val noise = Seq.fill(60)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val edges = (clique ++ tri ++ path ++ noise)
+    val got = Graph.kTruss(edges.toDF("a", "b"), k = 4, rounds = 6)
+      .select("a", "b", "support").as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // naive peel to fixpoint on the same canonical edge set
+    var es = edges.map { case (x, y) => (math.min(x, y), math.max(x, y)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    def supports(s: Set[(Long, Long)]): Map[(Long, Long), Int] = {
+      val nodes = s.flatMap(e => Seq(e._1, e._2)).toSeq
+      val pairs = for {
+        e <- s.toSeq; n <- nodes
+        if n != e._1 && n != e._2
+        if s(( math.min(n, e._1), math.max(n, e._1))) &&
+          s((math.min(n, e._2), math.max(n, e._2)))
+      } yield e
+      pairs.groupBy(identity).view.mapValues(_.size).toMap
+    }
+    var changed = true
+    while (changed) {
+      val sup = supports(es)
+      val keep = es.filter(e => sup.getOrElse(e, 0) >= 2)
+      changed = keep.size != es.size; es = keep
+    }
+    val naiveSup = supports(es)
+    assert(got.keySet == es, s"edge sets differ: ${got.keySet} vs $es")
+    got.foreach { case (e, s) =>
+      assert(s == naiveSup.getOrElse(e, 0).toLong, s"support at $e") }
+    // every clique edge survived; triangle and path edges are gone
+    clique.foreach(e => assert(got.contains(e)))
+    (tri ++ path).foreach(e => assert(!got.contains(e)))
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
