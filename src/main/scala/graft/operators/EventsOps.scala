@@ -2636,6 +2636,119 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS did
       |FROM w""".stripMargin
 
+  // ==== q261: nearest-neighbor covariate-matching ATT ========================
+  //
+  // The matching estimator completing the causal family (q230 stratifies,
+  // q254 regresses, this MATCHES): every treated user is compared against
+  // the controls whose pre-period activity is NEAREST theirs — the
+  // propensity/covariate matching design, with ties pooled (all controls
+  // at the matched covariate value average together — kernel-at-a-point,
+  // deterministic where pick-one-by-id would be arbitrary). The covariate
+  // (pre-period event count) has a BOUNDED domain, so matching runs as a
+  // broadcast domain×domain pairing (the B8 contract), never a per-user
+  // search: one corpus pass → user groupBy → two covariate-domain
+  // aggregates; nearest = min(struct(dist, x_c)) per treated value
+  // (backward preferred on distance ties — lexicographic struct order).
+  // Float discipline: per-domain-row terms are micro-floored (q195) so
+  // the ATT numerator sums exact integers.
+
+  /** One row: (n_treated, n_control, att, raw_diff) — matched treatment
+    * effect on post-period value, vs the unmatched naive diff. */
+  def matchingAtt(events: DataFrame): DataFrame = {
+    val range = broadcast(events.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long").divide(lit(2L))).cast("long").as("cut")))
+    val perUser = events.crossJoin(range)
+      .select(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L).as("t"),
+        when(unix_micros(col("ts")) < col("cut"), 1L).otherwise(0L)
+          .as("pre"),
+        when(unix_micros(col("ts")) >= col("cut"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("yr"))
+      .groupBy(col("user_id"))
+      .agg(max(col("t")).as("t"), sum(col("pre")).as("x"),
+        sum(col("yr")).as("y"))
+    val tAgg = perUser.filter(col("t") === 1).groupBy(col("x"))
+      .agg(count(lit(1)).as("n_t"), sum(col("y")).as("sy_t"))
+    val cAgg = perUser.filter(col("t") === 0).groupBy(col("x"))
+      .agg(count(lit(1)).as("n_c"), sum(col("y")).as("sy_c"))
+    val tKeyed = tAgg.select(col("x").as("x_t"), col("n_t"), col("sy_t"))
+    val cKeyed = cAgg.select(col("x").as("x_c"), col("n_c"), col("sy_c"))
+    val nearest = tKeyed.select(col("x_t").as("xt"))
+      .join(broadcast(cKeyed.select(col("x_c").as("xc"))), lit(true))
+      .groupBy(col("xt"))
+      .agg(min(struct(abs(col("xc") - col("xt")).as("d"),
+        col("xc").as("xc"))).as("m"))
+      .select(col("xt"), col("m.xc").as("xc"))
+    val terms = tKeyed.join(nearest, col("x_t") === col("xt"))
+      .join(broadcast(cKeyed), col("xc") === col("x_c"))
+      .select(col("n_t"),
+        floor(lit(1e6) * (col("sy_t").cast("double") -
+          col("n_t").cast("double") * col("sy_c").cast("double") /
+            col("n_c").cast("double"))).cast("decimal(38,0)").as("num"))
+    val tot = broadcast(perUser.agg(
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+      sum(when(col("t") === 1, col("y"))).as("syt"),
+      sum(when(col("t") === 0, col("y"))).as("syc")))
+    terms.agg(sum(col("num")).as("num"), sum(col("n_t")).as("n_match"))
+      .crossJoin(tot)
+      .select(col("nt").as("n_treated"), col("nc").as("n_control"),
+        QueryDef.dec4(col("num").cast("double") /
+          (col("n_match").cast("double") * lit(1e8))).as("att"),
+        QueryDef.dec4((col("syt").cast("double") / col("nt").cast("double")
+          - col("syc").cast("double") / col("nc").cast("double")) /
+          lit(100.0)).as("raw_diff"))
+  }
+
+  private def q261(s: SparkSession, dir: String): DataFrame =
+    matchingAtt(Tables.events(s, dir))
+
+  private val q261Sql =
+    """WITH rg AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS BIGINT) AS cut FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
+      |    CAST(sum(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN epoch_us(ts) >= cut
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+      |      AS BIGINT) AS y
+      |  FROM events CROSS JOIN rg GROUP BY user_id),
+      |ta AS (SELECT x, count(*) AS n_t, CAST(sum(y) AS BIGINT) AS sy_t
+      |  FROM pu WHERE t = 1 GROUP BY x),
+      |ca AS (SELECT x, count(*) AS n_c, CAST(sum(y) AS BIGINT) AS sy_c
+      |  FROM pu WHERE t = 0 GROUP BY x),
+      |nearest AS (
+      |  SELECT ta.x AS xt,
+      |    (min(struct_pack(d := abs(ca.x - ta.x), xc := ca.x))).xc AS xc
+      |  FROM ta CROSS JOIN ca GROUP BY ta.x),
+      |terms AS (
+      |  SELECT ta.n_t,
+      |    CAST(floor(1000000.0 * (CAST(ta.sy_t AS DOUBLE)
+      |      - CAST(ta.n_t AS DOUBLE) * CAST(ca.sy_c AS DOUBLE)
+      |        / CAST(ca.n_c AS DOUBLE))) AS HUGEINT) AS num
+      |  FROM ta JOIN nearest ON nearest.xt = ta.x
+      |    JOIN ca ON ca.x = nearest.xc),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS nt,
+      |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN t = 1 THEN y END) AS BIGINT) AS syt,
+      |    CAST(sum(CASE WHEN t = 0 THEN y END) AS BIGINT) AS syc
+      |  FROM pu)
+      |SELECT nt AS n_treated, nc AS n_control,
+      |  CAST(CAST(CAST(sum(num) AS DOUBLE)
+      |    / (CAST(sum(n_t) AS DOUBLE) * 100000000.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS att,
+      |  CAST(CAST((CAST(syt AS DOUBLE) / CAST(nt AS DOUBLE)
+      |    - CAST(syc AS DOUBLE) / CAST(nc AS DOUBLE)) / 100.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS raw_diff
+      |FROM terms CROSS JOIN tot
+      |GROUP BY nt, nc, syt, syc""".stripMargin
+
   // ==== q254: CUPED variance-reduced experiment readout ======================
   //
   // The industry-standard experiment accelerator (Deng et al., WSDM'13):
@@ -2973,6 +3086,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q261_matching_att", q261, Some(q261Sql)),
     QueryDef("q254_cuped", q254, Some(q254Sql)),
     QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),
     QueryDef("q250_shapley_attribution", q250, Some(q250Sql)),

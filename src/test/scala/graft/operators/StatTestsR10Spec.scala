@@ -522,6 +522,30 @@ class StatTestsR10Spec extends AnyFunSuite {
     (tri ++ path).foreach(e => assert(!got.contains(e)))
   }
 
+  test("matchingAtt removes a planted covariate confound the naive diff keeps") {
+    // covariate = pre-period event count; outcome = x + 5·treated.
+    // treated users skew to high x, so the naive diff overstates the +5
+    // effect; exact-x matching must recover 5.0000.
+    def evs(u: Long, x: Int, y: Double) = {
+      val pre = (0 until x).map(i =>
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)),
+          u, "view", 0.0))
+      val post = Seq((java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(1000000)), u, "view", y))
+      pre ++ post
+    }
+    val rows =
+      // treated (odd ids): x ∈ {3, 4}; controls (even): x ∈ {1, 2, 3, 4}
+      evs(1, 3, 3 + 5.0) ++ evs(3, 4, 4 + 5.0) ++ evs(5, 4, 4 + 5.0) ++
+        evs(2, 1, 1.0) ++ evs(4, 2, 2.0) ++ evs(6, 3, 3.0) ++ evs(8, 4, 4.0)
+    val got = EventsOps.matchingAtt(
+      rows.toDF("ts", "user_id", "event_type", "value")).head()
+    assert(got.getAs[Long]("n_treated") == 3L)
+    assert(got.getAs[String]("att") == "5.0000")
+    // the confounded naive diff: mean_t = (8+9+9)/3, mean_c = (1+2+3+4)/4
+    assert(got.getAs[String]("raw_diff") == "6.1667")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
