@@ -2636,6 +2636,127 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS did
       |FROM w""".stripMargin
 
+  // ==== q263: quantile treatment effects (QTE) ===============================
+  //
+  // Mean effects (q251/q254/q261) can hide WHERE in the distribution a
+  // treatment acts; QTE reports q_t(p) − q_c(p) at the deciles — the
+  // distributional readout regulators and pricing teams actually ask
+  // for. Both quantile vectors come from the q113 distributed
+  // order-statistics path (exact interpolated order stats, never a
+  // global sort of raw rows), snapped to the 4-dp grid with math.rint —
+  // the ONE boundary-rounding rule for broadcast quantiles in this repo
+  // (q143/q159 note: rint matches DuckDB's round on exact half-grid
+  // ties). Effects subtract the SNAPPED values, so both engines subtract
+  // identical doubles. Units: value cents.
+
+  /** 9 rows: (p_pct, q_t, q_c, qte) — treated/control value-cent deciles
+    * and their gaps; treatment = odd user_id. */
+  def quantileTreatmentEffects(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ps = (1 to 9).map(_ / 10.0)
+    val base = events.select(
+      round(col("value") * 100).cast("long").as("vc"),
+      pmod(col("user_id"), lit(2)).as("g"))
+    def snap(x: Double): Double = math.rint(x * 10000) / 10000
+    val qt = Profiling.exactQuantiles(base.filter(col("g") === 1), "vc", ps)
+      .map(snap)
+    val qc = Profiling.exactQuantiles(base.filter(col("g") === 0), "vc", ps)
+      .map(snap)
+    (1 to 9).map(i => (i * 10, qt(i - 1), qc(i - 1)))
+      .toDF("p_pct", "qt", "qc")
+      .select(col("p_pct"), QueryDef.dec4(col("qt")).as("q_t"),
+        QueryDef.dec4(col("qc")).as("q_c"),
+        QueryDef.dec4(col("qt") - col("qc")).as("qte"))
+      .orderBy(col("p_pct"))
+  }
+
+  private def q263(s: SparkSession, dir: String): DataFrame =
+    quantileTreatmentEffects(Tables.events(s, dir))
+
+  private val q263Sql = {
+    val fr = (1 to 9).map(i => s"0.$i").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(round(value * 100) AS BIGINT) AS vc, user_id % 2 AS g
+       |  FROM events),
+       |t AS (SELECT list_transform(quantile_cont(vc, [$fr]),
+       |  x -> round(x, 4)) AS qs FROM d WHERE g = 1),
+       |c AS (SELECT list_transform(quantile_cont(vc, [$fr]),
+       |  x -> round(x, 4)) AS qs FROM d WHERE g = 0)
+       |SELECT CAST(10 * r.i AS INTEGER) AS p_pct,
+       |  CAST(CAST(t.qs[CAST(r.i AS INTEGER)] AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS q_t,
+       |  CAST(CAST(c.qs[CAST(r.i AS INTEGER)] AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS q_c,
+       |  CAST(CAST(t.qs[CAST(r.i AS INTEGER)] - c.qs[CAST(r.i AS INTEGER)]
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS qte
+       |FROM range(1, 10) r(i) CROSS JOIN t CROSS JOIN c
+       |ORDER BY p_pct""".stripMargin
+  }
+
+  // ==== q262: A/B sample-size planner (power analysis) =======================
+  //
+  // The design-time member of the experimentation suite (q246 runs the
+  // test, q251/q254/q261 analyze it — this sizes it): for a two-sample
+  // mean test at α = .05 two-sided, power = .80, n per arm =
+  // 2σ²(z_{.975}+z_{.80})²/Δ². The z constants are compile-time:
+  // (1.9599639845…+0.8416212336…)² hard-coded as ⌊10⁶·K⌋ = 7848879
+  // micro-units in both engines — the only "distribution table" the
+  // formula needs, so there is no CDF anywhere. σ² comes from exact
+  // DECIMAL cent moments in ONE corpus pass; Δ sweeps a relative-MDE
+  // grid (1/2/5/10% of the mean), each row one double formula + ceil
+  // from identical integers.
+
+  /** One row per MDE: (mde_pct, n, mean, sd, n_per_arm). */
+  def sampleSizePlan(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val m = events.select(round(col("value") * 100).cast("long").as("vc"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("vc")).cast("decimal(38,0)").as("s"),
+        sum(col("vc").cast("decimal(19,0)") * col("vc")).as("ss"))
+    val grid = broadcast(Seq(1, 2, 5, 10).toDF("mde_pct"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val mean = dd(col("s")) / dd(col("n"))
+    val variance = dd(col("ss")) / dd(col("n")) - mean * mean
+    val delta = mean * dd(col("mde_pct")) / lit(100.0)
+    m.crossJoin(grid)
+      .select(col("mde_pct"), col("n"),
+        QueryDef.dec4(mean / lit(100.0)).as("mean"),
+        QueryDef.dec4(sqrt(variance) / lit(100.0)).as("sd"),
+        ceil(lit(2.0) * variance * (lit(7848879.0) / lit(1e6)) /
+          (delta * delta)).cast("long").as("n_per_arm"))
+      .orderBy(col("mde_pct"))
+  }
+
+  private def q262(s: SparkSession, dir: String): DataFrame =
+    sampleSizePlan(Tables.events(s, dir))
+
+  private val q262Sql =
+    """WITH m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(vc) AS HUGEINT) AS s,
+      |    CAST(sum(CAST(vc AS HUGEINT) * vc) AS HUGEINT) AS ss
+      |  FROM (SELECT CAST(round(value * 100) AS BIGINT) AS vc
+      |    FROM events)),
+      |grid AS (SELECT * FROM (VALUES (1), (2), (5), (10)) t(mde_pct))
+      |SELECT mde_pct, n,
+      |  CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean,
+      |  CAST(CAST(sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS sd,
+      |  CAST(ceil(2.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+      |    * (7848879.0 / 1000000.0)
+      |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * CAST(mde_pct AS DOUBLE) / 100.0
+      |      * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * CAST(mde_pct AS DOUBLE) / 100.0))) AS BIGINT) AS n_per_arm
+      |FROM m CROSS JOIN grid ORDER BY mde_pct""".stripMargin
+
   // ==== q261: nearest-neighbor covariate-matching ATT ========================
   //
   // The matching estimator completing the causal family (q230 stratifies,
@@ -3086,6 +3207,8 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q263_qte", q263, Some(q263Sql)),
+    QueryDef("q262_sample_size", q262, Some(q262Sql)),
     QueryDef("q261_matching_att", q261, Some(q261Sql)),
     QueryDef("q254_cuped", q254, Some(q254Sql)),
     QueryDef("q251_diff_in_diff", q251, Some(q251Sql)),

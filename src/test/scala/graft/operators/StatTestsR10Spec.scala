@@ -546,6 +546,42 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.getAs[String]("raw_diff") == "6.1667")
   }
 
+  test("sampleSizePlan matches the closed-form power computation") {
+    val rnd = new scala.util.Random(54)
+    val vals = Seq.fill(400)(1.0 + rnd.nextInt(2000) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)),
+        i.toLong, "view", v)
+    }.toDF("ts", "user_id", "event_type", "value")
+    val got = EventsOps.sampleSizePlan(df)
+      .select("mde_pct", "n_per_arm").as[(Int, Long)].collect().toMap
+    val cents = vals.map(v => math.round(v * 100))
+    val n = cents.size.toDouble
+    val mean = cents.sum / n
+    val varc = cents.map(c => c.toDouble * c).sum / n - mean * mean
+    for (mde <- Seq(1, 2, 5, 10)) {
+      val delta = mean * mde / 100.0
+      val want = math.ceil(2.0 * varc * (7848879.0 / 1e6) /
+        (delta * delta)).toLong
+      assert(got(mde) == want, s"mde $mde")
+    }
+  }
+
+  test("quantileTreatmentEffects recovers a planted constant shift") {
+    // control deciles of 0..999; treated = the same values + 500 cents
+    val rows = (0 until 1000).flatMap { i =>
+      Seq((java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)),
+        2L * i, "view", i / 100.0), // control (even users)
+        (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i)),
+          2L * i + 1, "view", i / 100.0 + 5.0)) // treated
+    }
+    val got = EventsOps.quantileTreatmentEffects(
+      rows.toDF("ts", "user_id", "event_type", "value"))
+      .select("p_pct", "qte").as[(Int, String)].collect()
+    assert(got.length == 9)
+    got.foreach { case (p, qte) => assert(qte == "500.0000", s"p=$p") }
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
