@@ -490,6 +490,46 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ==== streaming PSI drift monitor ==========================================
+  //
+  // Online model-input monitoring: every tumbling hour, the value
+  // distribution is binned (16 fixed-width cent bins) and scored against
+  // a FIXED reference with PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) — the
+  // at-a-glance "has the feature moved" number (B-q159's batch PSI,
+  // always-on). One windowed groupBy with 16 conditional counts (a
+  // SINGLE streaming aggregate — no stream-stream join of aggregates,
+  // which Structured Streaming forbids); PSI is a plain expression over
+  // the 17 columns, so the query runs append-mode with a watermark and
+  // bounded state. Source-agnostic (the B34 pattern): the same function
+  // on a batch frame IS the parity oracle.
+
+  /** Per tumbling hour: (window_start, n, psi_micro) against `ref`
+    * (16 reference fractions, must sum to 1; zero-count bins use the
+    * 0·ln0 = 0 convention, zero-reference bins are guarded by `eps`). */
+  def psiDriftStream(events: DataFrame, ref: Seq[Double],
+      binWidthCents: Long = 3000L, delay: String = "1 hour"): DataFrame = {
+    require(ref.size == 16, "expect 16 reference fractions")
+    val eps = 1e-9
+    val vc = round(col("value") * 100).cast("long")
+    val bin = least(floor(vc.cast("double") / lit(binWidthCents.toDouble))
+      .cast("long"), lit(15L))
+    val counts = (0 to 15).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agg = events
+      .withWatermark("ts", delay)
+      .select(col("ts"), bin.as("bin"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(counts.head, counts.tail: _*)
+    val n = (0 to 15).map(b => col(s"c$b")).reduce(_ + _)
+    val psi = (0 to 15).map { b =>
+      val p = col(s"c$b").cast("double") / n.cast("double")
+      val q = lit(math.max(ref(b), eps))
+      when(col(s"c$b") > 0, (p - q) * log(p / q)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    agg.select(col("window.start").as("window_start"),
+      n.as("n"), floor(lit(1e6) * psi).cast("long").as("psi_micro"))
+  }
+
   // ==== stream-stream interval join (B121) ===================================
   //
   // The two-unbounded-sides join Spark executes with symmetric state: each

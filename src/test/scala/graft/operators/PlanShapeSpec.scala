@@ -264,5 +264,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!kw.contains("Window"), s"q253 grew a corpus window:\n$kw")
     assert("HashAggregate".r.findAllIn(kw).size >= 2,
       s"q253 lost partial aggregation:\n$kw")
+    // q256: both CDFs and the gap join ride prefix scans + an idx
+    // equi-join — W1 has no window over anything
+    val w1 = plan("q256_wasserstein_drift")
+    assert(!w1.contains("Window"), s"q256 grew a window:\n$w1")
+    assert(!w1.contains("CartesianProduct"), s"q256 grew a cartesian:\n$w1")
+    // q259/q260: bigram/triangle machinery stays on equi-joins with
+    // partial aggregation; no cartesian anywhere
+    Seq("q259_collocations_g2", "q260_ktruss").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // q261/q262: the only non-equi pairing is the broadcast
+    // domain×domain match (BNLJ over tiny aggregates — the design);
+    // the corpus never meets a cartesian
+    Seq("q261_matching_att", "q262_sample_size").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+    }
   }
 }

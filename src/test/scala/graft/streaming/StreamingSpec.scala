@@ -970,4 +970,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(decidedRows.nonEmpty && decidedRows.toSet.size == 1,
       s"decision moved: ${decidedRows.toSet}")
   }
+
+  test("streaming PSI drift: batch parity + the planted-drift hour tops the chart") {
+    val rnd = new scala.util.Random(55)
+    // 3 hours of stable traffic + 1 hour where values jump 10×
+    val all = (0 until 4).flatMap { h =>
+      (0 until 500).map { i =>
+        val base = 1.0 + rnd.nextInt(3000) / 100.0
+        val v = if (h == 2) base * 10 else base
+        (new Timestamp(1704067200000L + h * 3600000L + (i % 3600) * 1000L),
+          i.toLong, "view", v)
+      }
+    }
+    // reference = hour 0's own empirical bin distribution, so the stable
+    // hours score ~0 and only the shifted hour stands out
+    val h0bins = all.filter(_._1.getTime < 1704067200000L + 3600000L)
+      .map(r => math.min(math.round(r._4 * 100) / 3000, 15L))
+    val ref = (0 to 15).map(b =>
+      h0bins.count(_ == b).toDouble / h0bins.size)
+    val batch = EventsStreaming.psiDriftStream(
+      all.toDF("ts", "event_id", "event_type", "value"), ref)
+      .as[(Timestamp, Long, Long)].collect().toSeq.sortBy(_._1.getTime)
+    // the shifted hour has by far the highest PSI
+    assert(batch.size == 4)
+    assert(batch.maxBy(_._3)._1.getTime ==
+      1704067200000L + 2 * 3600000L)
+    // streaming replay: 2 ordered micro-batches, append after watermark
+    val input = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val events = input.toDF().toDF("ts", "event_id", "event_type", "value")
+    val q = EventsStreaming.psiDriftStream(events, ref)
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("append").start()
+    try {
+      all.grouped(1000).foreach { b => input.addData(b); q.processAllAvailable() }
+      // closing batch far in the future flushes every window past the
+      // watermark
+      input.addData(Seq((new Timestamp(1704067200000L + 100L * 3600000L),
+        0L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("psi_out").as[(Timestamp, Long, Long)]
+      .collect().toSeq.filter(_._1.getTime < 1704067200000L + 10 * 3600000L)
+      .sortBy(_._1.getTime)
+    assert(streamed == batch,
+      s"stream/batch divergence:\n$streamed\nvs\n$batch")
+  }
 }
