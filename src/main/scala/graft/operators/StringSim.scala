@@ -123,9 +123,10 @@ object StringSim {
   // bit-for-bit (q205), so both engines score the identical set. Top-20
   // render is a TakeOrdered, not a global sort.
 
-  /** Top-20 linkage candidates: (a, b, jw_agree, bal_agree, seg_agree,
-    * score_micro, score), ordered by score desc then (a, b). */
-  def fellegiSunter(customer: DataFrame): DataFrame = {
+  /** Blocked candidate pairs with per-field agreement bits:
+    * (a, b, jw_agree, bal_agree, seg_agree) — the shared front end of
+    * q252 (fixed-weight scoring) and q264 (EM weight estimation). */
+  private[operators] def linkagePairs(customer: DataFrame): DataFrame = {
     val l = customer.select(col("c_custkey").as("a"),
       col("c_name").as("name_a"), col("c_nationkey").as("blk"),
       round(col("c_acctbal") * 100).cast("long").as("bal_a"),
@@ -142,6 +143,12 @@ object StringSim {
           .otherwise(0L).as("bal_agree"),
         when(col("seg_a") === col("seg_b"), 1L).otherwise(0L)
           .as("seg_agree"))
+  }
+
+  /** Top-20 linkage candidates: (a, b, jw_agree, bal_agree, seg_agree,
+    * score_micro, score), ordered by score desc then (a, b). */
+  def fellegiSunter(customer: DataFrame): DataFrame = {
+    linkagePairs(customer)
       .select(col("a"), col("b"), col("jw_agree"), col("bal_agree"),
         col("seg_agree"),
         (when(col("jw_agree") === 1, 2197224L).otherwise(-2197225L) +
@@ -160,8 +167,8 @@ object StringSim {
   private def q252(s: SparkSession, dir: String): DataFrame =
     fellegiSunter(graft.Tables.customer(s, dir))
 
-  private val q252Sql =
-    """WITH c AS (
+  private val linkagePairsSql =
+    """c AS (
       |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS blk,
       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
       |    c_mktsegment AS seg
@@ -173,7 +180,10 @@ object StringSim {
       |    CASE WHEN abs(l.bal - r.bal) <= 10000 THEN 1 ELSE 0 END
       |      AS bal_agree,
       |    CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS seg_agree
-      |  FROM c l JOIN c r ON l.blk = r.blk AND l.k < r.k)
+      |  FROM c l JOIN c r ON l.blk = r.blk AND l.k < r.k)""".stripMargin
+
+  private val q252Sql =
+    s"""WITH $linkagePairsSql
       |SELECT a, b, CAST(jw_agree AS BIGINT) AS jw_agree,
       |  CAST(bal_agree AS BIGINT) AS bal_agree,
       |  CAST(seg_agree AS BIGINT) AS seg_agree,
@@ -188,7 +198,191 @@ object StringSim {
       |FROM pairs
       |ORDER BY score_micro DESC, a, b LIMIT 20""".stripMargin
 
+  // ==== q264: Fellegi–Sunter EM parameter estimation ==========================
+  //
+  // q252 scores with textbook m/u constants; production linkage (Splink,
+  // the Census Bureau lineage) LEARNS them unsupervised: EM over the
+  // agreement-PATTERN histogram. With 3 binary fields there are only 8
+  // patterns, so after one corpus-sized pass (the shared q252 pair
+  // front end → pattern counts) the EM fixpoint runs on an 8-row domain
+  // (the q255/q184 collected-domain discipline). Integer micro state: the
+  // per-pattern E-step weight w = a/(a+b) is a double computed from the
+  // PREVIOUS round's integer micro params (identical operands both
+  // engines); the expected counts floor to ⌊10⁶·c·w⌋ BEFORE summing, and
+  // every M-step update is an integer division — so params are exact
+  // integers every round and the oracle replays all 10 iterations as
+  // MATERIALIZED CTEs.
+
+  private val EmIters = 10
+
+  /** EM over pattern -> count (pattern bits: 1 = jw, 2 = bal, 4 = seg).
+    * Returns (λ_micro, m_micro(3), u_micro(3)). */
+  private[operators] def emFit(hist: Map[Int, Long])
+      : (Long, Array[Long], Array[Long]) = {
+    val n = hist.values.sum
+    var lm = 100000L
+    var m = Array(800000L, 800000L, 800000L)
+    var u = Array(200000L, 200000L, 200000L)
+    def f(g: Int, p: Long): Double =
+      if (g == 1) p / 1000000.0 else 1.0 - p / 1000000.0
+    for (_ <- 1 to EmIters) {
+      val rows = (0 to 7).map { p =>
+        val c = hist.getOrElse(p, 0L)
+        val g = Array(p & 1, (p >> 1) & 1, (p >> 2) & 1)
+        val a = lm / 1000000.0 * f(g(0), m(0)) * f(g(1), m(1)) *
+          f(g(2), m(2))
+        val b = (1.0 - lm / 1000000.0) * f(g(0), u(0)) * f(g(1), u(1)) *
+          f(g(2), u(2))
+        val w = if (a + b > 0) a / (a + b) else 0.0
+        (g, math.floor(1000000.0 * c * w).toLong,
+          math.floor(1000000.0 * c * (1.0 - w)).toLong)
+      }
+      val sSum = rows.map(_._2).sum
+      val sbSum = rows.map(_._3).sum
+      lm = if (n > 0) sSum / n else 0L
+      m = Array.tabulate(3)(fi => if (sSum > 0)
+        (BigInt(1000000L) * rows.filter(_._1(fi) == 1).map(_._2).sum /
+          sSum).toLong else 0L)
+      u = Array.tabulate(3)(fi => if (sbSum > 0)
+        (BigInt(1000000L) * rows.filter(_._1(fi) == 1).map(_._3).sum /
+          sbSum).toLong else 0L)
+    }
+    (lm, m, u)
+  }
+
+  /** 8 rows: per agreement pattern (pattern, jw_g, bal_g, seg_g, n_pairs,
+    * match_w) plus the learned params as constant columns. */
+  def fellegiSunterEm(customer: DataFrame): DataFrame = {
+    val spark = customer.sparkSession
+    import spark.implicits._
+    val hist = linkagePairs(customer)
+      .select((col("jw_agree") + col("bal_agree") * 2L +
+        col("seg_agree") * 4L).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val (lm, m, u) = emFit(hist)
+    def f(g: Int, p: Long): Double =
+      if (g == 1) p / 1000000.0 else 1.0 - p / 1000000.0
+    val rows = (0 to 7).map { p =>
+      val g = Array(p & 1, (p >> 1) & 1, (p >> 2) & 1)
+      val a = lm / 1000000.0 * f(g(0), m(0)) * f(g(1), m(1)) * f(g(2), m(2))
+      val b = (1.0 - lm / 1000000.0) * f(g(0), u(0)) * f(g(1), u(1)) *
+        f(g(2), u(2))
+      (p, g(0), g(1), g(2), hist.getOrElse(p, 0L),
+        if (a + b > 0) a / (a + b) else 0.0)
+    }
+    rows.toDF("pattern", "jw_g", "bal_g", "seg_g", "n_pairs", "w")
+      .select(col("pattern"), col("jw_g"), col("bal_g"), col("seg_g"),
+        col("n_pairs"), QueryDef.dec4(col("w")).as("match_w"),
+        QueryDef.dec4(lit(lm / 1000000.0)).as("lambda"),
+        QueryDef.dec4(lit(m(0) / 1000000.0)).as("m_jw"),
+        QueryDef.dec4(lit(m(1) / 1000000.0)).as("m_bal"),
+        QueryDef.dec4(lit(m(2) / 1000000.0)).as("m_seg"),
+        QueryDef.dec4(lit(u(0) / 1000000.0)).as("u_jw"),
+        QueryDef.dec4(lit(u(1) / 1000000.0)).as("u_bal"),
+        QueryDef.dec4(lit(u(2) / 1000000.0)).as("u_seg"))
+      .orderBy(col("pattern"))
+  }
+
+  private def q264(s: SparkSession, dir: String): DataFrame =
+    fellegiSunterEm(Tables.customer(s, dir))
+
+  private val q264Sql = {
+    def fm(g: String, p: String) =
+      s"(CASE WHEN $g = 1 THEN $p / 1000000.0 ELSE 1.0 - $p / 1000000.0 END)"
+    def step(k: Int): String = {
+      val pv = s"p${k - 1}"
+      s"""w$k AS MATERIALIZED (
+         |  SELECT p, c, g1, g2, g3,
+         |    CASE WHEN a + b > 0 THEN a / (a + b) ELSE 0.0 END AS w FROM (
+         |    SELECT h.p, h.c, h.g1, h.g2, h.g3,
+         |      $pv.l / 1000000.0 * ${fm("h.g1", s"$pv.m1")}
+         |        * ${fm("h.g2", s"$pv.m2")} * ${fm("h.g3", s"$pv.m3")} AS a,
+         |      (1.0 - $pv.l / 1000000.0) * ${fm("h.g1", s"$pv.u1")}
+         |        * ${fm("h.g2", s"$pv.u2")} * ${fm("h.g3", s"$pv.u3")} AS b
+         |    FROM hist h CROSS JOIN $pv)),
+         |s$k AS MATERIALIZED (
+         |  SELECT g1, g2, g3,
+         |    CAST(floor(1000000.0 * c * w) AS HUGEINT) AS s,
+         |    CAST(floor(1000000.0 * c * (1.0 - w)) AS HUGEINT) AS sb
+         |  FROM w$k),
+         |p$k AS MATERIALIZED (
+         |  SELECT
+         |    CAST(sum(s) AS HUGEINT) // (SELECT CAST(sum(c) AS HUGEINT)
+         |      FROM hist) AS l,
+         |    (1000000 * sum(CASE WHEN g1 = 1 THEN s ELSE 0 END))
+         |      // sum(s) AS m1,
+         |    (1000000 * sum(CASE WHEN g2 = 1 THEN s ELSE 0 END))
+         |      // sum(s) AS m2,
+         |    (1000000 * sum(CASE WHEN g3 = 1 THEN s ELSE 0 END))
+         |      // sum(s) AS m3,
+         |    (1000000 * sum(CASE WHEN g1 = 1 THEN sb ELSE 0 END))
+         |      // sum(sb) AS u1,
+         |    (1000000 * sum(CASE WHEN g2 = 1 THEN sb ELSE 0 END))
+         |      // sum(sb) AS u2,
+         |    (1000000 * sum(CASE WHEN g3 = 1 THEN sb ELSE 0 END))
+         |      // sum(sb) AS u3
+         |  FROM s$k),""".stripMargin
+    }
+    val steps = (1 to EmIters).map(step).mkString("\n")
+    s"""WITH $linkagePairsSql,
+       |base AS MATERIALIZED (
+       |  SELECT p FROM (
+       |    SELECT jw_agree + 2 * bal_agree + 4 * seg_agree AS p
+       |    FROM pairs)),
+       |hist AS MATERIALIZED (
+       |  SELECT g.p, COALESCE(c.c, 0) AS c,
+       |    g.p % 2 AS g1, (g.p // 2) % 2 AS g2, (g.p // 4) % 2 AS g3
+       |  FROM (SELECT CAST(range AS BIGINT) AS p FROM range(0, 8)) g
+       |    LEFT JOIN (SELECT p, count(*) AS c FROM base GROUP BY p) c
+       |    ON c.p = g.p),
+       |p0 AS MATERIALIZED (
+       |  SELECT CAST(100000 AS HUGEINT) AS l,
+       |    CAST(800000 AS HUGEINT) AS m1, CAST(800000 AS HUGEINT) AS m2,
+       |    CAST(800000 AS HUGEINT) AS m3,
+       |    CAST(200000 AS HUGEINT) AS u1, CAST(200000 AS HUGEINT) AS u2,
+       |    CAST(200000 AS HUGEINT) AS u3),
+       |$steps
+       |fin AS (
+       |  SELECT h.p AS pattern, h.g1 AS jw_g, h.g2 AS bal_g,
+       |    h.g3 AS seg_g, h.c AS n_pairs,
+       |    CASE WHEN pp.l / 1000000.0 * ${fm("h.g1", "pp.m1")}
+       |      * ${fm("h.g2", "pp.m2")} * ${fm("h.g3", "pp.m3")}
+       |      + (1.0 - pp.l / 1000000.0) * ${fm("h.g1", "pp.u1")}
+       |      * ${fm("h.g2", "pp.u2")} * ${fm("h.g3", "pp.u3")} > 0
+       |    THEN (pp.l / 1000000.0 * ${fm("h.g1", "pp.m1")}
+       |      * ${fm("h.g2", "pp.m2")} * ${fm("h.g3", "pp.m3")})
+       |    / (pp.l / 1000000.0 * ${fm("h.g1", "pp.m1")}
+       |      * ${fm("h.g2", "pp.m2")} * ${fm("h.g3", "pp.m3")}
+       |      + (1.0 - pp.l / 1000000.0) * ${fm("h.g1", "pp.u1")}
+       |      * ${fm("h.g2", "pp.u2")} * ${fm("h.g3", "pp.u3")})
+       |    ELSE 0.0 END AS w,
+       |    pp.l, pp.m1, pp.m2, pp.m3, pp.u1, pp.u2, pp.u3
+       |  FROM hist h CROSS JOIN p$EmIters pp)
+       |SELECT CAST(pattern AS INTEGER) AS pattern,
+       |  CAST(jw_g AS INTEGER) AS jw_g, CAST(bal_g AS INTEGER) AS bal_g,
+       |  CAST(seg_g AS INTEGER) AS seg_g,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  CAST(CAST(w AS DECIMAL(38,4)) AS VARCHAR) AS match_w,
+       |  CAST(CAST(CAST(l AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS lambda,
+       |  CAST(CAST(CAST(m1 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS m_jw,
+       |  CAST(CAST(CAST(m2 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS m_bal,
+       |  CAST(CAST(CAST(m3 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS m_seg,
+       |  CAST(CAST(CAST(u1 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS u_jw,
+       |  CAST(CAST(CAST(u2 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS u_bal,
+       |  CAST(CAST(CAST(u3 AS DOUBLE) / 1000000.0 AS DECIMAL(38,4))
+       |    AS VARCHAR) AS u_seg
+       |FROM fin ORDER BY pattern""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q264_fs_em", q264, Some(q264Sql)),
     QueryDef("q252_fellegi_sunter", q252, Some(q252Sql)),
     QueryDef("q205_jw_join", q205, Some(q205Sql)))
 }

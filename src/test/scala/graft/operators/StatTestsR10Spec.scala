@@ -582,6 +582,46 @@ class StatTestsR10Spec extends AnyFunSuite {
     got.foreach { case (p, qte) => assert(qte == "500.0000", s"p=$p") }
   }
 
+  test("emFit recovers the generating mixture from a pattern histogram") {
+    // true mixture: λ=0.2, m=(0.9, 0.8, 0.7), u=(0.1, 0.2, 0.3);
+    // exact expected pattern counts over 1e6 pairs
+    val lam = 0.2; val m = Seq(0.9, 0.8, 0.7); val u = Seq(0.1, 0.2, 0.3)
+    val hist = (0 to 7).map { p =>
+      val g = Seq(p & 1, (p >> 1) & 1, (p >> 2) & 1)
+      def lk(ps: Seq[Double]) = g.zip(ps)
+        .map { case (gi, pi) => if (gi == 1) pi else 1 - pi }.product
+      p -> math.round(1e6 * (lam * lk(m) + (1 - lam) * lk(u)))
+    }.toMap
+    val (lmGot, mGot, uGot) = StringSim.emFit(hist)
+    // 10 EM iterations from a distant init land within a few points of
+    // the truth (full convergence would need more rounds — the iteration
+    // count is part of the oracle contract, so tolerance, not rounds)
+    assert(math.abs(lmGot - 200000L) < 60000L, s"lambda $lmGot")
+    for (i <- 0 to 2) {
+      assert(math.abs(mGot(i) - (m(i) * 1e6).toLong) < 100000L,
+        s"m$i ${mGot(i)}")
+      assert(math.abs(uGot(i) - (u(i) * 1e6).toLong) < 100000L,
+        s"u$i ${uGot(i)}")
+    }
+  }
+
+  test("fellegiSunterEm: the all-agree pattern outranks the all-disagree") {
+    val cust = (1 to 120).map { i =>
+      // half the rows come in near-duplicate pairs (same segment, close
+      // balance, similar name); the rest are singletons
+      val base = i / 2
+      (i.toLong, f"Customer#${base}%09d", 1L,
+        100.0 * base + (if (i % 2 == 0) 0.0 else 1.0),
+        if (i % 2 == 0 || i % 4 == 1) "AUTO" else "SEG" + (i % 7))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+    val got = StringSim.fellegiSunterEm(cust)
+      .select("pattern", "match_w").as[(Int, String)].collect().toMap
+    assert(got.size == 8)
+    assert(got(7).toDouble > got(0).toDouble,
+      s"w(all-agree)=${got(7)} !> w(all-disagree)=${got(0)}")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
