@@ -2636,6 +2636,87 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS did
       |FROM w""".stripMargin
 
+  // ==== q265: time-constrained funnel =========================================
+  //
+  // q112's funnel says the stages happened IN ORDER; product analytics
+  // almost always adds deadlines — "click within 24 h of the first view,
+  // purchase within 7 d of that click" — because an order-only funnel
+  // credits conversions that took a month. Semantics: first view, then
+  // the FIRST click inside (fv, fv+24h], then the FIRST purchase inside
+  // (fc, fc+7d] — each stage anchors on the previous stage's chosen
+  // event (the standard strict-anchor definition). Scale shape: three
+  // user-domain aggregations, each joining the previous stage's 1-row-
+  // per-user frame back to events — all co-partitioned on user_id, ONE
+  // logical shuffle reused; windows are exact integer micros.
+
+  /** One row: (n_users, n_view, n_click_24h, n_purchase_7d, p_click,
+    * p_purchase) — strict-anchor funnel with per-stage deadlines. */
+  def timedFunnel(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("tu"),
+      col("event_type"))
+    val clickWinUs = 86400000000L; val purchWinUs = 7L * 86400000000L
+    val s1 = e.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "view", col("tu"))).as("fv"))
+    val s2 = e.join(s1, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"),
+        min(when(col("event_type") === "click" && col("tu") > col("fv") &&
+          col("tu") <= col("fv") + clickWinUs, col("tu"))).as("fc"))
+    val s3 = e.join(s2, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(max(col("fv")).as("fv"), max(col("fc")).as("fc"),
+        min(when(col("event_type") === "purchase" && col("tu") > col("fc") &&
+          col("tu") <= col("fc") + purchWinUs, col("tu"))).as("fp"))
+    s3.agg(count(lit(1)).as("n_users"),
+      sum(when(col("fv").isNotNull, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("fc").isNotNull, 1L).otherwise(0L)).as("n_click_24h"),
+      sum(when(col("fp").isNotNull, 1L).otherwise(0L))
+        .as("n_purchase_7d"))
+      .select(col("n_users"), col("n_view"), col("n_click_24h"),
+        col("n_purchase_7d"),
+        QueryDef.dec4(col("n_click_24h").cast("double") /
+          col("n_view").cast("double")).as("p_click"),
+        QueryDef.dec4(col("n_purchase_7d").cast("double") /
+          col("n_click_24h").cast("double")).as("p_purchase"))
+  }
+
+  private def q265(s: SparkSession, dir: String): DataFrame =
+    timedFunnel(Tables.events(s, dir))
+
+  private val q265Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+      |s1 AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'view' THEN tu END) AS fv
+      |  FROM e GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, max(fv) AS fv,
+      |    min(CASE WHEN event_type = 'click' AND tu > fv
+      |      AND tu <= fv + 86400000000 THEN tu END) AS fc
+      |  FROM e JOIN s1 USING (user_id) GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, max(fv) AS fv, max(fc) AS fc,
+      |    min(CASE WHEN event_type = 'purchase' AND tu > fc
+      |      AND tu <= fc + 604800000000 THEN tu END) AS fp
+      |  FROM e JOIN s2 USING (user_id) GROUP BY 1)
+      |SELECT count(*) AS n_users,
+      |  CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_view,
+      |  CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_click_24h,
+      |  CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_purchase_7d,
+      |  CAST(CAST(CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(sum(CASE WHEN fv IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p_click,
+      |  CAST(CAST(CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS DOUBLE)
+      |    / CAST(sum(CASE WHEN fc IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p_purchase
+      |FROM s3""".stripMargin
+
   // ==== q263: quantile treatment effects (QTE) ===============================
   //
   // Mean effects (q251/q254/q261) can hide WHERE in the distribution a
@@ -3207,6 +3288,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q265_timed_funnel", q265, Some(q265Sql)),
     QueryDef("q263_qte", q263, Some(q263Sql)),
     QueryDef("q262_sample_size", q262, Some(q262Sql)),
     QueryDef("q261_matching_att", q261, Some(q261Sql)),

@@ -622,6 +622,36 @@ class StatTestsR10Spec extends AnyFunSuite {
       s"w(all-agree)=${got(7)} !> w(all-disagree)=${got(0)}")
   }
 
+  test("timedFunnel: deadlines and strict anchoring enforced exactly") {
+    val h = 3600L
+    def ev(u: Long, sec: Long, t: String) =
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        u, t, 0.0)
+    val rows = Seq(
+      // u1: full funnel inside both windows
+      ev(1, 0, "view"), ev(1, 2 * h, "click"), ev(1, 50 * h, "purchase"),
+      // u2: click too late (> 24 h after first view)
+      ev(2, 0, "view"), ev(2, 30 * h, "click"), ev(2, 31 * h, "purchase"),
+      // u3: click on time, purchase too late (> 7 d after the click)
+      ev(3, 0, "view"), ev(3, h, "click"), ev(3, 200 * h, "purchase"),
+      // u4: purchase BEFORE the click must not count (strict anchor)
+      ev(4, 0, "view"), ev(4, 2 * h, "purchase"), ev(4, 3 * h, "click"),
+      // u5: anchored on the FIRST view — the click is within 24 h of the
+      // second view but not the first, so it must not qualify
+      ev(5, 0, "view"), ev(5, 30 * h, "view"), ev(5, 40 * h, "click"),
+      // u6: no view at all
+      ev(6, 0, "click"), ev(6, h, "purchase"))
+    val got = EventsOps.timedFunnel(
+      rows.toDF("ts", "user_id", "event_type", "value")).head()
+    assert(got.getAs[Long]("n_users") == 6L)
+    assert(got.getAs[Long]("n_view") == 5L)
+    // qualifying clicks: u1 (2 h), u3 (1 h), u4 (3 h)
+    assert(got.getAs[Long]("n_click_24h") == 3L)
+    // qualifying purchases: u1 only (u3 late, u4's was pre-click)
+    assert(got.getAs[Long]("n_purchase_7d") == 1L)
+    assert(got.getAs[String]("p_click") == "0.6000")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
