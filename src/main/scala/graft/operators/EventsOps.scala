@@ -2636,6 +2636,93 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS did
       |FROM w""".stripMargin
 
+  // ==== q266: Wilson score intervals for conversion rates =====================
+  //
+  // Point conversion rates (q265) without intervals invite over-reading
+  // small funnels; the Wilson score interval is the standard fix (it
+  // never leaves [0,1] and behaves at tiny k where the normal interval
+  // fails): center (p̂ + z²/2n)/(1+z²/n), half-width
+  // z√(p̂(1−p̂)/n + z²/4n²)/(1+z²/n). z = 1.96 (95%) is the compile-time
+  // constant 1959963 micro (z² = 3841458 micro) — the q246/q252 rule, no
+  // CDF at runtime. Measured proportion: FIRST-DAY adoption — the share
+  // of users who touch the type within 24 h of their first event (plain
+  // "ever touches" saturates at 1.0 on this corpus and the intervals
+  // degenerate). Two user-domain aggregations joined on user_id, then a
+  // type-domain rollup; the interval arithmetic is one double formula
+  // per TYPE row from exact integers.
+
+  /** Per event type: (event_type, n_users, k, rate, lo, hi) — the 95%
+    * Wilson interval for P(user adopts this type in their first day). */
+  def wilsonRates(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), unix_micros(col("ts")).as("tu"),
+      col("event_type"))
+    val fe = e.groupBy(col("user_id")).agg(min(col("tu")).as("fe"))
+    val n = broadcast(fe.agg(count(lit(1)).as("n")))
+    val k = e.groupBy(col("user_id"), col("event_type"))
+      .agg(min(col("tu")).as("ft"))
+      .join(fe, Seq("user_id"))
+      .filter(col("ft") < col("fe") + 86400000000L)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("k"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val z = lit(1959963.0) / lit(1e6)
+    val z2 = lit(3841458.0) / lit(1e6)
+    val p = dd(col("k")) / dd(col("n"))
+    val denom = lit(1.0) + z2 / dd(col("n"))
+    val center = (p + z2 / (lit(2.0) * dd(col("n")))) / denom
+    val half = z * sqrt(p * (lit(1.0) - p) / dd(col("n")) +
+      z2 / (lit(4.0) * dd(col("n")) * dd(col("n")))) / denom
+    k.crossJoin(n)
+      .select(col("event_type"), col("n").as("n_users"), col("k"),
+        QueryDef.dec4(p).as("rate"),
+        QueryDef.dec4(center - half).as("lo"),
+        QueryDef.dec4(center + half).as("hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private def q266(s: SparkSession, dir: String): DataFrame =
+    wilsonRates(Tables.events(s, dir))
+
+  private val q266Sql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tu, event_type FROM events),
+      |fe AS (SELECT user_id, min(tu) AS fe FROM e GROUP BY user_id),
+      |n AS (SELECT count(*) AS n FROM fe),
+      |k AS (
+      |  SELECT event_type, count(*) AS k FROM (
+      |    SELECT e.user_id, e.event_type, min(tu) AS ft
+      |    FROM e GROUP BY 1, 2) ut
+      |  JOIN fe USING (user_id)
+      |  WHERE ft < fe + 86400000000
+      |  GROUP BY event_type)
+      |SELECT event_type, n AS n_users, k,
+      |  CAST(CAST(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS rate,
+      |  CAST(CAST(
+      |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3841458.0 / 1000000.0 / (2.0 * CAST(n AS DOUBLE)))
+      |      / (1.0 + 3841458.0 / 1000000.0 / CAST(n AS DOUBLE))
+      |    - 1959963.0 / 1000000.0
+      |      * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |        + 3841458.0 / 1000000.0
+      |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + 3841458.0 / 1000000.0 / CAST(n AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS lo,
+      |  CAST(CAST(
+      |    (CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |      + 3841458.0 / 1000000.0 / (2.0 * CAST(n AS DOUBLE)))
+      |      / (1.0 + 3841458.0 / 1000000.0 / CAST(n AS DOUBLE))
+      |    + 1959963.0 / 1000000.0
+      |      * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+      |        * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / CAST(n AS DOUBLE)
+      |        + 3841458.0 / 1000000.0
+      |          / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+      |      / (1.0 + 3841458.0 / 1000000.0 / CAST(n AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS hi
+      |FROM k CROSS JOIN n ORDER BY event_type""".stripMargin
+
   // ==== q265: time-constrained funnel =========================================
   //
   // q112's funnel says the stages happened IN ORDER; product analytics
@@ -3288,6 +3375,7 @@ object EventsOps {
     QueryDef("q201_segmented_fit", q201, Some(q201Sql)),
     QueryDef("q198_hourly_bars", q198, Some(q198Sql)),
     QueryDef("q188_cusum", q188, Some(q188Sql)),
+    QueryDef("q266_wilson_rates", q266, Some(q266Sql)),
     QueryDef("q265_timed_funnel", q265, Some(q265Sql)),
     QueryDef("q263_qte", q263, Some(q263Sql)),
     QueryDef("q262_sample_size", q262, Some(q262Sql)),

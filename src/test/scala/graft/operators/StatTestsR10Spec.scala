@@ -652,6 +652,41 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(got.getAs[String]("p_click") == "0.6000")
   }
 
+  test("wilsonRates matches the closed-form interval on planted adoption") {
+    val h = 3600L
+    def ev(u: Long, sec: Long, t: String) =
+      (java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec)),
+        u, t, 0.0)
+    // 10 users; 'click' adopted first-day by 7 (u8 clicks only on day 3)
+    val rows = (1L to 10L).flatMap { u =>
+      val base = Seq(ev(u, 0, "view"))
+      if (u <= 7) base :+ ev(u, 2 * h, "click")
+      else if (u == 8) base :+ ev(u, 72 * h, "click")
+      else base
+    }
+    val got = EventsOps.wilsonRates(
+      rows.toDF("ts", "user_id", "event_type", "value"))
+      .select("event_type", "n_users", "k", "rate", "lo", "hi")
+      .as[(String, Long, Long, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click")._2 == 10L && got("click")._3 == 7L)
+    assert(got("view")._3 == 10L)
+    def wilson(k: Long, n: Long): (Double, Double) = {
+      val z = 1959963.0 / 1e6; val z2 = 3841458.0 / 1e6
+      val p = k.toDouble / n
+      val denom = 1.0 + z2 / n
+      val center = (p + z2 / (2.0 * n)) / denom
+      val half = z * math.sqrt(p * (1 - p) / n + z2 / (4.0 * n * n)) / denom
+      (center - half, center + half)
+    }
+    def d4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    val (lo, hi) = wilson(7, 10)
+    assert(got("click")._5 == d4(lo) && got("click")._6 == d4(hi))
+    // the k = n interval still tops out below/at 1 and above 0
+    assert(got("view")._5.toDouble > 0.6 && got("view")._6 == "1.0000")
+  }
+
   test("sprt reports continue with totals when the stream ends undecided") {
     // alternating 1-in-5 exactly tracks p = 0.20, between the hypotheses
     val xs = (0 until 200).map(i => if (i % 5 == 0) 1 else 0)
