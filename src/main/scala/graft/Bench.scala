@@ -33,62 +33,96 @@ object Bench {
     // warm-JVM runs AND reports the median alongside — the min is the
     // machine-capability number, min≈median means the run was quiet,
     // median≫min flags a noisy artifact without needing a re-run to tell
-    val iterations = math.max(1,
+    val countIters = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt)
+    val rddIters = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RDD_ITERS", "2").toInt)
     // optional args = query-name filter (for single-query stress timings)
     val wanted = args.toSet
-    // Default action is df.count() — kept for artifact continuity with
-    // every earlier round's recorded numbers. Caveat (measured round 9):
-    // Catalyst optimizes the plan FOR the count, and a query whose render
-    // tops out in a left join against unique keys (the PageRank-family
-    // shape) collapses almost entirely — q123 reads ~0.8s under count()
-    // but ~8s executing its declared output. SPARK_GRAFT_BENCH_ACTION=rdd
-    // executes the declared plan verbatim (toRdd.count()) for honest
-    // per-query engineering measurements.
-    val action = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "count")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => wanted.isEmpty || wanted(q._1))
-      .map { case (name, fn) =>
-      val times = (1 to iterations).map { _ =>
-        val t0 = System.nanoTime()
-        try {
-          val df = fn(spark, sfDir)
-          if (action == "rdd") df.queryExecution.toRdd.count() else df.count()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          // a broken query must read as a FAILURE, not a fast timing
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1.0
-        } finally {
-          // query lifecycle over: drop its pinned checkpoint blocks so the
-          // session doesn't accumulate them across 90+ queries (untimed)
-          BlockRelease.releaseAll(spark)
+
+    // Two actions, BOTH recorded since round 11 (judge contract):
+    //  - count: df.count() — artifact continuity with every earlier
+    //    round's recorded numbers. Caveat (measured round 9): Catalyst
+    //    optimizes the plan FOR the count, and a query whose render tops
+    //    out in a left join against unique keys (the PageRank-family
+    //    shape) collapses almost entirely — q123 reads ~0.8s under
+    //    count() but ~8s executing its declared output.
+    //  - rdd: queryExecution.toRdd.count() executes the DECLARED plan
+    //    verbatim — the honest engineering measurement.
+    // SPARK_GRAFT_BENCH_ACTION=count|rdd restricts to one sweep (local
+    // iteration); default "both" records both in a single artifact.
+    val actionEnv = sys.env.getOrElse("SPARK_GRAFT_BENCH_ACTION", "both")
+    val actions: Seq[(String, Int)] =
+      if (actionEnv == "both") Seq("count" -> countIters, "rdd" -> rddIters)
+      else Seq(actionEnv ->
+        (if (actionEnv == "rdd") rddIters else countIters))
+
+    def sweep(action: String, iterations: Int)
+        : Seq[(String, (Double, Double))] =
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => wanted.isEmpty || wanted(q._1))
+        .map { case (name, fn) =>
+          val times = (1 to iterations).map { _ =>
+            val t0 = System.nanoTime()
+            try {
+              val df = fn(spark, sfDir)
+              if (action == "rdd") df.queryExecution.toRdd.count()
+              else df.count()
+              (System.nanoTime() - t0) / 1e9
+            } catch { case e: Throwable =>
+              // a broken query must read as a FAILURE, not a fast timing
+              System.err.println(s"[bench] $name ($action) FAILED: " +
+                e.getMessage)
+              -1.0
+            } finally {
+              // query lifecycle over: drop its pinned checkpoint blocks so
+              // the session doesn't accumulate them across the sweep
+              BlockRelease.releaseAll(spark)
+            }
+          }
+          val sorted = times.sorted
+          val median = sorted((iterations - 1) / 2)
+          name -> (if (times.exists(_ < 0)) (-1.0, -1.0)
+            else (sorted.head, median))
         }
-      }
-      val sorted = times.sorted
-      val median = sorted((iterations - 1) / 2)
-      name -> (if (times.exists(_ < 0)) (-1.0, -1.0) else (sorted.head, median))
-    }
-    def obj(f: ((String, (Double, Double))) => Double) = results
-      .map { case (k, v) => "\"" + k + "\":" + f((k, v)) }.mkString("{", ",", "}")
-    val qs = obj(_._2._1)
-    val med = obj(_._2._2)
-    val total = results.map(_._2._1).filter(_ >= 0).sum // -1 markers excluded
-    val totalMed = results.map(_._2._2).filter(_ >= 0).sum
-    // headline first, mins before medians: a tail-truncated artifact then
-    // still reads correctly. noise_ratio = median_total/min_total — ≈1 on a
-    // quiet machine; ≫1 flags a noisy run without needing a re-run to tell.
+
+    val byAction = actions.map { case (a, it) => a -> sweep(a, it) }.toMap
+
+    def obj(rs: Seq[(String, (Double, Double))],
+        f: ((Double, Double)) => Double) =
+      rs.map { case (k, v) => "\"" + k + "\":" + f(v) }
+        .mkString("{", ",", "}")
+    def tot(rs: Seq[(String, (Double, Double))],
+        f: ((Double, Double)) => Double) =
+      rs.map(r => f(r._2)).filter(_ >= 0).sum
+
+    // headline (count action when present — artifact continuity; the
+    // legacy fields keep their names so BASELINE.md regression still
+    // parses) + an "rdd_*" block for the honest-action numbers.
+    val primary = byAction.getOrElse("count",
+      byAction(actions.head._1))
+    val total = tot(primary, _._1)
+    val totalMed = tot(primary, _._2)
     val noise = if (total > 0) totalMed / total else 1.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"queries":$qs,"median_total":$totalMed,"median_queries":$med,"iters":$iterations,"sf":"$sfDir"}""")
+    val rddPart = byAction.get("rdd").map { rs =>
+      val rt = tot(rs, _._1)
+      val rm = tot(rs, _._2)
+      s""","rdd_total":$rt,"rdd_median_total":$rm,""" +
+        s""""rdd_queries":${obj(rs, _._1)}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","action":"${if (byAction.contains("count")) "count" else actions.head._1}","noise_ratio":$noise,"queries":${obj(primary, _._1)},"median_total":$totalMed,"median_queries":${obj(primary, _._2)},"iters":$countIters$rddPart,"sf":"$sfDir"}""")
     // a SECOND, compact JSON line after the full one: the recorded artifact
-    // keeps only a bounded tail, and with 179 queries the per-query dicts
+    // keeps only a bounded tail, and with 280+ queries the per-query dicts
     // outgrow it — this line is a self-contained headline (same metric/
-    // value/unit contract + the 5 most expensive queries) that survives
-    // any tail truncation of the full line above.
-    val worst5 = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
+    // value/unit contract) carrying BOTH action totals and the worst-5
+    // ranked by the honest rdd action when it ran (count otherwise).
+    val rankBy = byAction.getOrElse("rdd", primary)
+    val worst5 = rankBy.filter(_._2._1 >= 0).sortBy(-_._2._1).take(5)
       .map { case (k, v) => "\"" + k + "\":" + v._1 }.mkString("{", ",", "}")
-    val nFail = results.count(_._2._1 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"median_total":$totalMed,"n_queries":${results.size},"n_failed":$nFail,"worst5":$worst5,"iters":$iterations,"sf":"$sfDir"}""")
+    val nFail = byAction.values.flatten.count(_._2._1 < 0)
+    val rddTotal = byAction.get("rdd").map(rs => tot(rs, _._1))
+    val rddField = rddTotal.map(t => s""","rdd_total":$t""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"median_total":$totalMed$rddField,"n_queries":${primary.size},"n_failed":$nFail,"worst5_by":"${if (byAction.contains("rdd")) "rdd" else "count"}","worst5":$worst5,"iters":$countIters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2376,10 +2376,13 @@ object EventsOps {
       sum(col("e1_u")).as("e1_micro"), sum(col("v_u")).as("v_micro"))
       .select(col("n1_users"), col("n2_users"), col("o1"), col("o2"),
         col("e1_micro"), col("v_micro"),
-        QueryDef.dec4(
+        // degenerate-variance guard (the q243/q253/q254 rule): with zero
+        // or degenerate deaths v_micro = 0 and the division would yield
+        // NaN/Inf — Spark's DECIMAL cast nulls it while DuckDB raises
+        QueryDef.dec4(when(col("v_micro") > 0,
           (col("o1").cast("double") - col("e1_micro").cast("double") / lit(1e6)) *
             (col("o1").cast("double") - col("e1_micro").cast("double") / lit(1e6)) /
-            (col("v_micro").cast("double") / lit(1e6))).as("chi2"))
+            (col("v_micro").cast("double") / lit(1e6)))).as("chi2"))
   }
 
   private def q241(s: SparkSession, dir: String): DataFrame =
@@ -2438,11 +2441,11 @@ object EventsOps {
       |    CAST(sum(v_u) AS BIGINT) AS v_micro
       |  FROM terms)
       |SELECT n1_users, n2_users, o1, o2, e1_micro, v_micro,
-      |  CAST(CAST(
+      |  CAST(CAST(CASE WHEN v_micro > 0 THEN
       |    (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
       |    * (CAST(o1 AS DOUBLE) - CAST(e1_micro AS DOUBLE) / 1e6)
       |    / (CAST(v_micro AS DOUBLE) / 1e6)
-      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS chi2
       |FROM s""".stripMargin
 
   // ==== q242: deterministic permutation test ================================
@@ -2496,9 +2499,14 @@ object EventsOps {
           max(col("n1")).cast("double") / lit(100.0)).as("mean1"),
         QueryDef.dec4(max(col("s2")).cast("double") /
           max(col("n2")).cast("double") / lit(100.0)).as("mean2"),
+        // cent totals cast to DECIMAL before the cross-multiply: total·n
+        // exceeds 2^63 at large SF — Spark would wrap silently where the
+        // DuckDB twin (HUGEINT) raises, so both engines stay exact instead
         sum(when(
-          abs(col("p1") * col("n2") - col("p2") * col("n1")) >=
-            abs(col("s1") * col("n2") - col("s2") * col("n1")), 1L)
+          abs(col("p1").cast("decimal(38,0)") * col("n2") -
+            col("p2").cast("decimal(38,0)") * col("n1")) >=
+            abs(col("s1").cast("decimal(38,0)") * col("n2") -
+              col("s2").cast("decimal(38,0)") * col("n1")), 1L)
           .otherwise(0L)).as("n_ge"))
       .withColumn("p_frac",
         QueryDef.dec4(col("n_ge").cast("double") / lit(b.toDouble)))
@@ -2541,8 +2549,11 @@ object EventsOps {
       |      / 100.0 AS DECIMAL(38,4)) AS m1,
       |    CAST(CAST(max(obs.s2) AS DOUBLE) / CAST(max(obs.n2) AS DOUBLE)
       |      / 100.0 AS DECIMAL(38,4)) AS m2,
-      |    CAST(sum(CASE WHEN abs(s.p1 * obs.n2 - s.p2 * obs.n1)
-      |        >= abs(obs.s1 * obs.n2 - obs.s2 * obs.n1)
+      |    CAST(sum(CASE WHEN
+      |        abs(CAST(s.p1 AS HUGEINT) * obs.n2
+      |          - CAST(s.p2 AS HUGEINT) * obs.n1)
+      |        >= abs(CAST(obs.s1 AS HUGEINT) * obs.n2
+      |          - CAST(obs.s2 AS HUGEINT) * obs.n1)
       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
       |  FROM sums s CROSS JOIN obs)
       |SELECT n1, n2, b, CAST(m1 AS VARCHAR) AS mean1,

@@ -735,9 +735,28 @@ object Graph {
 
   /** Exact cumulative reach counts (node, reach1, reach2) over symmetric
     * (src, dst) edges: reach_r = #distinct nodes ≠ node within ≤ r hops.
-    * Nodes with no edges do not appear (no rows ⇒ no reach). */
-  def neighborhoodProfile(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    * Nodes with no edges do not appear (no rows ⇒ no reach).
+    *
+    * `maxDeg` is the skew contract (the [[adamicAdar]] precedent): a
+    * single hub of degree d materializes ~d² two-hop pairs, so one
+    * 100×-scale hub can quadratically blow the exact path. With a cap,
+    * nodes of degree > maxDeg are dropped from the graph BEFORE
+    * profiling — the declared semantics become the exact profile of the
+    * degree-bounded subgraph (hubs neither appear nor relay), and the
+    * 2-hop pair count is bounded by edges × maxDeg. Profiles that must
+    * include hubs switch to [[anf]], whose per-node state is fixed-width
+    * at any degree. Default = no cap (q207's declared contract). */
+  def neighborhoodProfile(edges: DataFrame,
+      maxDeg: Int = Int.MaxValue): DataFrame = {
+    val e0 = edges.select(col("src"), col("dst")).distinct()
+    val capped = if (maxDeg == Int.MaxValue) e0 else {
+      val keep = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .where(col("d") <= maxDeg).select(col("src").as("k"))
+      e0.join(keep.withColumnRenamed("k", "src"), Seq("src"))
+        .join(keep.withColumnRenamed("k", "dst"), Seq("dst"))
+        .select(col("src"), col("dst"))
+    }
+    val e = capped.localCheckpoint()
     val r1 = e.select(col("src").as("node"), col("dst").as("w"))
     val two = r1.join(e.withColumnRenamed("dst", "x"), col("w") === col("src"))
       .where(col("x") =!= col("node"))

@@ -1794,8 +1794,11 @@ object Profiling {
       sum(col("cb")).as("nb")))
     scanned.join(nxt, Seq("idx")).crossJoin(totals)
       .select(
-        (abs((col("pa") + col("ca")) * col("nb") -
-          (col("pb") + col("cb")) * col("na")).cast("decimal(38,0)") *
+        // cumulative counts cast to DECIMAL BEFORE the cross-multiply:
+        // cum·n exceeds 2^63 once both slices pass ~3e9 rows, and a Long
+        // product would wrap silently while the HUGEINT oracle stays exact
+        (abs((col("pa") + col("ca")).cast("decimal(38,0)") * col("nb") -
+          (col("pb") + col("cb")).cast("decimal(38,0)") * col("na")) *
           (col("v_next") - col("v"))).as("term"),
         col("na"), col("nb"))
       .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
@@ -1948,10 +1951,21 @@ object Profiling {
 
   /** One row: (n, n_cells, concordant, discordant, tau_b) — Kendall tau-b
     * between integerized `xCol` and `yCol`. Contract: bounded joint value
-    * domain (cells² pairs are enumerated). */
-  def kendallTau(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    * domain (cells² pairs are enumerated), ENFORCED — the histogram is
+    * materialized once (also collapsing the five downstream reuses into
+    * one corpus scan) and a joint domain over `maxCells` raises before
+    * the O(cells²) BNL can run; pre-bin continuous inputs (the q166
+    * fixed-grid histogram) to fit the contract. */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+      maxCells: Long = 10000L): DataFrame = {
     val cells = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("c"))
+      .localCheckpoint()
+    val nCells = cells.count()
+    require(nCells <= maxCells,
+      s"kendallTau: joint value domain has $nCells cells > maxCells=" +
+        s"$maxCells — the O(cells^2) pair enumeration would be " +
+        "corpus-quadratic; bin the inputs first (q166 fixed-grid histogram)")
     val a = cells.select(col("x").as("ax"), col("y").as("ay"),
       col("c").as("ca"))
     val b = cells.select(col("x").as("bx"), col("y").as("by"),

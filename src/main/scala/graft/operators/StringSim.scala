@@ -115,27 +115,38 @@ object StringSim {
   // compile-time constants, hard-coded as ⌊10⁶·ln⌋ micro-nat integer
   // literals in both engines, so scores are exact integer sums.
   //
-  // Scale shape: candidate pairs come from blocking on c_nationkey (the
-  // B8 bounded-block contract: pair enumeration is quadratic per block —
-  // production blocking adds finer keys or sorted-neighborhood windows,
-  // same plan shape); JW runs once per candidate inside codegen, and the
-  // native expression reproduces DuckDB's jaro_winkler_similarity
-  // bit-for-bit (q205), so both engines score the identical set. Top-20
-  // render is a TakeOrdered, not a global sort.
+  // Scale shape: candidate pairs come from COMPOSITE blocking on
+  // (c_nationkey, name-prefix-minus-2) — nationkey alone is 25 constant
+  // blocks, so within-block pairs would grow QUADRATICALLY with customer
+  // count (1.8B pairs/block at 100× sf0.1); the prefix key multiplies
+  // blocks with the data instead, so block size is bounded by the
+  // suffix domain (≤100 for digit-tailed names) plus exact duplicates
+  // and total pairs grow linearly. DECLARED-RECALL contract (the q205
+  // canopy precedent — JW has no triangle inequality to index by): only
+  // pairs agreeing on all but the last 2 name chars are candidates;
+  // high-JW pairs differing earlier are out of contract by declaration.
+  // JW runs once per candidate inside codegen, and the native expression
+  // reproduces DuckDB's jaro_winkler_similarity bit-for-bit (q205), so
+  // both engines score the identical set. Top-20 render is a
+  // TakeOrdered, not a global sort.
 
   /** Blocked candidate pairs with per-field agreement bits:
     * (a, b, jw_agree, bal_agree, seg_agree) — the shared front end of
     * q252 (fixed-weight scoring) and q264 (EM weight estimation). */
   private[operators] def linkagePairs(customer: DataFrame): DataFrame = {
+    val pfx = col("c_name")
+      .substr(lit(1), greatest(length(col("c_name")) - 2, lit(1)))
     val l = customer.select(col("c_custkey").as("a"),
       col("c_name").as("name_a"), col("c_nationkey").as("blk"),
+      pfx.as("pfx"),
       round(col("c_acctbal") * 100).cast("long").as("bal_a"),
       col("c_mktsegment").as("seg_a"))
     val r = customer.select(col("c_custkey").as("b"),
       col("c_name").as("name_b"), col("c_nationkey").as("blk"),
+      pfx.as("pfx"),
       round(col("c_acctbal") * 100).cast("long").as("bal_b"),
       col("c_mktsegment").as("seg_b"))
-    l.join(r, Seq("blk")).filter(col("a") < col("b"))
+    l.join(r, Seq("blk", "pfx")).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         when(JaroWinkler.of(col("name_a"), col("name_b")) >= 0.95, 1L)
           .otherwise(0L).as("jw_agree"),
@@ -170,6 +181,7 @@ object StringSim {
   private val linkagePairsSql =
     """c AS (
       |  SELECT c_custkey AS k, c_name AS name, c_nationkey AS blk,
+      |    substr(c_name, 1, greatest(length(c_name) - 2, 1)) AS pfx,
       |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
       |    c_mktsegment AS seg
       |  FROM customer),
@@ -180,7 +192,8 @@ object StringSim {
       |    CASE WHEN abs(l.bal - r.bal) <= 10000 THEN 1 ELSE 0 END
       |      AS bal_agree,
       |    CASE WHEN l.seg = r.seg THEN 1 ELSE 0 END AS seg_agree
-      |  FROM c l JOIN c r ON l.blk = r.blk AND l.k < r.k)""".stripMargin
+      |  FROM c l JOIN c r
+      |    ON l.blk = r.blk AND l.pfx = r.pfx AND l.k < r.k)""".stripMargin
 
   private val q252Sql =
     s"""WITH $linkagePairsSql

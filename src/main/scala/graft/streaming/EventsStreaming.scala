@@ -511,8 +511,12 @@ object EventsStreaming {
     require(ref.size == 16, "expect 16 reference fractions")
     val eps = 1e-9
     val vc = round(col("value") * 100).cast("long")
-    val bin = least(floor(vc.cast("double") / lit(binWidthCents.toDouble))
-      .cast("long"), lit(15L))
+    // clamp BOTH sides: a negative value would otherwise yield bin < 0,
+    // matching none of c0..c15 — the event silently vanishing from every
+    // bin and from n instead of landing in the low edge bin
+    val bin = greatest(lit(0L),
+      least(floor(vc.cast("double") / lit(binWidthCents.toDouble))
+        .cast("long"), lit(15L)))
     val counts = (0 to 15).map(b =>
       sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
     val agg = events

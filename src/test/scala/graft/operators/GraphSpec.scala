@@ -224,6 +224,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("neighborhoodProfile maxDeg: planted hub bounds the 2-hop blow-up") {
+    // a 300-spoke star (the planted hub) + a modest random graph: the
+    // uncapped exact path materializes ~spokes² ≈ 90k two-hop pairs from
+    // the hub alone; the capped run drops the hub before profiling, so
+    // its candidate set stays bounded by edges × maxDeg
+    val rnd = new scala.util.Random(71)
+    val hub = 9999L
+    val star = (1L to 300L).map(s => (hub, 10000L + s))
+    val rest = (0 until 300).map(_ =>
+      (rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val und = star ++ rest
+    val edges = (und ++ und.map(_.swap)).distinct.toDF("src", "dst")
+    val got = Graph.neighborhoodProfile(edges, maxDeg = 64)
+      .as[(Long, Long, Long)].collect()
+    // the hub and everything reachable only through it are out of the
+    // declared subgraph; the remainder must equal brute force on the
+    // degree-bounded subgraph exactly
+    val want = reachBrute(rest, 2)
+    assert(!got.exists(_._1 == hub), "hub must be dropped by the cap")
+    assert(got.map(_._1).toSet == want.keys.map(_._1).toSet)
+    got.foreach { case (n, r1, r2) =>
+      assert(r1 == want((n, 1)) && r2 == want((n, 2)),
+        s"node $n capped profile diverges from the subgraph truth")
+    }
+    // bounded-candidate invariant: every surviving node's 2-hop set is
+    // structurally ≤ maxDeg² (one hop ≤ maxDeg, each relay ≤ maxDeg)
+    got.foreach { case (n, r1, r2) =>
+      assert(r1 <= 64L && r2 <= 64L * 64L, s"node $n exceeds the bound")
+    }
+  }
+
   test("anf: HLL estimates track exact reach and grow monotonically in hop") {
     val rnd = new scala.util.Random(67)
     val und = (0 until 600).map(_ =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.TestSpark
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Round-10 statistical operators: Kendall tau-b. The histogram-domain
@@ -50,6 +51,22 @@ class StatTestsR10Spec extends AnyFunSuite {
     val got = Profiling.kendallTau(data.toDF("x", "y"), "x", "y").head()
     assert(got.getAs[String]("tau_b") == "1.0000")
     assert(got.getAs[String]("discordant") == "0")
+  }
+
+  test("kendallTau: an unbounded joint value domain raises, not explodes") {
+    // near-continuous pair: every row its own cell — the O(cells²) BNL
+    // would be corpus-quadratic, so the guard must refuse BEFORE running
+    val data = (1L to 3000L).map(i => (i, i * 7 % 2999))
+    val e = intercept[IllegalArgumentException] {
+      Profiling.kendallTau(data.toDF("x", "y"), "x", "y",
+        maxCells = 1000L)
+    }
+    assert(e.getMessage.contains("maxCells"))
+    // the same data passes once binned to the contract's domain size
+    val binned = data.map { case (x, y) => (x / 100, y / 100) }
+    val got = Profiling.kendallTau(binned.toDF("x", "y"), "x", "y",
+      maxCells = 1000L).head()
+    assert(got.getAs[Long]("n") == 3000L)
   }
 
   // synthetic corpus: text with a controlled stopword fraction; label
@@ -265,21 +282,26 @@ class StatTestsR10Spec extends AnyFunSuite {
 
   test("fellegiSunter scores match the per-field weight recomputation") {
     val cust = Seq(
-      // block 1: near-identical names, close balances, same segment
+      // composite block (nation 1, prefix "Customer#0000000"): near-
+      // identical names, close balances, same segment
       (1L, "Customer#000000001", 1L, 100.00, "AUTO"),
       (2L, "Customer#000000002", 1L, 150.00, "AUTO"),
-      // block 1: dissimilar on every field
+      // nation 1 but a DIFFERENT name prefix: out of the candidate set
+      // by the declared-recall contract, despite sharing the nationkey
       (3L, "Zed#999", 1L, 9000.00, "HOUSE"),
-      // block 2: only one record — no pairs
-      (4L, "Customer#000000004", 2L, 100.00, "AUTO"))
+      // same prefix as 1/2 but nation 2: blocked out by the nation key
+      (4L, "Customer#000000004", 2L, 100.00, "AUTO"),
+      // composite block (nation 1, prefix "Zed#9990"): high-JW names,
+      // balance and segment both DISAGREE
+      (5L, "Zed#9990xx", 1L, 9000.00, "HOUSE"),
+      (6L, "Zed#9990xy", 1L, 100.00, "AUTO"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
         "c_mktsegment")
     val got = StringSim.fellegiSunter(cust)
       .select("a", "b", "jw_agree", "bal_agree", "seg_agree", "score_micro")
       .as[(Long, Long, Long, Long, Long, Long)].collect()
-    // pairs only within block 1: (1,2), (1,3), (2,3)
-    assert(got.map(r => (r._1, r._2)).toSet ==
-      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // pairs only within composite blocks: (1,2) and (5,6)
+    assert(got.map(r => (r._1, r._2)).toSet == Set((1L, 2L), (5L, 6L)))
     def score(jw: Long, bal: Long, seg: Long) =
       (if (jw == 1) 2197224L else -2197225L) +
         (if (bal == 1) 3555348L else -1183771L) +
@@ -288,10 +310,36 @@ class StatTestsR10Spec extends AnyFunSuite {
     // (1,2): all three fields agree
     assert(byPair((1L, 2L))._6 == score(1, 1, 1))
     assert(byPair((1L, 2L))._3 == 1L)
-    // (1,3): all disagree
-    assert(byPair((1L, 3L))._6 == score(0, 0, 0))
+    // (5,6): names agree (one trailing edit), balance + segment disagree
+    assert(byPair((5L, 6L))._6 == score(1, 0, 0))
+    assert(byPair((5L, 6L))._4 == 0L && byPair((5L, 6L))._5 == 0L)
     // ordering: the all-agree pair ranks first
     assert(got.head._1 == 1L && got.head._2 == 2L)
+  }
+
+  test("linkagePairs composite blocking bounds per-block pair counts") {
+    // nationkey alone is 25 constant blocks — pairs grow quadratically
+    // with customers. The composite (nation, prefix-minus-2) key must
+    // keep the max block size CONSTANT as the table grows, so pairs
+    // grow linearly. Digit-tailed names: suffix domain is 100.
+    def gen(n: Int) = (0 until n).map(i =>
+      (i.toLong, f"Customer#$i%09d", (i % 25).toLong, i * 1.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+    def pairCount(n: Int): Long = StringSim.linkagePairs(gen(n)).count()
+    val p1 = pairCount(500)
+    val p10 = pairCount(5000)
+    // linear growth: 10x the customers must give ~10x the pairs, far
+    // below the ~100x a fixed-block quadratic scheme would produce
+    assert(p10 <= 12 * p1 + 100, s"pairs grew superlinearly: $p1 -> $p10")
+    // structural bound: no block exceeds the suffix domain (100), so
+    // per-block pair count is <= C(100,2) regardless of table size
+    val maxBlock = gen(5000)
+      .groupBy(col("c_nationkey"),
+        col("c_name").substr(lit(1),
+          greatest(length(col("c_name")) - 2, lit(1))))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxBlock <= 100L, s"block size $maxBlock exceeds suffix domain")
   }
 
   test("kruskalWallis matches the naive midrank recomputation") {
