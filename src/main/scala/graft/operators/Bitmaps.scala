@@ -192,8 +192,64 @@ object Bitmaps {
       |GROUP BY GROUPING SETS ((event_type, day), (event_type), (day), ())
       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
 
+  // ==== q267: registered bitmap state serving COUNT(DISTINCT) ==============
+  //
+  // The bench-visible face of the B163 rewrite (plan-asserted in
+  // BitmapRewriteSpec): the dashboard query is written as a plain
+  // countDistinct over the base table, and the injected optimizer rule
+  // answers it from the maintained block-bitmap parquet instead — the
+  // state-serving path is therefore timed every round next to q224's
+  // recompute-from-events path. State is built once per (sf dir, events
+  // fingerprint) under /tmp and reused across iterations, so min-of-N
+  // bench timings measure the SERVE cost, not the build.
+
+  /** Root for the maintained state, keyed by the events file fingerprint
+    * so a regenerated sf dir can never serve stale bitmaps. */
+  private def stateRoot(dir: String): String = {
+    def fp(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(fp).sum
+      else f.length + f.lastModified
+    val sig = java.lang.Long.toHexString(
+      fp(new java.io.File(s"$dir/events.parquet")))
+    s"/tmp/graft_bmreg_${Integer.toHexString(dir.hashCode)}_$sig"
+  }
+
+  /** Build-or-reuse the (event_type, day) bitmap state over a projected
+    * copy of events, register it, and return the per-type distinct-user
+    * rollup — which the B163 rule rewrites to a bitmap OR-merge scan. */
+  def registeredDashboard(s: SparkSession, dir: String): DataFrame = {
+    val root = stateRoot(dir)
+    val base = s"$root/base"
+    val state = s"$root/state"
+    val ok = new java.io.File(s"$root/_OK")
+    if (!ok.exists) {
+      Tables.events(s, dir)
+        .select(col("event_type"), QueryDef.tsDay(col("ts")).as("day"),
+          col("user_id"))
+        .write.mode("overwrite").parquet(base)
+      blockBitmaps(s.read.parquet(base), Seq("event_type", "day"),
+        col("user_id"))
+        .write.mode("overwrite").parquet(state)
+      ok.createNewFile()
+    }
+    graft.plans.BitmapStateRegistry.register(
+      base, state, Seq("event_type", "day"), "user_id")
+    s.read.parquet(base).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  private def q267(s: SparkSession, dir: String): DataFrame =
+    registeredDashboard(s, dir).orderBy(col("event_type"))
+
+  // the oracle recomputes from raw events — the differential proves the
+  // maintained state serves the SAME answer the direct plan would
+  private val q267Sql =
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q221_bitmap_overlap", q221, Some(q221Sql)),
     QueryDef("q223_rolling_distinct", q223, Some(q223Sql)),
-    QueryDef("q224_distinct_cube", q224, Some(q224Sql)))
+    QueryDef("q224_distinct_cube", q224, Some(q224Sql)),
+    QueryDef("q267_bitmap_dashboard", q267, Some(q267Sql)))
 }

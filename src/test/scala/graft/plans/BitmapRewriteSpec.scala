@@ -79,6 +79,26 @@ class BitmapRewriteSpec extends AnyFunSuite {
     } finally BitmapStateRegistry.clear()
   }
 
+  test("q267 registered dashboard: rewrite fires and matches the direct plan") {
+    // the bench-visible query (q267_bitmap_dashboard) must provably serve
+    // from the maintained bitmap state — scan the state parquet, not the
+    // base — and agree with the un-rewritten computation over raw events
+    val dir = "/root/testdata/sf0.001"
+    val q = Bitmaps.registeredDashboard(spark, dir)
+    try {
+      val plan = planOf(q)
+      assert(plan.contains("graft_bmreg_") && plan.contains("/state"),
+        s"must scan the bitmap state:\n$plan")
+      assert(!plan.contains("/base"), s"must not scan the base table:\n$plan")
+      val truth = graft.Tables.events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+      assert(q.orderBy(col("event_type")).collect().map(_.toSeq).toSeq
+        == truth)
+    } finally BitmapStateRegistry.clear()
+  }
+
   test("global count-distinct over an EMPTY registered table is 0, not NULL") {
     val base = java.nio.file.Files.createTempDirectory("bm_base").toString
     val state = java.nio.file.Files.createTempDirectory("bm_state").toString + "/s"
