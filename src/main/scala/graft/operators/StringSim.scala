@@ -51,6 +51,45 @@ object StringSim {
       .select(col("qkey"), col("key"), QueryDef.dec4(col("__sim")).as("sim"))
   }
 
+  /** All within-corpus pairs (`key_a` < `key_b`) with shared `prefix`-byte
+    * block, length within `lenBand`, and jw >= `minSim` — the
+    * both-sides-huge SELF-join shape (q174's analog for JW instead of
+    * edit distance). Same declared-recall contract as
+    * [[jaroWinklerJoin]]: a pair disagreeing in its first `prefix` bytes
+    * or by more than `lenBand` in length is out of scope by declaration.
+    *
+    * Physical shape: the probe-vs-corpus plan broadcast its small side;
+    * a self-join has no small side, so the equi-key must bound blocks by
+    * BOTH contract dimensions. Rows join on (prefix, length-bucket) of
+    * width lenBand+1: the home side registers once at bucket l div w,
+    * the probe side explodes to its ≤3 adjacent buckets, so a pair
+    * within the band shares exactly one (home, probe) bucket meeting —
+    * every qualifying pair is generated EXACTLY once (no distinct pass)
+    * and a hot prefix is subdivided by length. Scoring is one codegen'd
+    * static call per candidate; the threshold prunes before anything
+    * shuffles again. */
+  def jaroWinklerSelfJoin(corpus: DataFrame, minSim: Double,
+      prefix: Int = 2, lenBand: Int = 2): DataFrame = {
+    val w = (lenBand + 1).toLong
+    val home = corpus.select(col("key").as("key_a"),
+      substring(col("key"), 1, prefix).as("__blk"),
+      length(col("key")).cast("long").as("__la"))
+      .withColumn("__bkt", expr(s"__la div ${w}L"))
+    val probe = corpus.select(col("key").as("key_b"),
+      substring(col("key"), 1, prefix).as("__blk"),
+      length(col("key")).cast("long").as("__lb"))
+      .withColumn("__bkt",
+        explode(sequence(expr(s"__lb div ${w}L") - 1,
+          expr(s"__lb div ${w}L") + 1)))
+    home.join(probe, Seq("__blk", "__bkt"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(col("__la") - col("__lb")) <= lenBand)
+      .withColumn("__sim", JaroWinkler.of(col("key_a"), col("key_b")))
+      .filter(col("__sim") >= minSim)
+      .select(col("key_a"), col("key_b"),
+        QueryDef.dec4(col("__sim")).as("sim"))
+  }
+
   // ==== q205: typo-variant linkage over the corpus vocabulary ==============
   //
   // The vocabulary is the distinct token set; queries are three
@@ -394,7 +433,64 @@ object StringSim {
        |FROM fin ORDER BY pattern""".stripMargin
   }
 
+  // ==== q268: JW self-join over planted typo families =======================
+  //
+  // The both-sides-huge linkage shape: the corpus is its own probe set —
+  // no broadcastable side exists, so candidates come from the
+  // (prefix × length-bucket) equi-key of [[jaroWinklerSelfJoin]].
+  // Families are planted deterministically: each customer key seeds an
+  // 8-hex-char "name" (md5 — the q124 engine-shared string hash, so
+  // both engines derive the identical corpus; prefixes are uniform,
+  // unlike c_name's constant "Customer#" head) plus 3 trailing-edit
+  // variants — appended char, doubled last char, trailing transposition
+  // — all agreeing on the first 6 chars and within the ±2 length band:
+  // in contract by construction. prefix=4 is the self-join scale knob:
+  // 65536 uniform blocks, so block size GROWS SUBLINEARLY with the
+  // table (customers/65k) instead of quadratically per constant block.
+  // Cross-family hits satisfying the declared predicate are in the
+  // output too (the predicate IS the semantics; both engines score the
+  // identical candidate set — hash-matching `sim` re-certifies the
+  // native expression's bit-parity with DuckDB on every pair).
+
+  private def q268(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.customer(s, dir)
+      .select(expr("substring(md5(cast(c_custkey as string)), 1, 8)").as("t"))
+    val members = seeds.select(col("t").as("key"))
+      .unionByName(seeds.select(concat(col("t"), lit("x")).as("key")))
+      .unionByName(seeds.select(
+        concat(col("t"), substring(col("t"), -1, 1)).as("key")))
+      .unionByName(seeds.select(concat(
+        substring(col("t"), 1, 6),
+        substring(col("t"), 8, 1),
+        substring(col("t"), 7, 1)).as("key")))
+      .distinct()
+    jaroWinklerSelfJoin(members, minSim = 0.9, prefix = 4)
+      .orderBy(col("key_a"), col("key_b"))
+  }
+
+  private val q268Sql =
+    """WITH seeds AS (
+      |  SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS t
+      |  FROM customer),
+      |members AS (
+      |  SELECT DISTINCT key FROM (
+      |    SELECT t AS key FROM seeds
+      |    UNION ALL SELECT t || 'x' FROM seeds
+      |    UNION ALL SELECT t || substr(t, -1, 1) FROM seeds
+      |    UNION ALL SELECT substr(t, 1, 6) || substr(t, 8, 1)
+      |      || substr(t, 7, 1) FROM seeds))
+      |SELECT a.key AS key_a, b.key AS key_b,
+      |  CAST(CAST(jaro_winkler_similarity(a.key, b.key) AS DECIMAL(38,4))
+      |    AS VARCHAR) AS sim
+      |FROM members a JOIN members b
+      |  ON substr(a.key, 1, 4) = substr(b.key, 1, 4)
+      |  AND abs(length(a.key) - length(b.key)) <= 2
+      |  AND a.key < b.key
+      |  AND jaro_winkler_similarity(a.key, b.key) >= 0.9
+      |ORDER BY key_a, key_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q268_jw_selfjoin", q268, Some(q268Sql)),
     QueryDef("q264_fs_em", q264, Some(q264Sql)),
     QueryDef("q252_fellegi_sunter", q252, Some(q252Sql)),
     QueryDef("q205_jw_join", q205, Some(q205Sql)))

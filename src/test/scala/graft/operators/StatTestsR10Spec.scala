@@ -342,6 +342,39 @@ class StatTestsR10Spec extends AnyFunSuite {
     assert(maxBlock <= 100L, s"block size $maxBlock exceeds suffix domain")
   }
 
+  test("jaroWinklerSelfJoin == brute force under the declared block contract") {
+    // random corpus over a 3-letter alphabet (dense prefix collisions,
+    // lengths straddling every bucket boundary): the (prefix ×
+    // length-bucket) home/probe candidate generation must find EVERY
+    // pair satisfying the declared predicate, exactly once
+    val rnd = new scala.util.Random(91)
+    val corpus = (0 until 400).map(_ =>
+      (4 + rnd.nextInt(9), "") match { case (n, _) =>
+        (0 until n).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString }
+    ).distinct
+    val got = StringSim.jaroWinklerSelfJoin(
+        corpus.toDF("key"), minSim = 0.8)
+      .as[(String, String, String)].collect().sorted.toSeq
+    def jwScalar(a: String, b: String): Double =
+      Seq((a, b)).toDF("x", "y")
+        .select(graft.functions.JaroWinkler.of(col("x"), col("y")))
+        .as[Double].head()
+    val jwAll = (for {
+      a <- corpus; b <- corpus
+      if a < b && a.take(2) == b.take(2) &&
+        math.abs(a.length - b.length) <= 2
+    } yield (a, b)).toDF("key_a", "key_b")
+      .withColumn("s", graft.functions.JaroWinkler.of(col("key_a"), col("key_b")))
+      .filter(col("s") >= 0.8)
+      .select(col("key_a"), col("key_b"),
+        QueryDef.dec4(col("s")).as("sim"))
+      .as[(String, String, String)].collect().sorted.toSeq
+    assert(got == jwAll, "self-join must equal brute force exactly")
+    // exactly-once: no duplicate pairs from the ≤3-bucket probe explode
+    assert(got.map(r => (r._1, r._2)).distinct.size == got.size)
+    assert(got.nonEmpty, "degenerate test: no qualifying pairs generated")
+  }
+
   test("kruskalWallis matches the naive midrank recomputation") {
     val rnd = new scala.util.Random(48)
     val data = (1 to 500).map { _ =>
