@@ -62,14 +62,14 @@ object Incremental {
     * the same discipline as Cdc's partition swaps: the live state is
     * never deleted before its replacement is in place, and a crash at any
     * point leaves the data in `root` or `root__old`. */
-  private def recoverStateAside(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverStateAside(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Unit = {
     val aside = new org.apache.hadoop.fs.Path(root.toString + "__old")
     if (!fs.exists(root) && fs.exists(aside))
       require(fs.rename(aside, root), s"state recovery failed: $aside")
   }
 
-  private def swapStateAside(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def swapStateAside(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path): Unit = {
     val aside = new org.apache.hadoop.fs.Path(root.toString + "__old")

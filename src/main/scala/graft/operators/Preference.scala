@@ -25,8 +25,8 @@ object Preference {
 
   private val Iters = 8
 
-  /** Duel outcomes: (w, l, c) — lang w beat lang l in c doc duels. */
-  def pairOutcomes(docs: DataFrame): DataFrame = {
+  /** Raw duel events (w, l): one row per decided doc duel. */
+  def duelEvents(docs: DataFrame): DataFrame = {
     val a = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       .select(col("doc_id").as("ka"), col("lang").as("la"),
         col("n_chars").as("cha"))
@@ -39,8 +39,19 @@ object Preference {
           .as("w"),
         when(col("cha") >= col("chb"), col("lb")).otherwise(col("la"))
           .as("l"))
-      .groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
   }
+
+  /** Duel-matrix state from raw duels: (w, l, c) — the MERGEABLE partial
+    * (duel counts are pure sums), the B58 discipline's state shape. */
+  def duelState(duels: DataFrame): DataFrame =
+    duels.groupBy(col("w"), col("l")).agg(count(lit(1)).as("c"))
+
+  /** Combine two duel-matrix states (prior ∪ a new batch's partials). */
+  def mergeDuelState(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("w"), col("l")).agg(sum(col("c")).as("c"))
+
+  /** Duel outcomes: (w, l, c) — lang w beat lang l in c doc duels. */
+  def pairOutcomes(docs: DataFrame): DataFrame = duelState(duelEvents(docs))
 
   /** MM fixpoint over a collected duel matrix: item -> θ_micro after
     * `Iters` rounds (exact integer state, see object doc). */
@@ -75,11 +86,13 @@ object Preference {
     th
   }
 
-  /** Per item: (lang, wins, games, theta) ordered strongest-first. */
-  def bradleyTerry(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  /** Per item: (lang, wins, games, theta) ordered strongest-first,
+    * re-solved from a (w, l, c) duel-matrix state — the readout shared by
+    * the batch fixpoint and the streaming incremental maintenance. */
+  def rankingFromState(state: DataFrame): DataFrame = {
+    val spark = state.sparkSession
     import spark.implicits._
-    val cells = pairOutcomes(docs).collect() // ≤ |langs|² rows
+    val cells = state.collect() // ≤ |items|² rows
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val th = mmFit(cells)
     val items = th.keys.toSeq.sorted
@@ -95,6 +108,10 @@ object Preference {
       .orderBy(col("th").desc, col("lang"))
       .drop("th")
   }
+
+  /** Per item: (lang, wins, games, theta) ordered strongest-first. */
+  def bradleyTerry(docs: DataFrame): DataFrame =
+    rankingFromState(pairOutcomes(docs))
 
   private def q255(s: SparkSession, dir: String): DataFrame =
     bradleyTerry(Tables.documents(s, dir))

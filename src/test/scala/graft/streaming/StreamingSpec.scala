@@ -1015,4 +1015,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch,
       s"stream/batch divergence:\n$streamed\nvs\n$batch")
   }
+
+  test("B203 parity: streaming Bradley-Terry == batch fixpoint; replay no-op") {
+    // duel events fed in 3 micro-batches: after the last, the maintained
+    // duel-matrix state must equal the batch pairOutcomes and the
+    // re-solved ranking must equal bradleyTerry row-for-row (same MM
+    // fixpoint, same integer state, same order)
+    val docs = graft.Tables.documents(spark, dir)
+    val duels = graft.operators.Preference.duelEvents(docs)
+      .as[(String, String)].collect().toSeq
+    val statePath = java.nio.file.Files.createTempDirectory("bt_state")
+      .resolve("state").toString
+    val rankPath = java.nio.file.Files.createTempDirectory("bt_rank")
+      .resolve("rank").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bt_ckpt").toString
+    val input = MemoryStream[(String, String)](spark)
+    val q = PreferenceStreaming.startBradleyTerry(
+      input.toDS().toDF("w", "l"), statePath, rankPath, ckpt)
+    try {
+      duels.grouped(math.max(1, duels.size / 3 + 1)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+    } finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    assert(canon(spark.read.parquet(statePath).orderBy("w", "l")) ==
+      canon(graft.operators.Preference.pairOutcomes(docs).orderBy("w", "l")))
+    val want = canon(graft.operators.Preference.bradleyTerry(docs)).sorted
+    assert(canon(spark.read.parquet(rankPath)).sorted == want)
+    assert(want.nonEmpty)
+    // non-idempotent sums + the batch-id guard: replaying batch 0 must
+    // leave both the state and the re-solved ranking unchanged
+    PreferenceStreaming.refreshDuelState(spark, statePath,
+      duels.take(10).toDF("w", "l"), batchId = 0L)
+    assert(canon(spark.read.parquet(statePath).orderBy("w", "l")) ==
+      canon(graft.operators.Preference.pairOutcomes(docs).orderBy("w", "l")))
+  }
 }
