@@ -3374,7 +3374,126 @@ object EventsOps {
       |    AS llr_micro
       |FROM tot LEFT JOIN fc ON TRUE""".stripMargin
 
+  // ==== q276: inverse-propensity-weighted ATE ================================
+  //
+  // The WEIGHTING estimator completing the causal quartet (q230
+  // stratifies, q251 differences, q261 matches — IPW reweights): with
+  // propensity p_b = n_t_b/n_b per covariate bin, the Hájek estimate
+  // collapses algebraically — Σ_T y/p = Σ_b Yt_b·n_b/n_t_b and
+  // Σ_T 1/p = Σ_b n_b — so there is never a per-user weight column, only
+  // bin-domain arithmetic (the q261 bounded-covariate contract; bins are
+  // the capped pre-period event count). Bins missing either arm have
+  // undefined weights and are TRIMMED (the standard overlap condition),
+  // reported, not silently kept. Float discipline: per-bin terms are
+  // micro-floored from identical double expressions (the q261 rule), so
+  // both engines sum identical integers; three divisions at render.
+
+  /** One row: (n_treated, n_control, n_bins_used, n_bins_trimmed,
+    * mu1, mu0, ate) — Hájek IPW over per-user (t, x-bin, y-cents). */
+  def ipwAte(events: DataFrame, maxBin: Int = 20): DataFrame = {
+    val range = broadcast(events.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long").divide(lit(2L))).cast("long").as("cut")))
+    val perUser = events.crossJoin(range)
+      .select(col("user_id"),
+        when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L).as("t"),
+        when(unix_micros(col("ts")) < col("cut"), 1L).otherwise(0L)
+          .as("pre"),
+        when(unix_micros(col("ts")) >= col("cut"),
+          round(col("value") * 100).cast("long")).otherwise(0L).as("yr"))
+      .groupBy(col("user_id"))
+      .agg(max(col("t")).as("t"),
+        least(sum(col("pre")), lit(maxBin.toLong)).as("b"),
+        sum(col("yr")).as("y"))
+    val bins = perUser.groupBy(col("b"))
+      .agg(sum(when(col("t") === 1, 1L).otherwise(0L)).as("nt"),
+        sum(when(col("t") === 0, 1L).otherwise(0L)).as("nc"),
+        sum(when(col("t") === 1, col("y")).otherwise(0L)).as("syt"),
+        sum(when(col("t") === 0, col("y")).otherwise(0L)).as("syc"))
+    def dd(c: String) = col(c).cast("double")
+    val kept = bins.filter(col("nt") > 0 && col("nc") > 0)
+      .select(col("nt"), col("nc"),
+        (col("nt") + col("nc")).as("nb"),
+        floor(lit(1e6) * dd("syt") *
+          (dd("nt") + dd("nc")) / dd("nt")).cast("decimal(38,0)").as("t1"),
+        floor(lit(1e6) * dd("syc") *
+          (dd("nt") + dd("nc")) / dd("nc")).cast("decimal(38,0)").as("t0"))
+    val trimmed = broadcast(bins.agg(
+      sum(when(col("nt") === 0 || col("nc") === 0, 1L).otherwise(0L))
+        .as("n_bins_trimmed")))
+    val tot = broadcast(perUser.agg(
+      sum(when(col("t") === 1, 1L).otherwise(0L)).as("n_treated"),
+      sum(when(col("t") === 0, 1L).otherwise(0L)).as("n_control")))
+    kept.agg(count(lit(1)).as("n_bins_used"), sum(col("nb")).as("nball"),
+        sum(col("t1")).as("s1"), sum(col("t0")).as("s0"))
+      .crossJoin(trimmed).crossJoin(tot)
+      .select(col("n_treated"), col("n_control"), col("n_bins_used"),
+        col("n_bins_trimmed"),
+        QueryDef.dec4(col("s1").cast("double") /
+          (col("nball").cast("double") * lit(1e8))).as("mu1"),
+        QueryDef.dec4(col("s0").cast("double") /
+          (col("nball").cast("double") * lit(1e8))).as("mu0"),
+        QueryDef.dec4((col("s1") - col("s0")).cast("double") /
+          (col("nball").cast("double") * lit(1e8))).as("ate"))
+  }
+
+  private def q276(s: SparkSession, dir: String): DataFrame =
+    ipwAte(Tables.events(s, dir))
+
+  private val q276Sql =
+    """WITH cutoff AS (
+      |  SELECT CAST((CAST(min(epoch_us(ts)) AS BIGINT)
+      |    + CAST(max(epoch_us(ts)) AS BIGINT)) // 2 AS BIGINT) AS cut
+      |  FROM events),
+      |pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS t,
+      |    least(CAST(sum(CASE WHEN epoch_us(ts) < cut THEN 1 ELSE 0 END)
+      |      AS BIGINT), 20) AS b,
+      |    CAST(sum(CASE WHEN epoch_us(ts) >= cut
+      |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+      |      AS y
+      |  FROM events CROSS JOIN cutoff GROUP BY user_id),
+      |bins AS (
+      |  SELECT b,
+      |    CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+      |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+      |    CAST(sum(CASE WHEN t = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+      |    CAST(sum(CASE WHEN t = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+      |  FROM pu GROUP BY b),
+      |kept AS (
+      |  SELECT nt, nc, nt + nc AS nb,
+      |    CAST(floor(1e6 * CAST(syt AS DOUBLE)
+      |      * (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE))
+      |      / CAST(nt AS DOUBLE)) AS HUGEINT) AS t1,
+      |    CAST(floor(1e6 * CAST(syc AS DOUBLE)
+      |      * (CAST(nt AS DOUBLE) + CAST(nc AS DOUBLE))
+      |      / CAST(nc AS DOUBLE)) AS HUGEINT) AS t0
+      |  FROM bins WHERE nt > 0 AND nc > 0),
+      |trimmed AS (
+      |  SELECT CAST(sum(CASE WHEN nt = 0 OR nc = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_bins_trimmed FROM bins),
+      |tot AS (
+      |  SELECT CAST(sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_treated,
+      |    CAST(sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_control
+      |  FROM pu),
+      |agg AS (
+      |  SELECT count(*) AS n_bins_used, CAST(sum(nb) AS BIGINT) AS nball,
+      |    CAST(sum(t1) AS HUGEINT) AS s1, CAST(sum(t0) AS HUGEINT) AS s0
+      |  FROM kept)
+      |SELECT n_treated, n_control, n_bins_used, n_bins_trimmed,
+      |  CAST(CAST(CAST(s1 AS DOUBLE) / (CAST(nball AS DOUBLE) * 1e8)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mu1,
+      |  CAST(CAST(CAST(s0 AS DOUBLE) / (CAST(nball AS DOUBLE) * 1e8)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mu0,
+      |  CAST(CAST(CAST(s1 - s0 AS DOUBLE) / (CAST(nball AS DOUBLE) * 1e8)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS ate
+      |FROM agg CROSS JOIN trimmed CROSS JOIN tot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q276_ipw_ate", q276, Some(q276Sql)),
     QueryDef("q242_permutation_test", q242, Some(q242Sql)),
     QueryDef("q241_logrank_test", q241, Some(q241Sql)),
     QueryDef("q239_itemset_triples", q239, Some(q239Sql)),

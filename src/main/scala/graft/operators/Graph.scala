@@ -1370,7 +1370,135 @@ object Graph {
        |ORDER BY support DESC, e.a, e.b LIMIT 20""".stripMargin
   }
 
+  // ==== q274: Jaccard-overlap link prediction =================================
+  //
+  // The set-overlap companion to q227's Adamic–Adar: score(p1, p2) =
+  // |buyers(p1) ∩ buyers(p2)| / |buyers(p1) ∪ buyers(p2)| — AA rewards
+  // SPECIALIST shared buyers, Jaccard normalizes by combined audience, so
+  // a pair popular with everyone stops ranking above a niche exact match.
+  // Same inverted-index pair kernel (PairCombos over per-buyer sorted
+  // part lists, payload 1 → pair sum = common-buyer count) with the same
+  // declared maxDeg skew contract — and, like q207's cap, the SEMANTICS
+  // are the exact Jaccard on the degree-bounded bipartite subgraph: part
+  // degrees are counted over kept buyers only, so ∩ and ∪ describe the
+  // same graph. Ranking is by ⌊10⁶·common/union⌋ — an integer, so the
+  // top-k cut is deterministic cross-engine (no double ordering).
+
+  /** Top-`k` part pairs by buyer-set Jaccard over (buyer `c`, item `p`)
+    * rows, on the subgraph of buyers with 2..maxDeg distinct items. */
+  def jaccardLinks(bought: DataFrame, maxDeg: Int, k: Int): DataFrame = {
+    val cp0 = bought.select(col("c"), col("p")).distinct()
+    val keep = cp0.groupBy(col("c")).agg(count(lit(1)).as("d"))
+      .where(col("d") >= 2 && col("d") <= maxDeg).select(col("c"))
+    val cp = cp0.join(keep, Seq("c")).localCheckpoint()
+    val degP = cp.groupBy(col("p")).agg(count(lit(1)).as("dp"))
+    val lists = cp.groupBy(col("c"))
+      .agg(sort_array(collect_list(struct(col("p").as("doc_id"),
+        lit(1L).as("payload")))).as("members"))
+    val common = lists.select(explode(graft.functions.PairCombos.of(
+        col("members"))).as("pr"))
+      .groupBy(col("pr.doc_a").as("p1"), col("pr.doc_b").as("p2"))
+      .agg(sum(col("pr.pa")).as("common"))
+    common
+      .join(degP.select(col("p").as("p1"), col("dp").as("d1")), Seq("p1"))
+      .join(degP.select(col("p").as("p2"), col("dp").as("d2")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("common"),
+        (col("d1") + col("d2") - col("common")).as("union_sz"))
+      .withColumn("jacc_micro",
+        expr("(1000000 * common) div union_sz"))
+      .orderBy(col("jacc_micro").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
+  private def q274(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .where(pmod(col("l_partkey"), lit(5)) === 0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val bought = li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+    jaccardLinks(bought, maxDeg = 128, k = 20)
+  }
+
+  private val q274Sql =
+    """WITH cp0 AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE l_partkey % 5 = 0),
+      |keep AS (
+      |  SELECT c FROM cp0 GROUP BY c HAVING count(*) BETWEEN 2 AND 128),
+      |cp AS MATERIALIZED (SELECT cp0.* FROM cp0 JOIN keep USING (c)),
+      |degp AS (SELECT p, count(*) AS dp FROM cp GROUP BY p),
+      |common AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS common
+      |  FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+      |  GROUP BY 1, 2)
+      |SELECT p1, p2, CAST(common AS BIGINT) AS common,
+      |  CAST(d1.dp + d2.dp - common AS BIGINT) AS union_sz,
+      |  CAST((1000000 * common) // (d1.dp + d2.dp - common) AS BIGINT)
+      |    AS jacc_micro
+      |FROM common
+      |  JOIN degp d1 ON d1.p = p1
+      |  JOIN degp d2 ON d2.p = p2
+      |ORDER BY jacc_micro DESC, p1, p2 LIMIT 20""".stripMargin
+
+  // ==== q277: harmonic centrality (≤2 hops, exact) ============================
+  //
+  // The centrality readout of the q207 exact profile: harmonic centrality
+  // H(v) = Σ_u 1/d(v,u) truncated at radius 2 — the standard
+  // disconnected-safe closeness (unreached nodes contribute 0, no ∞).
+  // With d ∈ {1, 2} the only reciprocals are the compile-time constants
+  // 1 and ½, so H_micro = 10⁶·reach1 + 5·10⁵·(reach2 − reach1) is an
+  // EXACT integer — no division anywhere — and ranking on it is
+  // deterministic. Deeper radii move to [[anf]] (fixed-width HLL state
+  // per hop), trading exactness for unbounded-depth scale, the same
+  // split as q207 vs ANF.
+
+  /** (node, reach1, reach2, h_micro) — exact ≤2-hop harmonic centrality
+    * over symmetric (src, dst) edges; `maxDeg` as [[neighborhoodProfile]]. */
+  def harmonicCentrality(edges: DataFrame,
+      maxDeg: Int = Int.MaxValue): DataFrame =
+    neighborhoodProfile(edges, maxDeg)
+      .select(col("node"), col("reach1"), col("reach2"),
+        (col("reach1") * lit(1000000L) +
+          (col("reach2") - col("reach1")) * lit(500000L)).as("h_micro"))
+
+  private def q277(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+      .select(col("a").as("src"), col("b").as("dst"))
+    harmonicCentrality(pairs)
+      .orderBy(col("h_micro").desc, col("node")).limit(100)
+  }
+
+  private val q277Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |r1 AS (SELECT src AS node, dst AS w FROM e),
+      |r2 AS (
+      |  SELECT DISTINCT node, w FROM (
+      |    SELECT node, w FROM r1
+      |    UNION ALL
+      |    SELECT r1.node, e.dst AS w FROM r1 JOIN e ON r1.w = e.src
+      |    WHERE e.dst <> r1.node)),
+      |c1 AS (SELECT node, count(*) AS reach1 FROM r1 GROUP BY 1),
+      |c2 AS (SELECT node, count(*) AS reach2 FROM r2 GROUP BY 1)
+      |SELECT node, reach1, reach2,
+      |  CAST(reach1 * 1000000 + (reach2 - reach1) * 500000 AS BIGINT)
+      |    AS h_micro
+      |FROM c1 JOIN c2 USING (node)
+      |ORDER BY h_micro DESC, node LIMIT 100""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q277_harmonic_centrality", q277, Some(q277Sql)),
+    QueryDef("q274_jaccard_links", q274, Some(q274Sql)),
     QueryDef("q260_ktruss", q260, Some(q260Sql)),
     QueryDef("q240_weighted_paths", q240, Some(q240Sql)),
     QueryDef("q231_modularity", q231, Some(q231Sql)),

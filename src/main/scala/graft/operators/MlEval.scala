@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -873,7 +873,203 @@ object MlEval {
        |FROM bins JOIN iso ON bins.bin = iso.i
        |ORDER BY bin""".stripMargin
 
+  // ==== q269: grouped nDCG@k — graded-relevance ranking quality =============
+  //
+  // The ranking metric q186's binary AP can't express: graded relevance
+  // discounted by position, nDCG@k = DCG@k / IDCG@k with
+  // DCG = Σ_{i≤k} rel_i · 1/log2(i+1). The discounts are the ONLY
+  // transcendental — and there are exactly k of them — so they are
+  // compile-time ⌊10⁹/log2(i+1)⌋ integer literals (the q246/q262 no-CDF
+  // rule), embedded in BOTH engines from the same Scala array (the q133
+  // generated-twin discipline). DCG and IDCG are then exact integer
+  // sums; nDCG is one division of identical BIGINTs.
+  //
+  // Determinism: ranking ties break on the id column (q141/q186 rule);
+  // the IDEAL ranking orders by rel desc — tie order within equal rel is
+  // irrelevant because equal rel × equal weight sums commute exactly.
+  // Scale shape: two per-group windows over member rows (group-sized,
+  // the q186 contract), one groupBy; nothing corpus-wide.
+
+  /** ⌊10⁹/log2(i+1)⌋ for rank i = 1..k — exact integer DCG weights. */
+  private[operators] def dcgWeights(k: Int): Seq[Long] =
+    (1 to k).map(i => math.floor(1e9 / (math.log(i + 1) / math.log(2))).toLong)
+
+  /** Per group: (n, dcg_micro, idcg_micro, ndcg) at cutoff `k`, ranking
+    * by `score` desc (ties on `id`), graded relevance column `rel`. */
+  def groupedNdcg(df: DataFrame, group: String, score: String, id: String,
+      rel: Column, k: Int = 10): DataFrame = {
+    val ws = dcgWeights(k)
+    val wArr = array(ws.map(lit): _*)
+    val ranked = Window.partitionBy(col(group))
+      .orderBy(col(score).desc, col(id))
+    val ideal = Window.partitionBy(col(group))
+      .orderBy(col("r").desc, col(id))
+    val base = df.select(col(group), col(score), col(id),
+        rel.cast("long").as("r"))
+      .withColumn("rn", row_number().over(ranked))
+      .withColumn("irn", row_number().over(ideal))
+    base.groupBy(col(group))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rn") <= k,
+          col("r") * element_at(wArr, col("rn"))).otherwise(0L))
+          .as("dcg_micro"),
+        sum(when(col("irn") <= k,
+          col("r") * element_at(wArr, col("irn"))).otherwise(0L))
+          .as("idcg_micro"))
+      .select(col(group), col("n"), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          col("dcg_micro").cast("double") / col("idcg_micro").cast("double"))
+          .as("ndcg"))
+  }
+
+  private def relGrade = expr(
+    "CASE WHEN lang = 'en' THEN 3 WHEN lang IN ('fr','de') THEN 2 " +
+      "WHEN lang = 'es' THEN 1 ELSE 0 END")
+
+  private def q269(s: SparkSession, dir: String): DataFrame =
+    groupedNdcg(Tables.documents(s, dir), "source", "n_chars", "doc_id",
+      relGrade, k = 10)
+      .select(col("source"), col("n"), col("dcg_micro"), col("idcg_micro"),
+        QueryDef.dec4(col("ndcg")).as("ndcg"))
+      .orderBy(col("source"))
+
+  private val q269Sql = {
+    val cases = dcgWeights(10).zipWithIndex
+      .map { case (w, i) => s"WHEN ${i + 1} THEN $w" }.mkString(" ")
+    s"""WITH base AS (
+       |  SELECT source,
+       |    CASE WHEN lang = 'en' THEN 3 WHEN lang IN ('fr','de') THEN 2
+       |      WHEN lang = 'es' THEN 1 ELSE 0 END AS r,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY n_chars DESC, doc_id) AS rn,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY (CASE WHEN lang = 'en' THEN 3
+       |        WHEN lang IN ('fr','de') THEN 2
+       |        WHEN lang = 'es' THEN 1 ELSE 0 END) DESC, doc_id) AS irn
+       |  FROM documents)
+       |SELECT source, count(*) AS n,
+       |  CAST(sum(CASE WHEN rn <= 10
+       |    THEN CAST(r AS BIGINT) * (CASE rn $cases END) ELSE 0 END)
+       |    AS BIGINT) AS dcg_micro,
+       |  CAST(sum(CASE WHEN irn <= 10
+       |    THEN CAST(r AS BIGINT) * (CASE irn $cases END) ELSE 0 END)
+       |    AS BIGINT) AS idcg_micro,
+       |  CAST(CAST(CASE WHEN sum(CASE WHEN irn <= 10
+       |      THEN CAST(r AS BIGINT) * (CASE irn $cases END) ELSE 0 END) > 0
+       |    THEN CAST(sum(CASE WHEN rn <= 10
+       |        THEN CAST(r AS BIGINT) * (CASE rn $cases END) ELSE 0 END)
+       |        AS DOUBLE)
+       |      / CAST(sum(CASE WHEN irn <= 10
+       |        THEN CAST(r AS BIGINT) * (CASE irn $cases END) ELSE 0 END)
+       |        AS DOUBLE)
+       |    END AS DECIMAL(38,4)) AS VARCHAR) AS ndcg
+       |FROM base GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ==== q270: conformal outlier detection with BH FDR control ===============
+  //
+  // Closes the q191 conformal story into MULTIPLE testing: each test doc
+  // gets a conformal p-value against a calibration split — p(x) =
+  // (1 + #{cal ≥ x}) / (n_cal + 1), the rank-based, distribution-free,
+  // CDF-free p — and Benjamini–Hochberg selects the rejection set with
+  // guaranteed FDR ≤ α (for conformal p-values BH's FDR control is exact;
+  // Bates et al. 2023). The one-sided score here is the value itself
+  // ("unusually large n_chars").
+  //
+  // All-integer BH: p-values and ranks live on the DISTINCT-VALUE domain
+  // (p is monotone in x, so a tie group's max BH rank is just the count
+  // of test docs ≥ x) — #cal ≥ x and #test ≥ x come from the q131
+  // exclusive prefix scan over the range-partitioned value histogram; the
+  // BH inequality p_(i) ≤ i·α/m cross-multiplies to
+  // 10·p_num·m ≤ T·(n_cal+1) at α = 1/10 — exact DECIMAL products (the
+  // q242/q256 overflow rule), no doubles anywhere. Rejection is by
+  // threshold VALUE (all test docs ≥ v*), so ties can never straddle the
+  // cut differently across engines.
+
+  /** One row: (n_cal, m, n_rejected, thr_value) — BH at level
+    * `alphaNum`/`alphaDen` over one-sided conformal p-values of `valueCol`,
+    * calibration = rows where `calSide`, test = rows where `testSide`. */
+  def conformalBhOutliers(df: DataFrame, valueCol: String, calSide: Column,
+      testSide: Column, alphaNum: Long = 1L, alphaDen: Long = 10L)
+      : DataFrame = {
+    val counts = df
+      .select(col(valueCol).as("v"),
+        when(calSide, 1L).otherwise(0L).as("c"),
+        when(testSide, 1L).otherwise(0L).as("t"))
+      .filter(col("c") === 1L || col("t") === 1L)
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("cc"), sum(col("t")).as("tc"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        counts, Seq(col("v")), col("cc"), outName = "pc"),
+      Seq(col("v")), col("tc"), outName = "pt")
+    val totals = broadcast(counts.agg(sum(col("cc")).as("ncal"),
+      sum(col("tc")).as("m")))
+    // p_num(v) = 1 + #cal ≥ v; T(v) = #test ≥ v = the max BH rank of v's
+    // tie group (p is monotone decreasing in v)
+    val rows = scanned.crossJoin(totals)
+      .select(col("v"), col("ncal"), col("m"),
+        (lit(1L) + col("ncal") - col("pc")).as("p_num"),
+        (col("m") - col("pt")).as("t_rank"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val rejected = rows.filter(col("t_rank") > 0 &&
+      dec(col("p_num")) * lit(alphaDen) * dec(col("m")) <=
+        dec(col("t_rank")) * lit(alphaNum) * dec(col("ncal") + lit(1L)))
+    rejected
+      .groupBy(col("ncal"), col("m"))
+      .agg(max(col("t_rank")).as("n_rejected"), min(col("v")).as("thr_value"))
+      .unionByName(
+        // no rejections: still report the split sizes (the empty-BH row)
+        totals.select(col("ncal"), col("m"), lit(0L).as("n_rejected"),
+          lit(null).cast(counts.schema("v").dataType).as("thr_value")))
+      .orderBy(col("n_rejected").desc)
+      .limit(1)
+      .select(col("ncal").as("n_cal"), col("m"), col("n_rejected"),
+        col("thr_value"))
+  }
+
+  private def q270(s: SparkSession, dir: String): DataFrame =
+    conformalBhOutliers(Tables.documents(s, dir), "n_chars",
+      pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(4)) === 0)
+
+  private val q270Sql =
+    """WITH counts AS (
+      |  SELECT n_chars AS v,
+      |    CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cc,
+      |    CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE doc_id % 4 IN (0, 3) GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, cc, tc,
+      |    COALESCE(sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pc,
+      |    COALESCE(sum(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pt
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(cc) AS BIGINT) AS ncal,
+      |  CAST(sum(tc) AS BIGINT) AS m FROM counts),
+      |r AS (
+      |  SELECT v, ncal, m, 1 + ncal - pc AS p_num, m - pt AS t_rank
+      |  FROM cdf CROSS JOIN t),
+      |rej AS (
+      |  SELECT ncal, m, max(t_rank) AS n_rejected, min(v) AS thr_value
+      |  FROM r
+      |  WHERE t_rank > 0 AND CAST(p_num AS HUGEINT) * 10 * m
+      |    <= CAST(t_rank AS HUGEINT) * 1 * (ncal + 1)
+      |  GROUP BY 1, 2),
+      |fallback AS (
+      |  SELECT ncal, m, CAST(0 AS BIGINT) AS n_rejected,
+      |    CAST(NULL AS BIGINT) AS thr_value FROM t)
+      |SELECT CAST(ncal AS BIGINT) AS n_cal, CAST(m AS BIGINT) AS m,
+      |  CAST(n_rejected AS BIGINT) AS n_rejected,
+      |  CAST(thr_value AS BIGINT) AS thr_value FROM (
+      |  SELECT * FROM rej UNION ALL SELECT * FROM fallback)
+      |ORDER BY n_rejected DESC LIMIT 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q270_conformal_bh", q270, Some(q270Sql)),
+    QueryDef("q269_grouped_ndcg", q269, Some(q269Sql)),
     QueryDef("q245_isotonic_calibration", q245, Some(q245Sql)),
     QueryDef("q244_calibration_metrics", q244, Some(q244Sql)),
     QueryDef("q191_conformal", q191, Some(q191Sql)),

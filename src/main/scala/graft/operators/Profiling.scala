@@ -2043,7 +2043,439 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS tau_b
       |FROM m CROSS JOIN cd CROSS JOIN tx CROSS JOIN ty""".stripMargin
 
+  // ==== q271: McNemar's paired test ==========================================
+  //
+  // The PAIRED twin of the two-sample tests (q197/q216): each subject is
+  // its own control, so only the DISCORDANT pairs carry information —
+  // b = #(yes,no), c = #(no,yes), χ² = (|b−c|−1)²/(b+c) with the
+  // continuity correction. Here each user is paired across conditions:
+  // did they purchase on even-indexed days vs odd-indexed days (a
+  // deterministic within-subject split, no scalar broadcast needed).
+  // Scale shape: ONE user-domain aggregation (two conditional max flags)
+  // → one 4-cell rollup; exact integers until the single final division.
+
+  /** One row: (n_pairs, n_both, n_neither, b, c, chi2) — McNemar over
+    * per-`idCol` paired booleans `cond1` and `cond2`. */
+  def mcnemar(df: DataFrame, idCol: String, cond1: Column,
+      cond2: Column): DataFrame = {
+    val flags = df.groupBy(col(idCol))
+      .agg(max(when(cond1, 1L).otherwise(0L)).as("y1"),
+        max(when(cond2, 1L).otherwise(0L)).as("y2"))
+    flags.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("y1") === 1 && col("y2") === 1, 1L).otherwise(0L))
+        .as("n_both"),
+      sum(when(col("y1") === 0 && col("y2") === 0, 1L).otherwise(0L))
+        .as("n_neither"),
+      sum(when(col("y1") === 1 && col("y2") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("y1") === 0 && col("y2") === 1, 1L).otherwise(0L))
+        .as("c"))
+      .select(col("n_pairs"), col("n_both"), col("n_neither"), col("b"),
+        col("c"),
+        when(col("b") + col("c") > 0,
+          (abs(col("b") - col("c")) - lit(1L)).cast("double") *
+            (abs(col("b") - col("c")) - lit(1L)).cast("double") /
+            (col("b") + col("c")).cast("double")).as("chi2"))
+  }
+
+  private def q271(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).as("di"))
+    mcnemar(e, "user_id",
+      col("event_type") === "purchase" && col("di") % 2 === 0,
+      col("event_type") === "purchase" && col("di") % 2 === 1)
+      .select(col("n_pairs"), col("n_both"), col("n_neither"), col("b"),
+        col("c"), QueryDef.dec4(col("chi2")).as("chi2"))
+  }
+
+  private val q271Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase'
+      |      AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 2 = 0
+      |      THEN 1 ELSE 0 END) AS y1,
+      |    max(CASE WHEN event_type = 'purchase'
+      |      AND datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 2 = 1
+      |      THEN 1 ELSE 0 END) AS y2
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n_pairs,
+      |    CAST(sum(CASE WHEN y1 = 1 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both,
+      |    CAST(sum(CASE WHEN y1 = 0 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_neither,
+      |    CAST(sum(CASE WHEN y1 = 1 AND y2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS b,
+      |    CAST(sum(CASE WHEN y1 = 0 AND y2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c
+      |  FROM f)
+      |SELECT n_pairs, n_both, n_neither, b, c,
+      |  CAST(CAST(CASE WHEN b + c > 0
+      |    THEN CAST(abs(b - c) - 1 AS DOUBLE) * CAST(abs(b - c) - 1 AS DOUBLE)
+      |      / CAST(b + c AS DOUBLE) END AS DECIMAL(38,4)) AS VARCHAR) AS chi2
+      |FROM m""".stripMargin
+
+  // ==== q272: Cohen's d / Hedges' g effect sizes =============================
+  //
+  // The magnitude readout the q197 t-statistic deliberately omits (t
+  // grows with n; d does not): standardized mean difference against the
+  // POOLED sd, d = (m1−m0)/s_p with s_p² = ((n0−1)v0 + (n1−1)v1)/(n0+n1−2),
+  // and the small-sample-unbiased Hedges' g = d·(1 − 3/(4(n0+n1)−9)).
+  // Same exact-decimal cent moments as q197 (one map-side-combined pass);
+  // every double op downstream consumes identical BIGINT/DECIMAL inputs in
+  // identical order, so both engines render identical bits.
+
+  /** Per `group`: (n0, n1, d, g) — Cohen's d and Hedges' g of integer
+    * column `x` between arms of `armExpr` (1 minus 0). Degenerate groups
+    * (either arm < 2, or zero pooled variance) report nulls. */
+  def cohensD(df: DataFrame, group: String, x: String,
+      armExpr: String): DataFrame = {
+    val m = df.groupBy(col(group),
+      when(expr(armExpr), 1L).otherwise(0L).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(x).cast("decimal(18,0)")).as("s"),
+        sum(col(x).cast("decimal(18,0)") * col(x).cast("decimal(18,0)"))
+          .as("ss"))
+    def side(a: Int) = m.filter(col("arm") === a)
+      .select(col(group), col("n").as(s"n$a"), col("s").as(s"s$a"),
+        col("ss").as(s"ss$a"))
+    val j = side(0).join(side(1), Seq(group))
+    def dd(c: String) = col(c).cast("double")
+    def v(a: Int) =
+      (dd(s"n$a") * dd(s"ss$a") - dd(s"s$a") * dd(s"s$a")) /
+        (dd(s"n$a") * (dd(s"n$a") - lit(1.0)))
+    val sp2 = ((dd("n0") - lit(1.0)) * v(0) + (dd("n1") - lit(1.0)) * v(1)) /
+      (dd("n0") + dd("n1") - lit(2.0))
+    val d = (dd("s1") / dd("n1") - dd("s0") / dd("n0")) / sqrt(sp2)
+    val ok = col("n0") > 1 && col("n1") > 1 && sp2 > 0
+    j.select(col(group), col("n0"), col("n1"),
+      when(ok, d).as("d"),
+      when(ok, d * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (dd("n0") + dd("n1")) - lit(9.0)))).as("g"))
+  }
+
+  private def q272(s: SparkSession, dir: String): DataFrame =
+    cohensD(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey")),
+      "o_orderpriority", "cents", "o_orderkey % 2 = 0")
+      .select(col("o_orderpriority"), col("n0"), col("n1"),
+        QueryDef.dec4(col("d")).as("d"), QueryDef.dec4(col("g")).as("g"))
+      .orderBy(col("o_orderpriority"))
+
+  private val q272Sql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS arm,
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      AS x
+      |  FROM orders),
+      |m AS (
+      |  SELECT grp, arm, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss
+      |  FROM d GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.grp, a.n AS n0, a.s AS s0, a.ss AS ss0,
+      |    b.n AS n1, b.s AS s1, b.ss AS ss1
+      |  FROM m a JOIN m b ON a.grp = b.grp AND a.arm = 0 AND b.arm = 1),
+      |c AS (
+      |  SELECT grp, n0, n1,
+      |    ((CAST(n0 AS DOUBLE) - 1.0) *
+      |      ((CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+      |        - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+      |       / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)))
+      |     + (CAST(n1 AS DOUBLE) - 1.0) *
+      |      ((CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |       / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0))))
+      |      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0) AS sp2,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff
+      |  FROM j)
+      |SELECT grp AS o_orderpriority, n0, n1,
+      |  CAST(CAST(CASE WHEN n0 > 1 AND n1 > 1 AND sp2 > 0
+      |    THEN diff / sqrt(sp2) END AS DECIMAL(38,4)) AS VARCHAR) AS d,
+      |  CAST(CAST(CASE WHEN n0 > 1 AND n1 > 1 AND sp2 > 0
+      |    THEN diff / sqrt(sp2) * (1.0 - 3.0 /
+      |      (4.0 * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) - 9.0))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS g
+      |FROM c ORDER BY o_orderpriority""".stripMargin
+
+  // ==== q273: Cliff's delta (ordinal dominance) ==============================
+  //
+  // The nonparametric effect size completing q216's Mann–Whitney U:
+  // δ = [#(x>y) − #(x<y)] / (n_a·n_b) over all cross-group pairs —
+  // computed WITHOUT enumerating pairs: per distinct value v, A-count
+  // ca(v) meets the exclusive B-prefix pb(v) (= #B < v), so
+  // #(x>y) = Σ ca(v)·pb(v) and #(x<y) = Σ ca(v)·(nb − pb(v) − cb(v)).
+  // The same range-partitioned distinct-value prefix scan as q131/q122 —
+  // sort touches |distinct| rows, never the corpus. Products go through
+  // DECIMAL(38,0) (counts multiply to ~n², past 2^63 at scale — the
+  // q242/q256 overflow rule); δ is one division of exact decimals.
+
+  /** One row: (n_a, n_b, gt_pairs, lt_pairs, delta) — Cliff's δ of
+    * `colName` between `sideA` rows (A) and the rest (B). */
+  def cliffsDelta(df: DataFrame, colName: String, sideA: Column): DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      counts, Seq(col("v")), col("cb"), outName = "pb")
+    val totals = broadcast(counts.agg(
+      sum(col("ca")).cast("decimal(38,0)").as("na"),
+      sum(col("cb")).cast("decimal(38,0)").as("nb")))
+    scanned.crossJoin(totals)
+      .select(col("na"), col("nb"),
+        (col("ca").cast("decimal(38,0)") * col("pb").cast("decimal(38,0)"))
+          .as("gt"),
+        (col("ca").cast("decimal(38,0)") *
+          (col("nb") - col("pb") - col("cb"))).as("lt"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("gt")).as("gt_pairs"), sum(col("lt")).as("lt_pairs"))
+      .select(col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"),
+        col("gt_pairs").cast("long").as("gt_pairs"),
+        col("lt_pairs").cast("long").as("lt_pairs"),
+        when(col("na") > 0 && col("nb") > 0,
+          (col("gt_pairs") - col("lt_pairs")).cast("double") /
+            (col("na") * col("nb")).cast("double")).as("delta"))
+  }
+
+  private def q273(s: SparkSession, dir: String): DataFrame =
+    cliffsDelta(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_type")),
+      "cents", col("event_type") === "purchase")
+      .select(col("n_a"), col("n_b"), col("gt_pairs"), col("lt_pairs"),
+        QueryDef.dec4(col("delta")).as("delta"))
+
+  private val q273Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    COALESCE(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND 1 PRECEDING), 0) AS pb
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(ca) AS HUGEINT) AS na,
+      |  CAST(sum(cb) AS HUGEINT) AS nb FROM counts),
+      |s AS (
+      |  SELECT max(na) AS na, max(nb) AS nb,
+      |    CAST(sum(CAST(ca AS HUGEINT) * pb) AS HUGEINT) AS gt_pairs,
+      |    CAST(sum(CAST(ca AS HUGEINT) * (nb - pb - cb)) AS HUGEINT)
+      |      AS lt_pairs
+      |  FROM cdf CROSS JOIN t)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+      |  CAST(gt_pairs AS BIGINT) AS gt_pairs,
+      |  CAST(lt_pairs AS BIGINT) AS lt_pairs,
+      |  CAST(CAST(CASE WHEN na > 0 AND nb > 0
+      |    THEN CAST(gt_pairs - lt_pairs AS DOUBLE)
+      |      / CAST(na * nb AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS delta
+      |FROM s""".stripMargin
+
+  // ==== q275: t-closeness privacy audit ======================================
+  //
+  // The third rung of the q202 ladder (k-anonymity → l-diversity →
+  // t-CLOSENESS, Li et al. 2007): an equivalence class can be k-large and
+  // l-diverse yet still leak — if its sensitive-attribute DISTRIBUTION
+  // differs sharply from the table's, membership itself is informative.
+  // For an ORDERED sensitive attribute the distance is the 1-D earth
+  // mover's: EMD = Σ_j |CumP_j − CumQ_j| / (m−1) over the m ordered
+  // buckets. Exactness: the per-bucket term is |CumP_j·N − CumQ_j·n_c| —
+  // an exact DECIMAL integer (cross-multiplied, the q256 rule) — summed
+  // exactly; ONE double division per class at render. Scale shape: one
+  // groupBy to the (class × bucket) domain, window prefix sums over ≤m
+  // rows per class, a broadcast global distribution — nothing touches
+  // rows twice.
+
+  /** Per class (`qi` columns): (class_size, t_emd) — ordered-EMD
+    * t-closeness of integer bucket column `bucket` (values 0..m−1)
+    * against the whole table's distribution. */
+  def tCloseness(df: DataFrame, qi: Seq[String], bucket: String,
+      m: Int): DataFrame = {
+    val cls = df.groupBy((qi.map(col) :+ col(bucket).as("b")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val glob = broadcast(df.groupBy(col(bucket).as("b"))
+      .agg(count(lit(1)).as("gcnt")))
+    // dense bucket grid per class (missing buckets still advance the CDF)
+    val classes = cls.groupBy(qi.map(col): _*)
+      .agg(sum(col("cnt")).as("n_c"))
+    val grid = classes.select((qi.map(col) :+ col("n_c") :+
+      explode(sequence(lit(0), lit(m - 1))).as("b")): _*)
+    val joined = grid
+      .join(cls, qi :+ "b", "left")
+      .join(glob, Seq("b"), "left")
+      .na.fill(0L, Seq("cnt", "gcnt"))
+    val w = Window.partitionBy(qi.map(col): _*).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = broadcast(df.agg(count(lit(1)).as("n_tot")))
+    joined
+      .withColumn("cum_c", sum(col("cnt")).over(w))
+      .withColumn("cum_g", sum(col("gcnt")).over(w))
+      .crossJoin(totals)
+      .filter(col("b") < m - 1) // the last cum term is always 0
+      .select((qi.map(col) :+ col("n_c") :+ col("n_tot") :+
+        abs(col("cum_c").cast("decimal(38,0)") * col("n_tot") -
+          col("cum_g").cast("decimal(38,0)") * col("n_c")).as("term")): _*)
+      .groupBy((qi.map(col) :+ col("n_c") :+ col("n_tot")): _*)
+      .agg(sum(col("term")).as("emd_num"))
+      .select((qi.map(col) :+ col("n_c").as("class_size") :+
+        (col("emd_num").cast("double") /
+          (col("n_c").cast("double") * col("n_tot").cast("double") *
+            lit((m - 1).toDouble))).as("t_emd")): _*)
+  }
+
+  private def q275(s: SparkSession, dir: String): DataFrame =
+    tCloseness(
+      Tables.customer(s, dir).select(col("c_mktsegment"),
+        col("c_nationkey"),
+        least(greatest(floor((col("c_acctbal") + 1000.0) / 1100.0), lit(0.0)),
+          lit(9.0)).cast("long").as("db")),
+      Seq("c_mktsegment", "c_nationkey"), "db", m = 10)
+      .select(col("c_mktsegment"), col("c_nationkey"), col("class_size"),
+        QueryDef.dec4(col("t_emd")).as("t_emd"))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private val q275Sql =
+    """WITH d AS (
+      |  SELECT c_mktsegment, c_nationkey,
+      |    CAST(least(greatest(floor((c_acctbal + 1000.0) / 1100.0), 0.0),
+      |      9.0) AS BIGINT) AS b
+      |  FROM customer),
+      |cls AS (
+      |  SELECT c_mktsegment, c_nationkey, b, count(*) AS cnt
+      |  FROM d GROUP BY 1, 2, 3),
+      |classes AS (
+      |  SELECT c_mktsegment, c_nationkey, CAST(sum(cnt) AS BIGINT) AS n_c
+      |  FROM cls GROUP BY 1, 2),
+      |gdist AS (SELECT b, count(*) AS gcnt FROM d GROUP BY 1),
+      |tot AS (SELECT count(*) AS n_tot FROM d),
+      |grid AS (
+      |  SELECT c.c_mktsegment, c.c_nationkey, c.n_c, g.b
+      |  FROM classes c CROSS JOIN (SELECT unnest(range(0, 10)) AS b) g),
+      |cum AS (
+      |  SELECT grid.c_mktsegment, grid.c_nationkey, grid.n_c, grid.b,
+      |    sum(COALESCE(cls.cnt, 0)) OVER (
+      |      PARTITION BY grid.c_mktsegment, grid.c_nationkey
+      |      ORDER BY grid.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS cum_c,
+      |    sum(COALESCE(gdist.gcnt, 0)) OVER (
+      |      PARTITION BY grid.c_mktsegment, grid.c_nationkey
+      |      ORDER BY grid.b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS cum_g
+      |  FROM grid
+      |    LEFT JOIN cls ON cls.c_mktsegment = grid.c_mktsegment
+      |      AND cls.c_nationkey = grid.c_nationkey AND cls.b = grid.b
+      |    LEFT JOIN gdist ON gdist.b = grid.b)
+      |SELECT c_mktsegment, c_nationkey,
+      |  max(n_c) AS class_size,
+      |  CAST(CAST(CAST(sum(abs(CAST(cum_c AS HUGEINT) * n_tot
+      |      - CAST(cum_g AS HUGEINT) * n_c)) AS DOUBLE)
+      |    / (CAST(max(n_c) AS DOUBLE) * CAST(max(n_tot) AS DOUBLE) * 9.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS t_emd
+      |FROM cum CROSS JOIN tot
+      |WHERE b < 9
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ==== q279: Mann–Kendall trend test =========================================
+  //
+  // The significance twin of q190's Theil–Sen slope (the standard pairing
+  // in environmental/KPI monitoring): S = Σ_{i<j} sign(y_j − y_i) over the
+  // day-indexed series, Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 with
+  // the tie correction, z = (S∓1)/√Var(S) continuity-corrected. The pair
+  // space is the DAY-domain self-join per type (days² — a calendar
+  // constant, never event volume; the q243 bounded-domain rule), ties come
+  // from the (type, count)-domain; S and the variance numerator are exact
+  // integers, z is one double expression over them.
+
+  /** Per `group`: (n_days, s_stat, var18_num, z) — Mann–Kendall over the
+    * daily `y` series (one row per (group, day index `di`)). */
+  def mannKendall(daily: DataFrame, group: String): DataFrame = {
+    val a = daily.select(col(group), col("di").as("i"), col("y").as("yi"))
+    val b = daily.select(col(group), col("di").as("j"), col("y").as("yj"))
+    val s = a.join(b, Seq(group)).filter(col("i") < col("j"))
+      .groupBy(col(group))
+      .agg(sum(signum(col("yj") - col("yi")).cast("long")).as("s_stat"))
+    val n = daily.groupBy(col(group)).agg(count(lit(1)).as("n"))
+    val ties = daily.groupBy(col(group), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col(group))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+        .as("tie_sum"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    n.join(ties, Seq(group)).join(s, Seq(group))
+      .select(col(group), col("n").as("n_days"), col("s_stat"),
+        (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+          col("tie_sum")).as("var18_num"))
+      .withColumn("z", when(col("var18_num") > 0,
+        when(col("s_stat") > 0,
+          dd(col("s_stat") - 1) / sqrt(dd(col("var18_num")) / lit(18.0)))
+          .when(col("s_stat") < 0,
+            dd(col("s_stat") + 1) / sqrt(dd(col("var18_num")) / lit(18.0)))
+          .otherwise(lit(0.0))))
+  }
+
+  private def q279(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        datediff(to_date(col("ts")), lit("2024-01-01")).cast("long").as("di"))
+      .agg(count(lit(1)).as("y"))
+    mannKendall(daily, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        col("var18_num"), QueryDef.dec4(col("z")).as("z"))
+      .orderBy(col("event_type"))
+  }
+
+  private val q279Sql =
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+      |      AS BIGINT) AS di,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |s AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1
+      |      ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM daily a JOIN daily b
+      |    ON a.event_type = b.event_type AND a.di < b.di
+      |  GROUP BY 1),
+      |n AS (SELECT event_type, count(*) AS n FROM daily GROUP BY 1),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+      |  FROM (SELECT event_type, y, count(*) AS t FROM daily GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |j AS (
+      |  SELECT n.event_type, n.n AS n_days, s.s_stat,
+      |    n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_sum AS var18_num
+      |  FROM n JOIN ties USING (event_type) JOIN s USING (event_type))
+      |SELECT event_type, n_days, s_stat, CAST(var18_num AS BIGINT)
+      |    AS var18_num,
+      |  CAST(CAST(CASE WHEN var18_num > 0 THEN
+      |      CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+      |          / sqrt(CAST(var18_num AS DOUBLE) / 18.0)
+      |        WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+      |          / sqrt(CAST(var18_num AS DOUBLE) / 18.0)
+      |        ELSE 0.0 END
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM j ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q279_mann_kendall", q279, Some(q279Sql)),
+    QueryDef("q275_t_closeness", q275, Some(q275Sql)),
+    QueryDef("q273_cliffs_delta", q273, Some(q273Sql)),
+    QueryDef("q272_cohens_d", q272, Some(q272Sql)),
+    QueryDef("q271_mcnemar", q271, Some(q271Sql)),
     QueryDef("q256_wasserstein_drift", q256, Some(q256Sql)),
     QueryDef("q253_kruskal_wallis", q253, Some(q253Sql)),
     QueryDef("q243_kendall_tau", q243, Some(q243Sql)),

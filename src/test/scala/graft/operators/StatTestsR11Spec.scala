@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-11 measurement-layer operators: nDCG, conformal-BH outliers,
+  * McNemar, Cohen's d, Cliff's delta, Jaccard link prediction, harmonic
+  * centrality, t-closeness, IPW ATE, Mann–Kendall. Each law test
+  * recomputes the statistic naively (or from a closed form) on data
+  * where the answer is forced. */
+class StatTestsR11Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def d4(x: Double): String =
+    new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+
+  // ==== q269 nDCG ============================================================
+
+  test("groupedNdcg: perfect ranking scores 1, a swap scores the hand value") {
+    // group a: score order == relevance order -> dcg == idcg
+    val a = Seq(("a", 30L, 1L, 3L), ("a", 20L, 2L, 2L), ("a", 10L, 3L, 0L))
+    // group b: top item has rel 0, second has rel 3 -> dcg < idcg
+    val b = Seq(("b", 30L, 1L, 0L), ("b", 20L, 2L, 3L))
+    val df = (a ++ b).toDF("g", "score", "id", "r")
+    val got = MlEval.groupedNdcg(df, "g", "score", "id", col("r"), k = 10)
+      .select("g", "dcg_micro", "idcg_micro", "ndcg")
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val w = MlEval.dcgWeights(10)
+    assert(got("a")._2 == 3 * w(0) + 2 * w(1) && got("a")._4 == 1.0)
+    assert(got("b")._2 == 3 * w(1) && got("b")._3 == 3 * w(0))
+    assert(got("b")._4 == (3.0 * w(1)) / (3.0 * w(0)))
+  }
+
+  test("groupedNdcg: items past the cutoff contribute nothing") {
+    val rows = (1L to 30L).map(i => ("g", 100L - i, i, 1L))
+    val got = MlEval.groupedNdcg(rows.toDF("g", "score", "id", "r"),
+      "g", "score", "id", col("r"), k = 10).head()
+    // all rel equal: dcg == idcg == sum of the first 10 weights
+    assert(got.getAs[Long]("dcg_micro") == MlEval.dcgWeights(10).sum)
+    assert(got.getAs[Double]("ndcg") == 1.0)
+  }
+
+  // ==== q270 conformal BH ====================================================
+
+  test("conformalBhOutliers: planted heavy tail is rejected, null data is not") {
+    // calibration: values 1..400; test: 90 in-distribution + 10 planted at
+    // 10_000 (p = 1/401 each -> BH at alpha=.1 must reject the planted set)
+    val cal = (1L to 400L).map(v => (v, 1L))           // (value, id%4==3 tag)
+    val testIn = (1L to 90L).map(i => (i * 4 % 397 + 1, 0L))
+    val testOut = (1L to 10L).map(i => (10000L + i, 0L))
+    val df = (cal.map { case (v, _) => (v, 3L) } ++
+      (testIn ++ testOut).map { case (v, _) => (v, 0L) })
+      .zipWithIndex.map { case ((v, m), i) => (i.toLong * 4 + m, v) }
+      .toDF("doc_id", "n_chars")
+    val got = MlEval.conformalBhOutliers(df, "n_chars",
+      pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(4)) === 0)
+      .head()
+    assert(got.getAs[Long]("n_cal") == 400L && got.getAs[Long]("m") == 100L)
+    // naive BH on collected p-values must agree exactly
+    val calV = cal.map(_._1).sorted
+    val testV = (testIn ++ testOut).map(_._1)
+    val ps = testV.map(v => (1.0 + calV.count(_ >= v)) / 401.0).sorted
+    val kStar = (1 to ps.size).filter(i => ps(i - 1) <= i * 0.1 / ps.size)
+      .lastOption.getOrElse(0)
+    assert(got.getAs[Long]("n_rejected") == kStar.toLong)
+    assert(kStar >= 10, "the 10 planted outliers must be rejectable")
+    // null data: test drawn from the calibration range -> nothing rejected
+    val nullDf = (cal.map { case (v, _) => (v, 3L) } ++
+      testIn.map { case (v, _) => (v, 0L) })
+      .zipWithIndex.map { case ((v, m), i) => (i.toLong * 4 + m, v) }
+      .toDF("doc_id", "n_chars")
+    val got0 = MlEval.conformalBhOutliers(nullDf, "n_chars",
+      pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(4)) === 0)
+      .head()
+    assert(got0.getAs[Long]("n_rejected") == 0L)
+    assert(got0.isNullAt(got0.fieldIndex("thr_value")))
+  }
+
+  // ==== q271 McNemar =========================================================
+
+  test("mcnemar: hand-computed discordant counts and chi2") {
+    // 10 subjects: 3 (1,1), 2 (0,0), 4 (1,0), 1 (0,1)
+    val rows =
+      (1 to 3).flatMap(i => Seq((s"s$i", "a"), (s"s$i", "b"))) ++
+        (4 to 5).map(i => (s"s$i", "z")) ++
+        (6 to 9).map(i => (s"s$i", "a")) ++
+        Seq(("s10", "b"))
+    val got = Profiling.mcnemar(rows.toDF("id", "k"), "id",
+      col("k") === "a", col("k") === "b").head()
+    assert(got.getAs[Long]("n_pairs") == 10L)
+    assert(got.getAs[Long]("n_both") == 3L)
+    assert(got.getAs[Long]("n_neither") == 2L)
+    assert(got.getAs[Long]("b") == 4L && got.getAs[Long]("c") == 1L)
+    // chi2 = (|4-1|-1)^2 / 5 = 4/5
+    assert(got.getAs[Double]("chi2") == 0.8)
+  }
+
+  test("mcnemar: zero discordant pairs yields null chi2, not NaN") {
+    val rows = Seq(("s1", "a"), ("s1", "b"), ("s2", "z"))
+    val got = Profiling.mcnemar(rows.toDF("id", "k"), "id",
+      col("k") === "a", col("k") === "b").head()
+    assert(got.getAs[Long]("b") == 0L && got.getAs[Long]("c") == 0L)
+    assert(got.isNullAt(got.fieldIndex("chi2")))
+  }
+
+  // ==== q272 Cohen's d / Hedges' g ===========================================
+
+  test("cohensD matches the closed form on a hand-built two-group set") {
+    val arm0 = Seq(100L, 200L, 300L)
+    val arm1 = Seq(300L, 400L, 500L, 600L)
+    val rows = arm0.map(v => ("g", v, 1L)) ++ arm1.map(v => ("g", v, 2L))
+    val got = Profiling.cohensD(rows.toDF("g", "x", "k"),
+      "g", "x", "k % 2 = 0").head()
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    def varU(xs: Seq[Long]) = {
+      val m = mean(xs)
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val sp2 = ((arm0.size - 1) * varU(arm0) + (arm1.size - 1) * varU(arm1)) /
+      (arm0.size + arm1.size - 2).toDouble
+    val d = (mean(arm1) - mean(arm0)) / math.sqrt(sp2)
+    val g = d * (1.0 - 3.0 / (4.0 * (arm0.size + arm1.size) - 9.0))
+    assert(got.getAs[Long]("n0") == 3L && got.getAs[Long]("n1") == 4L)
+    assert(math.abs(got.getAs[Double]("d") - d) <= 1e-9)
+    assert(math.abs(got.getAs[Double]("g") - g) <= 1e-9)
+  }
+
+  // ==== q273 Cliff's delta ===================================================
+
+  test("cliffsDelta == brute-force pair count; disjoint groups hit ±1") {
+    val rnd = new scala.util.Random(111)
+    val rows = (1 to 800).map(_ =>
+      (rnd.nextInt(50).toLong, rnd.nextBoolean()))
+    val got = Profiling.cliffsDelta(
+      rows.toDF("v", "isA"), "v", col("isA")).head()
+    val a = rows.filter(_._2).map(_._1)
+    val b = rows.filterNot(_._2).map(_._1)
+    val gt = a.map(x => b.count(x > _).toLong).sum
+    val lt = a.map(x => b.count(x < _).toLong).sum
+    assert(got.getAs[Long]("gt_pairs") == gt)
+    assert(got.getAs[Long]("lt_pairs") == lt)
+    assert(got.getAs[Double]("delta") ==
+      (gt - lt).toDouble / (a.size.toLong * b.size))
+    // complete dominance: every A above every B
+    val dom = Seq((10L, true), (11L, true), (1L, false), (2L, false))
+    val g2 = Profiling.cliffsDelta(dom.toDF("v", "isA"), "v", col("isA"))
+      .head()
+    assert(g2.getAs[Double]("delta") == 1.0)
+  }
+
+  // ==== q274 Jaccard links ===================================================
+
+  test("jaccardLinks: exact scores on a hand bipartite graph; hub capped") {
+    // buyers: c1 {p1,p2}, c2 {p1,p2}, c3 {p1,p3}; hub c4 buys everything
+    val base = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 1L),
+      (3L, 3L))
+    val hub = (1L to 10L).map(p => (4L, p))
+    val got = Graph.jaccardLinks(
+      (base ++ hub).toDF("c", "p"), maxDeg = 5, k = 10)
+      .select("p1", "p2", "common", "union_sz", "jacc_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // hub dropped: degrees count kept buyers only
+    // deg(p1)=3, deg(p2)=2, deg(p3)=1
+    assert(got((1L, 2L))._3 == 2L && got((1L, 2L))._4 == 3L)
+    assert(got((1L, 2L))._5 == 2000000L / 3L)
+    assert(got((1L, 3L))._3 == 1L && got((1L, 3L))._4 == 3L)
+    assert(!got.contains((2L, 3L)), "no shared kept buyer -> no pair")
+  }
+
+  // ==== q277 harmonic centrality =============================================
+
+  test("harmonicCentrality: hand values on the 4-path") {
+    // path 1-2-3-4 (symmetric)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges)
+      .select("node", "h_micro").as[(Long, Long)].collect().toMap
+    // node 1: d=1 to {2}, d=2 to {3} -> 1 + 1/2
+    assert(got(1L) == 1500000L && got(4L) == 1500000L)
+    // node 2: d=1 to {1,3}, d=2 to {4} -> 2 + 1/2
+    assert(got(2L) == 2500000L && got(3L) == 2500000L)
+  }
+
+  // ==== q275 t-closeness =====================================================
+
+  test("tCloseness: a class mirroring the table scores 0; a point mass is far") {
+    // global: buckets 0..3 uniform; class A mirrors it exactly, class B
+    // concentrates on bucket 0
+    val a = (0 to 3).flatMap(b => Seq.fill(10)(("A", b.toLong)))
+    val bRows = Seq.fill(40)(("B", 0L))
+    // keep the GLOBAL uniform: add a balancing class C
+    val c = (0 to 3).flatMap(b => Seq.fill(10)(("C", b.toLong)))
+      .map { case (g, v) => (g, (3 - v)) } // same uniform multiset
+    val df = (a ++ bRows ++ c).toDF("g", "b")
+    val got = Profiling.tCloseness(df, Seq("g"), "b", m = 4)
+      .select("g", "t_emd").as[(String, Double)].collect().toMap
+    // global counts: b0 = 10+40+10 = 60, b1 = 20, b2 = 20, b3 = 20; N=120
+    // class A cum fracs (1/4, 2/4, 3/4) vs global (1/2, 8/12, 10/12)
+    val gl = Seq(60L, 20L, 20L)
+    val cumG = gl.scanLeft(0L)(_ + _).tail
+    def emd(cls: Seq[Long], n: Long): Double = {
+      val cum = cls.scanLeft(0L)(_ + _).tail
+      cum.zip(cumG).map { case (cc, cg) =>
+        math.abs(cc * 120L - cg * n).toDouble }.sum / (n * 120.0 * 3.0)
+    }
+    assert(d4(got("A")) == d4(emd(Seq(10L, 10L, 10L), 40L)))
+    assert(d4(got("B")) == d4(emd(Seq(40L, 0L, 0L), 40L)))
+    assert(got("B") > got("A"))
+  }
+
+  // ==== q276 IPW ATE =========================================================
+
+  test("ipwAte: recovers a planted effect under confounded assignment") {
+    // covariate bin == pre-period activity drives BOTH assignment density
+    // and baseline outcome; within every bin treated = control + 300
+    // cents, so the true ATE is 3.00 currency units. Naive diff is
+    // confounded; IPW must land on the planted effect.
+    val ts0 = 1700000000000000L // micros
+    val hour = 3600L * 1000000L
+    // users: id parity = treatment (the operator's assignment rule)
+    val rows = (0 until 400).flatMap { u =>
+      val t = u % 2
+      val heavy = (u / 2) % 4 == 0 // 1/4 of each arm is heavy
+      val pre = if (heavy) 5 else 1
+      val base = if (heavy) 2000 else 500
+      val y = base + (if (t == 1) 300 else 0)
+      // pre-period events (count = covariate), one post-period event
+      // carrying the outcome value
+      (1 to pre).map(i =>
+        (u.toLong, new java.sql.Timestamp((ts0 + i * hour) / 1000), 0.0)) :+
+        ((u.toLong,
+          new java.sql.Timestamp((ts0 + 1000 * hour) / 1000), y / 100.0))
+    }
+    val events = rows.toDF("user_id", "ts", "value")
+    val got = EventsOps.ipwAte(events).head()
+    assert(got.getAs[Long]("n_treated") == 200L)
+    assert(got.getAs[Long]("n_control") == 200L)
+    assert(got.getAs[Long]("n_bins_trimmed") == 0L)
+    assert(math.abs(got.getAs[String]("ate").toDouble - 3.0) <= 1e-3,
+      s"IPW must recover the planted +3.00: ${got}")
+  }
+
+  // ==== q279 Mann–Kendall ====================================================
+
+  test("mannKendall: monotone series maxes S; brute force on random data") {
+    val up = (0L until 20L).map(i => ("up", i, 100L + i * 7))
+    val rnd = new scala.util.Random(17)
+    val noisy = (0L until 25L).map(i => ("r", i, rnd.nextInt(10).toLong))
+    val flat = (0L until 8L).map(i => ("flat", i, 5L))
+    val got = Profiling.mannKendall(
+      (up ++ noisy ++ flat).toDF("g", "di", "y"), "g")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    // strictly increasing: S = C(20,2), no ties
+    assert(got("up").getAs[Long]("s_stat") == 190L)
+    assert(got("up").getAs[Long]("var18_num") == 20L * 19L * 45L)
+    // brute force S and tie term on the noisy series
+    val ys = noisy.map(_._3)
+    val s = (for { i <- ys.indices; j <- ys.indices if i < j }
+      yield math.signum(ys(j) - ys(i)).toLong).sum
+    assert(got("r").getAs[Long]("s_stat") == s)
+    val ties = ys.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    assert(got("r").getAs[Long]("var18_num") == 25L * 24L * 55L - ties)
+    // constant series: all tied -> zero variance -> null z
+    assert(got("flat").getAs[Long]("var18_num") == 0L)
+    assert(got("flat").isNullAt(got("flat").fieldIndex("z")))
+  }
+}
