@@ -196,7 +196,110 @@ object TextEval {
        |    AS DECIMAL(38,4)) AS VARCHAR) AS f1
        |FROM tot ORDER BY n""".stripMargin
 
+  // ==== q278: chrF character n-gram F-score ==================================
+  //
+  // The tokenizer-free metric completing the BLEU/ROUGE pair (Popović
+  // 2015): word n-grams punish morphology-rich languages, so chrF scores
+  // CHARACTER n-grams (n = 1..6, whitespace removed) with the
+  // recall-weighted F: chrF_n = (1+β²)·P·R / (β²·P + R) at β = 2. Same
+  // candidate/reference derivation as q247, same clipped-totals core —
+  // one exploded union of all 6 gram sizes per side, one (doc, n, gram)
+  // count, one co-partitioned clip join. Per-n rows only (no cross-n
+  // average row — a 6-term double sum would hang determinism on
+  // aggregation order); P/R/F divide exact integers at render.
+
+  /** Per char-gram size n = 1..`maxN`: (n, den_c, den_r, clip, prec,
+    * rec, chrf) with β = 2. */
+  def chrF(docs: DataFrame, maxN: Int = 6): DataFrame = {
+    val strs = pairs(docs)
+      .select(col("doc_id"), array_join(col("c"), "").as("cs"),
+        array_join(col("r"), "").as("rs"))
+      .localCheckpoint()
+    def charGrams(side: String, out: String): DataFrame =
+      (1 to maxN).map { n =>
+        strs.select(col("doc_id"), lit(n).as("n"),
+          explode(when(length(col(side)) >= n,
+            transform(sequence(lit(1), length(col(side)) - n + 1),
+              i => col(side).substr(i, lit(n))))
+            .otherwise(array().cast("array<string>"))).as("g"))
+      }.reduce(_ unionByName _)
+        .groupBy(col("doc_id"), col("n"), col("g"))
+        .agg(count(lit(1)).as(out))
+    val cc = charGrams("cs", "cnt_c")
+    val rc = charGrams("rs", "cnt_r")
+    val tot = cc.join(rc, Seq("doc_id", "n", "g"), "full_outer")
+      .groupBy(col("n"))
+      .agg(sum(coalesce(col("cnt_c"), lit(0L))).as("den_c"),
+        sum(coalesce(col("cnt_r"), lit(0L))).as("den_r"),
+        sum(least(coalesce(col("cnt_c"), lit(0L)),
+          coalesce(col("cnt_r"), lit(0L)))).as("clip"))
+    def dd(c: String) = col(c).cast("double")
+    val p = dd("clip") / dd("den_c")
+    val r = dd("clip") / dd("den_r")
+    tot.select(col("n"), col("den_c"), col("den_r"), col("clip"),
+      when(col("den_c") > 0, p).as("prec"),
+      when(col("den_r") > 0, r).as("rec"),
+      when(col("den_c") > 0 && col("den_r") > 0 && col("clip") > 0,
+        lit(5.0) * p * r / (lit(4.0) * p + r)).as("chrf"))
+  }
+
+  private def q278(s: SparkSession, dir: String): DataFrame =
+    chrF(Tables.documents(s, dir))
+      .select(col("n"), col("den_c"), col("den_r"), col("clip"),
+        QueryDef.dec4(col("prec")).as("prec"),
+        QueryDef.dec4(col("rec")).as("rec"),
+        QueryDef.dec4(col("chrf")).as("chrf"))
+      .orderBy(col("n"))
+
+  private val q278Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), x -> x <> '') AS c
+      |  FROM documents),
+      |strs AS (
+      |  SELECT doc_id, list_aggregate(c, 'string_agg', '') AS cs,
+      |    list_aggregate(
+      |      list_filter(c, (x, i) -> (i - 1) % 7 <> 6), 'string_agg', '')
+      |      AS rs
+      |  FROM toks),
+      |ns AS (SELECT unnest(range(1, 7)) AS n),
+      |cg AS (
+      |  SELECT doc_id, n, g, count(*) AS cnt_c FROM (
+      |    SELECT doc_id, n, unnest(CASE WHEN length(cs) >= n
+      |      THEN list_transform(range(1, length(cs) - n + 2),
+      |        i -> substr(cs, i, n)) ELSE [] END) AS g
+      |    FROM strs CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3),
+      |rg AS (
+      |  SELECT doc_id, n, g, count(*) AS cnt_r FROM (
+      |    SELECT doc_id, n, unnest(CASE WHEN length(rs) >= n
+      |      THEN list_transform(range(1, length(rs) - n + 2),
+      |        i -> substr(rs, i, n)) ELSE [] END) AS g
+      |    FROM strs CROSS JOIN ns)
+      |  GROUP BY 1, 2, 3),
+      |tot AS (
+      |  SELECT n,
+      |    CAST(sum(COALESCE(cnt_c, 0)) AS BIGINT) AS den_c,
+      |    CAST(sum(COALESCE(cnt_r, 0)) AS BIGINT) AS den_r,
+      |    CAST(sum(least(COALESCE(cnt_c, 0), COALESCE(cnt_r, 0)))
+      |      AS BIGINT) AS clip
+      |  FROM cg FULL OUTER JOIN rg USING (doc_id, n, g)
+      |  GROUP BY n)
+      |SELECT n, den_c, den_r, clip,
+      |  CAST(CAST(CASE WHEN den_c > 0 THEN CAST(clip AS DOUBLE)
+      |    / CAST(den_c AS DOUBLE) END AS DECIMAL(38,4)) AS VARCHAR) AS prec,
+      |  CAST(CAST(CASE WHEN den_r > 0 THEN CAST(clip AS DOUBLE)
+      |    / CAST(den_r AS DOUBLE) END AS DECIMAL(38,4)) AS VARCHAR) AS rec,
+      |  CAST(CAST(CASE WHEN den_c > 0 AND den_r > 0 AND clip > 0
+      |    THEN 5.0 * (CAST(clip AS DOUBLE) / CAST(den_c AS DOUBLE))
+      |      * (CAST(clip AS DOUBLE) / CAST(den_r AS DOUBLE))
+      |      / (4.0 * (CAST(clip AS DOUBLE) / CAST(den_c AS DOUBLE))
+      |        + (CAST(clip AS DOUBLE) / CAST(den_r AS DOUBLE)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS chrf
+      |FROM tot ORDER BY n""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q278_chrf", q278, Some(q278Sql)),
     QueryDef("q247_bleu", q247, Some(q247Sql)),
     QueryDef("q248_rouge_n", q248, Some(q248Sql)))
 }

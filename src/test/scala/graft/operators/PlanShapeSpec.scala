@@ -285,4 +285,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
     }
   }
+
+  test("round-11 shapes: prefix-scan stats are window-free, joins stay equi") {
+    // q270/q273: the conformal-BH and Cliff's-delta machinery rides the
+    // distinct-value prefix scan — no corpus-sized Window, no cartesian,
+    // partial aggregation on the histogram build
+    Seq("q270_conformal_bh", "q273_cliffs_delta").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q grew a corpus window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // q268/q274: self-join candidates come from equi-keys (prefix ×
+    // length-bucket; PairCombos lists) — never a nested-loop or cartesian
+    // over corpus rows
+    Seq("q268_jw_selfjoin", "q274_jaccard_links").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q degraded to BNLJ:\n$p")
+    }
+    // q271/q276: one user-domain aggregation then bin/cell-domain rollups —
+    // map-side partials present, no cartesian touching the event stream
+    Seq("q271_mcnemar", "q276_ipw_ate").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
+    }
+    // q279: the pair space is the DAY-domain self-join (an equi-join on
+    // the type key over the tiny daily table); the event stream is only
+    // touched by the daily aggregate
+    val mk = plan("q279_mann_kendall")
+    assert(!mk.contains("CartesianProduct"), s"q279 grew a cartesian:\n$mk")
+    assert("HashAggregate".r.findAllIn(mk).size >= 2,
+      s"q279 lost partial aggregation:\n$mk")
+  }
 }

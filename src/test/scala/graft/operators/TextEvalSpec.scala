@@ -66,4 +66,35 @@ class TextEvalSpec extends AnyFunSuite {
       assert(row.getAs[String]("f1") == d4(2.0 * clip / (denR + denC)))
     }
   }
+
+  test("chrF matches the char-gram recomputation; identity scores 1") {
+    def charGrams(s: String, n: Int): Map[String, Long] =
+      s.sliding(n).filter(_.length == n).toSeq.groupBy(identity)
+        .map { case (g, v) => g -> v.size.toLong }
+    val df = corpus.toDF("doc_id", "text", "lang")
+    val got = TextEval.chrF(df).collect().sortBy(_.getAs[Int]("n"))
+    assert(got.map(_.getAs[Int]("n")).toSeq == (1 to 6))
+    for (row <- got) {
+      val n = row.getAs[Int]("n")
+      val (denC, denR, clip) = corpus.map { case (_, text, _) =>
+        val cs = toks(text).mkString("")
+        val rs = ref(toks(text)).mkString("")
+        val gc = charGrams(cs, n); val gr = charGrams(rs, n)
+        (gc.values.sum, gr.values.sum,
+          gc.map { case (g, k) => math.min(k, gr.getOrElse(g, 0L)) }.sum)
+      }.reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3))
+      assert(row.getAs[Long]("den_c") == denC, s"den_c at n=$n")
+      assert(row.getAs[Long]("den_r") == denR, s"den_r at n=$n")
+      assert(row.getAs[Long]("clip") == clip, s"clip at n=$n")
+      val p = clip.toDouble / denC; val r = clip.toDouble / denR
+      assert(row.getAs[Double]("chrf") == 5.0 * p * r / (4.0 * p + r))
+    }
+    // identical candidate/reference (short docs never drop a token):
+    // P = R = chrF = 1 at every n the strings can support
+    val same = Seq((1L, "abc def", "en")).toDF("doc_id", "text", "lang")
+    TextEval.chrF(same).collect().foreach { row =>
+      if (row.getAs[Long]("den_c") > 0)
+        assert(row.getAs[Double]("chrf") == 1.0)
+    }
+  }
 }
