@@ -3492,7 +3492,103 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS ate
       |FROM agg CROSS JOIN trimmed CROSS JOIN tot""".stripMargin
 
+  // ==== q282: Durbin–Watson residual-autocorrelation test ====================
+  //
+  // The diagnostic that closes the q144-OLS / q152-ACF loop: after
+  // fitting count ~ hour per type, DW = Σ(e_t − e_{t−1})² / Σe_t² asks
+  // whether the RESIDUALS still carry serial structure (DW ≈ 2 ⇒ none;
+  // → 0 ⇒ positive autocorrelation, the "trend didn't explain it"
+  // alarm). Determinism: moments are exact integers; slope/intercept/
+  // residuals are exactly-rounded doubles (identical bits both engines,
+  // the q191 rule); each squared term is ⌊10⁴·(…)²⌋-floored ONCE so the
+  // hour-domain sums are exact integers — order-free where raw double
+  // sums would hang on aggregation order. The lag runs in a per-type
+  // window over the hour-domain table (q152's calendar contract: gaps
+  // pair adjacent OBSERVED hours, the standard irregular-series DW).
+
+  /** Per `group`: (n_hours, dw) — Durbin–Watson of the residuals of
+    * hourly-count ~ hour-index OLS. Types with < 3 hours or zero
+    * residual mass report null. */
+  def durbinWatson(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val m = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
+        sum(col("y")).as("sy"), sum(col("h") * col("h")).as("shh"),
+        sum(col("h") * col("y")).as("shy"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val withFit = hourly.join(broadcast(m), Seq("event_type"))
+      .withColumn("slope",
+        dd(col("n") * col("shy") - col("sh") * col("sy")) /
+          dd(col("n") * col("shh") - col("sh") * col("sh")))
+      .withColumn("icept",
+        (dd(col("sy")) - col("slope") * dd(col("sh"))) / dd(col("n")))
+      .withColumn("e", dd(col("y")) - col("slope") * dd(col("h")) -
+        col("icept"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    withFit
+      .withColumn("ep", lag(col("e"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(when(col("ep").isNotNull,
+          floor(lit(1e4) * (col("e") - col("ep")) * (col("e") - col("ep")))
+            .cast("long")).otherwise(0L)).as("d4"),
+        sum(floor(lit(1e4) * col("e") * col("e")).cast("long")).as("s4"))
+      .select(col("event_type"), col("n_hours"),
+        when(col("n_hours") >= 3 && col("s4") > 0,
+          col("d4").cast("double") / col("s4").cast("double")).as("dw"))
+  }
+
+  private def q282(s: SparkSession, dir: String): DataFrame =
+    durbinWatson(Tables.events(s, dir))
+      .select(col("event_type"), col("n_hours"),
+        QueryDef.dec4(col("dw")).as("dw"))
+      .orderBy(col("event_type"))
+
+  private val q282Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(h) AS BIGINT) AS sh,
+      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(h * h) AS BIGINT) AS shh,
+      |    CAST(sum(h * y) AS BIGINT) AS shy
+      |  FROM hourly GROUP BY 1),
+      |fit AS (
+      |  SELECT hourly.event_type, h, y,
+      |    CAST(n * shy - sh * sy AS DOUBLE)
+      |      / CAST(n * shh - sh * sh AS DOUBLE) AS slope,
+      |    n, sh, sy
+      |  FROM hourly JOIN m USING (event_type)),
+      |res AS (
+      |  SELECT event_type, h,
+      |    CAST(y AS DOUBLE) - slope * CAST(h AS DOUBLE)
+      |      - (CAST(sy AS DOUBLE) - slope * CAST(sh AS DOUBLE))
+      |        / CAST(n AS DOUBLE) AS e
+      |  FROM fit),
+      |lagged AS (
+      |  SELECT event_type, e,
+      |    lag(e, 1) OVER (PARTITION BY event_type ORDER BY h) AS ep
+      |  FROM res),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(CASE WHEN ep IS NOT NULL
+      |      THEN CAST(floor(1e4 * (e - ep) * (e - ep)) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS d4,
+      |    CAST(sum(CAST(floor(1e4 * e * e) AS BIGINT)) AS BIGINT) AS s4
+      |  FROM lagged GROUP BY 1)
+      |SELECT event_type, n_hours,
+      |  CAST(CAST(CASE WHEN n_hours >= 3 AND s4 > 0
+      |    THEN CAST(d4 AS DOUBLE) / CAST(s4 AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS dw
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q282_durbin_watson", q282, Some(q282Sql)),
     QueryDef("q276_ipw_ate", q276, Some(q276Sql)),
     QueryDef("q242_permutation_test", q242, Some(q242Sql)),
     QueryDef("q241_logrank_test", q241, Some(q241Sql)),

@@ -2470,7 +2470,142 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS z
       |FROM j ORDER BY event_type""".stripMargin
 
+  // ==== q280/q281: one-way ANOVA F + Levene (Brown–Forsythe) =================
+  //
+  // q281 is the parametric k-group mean test (Kruskal–Wallis q253's moment
+  // twin); q280 is the VARIANCE-homogeneity gate run before it — the
+  // Brown–Forsythe variant (deviations from the group MEDIAN, the robust
+  // standard), which is just ANOVA F on z = |x − med|. One shared kernel.
+  //
+  // Float discipline: group moments are exact decimals; the per-group
+  // between-term ⌊10⁶·S_g²/n_g⌋ is floored ONCE from an identical double
+  // expression (the q261 rule) so the k-term sum is an exact integer —
+  // order-free where a raw double Σ S_g²/n_g would hang on aggregation
+  // order. Deviations use 2·median (integer x ⇒ the interpolated median
+  // is a half-integer ⇒ 2·med is an exact integer), so z is an exact
+  // integer and Levene reuses the kernel unchanged. Scale shape: one
+  // map-side-combined moment pass (+ one broadcast median join for
+  // Levene); everything downstream is k-row arithmetic.
+
+  /** One row: (k, n, f) — one-way ANOVA F of integer column `x` across
+    * `group`. Degenerate inputs (k < 2, n ≤ k, zero within-variance)
+    * report null f. */
+  def anovaF(df: DataFrame, group: String, x: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,0)")
+    val g = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n_g"), sum(xd).as("s_g"),
+        sum(xd * xd).as("ss_g"))
+    def dd(c: String) = col(c).cast("double")
+    // the k-term cross-group sum A = Σ s_g²/n_g is the only
+    // order-sensitive double sum; magnitudes (s² ~ corpus²) rule out
+    // integer flooring, so it runs as a LEFT-TO-RIGHT fold over the
+    // group-ORDERED term array (the q133 identical-double-chain rule) —
+    // both engines add the same doubles in the same order. b and c are
+    // SINGLE values (no cross-row sum): plain double / exact decimal.
+    val terms = g.select(col("n_g"), col("s_g"), col("ss_g"),
+      struct(col(group).as("g"),
+        (dd("s_g") * dd("s_g") / dd("n_g")).as("t")).as("gt"))
+    terms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("s_g")).as("s"), sum(col("ss_g")).as("ss"),
+        sort_array(collect_list(col("gt"))).as("arr"))
+      .select(col("k"), col("n"),
+        aggregate(col("arr"), lit(0.0),
+          (acc, x) => acc + x.getField("t")).as("a"),
+        (dd("s") * dd("s") / dd("n")).as("b"),
+        col("ss").cast("decimal(38,0)").as("c"))
+      .select(col("k"), col("n"),
+        when(col("k") > 1 && col("n") > col("k") &&
+          col("c").cast("double") > col("a"),
+          ((col("a") - col("b")) *
+            (col("n") - col("k")).cast("double")) /
+            ((col("c").cast("double") - col("a")) *
+              (col("k") - lit(1L)).cast("double"))).as("f"))
+  }
+
+  /** One row: (k, n, w) — Brown–Forsythe Levene statistic of integer
+    * column `x` across `group` (ANOVA F on |2x − 2·median_g|). */
+  def levene(df: DataFrame, group: String, x: String): DataFrame = {
+    val med2 = df.groupBy(col(group))
+      .agg((expr(s"percentile($x, 0.5)") * 2).cast("long").as("med2"))
+    val z = df.join(broadcast(med2), Seq(group))
+      .select(col(group), abs(lit(2L) * col(x) - col("med2")).as("z"))
+    anovaF(z, group, "z").withColumnRenamed("f", "w")
+  }
+
+  private def ordersCents(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_orderpriority"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+
+  private def q281(s: SparkSession, dir: String): DataFrame =
+    anovaF(ordersCents(s, dir), "o_orderpriority", "cents")
+      .select(col("k"), col("n"), QueryDef.dec4(col("f")).as("f"))
+
+  private def q280(s: SparkSession, dir: String): DataFrame =
+    levene(ordersCents(s, dir), "o_orderpriority", "cents")
+      .select(col("k"), col("n"), QueryDef.dec4(col("w")).as("w"))
+
+  private val anovaCoreSql =
+    """g AS (
+      |  SELECT grp, count(*) AS n_g,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS s_g,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss_g
+      |  FROM d GROUP BY grp),
+      |t AS (
+      |  SELECT n_g, s_g, ss_g, grp,
+      |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |      / CAST(n_g AS DOUBLE) AS a_t
+      |  FROM g),
+      |m AS (
+      |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(s_g) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(ss_g) AS DECIMAL(38,0)) AS ss,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(a_t ORDER BY grp)), (acc, x) -> acc + x) AS a
+      |  FROM t),
+      |fin AS (
+      |  SELECT k, n, a,
+      |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS b,
+      |    ss AS c
+      |  FROM m)""".stripMargin
+
+  private val q281Sql =
+    s"""WITH d AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+       |      AS x
+       |  FROM orders),
+       |$anovaCoreSql
+       |SELECT k, n,
+       |  CAST(CAST(CASE WHEN k > 1 AND n > k
+       |      AND CAST(c AS DOUBLE) > a
+       |    THEN (a - b) * CAST(n - k AS DOUBLE)
+       |      / ((CAST(c AS DOUBLE) - a) * CAST(k - 1 AS DOUBLE))
+       |    END AS DECIMAL(38,4)) AS VARCHAR) AS f
+       |FROM fin""".stripMargin
+
+  private val q280Sql =
+    s"""WITH raw AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       |  FROM orders),
+       |med AS (
+       |  SELECT grp, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med2
+       |  FROM raw GROUP BY grp),
+       |d AS (
+       |  SELECT raw.grp, CAST(abs(2 * cents - med2) AS DECIMAL(18,0)) AS x
+       |  FROM raw JOIN med USING (grp)),
+       |$anovaCoreSql
+       |SELECT k, n,
+       |  CAST(CAST(CASE WHEN k > 1 AND n > k
+       |      AND CAST(c AS DOUBLE) > a
+       |    THEN (a - b) * CAST(n - k AS DOUBLE)
+       |      / ((CAST(c AS DOUBLE) - a) * CAST(k - 1 AS DOUBLE))
+       |    END AS DECIMAL(38,4)) AS VARCHAR) AS w
+       |FROM fin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q281_anova_f", q281, Some(q281Sql)),
+    QueryDef("q280_levene", q280, Some(q280Sql)),
     QueryDef("q279_mann_kendall", q279, Some(q279Sql)),
     QueryDef("q275_t_closeness", q275, Some(q275Sql)),
     QueryDef("q273_cliffs_delta", q273, Some(q273Sql)),

@@ -534,6 +534,54 @@ object EventsStreaming {
       n.as("n"), floor(lit(1e6) * psi).cast("long").as("psi_micro"))
   }
 
+  // ==== streaming conformal outlier-rate monitor (B215) ======================
+  //
+  // The streaming face of B205's conformal machinery: a FIXED calibration
+  // threshold — the ⌈(n_cal+1)(1−α)⌉-th smallest calibration value, the
+  // split-conformal quantile, computed batch-side by exact integer rank
+  // selection on the value histogram (no interpolation, the q191 rule) —
+  // classifies each arriving event as a conformal outlier (value > thr ⇒
+  // p-value ≤ α). Per tumbling hour the monitor reports (n, n_out):
+  // under no drift the outlier rate concentrates near α by exchangeability,
+  // so rate ≫ α IS the drift alarm — a distribution-free complement to
+  // the parametric PSI monitor above. One windowed streaming aggregate,
+  // append mode + watermark ⇒ bounded state; source-agnostic (the B34
+  // pattern), so the batch run is the parity oracle.
+
+  /** The ⌈(n+1)(1−αNum/αDen)⌉-th smallest cent value of `values` —
+    * exact integer rank selection over the distinct-value histogram
+    * (never a global sort of raw rows). */
+  def conformalThresholdCents(values: DataFrame, alphaNum: Long,
+      alphaDen: Long): Long = {
+    val counts = values
+      .select(round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      counts, Seq(col("v")), col("c"), outName = "p")
+    val n = counts.agg(sum(col("c"))).head().getLong(0)
+    // rank r = n+1 − ⌊α(n+1)⌋; the r-th smallest is the first distinct
+    // value whose inclusive cumulative count reaches r
+    val r = n + 1 - alphaNum * (n + 1) / alphaDen
+    scanned.filter(col("p") + col("c") >= r)
+      .orderBy(col("v")).limit(1)
+      .select(col("v")).head().getLong(0)
+  }
+
+  /** Per tumbling hour: (window_start, n, n_out) — events whose cent
+    * value exceeds `thrCents` are conformal outliers at the calibrated
+    * level. */
+  def conformalRateStream(events: DataFrame, thrCents: Long,
+      delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(col("ts"),
+        when(round(col("value") * 100).cast("long") > thrCents, 1L)
+          .otherwise(0L).as("out"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("out")).as("n_out"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("n_out"))
+
   // ==== stream-stream interval join (B121) ===================================
   //
   // The two-unbounded-sides join Spark executes with symmetric state: each

@@ -244,6 +244,68 @@ class StatTestsR11Spec extends AnyFunSuite {
       s"IPW must recover the planted +3.00: ${got}")
   }
 
+  // ==== q280/q281 ANOVA F + Levene ===========================================
+
+  test("anovaF matches the closed form; equal group means give F near 0") {
+    val g1 = Seq(10L, 20L, 30L)
+    val g2 = Seq(110L, 120L, 130L)
+    val g3 = Seq(40L, 60L, 80L, 100L)
+    val rows = g1.map(("a", _)) ++ g2.map(("b", _)) ++ g3.map(("c", _))
+    val got = Profiling.anovaF(rows.toDF("g", "x"), "g", "x").head()
+    // closed form with the operator's group-ordered left-to-right fold
+    val groups = Seq(g1, g2, g3)
+    val n = groups.map(_.size).sum
+    val a = groups.map(g => g.sum.toDouble * g.sum / g.size)
+      .foldLeft(0.0)(_ + _)
+    val s = groups.flatten.sum.toDouble
+    val b = s * s / n
+    val c = groups.flatten.map(x => x.toDouble * x).sum
+    val f = (a - b) * (n - 3) / ((c - a) * 2)
+    assert(got.getAs[Long]("k") == 3L && got.getAs[Long]("n") == n.toLong)
+    assert(math.abs(got.getAs[Double]("f") - f) <= 1e-9)
+    // identical groups: between-variance collapses to ~0
+    val same = (1 to 3).flatMap(k => Seq(1L, 2L, 3L).map((s"g$k", _)))
+    val f0 = Profiling.anovaF(same.toDF("g", "x"), "g", "x").head()
+      .getAs[Double]("f")
+    assert(math.abs(f0) <= 1.0, s"equal means must give small F: $f0")
+  }
+
+  test("levene: equal-spread groups score low, a wide group scores high") {
+    val tight = Seq("a", "b").flatMap(g => (1 to 50).map(i =>
+      (g, 1000L + (i % 10))))
+    val sameSpread = Profiling.levene(tight.toDF("g", "x"), "g", "x")
+      .head().getAs[Double]("w")
+    val wide = tight ++ (1 to 50).map(i => ("c", 1000L + (i % 10) * 100))
+    val diffSpread = Profiling.levene(wide.toDF("g", "x"), "g", "x")
+      .head().getAs[Double]("w")
+    assert(sameSpread < 1.0, s"equal spreads must not reject: $sameSpread")
+    assert(diffSpread > 10.0, s"a 100x spread must reject: $diffSpread")
+  }
+
+  // ==== q282 Durbin–Watson ===================================================
+
+  test("durbinWatson: alternating residuals near 4, a smooth wave near 0") {
+    val t0 = 1700000000000L // millis
+    // alternating series around a flat trend: e_t flips sign each hour
+    // -> (e_t - e_{t-1})^2 = 4e^2 -> DW -> 4
+    val alt = (0 until 60).map(h =>
+      ("alt", new java.sql.Timestamp(t0 + h * 3600000L),
+        if (h % 2 == 0) 100 else 200))
+    // slow sine-like wave: adjacent residuals nearly equal -> DW -> 0
+    val wave = (0 until 60).map(h =>
+      ("wave", new java.sql.Timestamp(t0 + h * 3600000L),
+        (150 + 50 * math.sin(h / 30.0 * math.Pi)).toInt))
+    val rows = (alt ++ wave).flatMap { case (g, ts, k) =>
+      Seq.fill(k)((g, ts)) } // k events in that hour -> hourly count k
+    val got = EventsOps.durbinWatson(
+      rows.toDF("event_type", "ts"))
+      .select("event_type", "n_hours", "dw")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("alt")._2 == 60L)
+    assert(got("alt")._3 > 3.5, s"alternating series must push DW to 4: $got")
+    assert(got("wave")._3 < 1.0, s"smooth wave must push DW to 0: $got")
+  }
+
   // ==== q279 Mann–Kendall ====================================================
 
   test("mannKendall: monotone series maxes S; brute force on random data") {

@@ -1016,6 +1016,56 @@ class StreamingSpec extends AnyFunSuite {
       s"stream/batch divergence:\n$streamed\nvs\n$batch")
   }
 
+  test("B215: conformal outlier rate — threshold law, drift alarm, parity") {
+    // calibration: hour-0 values; threshold at alpha = 1/10 must equal
+    // the sorted-array rank selection exactly
+    val t0 = 1704067200000L
+    val rnd = new scala.util.Random(53)
+    val calVals = (1 to 400).map(_ => 1.0 + rnd.nextInt(2000) / 100.0)
+    val cal = calVals.zipWithIndex.map { case (v, i) =>
+      (new Timestamp(t0 + i * 1000L), i.toLong, "view", v) }
+    val thr = EventsStreaming.conformalThresholdCents(
+      cal.toDF("ts", "event_id", "event_type", "value"), 1L, 10L)
+    val sortedCents = calVals.map(v => math.round(v * 100)).sorted
+    val r = (400 + 1 - 1 * (400 + 1) / 10).toInt
+    assert(thr == sortedCents(r - 1), "threshold must be the exact rank")
+    // live stream: hours 1..2 in-distribution, hour 3 shifted up 10x
+    val live = (0 until 3).flatMap { h =>
+      (1 to 300).map { i =>
+        val v = if (h == 2) 10.0 + rnd.nextInt(4000) / 100.0
+          else 1.0 + rnd.nextInt(2000) / 100.0
+        (new Timestamp(t0 + (h + 1) * 3600000L + i * 1000L),
+          (h * 1000 + i).toLong, "view", v)
+      }
+    }
+    val batch = EventsStreaming.conformalRateStream(
+      live.toDF("ts", "event_id", "event_type", "value"), thr)
+      .as[(Timestamp, Long, Long)].collect().sortBy(_._1.getTime).toSeq
+    assert(batch.size == 3)
+    // the shifted hour's outlier rate dwarfs the calibrated ~alpha rate
+    assert(batch.last._3 * 2 > batch.last._2,
+      s"shifted hour must alarm: $batch")
+    assert(batch.head._3 * 4 < batch.head._2,
+      s"stable hour must stay near alpha: $batch")
+    // streaming replay == batch row-for-row (append after watermark)
+    val input = MemoryStream[(Timestamp, Long, String, Double)](spark)
+    val q = EventsStreaming.conformalRateStream(
+      input.toDF().toDF("ts", "event_id", "event_type", "value"), thr)
+      .writeStream.format("memory").queryName("conf_out")
+      .outputMode("append").start()
+    try {
+      live.grouped(400).foreach { b => input.addData(b); q.processAllAvailable() }
+      input.addData(Seq((new Timestamp(t0 + 100L * 3600000L),
+        0L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("conf_out").as[(Timestamp, Long, Long)]
+      .collect().toSeq.filter(_._1.getTime < t0 + 10 * 3600000L)
+      .sortBy(_._1.getTime)
+    assert(streamed == batch,
+      s"stream/batch divergence:\n$streamed\nvs\n$batch")
+  }
+
   test("B203 parity: streaming Bradley-Terry == batch fixpoint; replay no-op") {
     // duel events fed in 3 micro-batches: after the last, the maintained
     // duel-matrix state must equal the batch pairOutcomes and the
