@@ -3587,7 +3587,88 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS dw
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ==== q283: forecast-accuracy suite (sMAPE + MASE) =========================
+  //
+  // q176 reports MAE; this adds the two scale-free metrics forecasting
+  // teams actually compare models with: sMAPE = mean 2|f−a|/(f+a) (unit-
+  // free, bounded [0,2]) and MASE = MAE(model)/MAE(in-sample one-step
+  // naive) — the Hyndman–Koehler standard that calibrates "is lag-24
+  // better than just repeating the last hour?" (< 1 ⇒ yes). Exactness:
+  // per-row sMAPE terms ⌊10⁶·2|f−a|/(f+a)⌋-floored ONCE (counts are
+  // positive integers) so the sum is exact; MASE cross-multiplies the
+  // two rational MAEs in DECIMAL and divides once. Shape: two hour-
+  // domain self-joins per type (lag-24 forecast, lag-1 denominator),
+  // nothing corpus-sized past the hourly aggregate.
+
+  /** Per type: (n_eval, mae, smape, mase) of the lag-24 seasonal-naive
+    * forecast, MASE scaled by the in-sample lag-1 naive MAE. */
+  def forecastEval(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    def joined(lagHours: Int) = hourly.join(
+      hourly.select(col("event_type"), (col("hr") + lagHours).as("hr"),
+        col("cnt").as("f")),
+      Seq("event_type", "hr"))
+    val fc = joined(24).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("cnt") - col("f"))).as("ae_f"),
+        sum(when(col("cnt") + col("f") > 0,
+          floor(lit(2e6) * abs(col("cnt") - col("f")).cast("double") /
+            (col("cnt") + col("f")).cast("double")).cast("long"))
+          .otherwise(0L)).as("smape_micro"))
+    val nv = joined(1).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_1"),
+        sum(abs(col("cnt") - col("f"))).as("ae_1"))
+    fc.join(nv, Seq("event_type"))
+      .select(col("event_type"), col("n_eval"),
+        QueryDef.dec4(col("ae_f").cast("double") /
+          col("n_eval").cast("double")).as("mae"),
+        QueryDef.dec4(col("smape_micro").cast("double") /
+          (col("n_eval").cast("double") * lit(1e6))).as("smape"),
+        QueryDef.dec4(when(col("ae_1") > 0,
+          (col("ae_f").cast("decimal(38,0)") * col("n_1")).cast("double") /
+            (col("ae_1").cast("decimal(38,0)") * col("n_eval"))
+              .cast("double"))).as("mase"))
+  }
+
+  private def q283(s: SparkSession, dir: String): DataFrame =
+    forecastEval(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  private val q283Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |fc AS (
+      |  SELECT a.event_type, count(*) AS n_eval,
+      |    CAST(sum(abs(a.cnt - f.cnt)) AS BIGINT) AS ae_f,
+      |    CAST(sum(CASE WHEN a.cnt + f.cnt > 0
+      |      THEN CAST(floor(2e6 * CAST(abs(a.cnt - f.cnt) AS DOUBLE)
+      |        / CAST(a.cnt + f.cnt AS DOUBLE)) AS BIGINT)
+      |      ELSE 0 END) AS BIGINT) AS smape_micro
+      |  FROM h a JOIN h f ON a.event_type = f.event_type
+      |    AND a.hr = f.hr + 24
+      |  GROUP BY 1),
+      |nv AS (
+      |  SELECT a.event_type, count(*) AS n_1,
+      |    CAST(sum(abs(a.cnt - f.cnt)) AS BIGINT) AS ae_1
+      |  FROM h a JOIN h f ON a.event_type = f.event_type
+      |    AND a.hr = f.hr + 1
+      |  GROUP BY 1)
+      |SELECT event_type, n_eval,
+      |  CAST(CAST(CAST(ae_f AS DOUBLE) / n_eval AS DECIMAL(38,4))
+      |    AS VARCHAR) AS mae,
+      |  CAST(CAST(CAST(smape_micro AS DOUBLE) / (n_eval * 1e6)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS smape,
+      |  CAST(CAST(CASE WHEN ae_1 > 0
+      |    THEN CAST(CAST(ae_f AS HUGEINT) * n_1 AS DOUBLE)
+      |      / CAST(CAST(ae_1 AS HUGEINT) * n_eval AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mase
+      |FROM fc JOIN nv USING (event_type) ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q283_forecast_eval", q283, Some(q283Sql)),
     QueryDef("q282_durbin_watson", q282, Some(q282Sql)),
     QueryDef("q276_ipw_ate", q276, Some(q276Sql)),
     QueryDef("q242_permutation_test", q242, Some(q242Sql)),

@@ -306,6 +306,45 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(got("wave")._3 < 1.0, s"smooth wave must push DW to 0: $got")
   }
 
+  // ==== q283 forecast eval ===================================================
+
+  test("forecastEval: perfect daily seasonality gives MASE 0, sMAPE 0") {
+    val t0 = 1700000000000L
+    // counts repeat every 24h exactly -> lag-24 forecast is perfect;
+    // lag-1 naive errors are nonzero (the series moves hour to hour)
+    val rows = (0 until 96).flatMap { h =>
+      val k = 10 + (h % 24)
+      Seq.fill(k)(("cyc", new java.sql.Timestamp(t0 + h * 3600000L)))
+    }
+    val got = EventsOps.forecastEval(rows.toDF("event_type", "ts")).head()
+    assert(got.getAs[String]("mae") == "0.0000")
+    assert(got.getAs[String]("smape") == "0.0000")
+    assert(got.getAs[String]("mase") == "0.0000")
+  }
+
+  test("forecastEval matches the hand recomputation on an irregular series") {
+    val t0 = 1700000000000L
+    val counts = Vector(5, 9, 14, 3, 25, 30, 8, 7, 12, 40, 2, 6,
+      11, 13, 21, 17, 4, 9, 28, 33, 10, 5, 19, 22, // first day
+      7, 11, 12, 5, 24, 28, 10, 9, 14, 38, 4, 8,
+      13, 11, 23, 15, 6, 7, 30, 31, 12, 7, 17, 24) // second day
+    val rows = counts.zipWithIndex.flatMap { case (k, h) =>
+      Seq.fill(k)(("s", new java.sql.Timestamp(t0 + h * 3600000L))) }
+    val got = EventsOps.forecastEval(rows.toDF("event_type", "ts")).head()
+    val fcErr = (24 until 48).map(h => math.abs(counts(h) - counts(h - 24)))
+    val smape = (24 until 48).map(h => math.floor(
+      2e6 * math.abs(counts(h) - counts(h - 24)) /
+        (counts(h) + counts(h - 24))).toLong).sum / (24.0 * 1e6)
+    val nvErr = (1 until 48).map(h => math.abs(counts(h) - counts(h - 1)))
+    def d4(x: Double) = new java.math.BigDecimal(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP).toPlainString
+    assert(got.getAs[Long]("n_eval") == 24L)
+    assert(got.getAs[String]("mae") == d4(fcErr.sum / 24.0))
+    assert(got.getAs[String]("smape") == d4(smape))
+    assert(got.getAs[String]("mase") ==
+      d4(fcErr.sum.toDouble * 47 / (nvErr.sum.toDouble * 24)))
+  }
+
   // ==== q279 Mann–Kendall ====================================================
 
   test("mannKendall: monotone series maxes S; brute force on random data") {
