@@ -2603,7 +2603,265 @@ object Profiling {
        |    END AS DECIMAL(38,4)) AS VARCHAR) AS w
        |FROM fin""".stripMargin
 
+  // ==== q284: Cramér–von Mises two-sample statistic ==========================
+  //
+  // The integral companion to q131's KS (which sees only the max CDF
+  // gap — CvM integrates the SQUARED gap over the whole pooled sample,
+  // catching distributed many-small-gap drift KS underweights):
+  // T = Σ_pooled (F_a − F_b)² · nm/N². On the distinct-value histogram
+  // the pooled sum collapses to Σ_v (ca+cb)·(CA·m − CB·n)² with
+  // INCLUSIVE cumulative counts — exact DECIMAL integers (cross-
+  // multiplied, the q256 rule), then T = Σ / (N²·n·m) in one double
+  // division. Same q131/q122 prefix-scan shape: sort touches |distinct|
+  // rows, never the corpus.
+
+  /** One row: (n_a, n_b, t) — two-sample Cramér–von Mises T of
+    * `colName` between `sideA` rows and the rest. */
+  def cramerVonMises(df: DataFrame, colName: String, sideA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        counts, Seq(col("v")), col("ca"), outName = "pa"),
+      Seq(col("v")), col("cb"), outName = "pb")
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    scanned.crossJoin(totals)
+      .select(col("na"), col("nb"),
+        (dec(col("ca") + col("cb")) *
+          (dec(col("pa") + col("ca")) * col("nb") -
+            dec(col("pb") + col("cb")) * col("na")) *
+          (dec(col("pa") + col("ca")) * col("nb") -
+            dec(col("pb") + col("cb")) * col("na"))).as("term"))
+      .groupBy(col("na"), col("nb"))
+      .agg(sum(col("term")).as("num"))
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          col("num").cast("double") /
+            ((col("na") + col("nb")).cast("double") *
+              (col("na") + col("nb")).cast("double") *
+              col("na").cast("double") * col("nb").cast("double")))
+          .as("t"))
+  }
+
+  private def q284(s: SparkSession, dir: String): DataFrame =
+    cramerVonMises(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+      "cents", col("event_id") % 2 === 0)
+      .select(col("n_a"), col("n_b"), QueryDef.dec4(col("t")).as("t"))
+
+  private val q284Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cumb
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+      |s AS (
+      |  SELECT max(na) AS na, max(nb) AS nb,
+      |    sum(CAST(ca + cb AS HUGEINT)
+      |      * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+      |      * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na))
+      |      AS num
+      |  FROM cdf CROSS JOIN t)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(CAST(CASE WHEN na > 0 AND nb > 0
+      |    THEN CAST(num AS DOUBLE) /
+      |      (CAST(na + nb AS DOUBLE) * CAST(na + nb AS DOUBLE)
+      |        * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS t
+      |FROM s""".stripMargin
+
+  // ==== q285: energy distance =================================================
+  //
+  // The metric that sees LOCATION drift CvM normalizes away less of:
+  // D² = 2E|X−Y| − E|X−X'| − E|Y−Y'| (Székely–Rizzo; zero iff the
+  // distributions are equal). Every pairwise-|difference| mass comes
+  // from ONE prefix scan carrying both the cumulative COUNT and the
+  // cumulative VALUE-SUM: Σ_{y<v}(v−y)·n(y) = v·P(v) − Q(v) — so all
+  // three O(n²)-pair sums are |distinct|-domain arithmetic with exact
+  // DECIMAL integers; three double divisions at the end.
+
+  /** One row: (n_a, n_b, e2) — squared energy distance of `colName`
+    * between `sideA` rows and the rest. */
+  def energyDistance(df: DataFrame, colName: String, sideA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+      .withColumn("va", col("v").cast("decimal(38,0)") * col("ca"))
+      .withColumn("vb", col("v").cast("decimal(38,0)") * col("cb"))
+    val scanned = Seq(("ca", "pa"), ("cb", "pb"), ("va", "qa"), ("vb", "qb"))
+      .foldLeft(counts) { case (d, (in, out)) =>
+        graft.chunk.ChunkAssigner.withPrefixSum(
+          d, Seq(col("v")), col(in), outName = out)
+      }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    // Σ_{x∈X, y∈Y, y<x} (x−y)·w: at each distinct v, X-mass at v meets
+    // the exclusive Y-prefix (count p, value-sum q): v·p − q
+    def lower(cx: String, p: String, q: String) =
+      (dec(col("v")) * dec(col(cx)) * col(p) - dec(col(cx)) * col(q))
+    val sums = scanned
+      .select(
+        // cross |A−B|: pairs with b<a at v∈A, plus pairs with a<b at v∈B
+        (lower("ca", "pb", "qb") + lower("cb", "pa", "qa")).as("t_ab"),
+        lower("ca", "pa", "qa").as("t_aa"),
+        lower("cb", "pb", "qb").as("t_bb"))
+      .agg(sum(col("t_ab")).as("sab"), sum(col("t_aa")).as("saa"),
+        sum(col("t_bb")).as("sbb"))
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    def dd(c: Column) = c.cast("double")
+    sums.crossJoin(totals)
+      .select(col("na").as("n_a"), col("nb").as("n_b"),
+        when(col("na") > 0 && col("nb") > 0,
+          lit(2.0) * dd(col("sab")) / (dd(col("na")) * dd(col("nb"))) -
+            lit(2.0) * dd(col("saa")) / (dd(col("na")) * dd(col("na"))) -
+            lit(2.0) * dd(col("sbb")) / (dd(col("nb")) * dd(col("nb"))))
+          .as("e2"))
+  }
+
+  private def q285(s: SparkSession, dir: String): DataFrame =
+    energyDistance(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+      "cents", col("event_id") % 2 === 0)
+      .select(col("n_a"), col("n_b"), QueryDef.dec4(col("e2")).as("e2"))
+
+  private val q285Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    COALESCE(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pa,
+      |    COALESCE(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pb,
+      |    COALESCE(sum(CAST(v AS HUGEINT) * ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qa,
+      |    COALESCE(sum(CAST(v AS HUGEINT) * cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS qb
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+      |s AS (
+      |  SELECT
+      |    sum(CAST(v AS HUGEINT) * ca * pb - CAST(ca AS HUGEINT) * qb
+      |      + CAST(v AS HUGEINT) * cb * pa - CAST(cb AS HUGEINT) * qa)
+      |      AS sab,
+      |    sum(CAST(v AS HUGEINT) * ca * pa - CAST(ca AS HUGEINT) * qa)
+      |      AS saa,
+      |    sum(CAST(v AS HUGEINT) * cb * pb - CAST(cb AS HUGEINT) * qb)
+      |      AS sbb
+      |  FROM cdf)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(CAST(CASE WHEN na > 0 AND nb > 0 THEN
+      |    2.0 * CAST(sab AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    - 2.0 * CAST(saa AS DOUBLE) / (CAST(na AS DOUBLE) * CAST(na AS DOUBLE))
+      |    - 2.0 * CAST(sbb AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS e2
+      |FROM s CROSS JOIN t""".stripMargin
+
+  // ==== q286: Cochran's Q =====================================================
+  //
+  // McNemar generalized to k ≥ 3 matched binary conditions (q271 is the
+  // k = 2 special case): did each user purchase in each 8-hour
+  // day-part? Q = (k−1)·[k·ΣC_j² − N²] / (k·N − ΣR_i²) over the
+  // user×condition 0/1 matrix — column totals C_j, row totals R_i,
+  // N = ΣR_i, ALL exact integers from one user-domain aggregation; the
+  // single division happens at render. Subjects with all-0 or all-k
+  // rows self-cancel in the denominator (kR − R² = 0), so no exclusion
+  // pass is needed.
+
+  /** One row: (n_subjects, c1..ck, q) — Cochran's Q over per-`idCol`
+    * binary `conds`. */
+  def cochranQ(df: DataFrame, idCol: String, conds: Seq[Column])
+      : DataFrame = {
+    val k = conds.size
+    val flags = df.groupBy(col(idCol))
+      .agg(conds.zipWithIndex.map { case (c, i) =>
+        max(when(c, 1L).otherwise(0L)).as(s"y$i") }.head,
+        conds.zipWithIndex.tail.map { case (c, i) =>
+          max(when(c, 1L).otherwise(0L)).as(s"y$i") }: _*)
+    val r = (0 until k).map(i => col(s"y$i")).reduce(_ + _)
+    val aggs = (0 until k).map(i => sum(col(s"y$i")).as(s"c$i")) ++ Seq(
+      count(lit(1)).as("n_subjects"), sum(r).as("nn"),
+      sum(r * r).as("rr"))
+    val m = flags.agg(aggs.head, aggs.tail: _*)
+    val sumC2 = (0 until k).map(i =>
+      col(s"c$i").cast("decimal(38,0)") * col(s"c$i")).reduce(_ + _)
+    m.select((0 until k).map(i => col(s"c$i")) :+ col("n_subjects") :+
+        col("nn") :+ col("rr") :+ sumC2.as("sum_c2"): _*)
+      .select(col("n_subjects") +: (0 until k).map(i => col(s"c$i")) :+
+        when(lit(k) * col("nn") - col("rr") > 0,
+          (lit((k - 1).toLong) *
+            (lit(k.toLong) * col("sum_c2") -
+              col("nn").cast("decimal(38,0)") * col("nn"))).cast("double") /
+            (lit(k.toLong) * col("nn") - col("rr")).cast("double"))
+          .as("q"): _*)
+  }
+
+  private def q286(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), hour(col("ts")).as("hod"))
+    def part(lo: Int, hi: Int) =
+      col("event_type") === "purchase" && col("hod") >= lo && col("hod") < hi
+    cochranQ(e, "user_id", Seq(part(0, 8), part(8, 16), part(16, 24)))
+      .select(col("n_subjects"), col("c0"), col("c1"), col("c2"),
+        QueryDef.dec4(col("q")).as("q"))
+  }
+
+  private val q286Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' AND hour(ts) < 8
+      |      THEN 1 ELSE 0 END) AS y0,
+      |    max(CASE WHEN event_type = 'purchase' AND hour(ts) >= 8
+      |      AND hour(ts) < 16 THEN 1 ELSE 0 END) AS y1,
+      |    max(CASE WHEN event_type = 'purchase' AND hour(ts) >= 16
+      |      THEN 1 ELSE 0 END) AS y2
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n_subjects,
+      |    CAST(sum(y0) AS BIGINT) AS c0, CAST(sum(y1) AS BIGINT) AS c1,
+      |    CAST(sum(y2) AS BIGINT) AS c2,
+      |    CAST(sum(y0 + y1 + y2) AS BIGINT) AS nn,
+      |    CAST(sum((y0 + y1 + y2) * (y0 + y1 + y2)) AS BIGINT) AS rr
+      |  FROM f)
+      |SELECT n_subjects, c0, c1, c2,
+      |  CAST(CAST(CASE WHEN 3 * nn - rr > 0
+      |    THEN CAST(2 * (3 * (CAST(c0 AS HUGEINT) * c0
+      |        + CAST(c1 AS HUGEINT) * c1 + CAST(c2 AS HUGEINT) * c2)
+      |      - CAST(nn AS HUGEINT) * nn) AS DOUBLE)
+      |      / CAST(3 * nn - rr AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS q
+      |FROM m""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q286_cochran_q", q286, Some(q286Sql)),
+    QueryDef("q285_energy_distance", q285, Some(q285Sql)),
+    QueryDef("q284_cramer_von_mises", q284, Some(q284Sql)),
     QueryDef("q281_anova_f", q281, Some(q281Sql)),
     QueryDef("q280_levene", q280, Some(q280Sql)),
     QueryDef("q279_mann_kendall", q279, Some(q279Sql)),

@@ -306,6 +306,85 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(got("wave")._3 < 1.0, s"smooth wave must push DW to 0: $got")
   }
 
+  // ==== q284/q285 CvM + energy distance ======================================
+
+  test("cramerVonMises == brute force; identical samples score ~0") {
+    val rnd = new scala.util.Random(131)
+    val rows = (1 to 600).map(_ =>
+      (rnd.nextInt(40).toLong + (if (rnd.nextBoolean()) 5 else 0),
+        rnd.nextBoolean()))
+    val got = Profiling.cramerVonMises(
+      rows.toDF("v", "isA"), "v", col("isA")).head()
+    // brute force over the pooled sample (with multiplicity)
+    val a = rows.filter(_._2).map(_._1).sorted
+    val b = rows.filterNot(_._2).map(_._1).sorted
+    val n = a.size.toLong; val m = b.size.toLong
+    val num = (a ++ b).map { x =>
+      val fa = a.count(_ <= x).toLong * m
+      val fb = b.count(_ <= x).toLong * n
+      BigInt(fa - fb) * BigInt(fa - fb)
+    }.sum
+    val t = num.toDouble / ((n + m).toDouble * (n + m) * n * m)
+    assert(got.getAs[Long]("n_a") == n && got.getAs[Long]("n_b") == m)
+    assert(math.abs(got.getAs[Double]("t") - t) <= 1e-9)
+    // same distribution on both sides -> T tiny
+    val same = (1 to 500).flatMap(i =>
+      Seq((i.toLong % 37, true), (i.toLong % 37, false)))
+    val t0 = Profiling.cramerVonMises(same.toDF("v", "isA"), "v",
+      col("isA")).head().getAs[Double]("t")
+    assert(t0 <= 1e-6, s"identical samples must score ~0: $t0")
+  }
+
+  test("energyDistance == brute force; zero on identical, positive on shift") {
+    val rnd = new scala.util.Random(137)
+    val rows = (1 to 400).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextBoolean()))
+    val got = Profiling.energyDistance(
+      rows.toDF("v", "isA"), "v", col("isA")).head()
+    val a = rows.filter(_._2).map(_._1)
+    val b = rows.filterNot(_._2).map(_._1)
+    def meanAbs(x: Seq[Long], y: Seq[Long]) =
+      x.map(u => y.map(w => math.abs(u - w)).sum).sum.toDouble /
+        (x.size.toLong * y.size)
+    val e2 = 2 * meanAbs(a, b) - meanAbs(a, a) - meanAbs(b, b)
+    assert(math.abs(got.getAs[Double]("e2") - e2) <= 1e-9)
+    // identical multisets -> exactly 0; a +100 shift -> clearly positive
+    val same = (1 to 300).flatMap(i =>
+      Seq((i.toLong % 23, true), (i.toLong % 23, false)))
+    assert(Profiling.energyDistance(same.toDF("v", "isA"), "v",
+      col("isA")).head().getAs[Double]("e2") == 0.0)
+    val shifted = (1 to 300).flatMap(i =>
+      Seq((i.toLong % 23 + 100, true), (i.toLong % 23, false)))
+    assert(Profiling.energyDistance(shifted.toDF("v", "isA"), "v",
+      col("isA")).head().getAs[Double]("e2") > 100.0)
+  }
+
+  // ==== q286 Cochran's Q =====================================================
+
+  test("cochranQ: hand-computed 3-condition matrix; degenerate null") {
+    // 6 subjects x 3 conditions:
+    // s1 (1,1,1), s2 (1,0,0), s3 (1,0,0), s4 (1,1,0), s5 (0,0,0), s6 (1,0,1)
+    val rows = Seq(
+      ("s1", "a"), ("s1", "b"), ("s1", "c"),
+      ("s2", "a"), ("s3", "a"),
+      ("s4", "a"), ("s4", "b"),
+      ("s5", "z"),
+      ("s6", "a"), ("s6", "c"))
+    val got = Profiling.cochranQ(rows.toDF("id", "k"), "id",
+      Seq(col("k") === "a", col("k") === "b", col("k") === "c")).head()
+    // C = (5, 2, 2), N = 9, R = (3,1,1,2,0,2), sum R^2 = 19
+    // Q = 2*(3*(25+4+4) - 81) / (27 - 19) = 2*18/8 = 4.5
+    assert(got.getAs[Long]("c0") == 5L && got.getAs[Long]("c1") == 2L &&
+      got.getAs[Long]("c2") == 2L)
+    assert(got.getAs[Double]("q") == 4.5)
+    // every subject all-1: kN - sumR^2 = 0 -> null
+    val allOne = (1 to 4).flatMap(i =>
+      Seq((s"u$i", "a"), (s"u$i", "b"), (s"u$i", "c")))
+    val g0 = Profiling.cochranQ(allOne.toDF("id", "k"), "id",
+      Seq(col("k") === "a", col("k") === "b", col("k") === "c")).head()
+    assert(g0.isNullAt(g0.fieldIndex("q")))
+  }
+
   // ==== q283 forecast eval ===================================================
 
   test("forecastEval: perfect daily seasonality gives MASE 0, sMAPE 0") {
