@@ -242,14 +242,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert("HashAggregate".r.findAllIn(p).size >= 2,
         s"$q lost partial aggregation:\n$p")
     }
-    // q247/q248: gram counting aggregates partially on (doc, n, gram);
-    // the clip join is an equi-join (SMJ/shuffled-hash on the same key),
-    // never nested-loop over gram rows
+    // q247/q248: since round 11 the clip core is ONE side-tagged
+    // (doc, n, gram) aggregate with conditional sums — there is no clip
+    // join at all (the former full-outer equi-join was measured ~1.5×
+    // slower); the only join left is the scalar broadcast of the 1-row
+    // wide frame
     Seq("q247_bleu", "q248_rouge_n").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q grew a cartesian:\n$p")
-      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
-        s"$q clip join is not a co-partitioned equi-join:\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"$q re-grew a gram-table join — the fused aggregate was lost:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q lost partial aggregation:\n$p")
     }
     // q250: two user-domain shuffles + a 64-row coefficient join; q252:
     // blocked self-join stays an equi-join on the block key
