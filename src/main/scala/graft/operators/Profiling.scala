@@ -2858,7 +2858,119 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS q
       |FROM m""".stripMargin
 
+  // ==== q287: Jonckheere–Terpstra ordered-alternative test ===================
+  //
+  // The k-group test with an ORDER hypothesis (dose-response, priority
+  // tiers): JT = Σ_{i<j} U_ij rewards values that INCREASE along the
+  // declared group order — q253's Kruskal–Wallis treats groups as
+  // exchangeable and cannot see this. On the distinct-value histogram
+  // with per-group cumulative counts P_i(v), 2·JT = Σ_v Σ_{i<j}
+  // c_j(v)·(2·P_i(v) + c_i(v)) — halves from ties stay integers at the
+  // ×2 scale, every product exact DECIMAL. The z render uses the
+  // standard no-tie variance [N²(2N+3) − Σn_i²(2n_i+3)]/72 (declared
+  // approximation — the tie term is negligible at cent granularity),
+  // computed as one double expression over exact integers. k prefix
+  // scans over the |distinct| domain; the corpus is read once.
+
+  /** One row: (n, jt2, mu4, z) — 2·JT, 4·E[JT], and the standardized
+    * statistic of `x` across the DECLARED `ordered` group sequence. */
+  def jonckheereTerpstra(df: DataFrame, group: String, x: String,
+      ordered: Seq[String]): DataFrame = {
+    val k = ordered.size
+    val cAggs = ordered.zipWithIndex.map { case (g, i) =>
+      sum(when(col(group) === g, 1L).otherwise(0L)).as(s"c$i") }
+    val counts = df.groupBy(col(x).as("v")).agg(cAggs.head, cAggs.tail: _*)
+    val scanned = (0 until k).foldLeft(counts) { (d, i) =>
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        d, Seq(col("v")), col(s"c$i"), outName = s"p$i")
+    }
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val term = (for { i <- 0 until k; j <- (i + 1) until k } yield
+      dec(col(s"c$j")) * (lit(2L) * col(s"p$i") + col(s"c$i")))
+      .reduce(_ + _)
+    val sums = scanned.select(term.as("t"))
+      .agg(sum(col("t")).as("jt2"))
+    val nAggs = (0 until k).map(i => sum(col(s"c$i")).as(s"n$i"))
+    val totals = broadcast(counts.agg(nAggs.head, nAggs.tail: _*))
+    def dd(c: Column) = c.cast("double")
+    val bigN = (0 until k).map(i => col(s"n$i")).reduce(_ + _)
+    val sumN2 = (0 until k).map(i => dec(col(s"n$i")) * col(s"n$i"))
+      .reduce(_ + _)
+    val sumN23 = (0 until k).map(i =>
+      dec(col(s"n$i")) * col(s"n$i") * (lit(2L) * col(s"n$i") + 3))
+      .reduce(_ + _)
+    sums.crossJoin(totals)
+      .select(col("jt2"), bigN.as("n"), sumN2.as("sn2"), sumN23.as("sn23"))
+      .select(col("n"), col("jt2").cast("decimal(38,0)").as("jt2"),
+        (dec(col("n")) * col("n") - col("sn2")).as("mu4"),
+        col("sn23"))
+      .select(col("n"), col("jt2"), col("mu4"),
+        when(col("n") > 1,
+          (dd(col("jt2")) / lit(2.0) - dd(col("mu4")) / lit(4.0)) /
+            sqrt((dd(col("n")) * dd(col("n")) *
+              (lit(2.0) * dd(col("n")) + lit(3.0)) - dd(col("sn23"))) /
+              lit(72.0))).as("z"))
+  }
+
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+
+  private def q287(s: SparkSession, dir: String): DataFrame =
+    jonckheereTerpstra(
+      Tables.orders(s, dir).select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "o_orderpriority", "cents", priorities)
+      .select(col("n"), col("jt2").cast("long").as("jt2"),
+        col("mu4").cast("long").as("mu4"), QueryDef.dec4(col("z")).as("z"))
+
+  private val q287Sql = {
+    val cCols = priorities.zipWithIndex.map { case (g, i) =>
+      s"CAST(sum(CASE WHEN grp = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n      |    ")
+    val pCols = (0 until 5).map(i =>
+      s"""COALESCE(sum(c$i) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+         |      PRECEDING AND 1 PRECEDING), 0) AS p$i""".stripMargin)
+      .mkString(",\n      |    ")
+    val term = (for { i <- 0 until 5; j <- (i + 1) until 5 } yield
+      s"CAST(c$j AS HUGEINT) * (2 * p$i + c$i)").mkString(" + ")
+    val nCols = (0 until 5).map(i =>
+      s"CAST(sum(c$i) AS BIGINT) AS n$i").mkString(", ")
+    val bigN = (0 until 5).map(i => s"n$i").mkString(" + ")
+    val sn2 = (0 until 5).map(i => s"CAST(n$i AS HUGEINT) * n$i")
+      .mkString(" + ")
+    val sn23 = (0 until 5).map(i =>
+      s"CAST(n$i AS HUGEINT) * n$i * (2 * n$i + 3)").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT o_orderpriority AS grp,
+       |    CAST(round(o_totalprice * 100) AS BIGINT) AS v
+       |  FROM orders),
+       |counts AS (
+       |  SELECT v,
+       |    $cCols
+       |  FROM d GROUP BY v),
+       |cdf AS (
+       |  SELECT *,
+       |    $pCols
+       |  FROM counts),
+       |s AS (SELECT CAST(sum($term) AS HUGEINT) AS jt2 FROM cdf),
+       |t AS (SELECT $nCols FROM counts),
+       |f AS (
+       |  SELECT jt2, $bigN AS n, $sn2 AS sn2, $sn23 AS sn23
+       |  FROM s CROSS JOIN t)
+       |SELECT n, CAST(jt2 AS BIGINT) AS jt2,
+       |  CAST(CAST(n AS HUGEINT) * n - sn2 AS BIGINT) AS mu4,
+       |  CAST(CAST(CASE WHEN n > 1 THEN
+       |    (CAST(jt2 AS DOUBLE) / 2.0
+       |      - CAST(CAST(n AS HUGEINT) * n - sn2 AS DOUBLE) / 4.0)
+       |    / sqrt((CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |        * (2.0 * CAST(n AS DOUBLE) + 3.0)
+       |      - CAST(sn23 AS DOUBLE)) / 72.0) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+       |FROM f""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q287_jonckheere", q287, Some(q287Sql)),
     QueryDef("q286_cochran_q", q286, Some(q286Sql)),
     QueryDef("q285_energy_distance", q285, Some(q285Sql)),
     QueryDef("q284_cramer_von_mises", q284, Some(q284Sql)),

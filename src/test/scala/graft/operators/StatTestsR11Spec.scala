@@ -385,6 +385,33 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(g0.isNullAt(g0.fieldIndex("q")))
   }
 
+  // ==== q287 Jonckheere–Terpstra =============================================
+
+  test("jonckheereTerpstra == brute force; a planted monotone trend scores high") {
+    val rnd = new scala.util.Random(151)
+    val groups = Seq("g1", "g2", "g3")
+    val rows = groups.zipWithIndex.flatMap { case (g, gi) =>
+      (1 to 200).map(_ => (g, rnd.nextInt(40).toLong + gi * 3))
+    }
+    val got = Profiling.jonckheereTerpstra(
+      rows.toDF("g", "v"), "g", "v", groups).head()
+    // brute-force 2*JT: for each ordered pair i<j, 2*#{x_i<x_j} + #{=}
+    val byG = groups.map(g => rows.filter(_._1 == g).map(_._2))
+    val jt2 = (for { i <- 0 until 3; j <- (i + 1) until 3 } yield
+      byG(i).map(x => 2L * byG(j).count(_ > x) + byG(j).count(_ == x))
+        .sum).sum
+    assert(got.getAs[Long]("n") == 600L)
+    assert(got.getAs[java.math.BigDecimal]("jt2").longValue == jt2)
+    val mu4 = 600L * 600L - 3L * 200L * 200L
+    assert(got.getAs[java.math.BigDecimal]("mu4").longValue == mu4)
+    // planted trend: JT well above its mean -> strongly positive z
+    assert(got.getAs[Double]("z") > 3.0, s"trend must score high: $got")
+    // group order REVERSED: same data must score the mirror-negative z
+    val rev = Profiling.jonckheereTerpstra(
+      rows.toDF("g", "v"), "g", "v", groups.reverse).head()
+    assert(rev.getAs[Double]("z") < -3.0)
+  }
+
   // ==== q283 forecast eval ===================================================
 
   test("forecastEval: perfect daily seasonality gives MASE 0, sMAPE 0") {
