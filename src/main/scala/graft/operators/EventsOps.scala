@@ -1999,8 +1999,11 @@ object EventsOps {
     * exactly 0, possible only at the curve's end) contributes a NULL step,
     * which both engines' null-skipping window sums leave out — the row
     * then carries the last finite log-survival. */
-  def kaplanMeier(events: DataFrame, eventType: String): DataFrame = {
-    val spark = events.sparkSession
+  /** (t, d, n_risk) death/at-risk table over hour-granular durations —
+    * the shared frame of Kaplan–Meier (q229) and Nelson–Aalen (q288).
+    * Duration = first `eventType` (death) or last-seen (censor). */
+  private def survivalRiskTable(events: DataFrame, eventType: String)
+      : DataFrame = {
     val byUser = events.groupBy(col("user_id")).agg(
       min(unix_micros(col("ts"))).as("t0"),
       min(when(col("event_type") === eventType, unix_micros(col("ts"))))
@@ -2021,11 +2024,15 @@ object EventsOps {
     // hours-domain (≤ observation-window hours — single tiny window)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val wInc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     hist.crossJoin(total)
       .withColumn("n_risk", col("n_total") - coalesce(sum(col("leave")).over(w), lit(0L)))
       .where(col("d") > 0)
+  }
+
+  def kaplanMeier(events: DataFrame, eventType: String): DataFrame = {
+    val wInc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    survivalRiskTable(events, eventType)
       .withColumn("step",
         when(col("d") < col("n_risk"),
           floor(lit(1e6) * log(lit(1.0) - col("d").cast("double") /
@@ -2033,6 +2040,30 @@ object EventsOps {
       .withColumn("log_surv_unats", sum(col("step")).over(wInc))
       .select(col("t").as("t_hr"), col("n_risk"), col("d").as("d_events"),
         col("log_surv_unats"))
+  }
+
+  // ==== q288: Nelson–Aalen cumulative hazard ==================================
+  //
+  // The hazard-side twin of q229's Kaplan–Meier: H(t) = Σ_{u≤t} d_u/n_u
+  // estimates CUMULATIVE RISK directly (and exp(−H) is the Breslow
+  // survival, less bias than KM at small risk sets) — the estimator
+  // behind "expected churn events by tenure t". Same duration-domain
+  // risk table; per-time increments ⌊10⁶·d/n⌋-floored ONCE so the
+  // running hazard is an exact integer column (the q229 ulog discipline,
+  // without even a log — pure rational increments).
+
+  /** (t_hr, n_risk, d_events, hazard_micro): Nelson–Aalen cumulative
+    * hazard in micro-units at every death time. */
+  def nelsonAalen(events: DataFrame, eventType: String): DataFrame = {
+    val wInc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    survivalRiskTable(events, eventType)
+      .withColumn("step",
+        floor(lit(1e6) * col("d").cast("double") /
+          col("n_risk").cast("double")).cast("long"))
+      .withColumn("hazard_micro", sum(col("step")).over(wInc))
+      .select(col("t").as("t_hr"), col("n_risk"), col("d").as("d_events"),
+        col("hazard_micro"))
   }
 
   private def q229(s: SparkSession, dir: String): DataFrame =
@@ -3667,7 +3698,45 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS mase
       |FROM fc JOIN nv USING (event_type) ORDER BY event_type""".stripMargin
 
+  private def q288(s: SparkSession, dir: String): DataFrame =
+    nelsonAalen(Tables.events(s, dir), "purchase").orderBy(col("t_hr"))
+
+  private val q288Sql =
+    """WITH bu AS (
+      |  SELECT user_id,
+      |    min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp,
+      |    max(epoch_us(ts)) AS tmax_u
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM bu),
+      |durs AS (
+      |  SELECT CASE WHEN tp IS NOT NULL
+      |      THEN CAST(floor(CAST(tp - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |      ELSE CAST(floor(CAST(tend - t0 AS DOUBLE) / 3600000000.0) AS BIGINT)
+      |    END AS t,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM bu CROSS JOIN e),
+      |hist AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS leave
+      |  FROM durs GROUP BY t),
+      |tot AS (SELECT count(*) AS n_total FROM durs),
+      |risk AS (
+      |  SELECT t, d, leave,
+      |    n_total - COALESCE(sum(leave) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+      |  FROM hist CROSS JOIN tot),
+      |steps AS (
+      |  SELECT t, n_risk, d,
+      |    CAST(floor(1e6 * CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+      |      AS BIGINT) AS step
+      |  FROM risk WHERE d > 0)
+      |SELECT t AS t_hr, CAST(n_risk AS BIGINT) AS n_risk, d AS d_events,
+      |  CAST(sum(step) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |    AND CURRENT ROW) AS BIGINT) AS hazard_micro
+      |FROM steps ORDER BY t_hr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q288_nelson_aalen", q288, Some(q288Sql)),
     QueryDef("q283_forecast_eval", q283, Some(q283Sql)),
     QueryDef("q282_durbin_watson", q282, Some(q282Sql)),
     QueryDef("q276_ipw_ate", q276, Some(q276Sql)),

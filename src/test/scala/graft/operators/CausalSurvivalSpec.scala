@@ -33,6 +33,30 @@ class CausalSurvivalSpec extends AnyFunSuite {
     assert(got(2)._4.contains(ln(3.0 / 4) + ln(2.0 / 3) + ln(1.0 / 2)))
   }
 
+  test("nelsonAalen: textbook hazard increments on the KM fixture") {
+    def ev(u: Long, h: Long, t: String) =
+      (u, java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), t)
+    val events = Seq(
+      ev(1, 0, "view"), ev(1, 1, "purchase"),
+      ev(2, 0, "view"), ev(2, 2, "purchase"),
+      ev(3, 0, "view"), ev(3, 3, "view"),
+      ev(4, 0, "view"), ev(4, 3, "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = EventsOps.nelsonAalen(events, "purchase")
+      .orderBy(col("t_hr"))
+      .as[(Long, Long, Long, Long)].collect()
+    // same risk table as KM: (1, 4, 1), (2, 3, 1), (3, 2, 1);
+    // H = 1/4, then + 1/3, then + 1/2 in floored micro-units
+    def mu(x: Double) = math.floor(1e6 * x).toLong
+    assert(got.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 4L, 1L), (2L, 3L, 1L), (3L, 2L, 1L)))
+    assert(got(0)._4 == mu(0.25))
+    assert(got(1)._4 == mu(0.25) + mu(1.0 / 3))
+    assert(got(2)._4 == mu(0.25) + mu(1.0 / 3) + mu(0.5))
+    // hazard is nondecreasing by construction
+    assert(got.map(_._4).toSeq == got.map(_._4).toSeq.sorted)
+  }
+
   test("bootstrapMeanCi: interval brackets the mean and tightens with data") {
     val rnd = new scala.util.Random(8)
     def events(hours: Int, perHour: Int) = (0 until hours).flatMap { h =>
