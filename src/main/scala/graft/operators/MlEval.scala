@@ -1067,7 +1067,99 @@ object MlEval {
       |  SELECT * FROM rej UNION ALL SELECT * FROM fallback)
       |ORDER BY n_rejected DESC LIMIT 1""".stripMargin
 
+  // ==== q289: cumulative gains / lift at deciles =============================
+  //
+  // The campaign-targeting readout (gains chart): sort by model score
+  // descending, cut into population deciles, report each decile's
+  // cumulative share of all positives and its lift over random. Rank is
+  // over the UNIQUE total order (score desc, id asc) — ties never
+  // straddle a boundary differently across engines — assigned by the
+  // q100/q122 distributed prefix scan (no single-partition global-sort
+  // window); decile = rank·10 div n and every downstream number is
+  // decile-domain integer arithmetic (lift cross-multiplies exact
+  // integers, one double division per decile row).
+
+  /** Per decile (0..9): (decile, n_d, pos_d, cum_pos, gain, lift) for
+    * score `s` (higher = more likely positive) against 0/1 `y`. */
+  def cumulativeGains(scored: DataFrame): DataFrame = {
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+      scored.select((-col("s")).as("negs"), col("id"), col("y")),
+      Seq(col("negs"), col("id")), lit(1L), outName = "rk")
+    val totals = broadcast(scored.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("pos")))
+    val dec = ranked.crossJoin(totals)
+      .select(expr("rk * 10 div n").as("decile"), col("y"), col("n"),
+        col("pos"))
+      .groupBy(col("decile"), col("n"), col("pos"))
+      .agg(count(lit(1)).as("n_d"), sum(col("y")).as("pos_d"))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec
+      .withColumn("cum_pos", sum(col("pos_d")).over(w))
+      .withColumn("cum_n", sum(col("n_d")).over(w))
+      .select(col("decile"), col("n_d"), col("pos_d"), col("cum_pos"),
+        when(col("pos") > 0, col("cum_pos").cast("double") /
+          col("pos").cast("double")).as("gain"),
+        when(col("pos") > 0 && col("cum_n") > 0,
+          (col("cum_pos").cast("decimal(38,0)") * col("n")).cast("double") /
+            (col("cum_n").cast("decimal(38,0)") * col("pos")).cast("double"))
+          .as("lift"))
+  }
+
+  private def q289(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // score = the q244 stopword-fraction confidence, per doc
+    val t = Tok.ws(col("text"))
+    val base = docs.select(col("doc_id").as("id"),
+      when(size(t) > 0,
+        floor(lit(1000.0) *
+          size(filter(t, x => x.isin(TextAnalysis.stopwords: _*))) /
+          size(t)).cast("long")).otherwise(0L).as("s"),
+      when(expr("lang = 'en'"), 1L).otherwise(0L).as("y"))
+    cumulativeGains(base)
+      .select(col("decile"), col("n_d"), col("pos_d"), col("cum_pos"),
+        QueryDef.dec4(col("gain")).as("gain"),
+        QueryDef.dec4(col("lift")).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  private val q289Sql =
+    """WITH base AS (
+      |  SELECT doc_id AS id,
+      |    CASE WHEN len(toks) > 0 THEN CAST(floor(1000.0 *
+      |      len(list_filter(toks, x -> x IN ('the','a','and','of','to')))
+      |      / len(toks)) AS BIGINT)
+      |      ELSE 0 END AS s,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM (SELECT doc_id, lang, list_filter(string_split(text, ' '),
+      |      x -> x <> '') AS toks FROM documents)),
+      |rk AS (
+      |  SELECT y, row_number() OVER (ORDER BY -s, id) - 1 AS rk
+      |  FROM base),
+      |t AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS pos FROM base),
+      |d AS (
+      |  SELECT (rk * 10) // n AS decile, count(*) AS n_d,
+      |    CAST(sum(y) AS BIGINT) AS pos_d, max(n) AS n, max(pos) AS pos
+      |  FROM rk CROSS JOIN t GROUP BY 1),
+      |c AS (
+      |  SELECT decile, n_d, pos_d, n, pos,
+      |    sum(pos_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS cum_pos,
+      |    sum(n_d) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS cum_n
+      |  FROM d)
+      |SELECT decile, n_d, CAST(pos_d AS BIGINT) AS pos_d,
+      |  CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CAST(CAST(CASE WHEN pos > 0 THEN CAST(cum_pos AS DOUBLE)
+      |    / CAST(pos AS DOUBLE) END AS DECIMAL(38,4)) AS VARCHAR) AS gain,
+      |  CAST(CAST(CASE WHEN pos > 0 AND cum_n > 0
+      |    THEN CAST(CAST(cum_pos AS HUGEINT) * n AS DOUBLE)
+      |      / CAST(CAST(cum_n AS HUGEINT) * pos AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS lift
+      |FROM c ORDER BY decile""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q289_cumulative_gains", q289, Some(q289Sql)),
     QueryDef("q270_conformal_bh", q270, Some(q270Sql)),
     QueryDef("q269_grouped_ndcg", q269, Some(q269Sql)),
     QueryDef("q245_isotonic_calibration", q245, Some(q245Sql)),

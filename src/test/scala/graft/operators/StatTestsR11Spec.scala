@@ -385,6 +385,36 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(g0.isNullAt(g0.fieldIndex("q")))
   }
 
+  // ==== q289 cumulative gains ================================================
+
+  test("cumulativeGains == brute force on the unique (score, id) order") {
+    val rnd = new scala.util.Random(163)
+    val rows = (1L to 500L).map(i =>
+      (i, rnd.nextInt(100).toLong,
+        if (rnd.nextInt(100) < rnd.nextInt(100)) 1L else 0L))
+    val got = MlEval.cumulativeGains(rows.toDF("id", "s", "y"))
+      .orderBy(col("decile"))
+      .select("decile", "n_d", "pos_d", "cum_pos", "gain", "lift")
+      .as[(Long, Long, Long, Long, Double, Double)].collect()
+    val sorted = rows.sortBy(r => (-r._2, r._1))
+    val n = rows.size; val pos = rows.map(_._3).sum
+    val brute = sorted.zipWithIndex.groupBy { case (_, rk) =>
+      rk.toLong * 10 / n }.toSeq.sortBy(_._1)
+    var cum = 0L
+    brute.zip(got).foreach { case ((d, members), g) =>
+      cum += members.map(_._1._3).sum
+      assert(g._1 == d && g._2 == members.size.toLong)
+      assert(g._3 == members.map(_._1._3).sum && g._4 == cum)
+    }
+    // terminal laws: full population captures every positive at lift 1
+    assert(got.last._5 == 1.0 && got.last._6 == 1.0)
+    // perfectly separating score: decile 0 lift = n/pos (all positives first)
+    val perfect = (1L to 100L).map(i => (i, 100L - i, if (i <= 10) 1L else 0L))
+    val p0 = MlEval.cumulativeGains(perfect.toDF("id", "s", "y"))
+      .orderBy(col("decile")).select("lift").as[Double].head()
+    assert(p0 == 10.0, s"perfect score must hit max lift: $p0")
+  }
+
   // ==== q287 Jonckheere–Terpstra =============================================
 
   test("jonckheereTerpstra == brute force; a planted monotone trend scores high") {
