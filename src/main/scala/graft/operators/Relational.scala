@@ -672,20 +672,42 @@ object Relational {
   // a full sort). Gate: the sketch guarantees RANK error ≤ 1/accuracy, so
   // the approx p-quantile must land between the exact (p−0.05) and
   // (p+0.05) quantiles — a 10× margin over the configured 0.5% rank error.
-  private def approxQuantilesGate(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  // exact bounds come from the (flag × distinct cents) histogram + rank
+  // selection (the q179 idiom) instead of `percentile`, whose
+  // ObjectHashAggregate collects every raw value per group — measured
+  // 6.1 s → ~1 s at sf0.1 under the rdd action. The gate bands are exact
+  // order statistics at ±0.05 rank — a 10× cushion over the sketch's
+  // configured 0.5% rank error, same contract as before.
+  private def approxQuantilesGate(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_extendedprice"))
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
         expr("percentile_approx(l_extendedprice, 0.5, 200)").as("a50"),
-        expr("percentile_approx(l_extendedprice, 0.9, 200)").as("a90"),
-        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.85)").as("lo90"),
-        expr("percentile(l_extendedprice, 0.95)").as("hi90"))
+        expr("percentile_approx(l_extendedprice, 0.9, 200)").as("a90"))
+    val hist = li.groupBy(col("l_returnflag"), col("cents"))
+      .agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+      .join(hist.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n")),
+        Seq("l_returnflag"))
+    def bound(p100: Int, name: String) =
+      min(when(col("cum") >= expr(s"(${p100}L * n + 99) div 100"),
+        col("cents"))).as(name)
+    val bounds = cum.groupBy(col("l_returnflag"))
+      .agg(bound(45, "lo50"), bound(55, "hi50"),
+        bound(85, "lo90"), bound(95, "hi90"))
+    approx.join(bounds, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_rows"),
-        (col("a50") >= col("lo50") && col("a50") <= col("hi50")).as("ok_p50"),
-        (col("a90") >= col("lo90") && col("a90") <= col("hi90")).as("ok_p90"))
+        (round(col("a50") * 100).cast("long") >= col("lo50") &&
+          round(col("a50") * 100).cast("long") <= col("hi50")).as("ok_p50"),
+        (round(col("a90") * 100).cast("long") >= col("lo90") &&
+          round(col("a90") * 100).cast("long") <= col("hi90")).as("ok_p90"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val approxQuantilesSql =
     """SELECT l_returnflag, count(*) AS n_rows, true AS ok_p50, true AS ok_p90
