@@ -1158,7 +1158,110 @@ object MlEval {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS lift
       |FROM c ORDER BY decile""".stripMargin
 
+  // ==== q290: conformal outliers under Holm step-down (FWER) ================
+  //
+  // The FWER companion to q270's BH-FDR: Holm rejects p_(1..i) while
+  // p_(i) ≤ α/(m−i+1) and STOPS at the first failure — controlling the
+  // probability of even one false outlier (the regime for "page an
+  // on-call human per rejection"). On the distinct-value domain p is
+  // monotone in v, so a tie group rejects iff its condition holds at its
+  // max rank T(v) AND every smaller-p group qualifies; the step-down
+  // prefix conjunction collapses to ONE aggregate — v_fail = max v over
+  // failing groups (everything above it qualifies by monotonicity of
+  // both sides), rejected = test docs with v > v_fail. Same all-integer
+  // cross-multiplied inequality as q270.
+
+  /** One row: (n_cal, m, n_rejected, thr_value) — Holm step-down at
+    * level `alphaNum`/`alphaDen` over the same one-sided conformal
+    * p-values as [[conformalBhOutliers]]. */
+  def conformalHolmOutliers(df: DataFrame, valueCol: String,
+      calSide: Column, testSide: Column, alphaNum: Long = 1L,
+      alphaDen: Long = 10L): DataFrame = {
+    val fixed = df
+      .select(col(valueCol).as("v"),
+        when(calSide, 1L).otherwise(0L).as("c"),
+        when(testSide, 1L).otherwise(0L).as("t"))
+      .filter(col("c") === 1L || col("t") === 1L)
+      .groupBy(col("v"))
+      .agg(sum(col("c")).as("cc"), sum(col("t")).as("tc"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        fixed, Seq(col("v")), col("cc"), outName = "pc"),
+      Seq(col("v")), col("tc"), outName = "pt")
+    val totals = broadcast(fixed.agg(sum(col("cc")).as("ncal"),
+      sum(col("tc")).as("m")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rows = scanned.crossJoin(totals)
+      .filter(col("tc") > 0) // only tie groups holding test docs rank
+      .select(col("v"), col("ncal"), col("m"),
+        (lit(1L) + col("ncal") - col("pc")).as("p_num"),
+        (col("m") - col("pt")).as("t_rank"))
+    // Holm condition at the group's max rank i = T(v):
+    //   p_num/(ncal+1) ≤ αnum/(αden·(m − T + 1))
+    val fails = rows.filter(
+      dec(col("p_num")) * lit(alphaDen) *
+        dec(col("m") - col("t_rank") + lit(1L)) >
+        lit(alphaNum) * dec(col("ncal") + lit(1L)))
+    val vFail = fails.groupBy(col("ncal"), col("m"))
+      .agg(max(col("v")).as("v_fail"))
+    rows.join(vFail, Seq("ncal", "m"), "left")
+      .filter(col("v_fail").isNull || col("v") > col("v_fail"))
+      .groupBy(col("ncal"), col("m"))
+      .agg(max(col("t_rank")).as("n_rejected"), min(col("v")).as("thr_value"))
+      .unionByName(
+        totals.select(col("ncal"), col("m"), lit(0L).as("n_rejected"),
+          lit(null).cast(fixed.schema("v").dataType).as("thr_value")))
+      .orderBy(col("n_rejected").desc)
+      .limit(1)
+      .select(col("ncal").as("n_cal"), col("m"), col("n_rejected"),
+        col("thr_value"))
+  }
+
+  private def q290(s: SparkSession, dir: String): DataFrame =
+    conformalHolmOutliers(Tables.documents(s, dir), "n_chars",
+      pmod(col("doc_id"), lit(4)) === 3, pmod(col("doc_id"), lit(4)) === 0)
+
+  private val q290Sql =
+    """WITH counts AS (
+      |  SELECT n_chars AS v,
+      |    CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cc,
+      |    CAST(sum(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS tc
+      |  FROM documents WHERE doc_id % 4 IN (0, 3) GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, cc, tc,
+      |    COALESCE(sum(cc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pc,
+      |    COALESCE(sum(tc) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pt
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(cc) AS BIGINT) AS ncal,
+      |  CAST(sum(tc) AS BIGINT) AS m FROM counts),
+      |r AS (
+      |  SELECT v, ncal, m, 1 + ncal - pc AS p_num, m - pt AS t_rank
+      |  FROM cdf CROSS JOIN t WHERE tc > 0),
+      |vf AS (
+      |  SELECT ncal, m, max(v) AS v_fail FROM r
+      |  WHERE CAST(p_num AS HUGEINT) * 10 * (m - t_rank + 1)
+      |    > 1 * CAST(ncal + 1 AS HUGEINT)
+      |  GROUP BY 1, 2),
+      |rej AS (
+      |  SELECT r.ncal, r.m, max(t_rank) AS n_rejected, min(v) AS thr_value
+      |  FROM r LEFT JOIN vf ON vf.ncal = r.ncal AND vf.m = r.m
+      |  WHERE vf.v_fail IS NULL OR r.v > vf.v_fail
+      |  GROUP BY 1, 2),
+      |fallback AS (
+      |  SELECT ncal, m, CAST(0 AS BIGINT) AS n_rejected,
+      |    CAST(NULL AS BIGINT) AS thr_value FROM t)
+      |SELECT CAST(ncal AS BIGINT) AS n_cal, CAST(m AS BIGINT) AS m,
+      |  CAST(n_rejected AS BIGINT) AS n_rejected,
+      |  CAST(thr_value AS BIGINT) AS thr_value FROM (
+      |  SELECT * FROM rej UNION ALL SELECT * FROM fallback)
+      |ORDER BY n_rejected DESC LIMIT 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q290_conformal_holm", q290, Some(q290Sql)),
     QueryDef("q289_cumulative_gains", q289, Some(q289Sql)),
     QueryDef("q270_conformal_bh", q270, Some(q270Sql)),
     QueryDef("q269_grouped_ndcg", q269, Some(q269Sql)),

@@ -2969,7 +2969,106 @@ object Profiling {
        |FROM f""".stripMargin
   }
 
+  // ==== q291: Wald–Wolfowitz runs test ========================================
+  //
+  // The randomness diagnostic the trend family (q190/q279/q282) doesn't
+  // cover: is the hourly series' excursion PATTERN around its median
+  // random, or does it cluster (few long runs) / oscillate (too many)?
+  // Signs come from 2y vs 2·median — integer-exact classification (the
+  // q280 half-integer-median rule), ties EXCLUDED (the standard); R = 1 +
+  // sign changes between consecutive non-tied hours, via one lag over
+  // the per-type hour-domain window (calendar-sized, the q152 contract).
+  // n1/n0/R exact integers; μ and σ of R are one double expression.
+
+  /** Per `group`: (n_above, n_below, runs, z) — runs test of the hourly
+    * count series around its per-group median. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val med2 = hourly.groupBy(col("event_type"))
+      .agg((expr("percentile(y, 0.5)") * 2).cast("long").as("med2"))
+    val signed = hourly.join(broadcast(med2), Seq("event_type"))
+      .withColumn("sgn",
+        when(lit(2L) * col("y") > col("med2"), 1)
+          .when(lit(2L) * col("y") < col("med2"), -1))
+      .filter(col("sgn").isNotNull)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    def dd(c: Column) = c.cast("double")
+    signed
+      .withColumn("prev", lag(col("sgn"), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n_below"),
+        (lit(1L) + sum(when(col("prev").isNotNull &&
+          col("sgn") =!= col("prev"), 1L).otherwise(0L))).as("runs"))
+      .withColumn("z", {
+        val n1 = dd(col("n_above")); val n0 = dd(col("n_below"))
+        val nn = n1 + n0
+        val mu = lit(2.0) * n1 * n0 / nn + lit(1.0)
+        val v = lit(2.0) * n1 * n0 * (lit(2.0) * n1 * n0 - nn) /
+          (nn * nn * (nn - lit(1.0)))
+        when(col("n_above") > 0 && col("n_below") > 0 &&
+          col("n_above") + col("n_below") > 1 && v > 0,
+          (dd(col("runs")) - mu) / sqrt(v))
+      })
+  }
+
+  private def q291(s: SparkSession, dir: String): DataFrame =
+    runsTest(Tables.events(s, dir))
+      .select(col("event_type"), col("n_above"), col("n_below"),
+        col("runs"), QueryDef.dec4(col("z")).as("z"))
+      .orderBy(col("event_type"))
+
+  private val q291Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, CAST(quantile_cont(y, 0.5) * 2 AS BIGINT)
+      |    AS med2
+      |  FROM hourly GROUP BY 1),
+      |signed AS (
+      |  SELECT hourly.event_type, h,
+      |    CASE WHEN 2 * y > med2 THEN 1 WHEN 2 * y < med2 THEN -1 END
+      |      AS sgn
+      |  FROM hourly JOIN med USING (event_type)
+      |  WHERE 2 * y <> med2),
+      |lagged AS (
+      |  SELECT event_type, sgn,
+      |    lag(sgn, 1) OVER (PARTITION BY event_type ORDER BY h) AS prev
+      |  FROM signed),
+      |agg AS (
+      |  SELECT event_type,
+      |    CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_above,
+      |    CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_below,
+      |    CAST(1 + sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      |  FROM lagged GROUP BY 1)
+      |SELECT event_type, n_above, n_below, runs,
+      |  CAST(CAST(CASE WHEN n_above > 0 AND n_below > 0
+      |      AND n_above + n_below > 1
+      |      AND 2.0 * n_above * n_below
+      |        * (2.0 * n_above * n_below - (n_above + n_below)) > 0
+      |    THEN (CAST(runs AS DOUBLE)
+      |      - (2.0 * n_above * n_below
+      |        / CAST(n_above + n_below AS DOUBLE) + 1.0))
+      |      / sqrt(2.0 * n_above * n_below
+      |        * (2.0 * n_above * n_below
+      |          - CAST(n_above + n_below AS DOUBLE))
+      |        / (CAST(n_above + n_below AS DOUBLE)
+      |          * CAST(n_above + n_below AS DOUBLE)
+      |          * (CAST(n_above + n_below AS DOUBLE) - 1.0)))
+      |    END AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q291_runs_test", q291, Some(q291Sql)),
     QueryDef("q287_jonckheere", q287, Some(q287Sql)),
     QueryDef("q286_cochran_q", q286, Some(q286Sql)),
     QueryDef("q285_energy_distance", q285, Some(q285Sql)),

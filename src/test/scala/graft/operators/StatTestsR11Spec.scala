@@ -79,6 +79,72 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(got0.isNullAt(got0.fieldIndex("thr_value")))
   }
 
+  // ==== q290 conformal Holm ==================================================
+
+  test("conformalHolmOutliers: step-down == naive Holm; FWER ⊆ FDR set") {
+    // Holm needs the conformal p floor 1/(n_cal+1) below alpha/m, so the
+    // calibration split is 2000 strong (p_floor = 1/2001 < 0.1/100)
+    val cal = (1L to 2000L).map(v => (v % 400 + 1, 3L))
+    val testIn = (1L to 90L).map(i => (i * 4 % 397 + 1, 0L))
+    val testOut = (1L to 10L).map(i => (10000L + i, 0L))
+    val df = (cal ++ testIn ++ testOut)
+      .zipWithIndex.map { case ((v, m), i) => (i.toLong * 4 + m, v) }
+      .toDF("doc_id", "n_chars")
+    def run(f: (org.apache.spark.sql.DataFrame, String,
+        org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+        => org.apache.spark.sql.DataFrame) =
+      f(df, "n_chars", pmod(col("doc_id"), lit(4)) === 3,
+        pmod(col("doc_id"), lit(4)) === 0).head()
+    val holm = run(MlEval.conformalHolmOutliers(_, _, _, _))
+    val bh = run(MlEval.conformalBhOutliers(_, _, _, _))
+    // naive Holm on collected p-values, tie groups all-or-none at their
+    // max index (the operator's declared convention)
+    val calV = cal.map(_._1)
+    val nCal = calV.size
+    val testV = (testIn ++ testOut).map(_._1)
+    val ps = testV.map(v => 1L + calV.count(_ >= v)).sorted
+    val m = testV.size
+    var rejected = 0L
+    val groups = ps.groupBy(identity).toSeq.sortBy(_._1)
+    groups.iterator.takeWhile { case (p, _) =>
+      val maxIdx = ps.count(_ <= p)
+      p * 10L * (m - maxIdx + 1) <= 1L * (nCal + 1)
+    }.foreach { case (p, _) => rejected = ps.count(_ <= p).toLong }
+    assert(holm.getAs[Long]("n_rejected") == rejected)
+    assert(rejected >= 10, "the planted outliers are Holm-rejectable")
+    // Holm (FWER) can never reject more than BH (FDR) at the same level
+    assert(holm.getAs[Long]("n_rejected") <= bh.getAs[Long]("n_rejected"))
+  }
+
+  // ==== q291 runs test =======================================================
+
+  test("runsTest: alternating series maxes runs, blocked series minimizes") {
+    val t0 = 1700000000000L
+    def series(name: String, ys: Seq[Int]) = ys.zipWithIndex.flatMap {
+      case (k, h) => Seq.fill(k)(
+        (name, new java.sql.Timestamp(t0 + h * 3600000L))) }
+    // alternating around median 15 -> every non-tied hour flips sign
+    val alt = series("alt", (0 until 40).map(h => if (h % 2 == 0) 10 else 20))
+    // blocked: 20 lows then 20 highs -> exactly 2 runs
+    val blk = series("blk", (0 until 40).map(h => if (h < 20) 10 else 20))
+    val got = Profiling.runsTest(
+      (alt ++ blk).toDF("event_type", "ts"))
+      .select("event_type", "n_above", "n_below", "runs", "z")
+      .as[(String, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("alt")._2 == 20L && got("alt")._3 == 20L)
+    assert(got("alt")._4 == 40L, "alternating = max runs")
+    assert(got("alt")._5.get > 3.0)
+    assert(got("blk")._4 == 2L, "blocked = 2 runs")
+    assert(got("blk")._5.get < -3.0)
+    // z matches the closed form on the alternating series
+    val (n1, n0, r) = (20.0, 20.0, 40.0)
+    val mu = 2 * n1 * n0 / (n1 + n0) + 1
+    val v = 2 * n1 * n0 * (2 * n1 * n0 - (n1 + n0)) /
+      ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1))
+    assert(math.abs(got("alt")._5.get - (r - mu) / math.sqrt(v)) <= 1e-9)
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
