@@ -3067,7 +3067,97 @@ object Profiling {
       |    END AS DECIMAL(38,4)) AS VARCHAR) AS z
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ==== q292: Pettitt changepoint test ========================================
+  //
+  // The rank-based changepoint detector completing the family (B126's
+  // CUSUM needs a known baseline, B139's segmented regression a known
+  // changepoint — Pettitt finds WHERE a distribution shifted with no
+  // parametric assumption): U_t = 2W_t − t(n+1) with W_t the rank sum of
+  // the first t hours; K = max|U_t|, the argmax hour is the changepoint
+  // estimate. Doubled midranks (the q253 trick) keep everything integer:
+  // U_t = Σ_{i≤t} r2_i − t(n+1) exactly. Per-type hour-domain windows
+  // only (the q152 calendar contract); ties in K resolve to the earliest
+  // hour — a total, engine-stable order.
+
+  /** Per type: (n_hours, k_stat, cp_hour) — Pettitt K and the estimated
+    * changepoint hour of the hourly count series. */
+  def pettitt(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    // doubled midranks within type: r2(v) = 2·#less + #equal + 1
+    val vals = hourly.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = vals
+      .withColumn("less", coalesce(sum(col("c")).over(wv), lit(0L)))
+      .select(col("event_type"), col("y"),
+        (lit(2L) * col("less") + col("c") + 1L).as("r2"))
+    val wt = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val n = hourly.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val u = hourly.join(ranked, Seq("event_type", "y"))
+      .withColumn("w2", sum(col("r2")).over(wt))
+      .withColumn("t", sum(lit(1L)).over(wt))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(col("t") < col("n")) // U_n = 0 by construction; cp < n
+      .select(col("event_type"), col("h"), col("n"),
+        (col("w2") - col("t") * (col("n") + 1L)).as("u"))
+    val k = u.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_hours"), max(abs(col("u"))).as("k_stat"))
+    u.join(broadcast(k), Seq("event_type"))
+      .filter(abs(col("u")) === col("k_stat"))
+      .groupBy(col("event_type"), col("n_hours"), col("k_stat"))
+      .agg(min(col("h")).as("cp_hour"))
+      .select(col("event_type"), col("n_hours"), col("k_stat"),
+        col("cp_hour"))
+  }
+
+  private def q292(s: SparkSession, dir: String): DataFrame =
+    pettitt(Tables.events(s, dir))
+      .select(col("event_type"), col("n_hours"), col("k_stat"),
+        col("cp_hour"))
+      .orderBy(col("event_type"))
+
+  private val q292Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |vals AS (
+      |  SELECT event_type, y, count(*) AS c FROM hourly GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT event_type, y,
+      |    2 * COALESCE(sum(c) OVER (PARTITION BY event_type ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS r2
+      |  FROM vals),
+      |n AS (SELECT event_type, count(*) AS n FROM hourly GROUP BY 1),
+      |u AS (
+      |  SELECT hourly.event_type, h, n.n,
+      |    sum(r2) OVER (PARTITION BY hourly.event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    - (row_number() OVER (PARTITION BY hourly.event_type ORDER BY h))
+      |      * (n.n + 1) AS uu,
+      |    row_number() OVER (PARTITION BY hourly.event_type ORDER BY h)
+      |      AS t
+      |  FROM hourly
+      |    JOIN ranked ON ranked.event_type = hourly.event_type
+      |      AND ranked.y = hourly.y
+      |    JOIN n ON n.event_type = hourly.event_type),
+      |f AS (SELECT event_type, h, n, uu FROM u WHERE t < n)
+      |SELECT event_type, max(n) AS n_hours,
+      |  CAST(max(abs(uu)) AS BIGINT) AS k_stat,
+      |  CAST(min(CASE WHEN abs(uu) = (SELECT max(abs(uu)) FROM f f2
+      |    WHERE f2.event_type = f.event_type) THEN h END) AS BIGINT)
+      |    AS cp_hour
+      |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q292_pettitt", q292, Some(q292Sql)),
     QueryDef("q291_runs_test", q291, Some(q291Sql)),
     QueryDef("q287_jonckheere", q287, Some(q287Sql)),
     QueryDef("q286_cochran_q", q286, Some(q286Sql)),

@@ -145,6 +145,34 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(math.abs(got("alt")._5.get - (r - mu) / math.sqrt(v)) <= 1e-9)
   }
 
+  // ==== q292 Pettitt =========================================================
+
+  test("pettitt: locates a planted level shift; brute-force K on random data") {
+    val t0 = 1700000000000L
+    def series(name: String, ys: Seq[Int]) = ys.zipWithIndex.flatMap {
+      case (k, h) => Seq.fill(k)(
+        (name, new java.sql.Timestamp(t0 + h * 3600000L))) }
+    // planted shift at hour 30 of 60: 10s then 30s
+    val shift = series("shift",
+      (0 until 60).map(h => if (h < 30) 10 else 30))
+    val rnd = new scala.util.Random(171)
+    val noisyYs = (0 until 50).map(_ => 5 + rnd.nextInt(10))
+    val noisy = series("noisy", noisyYs)
+    val got = Profiling.pettitt(
+      (shift ++ noisy).toDF("event_type", "ts"))
+      .select("event_type", "n_hours", "k_stat", "cp_hour")
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // the changepoint estimate is the last pre-shift hour (U peaks there)
+    assert(got("shift")._4 == t0 / 3600000L + 29,
+      s"must locate the shift: ${got("shift")}")
+    // brute-force K on the noisy series: U_t = 2W_t − t(n+1), midranks
+    val n = noisyYs.size
+    def r2(v: Int) = 2 * noisyYs.count(_ < v) + noisyYs.count(_ == v) + 1
+    val us = (1 until n).map(t =>
+      noisyYs.take(t).map(r2).sum.toLong - t.toLong * (n + 1))
+    assert(got("noisy")._3 == us.map(math.abs).max)
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
