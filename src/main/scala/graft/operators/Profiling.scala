@@ -3156,7 +3156,132 @@ object Profiling {
       |    AS cp_hour
       |FROM f GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ==== q293: Friedman test ===================================================
+  //
+  // The ordinal companion to q286's Cochran (which only sees binaries):
+  // k matched treatments per subject, ranked WITHIN each subject —
+  // here each user's purchase counts across the three 8-hour day-parts.
+  // Doubled midranks within a k=3 triple are closed-form expressions
+  // (r2_j = 2·#less + #eq + 1 — no window, k is a compile-time
+  // constant), so column rank sums are exact integers; χ² =
+  // 3·ΣR2_j²/(n·k(k+1)) − 3n(k+1) divides exact decimals once, and the
+  // tie correction enumerates the 3 possible within-subject tie
+  // patterns (pair = 6, triple = 24 in t³−t units) as integer counts.
+  // ONE user-domain aggregation; everything downstream is k-row math.
+
+  /** One row: (n_subjects, r2_1..r2_k, chi2, chi2_tie_corrected) —
+    * Friedman over per-`idCol` treatment values `xs` (k = xs.size). */
+  def friedman(df: DataFrame, idCol: String, xs: Seq[Column]): DataFrame = {
+    val k = xs.size
+    val perUser = df.groupBy(col(idCol))
+      .agg(xs.zipWithIndex.map { case (x, i) =>
+        sum(x).as(s"x$i") }.head,
+        xs.zipWithIndex.tail.map { case (x, i) => sum(x).as(s"x$i") }: _*)
+    def r2(j: Int) = {
+      val less = (0 until k).map(l =>
+        when(col(s"x$l") < col(s"x$j"), 1L).otherwise(0L)).reduce(_ + _)
+      val eq = (0 until k).map(l =>
+        when(col(s"x$l") === col(s"x$j"), 1L).otherwise(0L)).reduce(_ + _)
+      lit(2L) * less + eq + 1L
+    }
+    // within-subject tie mass in t³−t units (k = 3 patterns enumerated;
+    // general k would group-count equal values)
+    require(k == 3, "friedman: the closed-form tie enumeration is k = 3")
+    val tieMass =
+      when(col("x0") === col("x1") && col("x1") === col("x2"), 24L)
+        .when(col("x0") === col("x1") || col("x1") === col("x2") ||
+          col("x0") === col("x2"), 6L)
+        .otherwise(0L)
+    val m = perUser
+      .select((0 until k).map(j => r2(j).as(s"r2_$j")) :+
+        tieMass.as("tm"): _*)
+      .agg(count(lit(1)).as("n"),
+        (0 until k).map(j => sum(col(s"r2_$j")).as(s"rr$j")) ++
+          Seq(sum(col("tm")).as("tmass")): _*)
+    def dd(c: Column) = c.cast("double")
+    val sumR2sq = (0 until k).map(j =>
+      col(s"rr$j").cast("decimal(38,0)") * col(s"rr$j")).reduce(_ + _)
+    val chi2 = lit(3.0) * dd(sumR2sq) /
+      (dd(col("n")) * lit((k * (k + 1)).toDouble)) -
+      lit(3.0) * dd(col("n")) * lit((k + 1).toDouble)
+    val corr = lit(1.0) - dd(col("tmass")) /
+      (dd(col("n")) * lit((k * (k * k - 1)).toDouble))
+    m.select(col("n").as("n_subjects") +:
+      (0 until k).map(j => col(s"rr$j").as(s"r2_$j")) :+
+      when(col("n") > 0, chi2).as("chi2") :+
+      when(col("n") > 0 && corr > 0, chi2 / corr)
+        .as("chi2_tie_corrected"): _*)
+  }
+
+  private def q293(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), hour(col("ts")).as("hod"))
+    def part(lo: Int, hi: Int) =
+      when(col("event_type") === "purchase" &&
+        col("hod") >= lo && col("hod") < hi, 1L).otherwise(0L)
+    friedman(e, "user_id",
+      Seq(part(0, 8), part(8, 16), part(16, 24)))
+      .select(col("n_subjects"), col("r2_0"), col("r2_1"), col("r2_2"),
+        QueryDef.dec4(col("chi2")).as("chi2"),
+        QueryDef.dec4(col("chi2_tie_corrected")).as("chi2_tie_corrected"))
+  }
+
+  private val q293Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) < 8
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 8
+      |      AND hour(ts) < 16 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 16
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      |  FROM events GROUP BY user_id),
+      |r AS (
+      |  SELECT
+      |    2 * ((CASE WHEN x0 < x0 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x1 < x0 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x2 < x0 THEN 1 ELSE 0 END))
+      |      + (CASE WHEN x0 = x0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x1 = x0 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x2 = x0 THEN 1 ELSE 0 END) + 1 AS r0,
+      |    2 * ((CASE WHEN x0 < x1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x1 < x1 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x2 < x1 THEN 1 ELSE 0 END))
+      |      + (CASE WHEN x0 = x1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x1 = x1 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x2 = x1 THEN 1 ELSE 0 END) + 1 AS r1,
+      |    2 * ((CASE WHEN x0 < x2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x1 < x2 THEN 1 ELSE 0 END)
+      |       + (CASE WHEN x2 < x2 THEN 1 ELSE 0 END))
+      |      + (CASE WHEN x0 = x2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x1 = x2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN x2 = x2 THEN 1 ELSE 0 END) + 1 AS r2,
+      |    CASE WHEN x0 = x1 AND x1 = x2 THEN 24
+      |      WHEN x0 = x1 OR x1 = x2 OR x0 = x2 THEN 6 ELSE 0 END AS tm
+      |  FROM f),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(r0) AS BIGINT) AS rr0, CAST(sum(r1) AS BIGINT) AS rr1,
+      |    CAST(sum(r2) AS BIGINT) AS rr2,
+      |    CAST(sum(tm) AS BIGINT) AS tmass
+      |  FROM r),
+      |c AS (
+      |  SELECT n, rr0, rr1, rr2,
+      |    3.0 * CAST(CAST(rr0 AS HUGEINT) * rr0 + CAST(rr1 AS HUGEINT) * rr1
+      |      + CAST(rr2 AS HUGEINT) * rr2 AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * 12.0) - 3.0 * CAST(n AS DOUBLE) * 4.0
+      |      AS chi2,
+      |    1.0 - CAST(tmass AS DOUBLE) / (CAST(n AS DOUBLE) * 24.0) AS corr
+      |  FROM m)
+      |SELECT n AS n_subjects, rr0 AS r2_0, rr1 AS r2_1, rr2 AS r2_2,
+      |  CAST(CAST(CASE WHEN n > 0 THEN chi2 END AS DECIMAL(38,4))
+      |    AS VARCHAR) AS chi2,
+      |  CAST(CAST(CASE WHEN n > 0 AND corr > 0 THEN chi2 / corr END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2_tie_corrected
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q293_friedman", q293, Some(q293Sql)),
     QueryDef("q292_pettitt", q292, Some(q292Sql)),
     QueryDef("q291_runs_test", q291, Some(q291Sql)),
     QueryDef("q287_jonckheere", q287, Some(q287Sql)),

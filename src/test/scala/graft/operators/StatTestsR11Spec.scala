@@ -173,6 +173,45 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(got("noisy")._3 == us.map(math.abs).max)
   }
 
+  // ==== q293 Friedman ========================================================
+
+  test("friedman matches the textbook recomputation; identical columns ~0") {
+    // 5 subjects x 3 treatments with a planted ordering t2 > t1 > t0
+    val data = Seq(
+      (1L, 1L, 3L, 5L), (2L, 2L, 4L, 6L), (3L, 1L, 2L, 9L),
+      (4L, 3L, 3L, 7L), (5L, 2L, 5L, 5L))
+    val rows = data.flatMap { case (u, a, b, c) =>
+      (1L to a).map(_ => (u, 0)) ++ (1L to b).map(_ => (u, 1)) ++
+        (1L to c).map(_ => (u, 2)) }
+    val got = Profiling.friedman(rows.toDF("id", "j"), "id",
+      Seq(when(col("j") === 0, 1L).otherwise(0L),
+        when(col("j") === 1, 1L).otherwise(0L),
+        when(col("j") === 2, 1L).otherwise(0L))).head()
+    // doubled midranks per subject, textbook chi2
+    def r2(xs: Seq[Long], j: Int) =
+      2 * xs.count(_ < xs(j)) + xs.count(_ == xs(j)) + 1
+    val triples = data.map(d => Seq(d._2, d._3, d._4))
+    val rr = (0 until 3).map(j => triples.map(t => r2(t, j).toLong).sum)
+    assert((0 until 3).map(j =>
+      got.getAs[Long](s"r2_$j")) == rr)
+    val n = 5.0
+    val chi2 = 3.0 * rr.map(r => r.toDouble * r).sum / (n * 12.0) -
+      3.0 * n * 4.0
+    assert(math.abs(got.getAs[Double]("chi2") - chi2) <= 1e-9)
+    // ties: subjects 4 (pair) and 5 (pair) contribute 6 each
+    val corr = 1.0 - 12.0 / (n * 24.0)
+    assert(math.abs(got.getAs[Double]("chi2_tie_corrected") - chi2 / corr)
+      <= 1e-9)
+    // identical treatments: all ranks tie -> chi2 == 0, correction null
+    val same = (1L to 6L).flatMap(u => Seq((u, 0), (u, 1), (u, 2)))
+    val g0 = Profiling.friedman(same.toDF("id", "j"), "id",
+      Seq(when(col("j") === 0, 1L).otherwise(0L),
+        when(col("j") === 1, 1L).otherwise(0L),
+        when(col("j") === 2, 1L).otherwise(0L))).head()
+    assert(g0.getAs[Double]("chi2") == 0.0)
+    assert(g0.isNullAt(g0.fieldIndex("chi2_tie_corrected")))
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
