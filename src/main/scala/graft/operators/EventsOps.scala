@@ -3735,7 +3735,129 @@ object EventsOps {
       |    AND CURRENT ROW) AS BIGINT) AS hazard_micro
       |FROM steps ORDER BY t_hr""".stripMargin
 
+  // ==== q294: partial autocorrelation (Levinson–Durbin, lags 1..4) ==========
+  //
+  // q152's ACF can't separate direct from inherited correlation (an
+  // AR(1) has nonzero ACF at EVERY lag); the PACF φ_kk is the AR-order
+  // diagnostic (φ cuts off after the true order). Exactness: the biased
+  // autocovariances are computed as C_k = Σ(n·y_t − S)(n·y_{t+k} − S) —
+  // exact DECIMAL integers (mean-centering without a double mean) — so
+  // r_k = C_k/C_0 divides identical integers; the Levinson–Durbin
+  // recursion is then a FIXED chain of double ops over the 4-lag domain,
+  // unrolled identically in both engines (the q133 identical-chain
+  // rule). Hour-domain joins only (the q152 calendar contract).
+
+  /** One row: (n_hours, r1..r4, pacf1..pacf4) over the global hourly
+    * count series. */
+  def pacf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 3600000000")
+        .as("h"))
+      .agg(count(lit(1)).as("y"))
+    val m = broadcast(hourly.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("sy")))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val centered = hourly.crossJoin(m)
+      .select(col("h"), col("n"),
+        (dec(col("n")) * col("y") - col("sy")).as("z"))
+    val c0 = centered.agg(sum(col("z") * col("z")).as("c0"),
+      max(col("n")).as("n"))
+    val cks = (1 to 4).map { k =>
+      centered.as("a").join(
+        centered.select((col("h") + k).as("h"), col("z").as("zl")), Seq("h"))
+        .agg(sum(col("z") * col("zl")).as(s"c$k"))
+    }
+    val joined = cks.foldLeft(c0)((acc, d) => acc.crossJoin(broadcast(d)))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val withR = joined.select(col("n").as("n_hours") +:
+      (1 to 4).map(k => (dd(col(s"c$k")) / dd(col("c0"))).as(s"r$k")): _*)
+    // Levinson–Durbin, unrolled: phi11 = r1; for m = 2..4,
+    //   phi_mm = (r_m − Σ_{j<m} phi_{m−1,j}·r_{m−j}) /
+    //            (1 − Σ_{j<m} phi_{m−1,j}·r_j)
+    //   phi_mj = phi_{m−1,j} − phi_mm·phi_{m−1,m−j}
+    val s1 = withR.withColumn("p11", col("r1"))
+    val s2 = s1
+      .withColumn("p22", (col("r2") - col("p11") * col("r1")) /
+        (lit(1.0) - col("p11") * col("r1")))
+      .withColumn("p21", col("p11") - col("p22") * col("p11"))
+    val s3 = s2
+      .withColumn("p33",
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1"))) /
+          (lit(1.0) - (col("p21") * col("r1") + col("p22") * col("r2"))))
+      .withColumn("p31", col("p21") - col("p33") * col("p22"))
+      .withColumn("p32", col("p22") - col("p33") * col("p21"))
+    val s4 = s3
+      .withColumn("p44",
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2") +
+          col("p33") * col("r1"))) /
+          (lit(1.0) - (col("p31") * col("r1") + col("p32") * col("r2") +
+            col("p33") * col("r3"))))
+    s4.select(col("n_hours"),
+      col("r1"), col("r2"), col("r3"), col("r4"),
+      col("p11").as("pacf1"), col("p22").as("pacf2"),
+      col("p33").as("pacf3"), col("p44").as("pacf4"))
+  }
+
+  private def q294(s: SparkSession, dir: String): DataFrame =
+    pacf(Tables.events(s, dir))
+      .select(col("n_hours"),
+        QueryDef.dec4(col("r1")).as("r1"), QueryDef.dec4(col("r2")).as("r2"),
+        QueryDef.dec4(col("r3")).as("r3"), QueryDef.dec4(col("r4")).as("r4"),
+        QueryDef.dec4(col("pacf1")).as("pacf1"),
+        QueryDef.dec4(col("pacf2")).as("pacf2"),
+        QueryDef.dec4(col("pacf3")).as("pacf3"),
+        QueryDef.dec4(col("pacf4")).as("pacf4"))
+
+  private val q294Sql =
+    """WITH hourly AS (
+      |  SELECT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT count(*) AS n, CAST(sum(y) AS BIGINT) AS sy FROM hourly),
+      |z AS (
+      |  SELECT h, CAST(n AS HUGEINT) * y - sy AS z, n
+      |  FROM hourly CROSS JOIN m),
+      |c0 AS (SELECT CAST(sum(z * z) AS HUGEINT) AS c0, max(n) AS n FROM z),
+      |c1 AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS c1
+      |  FROM z a JOIN z b ON a.h = b.h + 1),
+      |c2 AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS c2
+      |  FROM z a JOIN z b ON a.h = b.h + 2),
+      |c3 AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS c3
+      |  FROM z a JOIN z b ON a.h = b.h + 3),
+      |c4 AS (SELECT CAST(sum(a.z * b.z) AS HUGEINT) AS c4
+      |  FROM z a JOIN z b ON a.h = b.h + 4),
+      |r AS (
+      |  SELECT n AS n_hours,
+      |    CAST(c1 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r1,
+      |    CAST(c2 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r2,
+      |    CAST(c3 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r3,
+      |    CAST(c4 AS DOUBLE) / CAST(c0 AS DOUBLE) AS r4
+      |  FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN c3 CROSS JOIN c4),
+      |s1 AS (SELECT *, r1 AS p11 FROM r),
+      |s2 AS (
+      |  SELECT *, (r2 - p11 * r1) / (1.0 - p11 * r1) AS p22 FROM s1),
+      |s2b AS (SELECT *, p11 - p22 * p11 AS p21 FROM s2),
+      |s3 AS (
+      |  SELECT *, (r3 - (p21 * r2 + p22 * r1))
+      |    / (1.0 - (p21 * r1 + p22 * r2)) AS p33 FROM s2b),
+      |s3b AS (
+      |  SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM s3),
+      |s4 AS (
+      |  SELECT *, (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+      |    / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44 FROM s3b)
+      |SELECT n_hours,
+      |  CAST(CAST(r1 AS DECIMAL(38,4)) AS VARCHAR) AS r1,
+      |  CAST(CAST(r2 AS DECIMAL(38,4)) AS VARCHAR) AS r2,
+      |  CAST(CAST(r3 AS DECIMAL(38,4)) AS VARCHAR) AS r3,
+      |  CAST(CAST(r4 AS DECIMAL(38,4)) AS VARCHAR) AS r4,
+      |  CAST(CAST(p11 AS DECIMAL(38,4)) AS VARCHAR) AS pacf1,
+      |  CAST(CAST(p22 AS DECIMAL(38,4)) AS VARCHAR) AS pacf2,
+      |  CAST(CAST(p33 AS DECIMAL(38,4)) AS VARCHAR) AS pacf3,
+      |  CAST(CAST(p44 AS DECIMAL(38,4)) AS VARCHAR) AS pacf4
+      |FROM s4""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q294_pacf", q294, Some(q294Sql)),
     QueryDef("q288_nelson_aalen", q288, Some(q288Sql)),
     QueryDef("q283_forecast_eval", q283, Some(q283Sql)),
     QueryDef("q282_durbin_watson", q282, Some(q282Sql)),

@@ -212,6 +212,44 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(g0.isNullAt(g0.fieldIndex("chi2_tie_corrected")))
   }
 
+  // ==== q294 PACF ============================================================
+
+  test("pacf == Levinson recomputation; AR(1) cuts off after lag 1") {
+    val t0 = 1700000000000L
+    // AR(1)-like integer series: y_t = (y_{t-1} * 3 + noise) / 4 + base
+    val rnd = new scala.util.Random(181)
+    val ys = Iterator.iterate(40)(y =>
+      (y * 3 + 40 + rnd.nextInt(21)) / 4).take(120).toVector
+    val rows = ys.zipWithIndex.flatMap { case (k, h) =>
+      Seq.fill(k)(Tuple1(new java.sql.Timestamp(t0 + h * 3600000L))) }
+    val got = EventsOps.pacf(rows.toDF("ts")).head()
+    // recompute: exact centered covariances then the same recursion
+    val n = ys.size.toLong
+    val sy = ys.map(_.toLong).sum
+    val z = ys.map(y => BigInt(n) * y - sy)
+    def c(k: Int) = (k until ys.size).map(t => z(t) * z(t - k)).sum
+    val r = (1 to 4).map(k => c(k).toDouble / c(0).toDouble)
+    (1 to 4).foreach(k =>
+      assert(math.abs(got.getAs[Double](s"r$k") - r(k - 1)) <= 1e-12))
+    val p11 = r(0)
+    val p22 = (r(1) - p11 * r(0)) / (1.0 - p11 * r(0))
+    val p21 = p11 - p22 * p11
+    val p33 = (r(2) - (p21 * r(1) + p22 * r(0))) /
+      (1.0 - (p21 * r(0) + p22 * r(1)))
+    val p31 = p21 - p33 * p22
+    val p32 = p22 - p33 * p21
+    val p44 = (r(3) - (p31 * r(2) + p32 * r(1) + p33 * r(0))) /
+      (1.0 - (p31 * r(0) + p32 * r(1) + p33 * r(2)))
+    assert(math.abs(got.getAs[Double]("pacf1") - p11) <= 1e-12)
+    assert(math.abs(got.getAs[Double]("pacf2") - p22) <= 1e-12)
+    assert(math.abs(got.getAs[Double]("pacf3") - p33) <= 1e-12)
+    assert(math.abs(got.getAs[Double]("pacf4") - p44) <= 1e-12)
+    // AR(1) signature: strong direct lag-1, higher partials near zero
+    assert(p11 > 0.4, s"AR(1) must show lag-1 structure: $p11")
+    assert(math.abs(p33) < 0.25 && math.abs(p44) < 0.25,
+      s"higher partials must fade: $p33, $p44")
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
