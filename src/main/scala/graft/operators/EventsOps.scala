@@ -3856,7 +3856,169 @@ object EventsOps {
       |  CAST(CAST(p44 AS DECIMAL(38,4)) AS VARCHAR) AS pacf4
       |FROM s4""".stripMargin
 
+  // ==== q295: Ljung–Box portmanteau test =====================================
+  //
+  // The WHITENESS test completing the serial-dependence family: q282's
+  // DW sees only lag 1 and q294's PACF gives per-lag structure; Ljung–Box
+  // aggregates the first K autocorrelations into one statistic,
+  // Q = n(n+2)·Σ_{k≤K} r_k²/(n−k) — "is there ANY serial dependence
+  // left?" Same exact-integer autocovariance core as q294 (r_k divides
+  // identical DECIMALs); Q is a fixed 4-term double chain, identical
+  // order in both engines.
+
+  /** One row: (n_hours, r1..r4, q_lb) — Ljung–Box Q at K = 4 over the
+    * global hourly count series. */
+  def ljungBox(events: DataFrame): DataFrame = {
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    val base = pacf(events) // carries n_hours and the exact-ratio r1..r4
+    val n = dd(col("n_hours"))
+    val q = lit(1.0) * n * (n + lit(2.0)) *
+      ((col("r1") * col("r1") / (n - lit(1.0))) +
+        (col("r2") * col("r2") / (n - lit(2.0))) +
+        (col("r3") * col("r3") / (n - lit(3.0))) +
+        (col("r4") * col("r4") / (n - lit(4.0))))
+    base.select(col("n_hours"), col("r1"), col("r2"), col("r3"), col("r4"),
+      when(col("n_hours") > 4, q).as("q_lb"))
+  }
+
+  private def q295(s: SparkSession, dir: String): DataFrame =
+    ljungBox(Tables.events(s, dir))
+      .select(col("n_hours"),
+        QueryDef.dec4(col("r1")).as("r1"), QueryDef.dec4(col("r2")).as("r2"),
+        QueryDef.dec4(col("r3")).as("r3"), QueryDef.dec4(col("r4")).as("r4"),
+        QueryDef.dec4(col("q_lb")).as("q_lb"))
+
+  private val q295Sql = {
+    val core = q294Sql.substring(0, q294Sql.indexOf("s1 AS"))
+    s"""${core}qq AS (
+       |  SELECT n_hours, r1, r2, r3, r4,
+       |    1.0 * CAST(n_hours AS DOUBLE) * (CAST(n_hours AS DOUBLE) + 2.0)
+       |    * ((r1 * r1 / (CAST(n_hours AS DOUBLE) - 1.0))
+       |      + (r2 * r2 / (CAST(n_hours AS DOUBLE) - 2.0))
+       |      + (r3 * r3 / (CAST(n_hours AS DOUBLE) - 3.0))
+       |      + (r4 * r4 / (CAST(n_hours AS DOUBLE) - 4.0))) AS q_lb
+       |  FROM r)
+       |SELECT n_hours,
+       |  CAST(CAST(r1 AS DECIMAL(38,4)) AS VARCHAR) AS r1,
+       |  CAST(CAST(r2 AS DECIMAL(38,4)) AS VARCHAR) AS r2,
+       |  CAST(CAST(r3 AS DECIMAL(38,4)) AS VARCHAR) AS r3,
+       |  CAST(CAST(r4 AS DECIMAL(38,4)) AS VARCHAR) AS r4,
+       |  CAST(CAST(CASE WHEN n_hours > 4 THEN q_lb END AS DECIMAL(38,4))
+       |    AS VARCHAR) AS q_lb
+       |FROM qq""".stripMargin
+  }
+
+  // ==== q296: covariate balance report (standardized mean differences) ======
+  //
+  // The table every causal analysis prints BEFORE trusting q230/q261/
+  // q276: per covariate, SMD = (m₁−m₀)/√((v₁+v₀)/2) between arms —
+  // |SMD| < 0.1 is the conventional "balanced" bar; an imbalanced
+  // covariate is exactly the one the matching/weighting must fix. Each
+  // user's pre-period covariates (event count, distinct types, value
+  // cents) unpivot via stack into (covariate, arm) exact-decimal moment
+  // cells — ONE user-domain aggregation + one 6-cell rollup; the q272
+  // double discipline at render.
+
+  /** Per covariate: (covariate, n0, n1, smd, balanced) between the
+    * user-parity arms on pre-period behavior. */
+  def balanceReport(events: DataFrame): DataFrame = {
+    val range = broadcast(events.agg(
+      ((min(unix_micros(col("ts"))) + max(unix_micros(col("ts"))))
+        .cast("long").divide(lit(2L))).cast("long").as("cut")))
+    val perUser = events.crossJoin(range)
+      .filter(unix_micros(col("ts")) < col("cut"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("x1"),
+        countDistinct(col("event_type")).as("x2"),
+        sum(round(col("value") * 100).cast("long")).as("x3"))
+      .withColumn("t", pmod(col("user_id"), lit(2)))
+    val long = perUser.select(col("t"), expr(
+      "stack(3, 'n_events', x1, 'n_types', x2, 'value_cents', x3) " +
+        "AS (covariate, x)"))
+    val m = long.groupBy(col("covariate"), col("t"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(18,0)")).as("s"),
+        sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+          .as("ss"))
+    def side(a: Int) = m.filter(col("t") === a)
+      .select(col("covariate"), col("n").as(s"n$a"), col("s").as(s"s$a"),
+        col("ss").as(s"ss$a"))
+    val j = side(0).join(side(1), Seq("covariate"))
+    def dd(c: String) = col(c).cast("double")
+    def v(a: Int) =
+      (dd(s"n$a") * dd(s"ss$a") - dd(s"s$a") * dd(s"s$a")) /
+        (dd(s"n$a") * (dd(s"n$a") - lit(1.0)))
+    val smd = (dd("s1") / dd("n1") - dd("s0") / dd("n0")) /
+      sqrt((v(0) + v(1)) / lit(2.0))
+    j.select(col("covariate"), col("n0"), col("n1"),
+      when(col("n0") > 1 && col("n1") > 1 && (v(0) + v(1)) > 0, smd)
+        .as("smd"))
+      .withColumn("balanced", when(col("smd").isNotNull,
+        abs(col("smd")) < 0.1))
+  }
+
+  private def q296(s: SparkSession, dir: String): DataFrame =
+    balanceReport(Tables.events(s, dir))
+      .select(col("covariate"), col("n0"), col("n1"),
+        QueryDef.dec4(col("smd")).as("smd"),
+        // string render: a NULL BOOLEAN column reaches pandas as NaN on
+        // one engine and None on the other — strings null identically
+        col("balanced").cast("string").as("balanced"))
+      .orderBy(col("covariate"))
+
+  private val q296Sql =
+    """WITH rg AS (
+      |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+      |    AS BIGINT) AS cut FROM events),
+      |pu AS (
+      |  SELECT user_id, user_id % 2 AS t,
+      |    count(*) AS x1,
+      |    CAST(count(DISTINCT event_type) AS BIGINT) AS x2,
+      |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x3
+      |  FROM events CROSS JOIN rg WHERE epoch_us(ts) < cut
+      |  GROUP BY user_id),
+      |lng AS (
+      |  SELECT t, 'n_events' AS covariate, CAST(x1 AS DECIMAL(18,0)) AS x
+      |    FROM pu
+      |  UNION ALL
+      |  SELECT t, 'n_types', CAST(x2 AS DECIMAL(18,0)) FROM pu
+      |  UNION ALL
+      |  SELECT t, 'value_cents', CAST(x3 AS DECIMAL(18,0)) FROM pu),
+      |m AS (
+      |  SELECT covariate, t, count(*) AS n,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS s,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss
+      |  FROM lng GROUP BY 1, 2),
+      |j AS (
+      |  SELECT a.covariate, a.n AS n0, a.s AS s0, a.ss AS ss0,
+      |    b.n AS n1, b.s AS s1, b.ss AS ss1
+      |  FROM m a JOIN m b ON a.covariate = b.covariate
+      |    AND a.t = 0 AND b.t = 1),
+      |c AS (
+      |  SELECT covariate, n0, n1,
+      |    (CAST(n0 AS DOUBLE) * CAST(ss0 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+      |      / (CAST(n0 AS DOUBLE) * (CAST(n0 AS DOUBLE) - 1.0)) AS v0,
+      |    (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff
+      |  FROM j),
+      |f AS (
+      |  SELECT covariate, n0, n1,
+      |    CASE WHEN n0 > 1 AND n1 > 1 AND v0 + v1 > 0
+      |      THEN diff / sqrt((v0 + v1) / 2.0) END AS smd
+      |  FROM c)
+      |SELECT covariate, n0, n1,
+      |  CAST(CAST(smd AS DECIMAL(38,4)) AS VARCHAR) AS smd,
+      |  CAST(CASE WHEN smd IS NOT NULL THEN abs(smd) < 0.1 END AS VARCHAR)
+      |    AS balanced
+      |FROM f ORDER BY covariate""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q296_balance_report", q296, Some(q296Sql)),
+    QueryDef("q295_ljung_box", q295, Some(q295Sql)),
     QueryDef("q294_pacf", q294, Some(q294Sql)),
     QueryDef("q288_nelson_aalen", q288, Some(q288Sql)),
     QueryDef("q283_forecast_eval", q283, Some(q283Sql)),

@@ -250,6 +250,61 @@ class StatTestsR11Spec extends AnyFunSuite {
       s"higher partials must fade: $p33, $p44")
   }
 
+  // ==== q295 Ljung–Box =======================================================
+
+  test("ljungBox: Q from the closed form; AR series scores far above noise") {
+    val t0 = 1700000000000L
+    val rnd = new scala.util.Random(191)
+    def rowsOf(ys: Seq[Int]) = ys.zipWithIndex.flatMap { case (k, h) =>
+      Seq.fill(k)(Tuple1(new java.sql.Timestamp(t0 + h * 3600000L))) }
+    val ar = Iterator.iterate(40)(y =>
+      (y * 3 + 40 + rnd.nextInt(21)) / 4).take(120).toVector
+    val got = EventsOps.ljungBox(rowsOf(ar).toDF("ts")).head()
+    val n = ar.size.toDouble
+    val q = n * (n + 2.0) * (1 to 4).map { k =>
+      val r = got.getAs[Double](s"r$k"); r * r / (n - k) }.sum
+    assert(math.abs(got.getAs[Double]("q_lb") - q) <= 1e-9)
+    // a (deterministic) white-ish series scores far lower than the AR one
+    val noise = (0 until 120).map(_ => 40 + rnd.nextInt(21))
+    val q0 = EventsOps.ljungBox(rowsOf(noise).toDF("ts")).head()
+      .getAs[Double]("q_lb")
+    assert(got.getAs[Double]("q_lb") > 5 * q0,
+      s"AR must dominate noise: ${got.getAs[Double]("q_lb")} vs $q0")
+  }
+
+  // ==== q296 balance report ==================================================
+
+  test("balanceReport: planted imbalance flagged; degenerate covariate null") {
+    val t0 = 1700000000000000L // micros
+    val hour = 3600L * 1000000L
+    // pre-period: arm 1 (odd users) averages 3x the events of arm 0,
+    // with within-arm variance (u-dependent jitter) so SMD is defined;
+    // event type is constant -> n_types is the degenerate (null) case
+    val rows = (0 until 200).flatMap { u =>
+      val pre = (if (u % 2 == 1) 9 else 3) + (u / 2) % 3
+      (1 to pre).map(i =>
+        (u.toLong, new java.sql.Timestamp((t0 + i * hour) / 1000),
+          "view", 10.0)) :+
+        ((u.toLong, new java.sql.Timestamp((t0 + 1000 * hour) / 1000),
+          "view", 10.0))
+    }
+    val got = EventsOps.balanceReport(
+      rows.toDF("user_id", "ts", "event_type", "value"))
+      .select("covariate", "smd", "balanced")
+      .collect().map { r =>
+        r.getString(0) -> (Option(r.get(1)).map(_.toString.toDouble),
+          Option(r.get(2)).map(_.toString.toBoolean)) }
+      .toMap
+    // 3x mean shift over sd ~0.8: |SMD| >> 0.1 -> flagged unbalanced
+    assert(got("n_events")._1.exists(s => math.abs(s) > 2.0),
+      s"planted 3x shift must show a large SMD: $got")
+    assert(got("n_events")._2.contains(false))
+    assert(got("value_cents")._2.contains(false),
+      "cents track event counts: same imbalance")
+    assert(got("n_types")._1.isEmpty && got("n_types")._2.isEmpty,
+      "single event type: zero variance -> degenerate null")
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
