@@ -768,6 +768,66 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ==== streaming forecast-error monitor (B233) ==============================
+  //
+  // The streaming twin of q283's seasonal-naive accuracy: per type, a
+  // FIXED 24-slot ring (MapState keyed by hr % 24 holding (hr, cnt))
+  // remembers exactly the one day of history the lag-24 forecast needs —
+  // state is 24 entries per type at ANY stream length, and a slot is
+  // overwritten the moment its hour is superseded. Each arriving hourly
+  // count that finds its 24h-ago sibling emits (hr, actual, forecast,
+  // abs_err, smape_micro-term) with the same ⌊2·10⁶·|f−a|/(f+a)⌋
+  // flooring as the batch operator, so windowed sMAPE rollups downstream
+  // sum the identical integers. Hours are processed in event-time order
+  // within each micro-batch (the Holt/CUSUM processor contract).
+
+  class ForecastErrorProcessor
+      extends StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Long, Long, Long)] {
+    @transient private var ring: MapState[Long, (Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getMapState[Long, (Long, Long)]("fc_ring",
+        Encoders.scalaLong, Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)], tv: TimerValues)
+        : Iterator[(String, Long, Long, Long, Long, Long)] = {
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, hr, cnt) =>
+        val slot = Math.floorMod(hr, 24L)
+        val prev = if (ring.containsKey(slot)) Option(ring.getValue(slot))
+          else None
+        prev.foreach { case (ph, f) =>
+          if (ph == hr - 24 && cnt + f > 0) {
+            val smape = math.floor(
+              2e6 * math.abs(cnt - f).toDouble / (cnt + f)).toLong
+            out += ((key, hr, cnt, f, math.abs(cnt - f), smape))
+          }
+        }
+        ring.updateValue(slot, (hr, cnt))
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming lag-24 forecast errors over pre-aggregated
+    * (event_type, hr, cnt) rows: (type, hr, actual, forecast, abs_err,
+    * smape_micro) — term-for-term equal to the batch q283 join.
+    * RocksDB required. */
+  def forecastErrorStream(hourly: DataFrame)
+      : Dataset[(String, Long, Long, Long, Long, Long)] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .select(col("event_type").cast("string"), col("hr").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ForecastErrorProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ==== streaming exact distinct via block bitmaps (B155s) ==================
   //
   // The streaming twin of graft.operators.Bitmaps: per segment, MapState

@@ -794,6 +794,48 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("B233: streaming forecast errors == the batch lag-24 join term-for-term") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // 3 days of two series with different daily shapes; gaps included
+      // (hour 30 missing: the ring slot must NOT serve a stale day)
+      val rnd = new scala.util.Random(201)
+      val hourly = (0 until 72).flatMap { h =>
+        val rows = Seq(
+          ("cyc", h.toLong, 10L + (h % 24)),
+          ("rnd", h.toLong, 5L + rnd.nextInt(30).toLong))
+        if (h == 30) rows.filterNot(_._1 == "rnd") else rows
+      }
+      // batch truth: lag-24 join with the q283 smape term
+      val truth = (for {
+        (t, h, c) <- hourly
+        f <- hourly.collectFirst { case (`t`, ph, pc) if ph == h - 24 => pc }
+        if c + f > 0
+      } yield (t, h, c, f, math.abs(c - f),
+        math.floor(2e6 * math.abs(c - f).toDouble / (c + f)).toLong)).toSet
+      // the hour-30 gap: cyc@54 has its sibling, but the slot for rnd@54
+      // holds rnd@30's absence -> rnd@54 must NOT pair against day-1 data
+      assert(!truth.exists(r => r._1 == "rnd" && r._2 == 54))
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val q = EventsStreaming.forecastErrorStream(
+        input.toDF().toDF("event_type", "hr", "cnt"))
+        .writeStream.format("memory").queryName("fc_out")
+        .outputMode("update").start()
+      try {
+        hourly.sortBy(_._2).grouped(20).foreach { slice =>
+          input.addData(slice: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("fc_out")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == truth,
+        s"stream/batch diverged: ${streamed.diff(truth)} vs ${truth.diff(streamed)}")
+      assert(truth.nonEmpty)
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B90b: initial-state quota — batch ledger seeds the throttle across a restart") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
