@@ -3280,7 +3280,102 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2_tie_corrected
       |FROM c""".stripMargin
 
+  // ==== q297: Cronbach's alpha ================================================
+  //
+  // The internal-consistency readout for any composite metric (k items
+  // per subject — here the three day-part purchase counts as a "daily
+  // engagement scale"): α = k/(k−1)·(1 − Σv_item / v_total), where
+  // v_total is the variance of the per-subject item SUM. All moments are
+  // exact decimals from ONE user-domain aggregation (per-item sums,
+  // squares, and the total's square); the variance ratio is a fixed
+  // k+1-term double expression over identical decimals — item variances
+  // sum in declared item order (k is compile-time, no aggregation-order
+  // hazard). Degenerate zero-total-variance inputs report null.
+
+  /** One row: (n_subjects, alpha) — Cronbach's α over per-`idCol`
+    * integer item values `xs` (k = xs.size ≥ 2). */
+  def cronbachAlpha(df: DataFrame, idCol: String, xs: Seq[Column])
+      : DataFrame = {
+    val k = xs.size
+    require(k >= 2, "cronbachAlpha needs at least 2 items")
+    val perUser = df.groupBy(col(idCol))
+      .agg(xs.zipWithIndex.map { case (x, i) => sum(x).as(s"x$i") }.head,
+        xs.zipWithIndex.tail.map { case (x, i) => sum(x).as(s"x$i") }: _*)
+    val tot = (0 until k).map(i => col(s"x$i")).reduce(_ + _)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val aggs = (0 until k).flatMap(i => Seq(
+      sum(d18(col(s"x$i"))).as(s"s$i"),
+      sum(d18(col(s"x$i")) * d18(col(s"x$i"))).as(s"ss$i"))) ++ Seq(
+      sum(d18(tot)).as("st"), sum(d18(tot) * d18(tot)).as("sst"),
+      count(lit(1)).as("n"))
+    val m = perUser.agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    def v(sCol: String, ssCol: String) =
+      (dd(col("n")) * dd(col(ssCol)) - dd(col(sCol)) * dd(col(sCol))) /
+        (dd(col("n")) * (dd(col("n")) - lit(1.0)))
+    val sumVi = (0 until k).map(i => v(s"s$i", s"ss$i")).reduce(_ + _)
+    val vTot = v("st", "sst")
+    m.select(col("n").as("n_subjects"),
+      when(col("n") > 1 && vTot > 0,
+        lit(k.toDouble / (k - 1)) * (lit(1.0) - sumVi / vTot)).as("alpha"))
+  }
+
+  private def q297(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), hour(col("ts")).as("hod"))
+    def part(lo: Int, hi: Int) =
+      when(col("event_type") === "purchase" &&
+        col("hod") >= lo && col("hod") < hi, 1L).otherwise(0L)
+    cronbachAlpha(e, "user_id",
+      Seq(part(0, 8), part(8, 16), part(16, 24)))
+      .select(col("n_subjects"), QueryDef.dec4(col("alpha")).as("alpha"))
+  }
+
+  private val q297Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) < 8
+      |      THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x0,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 8
+      |      AND hour(ts) < 16 THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x1,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 16
+      |      THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x2
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x0) AS DECIMAL(38,0)) AS s0,
+      |    CAST(sum(x0 * x0) AS DECIMAL(38,0)) AS ss0,
+      |    CAST(sum(x1) AS DECIMAL(38,0)) AS s1,
+      |    CAST(sum(x1 * x1) AS DECIMAL(38,0)) AS ss1,
+      |    CAST(sum(x2) AS DECIMAL(38,0)) AS s2,
+      |    CAST(sum(x2 * x2) AS DECIMAL(38,0)) AS ss2,
+      |    CAST(sum(x0 + x1 + x2) AS DECIMAL(38,0)) AS st,
+      |    CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS DECIMAL(38,0))
+      |      AS sst
+      |  FROM f),
+      |c AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * CAST(ss0 AS DOUBLE)
+      |      - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    + (CAST(n AS DOUBLE) * CAST(ss1 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+      |    + (CAST(n AS DOUBLE) * CAST(ss2 AS DOUBLE)
+      |      - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS sum_vi,
+      |    (CAST(n AS DOUBLE) * CAST(sst AS DOUBLE)
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS v_tot
+      |  FROM m)
+      |SELECT n AS n_subjects,
+      |  CAST(CAST(CASE WHEN n > 1 AND v_tot > 0
+      |    THEN 1.5 * (1.0 - sum_vi / v_tot) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS alpha
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q297_cronbach_alpha", q297, Some(q297Sql)),
     QueryDef("q293_friedman", q293, Some(q293Sql)),
     QueryDef("q292_pettitt", q292, Some(q292Sql)),
     QueryDef("q291_runs_test", q291, Some(q291Sql)),

@@ -305,6 +305,46 @@ class StatTestsR11Spec extends AnyFunSuite {
       "single event type: zero variance -> degenerate null")
   }
 
+  // ==== q297 Cronbach's alpha ================================================
+
+  test("cronbachAlpha: textbook recomputation; parallel items near 1") {
+    // items = per-user counts of three tags
+    val rnd = new scala.util.Random(211)
+    val users = (1L to 80L).map { u =>
+      val base = rnd.nextInt(10)
+      (u, base + rnd.nextInt(3), base + rnd.nextInt(3), base + rnd.nextInt(3))
+    }
+    val rows = users.flatMap { case (u, a, b, c) =>
+      (1 to a).map(_ => (u, "a")) ++ (1 to b).map(_ => (u, "b")) ++
+        (1 to c).map(_ => (u, "c")) }
+    val got = Profiling.cronbachAlpha(rows.toDF("id", "k"), "id",
+      Seq(when(col("k") === "a", 1L).otherwise(0L),
+        when(col("k") === "b", 1L).otherwise(0L),
+        when(col("k") === "c", 1L).otherwise(0L))).head()
+    def varU(xs: Seq[Long]) = {
+      val m = xs.sum.toDouble / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val (ia, ib, ic) = (users.map(_._2.toLong), users.map(_._3.toLong),
+      users.map(_._4.toLong))
+    val totV = varU(users.map(u => (u._2 + u._3 + u._4).toLong))
+    val alpha = 1.5 * (1.0 - (varU(ia) + varU(ib) + varU(ic)) / totV)
+    assert(math.abs(got.getAs[Double]("alpha") - alpha) <= 1e-9)
+    // a shared base with small noise -> high reliability
+    assert(alpha > 0.6, s"parallel items must score high: $alpha")
+    // independent items -> alpha near 0 (can be negative)
+    val indep = (1L to 80L).flatMap { u =>
+      (1 to rnd.nextInt(5) + 1).map(_ => (u, "a")) ++
+        (1 to rnd.nextInt(5) + 1).map(_ => (u, "b")) ++
+        (1 to rnd.nextInt(5) + 1).map(_ => (u, "c")) }
+    val a0 = Profiling.cronbachAlpha(indep.toDF("id", "k"), "id",
+      Seq(when(col("k") === "a", 1L).otherwise(0L),
+        when(col("k") === "b", 1L).otherwise(0L),
+        when(col("k") === "c", 1L).otherwise(0L))).head()
+      .getAs[Double]("alpha")
+    assert(a0 < 0.4, s"independent items must score low: $a0")
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
