@@ -3374,7 +3374,89 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS alpha
       |FROM c""".stripMargin
 
+  // ==== q298: intraclass correlation ICC(1) ==================================
+  //
+  // The agreement coefficient q297's α is often mistaken for: ICC(1) =
+  // (MSB − MSW)/(MSB + (k−1)·MSW) from the one-way subjects-as-groups
+  // ANOVA — "how much of the measurement variance is the subject, not
+  // the occasion" (rater agreement, repeated-measures reliability).
+  // Exactness: SSW·n and SSB·n collapse to pure integer forms —
+  // SSW_n = n·(k·ΣΣx² − Σ_u T_u²)/k and SSB_n = (k·Σ_u T_u² /k... both
+  // derived from TWO exact decimal sums (ΣΣx², Σ_u T_u², (ΣT)²) — so
+  // the mean squares divide identical decimals; one user-domain pass.
+
+  /** One row: (n_subjects, icc1) — one-way intraclass correlation over
+    * per-`idCol` item values `xs` (k = xs.size ≥ 2). */
+  def icc1(df: DataFrame, idCol: String, xs: Seq[Column]): DataFrame = {
+    val k = xs.size
+    require(k >= 2, "icc1 needs at least 2 measurements per subject")
+    val perUser = df.groupBy(col(idCol))
+      .agg(xs.zipWithIndex.map { case (x, i) => sum(x).as(s"x$i") }.head,
+        xs.zipWithIndex.tail.map { case (x, i) => sum(x).as(s"x$i") }: _*)
+    def d18(c: Column) = c.cast("decimal(18,0)")
+    val ssx = (0 until k).map(i => d18(col(s"x$i")) * d18(col(s"x$i")))
+      .reduce(_ + _)
+    val t = (0 until k).map(i => d18(col(s"x$i"))).reduce(_ + _)
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(ssx).as("sxx"),     // ΣΣ x²
+      sum(t * t).as("stt"),   // Σ_u T_u²
+      sum(t).as("st"))        // ΣT (grand total)
+    def dd(c: Column) = c.cast("double")
+    // SSW = Σx² − ΣT²/k ; SSB = ΣT²/k − (ΣT)²/(nk)
+    val ssw = dd(col("sxx")) - dd(col("stt")) / lit(k.toDouble)
+    val ssb = dd(col("stt")) / lit(k.toDouble) -
+      dd(col("st")) * dd(col("st")) / (dd(col("n")) * lit(k.toDouble))
+    val msw = ssw / (dd(col("n")) * lit((k - 1).toDouble))
+    val msb = ssb / (dd(col("n")) - lit(1.0))
+    m.select(col("n").as("n_subjects"),
+      when(col("n") > 1 && (msb + lit((k - 1).toDouble) * msw) > 0,
+        (msb - msw) / (msb + lit((k - 1).toDouble) * msw)).as("icc1"))
+  }
+
+  private def q298(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"),
+      col("event_type"), hour(col("ts")).as("hod"))
+    def part(lo: Int, hi: Int) =
+      when(col("event_type") === "purchase" &&
+        col("hod") >= lo && col("hod") < hi, 1L).otherwise(0L)
+    icc1(e, "user_id", Seq(part(0, 8), part(8, 16), part(16, 24)))
+      .select(col("n_subjects"), QueryDef.dec4(col("icc1")).as("icc1"))
+  }
+
+  private val q298Sql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) < 8
+      |      THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x0,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 8
+      |      AND hour(ts) < 16 THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x1,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' AND hour(ts) >= 16
+      |      THEN 1 ELSE 0 END) AS DECIMAL(18,0)) AS x2
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(x0 * x0 + x1 * x1 + x2 * x2) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS DECIMAL(38,0))
+      |      AS stt,
+      |    CAST(sum(x0 + x1 + x2) AS DECIMAL(38,0)) AS st
+      |  FROM f),
+      |c AS (
+      |  SELECT n,
+      |    (CAST(sxx AS DOUBLE) - CAST(stt AS DOUBLE) / 3.0)
+      |      / (CAST(n AS DOUBLE) * 2.0) AS msw,
+      |    (CAST(stt AS DOUBLE) / 3.0
+      |      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+      |        / (CAST(n AS DOUBLE) * 3.0))
+      |      / (CAST(n AS DOUBLE) - 1.0) AS msb
+      |  FROM m)
+      |SELECT n AS n_subjects,
+      |  CAST(CAST(CASE WHEN n > 1 AND msb + 2.0 * msw > 0
+      |    THEN (msb - msw) / (msb + 2.0 * msw) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS icc1
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q298_icc1", q298, Some(q298Sql)),
     QueryDef("q297_cronbach_alpha", q297, Some(q297Sql)),
     QueryDef("q293_friedman", q293, Some(q293Sql)),
     QueryDef("q292_pettitt", q292, Some(q292Sql)),

@@ -345,6 +345,42 @@ class StatTestsR11Spec extends AnyFunSuite {
     assert(a0 < 0.4, s"independent items must score low: $a0")
   }
 
+  // ==== q298 ICC(1) ==========================================================
+
+  test("icc1: textbook one-way ANOVA recomputation; agreement extremes") {
+    val rnd = new scala.util.Random(223)
+    val users = (1L to 60L).map { u =>
+      val base = rnd.nextInt(12)
+      (u, base + rnd.nextInt(2), base + rnd.nextInt(2), base + rnd.nextInt(2))
+    }
+    val rows = users.flatMap { case (u, a, b, c) =>
+      (1 to a).map(_ => (u, "a")) ++ (1 to b).map(_ => (u, "b")) ++
+        (1 to c).map(_ => (u, "c")) }
+    val got = Profiling.icc1(rows.toDF("id", "k"), "id",
+      Seq(when(col("k") === "a", 1L).otherwise(0L),
+        when(col("k") === "b", 1L).otherwise(0L),
+        when(col("k") === "c", 1L).otherwise(0L))).head()
+    // textbook one-way ANOVA decomposition
+    val xs = users.map(u => Seq(u._2.toDouble, u._3.toDouble, u._4.toDouble))
+    val n = xs.size; val k = 3
+    val grand = xs.flatten.sum / (n * k)
+    val ssw = xs.map(g => g.map(x => math.pow(x - g.sum / k, 2)).sum).sum
+    val ssb = xs.map(g => k * math.pow(g.sum / k - grand, 2)).sum
+    val msw = ssw / (n * (k - 1)); val msb = ssb / (n - 1)
+    val icc = (msb - msw) / (msb + (k - 1) * msw)
+    assert(math.abs(got.getAs[Double]("icc1") - icc) <= 1e-9)
+    assert(icc > 0.5, s"shared-base raters must agree: $icc")
+    // perfect agreement: identical measurements -> ICC exactly 1
+    val perfect = (1L to 40L).flatMap { u =>
+      val v = (u % 7 + 1).toInt
+      (1 to v).flatMap(_ => Seq((u, "a"), (u, "b"), (u, "c"))) }
+    val g1 = Profiling.icc1(perfect.toDF("id", "k"), "id",
+      Seq(when(col("k") === "a", 1L).otherwise(0L),
+        when(col("k") === "b", 1L).otherwise(0L),
+        when(col("k") === "c", 1L).otherwise(0L))).head()
+    assert(g1.getAs[Double]("icc1") == 1.0)
+  }
+
   // ==== q271 McNemar =========================================================
 
   test("mcnemar: hand-computed discordant counts and chi2") {
