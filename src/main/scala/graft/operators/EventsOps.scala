@@ -3541,19 +3541,29 @@ object EventsOps {
     * hourly-count ~ hour-index OLS. Types with < 3 hours or zero
     * residual mass report null. */
   def durbinWatson(events: DataFrame): DataFrame = {
-    val hourly = events
+    // The hour index is REBASED per type (h − min h) before any moment:
+    // absolute epoch-hours are ~4.7e5, so n·Σh² in raw 64-bit would pass
+    // 2^63 once a type spans ~9 months of distinct hours (DuckDB raises,
+    // Spark wraps silently). Rebasing bounds h by the SPAN, and the
+    // cross-products additionally ride decimal(38,0)/HUGEINT (the
+    // q272/q294 rule) so neither engine can overflow at any span.
+    val raw = events
       .groupBy(col("event_type"),
         expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
       .agg(count(lit(1)).as("y"))
+    val hmin = raw.groupBy(col("event_type")).agg(min(col("h")).as("hmin"))
+    val hourly = raw.join(broadcast(hmin), Seq("event_type"))
+      .select(col("event_type"), (col("h") - col("hmin")).as("h"), col("y"))
+    def d0(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val m = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("h")).as("sh"),
-        sum(col("y")).as("sy"), sum(col("h") * col("h")).as("shh"),
-        sum(col("h") * col("y")).as("shy"))
+        sum(col("y")).as("sy"), sum(d0(col("h")) * col("h")).as("shh"),
+        sum(d0(col("h")) * col("y")).as("shy"))
     def dd(c: org.apache.spark.sql.Column) = c.cast("double")
     val withFit = hourly.join(broadcast(m), Seq("event_type"))
       .withColumn("slope",
-        dd(col("n") * col("shy") - col("sh") * col("sy")) /
-          dd(col("n") * col("shh") - col("sh") * col("sh")))
+        dd(d0(col("n")) * col("shy") - d0(col("sh")) * col("sy")) /
+          dd(d0(col("n")) * col("shh") - d0(col("sh")) * col("sh")))
       .withColumn("icept",
         (dd(col("sy")) - col("slope") * dd(col("sh"))) / dd(col("n")))
       .withColumn("e", dd(col("y")) - col("slope") * dd(col("h")) -
@@ -3579,20 +3589,26 @@ object EventsOps {
       .orderBy(col("event_type"))
 
   private val q282Sql =
-    """WITH hourly AS (
+    """WITH raw AS (
       |  SELECT event_type,
       |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
       |    count(*) AS y
       |  FROM events GROUP BY 1, 2),
+      |hmin AS (SELECT event_type, min(h) AS hmin FROM raw GROUP BY 1),
+      |hourly AS (
+      |  SELECT raw.event_type, raw.h - hmin.hmin AS h, y
+      |  FROM raw JOIN hmin USING (event_type)),
       |m AS (
       |  SELECT event_type, count(*) AS n, CAST(sum(h) AS BIGINT) AS sh,
-      |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(h * h) AS BIGINT) AS shh,
-      |    CAST(sum(h * y) AS BIGINT) AS shy
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(CAST(h AS HUGEINT) * h) AS HUGEINT) AS shh,
+      |    CAST(sum(CAST(h AS HUGEINT) * y) AS HUGEINT) AS shy
       |  FROM hourly GROUP BY 1),
       |fit AS (
       |  SELECT hourly.event_type, h, y,
-      |    CAST(n * shy - sh * sy AS DOUBLE)
-      |      / CAST(n * shh - sh * sh AS DOUBLE) AS slope,
+      |    CAST(CAST(n AS HUGEINT) * shy - CAST(sh AS HUGEINT) * sy AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT) * shh - CAST(sh AS HUGEINT) * sh
+      |        AS DOUBLE) AS slope,
       |    n, sh, sy
       |  FROM hourly JOIN m USING (event_type)),
       |res AS (

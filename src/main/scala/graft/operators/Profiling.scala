@@ -14,37 +14,49 @@ object Profiling {
 
   // ==== q69: column profiling =============================================
   //
-  // Per-column row/null/distinct counts and min/max, computed in ONE scan:
-  // all 24 aggregates run in a single agg (Spark plans the multi-distinct
-  // via Expand), then the one result row unpivots to a row per column.
-  // The alternative — a scan per column — reads the table C times at
-  // 100 TB. Renders: doubles as decimal(38,4) strings, timestamps as UTC
-  // seconds, everything else via plain string cast.
+  // Per-column row/null/distinct counts and min/max. Two passes over ONE
+  // scan shape, never an Expand: (1) every NON-distinct aggregate (count/
+  // min/max per column) runs in a single agg — Spark plans that as one
+  // hash aggregate, and (2) the six exact distinct counts come from an
+  // explicit unpivot (Generate of narrow (column_name, value) structs)
+  // into a single-distinct groupBy, which Spark plans as a two-level
+  // partial-distinct aggregate with NO Expand. Mixing six countDistinct
+  // into one agg instead makes Catalyst Expand the full table 6× carrying
+  // all 24 buffers — the Distinct-Expand pathology (6× shuffle IO at
+  // 100 TB). Cast-to-string for distinct counting is injective per
+  // column type here (int/decimal/date/string), so the counts are exact.
+  // Renders: doubles as decimal(38,4) strings, timestamps as UTC seconds,
+  // everything else via plain string cast.
 
   def profileOrders(orders: DataFrame): DataFrame = {
-    def metrics(c: String, repr: Column => Column) = Seq(
-      count(col(c)).as(s"${c}_nn"),
-      countDistinct(col(c)).as(s"${c}_nd"),
-      repr(min(col(c))).as(s"${c}_min"),
-      repr(max(col(c))).as(s"${c}_max"))
     val str = (c: Column) => c.cast("string")
-    val agg = orders.agg(
-      count(lit(1)).as("n_rows"),
-      metrics("o_orderkey", str) ++ metrics("o_custkey", str) ++
-        metrics("o_orderstatus", str) ++
-        metrics("o_totalprice", QueryDef.dec4) ++
-        metrics("o_orderdate", QueryDef.tsSec) ++
-        metrics("o_orderpriority", str): _*)
+    val reprOf: Map[String, Column => Column] = Map(
+      "o_totalprice" -> (QueryDef.dec4(_)),
+      "o_orderdate" -> (QueryDef.tsSec(_))).withDefaultValue(str)
     val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
       "o_totalprice", "o_orderdate", "o_orderpriority")
-    agg.select(explode(array(cols.map(c => struct(
+    val agg = orders.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_nn"),
+        reprOf(c)(min(col(c))).as(s"${c}_min"),
+        reprOf(c)(max(col(c))).as(s"${c}_max"))): _*)
+    val base = agg.select(explode(array(cols.map(c => struct(
         lit(c).as("column_name"),
         col("n_rows"),
         (col("n_rows") - col(s"${c}_nn")).as("n_null"),
-        col(s"${c}_nd").as("n_distinct"),
         col(s"${c}_min").as("min_repr"),
         col(s"${c}_max").as("max_repr"))): _*)).as("p"))
       .select(col("p.*"))
+    val nd = orders.select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .groupBy(col("column_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    base.join(nd, Seq("column_name"))
+      .select(col("column_name"), col("n_rows"), col("n_null"),
+        col("n_distinct"), col("min_repr"), col("max_repr"))
       .orderBy(col("column_name"))
   }
 

@@ -67,20 +67,38 @@ object StringSim {
     * every qualifying pair is generated EXACTLY once (no distinct pass)
     * and a hot prefix is subdivided by length. Scoring is one codegen'd
     * static call per candidate; the threshold prunes before anything
-    * shuffles again. */
+    * shuffles again.
+    *
+    * The (prefix, length-bucket) domain is a CONSTANT of the alphabet,
+    * not of the data, so block population grows linearly with the corpus
+    * and within-block candidate pairs grow QUADRATICALLY — the contract
+    * is therefore ENFORCED, not just declared (the kendallTau
+    * precedent): block sizes are counted on the one materialized keyed
+    * projection and a block over `maxBlock` raises before the quadratic
+    * join can run, with the fix named in the error (a longer `prefix`,
+    * which multiplies blocks with the data — q268 uses 4 hex bytes). */
   def jaroWinklerSelfJoin(corpus: DataFrame, minSim: Double,
-      prefix: Int = 2, lenBand: Int = 2): DataFrame = {
+      prefix: Int = 2, lenBand: Int = 2, maxBlock: Long = 10000L)
+      : DataFrame = {
     val w = (lenBand + 1).toLong
-    val home = corpus.select(col("key").as("key_a"),
+    val keyed = corpus.select(col("key"),
       substring(col("key"), 1, prefix).as("__blk"),
-      length(col("key")).cast("long").as("__la"))
-      .withColumn("__bkt", expr(s"__la div ${w}L"))
-    val probe = corpus.select(col("key").as("key_b"),
-      substring(col("key"), 1, prefix).as("__blk"),
-      length(col("key")).cast("long").as("__lb"))
-      .withColumn("__bkt",
-        explode(sequence(expr(s"__lb div ${w}L") - 1,
-          expr(s"__lb div ${w}L") + 1)))
+      length(col("key")).cast("long").as("__l"))
+      .withColumn("__bkt", expr(s"__l div ${w}L"))
+      .localCheckpoint()
+    val hottest = keyed.groupBy(col("__blk"), col("__bkt"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0)
+    val maxN = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+    require(maxN <= maxBlock,
+      s"jaroWinklerSelfJoin: hottest ($prefix-byte prefix, length-bucket)" +
+        s" block holds $maxN keys > maxBlock=$maxBlock — within-block " +
+        "pairs are quadratic in block population; raise `prefix` so " +
+        "blocks multiply with the data (q268 blocks on 4 bytes)")
+    val home = keyed.select(col("key").as("key_a"), col("__blk"),
+      col("__l").as("__la"), col("__bkt"))
+    val probe = keyed.select(col("key").as("key_b"), col("__blk"),
+      col("__l").as("__lb"),
+      explode(sequence(col("__bkt") - 1, col("__bkt") + 1)).as("__bkt"))
     home.join(probe, Seq("__blk", "__bkt"))
       .filter(col("key_a") < col("key_b") &&
         abs(col("__la") - col("__lb")) <= lenBand)

@@ -659,7 +659,15 @@ object TextAnalysis {
   /** Per-document repetition metrics: distinct-token ratio and the fraction
     * of all bigrams taken by the single most frequent bigram — the standard
     * "repetitious document" quality signals. Pure column program over
-    * non-distinct bigrams (zip_with of the shifted token list). */
+    * non-distinct bigrams (zip_with of the shifted token list).
+    *
+    * The mode count is computed in O(n log n) per row: sort the bigram
+    * list, then one linear `aggregate` pass tracks the longest run of
+    * equal adjacent elements (the sorted-array mode). The obvious
+    * distinct×occurrences scan is O(n²) per row — a single 100k-token
+    * document would cost 10^10 comparisons inside ONE task at scale, so
+    * that shape is banned here. Tokens are non-empty (Tok.ws filters
+    * empties), so the "" run seed can never match a real bigram. */
   def repetitionMetrics(docs: DataFrame): DataFrame = {
     val toks = Tok.ws(col("text"))
     val n = size(toks)
@@ -667,14 +675,22 @@ object TextAnalysis {
       slice(toks, lit(1), greatest(n - 1, lit(0))),
       slice(toks, lit(2), greatest(n - 1, lit(0))),
       (a, b) => concat(a, lit(" "), b))
+    val topRun = aggregate(
+      array_sort(col("bg")),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     docs
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("distinct_ratio",
         when(n > 0, size(array_distinct(toks)).cast("double") / n))
       .withColumn("bg", bigrams)
-      .withColumn("top_bigram_count", when(size(col("bg")) > 0,
-        array_max(transform(array_distinct(col("bg")),
-          g => size(filter(col("bg"), x => x === g))))).otherwise(lit(0)))
+      .withColumn("top_bigram_count",
+        when(size(col("bg")) > 0, topRun).otherwise(lit(0)))
       .withColumn("top_bigram_frac", when(size(col("bg")) > 0,
         col("top_bigram_count").cast("double") / size(col("bg"))))
       .drop("bg")

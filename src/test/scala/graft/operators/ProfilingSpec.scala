@@ -21,12 +21,17 @@ class ProfilingSpec extends AnyFunSuite {
     val keyRow = rows.find(_.getString(0) == "o_orderkey").get
     assert(keyRow.getLong(2) == 0L)      // no null keys
     assert(keyRow.getLong(3) == n)       // keys unique
-    // single pass: exactly one scan of the orders file in the final plan
+    // plan shape: the six exact distinct counts must NOT plan as a
+    // multi-distinct Aggregate — that Expands the full table 6× (6×
+    // shuffle IO at 100 TB). Two pruned scans (non-distinct aggs +
+    // unpivoted single-distinct agg) and zero Expand nodes.
     // (the AQE string repeats the tree under "== Initial Plan ==" — cut it)
     val finalPlan = prof.queryExecution.executedPlan.toString
       .split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("Expand"),
+      "profile plan must not Expand the base scan")
     val scans = finalPlan.linesIterator.count(_.contains("FileScan parquet"))
-    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(scans <= 2, s"expected <=2 scans, got $scans")
   }
 
   test("orc round-trip preserves values and prunes lang partitions") {
