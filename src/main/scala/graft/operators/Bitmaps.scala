@@ -204,14 +204,30 @@ object Bitmaps {
   // bench timings measure the SERVE cost, not the build.
 
   /** Root for the maintained state, keyed by the events file fingerprint
-    * so a regenerated sf dir can never serve stale bitmaps. */
+    * so a regenerated sf dir can never serve stale bitmaps. The
+    * fingerprint hashes every file's (relative name, length, mtime)
+    * TUPLE — summing lengths+mtimes collides when a regenerated dataset
+    * lands identical sizes within mtime granularity. Superseded state
+    * roots for the same sf dir are deleted on rollover so /tmp does not
+    * accumulate one abandoned tree per fingerprint. */
   private def stateRoot(dir: String): String = {
-    def fp(f: java.io.File): Long =
-      if (f.isDirectory) f.listFiles.map(fp).sum
-      else f.length + f.lastModified
-    val sig = java.lang.Long.toHexString(
-      fp(new java.io.File(s"$dir/events.parquet")))
-    s"/tmp/graft_bmreg_${Integer.toHexString(dir.hashCode)}_$sig"
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.sortBy(_.getName).toSeq.flatMap(walk)
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    walk(new java.io.File(s"$dir/events.parquet")).foreach(f =>
+      md.update(s"${f.getName}|${f.length}|${f.lastModified}\n"
+        .getBytes("UTF-8")))
+    val sig = md.digest().take(8).map("%02x".format(_)).mkString
+    val prefix = s"graft_bmreg_${Integer.toHexString(dir.hashCode)}_"
+    val tmp = new java.io.File("/tmp")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree)
+      f.delete(): Unit
+    }
+    Option(tmp.listFiles((_, n) => n.startsWith(prefix) &&
+      n != s"$prefix$sig")).foreach(_.foreach(rmTree))
+    s"/tmp/$prefix$sig"
   }
 
   /** Build-or-reuse the (event_type, day) bitmap state over a projected

@@ -69,6 +69,33 @@ object Incremental {
       require(fs.rename(aside, root), s"state recovery failed: $aside")
   }
 
+  /** The applied-batch id RIDES INSIDE the state directory (an
+    * underscore-prefixed file, invisible to the parquet reader), so the
+    * rename in [[swapStateAside]] publishes state and id atomically — a
+    * crash can never leave merged-but-unstamped state that a replay
+    * would double-count. A legacy sibling `<root>__applied_batch` file
+    * (the pre-round-12 layout, where a crash between swap and id write
+    * DID double-count) is still read for migration, max-wins. */
+  private[graft] def readAppliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    def readLong(p: org.apache.hadoop.fs.Path): Long =
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try new String(in.readAllBytes()).trim.toLong finally in.close()
+      } else -1L
+    math.max(
+      readLong(new org.apache.hadoop.fs.Path(root, "_applied_batch")),
+      readLong(new org.apache.hadoop.fs.Path(
+        root.toString + "__applied_batch")))
+  }
+
+  private[graft] def writeAppliedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, batchId: Long): Unit = {
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(dir, "_applied_batch"), true)
+    try out.write(batchId.toString.getBytes) finally out.close()
+  }
+
   private[graft] def swapStateAside(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
       staging: org.apache.hadoop.fs.Path): Unit = {
@@ -91,22 +118,18 @@ object Incremental {
     import org.apache.hadoop.fs.Path
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idFile = new Path(statePath + "__applied_batch")
-    val lastApplied: Long =
-      if (fs.exists(idFile)) {
-        val in = fs.open(idFile)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
-      } else -1L
-    if (batchId <= lastApplied) return // replayed batch — already folded in
     recoverStateAside(fs, root)
+    if (batchId <= readAppliedBatch(fs, root)) return // replay — folded in
     val delta = aggState(batch)
     val next = if (fs.exists(root))
       mergeState(spark.read.parquet(statePath), delta) else delta
     val staging = new Path(statePath + "__refreshing")
     next.write.mode("overwrite").parquet(staging.toString)
+    // stamp the id INTO staging before the swap: state + id become
+    // visible in one rename — no crash window can double-count a replay
+    writeAppliedBatch(fs, staging, batchId)
     swapStateAside(fs, root, staging)
-    val out = fs.create(idFile, true)
-    try out.write(batchId.toString.getBytes) finally out.close()
+    fs.delete(new Path(statePath + "__applied_batch"), false) // legacy
   }
 
   /** Live stats maintenance: every micro-batch of arriving documents folds
@@ -261,22 +284,16 @@ object Incremental {
     import org.apache.hadoop.fs.Path
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idFile = new Path(statePath + "__applied_batch")
-    val lastApplied: Long =
-      if (fs.exists(idFile)) {
-        val in = fs.open(idFile)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
-      } else -1L
-    if (batchId <= lastApplied) return
     recoverStateAside(fs, root)
+    if (batchId <= readAppliedBatch(fs, root)) return
     val delta = histState(batch, valueCol, keys, lo, width, nBuckets)
     val next = if (fs.exists(root))
       mergeHistState(spark.read.parquet(statePath), delta, keys) else delta
     val staging = new Path(statePath + "__refreshing")
     next.write.mode("overwrite").parquet(staging.toString)
+    writeAppliedBatch(fs, staging, batchId) // id swaps in WITH the state
     swapStateAside(fs, root, staging)
-    val out = fs.create(idFile, true)
-    try out.write(batchId.toString.getBytes) finally out.close()
+    fs.delete(new Path(statePath + "__applied_batch"), false) // legacy
   }
 
   /** Streaming percentile maintenance: each micro-batch folds its

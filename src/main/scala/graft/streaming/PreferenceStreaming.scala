@@ -35,23 +35,21 @@ object PreferenceStreaming {
     import org.apache.hadoop.fs.Path
     val root = new Path(statePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val idFile = new Path(statePath + "__applied_batch")
-    val lastApplied: Long =
-      if (fs.exists(idFile)) {
-        val in = fs.open(idFile)
-        try new String(in.readAllBytes()).trim.toLong finally in.close()
-      } else -1L
-    if (batchId <= lastApplied) return // replayed batch — already folded in
     Incremental.recoverStateAside(fs, root)
+    if (batchId <= Incremental.readAppliedBatch(fs, root)) return // replay
     val delta = Preference.duelState(duels)
     val next = if (fs.exists(root))
       Preference.mergeDuelState(spark.read.parquet(statePath), delta)
     else delta
     val staging = new Path(statePath + "__refreshing")
     next.write.mode("overwrite").parquet(staging.toString)
+    // the applied-batch id is stamped INTO the staging directory before
+    // the swap (Incremental's discipline): the rename publishes duel
+    // counts and id atomically, closing the crash window where merged
+    // non-idempotent counts could replay unstamped and double-count
+    Incremental.writeAppliedBatch(fs, staging, batchId)
     Incremental.swapStateAside(fs, root, staging)
-    val out = fs.create(idFile, true)
-    try out.write(batchId.toString.getBytes) finally out.close()
+    fs.delete(new Path(statePath + "__applied_batch"), false) // legacy
   }
 
   /** Live preference ranking: every micro-batch of duel rows (w, l)

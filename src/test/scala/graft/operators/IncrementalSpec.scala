@@ -67,6 +67,24 @@ class IncrementalSpec extends AnyFunSuite {
       corpus.filter(col("doc_id") < 150L), batchId = 0L)
     assert(canon(spark.read.parquet(statePath)) ==
       canon(Incremental.aggState(corpus)))
+    // exactly-once under crashes: the applied-batch id must live INSIDE
+    // the state directory (published by the same rename as the state),
+    // never as a separately-written sibling — a crash between swap and a
+    // separate id write would replay merged counts and double them
+    val fs = new org.apache.hadoop.fs.Path(statePath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(statePath,
+      "_applied_batch")), "applied-batch id must ride the state dir")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      statePath + "__applied_batch")), "no sibling id file may remain")
+    // crash window: a refresh that staged state+id but died BEFORE the
+    // swap leaves the live state untouched and the batch re-applies
+    val staged = new org.apache.hadoop.fs.Path(statePath + "__refreshing")
+    fs.mkdirs(staged)
+    Incremental.writeAppliedBatch(fs, staged, 99L)
+    assert(Incremental.readAppliedBatch(fs,
+      new org.apache.hadoop.fs.Path(statePath)) < 99L,
+      "an unswapped staging id must not be visible as applied")
   }
 
   test("streamed histogram refresh over batches == from-scratch state; replay is a no-op") {
