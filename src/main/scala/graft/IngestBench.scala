@@ -69,6 +69,28 @@ object IngestBench {
       require(results.map(_.ingestionId).distinct.size == streams,
         "parallel streams must have distinct ingestion ids")
       require(total > 0 && chunksSent > 0, "chunk accounting broken")
+      // ordered-ACK law under concurrency, verified PER STREAM on the
+      // receiver's own state: every ingestion's accepted chunks are dense
+      // 0..n-1 (A24 would have NACKed any out-of-order presentation, and
+      // the zero-NACK witness proves none was ever even attempted)
+      val lastByIngestion = mock.lastChunkPerIngestion
+      results.foreach { r =>
+        val last = lastByIngestion.getOrElse(r.ingestionId, -1L)
+        require(last == r.chunksSent - 1,
+          s"stream ${r.ingestionId}: receiver accepted through chunk " +
+            s"$last, sender sent ${r.chunksSent} chunks")
+      }
+      require(mock.completedCount == streams,
+        s"expected $streams COMPLETED handshakes, saw ${mock.completedCount}")
+      val streamDetail = results.map(r =>
+        s"""{"ingestion_id":"${r.ingestionId}","records":${r.totalRecords},""" +
+          s""""chunks":${r.chunksSent},"last_chunk_acked":${
+            lastByIngestion.getOrElse(r.ingestionId, -1L)}}""")
+        .mkString("[", ",", "]")
+      sys.env.get("SPARK_GRAFT_INGEST_OUT").foreach { path =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+          f"""{"streams":$streams,"records":$total,"chunks":$chunksSent,"chunk_size":$chunkSize,"sec":$sec%.2f,"records_per_sec":$rps%.0f,"receiver_records":${mock.totalRecordsEver},"receiver_nacks":${mock.nackCount},"completed_handshakes":${mock.completedCount},"ordered_ack_law_per_stream":true,"per_stream":$streamDetail}""" + "\n")
+      }
       // phase breakdown (separate warm run, AFTER the accounting checks —
       // it re-sends the table and would double the receiver's counters)
       if (sys.env.contains("SPARK_GRAFT_PHASES")) {

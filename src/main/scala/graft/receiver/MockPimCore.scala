@@ -30,6 +30,13 @@ final class MockPimCore {
   val receivedChunks: scala.collection.mutable.ArrayBuffer[Long] =
     scala.collection.mutable.ArrayBuffer.empty
   private val toReject = scala.collection.mutable.Map.empty[Long, Int]
+  /** NACKs issued (any reason) — the concurrency audit's ordering witness:
+    * zero means no stream ever presented chunk n+1 before n's accept. */
+  @volatile var nackCount: Long = 0L
+  /** Highest accepted chunk per ingestion (dense from 0 by A24). */
+  def lastChunkPerIngestion: Map[String, Long] = synchronized {
+    lastChunk.toMap
+  }
 
   /** NACK chunk n the next `times` times it arrives. */
   def rejectChunk(n: Long, times: Int = 1): Unit = synchronized {
@@ -67,7 +74,7 @@ final class MockPimCore {
       Identity.sha256Hex(canonical) == checksum
     }
 
-    synchronized {
+    val resp = synchronized {
       if (toReject.getOrElse(chunkNumber, 0) > 0) {
         val left = toReject(chunkNumber) - 1
         if (left == 0) toReject.remove(chunkNumber) else toReject(chunkNumber) = left
@@ -89,6 +96,8 @@ final class MockPimCore {
         Response(ack = true, ingestionId, chunkNumber, None)
       }
     }
+    if (!resp.ack) synchronized { nackCount += 1 }
+    resp
   }
 
   private def str(o: MiniJson.JObj, k: String): String =
