@@ -3467,7 +3467,193 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS icc1
       |FROM c""".stripMargin
 
+  // ==== q299: Fleiss' kappa ==================================================
+  //
+  // Multi-rater categorical agreement — the k-rater generalization the
+  // pairwise Cohen's kappa (B96) cannot give and the continuous-scale
+  // ICC (q298) does not apply to: k raters assign each of n subjects to
+  // one of c categories; κ = (P̄ − P_e)/(1 − P_e) with P̄ the mean
+  // pairwise within-subject agreement and P_e the marginal chance rate.
+  // Exactness: with n_ij = raters placing subject i in category j,
+  // P̄ = (A − nk)/(nk(k−1)) and P_e = Σ_j C_j²/(nk)² where A = ΣΣ n_ij²
+  // and C_j = Σ_i n_ij are exact integer sums from ONE subject-domain
+  // pass; κ is a fixed double chain over those integers. Raters here are
+  // three deterministic length-bucket classifiers with offset thresholds
+  // (the planted-disagreement fixture both engines reproduce verbatim).
+
+  /** One row: (n_subjects, p_bar, p_e, kappa) — Fleiss' κ over `ratings`,
+    * one column per rater, each valued in 0..(c−1). */
+  def fleissKappa(df: DataFrame, ratings: Seq[Column], nCats: Int)
+      : DataFrame = {
+    val k = ratings.size
+    require(k >= 2 && nCats >= 2, "fleissKappa needs >=2 raters, >=2 cats")
+    val rated = df.select(ratings.zipWithIndex.map {
+      case (r, i) => r.cast("int").as(s"r$i") }: _*)
+    val nij = (0 until nCats).map(j =>
+      (0 until k).map(i => when(col(s"r$i") === j, 1).otherwise(0))
+        .reduce(_ + _).as(s"n$j"))
+    val perSubj = rated.select(nij: _*)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum((0 until nCats).map(j => col(s"n$j") * col(s"n$j"))
+        .reduce(_ + _).cast("long")).as("a")) ++
+      (0 until nCats).map(j => sum(col(s"n$j").cast("long")).as(s"c$j"))
+    val m = perSubj.agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    val nk = dd(col("n")) * k
+    val pBar = (dd(col("a")) - nk) / (nk * (k - 1))
+    val pE = (0 until nCats)
+      .map(j => dd(col(s"c$j")) * dd(col(s"c$j"))).reduce(_ + _) / (nk * nk)
+    m.select(col("n").as("n_subjects"),
+      pBar.as("p_bar"), pE.as("p_e"),
+      when(col("n") > 0 && pE < 1.0, (pBar - pE) / (lit(1.0) - pE))
+        .as("kappa"))
+  }
+
+  private def q299(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def rater(lo: Int, hi: Int) =
+      when(col("n_chars") < lo, 0).when(col("n_chars") < hi, 1).otherwise(2)
+    fleissKappa(docs,
+      Seq(rater(200, 380), rater(180, 360), rater(220, 400)), nCats = 3)
+      .select(col("n_subjects"), QueryDef.dec4(col("p_bar")).as("p_bar"),
+        QueryDef.dec4(col("p_e")).as("p_e"),
+        QueryDef.dec4(col("kappa")).as("kappa"))
+  }
+
+  private val q299Sql =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 380 THEN 1
+      |      ELSE 2 END AS r0,
+      |    CASE WHEN n_chars < 180 THEN 0 WHEN n_chars < 360 THEN 1
+      |      ELSE 2 END AS r1,
+      |    CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 400 THEN 1
+      |      ELSE 2 END AS r2
+      |  FROM documents),
+      |s AS (
+      |  SELECT
+      |    (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    (CASE WHEN r0 = 1 THEN 1 ELSE 0 END + CASE WHEN r1 = 1 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    (CASE WHEN r0 = 2 THEN 1 ELSE 0 END + CASE WHEN r1 = 2 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM r),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS a,
+      |    CAST(sum(n0) AS BIGINT) AS c0, CAST(sum(n1) AS BIGINT) AS c1,
+      |    CAST(sum(n2) AS BIGINT) AS c2
+      |  FROM s),
+      |c AS (
+      |  SELECT n,
+      |    (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * 3)
+      |      / (CAST(n AS DOUBLE) * 3 * 2) AS p_bar,
+      |    (CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+      |      + CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+      |      + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * 3 * (CAST(n AS DOUBLE) * 3)) AS p_e
+      |  FROM m)
+      |SELECT n AS n_subjects,
+      |  CAST(CAST(p_bar AS DECIMAL(38,4)) AS VARCHAR) AS p_bar,
+      |  CAST(CAST(p_e AS DECIMAL(38,4)) AS VARCHAR) AS p_e,
+      |  CAST(CAST(CASE WHEN n > 0 AND p_e < 1.0
+      |    THEN (p_bar - p_e) / (1.0 - p_e) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS kappa
+      |FROM c""".stripMargin
+
+  // ==== q300: Kendall's W — coefficient of concordance ========================
+  //
+  // The effect size for q293's Friedman test: m judges rank n objects;
+  // W ∈ [0,1] measures how far the m rankings agree (W = χ²_F/(m(n−1))).
+  // Tie-corrected: W = (3·ΣR2² − 3m²n(n+1)²) / (m²n(n²−1) − m·ΣT)
+  // with DOUBLED midranks R2 (the B177 idiom — 2·avg(rank..rank+t−1) =
+  // 2·rank + t − 1 keeps every tie-averaged rank an exact integer),
+  // ΣR2² summing squared per-object doubled rank totals (the 4× absorbs
+  // into the algebra above), and T = Σ(t³−t) per judge over tie groups.
+  // Judges here are the three day-parts, objects the event types, the
+  // ranking each judge's activity ordering — everything past the one
+  // corpus-sized groupBy lives on the (judges × types) domain.
+
+  /** One row: (n_objects, m_judges, w) — Kendall's W over `df` rows
+    * (judge, obj, score), ranking objects per judge by (score, obj). */
+  def kendallW(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byJudge = Window.partitionBy(col("judge")).orderBy(col("score"))
+    val tieW = Window.partitionBy(col("judge"), col("score"))
+    val ranked = cells
+      .withColumn("rk", rank().over(byJudge))
+      .withColumn("t", count(lit(1)).over(tieW))
+      .withColumn("r2", lit(2) * col("rk") + col("t") - lit(1))
+    val perObj = ranked.groupBy(col("obj"))
+      .agg(sum(col("r2").cast("long")).as("r2sum"),
+        count(lit(1)).as("m"))
+    val ties = ranked.select(col("judge"), col("score"), col("t"))
+      .distinct()
+      .agg(coalesce(sum((col("t") * col("t") * col("t") - col("t"))
+        .cast("long")), lit(0L)).as("tt"))
+    val m = perObj.agg(count(lit(1)).as("n"), max(col("m")).as("mj"),
+        min(col("m")).as("mj_min"),
+        sum(col("r2sum") * col("r2sum")).as("sr2")) // long: domain-sized
+      .crossJoin(ties)
+    def dd(c: Column) = c.cast("double")
+    val num = lit(3.0) * dd(col("sr2")) -
+      lit(3.0) * dd(col("mj")) * dd(col("mj")) * dd(col("n")) *
+        (dd(col("n")) + 1) * (dd(col("n")) + 1)
+    val den = dd(col("mj")) * dd(col("mj")) * dd(col("n")) *
+      (dd(col("n")) * dd(col("n")) - 1) - dd(col("mj")) * dd(col("tt"))
+    m.select(col("n").as("n_objects"), col("mj").as("m_judges"),
+      when(col("n") > 1 && col("mj") === col("mj_min") && den > 0,
+        num / den).as("w"))
+  }
+
+  private def q300(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.events(s, dir)
+      .select(floor(hour(col("ts")) / 8).cast("int").as("judge"),
+        col("event_type").as("obj"))
+      .groupBy(col("judge"), col("obj"))
+      .agg(count(lit(1)).as("score"))
+    kendallW(cells)
+      .select(col("n_objects"), col("m_judges"),
+        QueryDef.dec4(col("w")).as("w"))
+  }
+
+  private val q300Sql =
+    """WITH cells AS (
+      |  SELECT CAST(hour(ts) // 8 AS INT) AS judge, event_type AS obj,
+      |    count(*) AS score
+      |  FROM events GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT judge, obj,
+      |    2 * rank() OVER (PARTITION BY judge ORDER BY score)
+      |      + count(*) OVER (PARTITION BY judge, score) - 1 AS r2,
+      |    count(*) OVER (PARTITION BY judge, score) AS t, score
+      |  FROM cells),
+      |per_obj AS (
+      |  SELECT obj, CAST(sum(r2) AS BIGINT) AS r2sum, count(*) AS m
+      |  FROM ranked GROUP BY obj),
+      |ties AS (
+      |  SELECT COALESCE(CAST(sum(t * t * t - t) AS BIGINT), 0) AS tt
+      |  FROM (SELECT DISTINCT judge, score, t FROM ranked)),
+      |m AS (
+      |  SELECT count(*) AS n, max(m) AS mj, min(m) AS mj_min,
+      |    CAST(sum(r2sum * r2sum) AS BIGINT) AS sr2
+      |  FROM per_obj)
+      |SELECT n AS n_objects, mj AS m_judges,
+      |  CAST(CAST(CASE WHEN n > 1 AND mj = mj_min
+      |    AND CAST(mj AS DOUBLE) * mj * n * (CAST(n AS DOUBLE) * n - 1)
+      |      - CAST(mj AS DOUBLE) * tt > 0
+      |    THEN (3.0 * CAST(sr2 AS DOUBLE)
+      |        - 3.0 * CAST(mj AS DOUBLE) * mj * n
+      |          * (CAST(n AS DOUBLE) + 1) * (CAST(n AS DOUBLE) + 1))
+      |      / (CAST(mj AS DOUBLE) * mj * n * (CAST(n AS DOUBLE) * n - 1)
+      |        - CAST(mj AS DOUBLE) * tt) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS w
+      |FROM m CROSS JOIN ties""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q300_kendall_w", q300, Some(q300Sql)),
+    QueryDef("q299_fleiss_kappa", q299, Some(q299Sql)),
     QueryDef("q298_icc1", q298, Some(q298Sql)),
     QueryDef("q297_cronbach_alpha", q297, Some(q297Sql)),
     QueryDef("q293_friedman", q293, Some(q293Sql)),
