@@ -92,8 +92,9 @@ object StreamStateAudit {
         nUsers, s"one row per user = $nUsers"),
       ("bitmap_distinct", (e: DataFrame) =>
         EventsStreaming.bitmapDistinctStream(e, "event_type", "user_id"),
-        blocksBound,
-        s"types x ceil(maxId/BlockBits) = $blocksBound blocks"),
+        blocksBound + nTypes,
+        s"types x ceil(maxId/BlockBits) blocks + types running totals" +
+          s" = $blocksBound + $nTypes"),
       ("kmv_distinct", (e: DataFrame) =>
         EventsStreaming.kmvDistinctStream(e, "event_type", "user_id", 256),
         nTypes, s"one sketch row per type = $nTypes"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4032,7 +4032,514 @@ object EventsOps {
       |    AS balanced
       |FROM f ORDER BY covariate""".stripMargin
 
+  // ==== q303: two-proportion z-test ===========================================
+  //
+  // The work-horse A/B readout q262's planner plans FOR and q266's Wilson
+  // intervals bracket: z = (p₁−p₀)/√(p̂(1−p̂)(1/n₁+1/n₀)) with pooled p̂,
+  // plus the Yates continuity-corrected variant (|Δ| reduced by the
+  // half-cell ½(1/n₁+1/n₀)). Conversion = "user ever purchased", arms by
+  // user-id parity (the q242 assignment idiom). Everything derives from
+  // FOUR integers out of one user-domain pass; z is a fixed double chain.
+
+  /** One row: (n1, x1, n0, x0, z, z_cc) — two-proportion z between arm 1
+    * and arm 0 of `arms` rows (arm, converted). */
+  def twoProportionZ(arms: DataFrame): DataFrame = {
+    val m = arms.agg(
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("arm") === 1 && col("converted"), 1L).otherwise(0L))
+        .as("x1"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 0 && col("converted"), 1L).otherwise(0L))
+        .as("x0"))
+    def dd(c: Column) = c.cast("double")
+    val p1 = dd(col("x1")) / dd(col("n1"))
+    val p0 = dd(col("x0")) / dd(col("n0"))
+    val pp = (dd(col("x1")) + dd(col("x0"))) / (dd(col("n1")) + dd(col("n0")))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / dd(col("n1")) + lit(1.0) / dd(col("n0"))))
+    val cc = lit(0.5) * (lit(1.0) / dd(col("n1")) + lit(1.0) / dd(col("n0")))
+    m.select(col("n1"), col("x1"), col("n0"), col("x0"),
+      when(col("n1") > 0 && col("n0") > 0 && se > 0, (p1 - p0) / se).as("z"),
+      when(col("n1") > 0 && col("n0") > 0 && se > 0,
+        greatest(abs(p1 - p0) - cc, lit(0.0)) / se).as("z_cc"))
+  }
+
+  private def q303(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        (col("conv") === 1L).as("converted"))
+    twoProportionZ(byUser)
+      .select(col("n1"), col("x1"), col("n0"), col("x0"),
+        QueryDef.dec4(col("z")).as("z"), QueryDef.dec4(col("z_cc")).as("z_cc"))
+  }
+
+  private val q303Sql =
+    """WITH u AS (
+      |  SELECT user_id, CAST(user_id % 2 AS INT) AS arm,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS x1,
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+      |    CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS x0
+      |  FROM u),
+      |c AS (
+      |  SELECT n1, x1, n0, x0,
+      |    CAST(x1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+      |      - CAST(x0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS diff,
+      |    sqrt(((CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))
+      |        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))
+      |      * (1.0 - (CAST(x1 AS DOUBLE) + CAST(x0 AS DOUBLE))
+      |        / (CAST(n1 AS DOUBLE) + CAST(n0 AS DOUBLE)))
+      |      * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))) AS se,
+      |    0.5 * (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE)) AS cc
+      |  FROM m)
+      |SELECT n1, x1, n0, x0,
+      |  CAST(CAST(CASE WHEN n1 > 0 AND n0 > 0 AND se > 0 THEN diff / se END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z,
+      |  CAST(CAST(CASE WHEN n1 > 0 AND n0 > 0 AND se > 0
+      |    THEN greatest(abs(diff) - cc, 0.0) / se END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z_cc
+      |FROM c""".stripMargin
+
+  // ==== q305: Markov removal-effect channel attribution =======================
+  //
+  // The data-driven attribution model between last-touch (q125),
+  // position-based (q167), and exact Shapley (q250): journeys are a
+  // first-order Markov chain over channels; a channel's credit is its
+  // REMOVAL EFFECT — how much absorption into CONV drops when every
+  // transition into the channel is redirected to NULL. Determinism at
+  // both ends: the chain's absorption is computed by K=64 fixed-point
+  // steps in INTEGER arithmetic — mass carried in 10¹² units, each edge
+  // term floored once as p·c div rowsum — so every iterate is an exact
+  // integer (BigInt here, HUGEINT in the oracle's unrolled CTE chain,
+  // the q123 precedent) and summation order cannot matter. The corpus
+  // pass is one window lag per user truncated at first conversion; the
+  // transition matrix the driver folds is (channels+1)² — domain-sized
+  // (the Preference.duels collect contract). Share = (full − removed_c)
+  // / Σ(full − removed), a ratio of exact integers.
+
+  private val MkScale = BigInt(10).pow(12)
+  private val MkIters = 64
+
+  /** Transition counts (src, dst, c) with src ∈ START ∪ channels, dst ∈
+    * channels ∪ {CONV, NULL}; journeys truncate at first `convType`. */
+  private[operators] def journeyEdges(events: DataFrame, convType: String)
+      : DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val walk = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("cb", coalesce(
+        max(when(col("event_type") === convType, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0)))
+      .filter(col("cb") === 0)
+    val t = walk
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    def lbl(c: Column) = when(c === convType, lit("CONV")).otherwise(c)
+    val starts = t.filter(col("rn") === 1)
+      .select(lit("START").as("src"), lbl(col("event_type")).as("dst"))
+    val mids = t.filter(col("nxt").isNotNull)
+      .select(col("event_type").as("src"), lbl(col("nxt")).as("dst"))
+    val ends = t.filter(col("nxt").isNull && col("event_type") =!= convType)
+      .select(col("event_type").as("src"), lit("NULL").as("dst"))
+    starts.union(mids).union(ends)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("c"))
+  }
+
+  /** Per channel: (channel, conv_full_e12, conv_removed_e12,
+    * removal_effect, share). */
+  def markovRemovalAttribution(events: DataFrame,
+      convType: String = "purchase"): DataFrame = {
+    val s = events.sparkSession
+    val edges = journeyEdges(events, convType).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> BigInt(r.getLong(2)))
+      .toMap
+    val rowSum = edges.groupBy(_._1._1).map { case (f, es) =>
+      f -> es.values.sum }
+    val channels = edges.keysIterator.map(_._1).filter(_ != "START")
+      .toSeq.distinct.sorted
+    def absorb(removed: Option[String]): BigInt = {
+      var p: Map[String, BigInt] =
+        (channels.map(_ -> BigInt(0)) :+ ("START" -> MkScale)).toMap
+      var conv = BigInt(0)
+      for (_ <- 1 to MkIters) {
+        val np = scala.collection.mutable.Map[String, BigInt](
+          channels.map(_ -> BigInt(0)): _*)
+        for (((f, t0), c) <- edges if !removed.contains(f)) {
+          val pf = p.getOrElse(f, BigInt(0))
+          if (pf > 0) {
+            val t = if (removed.contains(t0)) "NULL" else t0
+            val term = pf * c / rowSum(f)
+            if (t == "CONV") conv += term
+            else if (t != "NULL") np(t) += term
+          }
+        }
+        p = np.toMap + ("START" -> BigInt(0))
+      }
+      conv
+    }
+    val full = absorb(None)
+    val removedConv = channels.map(ch => ch -> absorb(Some(ch)))
+    val totalDrop = removedConv.map { case (_, r) => full - r }.sum
+    import s.implicits._
+    removedConv.map { case (ch, r) =>
+      val drop = full - r
+      (ch, full.toLong, r.toLong,
+        if (full > 0) drop.toDouble / full.toDouble else 0.0,
+        if (totalDrop > 0) drop.toDouble / totalDrop.toDouble else 0.0)
+    }.toDF("channel", "conv_full_e12", "conv_removed_e12",
+      "removal_effect", "share")
+  }
+
+  private def q305(s: SparkSession, dir: String): DataFrame =
+    markovRemovalAttribution(Tables.events(s, dir))
+      .select(col("channel"), col("conv_full_e12"), col("conv_removed_e12"),
+        QueryDef.dec4(col("removal_effect")).as("removal_effect"),
+        QueryDef.dec4(col("share")).as("share"))
+      .orderBy(col("channel"))
+
+  private val q305Sql = {
+    // one fixed-point step: push every state's mass through the (possibly
+    // removal-modified) edge list; CONV absorbs via an explicit self-loop
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and a
+    // 64-deep chain of inlined self-referencing joins explodes
+    // exponentially at plan time
+    val step = (i: Int) =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT x.rm, e.dst2 AS state,
+         |    CAST(sum(x.p * e.c // e.r) AS HUGEINT) AS p
+         |  FROM w${i - 1} x JOIN edges2 e
+         |    ON e.rm = x.rm AND e.src = x.state
+         |  GROUP BY 1, 2)""".stripMargin
+    s"""WITH walk AS (
+       |  SELECT user_id, ts, event_id, event_type
+       |  FROM (
+       |    SELECT user_id, ts, event_id, event_type,
+       |      COALESCE(max(CASE WHEN event_type = 'purchase' THEN 1
+       |        ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |    FROM events)
+       |  WHERE cb = 0),
+       |t AS (
+       |  SELECT event_type,
+       |    lead(event_type) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+       |    row_number() OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM walk),
+       |edges AS (
+       |  SELECT src, dst, CAST(count(*) AS HUGEINT) AS c FROM (
+       |    SELECT 'START' AS src, CASE WHEN event_type = 'purchase'
+       |      THEN 'CONV' ELSE event_type END AS dst FROM t WHERE rn = 1
+       |    UNION ALL
+       |    SELECT event_type, CASE WHEN nxt = 'purchase' THEN 'CONV'
+       |      ELSE nxt END FROM t WHERE nxt IS NOT NULL
+       |    UNION ALL
+       |    SELECT event_type, 'NULL' FROM t
+       |    WHERE nxt IS NULL AND event_type <> 'purchase')
+       |  GROUP BY 1, 2),
+       |rsum AS (SELECT src, CAST(sum(c) AS HUGEINT) AS r
+       |  FROM edges GROUP BY 1),
+       |channels AS (SELECT DISTINCT src AS ch FROM edges
+       |  WHERE src <> 'START'),
+       |removals AS (SELECT 'NONE' AS rm UNION ALL SELECT ch FROM channels),
+       |edges2 AS MATERIALIZED (
+       |  SELECT r.rm, e.src,
+       |    CASE WHEN e.dst = r.rm THEN 'NULL' ELSE e.dst END AS dst2,
+       |    e.c, s.r
+       |  FROM removals r JOIN edges e ON e.src <> r.rm
+       |  JOIN rsum s ON s.src = e.src
+       |  WHERE NOT (CASE WHEN e.dst = r.rm THEN 'NULL' ELSE e.dst END)
+       |    = 'NULL'
+       |  UNION ALL
+       |  SELECT rm, 'CONV', 'CONV', CAST(1 AS HUGEINT), CAST(1 AS HUGEINT)
+       |  FROM removals),
+       |w0 AS (
+       |  SELECT rm, 'START' AS state, CAST(1000000000000 AS HUGEINT) AS p
+       |  FROM removals),
+       |${(1 to MkIters).map(step).mkString(",\n")},
+       |conv AS (
+       |  SELECT rm, COALESCE(max(CASE WHEN state = 'CONV' THEN p END),
+       |    CAST(0 AS HUGEINT)) AS pc
+       |  FROM w$MkIters GROUP BY rm),
+       |full_c AS (SELECT pc AS pfull FROM conv WHERE rm = 'NONE'),
+       |drops AS (
+       |  SELECT c.rm AS channel, f.pfull, c.pc,
+       |    f.pfull - c.pc AS drop
+       |  FROM conv c CROSS JOIN full_c f WHERE c.rm <> 'NONE'),
+       |tot AS (SELECT CAST(sum(drop) AS HUGEINT) AS td FROM drops)
+       |SELECT channel, CAST(pfull AS BIGINT) AS conv_full_e12,
+       |  CAST(pc AS BIGINT) AS conv_removed_e12,
+       |  CAST(CAST(CASE WHEN pfull > 0
+       |    THEN CAST(drop AS DOUBLE) / CAST(pfull AS DOUBLE) ELSE 0.0 END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS removal_effect,
+       |  CAST(CAST(CASE WHEN td > 0
+       |    THEN CAST(drop AS DOUBLE) / CAST(td AS DOUBLE) ELSE 0.0 END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS share
+       |FROM drops CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
+
+  // ==== q306: restricted mean survival time ===================================
+  //
+  // The survival scalar clinicians and retention teams quote when median
+  // survival is undefined (curve never crosses 0.5): RMST(τ) = ∫₀^τ S(t)dt
+  // — expected hours survived within the observation horizon — computed
+  // as the area under q229's step curve. Each step's area is floored
+  // ONCE as ⌊10⁶·exp(lnS_unats/10⁶)·Δt⌋ so the total is an exact integer
+  // sum over the duration domain (the q229 ln / q283 term discipline);
+  // the [0, t₁) prefix at S=1 contributes exactly 10⁶·t₁.
+
+  /** One row: (tau_hr, n_death_times, rmst_micro_hr) — RMST over the
+    * lag-to-first-`eventType` curve, τ = longest observed duration. */
+  def rmst(events: DataFrame, eventType: String): DataFrame = {
+    val km = kaplanMeier(events, eventType)
+    // horizon = longest duration, censored users included (the risk
+    // table's own duration definition, recomputed as one aggregate)
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val tau = byUser.crossJoin(end)
+      .agg(max(when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L))))
+        .cast("long").as("tau"))
+    val w = Window.orderBy(col("t_hr"))
+    val areas = km.crossJoin(broadcast(tau))
+      .withColumn("t_next", coalesce(lead(col("t_hr"), 1).over(w),
+        col("tau")))
+      .withColumn("seg", floor(lit(1e6) *
+        exp(col("log_surv_unats").cast("double") / lit(1e6)) *
+        greatest(col("t_next") - col("t_hr"), lit(0L)).cast("double"))
+        .cast("long"))
+    areas.groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_death_times"),
+        (min(col("t_hr")) * lit(1000000L)).as("head_micro"),
+        sum(col("seg")).as("tail_micro"))
+      .select(col("tau").as("tau_hr"), col("n_death_times"),
+        (col("head_micro") + col("tail_micro")).as("rmst_micro_hr"))
+  }
+
+  private def q306(s: SparkSession, dir: String): DataFrame =
+    rmst(Tables.events(s, dir), "purchase")
+
+  private val q306Sql =
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS tp,
+      |    max(epoch_us(ts)) AS tmax_u
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM u),
+      |durs AS (
+      |  SELECT CAST(CASE WHEN tp IS NOT NULL
+      |      THEN floor((tp - t0) / 3600000000)
+      |      ELSE floor((tend - t0) / 3600000000) END AS BIGINT) AS t,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u CROSS JOIN e),
+      |tau AS (SELECT max(t) AS tau FROM durs),
+      |hist AS (
+      |  SELECT t, CAST(sum(ev) AS BIGINT) AS d, count(*) AS leave
+      |  FROM durs GROUP BY t),
+      |tot AS (SELECT count(*) AS n_total FROM durs),
+      |risk AS (
+      |  SELECT t, d, n_total - COALESCE(sum(leave) OVER
+      |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING), 0) AS n_risk
+      |  FROM hist CROSS JOIN tot WHERE d > 0),
+      |km AS (
+      |  SELECT t, sum(CASE WHEN d < n_risk THEN CAST(floor(1e6
+      |      * ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+      |      AS BIGINT) END)
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+      |      ROW) AS unats
+      |  FROM risk),
+      |areas AS (
+      |  SELECT t, CAST(floor(1e6 * exp(CAST(unats AS DOUBLE) / 1e6)
+      |    * CAST(greatest(COALESCE(lead(t) OVER (ORDER BY t), tau) - t, 0)
+      |      AS DOUBLE)) AS BIGINT) AS seg
+      |  FROM km CROSS JOIN tau)
+      |SELECT tau.tau AS tau_hr, count(*) AS n_death_times,
+      |  CAST(min(areas.t) * 1000000 + sum(areas.seg) AS BIGINT)
+      |    AS rmst_micro_hr
+      |FROM areas CROSS JOIN tau GROUP BY 1""".stripMargin
+
+  // ==== q307: sharp regression discontinuity ==================================
+  //
+  // The causal design the covariate-adjustment suite (q230/q261/q276)
+  // lacks: when treatment flips deterministically at a threshold of a
+  // running variable, the effect is the JUMP between the two local OLS
+  // fits evaluated AT the cutoff. Estimator: within a symmetric
+  // bandwidth, fit count ~ running on each side from exact decimal
+  // moments (the q282 OLS chain) and report ŷ₊(c) − ŷ₋(c). The fixture
+  // runs on user-id digits (deterministic, both engines identical); the
+  // one corpus pass is the per-user outcome aggregate.
+
+  /** One row: (n_left, n_right, y_left_at_cut, y_right_at_cut, effect)
+    * for outcome ~ running OLS fits on [cut−bw, cut) and [cut, cut+bw). */
+  def regressionDiscontinuity(pts: DataFrame, cut: Long, bw: Long)
+      : DataFrame = {
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def side(name: String, cond: Column) =
+      pts.filter(cond)
+        .agg(count(lit(1)).as(s"n_$name"),
+          sum(col("x")).as(s"sx_$name"), sum(col("y")).as(s"sy_$name"),
+          sum(d0(col("x")) * col("x")).as(s"sxx_$name"),
+          sum(d0(col("x")) * col("y")).as(s"sxy_$name"))
+    val l = side("l", col("x") >= cut - bw && col("x") < cut)
+    val r = side("r", col("x") >= cut && col("x") < cut + bw)
+    def dd(c: Column) = c.cast("double")
+    def fitAt(name: String, at: Long): Column = {
+      val n = col(s"n_$name"); val sx = col(s"sx_$name")
+      val sy = col(s"sy_$name")
+      val slope = dd(d0(n) * col(s"sxy_$name") - d0(sx) * d0(sy)) /
+        dd(d0(n) * col(s"sxx_$name") - d0(sx) * d0(sx))
+      val icept = (dd(sy) - slope * dd(sx)) / dd(n)
+      icept + slope * at
+    }
+    l.crossJoin(r).select(
+      col("n_l").as("n_left"), col("n_r").as("n_right"),
+      fitAt("l", cut).as("y_left_at_cut"),
+      fitAt("r", cut).as("y_right_at_cut"),
+      (fitAt("r", cut) - fitAt("l", cut)).as("effect"))
+  }
+
+  private def q307(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("y"))
+      .select(pmod(col("user_id"), lit(1000L)).as("x"), col("y"))
+    regressionDiscontinuity(pts, cut = 500L, bw = 200L)
+      .select(col("n_left"), col("n_right"),
+        QueryDef.dec4(col("y_left_at_cut")).as("y_left_at_cut"),
+        QueryDef.dec4(col("y_right_at_cut")).as("y_right_at_cut"),
+        QueryDef.dec4(col("effect")).as("effect"))
+  }
+
+  private val q307Sql = {
+    def side(name: String, cond: String) =
+      s"""$name AS (
+         |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |    CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM pts WHERE $cond)""".stripMargin
+    def fit(a: String, at: String) =
+      s"""(CAST($a.sy AS DOUBLE)
+         |  - (CAST($a.n * $a.sxy - CAST($a.sx AS HUGEINT) * $a.sy
+         |      AS DOUBLE)
+         |    / CAST($a.n * $a.sxx - CAST($a.sx AS HUGEINT) * $a.sx
+         |      AS DOUBLE)) * CAST($a.sx AS DOUBLE)) / CAST($a.n AS DOUBLE)
+         |+ (CAST($a.n * $a.sxy - CAST($a.sx AS HUGEINT) * $a.sy AS DOUBLE)
+         |    / CAST($a.n * $a.sxx - CAST($a.sx AS HUGEINT) * $a.sx
+         |      AS DOUBLE)) * $at""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT user_id % 1000 AS x, count(*) AS y
+       |  FROM events GROUP BY user_id),
+       |${side("l", "x >= 300 AND x < 500")},
+       |${side("r", "x >= 500 AND x < 700")}
+       |SELECT l.n AS n_left, r.n AS n_right,
+       |  CAST(CAST(${fit("l", "500")} AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS y_left_at_cut,
+       |  CAST(CAST(${fit("r", "500")} AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS y_right_at_cut,
+       |  CAST(CAST((${fit("r", "500")}) - (${fit("l", "500")})
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS effect
+       |FROM l CROSS JOIN r""".stripMargin
+  }
+
+  // ==== q308: inter-arrival exponential fit ===================================
+  //
+  // The arrival-process diagnostic behind capacity planning: per type,
+  // MLE-fit Exp(λ) to the inter-event gaps (λ = n/Σg) and score the fit
+  // with the one-sample KS distance D = max(F_emp − F_exp, F_exp −
+  // F_emp⁻) over the sorted gaps — a Poisson process scores near 0, a
+  // bursty one pins D high. Order-safety without flooring: every
+  // aggregate here is a MAX of per-row doubles (identical in both
+  // engines — same gap integers, same λ ratio, same exp), never an
+  // order-sensitive double sum; the only sums are integer (n, Σg).
+
+  /** Per type: (event_type, n_gaps, mean_gap_sec, ks). */
+  def interArrivalFit(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val gaps = events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"),
+        col("event_id"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val m = gaps.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
+    def dd(c: Column) = c.cast("double")
+    // per distinct gap value: empirical CDF steps from the value-domain
+    // histogram; F_exp at the same value from the fitted rate
+    val byVal = gaps.groupBy(col("event_type"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("g"))
+    val steps = byVal
+      .withColumn("cum", sum(col("cnt")).over(
+        wv.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(m), Seq("event_type"))
+      .withColumn("fexp", lit(1.0) -
+        exp(lit(-1.0) * dd(col("g")) * dd(col("n")) / dd(col("sg"))))
+      .withColumn("dplus", dd(col("cum")) / dd(col("n")) - col("fexp"))
+      .withColumn("dminus", col("fexp") -
+        (dd(col("cum")) - dd(col("cnt"))) / dd(col("n")))
+    steps.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_gaps"),
+        max(dd(col("sg")) / (dd(col("n")) * lit(1e6)))
+          .as("mean_gap_sec"),
+        max(greatest(col("dplus"), col("dminus"))).as("ks"))
+  }
+
+  private def q308(s: SparkSession, dir: String): DataFrame =
+    interArrivalFit(Tables.events(s, dir))
+      .select(col("event_type"), col("n_gaps"),
+        QueryDef.dec4(col("mean_gap_sec")).as("mean_gap_sec"),
+        QueryDef.dec4(col("ks")).as("ks"))
+      .orderBy(col("event_type"))
+
+  private val q308Sql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY event_type ORDER BY ts, event_id) AS g
+      |  FROM events),
+      |gaps AS (SELECT event_type, g FROM g WHERE g IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(g) AS BIGINT) AS sg
+      |  FROM gaps GROUP BY 1),
+      |byval AS (
+      |  SELECT event_type, g, count(*) AS cnt FROM gaps GROUP BY 1, 2),
+      |steps AS (
+      |  SELECT b.event_type, n, sg, cnt,
+      |    sum(cnt) OVER (PARTITION BY b.event_type ORDER BY g
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    1.0 - exp(-1.0 * CAST(g AS DOUBLE) * CAST(n AS DOUBLE)
+      |      / CAST(sg AS DOUBLE)) AS fexp
+      |  FROM byval b JOIN m USING (event_type))
+      |SELECT event_type, max(n) AS n_gaps,
+      |  CAST(CAST(max(CAST(sg AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_gap_sec,
+      |  CAST(CAST(max(greatest(
+      |    CAST(cum AS DOUBLE) / CAST(n AS DOUBLE) - fexp,
+      |    fexp - (CAST(cum AS DOUBLE) - CAST(cnt AS DOUBLE))
+      |      / CAST(n AS DOUBLE))) AS DECIMAL(38,4)) AS VARCHAR) AS ks
+      |FROM steps GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q303_two_proportion_z", q303, Some(q303Sql)),
+    QueryDef("q305_markov_attribution", q305, Some(q305Sql)),
+    QueryDef("q306_rmst", q306, Some(q306Sql)),
+    QueryDef("q307_reg_discontinuity", q307, Some(q307Sql)),
+    QueryDef("q308_interarrival_fit", q308, Some(q308Sql)),
     QueryDef("q296_balance_report", q296, Some(q296Sql)),
     QueryDef("q295_ljung_box", q295, Some(q295Sql)),
     QueryDef("q294_pacf", q294, Some(q294Sql)),

@@ -43,7 +43,14 @@ object Graph {
     val longRun = iterations > LineageEvery
     def pin(df: DataFrame): DataFrame = if (longRun) df.localCheckpoint() else df
     val e = pin(edges.select(col("src"), col("dst")).distinct())
-    val outdeg = pin(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // the loop invariant is the OUTDEG-WEIGHTED edge table — materialize
+    // the e⋈outdeg join ONCE (round-12 shave: it used to re-execute as a
+    // second edge-sized hash join inside every power step; shuffle-file
+    // reuse amortized its exchanges but not the join itself). The
+    // checkpoint also freezes hash(src) partitioning, so each iteration
+    // exchanges only the node-sized rank vector.
+    val ew = e.join(outdeg, Seq("src")).localCheckpoint()
     val nodes = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
@@ -51,9 +58,8 @@ object Graph {
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = e
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
       ranks = nodes.crossJoin(nRow)
@@ -150,7 +156,11 @@ object Graph {
     // node/edge-domain, so pin them ONCE up front; the rank chain itself
     // stays lazy (5 joins deep — no truncation needed).
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // outdeg-weighted edges materialized once (the q123 round-12 shave):
+    // one join per iteration instead of two, rank vector the only
+    // per-step exchange
+    val ew = e.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -166,9 +176,8 @@ object Graph {
       .localCheckpoint()
     var ranks = restart.select(col("node"), col("restart").as("rank"))
     for (_ <- 1 to iterations) {
-      val contrib = e
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
       ranks = restart

@@ -1134,7 +1134,114 @@ object TextAnalysis {
       |    AS n_difficult
       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
 
+  // ==== q301: Coleman–Liau readability index =================================
+  //
+  // The syllable-free readability companion to q249's Flesch: CLI =
+  // 0.0588·L − 0.296·S − 15.8 over pure CHARACTER counts (L = letters
+  // per 100 words, S = sentence terminators per 100 words) — no syllable
+  // heuristic to drift between engines, every input an exact integer
+  // from two regex strips and the token count, the index one fixed
+  // double chain. Grade-level semantics make it the quality-pruning
+  // threshold most corpus pipelines actually publish.
+
+  /** Per doc: (doc_id, n_words, n_letters, n_sentences, cli). The index
+    * is the exact rational (588·L − 2960·S − 1580·W)/(100·W) — the CLI
+    * constants are 2-decimal, so ONE division of exact integers gives
+    * the bit-identical double in any engine (a naive 0.0588·(100L/W)
+    * chain lands the fixture's doc 295 exactly on a decimal(38,4)
+    * rounding tie and the engines split). */
+  def colemanLiau(docs: DataFrame): DataFrame = {
+    val words = size(Tok.ws(col("text"))).cast("long")
+    val letters = length(regexp_replace(col("text"), "[^A-Za-z]", ""))
+      .cast("long")
+    val sents = length(regexp_replace(col("text"), "[^.!?]", "")).cast("long")
+    docs
+      .withColumn("n_words", words)
+      .withColumn("n_letters", letters)
+      .withColumn("n_sentences", sents)
+      .withColumn("cli", when(col("n_words") > 0,
+        (lit(588L) * col("n_letters") - lit(2960L) * col("n_sentences") -
+          lit(1580L) * col("n_words")).cast("double") /
+          (lit(100L) * col("n_words")).cast("double")))
+  }
+
+  private def q301(s: SparkSession, dir: String): DataFrame =
+    colemanLiau(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("n_letters"),
+        col("n_sentences"),
+        floor(lit(1e4) * col("cli")).cast("long").as("cli_e4"))
+      .orderBy(col("doc_id"))
+
+  private val q301Sql =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+      |      AS BIGINT) AS w,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+      |      AS BIGINT) AS l,
+      |    CAST(length(regexp_replace(text, '[^.!?]', '', 'g')) AS BIGINT)
+      |      AS s
+      |  FROM documents)
+      |SELECT doc_id, w AS n_words, l AS n_letters, s AS n_sentences,
+      |  CAST(CASE WHEN w > 0 THEN floor(1e4
+      |    * (CAST(588 * l - 2960 * s - 1580 * w AS DOUBLE)
+      |      / CAST(100 * w AS DOUBLE))) END AS BIGINT) AS cli_e4
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ==== q302: MSTTR — mean segmental type-token ratio =========================
+  //
+  // Length-robust lexical diversity: the raw TTR of q31's family falls
+  // mechanically with document length (types saturate), so corpus work
+  // reports the MEAN over fixed 50-token segments — comparable across
+  // lengths. Exactness: per-segment distinct counts are integers, the
+  // doc-level mean is ONE division of their sum by 50·n_segments;
+  // incomplete tail segments are excluded by definition. The explode is
+  // linear and the (doc, segment) group domain is corpus-size/50.
+
+  /** Per doc: (doc_id, n_segments, msttr) over `segTokens`-token
+    * segments; docs without a complete segment report null. */
+  def msttr(docs: DataFrame, segTokens: Int = 50): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(Tok.ws(col("text"))).as(Seq("pos", "tok")))
+    val segs = toks
+      .groupBy(col("doc_id"), (col("pos") / segTokens).cast("long").as("seg"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("nd"))
+      .filter(col("n") === segTokens)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"), sum(col("nd")).as("snd"))
+    docs.select(col("doc_id")).join(segs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        when(col("n_segments") > 0, col("snd").cast("double") /
+          (col("n_segments").cast("double") * segTokens)).as("msttr"))
+  }
+
+  private def q302(s: SparkSession, dir: String): DataFrame =
+    msttr(Tables.documents(s, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_segments"),
+        QueryDef.dec4(col("msttr")).as("msttr"))
+      .orderBy(col("doc_id"))
+
+  private val q302Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+      |    AS t
+      |  FROM documents),
+      |segs AS (
+      |  SELECT doc_id, len(t) // 50 AS n_segments,
+      |    [len(list_distinct(t[i*50+1 : (i+1)*50]))
+      |      FOR i IN range(0, len(t) // 50)] AS nds
+      |  FROM toks)
+      |SELECT doc_id, CAST(n_segments AS BIGINT) AS n_segments,
+      |  CAST(CAST(CASE WHEN n_segments > 0
+      |    THEN CAST(list_sum(nds) AS DOUBLE)
+      |      / (CAST(n_segments AS DOUBLE) * 50) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS msttr
+      |FROM segs ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q301_coleman_liau", q301, Some(q301Sql)),
+    QueryDef("q302_msttr", q302, Some(q302Sql)),
     QueryDef("q249_readability", q249, Some(q249Sql)),
     QueryDef("q109_unicode_normalize", q109, Some(q109Sql)),
     QueryDef("q99_lm_score", q99, Some(q99Sql)),

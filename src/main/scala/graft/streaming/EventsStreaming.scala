@@ -634,16 +634,28 @@ object EventsStreaming {
 
     override def handleInputRows(key: String, rows: Iterator[(String, String)],
         tv: TimerValues): Iterator[(String, String, Long)] = {
+      // fold the whole slice in a LOCAL map (≤ k+1 entries), then write
+      // the state back once: O(k) store ops per key-slice instead of the
+      // per-row store walk that made a 1M-row replay grind through ~20M
+      // RocksDB point ops (the round-12 state-scale soak caught this —
+      // same counters, same MG algebra, just batched IO)
+      val local = new scala.collection.mutable.HashMap[String, Long]()
+      counts.iterator().foreach(p => local.put(p._1, p._2))
+      val before = local.keySet.toSet
       rows.foreach { case (_, item) =>
-        if (counts.containsKey(item)) counts.updateValue(item, counts.getValue(item) + 1)
-        else if (counts.keys().size < k) counts.updateValue(item, 1L)
-        else counts.keys().toArray.foreach { other =>
-          val v = counts.getValue(other) - 1
-          if (v == 0) counts.removeKey(other) else counts.updateValue(other, v)
+        local.get(item) match {
+          case Some(v) => local.put(item, v + 1)
+          case None if local.size < k => local.put(item, 1L)
+          case None => local.keysIterator.toArray.foreach { other =>
+            val v = local(other) - 1
+            if (v == 0) local.remove(other) else local.put(other, v)
+          }
         }
       }
-      counts.keys().toArray.sorted.iterator
-        .map(item => (key, item, counts.getValue(item)))
+      before.diff(local.keySet).foreach(counts.removeKey)
+      local.foreach { case (item, v) => counts.updateValue(item, v) }
+      local.keysIterator.toArray.sorted.iterator
+        .map(item => (key, item, local(item)))
     }
   }
 
