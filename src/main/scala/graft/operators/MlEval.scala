@@ -1260,7 +1260,72 @@ object MlEval {
       |  SELECT * FROM rej UNION ALL SELECT * FROM fallback)
       |ORDER BY n_rejected DESC LIMIT 1""".stripMargin
 
+  // ==== q310: Hosmer–Lemeshow goodness-of-fit =================================
+  //
+  // The TEST q244's ECE only summarizes: per score bin, compare observed
+  // positives O_b to expected E_b = Σs/1000 and aggregate HL =
+  // Σ (O_b−E_b)² / (n_b·p̄_b(1−p̄_b)) — the classical calibration
+  // chi-square (df = bins−2). Exactness: with milli-unit scores the
+  // per-bin term collapses to the INTEGER ratio (1000·O−ssum)²·n /
+  // (ssum·(1000n−ssum)); each term is ⌊10⁶·term⌋-floored ONCE so the
+  // bin sum is exact (10 bins — but floored sums are order-free at any
+  // width). Degenerate all-0/all-1 bins are excluded and counted, the
+  // standard HL practice. Shares q244's projection and bin pass.
+
+  /** One row: (n, n_bins_used, n_bins_degenerate, hl_micro) over the
+    * stopword-confidence score vs `label`. */
+  def hosmerLemeshow(docs: DataFrame, label: String): DataFrame = {
+    val base = confidenceBase(docs, label)
+    def d0(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val bins = base
+      .groupBy(least(expr("s DIV 100"), lit(9L)).as("bin"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("o_b"),
+        sum(col("s")).as("ssum_b"))
+    val terms = bins
+      .withColumn("a", d0(lit(1000L) * col("o_b") - col("ssum_b")))
+      .withColumn("den", d0(col("ssum_b")) *
+        (d0(lit(1000L) * col("n_b")) - col("ssum_b")))
+      .withColumn("hl_b", when(col("den") > 0,
+        floor(lit(1e6) * (col("a") * col("a") * d0(col("n_b")))
+          .cast("double") / col("den").cast("double")).cast("long")))
+    terms.agg(sum(col("n_b")).as("n"),
+      sum(when(col("hl_b").isNotNull, 1L).otherwise(0L)).as("n_bins_used"),
+      sum(when(col("hl_b").isNull, 1L).otherwise(0L))
+        .as("n_bins_degenerate"),
+      sum(col("hl_b")).as("hl_micro"))
+  }
+
+  private def q310(s: SparkSession, dir: String): DataFrame =
+    hosmerLemeshow(Tables.documents(s, dir), "lang = 'en'")
+
+  private val q310Sql =
+    s"""WITH base AS (
+       |  ${confidenceBaseSql.replace("\n", "\n  ")}),
+       |bins AS (
+       |  SELECT least(s // 100, 9) AS bin, count(*) AS n_b,
+       |    CAST(sum(y) AS BIGINT) AS o_b, CAST(sum(s) AS BIGINT) AS ssum_b
+       |  FROM base GROUP BY 1),
+       |terms AS (
+       |  SELECT n_b,
+       |    CASE WHEN CAST(ssum_b AS HUGEINT)
+       |        * (1000 * CAST(n_b AS HUGEINT) - ssum_b) > 0
+       |      THEN CAST(floor(1e6 * CAST((1000 * CAST(o_b AS HUGEINT)
+       |          - ssum_b) * (1000 * CAST(o_b AS HUGEINT) - ssum_b)
+       |          * n_b AS DOUBLE)
+       |        / CAST(CAST(ssum_b AS HUGEINT)
+       |          * (1000 * CAST(n_b AS HUGEINT) - ssum_b) AS DOUBLE))
+       |        AS BIGINT) END AS hl_b
+       |  FROM bins)
+       |SELECT CAST(sum(n_b) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN hl_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bins_used,
+       |  CAST(sum(CASE WHEN hl_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bins_degenerate,
+       |  CAST(sum(hl_b) AS BIGINT) AS hl_micro
+       |FROM terms""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q310_hosmer_lemeshow", q310, Some(q310Sql)),
     QueryDef("q290_conformal_holm", q290, Some(q290Sql)),
     QueryDef("q289_cumulative_gains", q289, Some(q289Sql)),
     QueryDef("q270_conformal_bh", q270, Some(q270Sql)),

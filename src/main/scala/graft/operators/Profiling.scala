@@ -3651,7 +3651,90 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS w
       |FROM m CROSS JOIN ties""".stripMargin
 
+  // ==== q304: Jensen–Shannon divergence drift =================================
+  //
+  // The BOUNDED, symmetric member of the drift shelf (KS q131 is a max
+  // statistic, PSI explodes on empty bins, Wasserstein q256 is scale-
+  // dependent — JS ∈ [0, ln 2] always, no smoothing needed): over 16
+  // fixed-width value bins, JS = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)).
+  // Exactness: each ln argument collapses to the integer ratio
+  // 2·ca·nb/(ca·nb + cb·na) (decimal/HUGEINT products), the two per-bin
+  // terms add in written order, and the bin total is ⌊10⁹·(tp+tq)⌋-
+  // floored ONCE so the 16-bin sum is an exact integer.
+
+  /** One row: (n_a, n_b, n_bins, js_nano) — JS divergence between the
+    * `sideA` and complement distributions of `cents` over 16 fixed bins
+    * of width `binW`. js_nano = ⌊10⁹·2·JS⌋-style exact integer sum of
+    * the (p+q)-term pairs; divide by 2·10⁹ for JS in nats. */
+  def jsDivergence(df: DataFrame, centsCol: String, sideA: Column,
+      binW: Long): DataFrame = {
+    val bins = df
+      .select(least(expr(s"$centsCol div ${binW}L"), lit(15L))
+        .cast("long").as("b"),
+        when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("b"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val totals = broadcast(bins.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val t = bins.crossJoin(totals)
+      .withColumn("xab", d0(col("ca")) * col("nb"))
+      .withColumn("xba", d0(col("cb")) * col("na"))
+      .withColumn("tp", when(col("ca") > 0,
+        (dd(col("ca")) / dd(col("na"))) *
+          log(dd(lit(2) * col("xab")) / dd(col("xab") + col("xba"))))
+        .otherwise(lit(0.0)))
+      .withColumn("tq", when(col("cb") > 0,
+        (dd(col("cb")) / dd(col("nb"))) *
+          log(dd(lit(2) * col("xba")) / dd(col("xab") + col("xba"))))
+        .otherwise(lit(0.0)))
+      .withColumn("js_b",
+        floor(lit(1e9) * (col("tp") + col("tq"))).cast("long"))
+    t.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("js_b")).as("js2_nano"))
+      .select(col("n_a"), col("n_b"), col("n_bins"), col("js2_nano"))
+  }
+
+  private def q304(s: SparkSession, dir: String): DataFrame =
+    jsDivergence(
+      Tables.orders(s, dir).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey")),
+      "cents", col("o_orderkey") % 2 === 0, binW = 4000000L)
+
+  private val q304Sql =
+    """WITH v AS (
+      |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 4000000,
+      |      15) AS b,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |bins AS (
+      |  SELECT b, CAST(sum(a) AS BIGINT) AS ca,
+      |    CAST(sum(1 - a) AS BIGINT) AS cb
+      |  FROM v GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT)
+      |    AS nb FROM bins),
+      |t AS (
+      |  SELECT na, nb,
+      |    CAST(floor(1e9 * (
+      |      (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+      |        * ln(CAST(2 * (CAST(ca AS HUGEINT) * nb) AS DOUBLE)
+      |          / CAST(CAST(ca AS HUGEINT) * nb
+      |            + CAST(cb AS HUGEINT) * na AS DOUBLE)) ELSE 0.0 END)
+      |      + (CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+      |        * ln(CAST(2 * (CAST(cb AS HUGEINT) * na) AS DOUBLE)
+      |          / CAST(CAST(ca AS HUGEINT) * nb
+      |            + CAST(cb AS HUGEINT) * na AS DOUBLE)) ELSE 0.0 END)))
+      |      AS BIGINT) AS js_b
+      |  FROM bins CROSS JOIN tot)
+      |SELECT na AS n_a, nb AS n_b, count(*) AS n_bins,
+      |  CAST(sum(js_b) AS BIGINT) AS js2_nano
+      |FROM t GROUP BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q304_js_divergence", q304, Some(q304Sql)),
     QueryDef("q300_kendall_w", q300, Some(q300Sql)),
     QueryDef("q299_fleiss_kappa", q299, Some(q299Sql)),
     QueryDef("q298_icc1", q298, Some(q298Sql)),

@@ -455,7 +455,68 @@ object SketchOps {
       |LEFT JOIN b ON b.seg_a = x.t AND b.seg_b = y.t
       |ORDER BY seg_a, seg_b""".stripMargin
 
+  // ==== q309: count-min sketch point queries ==================================
+  //
+  // The mergeable FREQUENCY sketch completing the sketch shelf (B105's
+  // Misra-Gries keeps top-k identities, B156's KMV counts distincts —
+  // CMS answers "how often did THIS item occur" for every item in d·w
+  // counters): d=4 rows × w=8192 buckets, row r hashing xxhash64(r, item),
+  // estimate = min over rows. Counters are plain additive counts, so the
+  // sketch merges by + (spec law) and builds as ONE map-side-combined
+  // groupBy over the d-exploded stream — never a corpus collect. The
+  // oracle face is the sketch-gate pattern (q222's exact-regime twin):
+  // DuckDB emits exact counts + literal law flags; the engine's flags
+  // assert the one-sided guarantee (est ≥ true, always) and the 4N/w
+  // error ceiling (P(fail) ≤ 4⁻⁴ per item — hash-fixed, so deterministic
+  // for a given dataset and re-checked at every verify scale).
+
+  /** (r, bucket, c) counters over `itemCol` — d·w rows, mergeable by
+    * summing c on (r, bucket). */
+  def cmsSketch(items: DataFrame, itemCol: String, d: Int, w: Int)
+      : DataFrame =
+    items
+      .select(explode(sequence(lit(0), lit(d - 1))).as("r"),
+        col(itemCol).as("it"))
+      .groupBy(col("r"),
+        pmod(xxhash64(col("r"), col("it")), lit(w.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Point estimates for `queries`.`itemCol`: min over the d counter
+    * rows (the sketch broadcasts — it is d·w, never corpus-sized). */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, itemCol: String,
+      d: Int, w: Int): DataFrame =
+    queries
+      .select(col(itemCol), explode(sequence(lit(0), lit(d - 1))).as("r"))
+      .withColumn("bucket",
+        pmod(xxhash64(col("r"), col(itemCol)), lit(w.toLong)))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
+
+  private def q309(s: SparkSession, dir: String): DataFrame = {
+    val d = 4; val w = 8192
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val sk = cmsSketch(ev, "user_id", d, w)
+    val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_cnt"))
+    val top = truth.orderBy(col("true_cnt").desc, col("user_id")).limit(20)
+    val n = broadcast(truth.agg(sum(col("true_cnt")).as("n_total")))
+    cmsEstimate(sk, top, "user_id", d, w)
+      .join(top, Seq("user_id")).crossJoin(n)
+      .select(col("user_id"), col("true_cnt"),
+        (col("est") >= col("true_cnt")).as("est_ge_true"),
+        (col("est") - col("true_cnt") <=
+          lit(4L) * col("n_total") / w).as("err_le_bound"))
+      .orderBy(col("true_cnt").desc, col("user_id"))
+  }
+
+  private val q309Sql =
+    """SELECT user_id, count(*) AS true_cnt,
+      |  true AS est_ge_true, true AS err_le_bound
+      |FROM events GROUP BY user_id
+      |ORDER BY true_cnt DESC, user_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q309_cms_topk", q309, Some(q309Sql)),
     QueryDef("q222_kmv_overlap", q222, Some(q222Sql)),
     QueryDef("q142_join_cardinality", q142, Some(q142Sql)),
     QueryDef("q102_weighted_sample", q102, Some(q102Sql)),
