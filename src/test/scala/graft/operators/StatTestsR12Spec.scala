@@ -1,0 +1,284 @@
+package graft.operators
+
+import graft.TestSpark
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 operators: Fleiss' kappa, Kendall's W, Coleman–Liau, MSTTR,
+  * two-proportion z, Jensen–Shannon drift, Markov removal-effect
+  * attribution, RMST, regression discontinuity, inter-arrival fit,
+  * count-min sketch, Hosmer–Lemeshow. Each test recomputes the statistic
+  * naively or plants data where the answer is forced. */
+class StatTestsR12Spec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(h: Long, m: Long = 0): Timestamp =
+    new Timestamp(1700000000000L + h * 3600000L + m * 60000L)
+
+  // ==== q299 Fleiss' kappa ===================================================
+
+  test("fleissKappa: perfect agreement is 1; naive recompute on disagreement") {
+    val perfect = Seq((0, 0, 0), (1, 1, 1), (2, 2, 2), (1, 1, 1))
+      .toDF("r0", "r1", "r2")
+    val k1 = Profiling.fleissKappa(perfect,
+      Seq(col("r0"), col("r1"), col("r2")), nCats = 3)
+      .select("kappa").head().getDouble(0)
+    assert(math.abs(k1 - 1.0) < 1e-12)
+
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val base = rnd.nextInt(3)
+      def jitter = if (rnd.nextInt(4) == 0) rnd.nextInt(3) else base
+      (base, jitter, jitter)
+    }
+    val got = Profiling.fleissKappa(rows.toDF("r0", "r1", "r2"),
+      Seq(col("r0"), col("r1"), col("r2")), nCats = 3)
+      .select("p_bar", "p_e", "kappa").head()
+    // naive: n_ij matrix, P_i per subject, marginal p_j
+    val n = rows.size; val k = 3
+    val nij = rows.map { case (a, b, c) =>
+      (0 until 3).map(j => Seq(a, b, c).count(_ == j)) }
+    val pBar = nij.map(r => (r.map(x => x * x).sum - k).toDouble /
+      (k * (k - 1))).sum / n
+    val pE = (0 until 3).map { j =>
+      val cj = nij.map(_(j)).sum.toDouble / (n * k); cj * cj }.sum
+    val kappa = (pBar - pE) / (1 - pE)
+    assert(math.abs(got.getDouble(0) - pBar) < 1e-9)
+    assert(math.abs(got.getDouble(1) - pE) < 1e-9)
+    assert(math.abs(got.getDouble(2) - kappa) < 1e-9)
+  }
+
+  // ==== q300 Kendall's W =====================================================
+
+  test("kendallW: identical rankings give 1; midrank recompute with ties") {
+    val unanimous = for (j <- 0 until 3; o <- 0 until 5)
+      yield (j, s"obj$o", (o + 1).toLong * 10)
+    val w1 = Profiling.kendallW(unanimous.toDF("judge", "obj", "score"))
+      .select("w").head().getDouble(0)
+    assert(math.abs(w1 - 1.0) < 1e-12)
+
+    // planted ties: two objects share a score within a judge
+    val cells = Seq(
+      (0, "a", 1L), (0, "b", 2L), (0, "c", 2L), (0, "d", 5L),
+      (1, "a", 3L), (1, "b", 1L), (1, "c", 4L), (1, "d", 4L),
+      (2, "a", 2L), (2, "b", 2L), (2, "c", 2L), (2, "d", 9L))
+    val got = Profiling.kendallW(cells.toDF("judge", "obj", "score"))
+      .select("w").head().getDouble(0)
+    // naive midranks per judge
+    val m = 3; val n = 4
+    def midranks(js: Seq[(String, Long)]): Map[String, Double] = {
+      val sorted = js.sortBy(_._2)
+      sorted.zipWithIndex.groupBy(_._1._2).values.flatMap { g =>
+        val avg = g.map(_._2 + 1).sum.toDouble / g.size
+        g.map(x => x._1._1 -> avg)
+      }.toMap
+    }
+    val byJudge = cells.groupBy(_._1).view.mapValues(v =>
+      midranks(v.map(x => (x._2, x._3)))).toMap
+    val rTot = Seq("a", "b", "c", "d").map(o =>
+      byJudge.values.map(_(o)).sum)
+    val sumR2 = rTot.map(r => r * r).sum
+    val tt = cells.groupBy(_._1).values.map(js =>
+      js.groupBy(_._3).values.map(g =>
+        math.pow(g.size, 3) - g.size).sum).sum
+    val expW = (12 * sumR2 - 3 * m * m * n * (n + 1) * (n + 1)) /
+      (m.toDouble * m * n * (n * n - 1) - m * tt)
+    assert(math.abs(got - expW) < 1e-9)
+  }
+
+  // ==== q301 Coleman–Liau ====================================================
+
+  test("colemanLiau: exact rational on a hand-counted string") {
+    val text = "The cat sat. On a mat!" // letters=15, words=6, sents=2
+    val row = TextAnalysis.colemanLiau(Seq((1L, text)).toDF("doc_id", "text"))
+      .select("n_words", "n_letters", "n_sentences", "cli").head()
+    assert(row.getLong(0) == 6L && row.getLong(1) == 15L &&
+      row.getLong(2) == 2L)
+    val exp = (588.0 * 15 - 2960.0 * 2 - 1580.0 * 6) / (100.0 * 6)
+    assert(math.abs(row.getDouble(3) - exp) < 1e-12)
+  }
+
+  // ==== q302 MSTTR ===========================================================
+
+  test("msttr: complete segments only, per-segment distincts averaged") {
+    // 120 tokens: segment 1 = 50 copies of 10 types, segment 2 = 50
+    // distinct tokens, 20-token tail ignored
+    val toks = (0 until 50).map(i => s"w${i % 10}") ++
+      (0 until 50).map(i => s"u$i") ++ (0 until 20).map(_ => "tail")
+    val row = TextAnalysis.msttr(
+      Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"))
+      .select("n_segments", "msttr").head()
+    assert(row.getLong(0) == 2L)
+    assert(math.abs(row.getDouble(1) - (10 + 50).toDouble / 100) < 1e-12)
+    // a short doc has no complete segment and reports null
+    val short = TextAnalysis.msttr(Seq((2L, "a b c")).toDF("doc_id", "text"))
+      .select("n_segments", "msttr").head()
+    assert(short.getLong(0) == 0L && short.isNullAt(1))
+  }
+
+  // ==== q303 two-proportion z ================================================
+
+  test("twoProportionZ: closed form; equal rates give z 0") {
+    // pairs (2k, 2k+1) share a conversion flag -> identical arm rates
+    val arms = (1 to 80).map(i => (i % 2, (i / 2) % 4 == 0))
+    val z0 = EventsOps.twoProportionZ(arms.toDF("arm", "converted"))
+      .select("z").head().getDouble(0)
+    assert(math.abs(z0) < 1e-12)
+    val arms2 = (1 to 50).map(i => (1, i <= 30)) ++
+      (1 to 40).map(i => (0, i <= 12))
+    val got = EventsOps.twoProportionZ(arms2.toDF("arm", "converted"))
+      .select("n1", "x1", "n0", "x0", "z", "z_cc").head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((50L, 30L, 40L, 12L)))
+    val (p1, p0, pp) = (0.6, 0.3, 42.0 / 90)
+    val se = math.sqrt(pp * (1 - pp) * (1.0 / 50 + 1.0 / 40))
+    assert(math.abs(got.getDouble(4) - (p1 - p0) / se) < 1e-12)
+    val cc = 0.5 * (1.0 / 50 + 1.0 / 40)
+    assert(math.abs(got.getDouble(5) -
+      (math.abs(p1 - p0) - cc) / se) < 1e-12)
+  }
+
+  // ==== q304 Jensen–Shannon ==================================================
+
+  test("jsDivergence: identical slices 0, disjoint slices ln 2") {
+    // bin = i%16, side = i%32 div 16: each bin splits exactly 10/10, so
+    // p = q bin-for-bin and every ln argument is exactly 1
+    val same = (1 to 320).map(i => ((i % 16) * 100L, i % 32 < 16))
+    val js0 = Profiling.jsDivergence(same.toDF("cents", "a0"),
+      "cents", col("a0"), binW = 100L).select("js2_nano").head().getLong(0)
+    assert(js0 == 0L, s"identical slices: $js0")
+    val disjoint = (1 to 100).map(i => (0L, true)) ++
+      (1 to 100).map(i => (1500L, false))
+    val js1 = Profiling.jsDivergence(disjoint.toDF("cents", "a0"),
+      "cents", col("a0"), binW = 100L).select("js2_nano").head().getLong(0)
+    assert(math.abs(js1 / 2e9 - math.log(2.0)) < 1e-6)
+  }
+
+  // ==== q305 Markov removal-effect ===========================================
+
+  test("markovRemovalAttribution: forced chain credits the load-bearing channel") {
+    // 10 users: view -> click -> purchase; 5 users: signup -> end.
+    // Removing click (or view) kills ALL conversion; removing signup none.
+    val events = (1 to 10).flatMap(u => Seq(
+      (u.toLong, ts(0), u * 10L, "view"),
+      (u.toLong, ts(1), u * 10L + 1, "click"),
+      (u.toLong, ts(2), u * 10L + 2, "purchase"))) ++
+      (11 to 15).flatMap(u => Seq((u.toLong, ts(0), u * 10L, "signup")))
+    val df = events.toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsOps.markovRemovalAttribution(df)
+      .select("channel", "removal_effect", "share")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(got("view")._1 - 1.0) < 1e-9)
+    assert(math.abs(got("click")._1 - 1.0) < 1e-9)
+    assert(math.abs(got("signup")._1) < 1e-9)
+    assert(math.abs(got("view")._2 - 0.5) < 1e-9) // two equal full drops
+    // full-chain conversion: 2/3 of START mass converts (10 of 15 users)
+    val full = EventsOps.markovRemovalAttribution(df)
+      .select("conv_full_e12").head().getLong(0)
+    assert(math.abs(full - 2e12 / 3) <= 2, s"full=$full")
+  }
+
+  // ==== q306 RMST ============================================================
+
+  test("rmst: hand-computed area under a two-step KM curve") {
+    // 4 users from hour 0: events at h1 (u1), h3 (u2); u3, u4 censored at
+    // h4. Deaths at t=1 (n=4): S=3/4; t=3 (n=3): S=1/2; tau=4.
+    // RMST = 1*1 + (3-1)*3/4 + (4-3)*1/2 = 3.0 hours
+    val events =
+      Seq((1L, ts(0), 1L, "view"), (1L, ts(1), 2L, "purchase"),
+        (2L, ts(0), 3L, "view"), (2L, ts(3), 4L, "purchase"),
+        (3L, ts(0), 5L, "view"), (3L, ts(4), 6L, "view"),
+        (4L, ts(0), 7L, "view"), (4L, ts(4), 8L, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val row = EventsOps.rmst(events, "purchase")
+      .select("tau_hr", "n_death_times", "rmst_micro_hr").head()
+    assert(row.getLong(0) == 4L && row.getLong(1) == 2L)
+    // floored exp(log) terms may sit a few micro-units under the exact area
+    assert(math.abs(row.getLong(2) - 3000000L) <= 5, row.toString)
+  }
+
+  // ==== q307 regression discontinuity ========================================
+
+  test("regressionDiscontinuity: recovers a planted jump on exact lines") {
+    val pts = ((300L until 500L).map(x => (x, 2 * x + 5)) ++
+      (500L until 700L).map(x => (x, 2 * x + 5 + 7))).toDF("x", "y")
+    val row = EventsOps.regressionDiscontinuity(pts, cut = 500L, bw = 200L)
+      .select("n_left", "n_right", "effect").head()
+    assert(row.getLong(0) == 200L && row.getLong(1) == 200L)
+    assert(math.abs(row.getDouble(2) - 7.0) < 1e-6)
+  }
+
+  // ==== q308 inter-arrival fit ===============================================
+
+  test("interArrivalFit: naive KS recompute; constant gaps score high") {
+    // constant 1h gaps: F_exp(g) at the single gap value = 1 - e^-1,
+    // F_emp jumps 0 -> 1 there, so D = max(1 - (1-e^-1), 1-e^-1) = 1-e^-1
+    val const = (0 until 25).map(i =>
+      (i.toLong, ts(i), i.toLong, "view"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventsOps.interArrivalFit(const)
+      .select("n_gaps", "ks").head()
+    assert(r.getLong(0) == 24L)
+    assert(math.abs(r.getDouble(1) - (1 - math.exp(-1.0))) < 1e-9)
+    // mixed gaps: recompute D naively
+    val hours = Seq(0L, 1L, 2L, 4L, 8L, 9L, 15L, 16L, 17L, 30L)
+    val ev = hours.zipWithIndex.map { case (h, i) =>
+      (1L, ts(h), i.toLong, "view") }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsOps.interArrivalFit(ev).select("ks").head().getDouble(0)
+    val gaps = hours.zip(hours.tail).map { case (a, b) => (b - a) * 3.6e9 }
+    val lam = gaps.size / gaps.sum
+    val sorted = gaps.sorted
+    val d = sorted.zipWithIndex.flatMap { case (g, i) =>
+      val fe = 1 - math.exp(-lam * g)
+      val le = sorted.count(_ <= g).toDouble / gaps.size
+      val lt = sorted.count(_ < g).toDouble / gaps.size
+      Seq(le - fe, fe - lt)
+    }.max
+    assert(math.abs(got - d) < 1e-9)
+  }
+
+  // ==== q309 count-min sketch ================================================
+
+  test("cms: merge law holds and estimates are exact without collisions") {
+    val items = (1 to 300).map(i => i.toLong % 7).toDF("it")
+    val d = 4; val w = 64 // domain 7 ≪ w: collisions possible but counted
+    val whole = SketchOps.cmsSketch(items, "it", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // merge law: counters of the halves SUM to the whole's counters
+    val a = SketchOps.cmsSketch(items.filter(col("it") < 3), "it", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = SketchOps.cmsSketch(items.filter(col("it") >= 3), "it", d, w)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+    // one-sided law + exactness: est >= true always; with min over d
+    // rows and 7 items in 64 buckets the estimate is exact here
+    val truth = items.groupBy(col("it")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SketchOps.cmsEstimate(SketchOps.cmsSketch(items, "it", d, w),
+      items.select(col("it")).distinct(), "it", d, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) => assert(est(k) >= t) }
+    assert(est == truth, "no-collision regime must be exact")
+  }
+
+  // ==== q310 Hosmer–Lemeshow =================================================
+
+  test("hosmerLemeshow: perfectly calibrated bins score 0") {
+    // every doc: 2 of 4 tokens are stopwords -> s = 500 exactly; half
+    // the docs labeled positive -> O_b = E_b in the single occupied bin
+    val docs = (1 to 40).map(i =>
+      (i.toLong, "the a cat dog", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val row = MlEval.hosmerLemeshow(docs, "lang = 'en'")
+      .select("n", "n_bins_used", "n_bins_degenerate", "hl_micro").head()
+    assert(row.getLong(0) == 40L)
+    assert(row.getLong(1) == 1L && row.getLong(2) == 0L)
+    assert(row.getLong(3) == 0L)
+  }
+}
