@@ -836,7 +836,60 @@ object CorpusStats {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS en_influence
       |FROM per CROSS JOIN tot ORDER BY source""".stripMargin
 
+  // ==== q313: Herfindahl–Hirschman concentration ==============================
+  //
+  // The squared-share companion to q156's Gini: HHI = Σ_s (m_s/M)² over
+  // source shares of corpus mass per language — the antitrust-standard
+  // "is this slice dominated by one provider" number training-mixture
+  // reviews quote (1/HHI = effective source count). Exactness: HHI =
+  // Σm² / M² is one division of exact decimals, ⌊10⁶·⌋-floored once;
+  // the only corpus-sized work is the (lang, source) groupBy.
+
+  /** Per `grpCol`: (grp, n_shares, hhi_e6, eff_sources) over `massCol`
+    * mass shares of `shareCol`. */
+  def herfindahl(df: DataFrame, grpCol: String, shareCol: String,
+      massCol: String): DataFrame = {
+    val shares = df.groupBy(col(grpCol).as("grp"), col(shareCol).as("s"))
+      .agg(sum(col(massCol)).cast("decimal(38,0)").as("m"))
+    def dd(c: org.apache.spark.sql.Column) = c.cast("double")
+    shares.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_shares"),
+        sum(col("m") * col("m")).as("sm2"), sum(col("m")).as("mm"))
+      .select(col("grp"), col("n_shares"),
+        floor(lit(1e6) * dd(col("sm2")) / dd(col("mm") * col("mm")))
+          .cast("long").as("hhi_e6"))
+      .withColumn("eff_sources",
+        floor(lit(1e6) * lit(1e6) / col("hhi_e6").cast("double"))
+          .cast("long"))
+  }
+
+  private def q313(s: SparkSession, dir: String): DataFrame =
+    herfindahl(Tables.documents(s, dir), "lang", "source", "n_chars")
+      .select(col("grp").as("lang"), col("n_shares"), col("hhi_e6"),
+        col("eff_sources"))
+      .orderBy(col("lang"))
+
+  private val q313Sql =
+    """WITH shares AS (
+      |  SELECT lang, source, CAST(sum(n_chars) AS HUGEINT) AS m
+      |  FROM documents GROUP BY 1, 2),
+      |g AS (
+      |  SELECT lang, count(*) AS n_shares,
+      |    CAST(sum(m * m) AS HUGEINT) AS sm2,
+      |    CAST(sum(m) AS HUGEINT) AS mm
+      |  FROM shares GROUP BY 1),
+      |h AS (
+      |  SELECT lang, n_shares,
+      |    CAST(floor(1e6 * CAST(sm2 AS DOUBLE)
+      |      / CAST(mm * mm AS DOUBLE)) AS BIGINT) AS hhi_e6
+      |  FROM g)
+      |SELECT lang, n_shares, hhi_e6,
+      |  CAST(floor(1e6 * 1e6 / CAST(hhi_e6 AS DOUBLE)) AS BIGINT)
+      |    AS eff_sources
+      |FROM h ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q313_herfindahl", q313, Some(q313Sql)),
     QueryDef("q259_collocations_g2", q259, Some(q259Sql)),
     QueryDef("q257_source_influence", q257, Some(q257Sql)),
     QueryDef("q225_heaps_fit", q225, Some(q225Sql)),

@@ -347,6 +347,69 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("node")).limit(20)
   }
 
+  // ==== q312: local clustering coefficient ===================================
+  //
+  // The per-node closure ratio q134's triangle counts feed: cc(v) =
+  // 2·tri(v)/(deg(v)·(deg(v)−1)) — "how club-like is v's neighborhood"
+  // (spam rings and bot farms sit near 1, organic hubs near 0). Reuses
+  // the degree-ordered triangle kernel verbatim (wedge space bounded by
+  // orientation, never deg² per hub); cc is an exact integer ratio
+  // emitted ⌊10⁶·⌋-floored, so both engines render identical integers.
+
+  /** Per node in ≥1 triangle: (node, deg, n_triangles, cc_e6). */
+  def clusteringCoefficient(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = e.select(col("a").as("node"))
+      .union(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    triangleCounts(edges).join(deg, Seq("node"))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        floor(lit(1e6) * lit(2.0) * col("n_triangles").cast("double") /
+          (col("deg").cast("double") * (col("deg").cast("double") - 1)))
+          .cast("long").as("cc_e6"))
+  }
+
+  private def q312(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    clusteringCoefficient(edges)
+      .orderBy(col("cc_e6").desc, col("node")).limit(20)
+  }
+
+  private val q312Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+      |pairs AS (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+      |  GROUP BY node),
+      |tri AS (
+      |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM pairs e1 JOIN pairs e2 ON e1.b = e2.a
+      |  JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |tcount AS (
+      |  SELECT node, count(*) AS n_triangles FROM (
+      |    SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |    UNION ALL SELECT z FROM tri)
+      |  GROUP BY node)
+      |SELECT t.node, deg, n_triangles,
+      |  CAST(floor(1e6 * 2.0 * CAST(n_triangles AS DOUBLE)
+      |    / (CAST(deg AS DOUBLE) * (CAST(deg AS DOUBLE) - 1)))
+      |    AS BIGINT) AS cc_e6
+      |FROM tcount t JOIN deg USING (node)
+      |ORDER BY cc_e6 DESC, node LIMIT 20""".stripMargin
+
   private val q134Sql =
     """WITH li AS (
       |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
@@ -1521,6 +1584,7 @@ object Graph {
     QueryDef("q123_pagerank", q123, Some(q123Sql)),
     QueryDef("q124_kfold", q124, Some(q124Sql)),
     QueryDef("q134_triangles", q134, Some(q134Sql)),
+    QueryDef("q312_clustering_coef", q312, Some(q312Sql)),
     QueryDef("q146_hierarchy_closure", q146, Some(q146Sql)),
     QueryDef("q153_label_propagation", q153, Some(q153Sql)))
 }

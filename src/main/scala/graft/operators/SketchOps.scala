@@ -515,7 +515,57 @@ object SketchOps {
       |FROM events GROUP BY user_id
       |ORDER BY true_cnt DESC, user_id LIMIT 20""".stripMargin
 
+  // ==== q311: AMS F2 (self-join size) sketch ==================================
+  //
+  // The second-moment sketch completing the shelf (B97 estimates join
+  // cardinality from per-key histograms; AMS does it in K counters):
+  // F2 = Σ c_v² is the self-join size / skew measure, and the AMS
+  // estimator is Z_k = Σ_rows sign_k(item) with est = median of
+  // group-means of Z². Every Z is an exact integer SUM (mergeable across
+  // partitions and batches by addition), group means stay integer-scaled
+  // (×groupSize), and the lower-median of 4 group sums is picked by
+  // array_sort — deterministic end to end for a fixed dataset. Gate
+  // face: exact F2 (distributively computed, oracle-matched) + the
+  // sketch-within-4× law flag.
+
+  /** (grp, z8) — per 8-estimator group, Σ over the group of Z_k²;
+    * est(F2) = lower-median(z8)/8. */
+  def amsF2Sketch(items: DataFrame, itemCol: String, k: Int = 32)
+      : DataFrame = {
+    require(k % 8 == 0, "amsF2Sketch groups estimators in eights")
+    items
+      .select(explode(sequence(lit(0), lit(k - 1))).as("r"),
+        col(itemCol).as("it"))
+      .groupBy(col("r"))
+      .agg(sum(when(pmod(xxhash64(col("r"), col("it")), lit(2L)) === 0L,
+        lit(1L)).otherwise(lit(-1L))).as("z"))
+      .groupBy(expr("r div 8").as("grp"))
+      .agg(sum(col("z") * col("z")).as("z8"))
+  }
+
+  private def q311(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("f2"))
+    val est8 = amsF2Sketch(ev, "user_id", 32)
+      .agg(element_at(array_sort(collect_list(col("z8"))), 2).as("med8"))
+    exact.crossJoin(est8)
+      .select(col("n_items"), col("f2").cast("long").as("f2_exact"),
+        (col("med8").cast("decimal(38,0)") <= col("f2") * 32 &&
+          col("med8").cast("decimal(38,0)") >= col("f2") * 2)
+          .as("sketch_within_4x"))
+  }
+
+  private val q311Sql =
+    """WITH c AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1)
+      |SELECT count(*) AS n_items,
+      |  CAST(sum(CAST(c AS HUGEINT) * c) AS BIGINT) AS f2_exact,
+      |  true AS sketch_within_4x
+      |FROM c""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q311_ams_f2", q311, Some(q311Sql)),
     QueryDef("q309_cms_topk", q309, Some(q309Sql)),
     QueryDef("q222_kmv_overlap", q222, Some(q222Sql)),
     QueryDef("q142_join_cardinality", q142, Some(q142Sql)),
