@@ -845,7 +845,7 @@ object CorpusStats {
   // Σm² / M² is one division of exact decimals, ⌊10⁶·⌋-floored once;
   // the only corpus-sized work is the (lang, source) groupBy.
 
-  /** Per `grpCol`: (grp, n_shares, hhi_e6, eff_sources) over `massCol`
+  /** Per `grpCol`: (grp, n_shares, hhi_e6, eff_sources_e6) over `massCol`
     * mass shares of `shareCol`. */
   def herfindahl(df: DataFrame, grpCol: String, shareCol: String,
       massCol: String): DataFrame = {
@@ -858,7 +858,7 @@ object CorpusStats {
       .select(col("grp"), col("n_shares"),
         floor(lit(1e6) * dd(col("sm2")) / dd(col("mm") * col("mm")))
           .cast("long").as("hhi_e6"))
-      .withColumn("eff_sources",
+      .withColumn("eff_sources_e6",
         floor(lit(1e6) * lit(1e6) / col("hhi_e6").cast("double"))
           .cast("long"))
   }
@@ -866,7 +866,7 @@ object CorpusStats {
   private def q313(s: SparkSession, dir: String): DataFrame =
     herfindahl(Tables.documents(s, dir), "lang", "source", "n_chars")
       .select(col("grp").as("lang"), col("n_shares"), col("hhi_e6"),
-        col("eff_sources"))
+        col("eff_sources_e6"))
       .orderBy(col("lang"))
 
   private val q313Sql =
@@ -885,7 +885,7 @@ object CorpusStats {
       |  FROM g)
       |SELECT lang, n_shares, hhi_e6,
       |  CAST(floor(1e6 * 1e6 / CAST(hhi_e6 AS DOUBLE)) AS BIGINT)
-      |    AS eff_sources
+      |    AS eff_sources_e6
       |FROM h ORDER BY lang""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

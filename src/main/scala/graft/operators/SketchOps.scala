@@ -528,17 +528,22 @@ object SketchOps {
   // face: exact F2 (distributively computed, oracle-matched) + the
   // sketch-within-4× law flag.
 
-  /** (grp, z8) — per 8-estimator group, Σ over the group of Z_k²;
-    * est(F2) = lower-median(z8)/8. */
-  def amsF2Sketch(items: DataFrame, itemCol: String, k: Int = 32)
-      : DataFrame = {
-    require(k % 8 == 0, "amsF2Sketch groups estimators in eights")
+  /** (r, z) — the MERGEABLE layer: per estimator, the signed row sum.
+    * Sketches of disjoint slices merge by adding z per r. */
+  def amsF2Signs(items: DataFrame, itemCol: String, k: Int): DataFrame =
     items
       .select(explode(sequence(lit(0), lit(k - 1))).as("r"),
         col(itemCol).as("it"))
       .groupBy(col("r"))
       .agg(sum(when(pmod(xxhash64(col("r"), col("it")), lit(2L)) === 0L,
         lit(1L)).otherwise(lit(-1L))).as("z"))
+
+  /** (grp, z8) — per 8-estimator group, Σ over the group of Z_k²;
+    * est(F2) = lower-median(z8)/8. */
+  def amsF2Sketch(items: DataFrame, itemCol: String, k: Int = 32)
+      : DataFrame = {
+    require(k % 8 == 0, "amsF2Sketch groups estimators in eights")
+    amsF2Signs(items, itemCol, k)
       .groupBy(expr("r div 8").as("grp"))
       .agg(sum(col("z") * col("z")).as("z8"))
   }

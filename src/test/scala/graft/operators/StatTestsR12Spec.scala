@@ -267,6 +267,61 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(est == truth, "no-collision regime must be exact")
   }
 
+  // ==== q311 AMS F2 ==========================================================
+
+  test("amsF2: sign layer merges by addition; single-item stream is exact") {
+    val items = (1 to 500).map(i => i.toLong % 9).toDF("it")
+    val k = 32
+    val whole = SketchOps.amsF2Signs(items, "it", k)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val a = SketchOps.amsF2Signs(items.filter(col("it") < 4), "it", k)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = SketchOps.amsF2Signs(items.filter(col("it") >= 4), "it", k)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until k).foreach(r =>
+      assert(whole(r) == a.getOrElse(r, 0L) + b.getOrElse(r, 0L)))
+    // one repeated item: Z = ±n for EVERY estimator, so every group sum
+    // is 8n² and the estimate is exactly F2 = n²
+    val mono = (1 to 70).map(_ => 42L).toDF("it")
+    val z8 = SketchOps.amsF2Sketch(mono, "it", k)
+      .collect().map(_.getLong(1))
+    assert(z8.forall(_ == 8L * 70 * 70))
+  }
+
+  // ==== q312 clustering coefficient ==========================================
+
+  test("clusteringCoefficient: cliques score exactly 1; hand wedge graph") {
+    // K4: every node deg 3, 3 triangles -> cc = 1
+    val k4 = (for (a <- 1 to 4; b <- 1 to 4 if a < b) yield (a.toLong, b.toLong))
+      .toDF("a", "b")
+    val got4 = Graph.clusteringCoefficient(k4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got4.length == 4 && got4.forall(t =>
+      t._2 == 3L && t._3 == 3L && t._4 == 1000000L))
+    // triangle 1-2-3 plus pendant 4 on node 1: cc(1) = 2*1/(3*2) = 1/3;
+    // cc(2) = cc(3) = 1; node 4 (no triangle) absent
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val got = Graph.clusteringCoefficient(g)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 333333L, 2L -> 1000000L, 3L -> 1000000L))
+  }
+
+  // ==== q313 Herfindahl ======================================================
+
+  test("herfindahl: equal shares give 1/n, a monopoly gives 1") {
+    val eq = (1 to 40).map(i => ("en", s"s${i % 4}", 25L))
+      .toDF("lang", "source", "n_chars")
+    val r1 = CorpusStats.herfindahl(eq, "lang", "source", "n_chars")
+      .select("n_shares", "hhi_e6", "eff_sources_e6").head()
+    assert(r1.getLong(0) == 4L && r1.getLong(1) == 250000L &&
+      r1.getLong(2) == 4000000L)
+    val mono = Seq(("de", "only", 999L)).toDF("lang", "source", "n_chars")
+    val r2 = CorpusStats.herfindahl(mono, "lang", "source", "n_chars")
+      .select("hhi_e6", "eff_sources_e6").head()
+    assert(r2.getLong(0) == 1000000L && r2.getLong(1) == 1000000L)
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
