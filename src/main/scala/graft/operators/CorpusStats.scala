@@ -888,7 +888,98 @@ object CorpusStats {
       |    AS eff_sources_e6
       |FROM h ORDER BY lang""".stripMargin
 
+  // ==== q314: Monroe log-odds keyness (informative Dirichlet prior) ==========
+  //
+  // "Fightin' Words" (Monroe–Colaresi–Quinn 2008): which words
+  // distinguish slice A from slice B, without the low-frequency
+  // explosion raw log-odds or PMI suffer — the pooled corpus is the
+  // Dirichlet prior (α_w = α₀·y_w/n), and each word gets
+  // z = δ̂ / √(1/(y₁+α_w) + 1/(y₂+α_w)) with δ̂ the prior-smoothed
+  // log-odds difference. Exactness: every ln/⁻¹ argument collapses to a
+  // ratio of exact decimal products (y₁·n + α₀·y_w etc. — the prior's
+  // rational form multiplied through), so both engines ln/divide the
+  // identical doubles; one vocab-domain pass past the token groupBy.
+
+  /** Per token with pooled count ≥ `minCount`: (t, y1, y2, z) — Monroe
+    * log-odds z of slice A (`sideA` docs) vs the rest, prior mass
+    * `alpha0`. */
+  def monroeKeyness(docs: DataFrame, sideA: Column, alpha0: Long,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(explode(Tok.ws(col("text"))).as("t"),
+      when(sideA, 1L).otherwise(0L).as("a"))
+    val counts = toks.groupBy(col("t"))
+      .agg(sum(col("a")).as("y1"), sum(lit(1L) - col("a")).as("y2"))
+      .filter(col("y1") + col("y2") >= minCount)
+    val tot = broadcast(counts.agg(sum(col("y1")).as("n1"),
+      sum(col("y2")).as("n2"),
+      sum(col("y1") + col("y2")).as("n")))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val w = counts.crossJoin(tot)
+      .withColumn("yw", col("y1") + col("y2"))
+      // prior-smoothed numerators/denominators, multiplied through by n
+      // so every term is an exact integer product
+      .withColumn("p1n", d0(col("y1")) * col("n") + d0(lit(alpha0)) * col("yw"))
+      .withColumn("q1n", d0(col("n1")) * col("n") + d0(lit(alpha0)) * col("n")
+        - d0(col("y1")) * col("n") - d0(lit(alpha0)) * col("yw"))
+      .withColumn("p2n", d0(col("y2")) * col("n") + d0(lit(alpha0)) * col("yw"))
+      .withColumn("q2n", d0(col("n2")) * col("n") + d0(lit(alpha0)) * col("n")
+        - d0(col("y2")) * col("n") - d0(lit(alpha0)) * col("yw"))
+      .withColumn("delta",
+        log(dd(col("p1n")) / dd(col("q1n"))) -
+          log(dd(col("p2n")) / dd(col("q2n"))))
+      .withColumn("v",
+        dd(col("n")) / dd(col("p1n")) + dd(col("n")) / dd(col("p2n")))
+      .withColumn("z", col("delta") / sqrt(col("v")))
+    w.select(col("t"), col("y1"), col("y2"), col("z"))
+  }
+
+  private def q314(s: SparkSession, dir: String): DataFrame =
+    monroeKeyness(Tables.documents(s, dir).select(col("text"), col("lang")),
+      col("lang") === "en", alpha0 = 1000L, minCount = 5L)
+      .orderBy(col("z").desc, col("t")).limit(20)
+      .select(col("t"), col("y1"), col("y2"), QueryDef.dec4(col("z")).as("z"))
+
+  private val q314Sql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+      |    AS t,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+      |  FROM documents),
+      |c AS (
+      |  SELECT t, CAST(sum(a) AS BIGINT) AS y1,
+      |    CAST(sum(1 - a) AS BIGINT) AS y2
+      |  FROM toks GROUP BY t HAVING sum(a) + sum(1 - a) >= 5),
+      |tot AS (
+      |  SELECT CAST(sum(y1) AS BIGINT) AS n1, CAST(sum(y2) AS BIGINT)
+      |    AS n2, CAST(sum(y1 + y2) AS BIGINT) AS n FROM c),
+      |w AS (
+      |  SELECT t, y1, y2,
+      |    CAST(y1 AS HUGEINT) * n + 1000 * CAST(y1 + y2 AS HUGEINT) AS p1n,
+      |    CAST(n1 AS HUGEINT) * n + 1000 * CAST(n AS HUGEINT)
+      |      - CAST(y1 AS HUGEINT) * n - 1000 * CAST(y1 + y2 AS HUGEINT)
+      |      AS q1n,
+      |    CAST(y2 AS HUGEINT) * n + 1000 * CAST(y1 + y2 AS HUGEINT) AS p2n,
+      |    CAST(n2 AS HUGEINT) * n + 1000 * CAST(n AS HUGEINT)
+      |      - CAST(y2 AS HUGEINT) * n - 1000 * CAST(y1 + y2 AS HUGEINT)
+      |      AS q2n,
+      |    n
+      |  FROM c CROSS JOIN tot)
+      |SELECT t, y1, y2,
+      |  CAST(CAST((ln(CAST(p1n AS DOUBLE) / CAST(q1n AS DOUBLE))
+      |      - ln(CAST(p2n AS DOUBLE) / CAST(q2n AS DOUBLE)))
+      |    / sqrt(CAST(n AS DOUBLE) / CAST(p1n AS DOUBLE)
+      |      + CAST(n AS DOUBLE) / CAST(p2n AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM w
+      |ORDER BY (ln(CAST(p1n AS DOUBLE) / CAST(q1n AS DOUBLE))
+      |    - ln(CAST(p2n AS DOUBLE) / CAST(q2n AS DOUBLE)))
+      |  / sqrt(CAST(n AS DOUBLE) / CAST(p1n AS DOUBLE)
+      |    + CAST(n AS DOUBLE) / CAST(p2n AS DOUBLE)) DESC, t
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q314_monroe_keyness", q314, Some(q314Sql)),
     QueryDef("q313_herfindahl", q313, Some(q313Sql)),
     QueryDef("q259_collocations_g2", q259, Some(q259Sql)),
     QueryDef("q257_source_influence", q257, Some(q257Sql)),

@@ -4534,7 +4534,73 @@ object EventsOps {
       |      / CAST(n AS DOUBLE))) AS DECIMAL(38,4)) AS VARCHAR) AS ks
       |FROM steps GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ==== q315: turning-point randomness test ===================================
+  //
+  // The local-extremum companion to B227's runs test (runs sees sign
+  // changes vs a level; turning points see CURVATURE — an autocorrelated
+  // series has too few, an alternating one too many): per type, count
+  // strict interior maxima/minima of the hourly series; under
+  // randomness E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90, z = (T−E)/√Var.
+  // T and n are exact integers from one hour-domain window pass; z is a
+  // fixed double chain. Ties (equal neighbors) are not turning points —
+  // strict comparisons, identical in both engines.
+
+  /** Per type: (event_type, n_hours, n_turns, z). */
+  def turningPoints(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val t = hourly
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .withColumn("turn", when(col("yp").isNotNull && col("yn").isNotNull &&
+        ((col("y") > col("yp") && col("y") > col("yn")) ||
+          (col("y") < col("yp") && col("y") < col("yn"))), 1L)
+        .otherwise(0L))
+    def dd(c: Column) = c.cast("double")
+    t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("turn")).as("n_turns"))
+      .select(col("event_type"), col("n_hours"), col("n_turns"),
+        when(col("n_hours") >= 3,
+          (dd(col("n_turns")) - lit(2.0) * (dd(col("n_hours")) - 2) / 3) /
+            sqrt((lit(16.0) * dd(col("n_hours")) - 29) / 90)).as("z"))
+  }
+
+  private def q315(s: SparkSession, dir: String): DataFrame =
+    turningPoints(Tables.events(s, dir))
+      .select(col("event_type"), col("n_hours"), col("n_turns"),
+        QueryDef.dec4(col("z")).as("z"))
+      .orderBy(col("event_type"))
+
+  private val q315Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, y,
+      |    lag(y) OVER (PARTITION BY event_type ORDER BY h) AS yp,
+      |    lead(y) OVER (PARTITION BY event_type ORDER BY h) AS yn
+      |  FROM hourly),
+      |agg AS (
+      |  SELECT event_type, count(*) AS n_hours,
+      |    CAST(sum(CASE WHEN yp IS NOT NULL AND yn IS NOT NULL
+      |      AND ((y > yp AND y > yn) OR (y < yp AND y < yn))
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turns
+      |  FROM t GROUP BY 1)
+      |SELECT event_type, n_hours, n_turns,
+      |  CAST(CAST(CASE WHEN n_hours >= 3 THEN
+      |    (CAST(n_turns AS DOUBLE)
+      |      - 2.0 * (CAST(n_hours AS DOUBLE) - 2) / 3)
+      |    / sqrt((16.0 * CAST(n_hours AS DOUBLE) - 29) / 90) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM agg ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q315_turning_points", q315, Some(q315Sql)),
     QueryDef("q303_two_proportion_z", q303, Some(q303Sql)),
     QueryDef("q305_markov_attribution", q305, Some(q305Sql)),
     QueryDef("q306_rmst", q306, Some(q306Sql)),

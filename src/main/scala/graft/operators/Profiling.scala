@@ -240,8 +240,8 @@ object Profiling {
       .agg(count(lit(1)).as("v"))
       .select(lit("orders.o_custkey references customer").as("check_name"),
         col("v").as("violations"))
-    ordersChecks.unionAll(lineitemChecks).unionAll(customerChecks)
-      .unionAll(docChecks).unionAll(refChecks)
+    ordersChecks.union(lineitemChecks).union(customerChecks)
+      .union(docChecks).union(refChecks)
       .withColumn("passed", (col("violations") === 0).cast("int"))
   }
 
@@ -1489,7 +1489,7 @@ object Profiling {
         .select(lit(det).as("determinant"), lit(dep).as("dependent"),
           col("n_det"), col("n_violating"), col("max_deps"),
           (col("n_violating") === 0L).as("fd_holds"))
-    }.reduce(_ unionAll _)
+    }.reduce(_ union _)
 
   private def q218(s: SparkSession, dir: String): DataFrame =
     fdAudit(Tables.lineitem(s, dir), Seq(
@@ -1497,7 +1497,7 @@ object Profiling {
       "l_orderkey" -> "l_suppkey",
       "l_partkey" -> "l_shipdate",
       "l_suppkey" -> "l_linestatus"))
-      .unionAll(fdAudit(Tables.orders(s, dir), Seq(
+      .union(fdAudit(Tables.orders(s, dir), Seq(
         "o_orderkey" -> "o_custkey",
         "o_custkey" -> "o_orderpriority")))
       .orderBy(col("determinant"), col("dependent"))
@@ -1541,7 +1541,7 @@ object Profiling {
     // ONE stats pass for n + every feature's range (2·|features|+1 scalars)
     val statsRow = df.agg(count(lit(1)),
       features.flatMap(f =>
-        Seq(min(col(f).cast("long")), max(col(f).cast("long")))): _*).head
+        Seq(min(col(f).cast("long")), max(col(f).cast("long")))): _*).head()
     val n = statsRow.getLong(0)
     if (n == 0) // empty in, empty out — not an NPE on the null min/max
       return df.select(col(idCol), lit(0L).as("score_unats")).limit(0)
@@ -1637,7 +1637,7 @@ object Profiling {
           col("sy_c").cast("double") / col("n_c").cast("double"))).as("wsum"))
       .select(lit("(all)").as("stratum"), col("n_t"), col("n_c"),
         QueryDef.dec4(col("wsum") / col("n_t").cast("double")).as("att"))
-    per.unionAll(overall)
+    per.union(overall)
   }
 
   // treatment = even order key (the q197/q216 arm convention), outcome =
@@ -3733,7 +3733,103 @@ object Profiling {
       |  CAST(sum(js_b) AS BIGINT) AS js2_nano
       |FROM t GROUP BY 1, 2""".stripMargin
 
+  // ==== q316: Gwet's AC1 ======================================================
+  //
+  // The prevalence-robust twin of q299's Fleiss κ (the "kappa paradox":
+  // on skewed category distributions κ collapses toward 0 even at near-
+  // perfect agreement; AC1's chance term uses the complement weighting
+  // P_e = Σ_j π_j(1−π_j)/(c−1) and stays stable): same P̄ and marginals
+  // — the identical one-pass integers A and C_j — different chance
+  // correction. Same three-rater length-bucket fixture, so q299 vs q316
+  // exhibit the paradox on real data.
+
+  /** One row: (n_subjects, p_bar, p_e_gamma, ac1) for k rater columns
+    * over `nCats` categories. */
+  def gwetAC1(df: DataFrame, ratings: Seq[Column], nCats: Int): DataFrame = {
+    val k = ratings.size
+    require(k >= 2 && nCats >= 2, "gwetAC1 needs >=2 raters, >=2 cats")
+    val rated = df.select(ratings.zipWithIndex.map {
+      case (r, i) => r.cast("int").as(s"r$i") }: _*)
+    val nij = (0 until nCats).map(j =>
+      (0 until k).map(i => when(col(s"r$i") === j, 1).otherwise(0))
+        .reduce(_ + _).as(s"n$j"))
+    val perSubj = rated.select(nij: _*)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum((0 until nCats).map(j => col(s"n$j") * col(s"n$j"))
+        .reduce(_ + _).cast("long")).as("a")) ++
+      (0 until nCats).map(j => sum(col(s"n$j").cast("long")).as(s"c$j"))
+    val m = perSubj.agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    val nk = dd(col("n")) * k
+    val pBar = (dd(col("a")) - nk) / (nk * (k - 1))
+    val peG = (0 until nCats).map { j =>
+      val pij = dd(col(s"c$j")) / nk
+      pij * (lit(1.0) - pij)
+    }.reduce(_ + _) / (nCats - 1)
+    m.select(col("n").as("n_subjects"), pBar.as("p_bar"),
+      peG.as("p_e_gamma"),
+      when(col("n") > 0 && peG < 1.0, (pBar - peG) / (lit(1.0) - peG))
+        .as("ac1"))
+  }
+
+  private def q316(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def rater(lo: Int, hi: Int) =
+      when(col("n_chars") < lo, 0).when(col("n_chars") < hi, 1).otherwise(2)
+    gwetAC1(docs,
+      Seq(rater(200, 380), rater(180, 360), rater(220, 400)), nCats = 3)
+      .select(col("n_subjects"), QueryDef.dec4(col("p_bar")).as("p_bar"),
+        QueryDef.dec4(col("p_e_gamma")).as("p_e_gamma"),
+        QueryDef.dec4(col("ac1")).as("ac1"))
+  }
+
+  private val q316Sql =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 380 THEN 1
+      |      ELSE 2 END AS r0,
+      |    CASE WHEN n_chars < 180 THEN 0 WHEN n_chars < 360 THEN 1
+      |      ELSE 2 END AS r1,
+      |    CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 400 THEN 1
+      |      ELSE 2 END AS r2
+      |  FROM documents),
+      |s AS (
+      |  SELECT
+      |    (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    (CASE WHEN r0 = 1 THEN 1 ELSE 0 END + CASE WHEN r1 = 1 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    (CASE WHEN r0 = 2 THEN 1 ELSE 0 END + CASE WHEN r1 = 2 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM r),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS a,
+      |    CAST(sum(n0) AS BIGINT) AS c0, CAST(sum(n1) AS BIGINT) AS c1,
+      |    CAST(sum(n2) AS BIGINT) AS c2
+      |  FROM s),
+      |c AS (
+      |  SELECT n,
+      |    (CAST(a AS DOUBLE) - CAST(n AS DOUBLE) * 3)
+      |      / (CAST(n AS DOUBLE) * 3 * 2) AS p_bar,
+      |    ((CAST(c0 AS DOUBLE) / (CAST(n AS DOUBLE) * 3))
+      |        * (1.0 - CAST(c0 AS DOUBLE) / (CAST(n AS DOUBLE) * 3))
+      |      + (CAST(c1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3))
+      |        * (1.0 - CAST(c1 AS DOUBLE) / (CAST(n AS DOUBLE) * 3))
+      |      + (CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * 3))
+      |        * (1.0 - CAST(c2 AS DOUBLE) / (CAST(n AS DOUBLE) * 3)))
+      |      / 2 AS p_e_gamma
+      |  FROM m)
+      |SELECT n AS n_subjects,
+      |  CAST(CAST(p_bar AS DECIMAL(38,4)) AS VARCHAR) AS p_bar,
+      |  CAST(CAST(p_e_gamma AS DECIMAL(38,4)) AS VARCHAR) AS p_e_gamma,
+      |  CAST(CAST(CASE WHEN n > 0 AND p_e_gamma < 1.0
+      |    THEN (p_bar - p_e_gamma) / (1.0 - p_e_gamma) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS ac1
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q316_gwet_ac1", q316, Some(q316Sql)),
     QueryDef("q304_js_divergence", q304, Some(q304Sql)),
     QueryDef("q300_kendall_w", q300, Some(q300Sql)),
     QueryDef("q299_fleiss_kappa", q299, Some(q299Sql)),

@@ -322,6 +322,70 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(r2.getLong(0) == 1000000L && r2.getLong(1) == 1000000L)
   }
 
+  // ==== q314 Monroe log-odds keyness =========================================
+
+  test("monroeKeyness: planted slice-exclusive word tops z; naive recompute") {
+    val docs = ((1 to 60).map(i => (s"alpha shared w${i % 5}", true)) ++
+      (1 to 60).map(i => (s"beta shared w${i % 5}", false)))
+      .toDF("text", "en")
+    val got = CorpusStats.monroeKeyness(docs, col("en"), alpha0 = 100L,
+      minCount = 5L).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got("alpha") == got.values.max)
+    assert(got("beta") == got.values.min)
+    // "shared" appears identically -> z near 0 (only the slice-size
+    // asymmetry is zero here, so exactly symmetric priors)
+    assert(math.abs(got("shared")) < 1e-9)
+    // naive recompute for "alpha": y1=60, y2=0, yw=60; n1=n2=180, n=360
+    val a0 = 100.0
+    def lo(y: Double, nSlice: Double) = {
+      val aw = a0 * 60 / 360
+      math.log((y + aw) / (nSlice + a0 - y - aw))
+    }
+    val delta = lo(60, 180) - lo(0, 180)
+    val v = 1 / (60 + a0 * 60 / 360) + 1 / (0 + a0 * 60 / 360)
+    assert(math.abs(got("alpha") - delta / math.sqrt(v)) < 1e-9)
+  }
+
+  // ==== q315 turning points ==================================================
+
+  test("turningPoints: monotone series has none, alternating has all") {
+    def ev(tsH: Seq[(Long, Int)], tp: String) = tsH.flatMap { case (h, c) =>
+      (1 to c).map(j => (h * 100 + j, ts(h), h * 100 + j, tp)) }
+    // monotone: counts 1..12 -> 0 turns; alternating 5,1,5,1.. -> n-2
+    val mono = ev((0L until 12L).map(h => h -> (h.toInt + 1)), "up")
+    val alt = ev((0L until 12L).map(h =>
+      h -> (if (h % 2 == 0) 5 else 1)), "zig")
+    val df = (mono ++ alt).toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsOps.turningPoints(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(got("up") == ((12L, 0L, got("up")._3)))
+    assert(got("zig")._2 == 10L)
+    val n = 12.0
+    val zUp = (0 - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+    assert(math.abs(got("up")._3 - zUp) < 1e-12)
+  }
+
+  // ==== q316 Gwet's AC1 ======================================================
+
+  test("gwetAC1: perfect agreement is 1; stays high where kappa collapses") {
+    val rs = Seq(col("r0"), col("r1"), col("r2"))
+    val perfect = Seq((0, 0, 0), (1, 1, 1), (2, 2, 2)).toDF("r0", "r1", "r2")
+    assert(math.abs(Profiling.gwetAC1(perfect, rs, 3)
+      .select("ac1").head().getDouble(0) - 1.0) < 1e-12)
+    // kappa paradox fixture: 98 unanimous category-0 subjects + 2 split
+    // ones — prevalence is extreme, kappa craters, AC1 stays near 1
+    val skewed = ((1 to 98).map(_ => (0, 0, 0)) ++
+      Seq((1, 1, 2), (2, 1, 1))).toDF("r0", "r1", "r2")
+    val ac1 = Profiling.gwetAC1(skewed, rs, 3)
+      .select("ac1").head().getDouble(0)
+    val kap = Profiling.fleissKappa(skewed, rs, 3)
+      .select("kappa").head().getDouble(0)
+    assert(ac1 > 0.9 && kap < 0.7 && ac1 > kap + 0.3,
+      s"paradox not exhibited: ac1=$ac1 kappa=$kap")
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
