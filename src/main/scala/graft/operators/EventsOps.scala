@@ -4599,7 +4599,93 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS z
       |FROM agg ORDER BY event_type""".stripMargin
 
+  // ==== q317: Page–Hinkley changepoint ========================================
+  //
+  // The ADAPTIVE-baseline changepoint completing the family (B126 CUSUM
+  // needs a frozen baseline, B228 Pettitt is offline rank-based —
+  // Page–Hinkley tracks the RUNNING mean, so a slow drift is caught
+  // without any calibration): m_t = Σ_{i≤t}(x_i − x̄_i − δ), alarm when
+  // m_t − min_{u≤t} m_u > λ. Exactness: each term multiplies through by
+  // its own prefix length — term_i = ⌊10⁶(i·x_i − S_i − i·δ)/i⌋, one
+  // floor of an exact integer ratio — so the cumulative sum, running
+  // min, and gap are exact integers in both engines; one hour-domain
+  // window pass. δ and λ in count units (δ=0, λ=50 here).
+
+  /** Per type: (event_type, n_hours, max_gap_micro, alarm_hr) — the
+    * first hour where the PH gap exceeds `lambda`, null if never. */
+  /** Per hourly row: (event_type, h, y, gap) — the PH gap series; the
+    * streaming twin's parity surface. */
+  private[graft] def pageHinkleyFrame(hourly: DataFrame, deltaMicro: Long)
+      : DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    hourly
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("s", sum(col("y")).over(cum))
+      .withColumn("term", floor(
+        (lit(1000000L) * (d0(col("i")) * col("y") - d0(col("s"))) -
+          d0(col("i")) * deltaMicro).cast("double") /
+          col("i").cast("double")).cast("long"))
+      .withColumn("m", sum(col("term")).over(cum))
+      .withColumn("minm", min(col("m")).over(cum))
+      .withColumn("gap", col("m") - col("minm"))
+  }
+
+  def pageHinkley(events: DataFrame, deltaMicro: Long = 0L,
+      lambda: Long = 50L): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"),
+        expr("unix_micros(date_trunc('hour', ts)) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("y"))
+    val t = pageHinkleyFrame(hourly, deltaMicro)
+    t.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), max(col("gap")).as("max_gap_micro"),
+        min(when(col("gap") > lambda * 1000000L, col("h")))
+          .as("alarm_hr"))
+  }
+
+  private def q317(s: SparkSession, dir: String): DataFrame =
+    pageHinkley(Tables.events(s, dir))
+      .select(col("event_type"), col("n_hours"), col("max_gap_micro"),
+        col("alarm_hr"))
+      .orderBy(col("event_type"))
+
+  private val q317Sql =
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    epoch_us(date_trunc('hour', ts)) // 3600000000 AS h,
+      |    count(*) AS y
+      |  FROM events GROUP BY 1, 2),
+      |t AS (
+      |  SELECT event_type, h, y,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS i,
+      |    sum(y) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM hourly),
+      |terms AS (
+      |  SELECT event_type, h,
+      |    CAST(floor(CAST(1000000 * (CAST(i AS HUGEINT) * y - s)
+      |      AS DOUBLE) / CAST(i AS DOUBLE)) AS BIGINT) AS term
+      |  FROM t),
+      |m AS (
+      |  SELECT event_type, h,
+      |    sum(term) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+      |  FROM terms),
+      |g AS (
+      |  SELECT event_type, h, m - min(m) OVER (PARTITION BY event_type
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS gap
+      |  FROM m)
+      |SELECT event_type, count(*) AS n_hours,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_micro,
+      |  min(CASE WHEN gap > 50000000 THEN h END) AS alarm_hr
+      |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q317_page_hinkley", q317, Some(q317Sql)),
     QueryDef("q315_turning_points", q315, Some(q315Sql)),
     QueryDef("q303_two_proportion_z", q303, Some(q303Sql)),
     QueryDef("q305_markov_attribution", q305, Some(q305Sql)),

@@ -3828,7 +3828,101 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS ac1
       |FROM c""".stripMargin
 
+  // ==== q318: Krippendorff's alpha (nominal) ==================================
+  //
+  // The agreement coefficient content-analysis standards actually
+  // require reported (Krippendorff 2004) — chance-corrected like q299's
+  // κ but against the PAIRABLE-VALUES distribution with the (N−1)
+  // small-sample correction: α = 1 − D_o/D_e where, for complete
+  // nominal data, D_o = (nk² − A)/(nk(k−1)) and D_e = (N² − ΣC_j²)/
+  // (N(N−1)) with N = nk — the SAME one-pass integers A = ΣΣn_ij² and
+  // marginals C_j as q299/q316, third chance model. The agreement shelf
+  // (κ_F, AC1, α, ICC, Cronbach, W) now spans every standard
+  // correction.
+
+  /** One row: (n_subjects, d_o, d_e, alpha). */
+  def krippendorffAlpha(df: DataFrame, ratings: Seq[Column], nCats: Int)
+      : DataFrame = {
+    val k = ratings.size
+    require(k >= 2 && nCats >= 2, "krippendorffAlpha needs >=2 raters/cats")
+    val rated = df.select(ratings.zipWithIndex.map {
+      case (r, i) => r.cast("int").as(s"r$i") }: _*)
+    val nij = (0 until nCats).map(j =>
+      (0 until k).map(i => when(col(s"r$i") === j, 1).otherwise(0))
+        .reduce(_ + _).as(s"n$j"))
+    val perSubj = rated.select(nij: _*)
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum((0 until nCats).map(j => col(s"n$j") * col(s"n$j"))
+        .reduce(_ + _).cast("long")).as("a")) ++
+      (0 until nCats).map(j => sum(col(s"n$j").cast("long")).as(s"c$j"))
+    val m = perSubj.agg(aggs.head, aggs.tail: _*)
+    def dd(c: Column) = c.cast("double")
+    val bigN = dd(col("n")) * k
+    val dO = (dd(col("n")) * (k * k) - dd(col("a"))) /
+      (dd(col("n")) * (k * (k - 1)))
+    val sc2 = (0 until nCats)
+      .map(j => dd(col(s"c$j")) * dd(col(s"c$j"))).reduce(_ + _)
+    val dE = (bigN * bigN - sc2) / (bigN * (bigN - 1))
+    m.select(col("n").as("n_subjects"), dO.as("d_o"), dE.as("d_e"),
+      when(col("n") > 0 && dE > 0, lit(1.0) - dO / dE).as("alpha"))
+  }
+
+  private def q318(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def rater(lo: Int, hi: Int) =
+      when(col("n_chars") < lo, 0).when(col("n_chars") < hi, 1).otherwise(2)
+    krippendorffAlpha(docs,
+      Seq(rater(200, 380), rater(180, 360), rater(220, 400)), nCats = 3)
+      .select(col("n_subjects"), QueryDef.dec4(col("d_o")).as("d_o"),
+        QueryDef.dec4(col("d_e")).as("d_e"),
+        QueryDef.dec4(col("alpha")).as("alpha"))
+  }
+
+  private val q318Sql =
+    """WITH r AS (
+      |  SELECT
+      |    CASE WHEN n_chars < 200 THEN 0 WHEN n_chars < 380 THEN 1
+      |      ELSE 2 END AS r0,
+      |    CASE WHEN n_chars < 180 THEN 0 WHEN n_chars < 360 THEN 1
+      |      ELSE 2 END AS r1,
+      |    CASE WHEN n_chars < 220 THEN 0 WHEN n_chars < 400 THEN 1
+      |      ELSE 2 END AS r2
+      |  FROM documents),
+      |s AS (
+      |  SELECT
+      |    (CASE WHEN r0 = 0 THEN 1 ELSE 0 END + CASE WHEN r1 = 0 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 0 THEN 1 ELSE 0 END) AS n0,
+      |    (CASE WHEN r0 = 1 THEN 1 ELSE 0 END + CASE WHEN r1 = 1 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 1 THEN 1 ELSE 0 END) AS n1,
+      |    (CASE WHEN r0 = 2 THEN 1 ELSE 0 END + CASE WHEN r1 = 2 THEN 1
+      |      ELSE 0 END + CASE WHEN r2 = 2 THEN 1 ELSE 0 END) AS n2
+      |  FROM r),
+      |m AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(n0 * n0 + n1 * n1 + n2 * n2) AS BIGINT) AS a,
+      |    CAST(sum(n0) AS BIGINT) AS c0, CAST(sum(n1) AS BIGINT) AS c1,
+      |    CAST(sum(n2) AS BIGINT) AS c2
+      |  FROM s),
+      |c AS (
+      |  SELECT n,
+      |    (CAST(n AS DOUBLE) * 9 - CAST(a AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * 6) AS d_o,
+      |    ((CAST(n AS DOUBLE) * 3) * (CAST(n AS DOUBLE) * 3)
+      |      - (CAST(c0 AS DOUBLE) * CAST(c0 AS DOUBLE)
+      |        + CAST(c1 AS DOUBLE) * CAST(c1 AS DOUBLE)
+      |        + CAST(c2 AS DOUBLE) * CAST(c2 AS DOUBLE)))
+      |      / ((CAST(n AS DOUBLE) * 3) * (CAST(n AS DOUBLE) * 3 - 1))
+      |      AS d_e
+      |  FROM m)
+      |SELECT n AS n_subjects,
+      |  CAST(CAST(d_o AS DECIMAL(38,4)) AS VARCHAR) AS d_o,
+      |  CAST(CAST(d_e AS DECIMAL(38,4)) AS VARCHAR) AS d_e,
+      |  CAST(CAST(CASE WHEN n > 0 AND d_e > 0 THEN 1.0 - d_o / d_e END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS alpha
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q318_krippendorff_alpha", q318, Some(q318Sql)),
     QueryDef("q316_gwet_ac1", q316, Some(q316Sql)),
     QueryDef("q304_js_divergence", q304, Some(q304Sql)),
     QueryDef("q300_kendall_w", q300, Some(q300Sql)),

@@ -712,6 +712,64 @@ object EventsStreaming {
     }
   }
 
+  // ==== streaming Page–Hinkley changepoint (q317's stream twin) =============
+  //
+  // Unlike CUSUM (frozen baseline), Page–Hinkley tracks the RUNNING
+  // mean — its state is still O(1) per series because the adaptive term
+  // only needs (i, S): term_i = ⌊(10⁶(i·x_i − S_i) − i·δµ)/i⌋, one floor
+  // of an exact integer ratio, identical to the batch q317 window form,
+  // so the cumulative m, running min, and alarm gap are exact integers
+  // no matter how the stream is sliced into micro-batches.
+
+  /** Input (series, hr, cnt); output (series, hr, gap_micro, alarm).
+    * State: (i, S, m, minm) — four BIGINTs per series forever. */
+  class PageHinkleyProcessor(deltaMicro: Long, lambdaMicro: Long)
+      extends StatefulProcessor[String, (String, Long, Long),
+        (String, Long, Long, Boolean)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("page_hinkley",
+        Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, Long, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Boolean)] = {
+      var (i, s, m, minm) =
+        if (st.exists()) st.get() else (0L, 0L, 0L, Long.MaxValue)
+      val out = rows.toSeq.sortBy(_._2).map { case (_, hr, cnt) =>
+        i += 1; s += cnt
+        // the SAME arithmetic as the batch window form: numerator as an
+        // exact integer, ONE double division, floor — bit-equal slices
+        val num = BigInt(1000000L) * (BigInt(i) * cnt - s) -
+          BigInt(i) * deltaMicro
+        m += math.floor(num.toDouble / i.toDouble).toLong
+        minm = math.min(minm, m)
+        val gap = m - minm
+        (key, hr, gap, gap > lambdaMicro)
+      }
+      st.update((i, s, m, minm))
+      out.iterator
+    }
+  }
+
+  /** Streaming Page–Hinkley over pre-aggregated (series, hr, cnt) rows —
+    * adaptive-mean changepoint, gap bit-equal to the batch
+    * [[graft.operators.EventsOps.pageHinkley]]. RocksDB required. */
+  def pageHinkleyStream(hourly: DataFrame, deltaMicro: Long = 0L,
+      lambdaMicro: Long = 50000000L)
+      : Dataset[(String, Long, Long, Boolean)] = {
+    import hourly.sparkSession.implicits._
+    hourly
+      .select(col("event_type").cast("string"), col("hr").cast("long"),
+        col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new PageHinkleyProcessor(deltaMicro, lambdaMicro),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming CUSUM over pre-aggregated (series, hr, cnt) rows with a
     * frozen per-series baseline (total, n). RocksDB required. */
   def cusumStream(hourly: DataFrame, baseline: Map[String, (Long, Long)])

@@ -386,6 +386,48 @@ class StatTestsR12Spec extends AnyFunSuite {
       s"paradox not exhibited: ac1=$ac1 kappa=$kap")
   }
 
+  // ==== q317 Page–Hinkley ====================================================
+
+  test("pageHinkley: level shift alarms, flat and slow-drift-free series do not") {
+    def ev(tp: String, counts: Seq[Int]) = counts.zipWithIndex.flatMap {
+      case (c, h) => (1 to c).map(j =>
+        (h * 1000L + j, ts(h.toLong), h * 1000L + j, tp)) }
+    val df = (ev("shift", Seq.fill(20)(10) ++ Seq.fill(20)(60)) ++
+      ev("flat", Seq.fill(40)(10)))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = EventsOps.pageHinkley(df, lambda = 50L).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), Option(r.get(3)))).toMap
+    assert(got("flat")._1 <= 2000000L && got("flat")._2.isEmpty)
+    assert(got("shift")._2.nonEmpty, "shift must alarm")
+  }
+
+  // ==== q318 Krippendorff's alpha ============================================
+
+  test("krippendorffAlpha: perfect agreement is 1; naive recompute") {
+    val rs = Seq(col("r0"), col("r1"), col("r2"))
+    val perfect = Seq((0, 0, 0), (1, 1, 1), (2, 2, 2)).toDF("r0", "r1", "r2")
+    assert(math.abs(Profiling.krippendorffAlpha(perfect, rs, 3)
+      .select("alpha").head().getDouble(0) - 1.0) < 1e-12)
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 150).map { _ =>
+      val base = rnd.nextInt(3)
+      def jitter = if (rnd.nextInt(5) == 0) rnd.nextInt(3) else base
+      (base, jitter, jitter)
+    }
+    val got = Profiling.krippendorffAlpha(rows.toDF("r0", "r1", "r2"), rs, 3)
+      .select("alpha").head().getDouble(0)
+    // naive: D_o from per-subject disagreeing pairs, D_e from pooled
+    val n = rows.size; val k = 3; val bigN = n * k
+    val nij = rows.map { case (a, b, c) =>
+      (0 until 3).map(j => Seq(a, b, c).count(_ == j)) }
+    val dO = nij.map(r => r.map(x => x * (k - x)).sum).sum.toDouble /
+      (n * k * (k - 1))
+    val cj = (0 until 3).map(j => nij.map(_(j)).sum)
+    val dE = (bigN.toDouble * bigN - cj.map(c => c.toDouble * c).sum) /
+      (bigN.toDouble * (bigN - 1))
+    assert(math.abs(got - (1 - dO / dE)) < 1e-9)
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {

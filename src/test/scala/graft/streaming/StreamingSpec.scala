@@ -1143,4 +1143,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(spark.read.parquet(statePath).orderBy("w", "l")) ==
       canon(graft.operators.Preference.pairOutcomes(docs).orderBy("w", "l")))
   }
+
+  test("B254: streaming Page-Hinkley gaps == batch frame; alarm after the shift") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // level shift at hour 20 (10 -> 60): the adaptive mean must flag
+      // it with no calibrated baseline; a flat series never alarms
+      val hourly = (0 until 40).flatMap(h => Seq(
+        ("shift", h.toLong, if (h < 20) 10L else 60L),
+        ("flat", h.toLong, 10L)))
+      val batch = graft.operators.EventsOps.pageHinkleyFrame(
+        hourly.toDF("event_type", "h", "y"), deltaMicro = 0L)
+        .select(col("event_type"), col("h"), col("gap"))
+        .as[(String, Long, Long)].collect().toSet
+      val input = MemoryStream[(String, Long, Long)](spark)
+      val q = EventsStreaming.pageHinkleyStream(
+        input.toDF().toDF("event_type", "hr", "cnt"))
+        .writeStream.format("memory").queryName("ph_out")
+        .outputMode("update").start()
+      try {
+        hourly.sortBy(_._2).grouped(hourly.length / 3 + 1).foreach { s =>
+          input.addData(s: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val streamed = spark.table("ph_out")
+        .as[(String, Long, Long, Boolean)].collect()
+      assert(streamed.map(r => (r._1, r._2, r._3)).toSet == batch,
+        "streaming gaps must equal the batch window frame bit-for-bit")
+      val alarms = streamed.filter(_._4)
+      assert(alarms.nonEmpty && alarms.forall(_._1 == "shift"))
+      assert(alarms.map(_._2).min >= 20L, "no alarm before the shift")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
