@@ -978,7 +978,67 @@ object CorpusStats {
       |    + CAST(n AS DOUBLE) / CAST(p2n AS DOUBLE)) DESC, t
       |LIMIT 20""".stripMargin
 
+  // ==== q320: Shannon diversity + Pielou evenness =============================
+  //
+  // The entropy-side companion to q313's HHI (HHI weighs big shares,
+  // Shannon weighs the tail — a slice with 1 dominant + 50 trace
+  // sources scores concentrated on HHI but diverse on H): per language,
+  // H = Σ p_s·ln(1/p_s) over source mass shares and Pielou J = H/ln k.
+  // Exactness: each term's argument is the exact integer ratio m/M, the
+  // term is ⌊10⁹·(m/M)·ln(M/m)⌋-floored ONCE so the cross-source sum is
+  // an exact integer at any source count; J floors once more at 10⁶.
+
+  /** Per `grpCol`: (grp, n_shares, shannon_e9, evenness_e6). */
+  def shannonDiversity(df: DataFrame, grpCol: String, shareCol: String,
+      massCol: String): DataFrame = {
+    val shares = df.groupBy(col(grpCol).as("grp"), col(shareCol).as("s"))
+      .agg(sum(col(massCol)).cast("decimal(38,0)").as("m"))
+    val tot = shares.groupBy(col("grp")).agg(sum(col("m")).as("mm"),
+      count(lit(1)).as("n_shares"))
+    def dd(c: Column) = c.cast("double")
+    val terms = shares.join(tot, Seq("grp"))
+      .withColumn("t", when(col("m") > 0 && col("m") < col("mm"),
+        floor(lit(1e9) * (dd(col("m")) / dd(col("mm"))) *
+          log(dd(col("mm")) / dd(col("m")))).cast("long"))
+        .otherwise(0L))
+    terms.groupBy(col("grp"))
+      .agg(max(col("n_shares")).as("n_shares"),
+        sum(col("t")).as("shannon_e9"))
+      .withColumn("evenness_e6", when(col("n_shares") > 1,
+        floor(lit(1e6) * col("shannon_e9").cast("double") /
+          (lit(1e9) * log(col("n_shares").cast("double")))).cast("long")))
+  }
+
+  private def q320(s: SparkSession, dir: String): DataFrame =
+    shannonDiversity(Tables.documents(s, dir), "lang", "source", "n_chars")
+      .select(col("grp").as("lang"), col("n_shares"), col("shannon_e9"),
+        col("evenness_e6"))
+      .orderBy(col("lang"))
+
+  private val q320Sql =
+    """WITH shares AS (
+      |  SELECT lang, source, CAST(sum(n_chars) AS HUGEINT) AS m
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT lang, CAST(sum(m) AS HUGEINT) AS mm, count(*) AS n_shares
+      |  FROM shares GROUP BY 1),
+      |terms AS (
+      |  SELECT shares.lang, n_shares,
+      |    CASE WHEN m > 0 AND m < mm THEN
+      |      CAST(floor(1e9 * (CAST(m AS DOUBLE) / CAST(mm AS DOUBLE))
+      |        * ln(CAST(mm AS DOUBLE) / CAST(m AS DOUBLE))) AS BIGINT)
+      |    ELSE 0 END AS t
+      |  FROM shares JOIN tot USING (lang))
+      |SELECT lang, max(n_shares) AS n_shares,
+      |  CAST(sum(t) AS BIGINT) AS shannon_e9,
+      |  CAST(CASE WHEN max(n_shares) > 1 THEN
+      |    floor(1e6 * CAST(sum(t) AS DOUBLE)
+      |      / (1e9 * ln(CAST(max(n_shares) AS DOUBLE)))) END AS BIGINT)
+      |    AS evenness_e6
+      |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q320_shannon_diversity", q320, Some(q320Sql)),
     QueryDef("q314_monroe_keyness", q314, Some(q314Sql)),
     QueryDef("q313_herfindahl", q313, Some(q313Sql)),
     QueryDef("q259_collocations_g2", q259, Some(q259Sql)),

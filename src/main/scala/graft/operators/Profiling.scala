@@ -3921,7 +3921,128 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS alpha
       |FROM c""".stripMargin
 
+  // ==== q319: Welch's ANOVA ===================================================
+  //
+  // The k-group mean test that does NOT assume equal variances — the one
+  // to run when q280's Levene REJECTS homogeneity (classic ANOVA F is
+  // anti-conservative there): groups weighted by w_g = n_g/v_g,
+  // F* = [Σw(m−m̄_w)²/(k−1)] / [1 + 2(k−2)/(k²−1)·r] with r =
+  // Σ(1−w/Σw)²/(n_g−1) and Welch–Satterthwaite df₂ = (k²−1)/(3r).
+  // Determinism: every cross-group sum expands to a LEFT-TO-RIGHT fold
+  // over group-ORDERED term arrays (the q281 idiom — both engines add
+  // identical doubles in identical order); the quadratic Σw(m−m̄)²
+  // expands to Σwm² − 2m̄Σwm + m̄²Σw so no second pass over the array
+  // is needed; per-group moments are exact decimals.
+
+  /** One row: (k, n, f_star, df2) — Welch's heteroscedastic ANOVA of
+    * integer column `x` across `group`. */
+  def welchAnova(df: DataFrame, group: String, x: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,0)")
+    val g = df.groupBy(col(group))
+      .agg(count(lit(1)).as("n_g"), sum(xd).as("s_g"),
+        sum(xd * xd).as("ss_g"))
+      .filter(col("n_g") > 1)
+    def dd(c: String) = col(c).cast("double")
+    val mG = dd("s_g") / dd("n_g")
+    val vG = (dd("n_g") * dd("ss_g") - dd("s_g") * dd("s_g")) /
+      (dd("n_g") * (dd("n_g") - lit(1.0)))
+    val wG = dd("n_g") / vG
+    val terms = g.filter(vG > 0).select(col("n_g"),
+      struct(col(group).as("g"), wG.as("w"), (wG * mG).as("wm"),
+        (wG * mG * mG).as("wm2"),
+        (lit(1.0) / (dd("n_g") - 1)).as("i1"),
+        (wG / (dd("n_g") - 1)).as("iw"),
+        (wG * wG / (dd("n_g") - 1)).as("iw2")).as("gt"))
+    def fold(field: String) =
+      aggregate(col("arr"), lit(0.0),
+        (acc, e) => acc + e.getField(field))
+    val m = terms.agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sort_array(collect_list(col("gt"))).as("arr"))
+      .select(col("k"), col("n"), fold("w").as("sw"),
+        fold("wm").as("swm"), fold("wm2").as("swm2"),
+        fold("i1").as("r1"), fold("iw").as("r2"), fold("iw2").as("r3"))
+    val mbar = col("swm") / col("sw")
+    val q = col("swm2") - lit(2.0) * mbar * col("swm") +
+      mbar * mbar * col("sw")
+    val r = col("r1") - lit(2.0) * col("r2") / col("sw") +
+      col("r3") / (col("sw") * col("sw"))
+    def kd = col("k").cast("double")
+    m.select(col("k"), col("n"),
+      when(col("k") > 1 && col("sw") > 0 && r > 0,
+        (q / (kd - 1)) /
+          (lit(1.0) + lit(2.0) * (kd - 2) / (kd * kd - 1) * r))
+        .as("f_star"),
+      when(col("k") > 1 && r > 0,
+        (kd * kd - 1) / (lit(3.0) * r)).as("df2"))
+  }
+
+  private def q319(s: SparkSession, dir: String): DataFrame =
+    welchAnova(Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("grp"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")),
+      "grp", "cents")
+      .select(col("k"), col("n"), QueryDef.dec4(col("f_star")).as("f_star"),
+        QueryDef.dec4(col("df2")).as("df2"))
+
+  private val q319Sql =
+    """WITH d AS (
+      |  SELECT o_orderpriority AS grp,
+      |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DECIMAL(18,0))
+      |      AS x
+      |  FROM orders),
+      |g AS (
+      |  SELECT grp, count(*) AS n_g,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS s_g,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss_g
+      |  FROM d GROUP BY grp HAVING count(*) > 1),
+      |t AS (
+      |  SELECT grp, n_g,
+      |    CAST(n_g AS DOUBLE)
+      |      / ((CAST(n_g AS DOUBLE) * CAST(ss_g AS DOUBLE)
+      |          - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+      |        / (CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1.0))) AS w,
+      |    CAST(s_g AS DOUBLE) / CAST(n_g AS DOUBLE) AS m
+      |  FROM g
+      |  WHERE (CAST(n_g AS DOUBLE) * CAST(ss_g AS DOUBLE)
+      |      - CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE))
+      |    / (CAST(n_g AS DOUBLE) * (CAST(n_g AS DOUBLE) - 1.0)) > 0),
+      |m AS (
+      |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(w ORDER BY grp)), (acc, x) -> acc + x) AS sw,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(w * m ORDER BY grp)), (acc, x) -> acc + x) AS swm,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(w * m * m ORDER BY grp)), (acc, x) -> acc + x) AS swm2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(1.0 / (CAST(n_g AS DOUBLE) - 1) ORDER BY grp)),
+      |      (acc, x) -> acc + x) AS r1,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(w / (CAST(n_g AS DOUBLE) - 1) ORDER BY grp)),
+      |      (acc, x) -> acc + x) AS r2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(w * w / (CAST(n_g AS DOUBLE) - 1) ORDER BY grp)),
+      |      (acc, x) -> acc + x) AS r3
+      |  FROM t),
+      |c AS (
+      |  SELECT k, n, sw, swm, swm2,
+      |    swm2 - 2.0 * (swm / sw) * swm + (swm / sw) * (swm / sw) * sw
+      |      AS q,
+      |    r1 - 2.0 * r2 / sw + r3 / (sw * sw) AS r
+      |  FROM m)
+      |SELECT k, n,
+      |  CAST(CAST(CASE WHEN k > 1 AND sw > 0 AND r > 0
+      |    THEN (q / (CAST(k AS DOUBLE) - 1))
+      |      / (1.0 + 2.0 * (CAST(k AS DOUBLE) - 2)
+      |        / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) * r) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS f_star,
+      |  CAST(CAST(CASE WHEN k > 1 AND r > 0
+      |    THEN (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1) / (3.0 * r) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS df2
+      |FROM c""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q319_welch_anova", q319, Some(q319Sql)),
     QueryDef("q318_krippendorff_alpha", q318, Some(q318Sql)),
     QueryDef("q316_gwet_ac1", q316, Some(q316Sql)),
     QueryDef("q304_js_divergence", q304, Some(q304Sql)),

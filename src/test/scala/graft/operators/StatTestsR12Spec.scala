@@ -428,6 +428,59 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(math.abs(got - (1 - dO / dE)) < 1e-9)
   }
 
+  // ==== q319 Welch's ANOVA ===================================================
+
+  test("welchAnova: textbook recompute; equal group means give F* near 0") {
+    val rnd = new scala.util.Random(31)
+    val data = (1 to 600).map { _ =>
+      val g = "g" + rnd.nextInt(3)
+      val spread = g match { case "g0" => 3; case "g1" => 10; case _ => 25 }
+      val shift = if (g == "g2") 40 else 0
+      (g, (100 + shift + rnd.nextInt(2 * spread) - spread).toLong)
+    }
+    val got = Profiling.welchAnova(data.toDF("grp", "v"), "grp", "v")
+      .select("k", "f_star", "df2").head()
+    // naive Welch 1951 recompute
+    val byG = data.groupBy(_._1).toSeq.sortBy(_._1).map(_._2.map(_._2))
+    val (ns, ms, vs) = (byG.map(_.size.toDouble),
+      byG.map(x => x.sum.toDouble / x.size),
+      byG.map { x =>
+        val m = x.sum.toDouble / x.size
+        x.map(v => (v - m) * (v - m)).sum / (x.size - 1) })
+    val w = ns.zip(vs).map { case (n, v) => n / v }
+    val k = w.size
+    val mbar = w.zip(ms).map { case (a, b) => a * b }.sum / w.sum
+    val q = w.zip(ms).map { case (a, m) => a * (m - mbar) * (m - mbar) }.sum
+    val r = w.zip(ns).map { case (a, n) =>
+      (1 - a / w.sum) * (1 - a / w.sum) / (n - 1) }.sum
+    val f = (q / (k - 1)) / (1 + 2.0 * (k - 2) / (k * k - 1) * r)
+    assert(got.getLong(0) == 3L)
+    assert(math.abs(got.getDouble(1) - f) < 1e-6 * math.max(1.0, f))
+    assert(math.abs(got.getDouble(2) - (k * k - 1) / (3.0 * r)) < 1e-6)
+    // identical groups: F* collapses toward 0
+    val flat = (1 to 300).map(i => ("g" + i % 3, (i % 7).toLong))
+    val f0 = Profiling.welchAnova(flat.toDF("grp", "v"), "grp", "v")
+      .select("f_star").head().getDouble(0)
+    assert(f0 < 0.01)
+  }
+
+  // ==== q320 Shannon diversity ===============================================
+
+  test("shannonDiversity: uniform shares hit ln k (evenness 1), monopoly 0") {
+    val eq = (1 to 40).map(i => ("en", s"s${i % 4}", 25L))
+      .toDF("lang", "source", "n_chars")
+    val r1 = CorpusStats.shannonDiversity(eq, "lang", "source", "n_chars")
+      .select("n_shares", "shannon_e9", "evenness_e6").head()
+    assert(r1.getLong(0) == 4L)
+    assert(math.abs(r1.getLong(1) - math.floor(1e9 * math.log(4.0))) <= 4,
+      s"uniform H != ln 4: ${r1.getLong(1)}") // 4 floored quarter-terms
+    assert(r1.getLong(2) >= 999999L && r1.getLong(2) <= 1000000L)
+    val mono = Seq(("de", "only", 999L)).toDF("lang", "source", "n_chars")
+    val r2 = CorpusStats.shannonDiversity(mono, "lang", "source", "n_chars")
+      .select("shannon_e9").head()
+    assert(r2.getLong(0) == 0L)
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
