@@ -4684,7 +4684,227 @@ object EventsOps {
       |  min(CASE WHEN gap > 50000000 THEN h END) AS alarm_hr
       |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin
 
+  // ==== q321: empirical-Bayes rate shrinkage ==================================
+  //
+  // The ranking fix for small-sample rates (a 2/2 user must not outrank
+  // a 95/100 one): beta-binomial shrinkage with the prior fit by method
+  // of moments on the eligible population — α = μ(μ(1−μ)/σ² − 1),
+  // β = (1−μ)(…) from the mean/variance of per-user conversion rates,
+  // then every user's rate shrinks to (x+α)/(n+α+β). Exactness: rates
+  // enter the moment fit as ⌊10⁶·x/n⌋ integers (one floor each), so μ
+  // and σ² derive from exact integer sums; α/β are a fixed double chain;
+  // outputs are ⌊10⁶·⌋-floored so ordering and rendering are integer.
+
+  /** Per item: (user_id, n, x, raw_e6, shrunk_e6); prior fit on items
+    * with n ≥ `minN`. */
+  def ebShrunkRates(perItem: DataFrame, minN: Long): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val rated = perItem
+      .withColumn("r6", floor(lit(1e6) * dd(col("x")) / dd(col("n")))
+        .cast("long"))
+    val prior = broadcast(rated.filter(col("n") >= minN)
+      .agg(count(lit(1)).as("m"), sum(col("r6")).as("sr"),
+        sum(col("r6").cast("decimal(38,0)") * col("r6")).as("srr")))
+    val withPrior = rated.crossJoin(prior)
+      .withColumn("mu", dd(col("sr")) / (dd(col("m")) * lit(1e6)))
+      .withColumn("v",
+        (dd(col("m")) * dd(col("srr")) - dd(col("sr")) * dd(col("sr"))) /
+          (dd(col("m")) * (dd(col("m")) - 1) * lit(1e12)))
+      .withColumn("c0", when(col("v") > 0,
+        col("mu") * (lit(1.0) - col("mu")) / col("v") - 1))
+      .withColumn("alpha", col("mu") * col("c0"))
+      .withColumn("beta", (lit(1.0) - col("mu")) * col("c0"))
+    withPrior
+      .select(col("user_id"), col("n"), col("x"), col("r6").as("raw_e6"),
+        when(col("c0") > 0, floor(lit(1e6) *
+          (dd(col("x")) + col("alpha")) /
+          (dd(col("n")) + col("alpha") + col("beta"))).cast("long"))
+          .as("shrunk_e6"))
+  }
+
+  private def q321(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("x"))
+    ebShrunkRates(perUser, minN = 20L)
+      .orderBy(col("shrunk_e6").desc, col("user_id")).limit(25)
+  }
+
+  private val q321Sql =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS x
+      |  FROM events GROUP BY user_id),
+      |rated AS (
+      |  SELECT user_id, n, x,
+      |    CAST(floor(1e6 * CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+      |      AS BIGINT) AS r6
+      |  FROM u),
+      |prior AS (
+      |  SELECT count(*) AS m, CAST(sum(r6) AS BIGINT) AS sr,
+      |    CAST(sum(CAST(r6 AS HUGEINT) * r6) AS HUGEINT) AS srr
+      |  FROM rated WHERE n >= 20),
+      |p AS (
+      |  SELECT m, CAST(sr AS DOUBLE) / (CAST(m AS DOUBLE) * 1e6) AS mu,
+      |    (CAST(m AS DOUBLE) * CAST(srr AS DOUBLE)
+      |      - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE))
+      |      / (CAST(m AS DOUBLE) * (CAST(m AS DOUBLE) - 1) * 1e12) AS v
+      |  FROM prior),
+      |c AS (
+      |  SELECT mu, v,
+      |    CASE WHEN v > 0 THEN mu * (1.0 - mu) / v - 1 END AS c0
+      |  FROM p)
+      |SELECT user_id, n, x, r6 AS raw_e6,
+      |  CAST(CASE WHEN c0 > 0 THEN floor(1e6 * (CAST(x AS DOUBLE)
+      |      + mu * c0)
+      |    / (CAST(n AS DOUBLE) + mu * c0 + (1.0 - mu) * c0)) END
+      |    AS BIGINT) AS shrunk_e6
+      |FROM rated CROSS JOIN c
+      |ORDER BY shrunk_e6 DESC, user_id LIMIT 25""".stripMargin
+
+  // ==== q322: Cox proportional hazards — binary treatment ====================
+  //
+  // The survival-adjusted effect estimate the KM/Nelson–Aalen/log-rank
+  // family stops short of: the Cox partial-likelihood hazard ratio for
+  // a binary covariate under Breslow ties. With x ∈ {0,1} the score
+  // and information collapse to per-event-time closed forms over FOUR
+  // integers (d_t, d1_t, n1_t, n0_t from the treatment-split risk
+  // table): U(β) = Σ_t[d1 − d·n1e^β/(n1e^β+n0)], I(β) = Σ_t d·n1e^β·n0/
+  // (n1e^β+n0)², solved by K=25 Newton steps from β=0. Determinism: the
+  // event-time table is DURATION-DOMAIN (the q229 contract — collected
+  // like kendallTau's histogram, never corpus rows); each Newton step
+  // folds the per-time double terms in ASCENDING t order, and the
+  // oracle replays the identical fold via K unrolled MATERIALIZED CTEs
+  // with list_reduce over ORDER BY t lists — both engines execute the
+  // same double chain term for term.
+
+  private val CoxIters = 25
+
+  /** One row: (n_times, d_total, beta_e6, hazard_ratio_e6) for
+    * time-to-first-`eventType`, treatment = user_id parity. */
+  def coxBinary(events: DataFrame, eventType: String): DataFrame = {
+    val s = events.sparkSession
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val durs = byUser.crossJoin(end).select(
+      pmod(col("user_id"), lit(2L)).as("x"),
+      when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    // duration-domain risk table split by treatment arm
+    val hist = durs.groupBy(col("t")).agg(
+      sum(col("ev")).as("d"),
+      sum(col("ev") * col("x")).as("d1"),
+      sum(col("x")).as("leave1"),
+      sum(lit(1L) - col("x")).as("leave0"))
+    val tot = broadcast(durs.agg(sum(col("x")).as("m1"),
+      sum(lit(1L) - col("x")).as("m0")))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk = hist.crossJoin(tot)
+      .withColumn("n1", col("m1") -
+        coalesce(sum(col("leave1")).over(w), lit(0L)))
+      .withColumn("n0", col("m0") -
+        coalesce(sum(col("leave0")).over(w), lit(0L)))
+      .where(col("d") > 0)
+      .select(col("t"), col("d"), col("d1"), col("n1"), col("n0"))
+    // duration-domain collect (the kendallTau/q229 bounded contract)
+    val rows = risk.orderBy(col("t")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    var beta = 0.0
+    for (_ <- 1 to CoxIters) {
+      var u = 0.0; var inf = 0.0
+      rows.foreach { case (d, d1, n1, n0) =>
+        val a = n1.toDouble * math.exp(beta)
+        val den = a + n0.toDouble
+        u += d1.toDouble - d.toDouble * a / den
+        inf += d.toDouble * a * n0.toDouble / (den * den)
+      }
+      beta = beta + (if (inf > 0) u / inf else 0.0)
+    }
+    import s.implicits._
+    Seq((rows.length.toLong, rows.map(_._1).sum,
+      math.floor(1e6 * beta).toLong,
+      math.floor(1e6 * math.exp(beta)).toLong))
+      .toDF("n_times", "d_total", "beta_e6", "hazard_ratio_e6")
+  }
+
+  private def q322(s: SparkSession, dir: String): DataFrame =
+    coxBinary(Tables.events(s, dir), "purchase")
+
+  private val q322Sql = {
+    val step = (i: Int) =>
+      s"""w$i AS MATERIALIZED (
+         |  SELECT beta + CASE WHEN inf > 0 THEN u / inf ELSE 0.0 END
+         |    AS beta
+         |  FROM (
+         |    SELECT w${i - 1}.beta,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE)
+         |          * (CAST(n1 AS DOUBLE) * exp(w${i - 1}.beta))
+         |          / (CAST(n1 AS DOUBLE) * exp(w${i - 1}.beta)
+         |            + CAST(n0 AS DOUBLE)) ORDER BY t)),
+         |        (acc, x) -> acc + x) AS u,
+         |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(CAST(d AS DOUBLE)
+         |          * (CAST(n1 AS DOUBLE) * exp(w${i - 1}.beta))
+         |          * CAST(n0 AS DOUBLE)
+         |          / ((CAST(n1 AS DOUBLE) * exp(w${i - 1}.beta)
+         |              + CAST(n0 AS DOUBLE))
+         |            * (CAST(n1 AS DOUBLE) * exp(w${i - 1}.beta)
+         |              + CAST(n0 AS DOUBLE))) ORDER BY t)),
+         |        (acc, x) -> acc + x) AS inf
+         |    FROM risk CROSS JOIN w${i - 1}
+         |    GROUP BY w${i - 1}.beta))""".stripMargin
+    s"""WITH u AS (
+       |  SELECT user_id, user_id % 2 AS x, min(epoch_us(ts)) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS tp,
+       |    max(epoch_us(ts)) AS tmax_u
+       |  FROM events GROUP BY user_id),
+       |e AS (SELECT max(tmax_u) AS tend FROM u),
+       |durs AS (
+       |  SELECT x, CAST(CASE WHEN tp IS NOT NULL
+       |      THEN floor((tp - t0) / 3600000000)
+       |      ELSE floor((tend - t0) / 3600000000) END AS BIGINT) AS t,
+       |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM u CROSS JOIN e),
+       |hist AS (
+       |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+       |    CAST(sum(ev * x) AS BIGINT) AS d1,
+       |    CAST(sum(x) AS BIGINT) AS leave1,
+       |    CAST(sum(1 - x) AS BIGINT) AS leave0
+       |  FROM durs GROUP BY t),
+       |tot AS (
+       |  SELECT CAST(sum(x) AS BIGINT) AS m1,
+       |    CAST(sum(1 - x) AS BIGINT) AS m0 FROM durs),
+       |risk AS MATERIALIZED (
+       |  SELECT t, d, d1,
+       |    m1 - COALESCE(sum(leave1) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n1,
+       |    m0 - COALESCE(sum(leave0) OVER (ORDER BY t
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n0
+       |  FROM hist CROSS JOIN tot WHERE d > 0),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta),
+       |${(1 to CoxIters).map(step).mkString(",\n")}
+       |SELECT (SELECT count(*) FROM risk) AS n_times,
+       |  (SELECT CAST(sum(d) AS BIGINT) FROM risk) AS d_total,
+       |  CAST(floor(1e6 * beta) AS BIGINT) AS beta_e6,
+       |  CAST(floor(1e6 * exp(beta)) AS BIGINT) AS hazard_ratio_e6
+       |FROM w$CoxIters""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q322_cox_binary", q322, Some(q322Sql)),
+    QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),
     QueryDef("q317_page_hinkley", q317, Some(q317Sql)),
     QueryDef("q315_turning_points", q315, Some(q315Sql)),
     QueryDef("q303_two_proportion_z", q303, Some(q303Sql)),

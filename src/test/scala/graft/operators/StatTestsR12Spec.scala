@@ -481,6 +481,69 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(r2.getLong(0) == 0L)
   }
 
+  // ==== q321 empirical-Bayes shrinkage =======================================
+
+  test("ebShrunkRates: a 2/2 item ranks below a 90/100 one after shrinkage") {
+    // population: 50 solid items at ~30% with n=100, one tiny 2/2 item,
+    // one strong 90/100 item
+    val items = (1 to 50).map(i => (i.toLong, 100L, (25 + i % 11).toLong)) ++
+      Seq((900L, 2L, 2L), (901L, 100L, 90L))
+    val got = EventsOps.ebShrunkRates(
+      items.toDF("user_id", "n", "x"), minN = 20L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got(900L)._1 == 1000000L) // raw 2/2 = 100%
+    assert(got(900L)._2 < got(901L)._2,
+      s"shrunk 2/2 ${got(900L)._2} must rank below 90/100 ${got(901L)._2}")
+    // exact MoM recompute
+    val elig = items.filter(_._2 >= 20)
+    val r6 = elig.map { case (_, n, x) => math.floor(1e6 * x.toDouble / n) }
+    val m = r6.size
+    val mu = r6.sum / (m * 1e6)
+    val v = (m * r6.map(r => r * r).sum - r6.sum * r6.sum) /
+      (m.toDouble * (m - 1) * 1e12)
+    val c0 = mu * (1 - mu) / v - 1
+    val exp900 = math.floor(1e6 * (2 + mu * c0) /
+      (2 + mu * c0 + (1 - mu) * c0)).toLong
+    assert(got(900L)._2 == exp900)
+  }
+
+  // ==== q322 Cox proportional hazards ========================================
+
+  test("coxBinary: recovers a planted hazard ratio; null case near 0") {
+    // treated (odd ids) mostly purchase at hour 1, control mostly at
+    // hour 4 — positive beta with OVERLAPPING risk sets (no separation,
+    // so the partial-likelihood root is finite)
+    def ev(uid: Long, buyH: Option[Long]) =
+      Seq((uid, ts(0), uid * 10, "view")) ++
+        buyH.map(h => (uid, ts(h), uid * 10 + 1, "purchase")) ++
+        Seq((uid, ts(6), uid * 10 + 2, "view"))
+    val fast = (1 to 80).flatMap { u =>
+      val treated = u % 2 == 1
+      val early = u % 8 < 6 // 3/4 of each arm follow their arm's timing
+      val h = if (treated == early) 1L else 4L
+      ev(u.toLong, Some(h))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val b1 = EventsOps.coxBinary(fast, "purchase")
+      .select("beta_e6", "hazard_ratio_e6").head()
+    assert(b1.getLong(0) > 500000L, s"planted hazard: ${b1.getLong(0)}")
+    assert(b1.getLong(1) > 1650000L) // e^beta > 1.65
+    // score root check: U(beta_hat) ~ 0 on the hand-built risk table
+    // t=1: d=40 (d1=30), n1=40, n0=40; t=4: d=40 (d1=10), n1=10, n0=30
+    val beta = b1.getLong(0) / 1e6 + 5e-7 // undo the e6 floor, mid-cell
+    def u(b: Double) = {
+      val r = math.exp(b)
+      (30 - 40 * (40 * r) / (40 * r + 40)) +
+        (10 - 40 * (10 * r) / (10 * r + 30))
+    }
+    assert(math.abs(u(beta)) < 1e-2, s"score at beta_hat: ${u(beta)}")
+    val nullCase = (1 to 40).flatMap(u => ev(u.toLong, Some(2L)))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val b0 = EventsOps.coxBinary(nullCase, "purchase")
+      .select("beta_e6").head().getLong(0)
+    assert(math.abs(b0) <= 1L, s"null beta: $b0")
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
