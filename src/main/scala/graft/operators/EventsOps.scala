@@ -4902,7 +4902,129 @@ object EventsOps {
        |FROM w$CoxIters""".stripMargin
   }
 
+  // ==== q323: Aalen–Johansen competing-risks cumulative incidence ============
+  //
+  // What "1 − KM per cause" gets WRONG (it over-counts when another
+  // event can preempt yours): with competing first events (purchase vs
+  // error here), CIF_k(τ) = Σ_{t≤τ} S(t⁻)·d_k(t)/n(t), where S(t⁻) is
+  // the all-cause KM just before t. Exactness: S(t⁻) reuses the q229
+  // floored-log machinery via an EXCLUSIVE prefix sum; each CIF
+  // increment is ⌊10⁶·S(t⁻)·d_k/n⌋-floored once, so both causes'
+  // incidences are exact integer sums on the duration domain — and
+  // their total can never exceed 10⁶ (the law 1 − KM breaks).
+
+  /** One row: (n_users, n_times, cif_a_e6, cif_b_e6) at the horizon —
+    * competing first events of `causeA` vs `causeB` (A wins ties). */
+  def aalenJohansen(events: DataFrame, causeA: String, causeB: String)
+      : DataFrame = {
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === causeA, unix_micros(col("ts"))))
+        .as("ta"),
+      min(when(col("event_type") === causeB, unix_micros(col("ts"))))
+        .as("tb"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val evTime = when(col("ta").isNotNull &&
+        (col("tb").isNull || col("ta") <= col("tb")), col("ta"))
+      .when(col("tb").isNotNull, col("tb"))
+    val durs = byUser.crossJoin(end).select(
+      when(evTime.isNotNull, floor((evTime - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("ta").isNotNull &&
+        (col("tb").isNull || col("ta") <= col("tb")), lit(1L))
+        .when(col("tb").isNotNull, lit(2L)).otherwise(lit(0L)).as("cause"))
+    val hist = durs.groupBy(col("t")).agg(
+      sum(when(col("cause") === 1L, 1L).otherwise(0L)).as("da"),
+      sum(when(col("cause") === 2L, 1L).otherwise(0L)).as("db"),
+      count(lit(1)).as("leave"))
+    val total = broadcast(durs.agg(count(lit(1)).as("n_total")))
+    val wx = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    def dd(c: Column) = c.cast("double")
+    val risk = hist.crossJoin(total)
+      .withColumn("n_risk", col("n_total") -
+        coalesce(sum(col("leave")).over(wx), lit(0L)))
+      .where(col("da") + col("db") > 0)
+      .withColumn("step", when(col("da") + col("db") < col("n_risk"),
+        floor(lit(1e6) * log(lit(1.0) -
+          dd(col("da") + col("db")) / dd(col("n_risk")))).cast("long")))
+      // S(t⁻): EXCLUSIVE prefix of the floored log steps
+      .withColumn("lnS_pre", coalesce(sum(col("step")).over(wx), lit(0L)))
+      .withColumn("s_pre", exp(dd(col("lnS_pre")) / lit(1e6)))
+      .withColumn("inc_a", floor(lit(1e6) * col("s_pre") *
+        dd(col("da")) / dd(col("n_risk"))).cast("long"))
+      .withColumn("inc_b", floor(lit(1e6) * col("s_pre") *
+        dd(col("db")) / dd(col("n_risk"))).cast("long"))
+    risk.crossJoin(total.select(col("n_total").as("n_users")))
+      .groupBy(col("n_users"))
+      .agg(count(lit(1)).as("n_times"), sum(col("inc_a")).as("cif_a_e6"),
+        sum(col("inc_b")).as("cif_b_e6"))
+      .select(col("n_users"), col("n_times"), col("cif_a_e6"),
+        col("cif_b_e6"))
+  }
+
+  private def q323(s: SparkSession, dir: String): DataFrame =
+    aalenJohansen(Tables.events(s, dir), "purchase", "error")
+
+  private val q323Sql =
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS ta,
+      |    min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS tb,
+      |    max(epoch_us(ts)) AS tmax_u
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM u),
+      |durs AS (
+      |  SELECT
+      |    CAST(CASE
+      |      WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb)
+      |        THEN floor((ta - t0) / 3600000000)
+      |      WHEN tb IS NOT NULL THEN floor((tb - t0) / 3600000000)
+      |      ELSE floor((tend - t0) / 3600000000) END AS BIGINT) AS t,
+      |    CASE WHEN ta IS NOT NULL AND (tb IS NULL OR ta <= tb) THEN 1
+      |      WHEN tb IS NOT NULL THEN 2 ELSE 0 END AS cause
+      |  FROM u CROSS JOIN e),
+      |hist AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS da,
+      |    CAST(sum(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS db,
+      |    count(*) AS leave
+      |  FROM durs GROUP BY t),
+      |tot AS (SELECT count(*) AS n_total FROM durs),
+      |risk AS (
+      |  SELECT t, da, db, n_total - COALESCE(sum(leave) OVER (ORDER BY t
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS n_risk
+      |  FROM hist CROSS JOIN tot WHERE da + db > 0),
+      |km AS (
+      |  SELECT t, da, db, n_risk,
+      |    COALESCE(sum(CASE WHEN da + db < n_risk
+      |      THEN CAST(floor(1e6 * ln(1.0 - CAST(da + db AS DOUBLE)
+      |        / CAST(n_risk AS DOUBLE))) AS BIGINT) END)
+      |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND 1 PRECEDING), 0) AS lns_pre
+      |  FROM risk),
+      |inc AS (
+      |  SELECT
+      |    CAST(floor(1e6 * exp(CAST(lns_pre AS DOUBLE) / 1e6)
+      |      * CAST(da AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS BIGINT)
+      |      AS inc_a,
+      |    CAST(floor(1e6 * exp(CAST(lns_pre AS DOUBLE) / 1e6)
+      |      * CAST(db AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS BIGINT)
+      |      AS inc_b
+      |  FROM km)
+      |SELECT tot.n_total AS n_users, count(*) AS n_times,
+      |  CAST(sum(inc_a) AS BIGINT) AS cif_a_e6,
+      |  CAST(sum(inc_b) AS BIGINT) AS cif_b_e6
+      |FROM inc CROSS JOIN tot GROUP BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q323_aalen_johansen", q323, Some(q323Sql)),
     QueryDef("q322_cox_binary", q322, Some(q322Sql)),
     QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),
     QueryDef("q317_page_hinkley", q317, Some(q317Sql)),

@@ -544,6 +544,31 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(math.abs(b0) <= 1L, s"null beta: $b0")
   }
 
+  // ==== q323 Aalen–Johansen ==================================================
+
+  test("aalenJohansen: hand CIFs; causes sum below 1 where 1-KM over-counts") {
+    // 8 users from hour 0: 2 purchase@1, 2 error@1, 2 purchase@3,
+    // 2 censored@4.
+    // t=1: n=8, d_p=2, d_e=2 -> S(1-)=1, inc_p = inc_e = 2/8 = .25
+    // t=3: n=4, d_p=2 -> S(3-)=1*(1-4/8)=.5, inc_p = .5*2/4 = .25
+    // CIF_p = .5, CIF_e = .25 (1-KM per cause would give more)
+    def ev(uid: Long, h: Long, tp: String, id: Long) = (uid, ts(h), id, tp)
+    val rows = (1 to 8).map(u => ev(u.toLong, 0L, "view", u * 10L)) ++
+      Seq(ev(1, 1, "purchase", 11), ev(2, 1, "purchase", 21),
+        ev(3, 1, "error", 31), ev(4, 1, "error", 41),
+        ev(5, 3, "purchase", 51), ev(6, 3, "purchase", 61),
+        ev(7, 4, "view", 71), ev(8, 4, "view", 81))
+    val got = EventsOps.aalenJohansen(
+      rows.toDF("user_id", "ts", "event_id", "event_type"),
+      "purchase", "error")
+      .select("n_users", "n_times", "cif_a_e6", "cif_b_e6").head()
+    assert(got.getLong(0) == 8L && got.getLong(1) == 2L)
+    // floored ln/exp terms land within a few micro of the exact values
+    assert(math.abs(got.getLong(2) - 500000L) <= 5, got.toString)
+    assert(math.abs(got.getLong(3) - 250000L) <= 5, got.toString)
+    assert(got.getLong(2) + got.getLong(3) <= 1000000L)
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
