@@ -5023,7 +5023,91 @@ object EventsOps {
       |  CAST(sum(inc_b) AS BIGINT) AS cif_b_e6
       |FROM inc CROSS JOIN tot GROUP BY 1""".stripMargin
 
+  // ==== q324: odds ratio with Haldane–Anscombe correction + Woolf CI =========
+  //
+  // The 2×2 effect-size readout q303's z only tests: OR with the +½
+  // cell correction (finite even with an empty cell) and the Woolf
+  // log-normal interval. Exactness: the corrected OR is the exact
+  // integer ratio (2a+1)(2d+1)/((2b+1)(2c+1)) — ln of identical doubles
+  // in both engines (the q305/q314 ln-of-integer-ratio rule); the SE
+  // chain uses doubled-cell reciprocals 2/(2a+1)+…, and the 1.96
+  // constant is a shared literal. All outputs ⌊10⁶·⌋-floored.
+
+  /** One row: (a, b, c, d, log_or_e6, or_e6, ci_lo_e6, ci_hi_e6) from
+    * `cells` rows (arm, converted) — a/b = arm-1 conv/not, c/d = arm-0. */
+  def oddsRatio(cells: DataFrame): DataFrame = {
+    val m = cells.agg(
+      sum(when(col("arm") === 1 && col("converted"), 1L).otherwise(0L))
+        .as("a"),
+      sum(when(col("arm") === 1 && !col("converted"), 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("arm") === 0 && col("converted"), 1L).otherwise(0L))
+        .as("c"),
+      sum(when(col("arm") === 0 && !col("converted"), 1L).otherwise(0L))
+        .as("d"))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    def h(c: Column) = lit(2L) * c + 1L // doubled Haldane cell 2x+1
+    val lnOr = log(dd(d0(h(col("a"))) * h(col("d")))) -
+      log(dd(d0(h(col("b"))) * h(col("c"))))
+    val se = sqrt(lit(2.0) / dd(h(col("a"))) + lit(2.0) / dd(h(col("b"))) +
+      lit(2.0) / dd(h(col("c"))) + lit(2.0) / dd(h(col("d"))))
+    m.select(col("a"), col("b"), col("c"), col("d"),
+      floor(lit(1e6) * lnOr).cast("long").as("log_or_e6"),
+      floor(lit(1e6) * exp(lnOr)).cast("long").as("or_e6"),
+      floor(lit(1e6) * exp(lnOr - lit(1.959964) * se)).cast("long")
+        .as("ci_lo_e6"),
+      floor(lit(1e6) * exp(lnOr + lit(1.959964) * se)).cast("long")
+        .as("ci_hi_e6"))
+  }
+
+  private def q324(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(s, dir).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(pmod(col("user_id"), lit(2)).cast("int").as("arm"),
+        (col("conv") === 1L).as("converted"))
+    oddsRatio(byUser)
+  }
+
+  private val q324Sql =
+    """WITH u AS (
+      |  SELECT CAST(user_id % 2 AS INT) AS arm,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id),
+      |m AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM u),
+      |t AS (
+      |  SELECT a, b, c, d,
+      |    ln(CAST((2 * CAST(a AS HUGEINT) + 1) * (2 * CAST(d AS HUGEINT)
+      |      + 1) AS DOUBLE))
+      |    - ln(CAST((2 * CAST(b AS HUGEINT) + 1) * (2 * CAST(c AS HUGEINT)
+      |      + 1) AS DOUBLE)) AS lnor,
+      |    sqrt(2.0 / CAST(2 * a + 1 AS DOUBLE)
+      |      + 2.0 / CAST(2 * b + 1 AS DOUBLE)
+      |      + 2.0 / CAST(2 * c + 1 AS DOUBLE)
+      |      + 2.0 / CAST(2 * d + 1 AS DOUBLE)) AS se
+      |  FROM m)
+      |SELECT a, b, c, d,
+      |  CAST(floor(1e6 * lnor) AS BIGINT) AS log_or_e6,
+      |  CAST(floor(1e6 * exp(lnor)) AS BIGINT) AS or_e6,
+      |  CAST(floor(1e6 * exp(lnor - 1.959964 * se)) AS BIGINT)
+      |    AS ci_lo_e6,
+      |  CAST(floor(1e6 * exp(lnor + 1.959964 * se)) AS BIGINT)
+      |    AS ci_hi_e6
+      |FROM t""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q324_odds_ratio", q324, Some(q324Sql)),
     QueryDef("q323_aalen_johansen", q323, Some(q323Sql)),
     QueryDef("q322_cox_binary", q322, Some(q322Sql)),
     QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),

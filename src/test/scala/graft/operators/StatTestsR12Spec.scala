@@ -569,6 +569,30 @@ class StatTestsR12Spec extends AnyFunSuite {
     assert(got.getLong(2) + got.getLong(3) <= 1000000L)
   }
 
+  // ==== q324 odds ratio ======================================================
+
+  test("oddsRatio: textbook 2x2 with Haldane correction; CI brackets OR") {
+    val cells = (1 to 30).map(_ => (1, true)) ++
+      (1 to 70).map(_ => (1, false)) ++
+      (1 to 10).map(_ => (0, true)) ++ (1 to 90).map(_ => (0, false))
+    val r = EventsOps.oddsRatio(cells.toDF("arm", "converted"))
+      .select("a", "b", "c", "d", "log_or_e6", "or_e6", "ci_lo_e6",
+        "ci_hi_e6").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((30L, 70L, 10L, 90L)))
+    val or = (61.0 * 181) / (141 * 21) // (2a+1)(2d+1)/((2b+1)(2c+1))
+    assert(r.getLong(5) == math.floor(1e6 * or).toLong)
+    assert(r.getLong(6) < r.getLong(5) && r.getLong(5) < r.getLong(7))
+    val se = math.sqrt(2.0 / 61 + 2.0 / 141 + 2.0 / 21 + 2.0 / 181)
+    assert(r.getLong(6) ==
+      math.floor(1e6 * math.exp(math.log(or) - 1.959964 * se)).toLong)
+    // empty-cell robustness: the correction keeps everything finite
+    val empty = Seq((1, true), (1, true), (0, false), (0, false))
+    val r2 = EventsOps.oddsRatio(empty.toDF("arm", "converted"))
+      .select("or_e6").head()
+    assert(r2.getLong(0) > 0L)
+  }
+
   // ==== q310 Hosmer–Lemeshow =================================================
 
   test("hosmerLemeshow: perfectly calibrated bins score 0") {
