@@ -4465,16 +4465,44 @@ object EventsOps {
   // aggregate here is a MAX of per-row doubles (identical in both
   // engines — same gap integers, same λ ratio, same exp), never an
   // order-sensitive double sum; the only sums are integer (n, Σg).
+  //
+  // Scale shape (the lag window): events are NOT sorted inside
+  // ≤|types| tasks. Gaps are computed within (type, day-bucket)
+  // partitions — parallelism = types × days — and the one gap that
+  // crosses each bucket boundary is stitched back by joining every
+  // bucket's first timestamp against the previous non-empty bucket's
+  // last (a bucket-domain lag window; the ChunkAssigner.withPrefixSum
+  // boundary precedent). The gap multiset is identical to a global
+  // per-type sort: ties in `us` are adjacent under any tie-break, so
+  // the lag differences do not depend on `event_id` order.
+
+  /** Microseconds per stitch bucket (one day). */
+  private val GapBucketUs = 86400L * 1000000L
 
   /** Per type: (event_type, n_gaps, mean_gap_sec, ks). */
   def interArrivalFit(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("us"), col("event_id"))
-    val gaps = events
+    val ev = events
       .select(col("event_type"), unix_micros(col("ts")).as("us"),
         col("event_id"))
-      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .withColumn("bkt", expr(s"us div $GapBucketUs"))
+    // interior gaps: lag within (type, day) — types × days tasks
+    val wIn = Window.partitionBy(col("event_type"), col("bkt"))
+      .orderBy(col("us"), col("event_id"))
+    val interior = ev
+      .withColumn("g", col("us") - lag(col("us"), 1).over(wIn))
       .filter(col("g").isNotNull)
+      .select(col("event_type"), col("g"))
+    // boundary gaps: each bucket's first us minus the previous
+    // non-empty bucket's last us, over the bounded (type, day) domain
+    val perBkt = ev.groupBy(col("event_type"), col("bkt"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val wB = Window.partitionBy(col("event_type")).orderBy(col("bkt"))
+    val boundary = perBkt
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wB))
+      .filter(col("prev_last").isNotNull)
+      .select(col("event_type"),
+        (col("first_us") - col("prev_last")).as("g"))
+    val gaps = interior.unionByName(boundary)
     val m = gaps.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("g")).as("sg"))
     def dd(c: Column) = c.cast("double")

@@ -562,9 +562,9 @@ object MlEval {
   // exactly-rounded doubles (identical bits both engines); q̂ is an ORDER
   // STATISTIC of those doubles (rank selection, no interpolation); the
   // coverage test compares bit-identical doubles. Scale shape: one moment
-  // aggregation, one map-side residual pass, one rank on the calibration
-  // split (at 100 TB: replace with the q113 distributed order-statistic
-  // selection), one counting pass.
+  // aggregation, one map-side residual pass, one DISTRIBUTED rank
+  // selection on the calibration split (the q113 range-partitioned
+  // prefix-count walk — no single-partition sort), one counting pass.
 
   /** One row: OLS of `y` on `x` fit on train (key%4 ∈ {1,2}), conformal
     * q̂ at miscoverage `alpha` from calibration (key%4 = 3), empirical
@@ -592,11 +592,16 @@ object MlEval {
         (col("slope") * col("x").cast("double") + col("intercept"))))
     val cal = resid.filter(col("split") === 3L)
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
-    // q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual
-    val ranked = cal
-      .withColumn("rn", row_number().over(Window.orderBy(col("r"), col("k"))))
+    // q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual. Rank
+    // selection is the q113 distributed order-statistic walk
+    // (range-partitioned prefix count — ChunkAssigner.withPrefixSum),
+    // NOT a single-partition global-sort window: the value at rank m
+    // under (r, k) ordering is the m-th smallest r either way.
+    val ranked = graft.chunk.ChunkAssigner.withPrefixSum(
+        cal.select(col("r"), col("k")), Seq(col("r"), col("k")),
+        lit(1L), outName = "rn0")
       .crossJoin(broadcast(nCal))
-      .filter(col("rn") ===
+      .filter(col("rn0") + lit(1L) ===
         ceil((col("n_cal") + 1) * lit(1.0 - alpha)).cast("long"))
       .select(col("r").as("q_hat"), col("n_cal"))
     val test = resid.filter(col("split") === 0L).crossJoin(broadcast(ranked))
