@@ -2293,9 +2293,22 @@ object EventsOps {
   // filter). Supports divide the same integers on both engines.
 
   /** Top-`k` part triples co-purchased in one order, with basket support:
-    * (p1 < p2 < p3, n_orders, support). */
-  def frequentTriples(baskets: DataFrame, k: Int): DataFrame = {
+    * (p1 < p2 < p3, n_orders, support). Per-basket fan-out is C(size, 3),
+    * so the basket-size contract is ENFORCED (the q268 precedent): a
+    * basket over `maxBasket` items raises before the chained self-join
+    * can cube it, with the a-priori fix named in the error. */
+  def frequentTriples(baskets: DataFrame, k: Int,
+      maxBasket: Long = 500L): DataFrame = {
     val items = baskets.select(col("bid"), col("item")).distinct()
+      .localCheckpoint() // reused 4×: census + total + 3 join legs
+    val fattest = items.groupBy(col("bid"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0)
+    val maxN = if (fattest.isNullAt(0)) 0L else fattest.getLong(0)
+    require(maxN <= maxBasket,
+      s"frequentTriples: fattest basket holds $maxN distinct items > " +
+        s"maxBasket=$maxBasket — per-basket triples are C(n,3); apply " +
+        "the a-priori prune first (join the third leg only onto pairs " +
+        "already over min-support — same join shape, one extra filter)")
     val total = broadcast(items.select(col("bid")).distinct()
       .agg(count(lit(1)).as("n_baskets")))
     items.toDF("bid", "p1")

@@ -146,11 +146,31 @@ object FuzzyJoin {
     * `None`. Deterministic either way (lowest-id survivors). */
   def editDistanceJoin(corpus: DataFrame, queries: DataFrame,
       maxDist: Int = DefaultDist, broadcastProbes: Boolean = true,
-      maxBucket: Option[Int] = None): DataFrame = {
+      maxBucket: Option[Int] = None,
+      maxBlock: Option[Long] = None): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(maxBucket.forall(_ >= 1), s"maxBucket must be >= 1: $maxBucket")
-    val idx = maxBucket.fold(segmentIndex(corpus, maxDist))(
+    val idx0 = maxBucket.fold(segmentIndex(corpus, maxDist))(
       cappedIndexForTest(corpus, maxDist, _))
+    // ENFORCED block contract (the q268 jaroWinklerSelfJoin precedent):
+    // candidate work per (gi, seg, klen) bucket is |index bucket| ×
+    // |matching probes|, quadratic in a self-join — with `maxBlock` the
+    // population census runs on the ONE materialized index and an
+    // over-populated segment bucket raises before the join can, with the
+    // fix named (the map-side `maxBucket` cap, or a longer key prefix).
+    val idx = maxBlock.fold(idx0) { bound =>
+      val ck = idx0.localCheckpoint()
+      val hottest = ck.groupBy(col("gi"), col("seg"), col("klen"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).collect()(0)
+      val maxN = if (hottest.isNullAt(0)) 0L else hottest.getLong(0)
+      require(maxN <= bound,
+        s"editDistanceJoin: hottest (gi, seg, klen) segment bucket holds " +
+          s"$maxN keys > maxBlock=$bound — a stop-word-like segment makes " +
+          "the candidate join quadratic in that bucket; cap it map-side " +
+          "with `maxBucket` (k-capped TopKAgg, documented recall tradeoff)" +
+          " or lengthen the normalized key so segments discriminate")
+      ck
+    }
     val probes0 = probeKeys(queries, maxDist)
     val probes = if (broadcastProbes) broadcast(probes0) else probes0
     idx.join(probes, Seq("gi", "seg", "klen"))
@@ -218,12 +238,17 @@ object FuzzyJoin {
   // unbounded-scale ones throughout.
 
   /** (cluster_size, n_clusters) census after resolving `entities`
-    * (id, key) at ≤ `maxDist` edits. */
-  def resolveEntities(entities: DataFrame, maxDist: Int): DataFrame = {
+    * (id, key) at ≤ `maxDist` edits. The self-join has no broadcastable
+    * side, so the PassJoin block contract is ENFORCED, not declared:
+    * `maxBlock` bounds the hottest segment bucket's population (within-
+    * bucket candidates are quadratic there) and raises with the fix
+    * named before the join runs. */
+  def resolveEntities(entities: DataFrame, maxDist: Int,
+      maxBlock: Long = 10000L): DataFrame = {
     val edges = editDistanceJoin(
         entities.select(col("id"), col("key")),
         entities.select(col("id").as("query_id"), col("key").as("qkey")),
-        maxDist, broadcastProbes = false)
+        maxDist, broadcastProbes = false, maxBlock = Some(maxBlock))
       .filter(col("query_id") < col("id"))
       .select(col("query_id").as("src"), col("id").as("dst"))
     Dedup.connectedComponents(edges, entities.select(col("id")))

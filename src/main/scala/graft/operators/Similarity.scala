@@ -518,10 +518,23 @@ object Similarity {
   // identically in both engines (the q37/q41 parity).
 
   /** (vec_id, role, cluster): role ∈ core | border | noise; cluster =
-    * min member vec_id of the core component (null for noise). */
-  def dbscan(vectors: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    * min member vec_id of the core component (null for noise).
+    *
+    * The brute pair source is quadratic in the slice, so the slice
+    * contract is ENFORCED (the q268 precedent): more than `maxSlice`
+    * input vectors raises before the cross join can run, naming the
+    * corpus-scale fix (swap the pair source to LSH/IVF candidates —
+    * the downstream core/CC/border kernel is pair-source-agnostic). */
+  def dbscan(vectors: DataFrame, eps: Double, minPts: Int,
+      maxSlice: Long = 20000L): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
-    val v = vectors.select(col("id"), col("v"))
+    val v = vectors.select(col("id"), col("v")).localCheckpoint()
+    val nIn = v.count()
+    require(nIn <= maxSlice,
+      s"dbscan: $nIn input vectors > maxSlice=$maxSlice — the brute " +
+        "ε-pair source is quadratic in the slice; at corpus scale feed " +
+        "the same core/CC/border kernel LSH or IVF candidate pairs " +
+        "(AnnLsh/AnnIvf) instead of widening the slice")
     val a = v.select(col("id").as("a"), col("v").as("va"))
     val b = v.select(col("id").as("b"), col("v").as("vb"))
     val pairs = a.join(b, col("a") =!= col("b"))
@@ -621,9 +634,21 @@ object Similarity {
   // Windows partition per point (slice-bounded), never globally.
 
   /** Top-`topN` LOF outliers of `emb` (vec_id, embedding) with `k`
-    * neighbors: (vec_id, kdist, lof_nano = ⌊avg(10⁹·lrd-ratio)⌋). */
-  def lofOutliers(emb: DataFrame, k: Int, topN: Int): DataFrame = {
+    * neighbors: (vec_id, kdist, lof_nano = ⌊avg(10⁹·lrd-ratio)⌋).
+    *
+    * Exact kNN needs all pairs, so the slice contract is ENFORCED (the
+    * q268 precedent): more than `maxSlice` input vectors raises before
+    * the cross join, naming the corpus-scale fix (ANN candidate pairs —
+    * LOF only reads each point's k nearest, which IVF/LSH cover). */
+  def lofOutliers(emb: DataFrame, k: Int, topN: Int,
+      maxSlice: Long = 20000L): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
+    val nIn = emb.count()
+    require(nIn <= maxSlice,
+      s"lofOutliers: $nIn input vectors > maxSlice=$maxSlice — exact kNN " +
+        "pairs are quadratic in the slice; at corpus scale source the " +
+        "k-nearest candidates from AnnIvf/AnnLsh (LOF only ever reads " +
+        "each point's k nearest) instead of widening the slice")
     val ints = emb.select(col("vec_id").as("id"),
       transform(col("embedding"),
         e => floor(e.cast("double") * 1e6).cast("double")).as("x")) // integral doubles
