@@ -11,6 +11,35 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Estimated broadcast bytes per rank-vector row (node key + double +
+    * row overhead) — the regime signal for the iterative-operator layout
+    * pins: score vectors under `autoBroadcastJoinThreshold / RankRowBytes`
+    * nodes broadcast, and the edge side then never exchanges. */
+  private val RankRowBytes = 48L
+
+  /** The layout pin engages only DEEP in the no-broadcast regime
+    * (vector bytes > margin × threshold): near the threshold AQE still
+    * converts the per-step joins to broadcast from RUNTIME sizes (which
+    * undercut the 48 B/row estimate), and the pin's up-front edge
+    * exchange+sort then buys nothing — measured at 10× sf0.1, HITS with
+    * both-direction pins at 1.7× threshold was 17% slower while the
+    * broadcast conversions still fired. */
+  private val PinMargin = 4L
+
+  /** true ⇔ a `nVector`-row score vector is safely past broadcast. */
+  private def pinRegime(nVector: Long,
+      conf: org.apache.spark.sql.internal.SQLConf): Boolean =
+    nVector * RankRowBytes > PinMargin * math.max(
+      conf.autoBroadcastJoinThreshold, -1L)
+
+  /** The regime signal itself must be cheap: approximate distinct count
+    * of `keyCol` over the checkpointed frame — one narrow partial-only
+    * pass (HLL buffers reduce to the driver), no key-domain exchange.
+    * A 2% sketch error is irrelevant against the 4× PinMargin. */
+  private def approxKeyCount(df: DataFrame, keyCol: String): Long =
+    df.agg(approx_count_distinct(col(keyCol)).as("n"))
+      .collect()(0).getLong(0)
+
   // ==== q123: PageRank by power iteration ===================================
   //
   // r' = (1−d)/N + d·Σ_{u→v} r_u/outdeg_u, a fixed number of iterations.
@@ -42,15 +71,31 @@ object Graph {
     val LineageEvery = 8
     val longRun = iterations > LineageEvery
     def pin(df: DataFrame): DataFrame = if (longRun) df.localCheckpoint() else df
-    val e = pin(edges.select(col("src"), col("dst")).distinct())
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the loop invariant is the OUTDEG-WEIGHTED edge table — materialize
     // the e⋈outdeg join ONCE (round-12 shave: it used to re-execute as a
     // second edge-sized hash join inside every power step; shuffle-file
-    // reuse amortized its exchanges but not the join itself). The
-    // checkpoint also freezes hash(src) partitioning, so each iteration
-    // exchanges only the node-sized rank vector.
-    val ew = e.join(outdeg, Seq("src")).localCheckpoint()
+    // reuse amortized its exchanges but not the join itself). Round 13:
+    // in the both-sides-large regime the pin also ADVERTISES its
+    // hash(src) layout + src sort order (GraftSql.pinHashPartitioned —
+    // a plain localCheckpoint republishes as UnknownPartitioning under
+    // AQE), so every power step plans with ZERO exchange and ZERO sort
+    // on the edge side. The layout pin is REGIME-ADAPTIVE, measured both
+    // ways at sf0.1: when the node-sized rank vector broadcasts, the
+    // edge side never exchanges at all and the pin's up-front edge
+    // exchange+sort is pure overhead (+35% wall); when ranks exceed the
+    // broadcast threshold (the 100 TB regime), SMJ re-sorts the edge
+    // side EVERY iteration without the pin. Decide by the same signal
+    // Spark's own planner uses: estimated rank-vector bytes vs
+    // autoBroadcastJoinThreshold. Symmetric-edge contract ⇒ every node
+    // appears as a src, so |outdeg| counts the node domain.
+    val conf = edges.sparkSession.sessionState.conf
+    val ewBase = e.join(outdeg, Seq("src"))
+    val ew = if (pinRegime(approxKeyCount(e, "src"), conf))
+      org.apache.spark.sql.GraftSql.pinHashPartitioned(
+        ewBase, Seq("src"), conf.numShufflePartitions)
+    else ewBase.localCheckpoint()
     val nodes = pin(e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct())
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
@@ -156,12 +201,17 @@ object Graph {
     // node/edge-domain, so pin them ONCE up front; the rank chain itself
     // stays lazy (5 joins deep — no truncation needed).
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    // outdeg-weighted edges materialized once (the q123 round-12 shave):
-    // one join per iteration instead of two, rank vector the only
-    // per-step exchange
-    val ew = e.join(
-      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
-      .localCheckpoint()
+    // outdeg-weighted edges materialized once (the q123 round-12 shave);
+    // in the both-sides-large regime the pin also advertises hash(src) +
+    // sort order so no power step re-exchanges or re-sorts the edge side
+    // (regime decision = q123's broadcast-threshold signal)
+    val conf = edges.sparkSession.sessionState.conf
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val ewBase = e.join(outdeg, Seq("src"))
+    val ew = if (pinRegime(approxKeyCount(e, "src"), conf))
+      org.apache.spark.sql.GraftSql.pinHashPartitioned(
+        ewBase, Seq("src"), conf.numShufflePartitions)
+    else ewBase.localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col("node")).distinct()
@@ -1004,8 +1054,24 @@ object Graph {
     // second reference re-runs one broadcast join) measures 6.2s vs 8.8s
     // both-pinned vs 12–20s unpinned at sf0.1 local[8]. Node-domain
     // blocks only; superseded checkpoints released per round.
+    //
+    // Round 13, both-sides-large regime only (the q123 broadcast-
+    // threshold signal — when hub/auth vectors broadcast, the edge side
+    // never exchanges and extra pins are pure overhead): the alternating
+    // join keys get their OWN pinned edge copies — eByDst serves the hub
+    // step, eBySrc the auth step, each advertising its hash layout +
+    // sort order, so neither direction re-exchanges or re-sorts the
+    // edge table ever again (the round-9 measurement was 166 exchanges,
+    // 0 reused, from this exact alternation). Two edge-domain block
+    // sets, both released by the caller's lifecycle sweep.
+    val conf = edges.sparkSession.sessionState.conf
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val dsts = e.select(col("dst").as("node")).distinct()
+    val pinLayout = pinRegime(approxKeyCount(e, "dst"), conf)
+    val eByDst = if (pinLayout) org.apache.spark.sql.GraftSql
+      .pinHashPartitioned(e, Seq("dst"), conf.numShufflePartitions) else e
+    val eBySrc = if (pinLayout) org.apache.spark.sql.GraftSql
+      .pinHashPartitioned(e, Seq("src"), conf.numShufflePartitions) else e
     var auth = dsts.withColumn("a", lit(1.0))
     var hub: DataFrame = null
     // release lags ONE extra round: the lazy hub view still reads the
@@ -1013,9 +1079,9 @@ object Graph {
     // pin) materializes past it
     var cps: Seq[DataFrame] = Nil
     for (_ <- 1 to iterations) {
-      hub = e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+      hub = eByDst.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("h"))
-      auth = e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+      auth = eBySrc.join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(sum(col("h")).as("a"))
         .localCheckpoint()
       if (cps.length == 2) {

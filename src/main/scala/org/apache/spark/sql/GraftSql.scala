@@ -26,6 +26,42 @@ object GraftSql {
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.queryExecution.toRdd
 
+  /** A localCheckpoint that KEEPS its partitioning promise.
+    *
+    * `Dataset.localCheckpoint` under AQE republishes the blocks with
+    * UnknownPartitioning, so an iterative operator that joins the pinned
+    * frame on the same key every round pays a fresh exchange (or a reused
+    * shuffle read) plus a sort per use. This pins the frame the honest
+    * way: repartition by `keys` into an EXPLICIT partition count (AQE
+    * never coalesces user-numbered repartitions, so the layout claim
+    * stays true), sort within partitions by the same keys, persist the
+    * InternalRow blocks eagerly, and republish them as a [[execution
+    * .LogicalRDD]] that ADVERTISES HashPartitioning(keys) + ascending
+    * order — every downstream equi-join on `keys` then plans with zero
+    * exchange and zero sort on this side. Blocks release through the
+    * same [[releaseCheckpointBlocks]] walk as ordinary checkpoints. */
+  def pinHashPartitioned(df: DataFrame, keys: Seq[String],
+      numParts: Int): DataFrame = {
+    require(keys.nonEmpty && numParts > 0)
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    val laidOut = df.repartition(numParts, keys.map(df(_)): _*)
+      .sortWithinPartitions(keys.map(df(_)): _*)
+    val qe = laidOut.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager, like localCheckpoint: blocks land exactly once
+    val output = qe.analyzed.output
+    val keyAttrs = keys.map(k => output.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(s"pinHashPartitioned: no column $k")))
+    val partitioning =
+      catalyst.plans.physical.HashPartitioning(keyAttrs, numParts)
+    val ordering = keyAttrs.map(a => catalyst.expressions.SortOrder(
+      a, catalyst.expressions.Ascending))
+    classic.Dataset.ofRows(spark,
+      execution.LogicalRDD(output, rdd, partitioning, ordering,
+        isStreaming = false, stream = None)(spark, None, None))
+  }
+
   /** Releases the storage blocks behind a `localCheckpoint()`ed Dataset.
     *
     * `Dataset.unpersist` only uncaches through the CacheManager; checkpoint
