@@ -403,9 +403,115 @@ object Incremental {
        |    THEN $HistLo + (b + 1) * $HistWidth END) AS BIGINT) AS p99
        |FROM cum GROUP BY source ORDER BY source""".stripMargin
 
+  // -- mergeable rank state for UNBOUNDED domains (KLL, B262) ----------------
+  //
+  // B103's fixed-grid state needs a DECLARED (lo, width, nBuckets) value
+  // range up front; a column whose range is unknown (latencies, payload
+  // sizes, model scores × 10⁶) gets the KLL rank sketch instead
+  // (functions/KllExprs — Karnin/Lang/Liberty FOCS 2016): O(k) state per
+  // group, fully mergeable map-side, rank error O(W/k). Oracle discipline
+  // is the q171/q222 sketch-gate pair: q325 hash-matches the EXACT regime
+  // (capacity above the slice cardinality ⇒ the sketch IS the multiset);
+  // q326 law-checks the sketch regime in-query (weight conservation
+  // through real map-side merges, bounded state, rank-error ceiling) with
+  // DuckDB emitting the exact count + literal law flags.
+
+  /** Per-group KLL sketch over a long-valued column: one map-side-
+    * combined aggregation, state ≤ ~3k items per group. */
+  def kllState(df: DataFrame, valueCol: String, keys: Seq[String],
+      k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllExprs.kllAgg(
+        col(valueCol).cast("long"), k).as("kll"))
+
+  /** Quantile readout off a KLL state table: for each p (percent), the
+    * smallest v whose cumulative weight cum satisfies 100·cum ≥ p·W.
+    * The scan is over the state table (groups × ≤3k rows), never data. */
+  def kllQuantiles(state: DataFrame, keys: Seq[String],
+      ps: Seq[Int]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__e.v"), col("__e.w"))
+    val cum = state
+      .select(keys.map(col) :+ explode(col("kll")).as("__e"): _*)
+      .withColumn("__cum", sum(col("__e.w")).over(w))
+      .withColumn("__w", sum(col("__e.w")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keys.map(col): _*)))
+    val aggs = max(col("__w")).as("n") +:
+      ps.map(p => min(when(col("__cum") * 100 >= col("__w") * p,
+        col("__e.v"))).as(s"p$p"))
+    cum.groupBy(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  // exact-regime gate: slice cardinality (doc_id < 2000, fixed at every
+  // SF — the q174 bounded-oracle discipline) sits under k = 4096, so no
+  // compaction ever fires and each readout is the exact order statistic
+  private def q325(s: SparkSession, dir: String): DataFrame =
+    kllQuantiles(
+      kllState(Tables.documents(s, dir).filter(col("doc_id") < 2000)
+        .select(col("lang"), col("n_chars")), "n_chars", Seq("lang"),
+        k = 4096),
+      Seq("lang"), Seq(25, 50, 75, 90))
+      .orderBy(col("lang"))
+
+  private val q325Sql =
+    """WITH d AS (
+      |  SELECT lang, n_chars AS v FROM documents WHERE doc_id < 2000),
+      |w AS (
+      |  SELECT lang, v,
+      |    row_number() OVER (PARTITION BY lang ORDER BY v) AS cum,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM d)
+      |SELECT lang, max(n) AS n,
+      |  min(CASE WHEN cum * 100 >= n * 25 THEN v END) AS p25,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+      |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS p75,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
+  // sketch-regime law gate (the q111/q309 boolean-flag pattern): full
+  // corpus width at k = 256 — compaction certain; the engine asserts its
+  // own contracts and DuckDB supplies exact n + literal true flags.
+  // ok_pNN: the true-rank bracket [cnt_lt+1, cnt_le] of the estimate must
+  // intersect [(p−5)%·n, (p+5)%·n] — generous against the ~1.7/k bound.
+  private def q326(s: SparkSession, dir: String): DataFrame = {
+    val k = 256
+    val docs = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("v"))
+    val st = kllState(docs, "v", Seq.empty, k)
+    val est = kllQuantiles(st, Seq.empty, Seq(10, 50, 90))
+    val state = st.select(size(col("kll")).as("state_items"))
+    val ranks = docs.crossJoin(broadcast(est)).agg(
+      count(lit(1)).as("n_total"), max(col("n")).as("w_total"),
+      sum(when(col("v") <= col("p10"), 1L).otherwise(0L)).as("le10"),
+      sum(when(col("v") < col("p10"), 1L).otherwise(0L)).as("lt10"),
+      sum(when(col("v") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+      sum(when(col("v") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+      sum(when(col("v") <= col("p90"), 1L).otherwise(0L)).as("le90"),
+      sum(when(col("v") < col("p90"), 1L).otherwise(0L)).as("lt90"))
+    def ok(p: Int) =
+      (col(s"le$p") * 100 >= col("n_total") * (p - 5)) &&
+        (col(s"lt$p") * 100 <= col("n_total") * (p + 5))
+    ranks.crossJoin(broadcast(state)).select(
+      col("n_total"),
+      (col("w_total") === col("n_total")).as("weight_ok"),
+      (col("state_items") <= k * 4).as("bounded_state"),
+      ok(10).as("ok_p10"), ok(50).as("ok_p50"), ok(90).as("ok_p90"))
+  }
+
+  private val q326Sql =
+    """SELECT count(*) AS n_total, true AS weight_ok,
+      |  true AS bounded_state, true AS ok_p10, true AS ok_p50,
+      |  true AS ok_p90
+      |FROM documents""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_incremental_agg", q108, Some(q108Sql)),
     QueryDef("q111_incremental_distinct", q111, Some(q111Sql)),
     QueryDef("q166_hist_quantile_state", q166, Some(q166Sql)),
-    QueryDef("q182_incremental_join", q182, Some(q182Sql)))
+    QueryDef("q182_incremental_join", q182, Some(q182Sql)),
+    QueryDef("q325_kll_quantiles", q325, Some(q325Sql)),
+    QueryDef("q326_kll_error_laws", q326, Some(q326Sql)))
 }

@@ -1025,6 +1025,51 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ==== streaming KLL quantile sketch (B262s) =================================
+  //
+  // The streaming twin of the batch KLL rank state (B262,
+  // functions/KllExprs + Incremental.kllState): per segment ONE
+  // ValueState holding the serialized compactor levels — O(k) bytes per
+  // key FOREVER on unbounded value domains (B103's grid twin needs the
+  // declared range; this one doesn't). Same wire format and same
+  // update/compaction path as the batch aggregate, so in the EXACT
+  // regime (< k values seen — no compaction) the emitted quantiles are
+  // bit-equal to the batch readout over the same prefix, and in the
+  // sketch regime the rank-error contract carries over unchanged.
+  // Emits the running (n, p50, p90) per segment.
+
+  /** Input (segment, value). Output (segment, n, p50, p90). */
+  class KllQuantileProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Long, Long, Long)] {
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("kll",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(seg: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long, Long, Long)] = {
+      val state = if (st.exists()) graft.functions.KllExprs.fromBytes(st.get())
+        else new graft.functions.KllExprs.State(k)
+      rows.foreach { case (_, v) => state.update(v) }
+      st.update(graft.functions.KllExprs.toBytes(state))
+      Iterator.single((seg, state.totalWeight,
+        state.quantile(50), state.quantile(90)))
+    }
+  }
+
+  /** Running p50/p90 per segment from a streaming frame. RocksDB
+    * required. */
+  def kllQuantileStream(events: DataFrame, segCol: String, valueCol: String,
+      k: Int): Dataset[(String, Long, Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.select(col(segCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new KllQuantileProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ==== streaming sequence-pattern matcher (B110s, CEP-lite) ================
   //
   // The ONLINE twin of the batch MATCH_RECOGNIZE-lite (q173): counts

@@ -939,6 +939,58 @@ class StreamingSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("B262s: streaming KLL — exact quantiles under k, rank law over it") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // exact regime: 900 values < k=4096, cut into 4 micro-batches — the
+      // final emitted quantiles equal the naive order statistics
+      val rnd = new scala.util.Random(262)
+      val vs = Seq.fill(900)(rnd.nextInt(5000).toLong)
+      val input = MemoryStream[(String, Long)](spark)
+      val q = EventsStreaming.kllQuantileStream(
+          input.toDF().toDF("seg", "v"), "seg", "v", k = 4096)
+        .writeStream.format("memory").queryName("kll_stream_out")
+        .outputMode("update").start()
+      try {
+        vs.map(("s", _)).grouped(250).foreach { b =>
+          input.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val last = spark.table("kll_stream_out")
+        .as[(String, Long, Long, Long)].collect().maxBy(_._2)
+      val sorted = vs.sorted
+      def naive(p: Int) = sorted(sorted.indices
+        .find(i => (i + 1) * 100L >= p.toLong * vs.size).get)
+      assert(last._2 == vs.size.toLong)
+      assert(last._3 == naive(50) && last._4 == naive(90), last.toString)
+
+      // sketch regime: k=64 over 30k values across batches — weight
+      // exact, rank error within the ceiling, state stays O(k)
+      val vs2 = Seq.fill(30000)(rnd.nextInt(1000000).toLong)
+      val input2 = MemoryStream[(String, Long)](spark)
+      val q2 = EventsStreaming.kllQuantileStream(
+          input2.toDF().toDF("seg", "v"), "seg", "v", k = 64)
+        .writeStream.format("memory").queryName("kll_stream_sketch")
+        .outputMode("update").start()
+      try {
+        vs2.map(("s", _)).grouped(10000).foreach { b =>
+          input2.addData(b: _*); q2.processAllAvailable() }
+      } finally q2.stop()
+      val fin = spark.table("kll_stream_sketch")
+        .as[(String, Long, Long, Long)].collect().maxBy(_._2)
+      assert(fin._2 == vs2.size.toLong)
+      val s2 = vs2.sorted
+      Seq(50 -> fin._3, 90 -> fin._4).foreach { case (p, est) =>
+        val le = s2.count(_ <= est).toLong
+        val lt = s2.count(_ < est).toLong
+        val target = p.toLong * vs2.size / 100
+        assert(le >= target - vs2.size / 12 && lt <= target + vs2.size / 12,
+          s"p$p est=$est le=$le lt=$lt")
+      }
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("B156s: streaming KMV — exact while not full, sketch == batch prefix") {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
