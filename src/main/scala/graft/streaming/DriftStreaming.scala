@@ -21,11 +21,15 @@ import org.apache.spark.sql.functions._
   */
 object DriftStreaming {
 
-  /** Start monitoring `values` (streaming, column `v`) against `reference`
-    * (batch, column `v`). Appends (batch_id, n_ref, n_batch, ks, alarm)
-    * rows under `outPath`. */
-  def startDriftMonitor(values: DataFrame, reference: DataFrame,
-      threshold: Double, outPath: String, checkpoint: String)
+  /** Shared audit loop: per non-empty micro-batch, pool the batch with
+    * the reference and append one `audit(pooled, id)` row to `outPath`.
+    * All three drift monitors (KS, W1, CvM) ride this shape — they are
+    * the same distinct-value-histogram machinery with different readouts,
+    * so the batch operators ARE the per-batch statistic (row-for-row
+    * parity with a direct batch run is the spec'd law). */
+  private def startMonitor(values: DataFrame, reference: DataFrame,
+      outPath: String, checkpoint: String)(
+      audit: (DataFrame, Long) => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery =
     values.writeStream
       .outputMode("append")
@@ -34,13 +38,51 @@ object DriftStreaming {
         if (!batch.isEmpty) {
           val combined = reference.select(col("v"), lit(true).as("is_ref"))
             .unionByName(batch.toDF().select(col("v"), lit(false).as("is_ref")))
-          graft.operators.Profiling.ksDrift(combined, "v", col("is_ref"))
-            .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
-              col("n_b").as("n_batch"), col("ks"),
-              (col("ks") > threshold).as("alarm"))
-            .coalesce(1)
+          audit(combined, id).coalesce(1)
             .write.mode("append").parquet(outPath)
         }
       }
       .start()
+
+  /** Start monitoring `values` (streaming, column `v`) against `reference`
+    * (batch, column `v`). Appends (batch_id, n_ref, n_batch, ks, alarm)
+    * rows under `outPath`. */
+  def startDriftMonitor(values: DataFrame, reference: DataFrame,
+      threshold: Double, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMonitor(values, reference, outPath, checkpoint) { (pooled, id) =>
+      graft.operators.Profiling.ksDrift(pooled, "v", col("is_ref"))
+        .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
+          col("n_b").as("n_batch"), col("ks"),
+          (col("ks") > threshold).as("alarm"))
+    }
+
+  /** Wasserstein-1 twin (B190s): per-batch earth-mover distance vs the
+    * reference — the magnitude-sensitive complement to KS's max-gap
+    * (a small uniform shift moves W1 linearly but barely moves KS).
+    * Appends (batch_id, n_ref, n_batch, w1, alarm); `threshold` is in
+    * value units. */
+  def startW1Monitor(values: DataFrame, reference: DataFrame,
+      threshold: Double, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMonitor(values, reference, outPath, checkpoint) { (pooled, id) =>
+      graft.operators.Profiling.wassersteinDrift(pooled, "v", col("is_ref"))
+        .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
+          col("n_b").as("n_batch"),
+          col("w1").cast("double").as("w1"),
+          (col("w1").cast("double") > threshold).as("alarm"))
+    }
+
+  /** Cramér–von Mises twin (B220s): per-batch integrated squared CDF gap
+    * vs the reference — catches distributed many-small-gap drift KS
+    * underweights. Appends (batch_id, n_ref, n_batch, t, alarm). */
+  def startCvmMonitor(values: DataFrame, reference: DataFrame,
+      threshold: Double, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMonitor(values, reference, outPath, checkpoint) { (pooled, id) =>
+      graft.operators.Profiling.cramerVonMises(pooled, "v", col("is_ref"))
+        .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
+          col("n_b").as("n_batch"), col("t"),
+          (col("t") > threshold).as("alarm"))
+    }
 }

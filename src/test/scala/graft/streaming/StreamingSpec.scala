@@ -625,6 +625,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(shifted._3 == 1.0 && shifted._4, s"shifted: $shifted")
   }
 
+  test("B190s/B220s: W1 + CvM monitors — row-for-row parity with the " +
+      "batch operators across micro-batches, shifted batch alarms") {
+    val tmp = java.nio.file.Files.createTempDirectory("drift2").toString
+    val reference = (1L to 1000L).toDF("v").cache()
+    reference.count()
+    val batches = Seq(
+      (1L to 1000L by 10).toSeq, // in-distribution subsample
+      (2001L to 2100L).toSeq,    // disjoint above: big W1, CvM near max
+      (51L to 1050L).toSeq)      // small uniform +50 shift: W1 ≈ 50
+    val inW = MemoryStream[Long](spark)
+    // W1 is reported in value units (the batch operator's cent contract,
+    // v/100): the disjoint batch reads ~15.5, the +50 shift ~0.5
+    val qW = DriftStreaming.startW1Monitor(inW.toDF().toDF("v"), reference,
+      threshold = 5.0, outPath = s"$tmp/w1", checkpoint = s"$tmp/ckw")
+    val inC = MemoryStream[Long](spark)
+    val qC = DriftStreaming.startCvmMonitor(inC.toDF().toDF("v"), reference,
+      threshold = 0.5, outPath = s"$tmp/cvm", checkpoint = s"$tmp/ckc")
+    try {
+      batches.foreach { b =>
+        inW.addData(b: _*); qW.processAllAvailable()
+        inC.addData(b: _*); qC.processAllAvailable()
+      }
+    } finally { qW.stop(); qC.stop() }
+
+    // row-for-row parity: each audit row equals the batch operator run
+    // on (reference ∪ that micro-batch) — the B233 discipline
+    def pooled(b: Seq[Long]) =
+      reference.select(col("v"), lit(true).as("is_ref"))
+        .unionByName(b.toDF("v").select(col("v"), lit(false).as("is_ref")))
+    val w1Rows = spark.read.parquet(s"$tmp/w1")
+      .select("batch_id", "n_batch", "w1", "alarm")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(w1Rows.length == 3)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val direct = graft.operators.Profiling
+        .wassersteinDrift(pooled(b), "v", col("is_ref"))
+        .select(col("w1").cast("double")).head().getDouble(0)
+      assert(w1Rows(i)._2 == b.size.toLong && w1Rows(i)._3 == direct,
+        s"w1 batch $i: ${w1Rows(i)} vs $direct")
+    }
+    // W1 is in value units (cents/100): +50 uniform shift reads ~0.5
+    assert(!w1Rows(0)._4 && w1Rows(1)._4, w1Rows.toSeq.toString)
+    assert(math.abs(w1Rows(2)._3 - 0.5) < 0.05 && !w1Rows(2)._4,
+      w1Rows(2).toString)
+
+    val cvmRows = spark.read.parquet(s"$tmp/cvm")
+      .select("batch_id", "n_batch", "t", "alarm")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(cvmRows.length == 3)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val direct = graft.operators.Profiling
+        .cramerVonMises(pooled(b), "v", col("is_ref"))
+        .select(col("t")).head().getDouble(0)
+      assert(cvmRows(i)._2 == b.size.toLong && cvmRows(i)._3 == direct,
+        s"cvm batch $i: ${cvmRows(i)} vs $direct")
+    }
+    // disjoint distributions push CvM toward nm/N² · N = its ceiling
+    assert(!cvmRows(0)._4 && cvmRows(1)._4, cvmRows.toSeq.toString)
+  }
+
   test("B121: stream-stream interval join matches the batch pair set across batches") {
     val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
     val events = input.toDF()
