@@ -4943,6 +4943,232 @@ object EventsOps {
        |FROM w$CoxIters""".stripMargin
   }
 
+  // ==== q327: Cox proportional hazards — two covariates =======================
+  //
+  // B259's closed binary form extended along its own declared path: for
+  // covariates with a SMALL DISCRETE pattern domain (here x1 ∈ {0,1} ×
+  // x2 ∈ {0,1,2} = 6 patterns), the Breslow partial-likelihood moments
+  // stay domain-sized — per event time the risk table carries one count
+  // per pattern, so S0 = Σ_g n_g·e^{βᵀx_g}, the score vector and the
+  // 2×2 information are all scalar expressions over SIX columns, and
+  // Newton runs driver-side on the (duration × pattern) table exactly
+  // like q322 (K=25 steps, per-time double terms folded in ascending-t
+  // order; the 2×2 solve uses the closed adjugate with both deltas read
+  // from the PRE-step β). The oracle replays the identical fold: a
+  // pivoted MATERIALIZED risk CTE + K unrolled steps, each an inline
+  // per-time moment projection and five list_reduce folds ORDER BY t —
+  // operand-for-operand the engine's double chain. Zero-term pattern
+  // slots differ between engines only by +0.0 terms, which IEEE
+  // addition leaves bit-exact.
+
+  /** One row: (n_times, d_total, beta1_e6, beta2_e6, hr1_e6, hr2_e6)
+    * for time-to-first-`eventType`; x1/x2 are small-domain per-user
+    * covariates evaluated over the by-user frame (x1 ∈ {0,1},
+    * x2 ∈ {0,1,2}). */
+  def coxTwoCovariates(events: DataFrame, eventType: String,
+      x1Of: Column => Column, x2Of: Column => Column): DataFrame = {
+    val s = events.sparkSession
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val durs = byUser.crossJoin(end).select(
+      x1Of(col("user_id")).cast("long").as("x1"),
+      x2Of(col("user_id")).cast("long").as("x2"),
+      when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+      .withColumn("g", col("x1") * 3 + col("x2"))
+    // duration-domain risk table pivoted by the 6 covariate patterns
+    val dAggs = (0 to 5).map(gi =>
+      sum(when(col("g") === gi, col("ev")).otherwise(0L)).as(s"d$gi"))
+    val lAggs = (0 to 5).map(gi =>
+      sum(when(col("g") === gi, 1L).otherwise(0L)).as(s"l$gi"))
+    val hist = durs.groupBy(col("t")).agg((dAggs ++ lAggs).head,
+      (dAggs ++ lAggs).tail: _*)
+    val tot = broadcast(durs.agg(
+      (0 to 5).map(gi => sum(when(col("g") === gi, 1L).otherwise(0L))
+        .as(s"m$gi")).head,
+      (0 to 5).map(gi => sum(when(col("g") === gi, 1L).otherwise(0L))
+        .as(s"m$gi")).tail: _*))
+    val w = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risk0 = (0 to 5).foldLeft(hist.crossJoin(tot)) { (d, gi) =>
+      d.withColumn(s"n$gi", col(s"m$gi") -
+        coalesce(sum(col(s"l$gi")).over(w), lit(0L)))
+    }
+    val dTot = (0 to 5).map(gi => col(s"d$gi")).reduce(_ + _)
+    val risk = risk0.where(dTot > 0)
+      .select(col("t") +: (0 to 5).flatMap(gi =>
+        Seq(col(s"d$gi"), col(s"n$gi"))): _*)
+    // duration×pattern-domain collect (the q322/q229 bounded contract)
+    val rows = risk.orderBy(col("t")).collect().map { r =>
+      ((0 to 5).map(gi => r.getLong(1 + 2 * gi)).toArray,
+        (0 to 5).map(gi => r.getLong(2 + 2 * gi)).toArray)
+    }
+    val x1g = Array(0.0, 0.0, 0.0, 1.0, 1.0, 1.0)
+    val x2g = Array(0.0, 1.0, 2.0, 0.0, 1.0, 2.0)
+    var b1 = 0.0; var b2 = 0.0
+    for (_ <- 1 to CoxIters) {
+      var u1 = 0.0; var u2 = 0.0
+      var i11 = 0.0; var i12 = 0.0; var i22 = 0.0
+      rows.foreach { case (ds, ns) =>
+        var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+        var q11 = 0.0; var q12 = 0.0; var q22 = 0.0
+        var d = 0L; var dx1 = 0L; var dx2 = 0L
+        var gi = 0
+        while (gi < 6) {
+          val e = ns(gi).toDouble * math.exp(b1 * x1g(gi) + b2 * x2g(gi))
+          s0 += e; s1 += x1g(gi) * e; s2 += x2g(gi) * e
+          q11 += x1g(gi) * x1g(gi) * e
+          q12 += x1g(gi) * x2g(gi) * e
+          q22 += x2g(gi) * x2g(gi) * e
+          d += ds(gi)
+          dx1 += ds(gi) * (gi / 3).toLong
+          dx2 += ds(gi) * (gi % 3).toLong
+          gi += 1
+        }
+        u1 += dx1.toDouble - d.toDouble * s1 / s0
+        u2 += dx2.toDouble - d.toDouble * s2 / s0
+        i11 += d.toDouble * (q11 / s0 - (s1 / s0) * (s1 / s0))
+        i12 += d.toDouble * (q12 / s0 - (s1 / s0) * (s2 / s0))
+        i22 += d.toDouble * (q22 / s0 - (s2 / s0) * (s2 / s0))
+      }
+      val det = i11 * i22 - i12 * i12
+      if (det > 0) {
+        val nb1 = b1 + (i22 * u1 - i12 * u2) / det
+        val nb2 = b2 + (i11 * u2 - i12 * u1) / det
+        b1 = nb1; b2 = nb2
+      }
+    }
+    import s.implicits._
+    Seq((rows.length.toLong,
+      rows.map(_._1.sum).sum,
+      math.floor(1e6 * b1).toLong, math.floor(1e6 * b2).toLong,
+      math.floor(1e6 * math.exp(b1)).toLong,
+      math.floor(1e6 * math.exp(b2)).toLong))
+      .toDF("n_times", "d_total", "beta1_e6", "beta2_e6",
+        "hr1_e6", "hr2_e6")
+  }
+
+  private def q327(s: SparkSession, dir: String): DataFrame =
+    coxTwoCovariates(Tables.events(s, dir), "purchase",
+      u => pmod(u, lit(2L)), u => pmod(u, lit(3L)))
+
+  private val q327Sql = {
+    // per-pattern moment factors: pattern g = x1*3 + x2
+    def eg(b1: String, b2: String, gi: Int) =
+      s"exp($b1 * ${gi / 3}.0 + $b2 * ${gi % 3}.0)"
+    def mom(b1: String, b2: String, f: Int => String) =
+      (0 to 5).map(gi => s"CAST(n$gi AS DOUBLE) * ${f(gi)}")
+        .mkString(" + ")
+    val step = (i: Int) => {
+      val b1 = s"w${i - 1}.b1"; val b2 = s"w${i - 1}.b2"
+      def fold(term: String, as: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list($term ORDER BY t)), (acc, x) -> acc + x) AS $as"""
+          .stripMargin
+      s"""p$i AS (
+         |  SELECT t, $b1 AS b1, $b2 AS b2,
+         |    ${(0 to 5).map(gi => s"d$gi").mkString(" + ")} AS d,
+         |    ${(0 to 5).map(gi => s"d$gi * ${gi / 3}").mkString(" + ")}
+         |      AS dx1,
+         |    ${(0 to 5).map(gi => s"d$gi * ${gi % 3}").mkString(" + ")}
+         |      AS dx2,
+         |    ${mom(b1, b2, gi => eg(b1, b2, gi))} AS s0,
+         |    ${mom(b1, b2, gi => s"${gi / 3}.0 * ${eg(b1, b2, gi)}")}
+         |      AS s1,
+         |    ${mom(b1, b2, gi => s"${gi % 3}.0 * ${eg(b1, b2, gi)}")}
+         |      AS s2,
+         |    ${mom(b1, b2,
+              gi => s"${gi / 3}.0 * ${gi / 3}.0 * ${eg(b1, b2, gi)}")}
+         |      AS q11,
+         |    ${mom(b1, b2,
+              gi => s"${gi / 3}.0 * ${gi % 3}.0 * ${eg(b1, b2, gi)}")}
+         |      AS q12,
+         |    ${mom(b1, b2,
+              gi => s"${gi % 3}.0 * ${gi % 3}.0 * ${eg(b1, b2, gi)}")}
+         |      AS q22
+         |  FROM risk CROSS JOIN w${i - 1}),
+         |w$i AS MATERIALIZED (
+         |  SELECT CASE WHEN det > 0
+         |      THEN b1 + (i22 * u1 - i12 * u2) / det ELSE b1 END AS b1,
+         |    CASE WHEN det > 0
+         |      THEN b2 + (i11 * u2 - i12 * u1) / det ELSE b2 END AS b2
+         |  FROM (
+         |    SELECT b1, b2, u1, u2, i11, i12, i22,
+         |      i11 * i22 - i12 * i12 AS det
+         |    FROM (
+         |      SELECT b1, b2,
+         |      ${fold("CAST(dx1 AS DOUBLE) - CAST(d AS DOUBLE) * s1 / s0",
+                "u1")},
+         |      ${fold("CAST(dx2 AS DOUBLE) - CAST(d AS DOUBLE) * s2 / s0",
+                "u2")},
+         |      ${fold("CAST(d AS DOUBLE) * (q11 / s0 - (s1 / s0) * (s1 / s0))",
+                "i11")},
+         |      ${fold("CAST(d AS DOUBLE) * (q12 / s0 - (s1 / s0) * (s2 / s0))",
+                "i12")},
+         |      ${fold("CAST(d AS DOUBLE) * (q22 / s0 - (s2 / s0) * (s2 / s0))",
+                "i22")}
+         |      FROM p$i GROUP BY b1, b2)))""".stripMargin
+    }
+    val dCols = (0 to 5).map(gi =>
+      s"""CAST(sum(CASE WHEN g = $gi THEN ev ELSE 0 END) AS BIGINT)
+         |    AS d$gi""".stripMargin).mkString(",\n  ")
+    val lCols = (0 to 5).map(gi =>
+      s"""CAST(sum(CASE WHEN g = $gi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS l$gi""".stripMargin).mkString(",\n  ")
+    val mCols = (0 to 5).map(gi =>
+      s"""CAST(sum(CASE WHEN g = $gi THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS m$gi""".stripMargin).mkString(",\n  ")
+    val nCols = (0 to 5).map(gi =>
+      s"""m$gi - COALESCE(sum(l$gi) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS n$gi""".stripMargin).mkString(",\n  ")
+    s"""WITH u AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+       |      AS tp,
+       |    max(epoch_us(ts)) AS tmax_u
+       |  FROM events GROUP BY user_id),
+       |e AS (SELECT max(tmax_u) AS tend FROM u),
+       |durs AS (
+       |  SELECT (user_id % 2) * 3 + (user_id % 3) AS g,
+       |    CAST(CASE WHEN tp IS NOT NULL
+       |      THEN floor((tp - t0) / 3600000000)
+       |      ELSE floor((tend - t0) / 3600000000) END AS BIGINT) AS t,
+       |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+       |  FROM u CROSS JOIN e),
+       |hist AS (
+       |  SELECT t,
+       |  $dCols,
+       |  $lCols
+       |  FROM durs GROUP BY t),
+       |tot AS (
+       |  SELECT
+       |  $mCols
+       |  FROM durs),
+       |risk AS MATERIALIZED (
+       |  SELECT t, d0, d1, d2, d3, d4, d5,
+       |  $nCols
+       |  FROM hist CROSS JOIN tot
+       |  WHERE d0 + d1 + d2 + d3 + d4 + d5 > 0),
+       |w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b1, CAST(0.0 AS DOUBLE) AS b2),
+       |${(1 to CoxIters).map(step).mkString(",\n")}
+       |SELECT (SELECT count(*) FROM risk) AS n_times,
+       |  (SELECT CAST(sum(d0 + d1 + d2 + d3 + d4 + d5) AS BIGINT)
+       |    FROM risk) AS d_total,
+       |  CAST(floor(1e6 * b1) AS BIGINT) AS beta1_e6,
+       |  CAST(floor(1e6 * b2) AS BIGINT) AS beta2_e6,
+       |  CAST(floor(1e6 * exp(b1)) AS BIGINT) AS hr1_e6,
+       |  CAST(floor(1e6 * exp(b2)) AS BIGINT) AS hr2_e6
+       |FROM w$CoxIters""".stripMargin
+  }
+
   // ==== q323: Aalen–Johansen competing-risks cumulative incidence ============
   //
   // What "1 − KM per cause" gets WRONG (it over-counts when another
@@ -5151,6 +5377,7 @@ object EventsOps {
     QueryDef("q324_odds_ratio", q324, Some(q324Sql)),
     QueryDef("q323_aalen_johansen", q323, Some(q323Sql)),
     QueryDef("q322_cox_binary", q322, Some(q322Sql)),
+    QueryDef("q327_cox_two_covariates", q327, Some(q327Sql)),
     QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),
     QueryDef("q317_page_hinkley", q317, Some(q317Sql)),
     QueryDef("q315_turning_points", q315, Some(q315Sql)),
