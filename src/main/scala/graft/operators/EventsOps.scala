@@ -5169,6 +5169,164 @@ object EventsOps {
        |FROM w$CoxIters""".stripMargin
   }
 
+  // ==== q328: Harrell's concordance index ======================================
+  //
+  // The EVALUATION metric for everything the survival shelf fits (q229
+  // KM, q322/q327 Cox, q288 hazards): does a risk score actually order
+  // who converts sooner? C = P(higher score → earlier event) over
+  // usable pairs — pair (i, j) is usable when t_i < t_j and i had the
+  // EVENT (tied times excluded, the standard Harrell convention);
+  // concordant when p_i > p_j, score ties count ½. On a SMALL-DOMAIN
+  // predictor the whole computation collapses to a self-join of the
+  // (duration, event, score) histogram — (hours × 2 × |scores|)² rows,
+  // never corpus pairs — and every count is an exact integer product;
+  // ONE division renders C.
+
+  /** One row: (n_usable, n_concordant, n_score_ties, c_index) for
+    * time-to-first-`eventType`; the risk score is the user's capped
+    * total event count (activity predicts conversion). */
+  def concordanceIndex(events: DataFrame, eventType: String,
+      scoreCap: Int): DataFrame = {
+    val byUser = events.groupBy(col("user_id")).agg(
+      min(unix_micros(col("ts"))).as("t0"),
+      min(when(col("event_type") === eventType, unix_micros(col("ts"))))
+        .as("tp"),
+      max(unix_micros(col("ts"))).as("tmax_u"),
+      count(lit(1)).as("n_ev"))
+    val end = broadcast(byUser.agg(max(col("tmax_u")).as("tend")))
+    val durs = byUser.crossJoin(end).select(
+      least(expr("n_ev div 25"), lit(scoreCap.toLong)).as("p"),
+      when(col("tp").isNotNull,
+        floor((col("tp") - col("t0")) / lit(3600000000L)))
+        .otherwise(floor((col("tend") - col("t0")) / lit(3600000000L)))
+        .cast("long").as("t"),
+      when(col("tp").isNotNull, 1L).otherwise(0L).as("ev"))
+    val hist = durs.groupBy(col("t"), col("ev"), col("p"))
+      .agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val a = hist.toDF("ta", "eva", "pa", "ca").where(col("eva") === 1L)
+    val b = hist.toDF("tb", "evb", "pb", "cb")
+    val pairs = a.join(b, col("ta") < col("tb"))
+      .agg(sum(col("ca") * col("cb")).as("n_usable"),
+        sum(when(col("pa") > col("pb"), col("ca") * col("cb"))
+          .otherwise(0L)).as("n_concordant"),
+        sum(when(col("pa") === col("pb"), col("ca") * col("cb"))
+          .otherwise(0L)).as("n_score_ties"))
+    pairs.select(col("n_usable"), col("n_concordant"),
+      col("n_score_ties"),
+      QueryDef.dec4((lit(2L) * col("n_concordant") +
+        col("n_score_ties")).cast("double") /
+        (lit(2L) * col("n_usable")).cast("double")).as("c_index"))
+  }
+
+  private def q328(s: SparkSession, dir: String): DataFrame =
+    concordanceIndex(Tables.events(s, dir), "purchase", scoreCap = 9)
+
+  private val q328Sql =
+    """WITH u AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t0,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      AS tp,
+      |    max(epoch_us(ts)) AS tmax_u, count(*) AS n_ev
+      |  FROM events GROUP BY user_id),
+      |e AS (SELECT max(tmax_u) AS tend FROM u),
+      |durs AS (
+      |  SELECT least(n_ev // 25, 9) AS p,
+      |    CAST(CASE WHEN tp IS NOT NULL
+      |      THEN floor((tp - t0) / 3600000000)
+      |      ELSE floor((tend - t0) / 3600000000) END AS BIGINT) AS t,
+      |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u CROSS JOIN e),
+      |hist AS (SELECT t, ev, p, count(*) AS cnt FROM durs GROUP BY 1, 2, 3),
+      |pairs AS (
+      |  SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS n_usable,
+      |    CAST(sum(CASE WHEN a.p > b.p THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS n_concordant,
+      |    CAST(sum(CASE WHEN a.p = b.p THEN a.cnt * b.cnt ELSE 0 END)
+      |      AS BIGINT) AS n_score_ties
+      |  FROM hist a JOIN hist b ON a.t < b.t AND a.ev = 1)
+      |SELECT n_usable, n_concordant, n_score_ties,
+      |  CAST(CAST(CAST(2 * n_concordant + n_score_ties AS DOUBLE)
+      |    / CAST(2 * n_usable AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR)
+      |    AS c_index
+      |FROM pairs""".stripMargin
+
+  // ==== q331: Qini uplift curve ================================================
+  //
+  // The causal-shelf EVALUATION metric (q254 CUPED, q276 IPW, q261 ATT
+  // estimate effects; Qini ranks a TARGETING score by them): descending
+  // down the score, the cumulative incremental conversions
+  // qini(s) = conv_T(s) − conv_C(s)·n_T(s)/n_C(s) — a random score
+  // hugs 0, a good one bows upward. Treatment = user parity (the q322
+  // randomization stand-in), score = capped activity. The score domain
+  // is small and declared, so the curve is a window over ≤|scores|
+  // rows; per-score counts are one corpus groupBy. qini ⌊10⁶·⌋-floors
+  // the ONE double expression per score row.
+
+  /** Per score s (descending): cumulative (n_t, n_c, conv_t, conv_c,
+    * qini_micro) for users with score ≥ s. */
+  def qiniCurve(events: DataFrame, eventType: String, scoreCap: Int)
+      : DataFrame = {
+    val byUser = events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_ev"),
+      max(when(col("event_type") === eventType, 1L).otherwise(0L))
+        .as("y"))
+    val scored = byUser.select(
+      least(expr("n_ev div 25"), lit(scoreCap.toLong)).as("s"),
+      pmod(col("user_id"), lit(2L)).as("w"), col("y"))
+    val perScore = scored.groupBy(col("s")).agg(
+      sum(col("w")).as("t"), sum(lit(1L) - col("w")).as("c"),
+      sum(col("w") * col("y")).as("ty"),
+      sum((lit(1L) - col("w")) * col("y")).as("cy"))
+    val w = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    def dd(c: Column) = c.cast("double")
+    perScore
+      .withColumn("n_t", sum(col("t")).over(w))
+      .withColumn("n_c", sum(col("c")).over(w))
+      .withColumn("conv_t", sum(col("ty")).over(w))
+      .withColumn("conv_c", sum(col("cy")).over(w))
+      .select(col("s"), col("n_t"), col("n_c"), col("conv_t"),
+        col("conv_c"),
+        when(col("n_c") > 0,
+          floor(lit(1e6) * (dd(col("conv_t")) -
+            dd(col("conv_c")) * dd(col("n_t")) / dd(col("n_c"))))
+            .cast("long")).as("qini_micro"))
+      .orderBy(col("s").desc)
+  }
+
+  private def q331(s: SparkSession, dir: String): DataFrame =
+    qiniCurve(Tables.events(s, dir), "purchase", scoreCap = 9)
+
+  private val q331Sql =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |scored AS (
+      |  SELECT least(n_ev // 25, 9) AS s, user_id % 2 AS w, y FROM u),
+      |per AS (
+      |  SELECT s, CAST(sum(w) AS BIGINT) AS t,
+      |    CAST(sum(1 - w) AS BIGINT) AS c,
+      |    CAST(sum(w * y) AS BIGINT) AS ty,
+      |    CAST(sum((1 - w) * y) AS BIGINT) AS cy
+      |  FROM scored GROUP BY s),
+      |cum AS (
+      |  SELECT s,
+      |    CAST(sum(t) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_t,
+      |    CAST(sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS n_c,
+      |    CAST(sum(ty) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_t,
+      |    CAST(sum(cy) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS BIGINT) AS conv_c
+      |  FROM per)
+      |SELECT s, n_t, n_c, conv_t, conv_c,
+      |  CASE WHEN n_c > 0 THEN CAST(floor(1e6 * (CAST(conv_t AS DOUBLE)
+      |    - CAST(conv_c AS DOUBLE) * CAST(n_t AS DOUBLE)
+      |      / CAST(n_c AS DOUBLE))) AS BIGINT) END AS qini_micro
+      |FROM cum ORDER BY s DESC""".stripMargin
+
   // ==== q323: Aalen–Johansen competing-risks cumulative incidence ============
   //
   // What "1 − KM per cause" gets WRONG (it over-counts when another
@@ -5378,6 +5536,8 @@ object EventsOps {
     QueryDef("q323_aalen_johansen", q323, Some(q323Sql)),
     QueryDef("q322_cox_binary", q322, Some(q322Sql)),
     QueryDef("q327_cox_two_covariates", q327, Some(q327Sql)),
+    QueryDef("q328_concordance_index", q328, Some(q328Sql)),
+    QueryDef("q331_qini_curve", q331, Some(q331Sql)),
     QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),
     QueryDef("q317_page_hinkley", q317, Some(q317Sql)),
     QueryDef("q315_turning_points", q315, Some(q315Sql)),

@@ -348,9 +348,11 @@ object Graph {
   // the (v,w) pair) are both hash-balanced; no node's task grows with its
   // raw degree.
 
-  /** Per-node triangle counts over undirected `edges` (cols a, b; any
-    * duplicates / orderings / self-loops are canonicalized away). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** The degree-ordered kernel shared by q134/q312/q334: canonical
+    * undirected edges plus each triangle enumerated exactly once as
+    * (u, v, w). */
+  private def orientedTriangles(edges: DataFrame)
+      : (DataFrame, DataFrame) = {
     val e = edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
@@ -378,6 +380,13 @@ object Graph {
       .select(col("src").as("u"), col("v"), col("w"))
     val tris = wedges.join(
       oriented.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    (e, tris.select(col("u"), col("v"), col("w")))
+  }
+
+  /** Per-node triangle counts over undirected `edges` (cols a, b; any
+    * duplicates / orderings / self-loops are canonicalized away). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val (_, tris) = orientedTriangles(edges)
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
@@ -396,6 +405,64 @@ object Graph {
     triangleCounts(edges)
       .orderBy(col("n_triangles").desc, col("node")).limit(20)
   }
+
+  // ==== q334: edge embeddedness + local bridges ================================
+  //
+  // The per-EDGE tie-strength signal (Granovetter; Easley–Kleinberg ch. 3)
+  // the node-level q134/q312 can't express: embeddedness(a,b) = common
+  // neighbors of a and b = triangles THROUGH the edge; an edge with
+  // embeddedness 0 is a LOCAL BRIDGE — the weak tie whose removal
+  // lengthens every a↔b path, the classic community-boundary detector.
+  // Reuses the degree-ordered triangle kernel (each triangle found once,
+  // wedge fan-out √m-bounded), explodes each triangle to its three
+  // canonical edges, and left-joins back so bridges surface as 0 — the
+  // histogram is integer-exact, no floats anywhere.
+
+  /** (embeddedness, n_edges) histogram over undirected `edges`
+    * (cols a, b); the embeddedness-0 row counts the local bridges. */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    val (e, tris) = orientedTriangles(edges)
+    val triEdges = tris.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    e.join(triEdges, Seq("a", "b"), "left")
+      .select(coalesce(col("cn"), lit(0L)).as("embeddedness"))
+      .groupBy(col("embeddedness")).agg(count(lit(1)).as("n_edges"))
+      .orderBy(col("embeddedness"))
+  }
+
+  private def q334(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+      .where(col("l_partkey") % 3 === 0)
+    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
+      .select(col("a"), col("b"))
+    edgeEmbeddedness(edges)
+  }
+
+  private val q334Sql =
+    """WITH li AS (
+      |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 3 = 0),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM li a JOIN li b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |cn AS (
+      |  SELECT e.a, e.b, count(*) AS cn
+      |  FROM e JOIN adj x ON x.u = e.a JOIN adj y
+      |    ON y.u = e.b AND y.v = x.v
+      |  GROUP BY e.a, e.b)
+      |SELECT coalesce(cn.cn, 0) AS embeddedness, count(*) AS n_edges
+      |FROM e LEFT JOIN cn ON cn.a = e.a AND cn.b = e.b
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ==== q312: local clustering coefficient ===================================
   //
@@ -1651,6 +1718,7 @@ object Graph {
     QueryDef("q124_kfold", q124, Some(q124Sql)),
     QueryDef("q134_triangles", q134, Some(q134Sql)),
     QueryDef("q312_clustering_coef", q312, Some(q312Sql)),
+    QueryDef("q334_edge_embeddedness", q334, Some(q334Sql)),
     QueryDef("q146_hierarchy_closure", q146, Some(q146Sql)),
     QueryDef("q153_label_propagation", q153, Some(q153Sql)))
 }

@@ -2699,6 +2699,304 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS t
       |FROM s""".stripMargin
 
+  // ==== q329: Anderson–Darling two-sample ======================================
+  //
+  // The TAIL-weighted member completing the CDF-gap family (KS = max
+  // gap, CvM = integrated square, W1 = integrated absolute, energy =
+  // pairwise): AD divides each squared gap by H(1−H), so discrepancies
+  // in the distribution's tails — exactly where a contamination or
+  // truncation bug hides — count hardest. Pettitt's two-sample form on
+  // the distinct-value histogram (ties collapsed per distinct value at
+  // its group-end pooled rank, cnt-weighted; exact = the positional
+  // formula whenever values are distinct): A² = (1/(n·m)) Σ_{v, k<N}
+  // cnt·(CA·N − k·n)² / (k·(N−k)). The cross-multiplied numerator and
+  // the k(N−k) denominator are exact DECIMAL integers; each row's term
+  // is ONE double expression ⌊10⁶·⌋-floored (the log-rank micro-unit
+  // rule — identical operand order both engines), so the sum is an
+  // exact integer and ONE division renders A².
+
+  /** One row: (n_a, n_b, a2) — two-sample Anderson–Darling A² of
+    * `colName` between `sideA` rows and the rest. */
+  def andersonDarling(df: DataFrame, colName: String, sideA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        counts, Seq(col("v")), col("ca"), outName = "pa"),
+      Seq(col("v")), col("cb"), outName = "pb")
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val terms = scanned.crossJoin(totals)
+      .withColumn("k", col("pa") + col("ca") + col("pb") + col("cb"))
+      .withColumn("nn", col("na") + col("nb"))
+      .where(col("k") < col("nn"))
+      .withColumn("diff",
+        dec(col("pa") + col("ca")) * col("nn") - dec(col("k")) * col("na"))
+      .withColumn("den", dec(col("k")) * (col("nn") - col("k")))
+      .select(col("na"), col("nb"),
+        floor(lit(1e6) * dd(col("ca") + col("cb")) * dd(col("diff")) *
+          dd(col("diff")) / dd(col("den"))).cast("long").as("t6"))
+    terms.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("t6")).as("num"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          col("num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              lit(1e6))).as("a2"))
+  }
+
+  private def q329(s: SparkSession, dir: String): DataFrame =
+    andersonDarling(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+      "cents", col("event_id") % 2 === 0)
+      .select(col("n_a"), col("n_b"), QueryDef.dec4(col("a2")).as("a2"))
+
+  private val q329Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cuma,
+      |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS cumb
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+      |terms AS (
+      |  SELECT na, nb,
+      |    CAST(floor(1e6 * CAST(ca + cb AS DOUBLE)
+      |      * CAST(CAST(cuma AS HUGEINT) * (na + nb)
+      |          - CAST(cuma + cumb AS HUGEINT) * na AS DOUBLE)
+      |      * CAST(CAST(cuma AS HUGEINT) * (na + nb)
+      |          - CAST(cuma + cumb AS HUGEINT) * na AS DOUBLE)
+      |      / CAST(CAST(cuma + cumb AS HUGEINT)
+      |          * (na + nb - cuma - cumb) AS DOUBLE)) AS BIGINT) AS t6
+      |  FROM cdf CROSS JOIN t
+      |  WHERE cuma + cumb < na + nb)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(CAST(CASE WHEN na > 0 AND nb > 0
+      |    THEN CAST(sum(t6) AS DOUBLE)
+      |      / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * 1e6) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS a2
+      |FROM terms GROUP BY na, nb""".stripMargin
+
+  // ==== q330: Jarque–Bera normality statistic ==================================
+  //
+  // The normality TEST the descriptive-moments query (q163) stops short
+  // of: JB = n/6·(g1² + (g2−3)²/4) from the skewness g1 = m3/(m2·√m2)
+  // and kurtosis g2 = m4/m2² — near 0 for Gaussian data, large under
+  // skew or heavy tails (statistic, not p-value — the q197/q213 rule).
+  // Raw power sums are exact DECIMAL integers per group; the central-
+  // moment chain is ONE double expression per GROUP row written
+  // operand-for-operand in both engines, with m2^1.5 spelled m2·√m2
+  // (sqrt is correctly-rounded IEEE in both engines; pow is not).
+
+  /** Per group: (grp, n, skew_g1, kurt_g2, jb). */
+  def jarqueBera(df: DataFrame, colName: String, grpCol: String)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val m = df.select(col(grpCol).as("grp"), col(colName).as("v"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s1"),
+        sum(dec(col("v")) * col("v")).as("s2"),
+        sum(dec(col("v")) * col("v") * col("v")).as("s3"),
+        sum(dec(col("v")) * col("v") * col("v") * col("v")).as("s4"))
+    val mean = dd(col("s1")) / dd(col("n"))
+    val m2 = dd(col("s2")) / dd(col("n")) - mean * mean
+    val m3 = dd(col("s3")) / dd(col("n")) -
+      lit(3.0) * mean * (dd(col("s2")) / dd(col("n"))) +
+      lit(2.0) * mean * mean * mean
+    val m4 = dd(col("s4")) / dd(col("n")) -
+      lit(4.0) * mean * (dd(col("s3")) / dd(col("n"))) +
+      lit(6.0) * mean * mean * (dd(col("s2")) / dd(col("n"))) -
+      lit(3.0) * mean * mean * mean * mean
+    val g1 = m3 / (m2 * sqrt(m2))
+    val g2 = m4 / (m2 * m2)
+    m.select(col("grp"), col("n"), g1.as("skew_g1"), g2.as("kurt_g2"),
+      (dd(col("n")) / lit(6.0) *
+        (g1 * g1 + (g2 - lit(3.0)) * (g2 - lit(3.0)) / lit(4.0))).as("jb"))
+  }
+
+  private def q330(s: SparkSession, dir: String): DataFrame =
+    jarqueBera(Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "cents", "event_type")
+      .select(col("grp").as("event_type"), col("n"),
+        QueryDef.dec4(col("skew_g1")).as("skew_g1"),
+        QueryDef.dec4(col("kurt_g2")).as("kurt_g2"),
+        QueryDef.dec4(col("jb")).as("jb"))
+      .orderBy(col("event_type"))
+
+  private val q330Sql =
+    """WITH m AS (
+      |  SELECT event_type AS grp, count(*) AS n,
+      |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)) AS s1,
+      |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS s2,
+      |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS s3,
+      |    sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT)
+      |      * CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)
+      |      * CAST(round(value * 100) AS BIGINT)) AS s4
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT grp, n,
+      |    CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+      |    CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+      |    CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+      |    CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      |  FROM m),
+      |g AS (
+      |  SELECT grp, n,
+      |    (r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean)
+      |      / ((r2 - mean * mean) * sqrt(r2 - mean * mean)) AS g1,
+      |    (r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+      |        - 3.0 * mean * mean * mean * mean)
+      |      / ((r2 - mean * mean) * (r2 - mean * mean)) AS g2
+      |  FROM c)
+      |SELECT grp AS event_type, n,
+      |  CAST(CAST(g1 AS DECIMAL(38,4)) AS VARCHAR) AS skew_g1,
+      |  CAST(CAST(g2 AS DECIMAL(38,4)) AS VARCHAR) AS kurt_g2,
+      |  CAST(CAST(CAST(n AS DOUBLE) / 6.0
+      |    * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS jb
+      |FROM g ORDER BY event_type""".stripMargin
+
+  // ==== q332: fixed-grid Gaussian KDE ==========================================
+  //
+  // The smoothed-density face of the distribution shelf (q44/q113 give
+  // quantile buckets; the KDE gives the SHAPE dashboards plot): density
+  // at 64 declared grid points, Gaussian kernel, bandwidth h. Exactness
+  // by integerized kernel mass (the engine's floor discipline): per
+  // (grid point, distinct value) the kernel weight ⌊10⁹·e^(−z²/2)⌋ is
+  // ONE double expression floored to a long, multiplied by the exact
+  // value count and summed as integers — the output column is an exact
+  // BIGINT both engines hash identically, no double sums anywhere.
+  // Scale shape: grid(64) × distinct-value histogram — a broadcast
+  // cross of a constant against a value-domain table, never corpus².
+
+  /** Per grid point i: (i, g, mass9) with mass9 = Σ_v cnt_v·⌊10⁹·
+    * K((g−v)/h)⌋. */
+  def gridKde(df: DataFrame, colName: String, lo: Long, step: Long,
+      points: Int, h: Double): DataFrame = {
+    val counts = df.groupBy(col(colName).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val grid = df.sparkSession.range(points)
+      .select(col("id").as("i"), (lit(lo) + col("id") * step).as("g"))
+    def dd(c: Column) = c.cast("double")
+    val z = (dd(col("g")) - dd(col("v"))) / lit(h)
+    counts.crossJoin(broadcast(grid))
+      .select(col("i"), col("g"),
+        (col("cnt") * floor(lit(1e9) * exp(lit(-1.0) * z * z / lit(2.0)))
+          .cast("long")).as("k9"))
+      .groupBy(col("i"), col("g"))
+      .agg(sum(col("k9")).as("mass9"))
+      .orderBy(col("i"))
+  }
+
+  private def q332(s: SparkSession, dir: String): DataFrame =
+    gridKde(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents")),
+      "cents", lo = 0L, step = 160L, points = 64, h = 500.0)
+
+  private val q332Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v, count(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |grid AS (
+      |  SELECT CAST(i AS BIGINT) AS i, CAST(0 + i * 160 AS BIGINT) AS g
+      |  FROM range(64) t(i))
+      |SELECT i, g,
+      |  CAST(sum(cnt * CAST(floor(1e9 * exp(-1.0
+      |    * ((CAST(g AS DOUBLE) - CAST(v AS DOUBLE)) / 500.0)
+      |    * ((CAST(g AS DOUBLE) - CAST(v AS DOUBLE)) / 500.0)
+      |    / 2.0)) AS BIGINT)) AS BIGINT) AS mass9
+      |FROM counts CROSS JOIN grid
+      |GROUP BY i, g ORDER BY i""".stripMargin
+
+  // ==== q333: Grubbs max-studentized-deviate ===================================
+  //
+  // The single-outlier TEST statistic completing the outlier shelf
+  // (q118 MAD flags by robust distance, q200 by rolling window, q219 by
+  // density — Grubbs G = max|x−x̄|/s is the classical judgement of "is
+  // the single most extreme point surprising under normality"): per
+  // group, G in micro units plus the value attaining it. Per-row
+  // deviate is ONE double expression ⌊10⁶·⌋-floored off exact integer
+  // (n, Σx, Σx²); the argmax is the integer pair max (g_micro, v) —
+  // ties resolve to the larger value, identically in both engines.
+
+  /** Per group: (grp, n, g_micro, v_at). */
+  def grubbsStatistic(df: DataFrame, colName: String, grpCol: String)
+      : DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val vals = df.select(col(grpCol).as("grp"), col(colName).as("v"))
+    val m = vals.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("v"))).as("s1"),
+        sum(dec(col("v")) * col("v")).as("s2"))
+    val mean = dd(col("s1")) / dd(col("n"))
+    val sd = sqrt((dd(col("n")) * dd(col("s2")) -
+      dd(col("s1")) * dd(col("s1"))) /
+      (dd(col("n")) * (dd(col("n")) - lit(1.0))))
+    vals.join(broadcast(m), Seq("grp"))
+      .select(col("grp"), col("n"),
+        floor(lit(1e6) * abs(dd(col("v")) - mean) / sd).cast("long")
+          .as("g6"), col("v"))
+      .groupBy(col("grp").as("grp"), col("n"))
+      .agg(max(struct(col("g6"), col("v"))).as("top"))
+      .select(col("grp"), col("n"), col("top.g6").as("g_micro"),
+        col("top.v").as("v_at"))
+  }
+
+  private def q333(s: SparkSession, dir: String): DataFrame =
+    grubbsStatistic(Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "cents", "event_type")
+      .select(col("grp").as("event_type"), col("n"), col("g_micro"),
+        col("v_at"))
+      .orderBy(col("event_type"))
+
+  private val q333Sql =
+    """WITH v AS (
+      |  SELECT event_type AS grp,
+      |    CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |m AS (
+      |  SELECT grp, count(*) AS n,
+      |    CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s1,
+      |    CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      |  FROM v GROUP BY 1),
+      |d AS (
+      |  SELECT v.grp, m.n,
+      |    CAST(floor(1e6 * abs(CAST(v.v AS DOUBLE)
+      |        - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+      |          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+      |        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))))
+      |      AS BIGINT) AS g6, v.v
+      |  FROM v JOIN m ON v.grp = m.grp)
+      |SELECT grp AS event_type, n, max(g6) AS g_micro,
+      |  max(CASE WHEN g6 = mg THEN v END) AS v_at
+      |FROM (SELECT *, max(g6) OVER (PARTITION BY grp) AS mg FROM d)
+      |GROUP BY grp, n ORDER BY event_type""".stripMargin
+
   // ==== q285: energy distance =================================================
   //
   // The metric that sees LOCATION drift CvM normalizes away less of:
@@ -4057,6 +4355,10 @@ object Profiling {
     QueryDef("q286_cochran_q", q286, Some(q286Sql)),
     QueryDef("q285_energy_distance", q285, Some(q285Sql)),
     QueryDef("q284_cramer_von_mises", q284, Some(q284Sql)),
+    QueryDef("q329_anderson_darling", q329, Some(q329Sql)),
+    QueryDef("q330_jarque_bera", q330, Some(q330Sql)),
+    QueryDef("q332_grid_kde", q332, Some(q332Sql)),
+    QueryDef("q333_grubbs", q333, Some(q333Sql)),
     QueryDef("q281_anova_f", q281, Some(q281Sql)),
     QueryDef("q280_levene", q280, Some(q280Sql)),
     QueryDef("q279_mann_kendall", q279, Some(q279Sql)),

@@ -73,6 +73,20 @@ object DriftStreaming {
           (col("w1").cast("double") > threshold).as("alarm"))
     }
 
+  /** Anderson–Darling twin (B265s): per-batch tail-weighted CDF-gap
+    * statistic vs the reference — the alarm for contamination or
+    * truncation that concentrates in the tails, where KS/CvM/W1 weight
+    * least. Appends (batch_id, n_ref, n_batch, a2, alarm). */
+  def startAdMonitor(values: DataFrame, reference: DataFrame,
+      threshold: Double, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    startMonitor(values, reference, outPath, checkpoint) { (pooled, id) =>
+      graft.operators.Profiling.andersonDarling(pooled, "v", col("is_ref"))
+        .select(lit(id).as("batch_id"), col("n_a").as("n_ref"),
+          col("n_b").as("n_batch"), col("a2"),
+          (col("a2") > threshold).as("alarm"))
+    }
+
   /** Cramér–von Mises twin (B220s): per-batch integrated squared CDF gap
     * vs the reference — catches distributed many-small-gap drift KS
     * underweights. Appends (batch_id, n_ref, n_batch, t, alarm). */

@@ -69,6 +69,136 @@ class StatTestsR13Spec extends AnyFunSuite {
     assert(math.abs(b2 - (-0.6)) < 0.15, s"beta2=$b2 want ~-0.6")
   }
 
+  test("andersonDarling: positional-formula recompute on tie-free data, " +
+      "identical samples ~0, separation blows up") {
+    // tie-free: the distinct-value collapse IS Pettitt's positional form
+    val xs = Seq(3L, 10L, 24L, 41L, 77L)
+    val ys = Seq(6L, 15L, 33L, 58L)
+    val df = (xs.map((_, true)) ++ ys.map((_, false)))
+      .toDF("v", "is_a")
+    val got = Profiling.andersonDarling(df, "v", col("is_a"))
+      .select("a2").head().getDouble(0)
+    val pooled = (xs.map((_, 1)) ++ ys.map((_, 0))).sortBy(_._1)
+    val n = xs.size; val m = ys.size; val nn = n + m
+    var num = 0L
+    var mk = 0
+    (0 until nn - 1).foreach { k =>
+      mk += pooled(k)._2
+      val diff = (mk.toLong * nn - (k + 1).toLong * n).toDouble
+      num += math.floor(1e6 * 1.0 * diff * diff /
+        ((k + 1).toLong * (nn - k - 1)).toDouble).toLong
+    }
+    val naive = num.toDouble / (n.toDouble * m.toDouble * 1e6)
+    assert(got == naive, s"$got vs $naive")
+    // same distribution on both sides: small; disjoint: large
+    val same = (1L to 200L).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "is_a")
+    assert(Profiling.andersonDarling(same, "v", col("is_a"))
+      .select("a2").head().getDouble(0) < 0.1)
+    val apart = ((1L to 100L).map((_, true)) ++
+      (1000L to 1099L).map((_, false))).toDF("v", "is_a")
+    assert(Profiling.andersonDarling(apart, "v", col("is_a"))
+      .select("a2").head().getDouble(0) > 10.0)
+  }
+
+  test("jarqueBera: symmetric data scores ~0 skew; planted skew detected") {
+    // symmetric triangular-ish integers: g1 ~ 0, g2 < 3 (platykurtic)
+    val sym = ((-50L to 50L) ++ (-25L to 25L)).map(v => ("g", v))
+      .toDF("g", "v")
+    val r = Profiling.jarqueBera(sym, "v", "g")
+      .select("skew_g1", "kurt_g2", "jb").head()
+    assert(math.abs(r.getDouble(0)) < 1e-9, r.toString)
+    // one-sided tail: strong positive skew, JB far from 0
+    val skewed = ((1L to 100L) ++ Seq.fill(5)(1000L)).map(v => ("g", v))
+      .toDF("g", "v")
+    val r2 = Profiling.jarqueBera(skewed, "v", "g")
+      .select("skew_g1", "jb").head()
+    assert(r2.getDouble(0) > 2.0 && r2.getDouble(1) > 100.0, r2.toString)
+  }
+
+  test("gridKde: masses match the naive integerized kernel sum") {
+    val vs = Seq(100L, 100L, 250L, 900L)
+    val df = vs.toDF("v")
+    val got = Profiling.gridKde(df, "v", lo = 0L, step = 100L,
+      points = 12, h = 150.0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 12).foreach { i =>
+      val g = i * 100L
+      val naive = vs.groupBy(identity).map { case (v, g2) =>
+        val z = (g.toDouble - v.toDouble) / 150.0
+        g2.size.toLong * math.floor(1e9 * math.exp(-1.0 * z * z / 2.0)).toLong
+      }.sum
+      assert(got(i.toLong) == naive, s"grid $i")
+    }
+  }
+
+  test("grubbsStatistic: planted outlier is found with the right deviate") {
+    val vs = ((1L to 99L) :+ 10000L).map(v => ("g", v))
+    val r = Profiling.grubbsStatistic(vs.toDF("g", "v"), "v", "g")
+      .select("n", "g_micro", "v_at").head()
+    assert(r.getLong(0) == 100L && r.getLong(2) == 10000L)
+    val xs = vs.map(_._2.toDouble)
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+    assert(math.abs(r.getLong(1) / 1e6 - (10000.0 - mean) / sd) < 1e-3)
+  }
+
+  test("concordanceIndex via planted order: perfect predictor scores 1") {
+    // users convert at hour = 100 - score*10: higher score ⇒ earlier
+    // event count 2,32,62,92,122 → div-25 score 0..4; ≥2 events so every
+    // user's own t0 is the filler, not the purchase (duration > 0)
+    val users = (0L until 50L).map { u =>
+      (u, 100L - (u % 5) * 10L, (u % 5) * 30 + 2)
+    }
+    val t0 = 1700000000000L
+    val ev = users.flatMap { case (uid, hr, nev) =>
+      // nev-1 filler views at t0 then the purchase at t0+hr
+      (0L until (nev - 1)).map(k =>
+        (uid, new Timestamp(t0 + k), uid * 1000 + k, "view")) :+
+        ((uid, new Timestamp(t0 + hr * 3600000L), uid * 1000 + 999L,
+          "purchase"))
+    }.toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventsOps.concordanceIndex(ev, "purchase", scoreCap = 9)
+      .select("n_usable", "n_concordant", "c_index").head()
+    // 5 cohorts of 10 at distinct times: usable = C(5,2)*100 = 1000,
+    // all concordant (higher score strictly earlier)
+    assert(r.getLong(0) == 1000L && r.getLong(1) == 1000L, r.toString)
+    assert(r.getString(2) == "1.0000", r.toString)
+  }
+
+  test("qiniCurve: hand-computed two-score fixture") {
+    // score 1 (26+ events): treated convert 100%, control 0%
+    // score 0: nobody converts
+    val t0 = 1700000000000L
+    def mk(uid: Long, nev: Long, convert: Boolean) =
+      (0L until nev - 1).map(k =>
+        (uid, new Timestamp(t0 + k), uid * 1000 + k, "view")) :+
+        ((uid, new Timestamp(t0 + nev), uid * 1000 + 999L,
+          if (convert) "purchase" else "click"))
+    val ev = ((0L until 8L).flatMap(u => mk(u, 30, convert = u % 2 == 1)) ++
+      (8L until 16L).flatMap(u => mk(u, 5, convert = false)))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val rows = EventsOps.qiniCurve(ev, "purchase", scoreCap = 9)
+      .select("s", "n_t", "n_c", "conv_t", "conv_c", "qini_micro")
+      .collect()
+    assert(rows.length == 2)
+    val top = rows(0)
+    assert(top.getLong(0) == 1L && top.getLong(1) == 4L &&
+      top.getLong(2) == 4L && top.getLong(3) == 4L &&
+      top.getLong(4) == 0L && top.getLong(5) == 4000000L, top.toString)
+    val all = rows(1)
+    assert(all.getLong(1) == 8L && all.getLong(5) == 4000000L,
+      all.toString)
+  }
+
+  test("edgeEmbeddedness: hand graph — bridge at 0, triangle edges at 1") {
+    // K3 {1,2,3} plus a pendant bridge 3-4
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val got = Graph.edgeEmbeddedness(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1L, 1L -> 3L), got.toString)
+  }
+
   test("coxTwoCovariates: score vanishes at the fitted point") {
     // recompute U(beta-hat) naively from the risk sets; Newton converged
     // means both score components are ~0

@@ -685,6 +685,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(!cvmRows(0)._4 && cvmRows(1)._4, cvmRows.toSeq.toString)
   }
 
+  test("B265s: AD monitor — batch parity per micro-batch, tail shift alarms") {
+    val tmp = java.nio.file.Files.createTempDirectory("drift3").toString
+    val reference = (1L to 1000L).toDF("v").cache()
+    reference.count()
+    val batches = Seq(
+      (1L to 1000L by 10).toSeq,                       // in-distribution
+      ((1L to 900L by 10) ++ (5000L to 5090L)).toSeq)  // contaminated tail
+    val in = MemoryStream[Long](spark)
+    val q = DriftStreaming.startAdMonitor(in.toDF().toDF("v"), reference,
+      threshold = 2.0, outPath = s"$tmp/ad", checkpoint = s"$tmp/ck")
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val rows = spark.read.parquet(s"$tmp/ad")
+      .select("batch_id", "n_batch", "a2", "alarm")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val direct = graft.operators.Profiling.andersonDarling(
+        reference.select(col("v"), lit(true).as("is_ref")).unionByName(
+          b.toDF("v").select(col("v"), lit(false).as("is_ref"))),
+        "v", col("is_ref")).select(col("a2")).head().getDouble(0)
+      assert(rows(i)._3 == direct, s"ad batch $i: ${rows(i)._3} vs $direct")
+    }
+    assert(!rows(0)._4 && rows(1)._4, rows.toSeq.toString)
+  }
+
   test("B121: stream-stream interval join matches the batch pair set across batches") {
     val input = MemoryStream[(Timestamp, Long, Long, String, Double)](spark)
     val events = input.toDF()
