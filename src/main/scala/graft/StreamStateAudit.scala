@@ -44,7 +44,8 @@ object StreamStateAudit {
     // repartitionByRange on the time axis makes part index = time order,
     // so maxFilesPerTrigger=1 replays the set as an in-order stream.
     val events = Tables.events(spark, sfDir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
     val rawDir = s"$scratch/events"
     events.repartitionByRange(6, col("ts")).sortWithinPartitions(col("ts"))
       .write.parquet(rawDir)
@@ -98,6 +99,11 @@ object StreamStateAudit {
       ("kmv_distinct", (e: DataFrame) =>
         EventsStreaming.kmvDistinctStream(e, "event_type", "user_id", 256),
         nTypes, s"one sketch row per type = $nTypes"),
+      ("kll_quantile", (e: DataFrame) =>
+        EventsStreaming.kllQuantileStream(
+          e.withColumn("cents", round(col("value") * 100).cast("long")),
+          "event_type", "cents", 256),
+        nTypes, s"one KLL sketch row per type = $nTypes"),
       ("cusum", (h: DataFrame) =>
         EventsStreaming.cusumStream(h, cusumBaseline),
         nTypes, s"one (P,minP) row per type = $nTypes"),
