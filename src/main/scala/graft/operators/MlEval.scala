@@ -807,6 +807,63 @@ object MlEval {
        |FROM m""".stripMargin
   }
 
+  // ==== q335: log-loss (cross-entropy) =========================================
+  //
+  // The PROPER scoring rule q244's Brier complements (Brier is bounded
+  // and quadratic; log-loss is what classifier training minimizes, and
+  // it punishes confident mistakes unboundedly): −mean[y·ln p +
+  // (1−y)·ln(1−p)] over the q244 stopword-fraction confidence. p is
+  // milli-unit with ≤1001 distinct values, clipped to [1, 999]‰ (the
+  // standard ε-clip — ln 0 is the alternative), so the corpus collapses
+  // to a (s, y) histogram of ≤2002 rows; each row's ln is ONE double
+  // expression ⌊10⁶·⌋-floored and count-multiplied, the total an exact
+  // integer, one division at render.
+
+  /** One row: (n, n_pos, logloss) for the stopword-fraction confidence
+    * against boolean `label`. */
+  def logLoss(docs: DataFrame, label: String): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val hist = confidenceBase(docs, label)
+      .select(greatest(lit(1L), least(lit(999L), col("s"))).as("p"),
+        col("y"))
+      .groupBy(col("p"), col("y")).agg(count(lit(1)).as("cnt"))
+    hist
+      .select(col("cnt"), col("y"),
+        (col("cnt") * floor(lit(1e6) *
+          log(when(col("y") === 1L, dd(col("p")) / lit(1000.0))
+            .otherwise(lit(1.0) - dd(col("p")) / lit(1000.0))))
+          .cast("long")).as("t6"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt") * col("y")).as("n_pos"),
+        sum(col("t6")).as("num"))
+      .select(col("n"), col("n_pos"),
+        QueryDef.dec4(lit(-1.0) * col("num").cast("double") /
+          (col("n").cast("double") * lit(1e6))).as("logloss"))
+  }
+
+  private def q335(s: SparkSession, dir: String): DataFrame =
+    logLoss(Tables.documents(s, dir), "lang = 'en'")
+
+  private val q335Sql =
+    s"""WITH base AS (
+       |  $confidenceBaseSql),
+       |hist AS (
+       |  SELECT greatest(1, least(999, s)) AS p, y, count(*) AS cnt
+       |  FROM base GROUP BY 1, 2),
+       |t AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+       |    CAST(sum(cnt * y) AS BIGINT) AS n_pos,
+       |    CAST(sum(cnt * CAST(floor(1e6 * ln(CASE WHEN y = 1
+       |        THEN CAST(p AS DOUBLE) / 1000.0
+       |        ELSE 1.0 - CAST(p AS DOUBLE) / 1000.0 END)) AS BIGINT))
+       |      AS BIGINT) AS num
+       |  FROM hist)
+       |SELECT n, n_pos,
+       |  CAST(CAST(-1.0 * CAST(num AS DOUBLE)
+       |    / (CAST(n AS DOUBLE) * 1e6) AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS logloss
+       |FROM t""".stripMargin
+
   // ==== q245: isotonic (PAV) calibration over confidence bins ===============
   //
   // The FIX for what q244's ECE measures: fit the best monotone
@@ -1337,6 +1394,7 @@ object MlEval {
     QueryDef("q269_grouped_ndcg", q269, Some(q269Sql)),
     QueryDef("q245_isotonic_calibration", q245, Some(q245Sql)),
     QueryDef("q244_calibration_metrics", q244, Some(q244Sql)),
+    QueryDef("q335_log_loss", q335, Some(q335Sql)),
     QueryDef("q191_conformal", q191, Some(q191Sql)),
     QueryDef("q186_average_precision", q186, Some(q186Sql)),
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),

@@ -2792,6 +2792,127 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS a2
       |FROM terms GROUP BY na, nb""".stripMargin
 
+  // ==== q336: Ansari–Bradley scale test ========================================
+  //
+  // The SCALE (dispersion) two-sample test the location family misses:
+  // Mann–Whitney/KS see a median shift immediately, but two same-median
+  // distributions with different spread slip by; AB scores pooled rank
+  // i as a_i = min(i, N+1−i) — middle ranks score high, tails low — so
+  // a CONCENTRATED sample's score sum rises above its null expectation.
+  // On the distinct-value histogram a tied value spanning pooled
+  // positions [l+1, l+c] contributes the exact closed-form range sum
+  // S = Σ min(i, N+1−i) (split at m = (N+1) div 2 — all integers), and
+  // side A takes its share ca·S/c — ONE double expression per distinct
+  // value ⌊10⁶·⌋-floored (the log-rank micro rule). Emitted per-item:
+  // w_bar = W/n_a in micro units, beside the no-ties null per-item
+  // expectation ((N+2)/4 for even N, (N+1)²/(4N) odd) for reference.
+
+  /** One row: (n_a, n_b, w_bar_micro, e_bar_micro) — Ansari–Bradley
+    * mean score of the `sideA` rows vs the no-ties null expectation. */
+  def ansariBradley(df: DataFrame, colName: String, sideA: Column)
+      : DataFrame = {
+    val counts = df
+      .select(col(colName).as("v"), when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("v"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val scanned = graft.chunk.ChunkAssigner.withPrefixSum(
+      graft.chunk.ChunkAssigner.withPrefixSum(
+        counts, Seq(col("v")), col("ca"), outName = "pa"),
+      Seq(col("v")), col("cb"), outName = "pb")
+    val totals = broadcast(counts.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    // ascending-run sum over [x, y]: (x+y)(y−x+1)/2, 0 when empty
+    def sumTo(x: Column, y: Column): Column =
+      when(y >= x, dec(x + y) * (y - x + 1) / 2).otherwise(lit(0L))
+    val terms = scanned.crossJoin(totals)
+      .withColumn("nn", col("na") + col("nb"))
+      .withColumn("m", expr("(na + nb + 1) div 2"))
+      .withColumn("lo", col("pa") + col("pb") + 1L)
+      .withColumn("hi", col("pa") + col("pb") + col("ca") + col("cb"))
+      // S = Σ_{i=lo}^{hi} min(i, N+1−i), split at m
+      .withColumn("s_lo", sumTo(col("lo"), least(col("hi"), col("m"))))
+      .withColumn("s_hi",
+        when(col("hi") > col("m"),
+          dec(col("nn") + 1) *
+            (col("hi") - greatest(col("lo"), col("m") + 1) + 1) -
+            sumTo(greatest(col("lo"), col("m") + 1), col("hi")))
+          .otherwise(lit(0L)))
+      .select(col("na"), col("nb"),
+        floor(lit(1e6) * dd(dec(col("ca")) * (col("s_lo") + col("s_hi"))) /
+          dd(col("ca") + col("cb"))).cast("long").as("t6"))
+    terms.groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("t6")).as("w6"))
+      .select(col("n_a"), col("n_b"),
+        expr("w6 div n_a").as("w_bar_micro"),
+        when(pmod(col("n_a") + col("n_b"), lit(2L)) === 0L,
+          floor(lit(1e6) * dd(col("n_a") + col("n_b") + 2) / lit(4.0)))
+          .otherwise(floor(lit(1e6) *
+            dd(col("n_a") + col("n_b") + 1) *
+            dd(col("n_a") + col("n_b") + 1) /
+            (lit(4.0) * dd(col("n_a") + col("n_b")))))
+          .cast("long").as("e_bar_micro"))
+  }
+
+  private def q336(s: SparkSession, dir: String): DataFrame =
+    ansariBradley(Tables.events(s, dir)
+        .select(round(col("value") * 100).cast("long").as("cents"),
+          col("event_id")),
+      "cents", col("event_id") % 2 === 0)
+
+  private val q336Sql =
+    """WITH counts AS (
+      |  SELECT CAST(round(value * 100) AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS cb
+      |  FROM events GROUP BY 1),
+      |cdf AS (
+      |  SELECT v, ca, cb,
+      |    COALESCE(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pa,
+      |    COALESCE(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND 1 PRECEDING), 0) AS pb
+      |  FROM counts),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |  CAST(sum(cb) AS BIGINT) AS nb FROM counts),
+      |terms AS (
+      |  SELECT na, nb,
+      |    CAST(floor(1e6 * CAST(CAST(ca AS HUGEINT) * (
+      |      (CASE WHEN least(pa + pb + ca + cb, (na + nb + 1) // 2)
+      |          >= pa + pb + 1
+      |        THEN CAST(pa + pb + 1
+      |            + least(pa + pb + ca + cb, (na + nb + 1) // 2) AS HUGEINT)
+      |          * (least(pa + pb + ca + cb, (na + nb + 1) // 2)
+      |            - (pa + pb + 1) + 1) // 2
+      |        ELSE 0 END)
+      |      + (CASE WHEN pa + pb + ca + cb > (na + nb + 1) // 2
+      |        THEN CAST(na + nb + 1 AS HUGEINT)
+      |          * (pa + pb + ca + cb
+      |            - greatest(pa + pb + 1, (na + nb + 1) // 2 + 1) + 1)
+      |          - (CASE WHEN pa + pb + ca + cb
+      |              >= greatest(pa + pb + 1, (na + nb + 1) // 2 + 1)
+      |            THEN CAST(greatest(pa + pb + 1, (na + nb + 1) // 2 + 1)
+      |                + pa + pb + ca + cb AS HUGEINT)
+      |              * (pa + pb + ca + cb
+      |                - greatest(pa + pb + 1, (na + nb + 1) // 2 + 1) + 1)
+      |              // 2
+      |            ELSE 0 END)
+      |        ELSE 0 END)) AS DOUBLE)
+      |      / CAST(ca + cb AS DOUBLE)) AS BIGINT) AS t6
+      |  FROM cdf CROSS JOIN t)
+      |SELECT na AS n_a, nb AS n_b,
+      |  CAST(sum(t6) AS BIGINT) // na AS w_bar_micro,
+      |  CAST(CASE WHEN (na + nb) % 2 = 0
+      |    THEN floor(1e6 * CAST(na + nb + 2 AS DOUBLE) / 4.0)
+      |    ELSE floor(1e6 * CAST(na + nb + 1 AS DOUBLE)
+      |      * CAST(na + nb + 1 AS DOUBLE)
+      |      / (4.0 * CAST(na + nb AS DOUBLE))) END AS BIGINT)
+      |    AS e_bar_micro
+      |FROM terms GROUP BY na, nb""".stripMargin
+
   // ==== q330: Jarque–Bera normality statistic ==================================
   //
   // The normality TEST the descriptive-moments query (q163) stops short
@@ -4356,6 +4477,7 @@ object Profiling {
     QueryDef("q285_energy_distance", q285, Some(q285Sql)),
     QueryDef("q284_cramer_von_mises", q284, Some(q284Sql)),
     QueryDef("q329_anderson_darling", q329, Some(q329Sql)),
+    QueryDef("q336_ansari_bradley", q336, Some(q336Sql)),
     QueryDef("q330_jarque_bera", q330, Some(q330Sql)),
     QueryDef("q332_grid_kde", q332, Some(q332Sql)),
     QueryDef("q333_grubbs", q333, Some(q333Sql)),

@@ -199,6 +199,53 @@ class StatTestsR13Spec extends AnyFunSuite {
     assert(got == Map(0L -> 1L, 1L -> 3L), got.toString)
   }
 
+  test("logLoss: hand-computed fixtures, clip floor on perfect confidence") {
+    // all-stopword text → s = 1000 → clipped 999; no-stopword → 1
+    val docs = Seq(("the of and", "en"), ("zebra qux flux", "de"))
+      .toDF("text", "lang")
+    val r = MlEval.logLoss(docs, "lang = 'en'")
+      .select("n", "n_pos", "logloss").head()
+    // both rows contribute floor(1e6·ln(0.999)) = −1001
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L)
+    assert(r.getString(2) == "0.0010", r.toString)
+    // half-stopword text, wrong label: ln(0.5) punished
+    val mixed = Seq(("the zebra", "de")).toDF("text", "lang")
+    val r2 = MlEval.logLoss(mixed, "lang = 'en'")
+      .select("logloss").head().getString(0)
+    // −floor(1e6·ln(1 − 0.5))/1e6 = 0.693148
+    assert(r2 == "0.6931", r2)
+  }
+
+  test("ansariBradley: positional recompute tie-free; dispersion signal") {
+    // spread A {1,100} vs concentrated B {40,60}: scores 1,2,2,1 —
+    // A's mean score 1.0 sits below the even-N null (N+2)/4 = 1.5
+    val df = Seq((1L, true), (100L, true), (40L, false), (60L, false))
+      .toDF("v", "is_a")
+    val r = Profiling.ansariBradley(df, "v", col("is_a"))
+      .select("n_a", "n_b", "w_bar_micro", "e_bar_micro").head()
+    assert(r.getLong(0) == 2L && r.getLong(2) == 1000000L &&
+      r.getLong(3) == 1500000L, r.toString)
+    // tie-free random sides: exact equality with the positional formula
+    val rnd = new scala.util.Random(336)
+    val vals = rnd.shuffle((1L to 400L).toList)
+    val (as, bs) = vals.splitAt(150)
+    val df2 = (as.map((_, true)) ++ bs.map((_, false))).toDF("v", "is_a")
+    val got = Profiling.ansariBradley(df2, "v", col("is_a"))
+      .select("w_bar_micro").head().getLong(0)
+    val pooled = (as.map((_, 1)) ++ bs.map((_, 0))).sortBy(_._1)
+    val n = pooled.size
+    val w = pooled.zipWithIndex.collect { case ((_, 1), i) =>
+      math.min(i + 1, n - i).toLong }.sum
+    assert(got == w * 1000000L / as.size, s"$got vs ${w * 1000000L / as.size}")
+    // identical distributions on both sides: mean score ≈ null
+    val same = (1L to 200L).flatMap(v => Seq((v, true), (v, false)))
+      .toDF("v", "is_a")
+    val r3 = Profiling.ansariBradley(same, "v", col("is_a"))
+      .select("w_bar_micro", "e_bar_micro").head()
+    assert(math.abs(r3.getLong(0) - r3.getLong(1)) <
+      r3.getLong(1) / 50, r3.toString)
+  }
+
   test("coxTwoCovariates: score vanishes at the fitted point") {
     // recompute U(beta-hat) naively from the risk sets; Newton converged
     // means both score components are ~0
