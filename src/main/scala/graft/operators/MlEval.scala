@@ -864,6 +864,156 @@ object MlEval {
        |    AS logloss
        |FROM t""".stripMargin
 
+  // ==== q337: Platt scaling ====================================================
+  //
+  // The PARAMETRIC member completing the calibration trio (q143/q244 bin
+  // the reliability diagram, q245 fits the isotonic step function; Platt
+  // fits the two-parameter sigmoid σ(A·s + B) — the right tool when the
+  // miscalibration is a smooth squash/shift): minimize cross-entropy
+  // against Platt's smoothed targets t₊ = (N₊+1)/(N₊+2), t₋ = 1/(N₋+2)
+  // (his exact prior-correction — deterministic, no held-out split) by
+  // K=25 Newton steps from A=0, B=ln((N₋+1)/(N₊+1)). The confidence has
+  // ≤1001 distinct milli-values, so every gradient/Hessian moment is a
+  // fold over the ≤2002-row (s, y) histogram — collected driver-side
+  // (the q322/q327 bounded contract) and folded in ascending (s, y)
+  // order; the oracle replays the identical fold via K unrolled
+  // MATERIALIZED CTEs with five list_reduce moments per step and the
+  // same closed 2×2 adjugate solve, singular guard included.
+
+  private val PlattIters = 25
+
+  /** One row: (n, n_pos, a_e6, b_e6, logloss_cal) — Platt parameters for
+    * the stopword-fraction confidence against boolean `label`, plus the
+    * calibrated cross-entropy against the RAW 0/1 labels. */
+  def plattScaling(docs: DataFrame, label: String): DataFrame = {
+    val s = docs.sparkSession
+    val hist = confidenceBase(docs, label)
+      .groupBy(col("s"), col("y")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("s"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nPos = hist.filter(_._2 == 1L).map(_._3).sum
+    val nNeg = hist.filter(_._2 == 0L).map(_._3).sum
+    val tPos = (nPos.toDouble + 1.0) / (nPos.toDouble + 2.0)
+    val tNeg = 1.0 / (nNeg.toDouble + 2.0)
+    var a = 0.0
+    var b = math.log((nNeg.toDouble + 1.0) / (nPos.toDouble + 1.0))
+    for (_ <- 1 to PlattIters) {
+      var g1 = 0.0; var g2 = 0.0
+      var h11 = 0.0; var h12 = 0.0; var h22 = 0.0
+      hist.foreach { case (sv, y, cnt) =>
+        val x = sv.toDouble / 1000.0
+        val p = 1.0 / (1.0 + math.exp(-1.0 * (a * x + b)))
+        val t = if (y == 1L) tPos else tNeg
+        g1 += cnt.toDouble * (p - t) * x
+        g2 += cnt.toDouble * (p - t)
+        h11 += cnt.toDouble * p * (1.0 - p) * x * x
+        h12 += cnt.toDouble * p * (1.0 - p) * x
+        h22 += cnt.toDouble * p * (1.0 - p)
+      }
+      val det = h11 * h22 - h12 * h12
+      if (det > 0) {
+        val na = a - (h22 * g1 - h12 * g2) / det
+        val nb = b - (h11 * g2 - h12 * g1) / det
+        a = na; b = nb
+      }
+    }
+    // calibrated log-loss vs raw labels: one more ordered fold, each
+    // term ⌊10⁶·⌋-floored (the q335 discipline)
+    var num = 0L
+    hist.foreach { case (sv, y, cnt) =>
+      val x = sv.toDouble / 1000.0
+      val p = 1.0 / (1.0 + math.exp(-1.0 * (a * x + b)))
+      val term = if (y == 1L) math.log(p) else math.log(1.0 - p)
+      num += cnt * math.floor(1e6 * term).toLong
+    }
+    import s.implicits._
+    Seq((nPos + nNeg, nPos,
+      math.floor(1e6 * a).toLong, math.floor(1e6 * b).toLong,
+      -1.0 * num.toDouble / ((nPos + nNeg).toDouble * 1e6)))
+      .toDF("n", "n_pos", "a_e6", "b_e6", "ll")
+      .select(col("n"), col("n_pos"), col("a_e6"), col("b_e6"),
+        QueryDef.dec4(col("ll")).as("logloss_cal"))
+  }
+
+  private def q337(s: SparkSession, dir: String): DataFrame =
+    plattScaling(Tables.documents(s, dir), "lang = 'en'")
+
+  private val q337Sql = {
+    val step = (i: Int) => {
+      val a = s"w${i - 1}.a"; val b = s"w${i - 1}.b"
+      def fold(term: String, as: String) =
+        s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |        list($term ORDER BY s, y)), (acc, x) -> acc + x)
+           |        AS $as""".stripMargin
+      s"""p$i AS (
+         |  SELECT s, y, cnt, $a AS a, $b AS b, tpos, tneg,
+         |    CAST(s AS DOUBLE) / 1000.0 AS x,
+         |    1.0 / (1.0 + exp(-1.0 * ($a * (CAST(s AS DOUBLE) / 1000.0)
+         |      + $b))) AS p
+         |  FROM hist CROSS JOIN w${i - 1} CROSS JOIN t),
+         |w$i AS MATERIALIZED (
+         |  SELECT CASE WHEN det > 0
+         |      THEN a - (h22 * g1 - h12 * g2) / det ELSE a END AS a,
+         |    CASE WHEN det > 0
+         |      THEN b - (h11 * g2 - h12 * g1) / det ELSE b END AS b
+         |  FROM (
+         |    SELECT a, b, g1, g2, h11, h12, h22,
+         |      h11 * h22 - h12 * h12 AS det
+         |    FROM (
+         |      SELECT a, b,
+         |      ${fold("CAST(cnt AS DOUBLE) * (p - CASE WHEN y = 1" +
+                " THEN tpos ELSE tneg END) * x", "g1")},
+         |      ${fold("CAST(cnt AS DOUBLE) * (p - CASE WHEN y = 1" +
+                " THEN tpos ELSE tneg END)", "g2")},
+         |      ${fold("CAST(cnt AS DOUBLE) * p * (1.0 - p) * x * x",
+                "h11")},
+         |      ${fold("CAST(cnt AS DOUBLE) * p * (1.0 - p) * x", "h12")},
+         |      ${fold("CAST(cnt AS DOUBLE) * p * (1.0 - p)", "h22")}
+         |      FROM p$i GROUP BY a, b)))""".stripMargin
+    }
+    s"""WITH base AS (
+       |  $confidenceBaseSql),
+       |hist AS MATERIALIZED (
+       |  SELECT s, y, count(*) AS cnt FROM base GROUP BY 1, 2),
+       |np AS (
+       |  SELECT CAST(sum(CASE WHEN y = 1 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS npos,
+       |    CAST(sum(CASE WHEN y = 0 THEN cnt ELSE 0 END) AS BIGINT)
+       |      AS nneg
+       |  FROM hist),
+       |t AS MATERIALIZED (
+       |  SELECT npos, nneg,
+       |    (CAST(npos AS DOUBLE) + 1.0) / (CAST(npos AS DOUBLE) + 2.0)
+       |      AS tpos,
+       |    1.0 / (CAST(nneg AS DOUBLE) + 2.0) AS tneg
+       |  FROM np),
+       |w0 AS (
+       |  SELECT CAST(0.0 AS DOUBLE) AS a,
+       |    ln((CAST(nneg AS DOUBLE) + 1.0) / (CAST(npos AS DOUBLE) + 1.0))
+       |      AS b
+       |  FROM t),
+       |${(1 to PlattIters).map(step).mkString(",\n")},
+       |ll AS (
+       |  SELECT list_reduce(list_prepend(CAST(0 AS HUGEINT),
+       |      list(CAST(cnt AS HUGEINT) * CAST(floor(1e6 *
+       |        CASE WHEN y = 1
+       |          THEN ln(1.0 / (1.0 + exp(-1.0
+       |            * (w.a * (CAST(s AS DOUBLE) / 1000.0) + w.b))))
+       |          ELSE ln(1.0 - 1.0 / (1.0 + exp(-1.0
+       |            * (w.a * (CAST(s AS DOUBLE) / 1000.0) + w.b)))) END)
+       |        AS BIGINT) ORDER BY s, y)),
+       |      (acc, x) -> acc + x) AS num,
+       |    max(w.a) AS a, max(w.b) AS b
+       |  FROM hist CROSS JOIN w$PlattIters w)
+       |SELECT npos + nneg AS n, npos AS n_pos,
+       |  CAST(floor(1e6 * ll.a) AS BIGINT) AS a_e6,
+       |  CAST(floor(1e6 * ll.b) AS BIGINT) AS b_e6,
+       |  CAST(CAST(-1.0 * CAST(ll.num AS DOUBLE)
+       |    / (CAST(npos + nneg AS DOUBLE) * 1e6) AS DECIMAL(38,4))
+       |    AS VARCHAR) AS logloss_cal
+       |FROM ll CROSS JOIN t""".stripMargin
+  }
+
   // ==== q245: isotonic (PAV) calibration over confidence bins ===============
   //
   // The FIX for what q244's ECE measures: fit the best monotone
@@ -1395,6 +1545,7 @@ object MlEval {
     QueryDef("q245_isotonic_calibration", q245, Some(q245Sql)),
     QueryDef("q244_calibration_metrics", q244, Some(q244Sql)),
     QueryDef("q335_log_loss", q335, Some(q335Sql)),
+    QueryDef("q337_platt_scaling", q337, Some(q337Sql)),
     QueryDef("q191_conformal", q191, Some(q191Sql)),
     QueryDef("q186_average_precision", q186, Some(q186Sql)),
     QueryDef("q140_grouped_auc", q140, Some(q140Sql)),

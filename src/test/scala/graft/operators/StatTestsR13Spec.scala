@@ -246,6 +246,42 @@ class StatTestsR13Spec extends AnyFunSuite {
       r3.getLong(1) / 50, r3.toString)
   }
 
+  test("plattScaling: gradient vanishes at the fit; slope tracks signal") {
+    // texts with exact stopword fractions k/10; label more likely 'en'
+    // at high fractions (deterministic pattern) ⇒ positive slope A
+    def doc(k: Int) = (Seq.fill(k)("the") ++ Seq.fill(10 - k)("zzz"))
+      .mkString(" ")
+    val docs = (0 until 400).map { i =>
+      val k = i % 11
+      (doc(k), if (k >= 6 || (k >= 3 && i % 3 == 0)) "en" else "de")
+    }.toDF("text", "lang")
+    val r = MlEval.plattScaling(docs, "lang = 'en'")
+      .select("n", "n_pos", "a_e6", "b_e6").head()
+    val a = r.getLong(2) / 1e6; val b = r.getLong(3) / 1e6
+    assert(a > 1.0, s"slope a=$a should be clearly positive")
+    // recompute Platt's gradient at (a, b) from the raw histogram
+    val nPos = r.getLong(1).toDouble; val nNeg = r.getLong(0) - nPos
+    val tPos = (nPos + 1.0) / (nPos + 2.0); val tNeg = 1.0 / (nNeg + 2.0)
+    val hist = (0 until 400).map { i =>
+      val k = i % 11
+      (k * 100L, if (k >= 6 || (k >= 3 && i % 3 == 0)) 1L else 0L)
+    }.groupBy(identity).view.mapValues(_.size).toSeq
+    var g1 = 0.0; var g2 = 0.0
+    hist.foreach { case ((s, y), cnt) =>
+      val x = s / 1000.0
+      val p = 1.0 / (1.0 + math.exp(-(a * x + b)))
+      val t = if (y == 1L) tPos else tNeg
+      g1 += cnt * (p - t) * x; g2 += cnt * (p - t)
+    }
+    assert(math.abs(g1) < 0.01 && math.abs(g2) < 0.01, s"grad=($g1, $g2)")
+    // no-signal labels: slope collapses toward zero
+    val flat = (0 until 400).map { i =>
+      (doc(i % 11), if (i % 4 == 0) "en" else "de") }.toDF("text", "lang")
+    val a2 = MlEval.plattScaling(flat, "lang = 'en'")
+      .select("a_e6").head().getLong(0) / 1e6
+    assert(math.abs(a2) < 0.5, s"no-signal slope $a2")
+  }
+
   test("coxTwoCovariates: score vanishes at the fitted point") {
     // recompute U(beta-hat) naively from the risk sets; Newton converged
     // means both score components are ~0
