@@ -5448,6 +5448,104 @@ object EventsOps {
       |  CAST(sum(inc_b) AS BIGINT) AS cif_b_e6
       |FROM inc CROSS JOIN tot GROUP BY 1""".stripMargin
 
+  // ==== q338: Mantel–Haenszel pooled odds ratio ================================
+  //
+  // The STRATIFIED completion of q324's single 2×2: when a confounder
+  // (here activity band) correlates with both exposure and outcome, the
+  // crude OR is Simpson-vulnerable; MH pools the per-stratum tables as
+  // OR_MH = Σᵢ aᵢdᵢ/nᵢ ÷ Σᵢ bᵢcᵢ/nᵢ — each stratum contributing at its
+  // own size, the classic epidemiological adjustment. Determinism: all
+  // eight per-stratum cells are exact integers from ONE user-domain
+  // groupBy; each ratio term is ONE double expression ⌊10⁶·⌋-floored
+  // (the log-rank micro rule) so both sums are exact integers, and the
+  // crude OR is emitted beside it so the confounding gap is visible.
+
+  /** One row: (n_strata, n_users, num_micro, den_micro, or_mh, or_crude)
+    * for exposure = user parity, outcome = converted to `eventType`,
+    * strata = capped activity band (n_ev div `band`, ≤ 3). */
+  def mantelHaenszel(events: DataFrame, eventType: String,
+      band: Long): DataFrame = {
+    def dd(c: Column) = c.cast("double")
+    val byUser = events.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_ev"),
+      max(when(col("event_type") === eventType, 1L).otherwise(0L))
+        .as("y"))
+    val cells = byUser.select(
+      least(expr(s"n_ev div $band"), lit(3L)).as("stratum"),
+      pmod(col("user_id"), lit(2L)).as("e"), col("y"))
+      .groupBy(col("stratum")).agg(
+        sum(when(col("e") === 1 && col("y") === 1, 1L).otherwise(0L))
+          .as("a"),
+        sum(when(col("e") === 1 && col("y") === 0, 1L).otherwise(0L))
+          .as("b"),
+        sum(when(col("e") === 0 && col("y") === 1, 1L).otherwise(0L))
+          .as("c"),
+        sum(when(col("e") === 0 && col("y") === 0, 1L).otherwise(0L))
+          .as("d"))
+    cells
+      .select(col("a"), col("b"), col("c"), col("d"),
+        (col("a") + col("b") + col("c") + col("d")).as("n"),
+        floor(lit(1e6) * dd(col("a") * col("d")) /
+          dd(col("a") + col("b") + col("c") + col("d"))).cast("long")
+          .as("t_num"),
+        floor(lit(1e6) * dd(col("b") * col("c")) /
+          dd(col("a") + col("b") + col("c") + col("d"))).cast("long")
+          .as("t_den"))
+      .agg(count(lit(1)).as("n_strata"), sum(col("n")).as("n_users"),
+        sum(col("t_num")).as("num_micro"),
+        sum(col("t_den")).as("den_micro"),
+        sum(col("a")).as("ta"), sum(col("b")).as("tb"),
+        sum(col("c")).as("tc"), sum(col("d")).as("td"))
+      .select(col("n_strata"), col("n_users"), col("num_micro"),
+        col("den_micro"),
+        QueryDef.dec4(when(col("den_micro") > 0,
+          col("num_micro").cast("double") /
+            col("den_micro").cast("double"))).as("or_mh"),
+        QueryDef.dec4(when(col("tb") * col("tc") > 0,
+          dd(col("ta") * col("td")) /
+            dd(col("tb") * col("tc")))).as("or_crude"))
+  }
+
+  private def q338(s: SparkSession, dir: String): DataFrame =
+    mantelHaenszel(Tables.events(s, dir), "purchase", band = 50L)
+
+  private val q338Sql =
+    """WITH u AS (
+      |  SELECT user_id, count(*) AS n_ev,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+      |  FROM events GROUP BY user_id),
+      |cells AS (
+      |  SELECT least(n_ev // 50, 3) AS stratum,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN user_id % 2 = 1 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND y = 1 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN user_id % 2 = 0 AND y = 0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS d
+      |  FROM u GROUP BY 1),
+      |t AS (
+      |  SELECT count(*) AS n_strata,
+      |    CAST(sum(a + b + c + d) AS BIGINT) AS n_users,
+      |    CAST(sum(CAST(floor(1e6 * CAST(a * d AS DOUBLE)
+      |      / CAST(a + b + c + d AS DOUBLE)) AS BIGINT)) AS BIGINT)
+      |      AS num_micro,
+      |    CAST(sum(CAST(floor(1e6 * CAST(b * c AS DOUBLE)
+      |      / CAST(a + b + c + d AS DOUBLE)) AS BIGINT)) AS BIGINT)
+      |      AS den_micro,
+      |    CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+      |    CAST(sum(c) AS BIGINT) AS tc, CAST(sum(d) AS BIGINT) AS td
+      |  FROM cells)
+      |SELECT n_strata, n_users, num_micro, den_micro,
+      |  CAST(CAST(CASE WHEN den_micro > 0
+      |    THEN CAST(num_micro AS DOUBLE) / CAST(den_micro AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS or_mh,
+      |  CAST(CAST(CASE WHEN tb * tc > 0
+      |    THEN CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE) END
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS or_crude
+      |FROM t""".stripMargin
+
   // ==== q324: odds ratio with Haldane–Anscombe correction + Woolf CI =========
   //
   // The 2×2 effect-size readout q303's z only tests: OR with the +½
@@ -5538,6 +5636,7 @@ object EventsOps {
     QueryDef("q327_cox_two_covariates", q327, Some(q327Sql)),
     QueryDef("q328_concordance_index", q328, Some(q328Sql)),
     QueryDef("q331_qini_curve", q331, Some(q331Sql)),
+    QueryDef("q338_mantel_haenszel", q338, Some(q338Sql)),
     QueryDef("q321_eb_shrinkage", q321, Some(q321Sql)),
     QueryDef("q317_page_hinkley", q317, Some(q317Sql)),
     QueryDef("q315_turning_points", q315, Some(q315Sql)),

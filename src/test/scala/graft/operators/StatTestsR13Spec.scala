@@ -282,6 +282,38 @@ class StatTestsR13Spec extends AnyFunSuite {
     assert(math.abs(a2) < 0.5, s"no-signal slope $a2")
   }
 
+  test("mantelHaenszel: Simpson fixture — crude OR misleads, MH adjusts") {
+    // activity confounds: low-activity users (stratum 0) rarely convert
+    // and are mostly EXPOSED (odd ids); high-activity (stratum 3) mostly
+    // convert and are mostly unexposed. Within every stratum exposure is
+    // null (OR = 1), so MH must sit at ~1 while the crude OR is dragged
+    // below it by the imbalance.
+    val t0 = 1700000000000L
+    def mk(uid: Long, nev: Long, convert: Boolean) =
+      (0L until nev - 1).map(k =>
+        (uid, new Timestamp(t0 + k), uid * 1000 + k, "view")) :+
+        ((uid, new Timestamp(t0 + nev), uid * 1000 + 999L,
+          if (convert) "purchase" else "click"))
+    // stratum 0 (2 events): 40 exposed + 10 unexposed, 10% convert each
+    val lo = (0L until 50L).map { i =>
+      val uid = if (i < 40) 2 * i + 1 else 2 * i // 40 odd, 10 even
+      (uid, 2L, i % 10 == 0)
+    }
+    // stratum 3 (200 events): 10 exposed + 40 unexposed, 80% convert
+    val hi = (0L until 50L).map { i =>
+      val uid = if (i < 10) 2000 + 2 * i + 1 else 2000 + 2 * i
+      (uid, 200L, i % 5 != 0)
+    }
+    val ev = (lo ++ hi).flatMap { case (u, n, c) => mk(u, n, c) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val r = EventsOps.mantelHaenszel(ev, "purchase", band = 50L)
+      .select("n_strata", "n_users", "or_mh", "or_crude").head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 100L)
+    val mh = r.getString(2).toDouble; val crude = r.getString(3).toDouble
+    assert(math.abs(mh - 1.0) < 0.15, s"MH $mh should be ~1")
+    assert(crude < 0.5, s"crude $crude should be dragged low")
+  }
+
   test("coxTwoCovariates: score vanishes at the fitted point") {
     // recompute U(beta-hat) naively from the risk sets; Newton converged
     // means both score components are ~0
