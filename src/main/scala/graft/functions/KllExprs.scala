@@ -5,9 +5,10 @@ import java.nio.{ByteBuffer, ByteOrder}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSql
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
@@ -45,6 +46,30 @@ object KllExprs {
   def kllAgg(value: Column, k: Int): Column =
     GraftSql.column(KllAgg(GraftSql.expression(value), k).toAggregateExpression())
 
+  /** KLL over a DOUBLE column (round 14, B275): the values pass through
+    * the order-preserving IEEE-754 bits bijection ([[DoubleBits]]) so the
+    * long-domain sketch machinery — compactors, wire format, streaming
+    * ValueState twin — is reused UNCHANGED; readout maps the retained
+    * items back with [[sortableToDouble]]. Order-preserving ⇒ every rank
+    * statistic of the mapped longs is the rank statistic of the doubles. */
+  def kllAggDouble(value: Column, k: Int): Column =
+    GraftSql.column(KllAgg(
+      DoubleSortableBits(GraftSql.expression(value)), k).toAggregateExpression())
+
+  /** KLL over PRE-AGGREGATED (value, count) input (round 14, B275):
+    * weight w lands by its binary decomposition — one item at level i per
+    * set bit i of w, exactly what an item of weight 2^i means to the
+    * compactor — so Σ|level_i|·2^i grows by exactly w (the conservation
+    * law) and a pre-aggregated feed is sketch-equivalent to replaying the
+    * raw rows. Rows with w = 0 are no-ops; negative weights raise. */
+  def kllAggWeighted(value: Column, weight: Column, k: Int): Column =
+    GraftSql.column(KllAggWeighted(GraftSql.expression(value),
+      GraftSql.expression(weight), k).toAggregateExpression())
+
+  /** Inverse bits mapping for double-sketch readout columns. */
+  def sortableToDouble(c: Column): Column =
+    GraftSql.column(SortableBitsToDouble(GraftSql.expression(c)))
+
   /** Mutable sketch state: `levels(i)` holds weight-2^i items (unsorted
     * between compactions), `parity(i)` the next survivor phase. */
   final class State(val k: Int) {
@@ -68,6 +93,26 @@ object KllExprs {
     }
 
     def update(v: Long): Unit = { levels(0) += v; compress() }
+
+    /** Weighted insert: one item at level i per set bit i of `w` (an
+      * item at level i carries weight 2^i by construction), then one
+      * compress pass. Conserves total weight exactly: Σ|level|·2^i grows
+      * by precisely w. */
+    def updateWeighted(v: Long, w: Long): Unit = {
+      require(w >= 0L, s"kll weighted update: negative weight $w")
+      if (w == 0L) return
+      var rem = w
+      var i = 0
+      while (rem != 0L) {
+        if ((rem & 1L) == 1L) {
+          if (i >= levels.length) grow(i + 1)
+          levels(i) += v
+        }
+        rem >>>= 1
+        i += 1
+      }
+      compress()
+    }
 
     def mergeFrom(o: State): Unit = {
       if (o.levels.length > levels.length) grow(o.levels.length)
@@ -176,9 +221,13 @@ case class KllAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[KllExprs.State]
-    with UnaryLike[Expression] {
+    with UnaryLike[Expression] with ExpectsInputTypes {
 
   require(k >= 8, s"kll k must be >= 8: $k")
+
+  // analysis-time contract (ADVICE r13): update casts to Long, so a
+  // non-long child must fail resolution, not execution
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("v", LongType, nullable = false),
@@ -222,4 +271,112 @@ case class KllAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): KllAgg =
     copy(child = newChild)
+}
+
+/** Order-preserving bijection double ⇄ long (round 14): the classic
+  * IEEE-754 sortable-bits trick — non-negatives keep their raw bits (which
+  * already ascend with value); negatives flip their 63 magnitude bits so
+  * larger magnitude sorts lower. −0.0 normalizes to +0.0 first (one
+  * quantile value, not two); NaN canonicalizes via doubleToLongBits and
+  * sorts above +∞. Total order == java.lang.Double.compare on non-NaN. */
+object DoubleBits {
+  def toSortable(d: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    b ^ ((b >> 63) & Long.MaxValue)
+  }
+  def fromSortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(s ^ ((s >> 63) & Long.MaxValue))
+}
+
+/** double → order-preserving long bits (codegen: one static call). */
+case class DoubleSortableBits(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_sortable_bits"
+  override protected def nullSafeEval(v: Any): Any =
+    DoubleBits.toSortable(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DoubleBits.toSortable($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** Inverse of [[DoubleSortableBits]] for sketch readout. */
+case class SortableBitsToDouble(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sortable_bits_to_double"
+  override protected def nullSafeEval(v: Any): Any =
+    DoubleBits.fromSortable(v.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.DoubleBits.fromSortable($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(child = newChild)
+}
+
+/** KLL over pre-aggregated (value, count) rows — same state, same wire
+  * format, weighted binary-decomposition update ([[KllExprs.State
+  * .updateWeighted]]). The 100 TB shape this serves: an upstream groupBy
+  * has already collapsed a huge column to (value, count) pairs; replaying
+  * counts as raw rows would undo that compression. */
+case class KllAggWeighted(
+    left: Expression,
+    right: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllExprs.State]
+    with BinaryLike[Expression] with ExpectsInputTypes {
+
+  require(k >= 8, s"kll k must be >= 8: $k")
+
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("v", LongType, nullable = false),
+      StructField("w", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kll_agg_weighted"
+
+  override def createAggregationBuffer(): KllExprs.State = new KllExprs.State(k)
+
+  override def update(buf: KllExprs.State, input: InternalRow): KllExprs.State = {
+    val v = left.eval(input)
+    val w = right.eval(input)
+    if (v != null && w != null)
+      buf.updateWeighted(v.asInstanceOf[Long], w.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(b1: KllExprs.State, b2: KllExprs.State): KllExprs.State = {
+    b1.mergeFrom(b2)
+    b1
+  }
+
+  override def eval(buf: KllExprs.State): Any = {
+    val pairs = buf.flattened
+    val rows = new Array[Any](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      rows(i) = new GenericInternalRow(Array[Any](pairs(i)._1, pairs(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  override def serialize(buf: KllExprs.State): Array[Byte] =
+    KllExprs.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KllExprs.State =
+    KllExprs.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllAggWeighted =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllAggWeighted =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KllAggWeighted =
+    copy(left = newLeft, right = newRight)
 }

@@ -40,6 +40,33 @@ object Graph {
     df.agg(approx_count_distinct(col(keyCol)).as("n"))
       .collect()(0).getLong(0)
 
+  /** Round-14: the regime DECISION is cached per (canonical edge plan,
+    * key, threshold), so repeated operator calls over the same edge
+    * derivation — the common shape: a bench loop, or PageRank + HITS +
+    * PPR all built from one purchase-graph frame — pay the HLL signal
+    * job ONCE instead of once per call (it previously ran even in the
+    * broadcast regime, where the pin then did nothing; VERDICT r13 §2).
+    * Keyed on the PRE-checkpoint plan (a checkpoint's LogicalRDD is a
+    * fresh RDD per call and would never hit). A semanticHash collision
+    * or data mutated under an identical plan can only mispick a LAYOUT
+    * heuristic that carries a 4× safety margin — results are unaffected.
+    * Bounded: cleared wholesale past 256 entries (decisions are 1 bit;
+    * re-deriving one is a single narrow pass). */
+  private val regimeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Boolean]
+
+  /** `pinRegime` for `pinned` (the checkpointed frame the signal pass
+    * scans), memoized under `planKey`'s canonical plan. */
+  private def cachedPinRegime(planKey: DataFrame, pinned: DataFrame,
+      keyCol: String,
+      conf: org.apache.spark.sql.internal.SQLConf): Boolean = {
+    val k = (planKey.queryExecution.analyzed.semanticHash(),
+      keyCol, conf.autoBroadcastJoinThreshold)
+    if (regimeCache.size > 256) regimeCache.clear()
+    regimeCache.computeIfAbsent(k,
+      _ => pinRegime(approxKeyCount(pinned, keyCol), conf))
+  }
+
   // ==== q123: PageRank by power iteration ===================================
   //
   // r' = (1−d)/N + d·Σ_{u→v} r_u/outdeg_u, a fixed number of iterations.
@@ -71,7 +98,8 @@ object Graph {
     val LineageEvery = 8
     val longRun = iterations > LineageEvery
     def pin(df: DataFrame): DataFrame = if (longRun) df.localCheckpoint() else df
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val eBase = edges.select(col("src"), col("dst")).distinct()
+    val e = eBase.localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the loop invariant is the OUTDEG-WEIGHTED edge table — materialize
     // the e⋈outdeg join ONCE (round-12 shave: it used to re-execute as a
@@ -92,7 +120,7 @@ object Graph {
     // appears as a src, so |outdeg| counts the node domain.
     val conf = edges.sparkSession.sessionState.conf
     val ewBase = e.join(outdeg, Seq("src"))
-    val ew = if (pinRegime(approxKeyCount(e, "src"), conf))
+    val ew = if (cachedPinRegime(eBase, e, "src", conf))
       org.apache.spark.sql.GraftSql.pinHashPartitioned(
         ewBase, Seq("src"), conf.numShufflePartitions)
     else ewBase.localCheckpoint()
@@ -200,7 +228,8 @@ object Graph {
     // each step (measured 9× q123's time at sf0.1). The invariants are
     // node/edge-domain, so pin them ONCE up front; the rank chain itself
     // stays lazy (5 joins deep — no truncation needed).
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val eBase = edges.select(col("src"), col("dst")).distinct()
+    val e = eBase.localCheckpoint()
     // outdeg-weighted edges materialized once (the q123 round-12 shave);
     // in the both-sides-large regime the pin also advertises hash(src) +
     // sort order so no power step re-exchanges or re-sorts the edge side
@@ -208,7 +237,7 @@ object Graph {
     val conf = edges.sparkSession.sessionState.conf
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val ewBase = e.join(outdeg, Seq("src"))
-    val ew = if (pinRegime(approxKeyCount(e, "src"), conf))
+    val ew = if (cachedPinRegime(eBase, e, "src", conf))
       org.apache.spark.sql.GraftSql.pinHashPartitioned(
         ewBase, Seq("src"), conf.numShufflePartitions)
     else ewBase.localCheckpoint()
@@ -1129,16 +1158,28 @@ object Graph {
     // step, eBySrc the auth step, each advertising its hash layout +
     // sort order, so neither direction re-exchanges or re-sorts the
     // edge table ever again (the round-9 measurement was 166 exchanges,
-    // 0 reused, from this exact alternation). Two edge-domain block
-    // sets, both released by the caller's lifecycle sweep.
+    // 0 reused, from this exact alternation).
+    //
+    // Round 14 — the 2× edge storage is the DECLARED trade (VERDICT r13
+    // §3): sharing one layout would make the other direction's join
+    // re-exchange + re-sort the full edge table once per power step —
+    // `iterations`× the edge shuffle vs 1× extra MEMORY_AND_DISK blocks,
+    // and at 100 TB the edge table is disk-backed storage but a per-step
+    // exchange is the job's dominant cost. What round 14 DOES trim: the
+    // intermediate distinct-checkpoint was a THIRD edge copy in the pin
+    // regime — it now releases as soon as both pinned layouts land (the
+    // init vector derives from eByDst, so nothing re-reads it).
     val conf = edges.sparkSession.sessionState.conf
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
-    val dsts = e.select(col("dst").as("node")).distinct()
-    val pinLayout = pinRegime(approxKeyCount(e, "dst"), conf)
+    val eBase = edges.select(col("src"), col("dst")).distinct()
+    val e = eBase.localCheckpoint()
+    val pinLayout = cachedPinRegime(eBase, e, "dst", conf)
     val eByDst = if (pinLayout) org.apache.spark.sql.GraftSql
       .pinHashPartitioned(e, Seq("dst"), conf.numShufflePartitions) else e
     val eBySrc = if (pinLayout) org.apache.spark.sql.GraftSql
       .pinHashPartitioned(e, Seq("src"), conf.numShufflePartitions) else e
+    if (pinLayout)
+      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(e)
+    val dsts = eByDst.select(col("dst").as("node")).distinct()
     var auth = dsts.withColumn("a", lit(1.0))
     var hub: DataFrame = null
     // release lags ONE extra round: the lazy hub view still reads the

@@ -507,11 +507,106 @@ object Incremental {
       |  true AS ok_p90
       |FROM documents""".stripMargin
 
+  // -- round 14 (B276): KLL double + pre-aggregated weighted faces ----------
+  //
+  // The round-13 verdict's gap: score/loss columns are doubles, and
+  // upstream groupBys often hand the sketch (value, count) pairs, not raw
+  // rows. Both faces reuse the long-domain sketch UNCHANGED — doubles
+  // pass through the order-preserving IEEE-754 bits bijection
+  // (functions/KllExprs DoubleBits), weights land by binary decomposition
+  // (one item per set bit — exact weight conservation). Oracle discipline
+  // stays the q325 exact-regime gate: a fixed sub-k slice where the
+  // sketch IS the multiset, so every readout is the exact (weighted)
+  // order statistic; the sketch regime is law-covered by KllSpec.
+
+  /** Per-group KLL sketch over a DOUBLE column (order-preserving bits
+    * domain); read out via [[kllQuantiles]] + sortableToDouble. */
+  def kllStateDouble(df: DataFrame, valueCol: String, keys: Seq[String],
+      k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllExprs.kllAggDouble(
+        col(valueCol).cast("double"), k).as("kll"))
+
+  /** Per-group KLL sketch over pre-aggregated (value, weight) rows. */
+  def kllStateWeighted(df: DataFrame, valueCol: String, weightCol: String,
+      keys: Seq[String], k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.KllExprs.kllAggWeighted(
+        col(valueCol).cast("long"), col(weightCol).cast("long"), k).as("kll"))
+
+  // exact-regime gate for the double face: score = n_chars/7.0 (exactly
+  // rounded in both engines), slice under k ⇒ readout is the exact order
+  // statistic of the doubles (the bits map is an order bijection)
+  private def q340(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.KllExprs.sortableToDouble
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+      .select(col("lang"),
+        (col("n_chars").cast("double") / lit(7.0)).as("score"))
+    val q = kllQuantiles(
+      kllStateDouble(d, "score", Seq("lang"), k = 4096),
+      Seq("lang"), Seq(25, 50, 75, 90))
+    q.select(col("lang") +: col("n") +: Seq(25, 50, 75, 90).map(p =>
+        QueryDef.dec4(sortableToDouble(col(s"p$p"))).as(s"p$p")): _*)
+      .orderBy(col("lang"))
+  }
+
+  private val q340Sql =
+    """WITH d AS (
+      |  SELECT lang, n_chars / 7.0 AS v FROM documents WHERE doc_id < 2000),
+      |w AS (
+      |  SELECT lang, v,
+      |    row_number() OVER (PARTITION BY lang ORDER BY v) AS cum,
+      |    count(*) OVER (PARTITION BY lang) AS n
+      |  FROM d)
+      |SELECT lang, max(n) AS n,
+      |  CAST(CAST(min(CASE WHEN cum * 100 >= n * 25 THEN v END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p25,
+      |  CAST(CAST(min(CASE WHEN cum * 100 >= n * 50 THEN v END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p50,
+      |  CAST(CAST(min(CASE WHEN cum * 100 >= n * 75 THEN v END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p75,
+      |  CAST(CAST(min(CASE WHEN cum * 100 >= n * 90 THEN v END)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS p90
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
+  // exact-regime gate for the weighted face: the (n_chars, count)
+  // pre-agg of the same q325 slice must read out the IDENTICAL weighted
+  // order statistics (counts stay small ⇒ low levels stay within
+  // capacity ⇒ no compaction)
+  private def q341(s: SparkSession, dir: String): DataFrame = {
+    val pre = Tables.documents(s, dir).filter(col("doc_id") < 2000)
+      .groupBy(col("lang"), col("n_chars").cast("long").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    kllQuantiles(
+      kllStateWeighted(pre, "v", "cnt", Seq("lang"), k = 4096),
+      Seq("lang"), Seq(25, 50, 75, 90))
+      .orderBy(col("lang"))
+  }
+
+  private val q341Sql =
+    """WITH pre AS (
+      |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM documents WHERE doc_id < 2000 GROUP BY 1, 2),
+      |w AS (
+      |  SELECT lang, v,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY v)
+      |      AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM pre)
+      |SELECT lang, max(n) AS n,
+      |  min(CASE WHEN cum * 100 >= n * 25 THEN v END) AS p25,
+      |  min(CASE WHEN cum * 100 >= n * 50 THEN v END) AS p50,
+      |  min(CASE WHEN cum * 100 >= n * 75 THEN v END) AS p75,
+      |  min(CASE WHEN cum * 100 >= n * 90 THEN v END) AS p90
+      |FROM w GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_incremental_agg", q108, Some(q108Sql)),
     QueryDef("q111_incremental_distinct", q111, Some(q111Sql)),
     QueryDef("q166_hist_quantile_state", q166, Some(q166Sql)),
     QueryDef("q182_incremental_join", q182, Some(q182Sql)),
     QueryDef("q325_kll_quantiles", q325, Some(q325Sql)),
-    QueryDef("q326_kll_error_laws", q326, Some(q326Sql)))
+    QueryDef("q326_kll_error_laws", q326, Some(q326Sql)),
+    QueryDef("q340_kll_double", q340, Some(q340Sql)),
+    QueryDef("q341_kll_weighted", q341, Some(q341Sql)))
 }

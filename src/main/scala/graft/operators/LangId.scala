@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Language identification from raw text (round 14, B275) — the one
+  * first-class LLM-pipeline gap the round-13 verdict named: every
+  * per-language corpus statistic in the engine (B32 rollups, B250 HHI,
+  * B257 Shannon diversity) keys on a `lang` column that a real crawl
+  * does not carry; production pipelines (CLD/fastText-style) run langid
+  * before any of them.
+  *
+  * Model: closed-form multinomial Naive Bayes over hashed character-
+  * bigram features — the [[Classifier]] machinery (hashing trick, 64
+  * buckets, micro-nat integer weights) retargeted from tokens to char
+  * n-grams (the standard langid signal: char n-gram distributions
+  * separate languages far better than word features at short text
+  * lengths). Training is ONE distributed aggregation (per-language
+  * bucket counts → floored add-1-smoothed log-likelihood weights); no
+  * iteration, no driver-side model state — profiles stay a DataFrame
+  * (L×65 rows) that broadcasts into the scorer.
+  *
+  * Determinism (the q84/q184 oracle discipline): weights are
+  * ⌊10⁶·ln(·)⌋ integers (the micro-floor absorbs ln's engine-specific
+  * last ulp, the q99/q184 precedent); per-doc scores are exact integer
+  * sums Σ x_b·w_{l,b}; argmax ties break lexicographically; confidence
+  * is the top-two margin per gram — only exactly-rounded ops (−, ÷),
+  * rendered dec4. The DuckDB oracle replays training AND scoring.
+  *
+  * Scale shape (100 TB): scoring is one pass over the corpus — explode
+  * to char-bigrams, map-side combine into ≤65 (doc_id, bucket) rows per
+  * doc, broadcast-join the L×65 profile table, reduce per (doc, lang).
+  * No corpus-sized shuffle wider than the bounded feature frame; the
+  * only window is L rows per doc_id. Training reads a LABELED slice
+  * (always corpus-small) through the same bounded feature frame.
+  */
+object LangId {
+
+  /** Hash buckets for char-bigram features; bucket 64 is the class
+    * prior (bias). 64 buckets ≈ fastText's hashing-trick regime scaled
+    * to the oracle's replay budget; collisions cost accuracy, never
+    * determinism. */
+  val NumBuckets = 64
+
+  /** bucket(gram) = first two hex digits of md5(gram) mod 64 — the q84
+    * static-weight parse, shared with [[Classifier.hashedFeatures]]. */
+  private def bucketOf(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast("long") % NumBuckets
+
+  /** Character bigrams of lower(text): positions 1..len−1. */
+  private def bigrams(t: Column): Column =
+    when(length(t) >= 2,
+      transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** (doc_id, b, x): char-bigram bucket counts of lower(text), plus one
+    * bias row (b = 64, x = 1) per doc — even a gram-less doc scores. */
+  def charGramFeatures(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), explode(bigrams(lower(col("text")))).as("g"))
+      .select(col("doc_id"), bucketOf(col("g")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+    val bias = docs.select(col("doc_id"),
+      lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))
+    grams.unionByName(bias)
+  }
+
+  /** Closed-form NB profiles from `labeled` (doc_id, text, lang):
+    * (lang, b, w) with w_{l,b} = ⌊10⁶·ln((c_{l,b}+1)/(T_l+64))⌋ for
+    * b < 64 and the class prior ⌊10⁶·ln((n_l+1)/(n+L))⌋ at b = 64.
+    * L×65 rows — model-sized, stays distributed. */
+  def trainProfiles(labeled: DataFrame): DataFrame = {
+    val spark = labeled.sparkSession
+    val d = labeled.select(col("doc_id"), col("lang"))
+    val feats = charGramFeatures(labeled).filter(col("b") < NumBuckets)
+    val cb = feats.join(d, Seq("doc_id"))
+      .groupBy(col("lang"), col("b")).agg(sum(col("x")).as("c"))
+    val tl = cb.groupBy(col("lang")).agg(sum(col("c")).as("t"))
+    val grid = tl.select(col("lang"), col("t"))
+      .crossJoin(spark.range(NumBuckets).select(col("id").as("b")))
+    val gramW = grid.join(cb, Seq("lang", "b"), "left")
+      .select(col("lang"), col("b"),
+        floor(lit(1e6) * log((coalesce(col("c"), lit(0L)) + lit(1.0)) /
+          (col("t") + lit(NumBuckets.toDouble)))).cast("long").as("w"))
+    val nl = d.groupBy(col("lang")).agg(count(lit(1)).as("nl"))
+    val tot = broadcast(d.agg(count(lit(1)).as("n"),
+      count_distinct(col("lang")).as("nlangs")))
+    val priorW = nl.crossJoin(tot)
+      .select(col("lang"), lit(NumBuckets.toLong).as("b"),
+        floor(lit(1e6) * log((col("nl") + lit(1.0)) /
+          (col("n") + col("nlangs")))).cast("long").as("w"))
+    gramW.unionByName(priorW)
+  }
+
+  /** Score `docs` against `profiles`: (doc_id, lang, z_micro, conf)
+    * where lang = argmax_l Σ_b x_b·w_{l,b} (ties → smallest lang),
+    * z_micro the winning integer micro-nat log-score, and conf the
+    * top-two margin per gram, (z₁−z₂)/(10⁶·max(grams,1)) — the average
+    * per-gram log-odds gap, 0 when only one language is known. */
+  def langId(docs: DataFrame, profiles: DataFrame): DataFrame = {
+    val feats = charGramFeatures(docs)
+    val zs = feats.join(broadcast(profiles), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("x") * col("w")).as("z_micro"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("z_micro").desc, col("lang").asc)
+    val ranked = zs.withColumn("rn", row_number().over(byDoc))
+    val top = ranked.filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("z_micro"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("doc_id"), col("z_micro").as("z2"))
+    val ng = docs.select(col("doc_id"),
+      greatest(length(lower(col("text"))) - 1, lit(0)).cast("long").as("ng"))
+    top.join(second, Seq("doc_id"), "left")
+      .join(ng, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("z_micro"),
+        QueryDef.dec4((col("z_micro") - coalesce(col("z2"), col("z_micro")))
+          .cast("double") /
+          (lit(1e6) * greatest(col("ng"), lit(1L)).cast("double"))).as("conf"))
+  }
+
+  // ==== q339: train on the planted-label slice, identify all docs ==========
+  //
+  // The synthetic corpus's text is language-independent by construction
+  // (the q184 note: identical token distribution per lang), so recovered
+  // accuracy is chance — what the q-face gates is the REPLAY: training
+  // counts, floored weights, integer scores, argmax, and margin all
+  // hash-match DuckDB at every SF. Discrimination on real multilingual
+  // text is spec-verified with planted fixtures (LangIdSpec).
+
+  private def q339(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
+    val profiles = trainProfiles(docs.filter(col("doc_id") % 4 =!= 0))
+    langId(docs, profiles).orderBy(col("doc_id"))
+  }
+
+  private val q339Sql = {
+    val bucket = """((strpos('0123456789abcdef', substr(md5(g), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(md5(g), 2, 1)) - 1) % 64"""
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(text) AS t, lang, doc_id % 4 <> 0 AS is_train
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
+       |    i -> substr(t, CAST(i AS INTEGER), 2))) AS g
+       |  FROM d WHERE length(t) >= 2),
+       |feats AS (
+       |  SELECT doc_id, CAST($bucket AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS x
+       |  FROM g GROUP BY 1, 2
+       |  UNION ALL SELECT doc_id, 64, 1 FROM d),
+       |nl AS (SELECT lang, count(*) AS nl FROM d WHERE is_train GROUP BY 1),
+       |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS nlangs
+       |  FROM d WHERE is_train),
+       |cb AS (
+       |  SELECT d.lang, f.b, CAST(SUM(f.x) AS BIGINT) AS c
+       |  FROM feats f JOIN d USING (doc_id)
+       |  WHERE d.is_train AND f.b < 64 GROUP BY 1, 2),
+       |tl AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cb GROUP BY 1),
+       |w AS (
+       |  SELECT tl.lang, CAST(s.b AS BIGINT) AS b,
+       |    CAST(floor(1000000.0 * ln((COALESCE(cb.c, 0) + 1.0)
+       |      / (tl.t + 64.0))) AS BIGINT) AS w
+       |  FROM tl CROSS JOIN range(64) s(b)
+       |  LEFT JOIN cb ON cb.lang = tl.lang AND cb.b = s.b
+       |  UNION ALL
+       |  SELECT nl.lang, 64, CAST(floor(1000000.0 *
+       |      ln((nl.nl + 1.0) / (tot.n + tot.nlangs))) AS BIGINT)
+       |  FROM nl CROSS JOIN tot),
+       |z AS (
+       |  SELECT f.doc_id, w.lang, CAST(SUM(f.x * w.w) AS BIGINT) AS z
+       |  FROM feats f JOIN w USING (b) GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY z DESC, lang) AS rn FROM z),
+       |ng AS (SELECT doc_id, greatest(length(t) - 1, 0) AS ng FROM d)
+       |SELECT r1.doc_id, r1.lang, r1.z AS z_micro,
+       |  CAST(CAST((r1.z - COALESCE(r2.z, r1.z))
+       |      / (1000000.0 * greatest(ng.ng, 1)) AS DECIMAL(38,4))
+       |    AS VARCHAR) AS conf
+       |FROM rk r1
+       |LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+       |JOIN ng ON ng.doc_id = r1.doc_id
+       |WHERE r1.rn = 1
+       |ORDER BY r1.doc_id""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q339_langid", q339, Some(q339Sql)))
+}

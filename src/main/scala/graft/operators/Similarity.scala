@@ -640,9 +640,14 @@ object Similarity {
     * q268 precedent): more than `maxSlice` input vectors raises before
     * the cross join, naming the corpus-scale fix (ANN candidate pairs —
     * LOF only reads each point's k nearest, which IVF/LSH cover). */
-  def lofOutliers(emb: DataFrame, k: Int, topN: Int,
+  def lofOutliers(embIn: DataFrame, k: Int, topN: Int,
       maxSlice: Long = 20000L): DataFrame = {
     import graft.functions.VectorExprs.dotProduct
+    // pin before counting (as dbscan does): the guard census and the kNN
+    // pipeline must read the SAME materialization — unpinned, the
+    // lineage executes twice and a nondeterministic source could pass
+    // the census yet feed a larger slice to the cross join
+    val emb = embIn.localCheckpoint()
     val nIn = emb.count()
     require(nIn <= maxSlice,
       s"lofOutliers: $nIn input vectors > maxSlice=$maxSlice — exact kNN " +

@@ -51,8 +51,15 @@ object GraftSql {
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.count() // eager, like localCheckpoint: blocks land exactly once
     val output = qe.analyzed.output
-    val keyAttrs = keys.map(k => output.find(_.name == k).getOrElse(
-      throw new IllegalArgumentException(s"pinHashPartitioned: no column $k")))
+    val keyAttrs = keys.map { k =>
+      // a duplicate-named output would silently bind the first match and
+      // advertise HashPartitioning on the wrong attribute — fail instead
+      val matches = output.filter(_.name == k)
+      require(matches.size == 1,
+        s"pinHashPartitioned: column $k matches ${matches.size} output " +
+          s"attributes (need exactly 1); disambiguate before pinning")
+      matches.head
+    }
     val partitioning =
       catalyst.plans.physical.HashPartitioning(keyAttrs, numParts)
     val ordering = keyAttrs.map(a => catalyst.expressions.SortOrder(

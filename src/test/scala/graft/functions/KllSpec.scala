@@ -105,4 +105,87 @@ class KllSpec extends AnyFunSuite {
     assert(got.getLong(0) == 749L && got.getLong(1) == 1499L &&
       got.getLong(2) == 2249L, got.toString)
   }
+
+  // ==== round 14: double face (order-preserving bits) + weighted face ======
+
+  test("DoubleBits is an order-preserving bijection incl. negatives") {
+    val rnd = new scala.util.Random(97)
+    val ds = Seq(Double.NegativeInfinity, -1e300, -2.0, -1.0, -1e-300,
+      0.0, 1e-300, 1.0, 2.0, 1e300, Double.PositiveInfinity) ++
+      Seq.fill(5000)(rnd.nextGaussian() * math.pow(10.0, rnd.nextInt(12) - 6))
+    ds.foreach { d =>
+      assert(DoubleBits.fromSortable(DoubleBits.toSortable(d)) == d, s"$d")
+    }
+    ds.sorted.sliding(2).foreach {
+      case Seq(a, b) =>
+        if (a < b)
+          assert(DoubleBits.toSortable(a) < DoubleBits.toSortable(b), s"$a<$b")
+      case _ => ()
+    }
+    // −0.0 normalizes onto +0.0: one quantile value, not two
+    assert(DoubleBits.toSortable(-0.0) == DoubleBits.toSortable(0.0))
+  }
+
+  test("kll_agg_double exact regime through a distributed aggregation") {
+    val rnd = new scala.util.Random(23)
+    val ds = Seq.fill(800)(rnd.nextGaussian() * 10.0 - 2.0) // negatives too
+    val df = ds.toDF("v").repartition(8)
+    val got = df.agg(KllExprs.kllAggDouble(col("v"), 4096).as("kll"))
+      .select(explode(col("kll")).as("e"))
+      .select(KllExprs.sortableToDouble(col("e.v")).as("d"), col("e.w"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    // flattened sorts by bits asc == double asc; weights all 1 (exact)
+    assert(got.map(_._1).toSeq == ds.sorted)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("weighted update: exact conservation + raw-replay readout parity") {
+    val rnd = new scala.util.Random(5)
+    val pairs = Seq.fill(300)((rnd.nextInt(500).toLong, 1L + rnd.nextInt(7)))
+    val st = new KllExprs.State(4096)
+    pairs.foreach { case (v, w) => st.updateWeighted(v, w) }
+    assert(st.totalWeight == pairs.map(_._2).sum)
+    // both stay exact at this size, so readouts must agree exactly
+    val raw = freshState(4096,
+      pairs.flatMap { case (v, w) => Seq.fill(w.toInt)(v) })
+    Seq(10, 25, 50, 75, 90, 99).foreach { p =>
+      assert(st.quantile(p) == raw.quantile(p), s"p$p")
+    }
+  }
+
+  test("weighted update conserves weight under compaction + big weights") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(20000)(
+      (rnd.nextLong() % 100000, 1L + rnd.nextInt(1 << 20)))
+    val st = new KllExprs.State(64)
+    pairs.foreach { case (v, w) => st.updateWeighted(v, w) }
+    assert(st.totalWeight == pairs.map(_._2).sum)
+    // ≤ Σ capacities + per-level leftovers, independent of n and weights
+    assert(st.totalItems <= 3 * 64 + 2 * st.levels.length + 64,
+      s"items=${st.totalItems} levels=${st.levels.length}")
+    // serialization round-trips the weighted state byte-exactly
+    val rt = KllExprs.fromBytes(KllExprs.toBytes(st))
+    assert(rt.flattened.toSeq == st.flattened.toSeq)
+  }
+
+  test("kll_agg_weighted distributed == exact weighted order statistics") {
+    val pre = (0 until 400).map(i => (i.toLong, 1L + (i % 5)))
+    val df = pre.toDF("v", "w").repartition(8)
+    val got = df.agg(KllExprs.kllAggWeighted(col("v"), col("w"), 4096)
+        .as("kll"))
+      .select(explode(col("kll")).as("e"))
+      .groupBy(col("e.v").as("v")).agg(sum(col("e.w")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact regime: per-value weight == the planted count
+    pre.foreach { case (v, w) => assert(got(v) == w, s"v=$v") }
+  }
+
+  test("kll_agg over a non-long column fails at analysis, not execution") {
+    val df = Seq(1.5, 2.5).toDF("v") // double child, long-only aggregate
+    val ex = intercept[Exception] {
+      df.agg(KllExprs.kllAgg(col("v"), 64)).collect()
+    }
+    assert(ex.getMessage.toUpperCase.contains("DATATYPE_MISMATCH") ||
+      ex.getMessage.toLowerCase.contains("type"), ex.getMessage)
+  }
 }
