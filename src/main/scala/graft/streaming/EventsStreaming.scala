@@ -1070,6 +1070,45 @@ object EventsStreaming {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Crash-replay audit twin of [[KllQuantileProcessor]] (round 14): the
+    * same state, wire format and update path, but each batch slice is
+    * sorted first (the B110s/B147 in-slice arrival discipline — a
+    * well-defined update sequence is what "replay" means) and the output
+    * carries sha256 of the serialized state, so a RocksDB checkpoint
+    * restore can be PROVEN byte-identical to an uninterrupted run — the
+    * property the derandomized survivor parity was built for. */
+  class KllBytesProcessor(k: Int)
+      extends StatefulProcessor[String, (String, Long), (String, Long, String)] {
+    @transient private var st: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Array[Byte]]("kll",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(seg: String, rows: Iterator[(String, Long)],
+        tv: TimerValues): Iterator[(String, Long, String)] = {
+      val state = if (st.exists()) graft.functions.KllExprs.fromBytes(st.get())
+        else new graft.functions.KllExprs.State(k)
+      rows.map(_._2).toArray.sorted.foreach(state.update)
+      val bytes = graft.functions.KllExprs.toBytes(state)
+      st.update(bytes)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(bytes).map("%02x".format(_)).mkString
+      Iterator.single((seg, state.totalWeight, sha))
+    }
+  }
+
+  /** (segment, n, sha256(state)) per batch — the crash-replay probe. */
+  def kllBytesProbe(events: DataFrame, segCol: String, valueCol: String,
+      k: Int): Dataset[(String, Long, String)] = {
+    import events.sparkSession.implicits._
+    events.select(col(segCol).cast("string"), col(valueCol).cast("long"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new KllBytesProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
+
   // ==== streaming sequence-pattern matcher (B110s, CEP-lite) ================
   //
   // The ONLINE twin of the batch MATCH_RECOGNIZE-lite (q173): counts

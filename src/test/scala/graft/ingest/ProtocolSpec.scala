@@ -131,6 +131,41 @@ class ProtocolSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mock.completedCount == completionsBefore + 4)
   }
 
+  test("crash between the final chunk ACK and COMPLETED: resume re-sends " +
+      "ONLY the handshake (A22)") {
+    // the one protocol window the other resume tests never plant
+    // (reference semantics: the handshake is a separate call AFTER the
+    // last chunk ACK persists, so a crash can land exactly between them)
+    val file = freshFile()
+    val store = IngestionStateStore.inMemory()
+    val req = request(file)
+    val ingestionId = resumeId(file)
+    // phase 1 — simulate the crash: deliver every chunk (each ACK
+    // persists progress), then die BEFORE sendCompleted/markCompleted
+    val chunks = IngestionPipeline.buildChunks(
+      IngestionPipeline.scan(spark, req), req)
+    val (sent, _, total) = IngestionPipeline.deliverChunksDistributed(
+      chunks, ingestionId, store, url, lastAcked = -1L, startingTotal = 0L,
+      maxChunk = 4L)
+    assert(sent == 5 && total == 50)
+    assert(store.get(ingestionId).contains(
+      IngestionState(ingestionId, 4, 50, IngestionState.InProgress)))
+    val completionsBefore = mock.completedCount
+    val chunksBefore = mock.receivedChunks.size
+    val recordsBefore = mock.totalRecordsEver
+    // phase 2 — resume: every chunk is already ACKed, so the run must
+    // send ZERO chunks and exactly ONE handshake
+    val result = IngestionPipeline.run(spark, request(file), store)
+    assert(result.chunksSent == 0)
+    assert(result.chunksSkipped == 5)
+    assert(result.totalRecords == 50) // running count survived (A12)
+    assert(mock.receivedChunks.size == chunksBefore) // no chunk re-sends
+    assert(mock.totalRecordsEver == recordsBefore) // accounting unchanged
+    assert(mock.completedCount == completionsBefore + 1) // one handshake
+    assert(result.state.contains(
+      IngestionState(ingestionId, 4, 50, IngestionState.Completed)))
+  }
+
   test("duplicate chunk delivery is idempotent at the receiver (A23)") {
     val file = freshFile()
     val store = IngestionStateStore.inMemory()

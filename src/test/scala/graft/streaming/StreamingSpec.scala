@@ -1316,4 +1316,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("B262s crash-replay: RocksDB restore reproduces the KLL sketch " +
+      "byte-identically") {
+    // Kill the query mid-stream and restart a NEW query from the same
+    // checkpoint: the restored compactor state must continue to the
+    // EXACT bytes the uninterrupted run produces — the derandomized
+    // survivor parity exists precisely so replays of the same update
+    // sequence are bit-identical, and this drives it through the real
+    // RocksDB snapshot/restore path, in the sketch regime (k = 16 on
+    // 600 values per segment ⇒ compaction certain). The probe processor
+    // sorts each batch slice (the B110s/B147 in-slice arrival
+    // discipline) so the update sequence is well-defined, and emits
+    // sha256(state bytes) after every batch.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rnd = new scala.util.Random(262)
+      val data = (1 to 1200).map(i =>
+        (s"s${i % 2}", rnd.nextInt(100000).toLong))
+      val batches = data.grouped(300).toSeq // 4 batches
+      def runTo(name: String, crashAfter: Option[Int]): Map[String, String] = {
+        val cp = java.nio.file.Files
+          .createTempDirectory(s"kll_cp_$name").toString
+        val input = MemoryStream[(String, Long)](spark)
+        // memory sink cannot recover from a checkpoint; foreachBatch can
+        val out = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Long, String)]
+        def start() = EventsStreaming.kllBytesProbe(
+            input.toDF().toDF("seg", "v"), "seg", "v", k = 16)
+          .writeStream
+          .foreachBatch((df: org.apache.spark.sql.Dataset[(String, Long, String)],
+              _: Long) => df.collect().foreach(out.add))
+          .option("checkpointLocation", cp).outputMode("update").start()
+        var q = start()
+        try {
+          batches.zipWithIndex.foreach { case (b, i) =>
+            input.addData(b: _*)
+            q.processAllAvailable()
+            if (crashAfter.contains(i)) { // the planted crash + restore
+              q.stop()
+              q = start()
+            }
+          }
+        } finally q.stop()
+        // update mode re-emits per batch; the LAST row per segment is the
+        // final state — keyed by max n (weight only grows)
+        import scala.jdk.CollectionConverters._
+        out.asScala.toSeq.groupBy(_._1)
+          .map { case (s, rs) => s -> rs.maxBy(_._2)._3 }
+      }
+      val uninterrupted = runTo("base", None)
+      val crashed = runTo("crash", Some(1)) // die after batch 2 of 4
+      assert(uninterrupted.keySet == Set("s0", "s1"))
+      assert(crashed == uninterrupted,
+        s"restored-run sketch bytes diverged: $crashed vs $uninterrupted")
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }

@@ -19,6 +19,11 @@ rdd_min = bench["rdd"]["min"]
 base = json.load(open(base_path))
 q = base["queries"]
 added = {k: v for k, v in rdd_min.items() if k not in q and v >= 0}
+if not added:
+    # nothing to merge: leave the file byte-identical (reruns previously
+    # grew the note string unboundedly — ADVICE r13)
+    print(f"baseline unchanged at {len(q)} queries (+0)")
+    sys.exit(0)
 q.update(added)
 base["note"] = (base.get("note", "") +
     f"; r{rnd}: +{len(added)} queries appended from BENCH_r{rnd} "
