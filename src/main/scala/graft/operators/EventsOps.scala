@@ -5629,7 +5629,320 @@ object EventsOps {
       |    AS ci_hi_e6
       |FROM t""".stripMargin
 
+  // ==== q344: Holt–Winters additive seasonal smoothing ======================
+  //
+  // The SEASONAL completion of the smoothing shelf: q169's EWMA tracks a
+  // level, q210's Holt adds a trend — hourly operational series also
+  // carry a daily cycle, and a trend-only smoother reads every morning
+  // ramp as a trend change. Holt–Winters (additive, period m = 24,
+  // α = β = γ = 1/2 integerized) keeps 24 seasonal offsets beside level
+  // and trend:
+  //   lₜ = ⌊(lₜ₋₁ + bₜ₋₁ + (xₜ − s⁻))/2⌋   s⁻ = seasonal at phase hr%24
+  //   bₜ = ⌊(bₜ₋₁ + (lₜ − lₜ₋₁))/2⌋
+  //   sₜ = ⌊(s⁻ + (xₜ − lₜ))/2⌋             (updates its phase slot only)
+  // and forecasts lₜ + bₜ + s(next phase). Seed (declared): l₀ =
+  // ⌊mean of the first 24 points⌋, b₀ = 0, seasonal slot p = last
+  // first-cycle observation at phase p minus l₀ (0 if unseen). All
+  // integer: halving is the sign-free floor (x − pmod(x,2)) div 2 (the
+  // q210 negative-division rule — trend and seasonals are signed).
+  // Scale shape: the q169/q210 per-series hours-domain fold — ONE
+  // groupBy to hourly counts, the recursion runs inside a row over the
+  // bounded (hours × 1) array, seasonal state an in-row 24-array; the
+  // oracle replays it as a recursive CTE carrying the same 24-list.
+
+  /** (event_type, hr, cnt, level, trend, seasonal, forecast) for rows
+    * after the 24-point seed cycle; series shorter than 25 points emit
+    * nothing. */
+  def holtWintersHourly(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hr"))
+    val r = hourly.withColumn("rn", row_number().over(w))
+      .withColumn("ph", expr("hr % 24"))
+    val head = r.filter(col("rn") <= 24)
+    val seed = head.groupBy(col("event_type"))
+      .agg(expr("(sum(cnt) - pmod(sum(cnt), 24)) div 24").as("l0"))
+    val sfirst = head.groupBy(col("event_type"), col("ph"))
+      .agg(max_by(col("cnt"), col("rn")).as("c0"))
+    val svec = sfirst.groupBy(col("event_type"))
+      .agg(map_from_entries(collect_list(struct(col("ph"), col("c0"))))
+        .as("m"))
+      .join(seed, Seq("event_type"))
+      .select(col("event_type"), col("l0"),
+        expr("transform(sequence(0L, 23L), " +
+          "p -> coalesce(element_at(m, p), l0) - l0)").as("ss0"))
+    val tail = r.filter(col("rn") > 24)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("hr"), col("cnt"))))
+        .as("xs"))
+    def fd2(x: String) = s"(($x) - pmod($x, 2)) div 2"
+    val sHat = "element_at(acc.ss, cast(e.hr % 24 as int) + 1)"
+    val lnew = fd2(s"acc.l + acc.b + (e.cnt - $sHat)")
+    val bnew = fd2(s"acc.b + ($lnew) - acc.l")
+    val snew = fd2(s"$sHat + (e.cnt - ($lnew))")
+    val fcast = s"($lnew) + ($bnew) + " +
+      "element_at(acc.ss, cast((e.hr + 1) % 24 as int) + 1)"
+    val outT = "array<struct<hr: bigint, cnt: bigint, l: bigint, " +
+      "b: bigint, s: bigint, f: bigint>>"
+    val fold =
+      s"""aggregate(xs,
+         |  cast(named_struct('l', l0, 'b', 0L, 'ss', ss0,
+         |    'out', cast(array() as $outT))
+         |    as struct<l: bigint, b: bigint, ss: array<bigint>,
+         |      out: $outT>),
+         |  (acc, e) -> named_struct(
+         |    'l', $lnew,
+         |    'b', $bnew,
+         |    'ss', transform(acc.ss,
+         |      (v, i) -> if(i = cast(e.hr % 24 as int), $snew, v)),
+         |    'out', acc.out || array(named_struct('hr', e.hr,
+         |      'cnt', e.cnt, 'l', $lnew, 'b', $bnew, 's', $snew,
+         |      'f', $fcast))),
+         |  acc -> acc.out)""".stripMargin
+    svec.join(tail, Seq("event_type"))
+      .select(col("event_type"), explode(expr(fold)).as("o"))
+      .select(col("event_type"), col("o.hr").as("hr"),
+        col("o.cnt").as("cnt"), col("o.l").as("level"),
+        col("o.b").as("trend"), col("o.s").as("seasonal"),
+        col("o.f").as("forecast"))
+  }
+
+  private def q344(s: SparkSession, dir: String): DataFrame =
+    holtWintersHourly(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("hr"))
+
+  private val q344Sql = {
+    def fd2(x: String) = s"($x - ((($x) % 2 + 2) % 2)) // 2"
+    val sHat = "rec.ss[r.ph + 1]"
+    val lnew = fd2(s"rec.l + rec.b + (r.cnt - $sHat)")
+    val bnew = fd2(s"rec.b + ($lnew) - rec.l")
+    val snew = fd2(s"$sHat + (r.cnt - ($lnew))")
+    s"""WITH RECURSIVE h AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+       |    count(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY event_type
+       |      ORDER BY hr) AS rn,
+       |    CAST(hr % 24 AS BIGINT) AS ph
+       |  FROM h),
+       |seed AS (
+       |  SELECT event_type,
+       |    (sum(cnt) - ((sum(cnt) % 24 + 24) % 24)) // 24 AS l0
+       |  FROM r WHERE rn <= 24 GROUP BY 1),
+       |sfirst AS (
+       |  SELECT event_type, ph, arg_max(cnt, rn) AS c0
+       |  FROM r WHERE rn <= 24 GROUP BY 1, 2),
+       |svec AS (
+       |  SELECT s.event_type, s.l0,
+       |    list(coalesce(sf.c0 - s.l0, 0) ORDER BY p.p) AS ss0
+       |  FROM seed s
+       |  CROSS JOIN (SELECT unnest(range(0, 24)) AS p) p
+       |  LEFT JOIN sfirst sf ON sf.event_type = s.event_type
+       |    AND sf.ph = p.p
+       |  GROUP BY 1, 2),
+       |rec(event_type, rn, hr, cnt, l, b, ph, ss) AS (
+       |  SELECT v.event_type, CAST(24 AS BIGINT), CAST(NULL AS BIGINT),
+       |    CAST(NULL AS BIGINT), v.l0, CAST(0 AS BIGINT),
+       |    CAST(NULL AS BIGINT), v.ss0
+       |  FROM svec v
+       |  UNION ALL
+       |  SELECT r.event_type, r.rn, r.hr, r.cnt,
+       |    $lnew, $bnew, r.ph,
+       |    list_transform(range(0, 24), p -> CASE WHEN p = r.ph
+       |      THEN $snew ELSE rec.ss[p + 1] END)
+       |  FROM rec JOIN r ON r.event_type = rec.event_type
+       |    AND r.rn = rec.rn + 1)
+       |SELECT event_type, hr, CAST(cnt AS BIGINT) AS cnt,
+       |  CAST(l AS BIGINT) AS level, CAST(b AS BIGINT) AS trend,
+       |  CAST(ss[ph + 1] AS BIGINT) AS seasonal,
+       |  CAST(l + b + ss[((hr + 1) % 24) + 1] AS BIGINT) AS forecast
+       |FROM rec WHERE rn > 24 ORDER BY event_type, hr""".stripMargin
+  }
+
+  // ==== q345: periodogram — DFT power at candidate daily/weekly periods =====
+  //
+  // IS there a cycle, and at what period? — the question q344 assumes
+  // answered (it hard-codes m = 24). Discrete-Fourier power of the
+  // hourly count series at candidate periods p ∈ {6, 8, 12, 24}:
+  //   S_c(p) = Σₜ yₜ·cos(2πt/p),  S_s(p) likewise,  yₜ = N·xₜ − T
+  // (scaled-centered so the DC mean cancels exactly in integers).
+  // Exactness: cos/sin are evaluated ONCE at plan-build time on the
+  // driver — ⌊10⁶·cos(2πr/p)⌋ per residue r — and embedded as literal
+  // weight tables in BOTH engines' plans, so no trig function ever runs
+  // in either engine; every sum is an exact integer/decimal (cnt and
+  // hour-count aggregated per residue first — a ≤24-row domain per
+  // period). pw_rel = (S_c² + S_s²)/(N²·D·10¹²) with D = N·Σx² − T²
+  // renders the variance share at that period (pure sinusoid → 0.5,
+  // white noise → ~1/n) through one spelled double chain off DECIMAL
+  // moments. Scale shape: one hourly groupBy, residue-domain cross
+  // join with the 50-row weight table, scalar render per (series, p).
+
+  /** Candidate periods for q345 — small divisors of the daily cycle. */
+  private val PeriodogramPeriods = Seq(6, 8, 12, 24)
+
+  /** ⌊10⁶·cos/sin(2πr/p)⌋ literal weight rows (p, r, wc, ws) — computed
+    * on the driver, embedded in both plans. */
+  private val PeriodogramWeights: Seq[(Int, Int, Long, Long)] =
+    for (p <- PeriodogramPeriods; r <- 0 until p) yield {
+      val a = 2.0 * math.Pi * r / p
+      (p, r, math.floor(1e6 * math.cos(a)).toLong,
+        math.floor(1e6 * math.sin(a)).toLong)
+    }
+
+  /** (event_type, p, n_hours, sc, ss_, pw_rel): integer DFT sums and the
+    * relative power at each candidate period. */
+  def periodogramHourly(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val wtab = spark.range(1)
+      .select(explode(typedLit(PeriodogramWeights)).as("w"))
+      .select(col("w._1").as("p"), col("w._2").as("r"),
+        col("w._3").as("wc"), col("w._4").as("ws"))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    // per (series, p, residue): histogram over the ≤24-residue domain
+    val res = hourly
+      .crossJoin(broadcast(wtab.select(col("p")).distinct()))
+      .groupBy(col("event_type"), col("p"),
+        pmod(col("hr"), col("p").cast("long")).as("r"))
+      .agg(sum(col("cnt")).as("cr"), count(lit(1)).as("nr"))
+    val moments = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("t"),
+        sum(d0(col("cnt")) * col("cnt")).as("sxx"))
+    res.join(broadcast(wtab), Seq("p", "r"))
+      .groupBy(col("event_type"), col("p"))
+      .agg(sum(col("cr") * col("wc")).as("ac"),
+        sum(col("nr") * col("wc")).as("bc"),
+        sum(col("cr") * col("ws")).as("as_"),
+        sum(col("nr") * col("ws")).as("bs"))
+      .join(broadcast(moments), Seq("event_type"))
+      .select(col("event_type"), col("p"), col("n").as("n_hours"),
+        (col("n") * col("ac") - col("t") * col("bc")).as("sc"),
+        (col("n") * col("as_") - col("t") * col("bs")).as("ss_"),
+        (d0(col("sxx")) * col("n") - d0(col("t")) * col("t")).as("d"))
+      .select(col("event_type"), col("p"), col("n_hours"), col("sc"),
+        col("ss_"),
+        QueryDef.dec4(
+          dd(d0(col("sc")) * col("sc") + d0(col("ss_")) * col("ss_")) /
+            (dd(col("d") * col("n_hours") * col("n_hours")) * lit(1e12)))
+          .as("pw_rel"))
+  }
+
+  private def q345(s: SparkSession, dir: String): DataFrame =
+    periodogramHourly(Tables.events(s, dir))
+      .orderBy(col("event_type"), col("p"))
+
+  private val q345Sql = {
+    val vals = PeriodogramWeights
+      .map { case (p, r, wc, ws) => s"($p, $r, $wc, $ws)" }
+      .mkString(", ")
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |wt(p, r, wc, ws) AS (VALUES $vals),
+       |res AS (
+       |  SELECT event_type, p, ((hr % p) + p) % p AS r,
+       |    CAST(sum(cnt) AS BIGINT) AS cr,
+       |    CAST(count(*) AS BIGINT) AS nr
+       |  FROM h CROSS JOIN (SELECT DISTINCT p FROM wt) pp
+       |  GROUP BY 1, 2, 3),
+       |mom AS (
+       |  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS t,
+       |    CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+       |      AS sxx
+       |  FROM h GROUP BY 1),
+       |agg AS (
+       |  SELECT res.event_type, res.p,
+       |    CAST(sum(cr * wc) AS BIGINT) AS ac,
+       |    CAST(sum(nr * wc) AS BIGINT) AS bc,
+       |    CAST(sum(cr * ws) AS BIGINT) AS as_,
+       |    CAST(sum(nr * ws) AS BIGINT) AS bs
+       |  FROM res JOIN wt ON res.p = wt.p AND res.r = wt.r
+       |  GROUP BY 1, 2),
+       |fin AS (
+       |  SELECT agg.event_type, agg.p, mom.n AS n_hours,
+       |    CAST(mom.n * ac - mom.t * bc AS BIGINT) AS sc,
+       |    CAST(mom.n * as_ - mom.t * bs AS BIGINT) AS ss_,
+       |    CAST(sxx * mom.n - CAST(mom.t AS DECIMAL(38,0)) * mom.t
+       |      AS DECIMAL(38,0)) AS d
+       |  FROM agg JOIN mom ON agg.event_type = mom.event_type)
+       |SELECT event_type, p, n_hours, sc, ss_,
+       |  CAST(CAST(
+       |    CAST(CAST(sc AS DECIMAL(38,0)) * sc
+       |      + CAST(ss_ AS DECIMAL(38,0)) * ss_ AS DOUBLE) /
+       |    (CAST(d * n_hours * n_hours AS DOUBLE) * 1e12)
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS pw_rel
+       |FROM fin ORDER BY event_type, p""".stripMargin
+  }
+
+  // ==== q349: Poisson overdispersion (index-of-dispersion) test =============
+  //
+  // The modeling gate for count series: every Poisson-assuming model
+  // downstream (rate CIs, the q321 EB shrinkage priors, exponential
+  // inter-arrivals q308) is wrong when hourly counts are overdispersed
+  // (var ≫ mean — bursty traffic, mixed populations). The classic
+  // dispersion test: χ² = (n−1)·s²/x̄ = (n·Σx² − S²)/S against df n−1,
+  // normal-approximated z = (χ² − (n−1))/√(2(n−1)). Exactness: moments
+  // are exact DECIMALs, χ² and z are each ONE spelled double chain.
+  // Scale shape: one map-side-combined groupBy to per-series moments.
+
+  /** Per event_type over hourly counts: (event_type, n, s, chi2, z). */
+  def overdispersion(events: DataFrame): DataFrame = {
+    val hourly = events
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy(col("event_type"), col("hr")).agg(count(lit(1)).as("cnt"))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(d0(col("cnt")) * col("cnt")).as("ss"))
+      .select(col("event_type"), col("n"), col("s"),
+        QueryDef.dec4(dd(d0(col("ss")) * col("n") - d0(col("s")) * col("s"))
+          / dd(col("s"))).as("chi2"),
+        QueryDef.dec4(
+          (dd(d0(col("ss")) * col("n") - d0(col("s")) * col("s"))
+            / dd(col("s")) - dd(col("n") - 1L)) /
+            sqrt(lit(2.0) * dd(col("n") - 1L))).as("z"))
+  }
+
+  private def q349(s: SparkSession, dir: String): DataFrame =
+    overdispersion(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  private val q349Sql =
+    """WITH h AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(cnt) AS BIGINT) AS s,
+      |    CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+      |      AS ss
+      |  FROM h GROUP BY 1)
+      |SELECT event_type, n, s,
+      |  CAST(CAST(
+      |    CAST(ss * n - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+      |      / CAST(s AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2,
+      |  CAST(CAST(
+      |    (CAST(ss * n - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
+      |       / CAST(s AS DOUBLE) - CAST(n - 1 AS DOUBLE)) /
+      |      sqrt(2.0 * CAST(n - 1 AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM m ORDER BY event_type""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q344_holt_winters", q344, Some(q344Sql)),
+    QueryDef("q345_periodogram", q345, Some(q345Sql)),
+    QueryDef("q349_overdispersion", q349, Some(q349Sql)),
     QueryDef("q324_odds_ratio", q324, Some(q324Sql)),
     QueryDef("q323_aalen_johansen", q323, Some(q323Sql)),
     QueryDef("q322_cox_binary", q322, Some(q322Sql)),

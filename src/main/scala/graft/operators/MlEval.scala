@@ -1536,7 +1536,175 @@ object MlEval {
        |  CAST(sum(hl_b) AS BIGINT) AS hl_micro
        |FROM terms""".stripMargin
 
+  // ==== q346: DeLong test — comparing two correlated AUCs ===================
+  //
+  // The question q140 cannot answer: model A scores AUC 0.71, model B
+  // 0.73 ON THE SAME ITEMS — is that real? Two AUCs on one test set are
+  // CORRELATED, so naive per-AUC variances overstate the difference's
+  // significance. DeLong (1988): per-item structural components
+  // V10(i) = P(neg < s_i) (midrank form) for positives, V01(j) for
+  // negatives; AUC = mean(V10); var(AUC₁−AUC₂) = [S10₁₁+S10₂₂−2·S10₁₂]/n
+  // + [S01₁₁+S01₂₂−2·S01₁₂]/m with S·_kl the empirical covariances.
+  // Exactness: the component is kept ×2m as the INTEGER
+  // u = 2·(#neg < s) + (#neg = s) (and v likewise ×2n) — every moment is
+  // an exact DECIMAL(38,0) sum; the covariance/variance/z algebra is one
+  // spelled double chain at render. Scale shape: two value-domain
+  // histograms with prefix windows (the q140 discipline), one
+  // co-partitioned item join, one map-side-combined moment pass — no
+  // quadratic pair comparison anywhere.
+
+  /** One row: (n_pos, n_neg, su1, su2, auc1, auc2, z) comparing the
+    * AUCs of integer scores `s1`/`s2` for 0/1 label `y` on `items`. */
+  def delongCompare(items: DataFrame): DataFrame = {
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val tot = broadcast(items.agg(sum(col("y")).as("npos")))
+    // prefix counts over the score histogram run through the
+    // DISTRIBUTED prefix-sum scan — score domains (lengths, token
+    // counts) grow with the corpus, so no global single-partition
+    // window (the q122/q191 rule)
+    def uv(k: String) = {
+      val h = items.groupBy(col(k).as("s"))
+        .agg(count(lit(1)).as("c"), sum(col("y")).as("pos"))
+      val h2 = graft.chunk.ChunkAssigner.withPrefixSum(
+        graft.chunk.ChunkAssigner.withPrefixSum(
+          h, Seq(col("s")), col("c"), "cumc"),
+        Seq(col("s")), col("pos"), "cumpos")
+      h2.crossJoin(tot)
+        .select(col("s").as(k),
+          (lit(2L) * (col("cumc") - col("cumpos")) +
+            (col("c") - col("pos"))).as(s"u_$k"),
+          (lit(2L) * (col("npos") - col("cumpos") - col("pos")) +
+            col("pos")).as(s"v_$k"))
+    }
+    val joined = items.join(uv("s1"), Seq("s1")).join(uv("s2"), Seq("s2"))
+    val pos = (c: Column) => when(col("y") === 1L, c)
+    val neg = (c: Column) => when(col("y") === 0L, c)
+    val m = joined.agg(
+      sum(col("y")).as("n"), sum(lit(1L) - col("y")).as("m"),
+      sum(pos(col("u_s1"))).as("su1"), sum(pos(col("u_s2"))).as("su2"),
+      sum(pos(d0(col("u_s1")) * col("u_s1"))).as("puu11"),
+      sum(pos(d0(col("u_s2")) * col("u_s2"))).as("puu22"),
+      sum(pos(d0(col("u_s1")) * col("u_s2"))).as("puu12"),
+      sum(neg(col("v_s1"))).as("sv1"), sum(neg(col("v_s2"))).as("sv2"),
+      sum(neg(d0(col("v_s1")) * col("v_s1"))).as("pvv11"),
+      sum(neg(d0(col("v_s2")) * col("v_s2"))).as("pvv22"),
+      sum(neg(d0(col("v_s1")) * col("v_s2"))).as("pvv12"))
+    def cov(p: String, sa: String, sb: String, nn: String) =
+      (dd(col(p)) - dd(col(sa)) * dd(col(sb)) / dd(col(nn))) /
+        (dd(col(nn)) - lit(1.0))
+    val s10 = (kl: (String, String)) =>
+      cov(s"puu${kl._1}${kl._2}", s"su${kl._1}", s"su${kl._2}", "n") /
+        (lit(4.0) * dd(col("m")) * dd(col("m")))
+    val s01 = (kl: (String, String)) =>
+      cov(s"pvv${kl._1}${kl._2}", s"sv${kl._1}", s"sv${kl._2}", "m") /
+        (lit(4.0) * dd(col("n")) * dd(col("n")))
+    val varD =
+      (s10(("1", "1")) + s10(("2", "2")) - lit(2.0) * s10(("1", "2"))) /
+        dd(col("n")) +
+      (s01(("1", "1")) + s01(("2", "2")) - lit(2.0) * s01(("1", "2"))) /
+        dd(col("m"))
+    def auc(k: String) =
+      dd(col(s"su$k")) / (lit(2.0) * dd(col("n")) * dd(col("m")))
+    m.select(col("n").as("n_pos"), col("m").as("n_neg"),
+      col("su1"), col("su2"),
+      QueryDef.dec4(auc("1")).as("auc1"),
+      QueryDef.dec4(auc("2")).as("auc2"),
+      QueryDef.dec4(when(varD > 0,
+        (auc("1") - auc("2")) / sqrt(varD))).as("z"))
+  }
+
+  // predictor 1: n_chars; predictor 2: whitespace token count — two
+  // correlated length proxies for "is this English", exactly the
+  // correlated-predictor regime DeLong exists for
+  private def q346(s: SparkSession, dir: String): DataFrame =
+    delongCompare(Tables.documents(s, dir).select(
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+      col("n_chars").cast("long").as("s1"),
+      size(split(col("text"), " ")).cast("long").as("s2")))
+
+  private val q346Sql = {
+    def uvSql(k: String) =
+      s"""h_$k AS (
+         |  SELECT $k AS s, CAST(count(*) AS BIGINT) AS c,
+         |    CAST(sum(y) AS BIGINT) AS pos
+         |  FROM items GROUP BY 1),
+         |uv_$k AS (
+         |  SELECT s AS $k,
+         |    2 * (cumc - cumpos) + (c - pos) AS u_$k,
+         |    2 * ((SELECT npos FROM tot) - cumpos - pos) + pos AS v_$k
+         |  FROM (
+         |    SELECT *,
+         |      CAST(coalesce(sum(c) OVER (ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cumc,
+         |      CAST(coalesce(sum(pos) OVER (ORDER BY s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS cumpos
+         |    FROM h_$k))""".stripMargin
+    def cov(p: String, sa: String, sb: String, nn: String) =
+      s"""((CAST($p AS DOUBLE) - CAST($sa AS DOUBLE)
+         | * CAST($sb AS DOUBLE) / CAST($nn AS DOUBLE))
+         | / (CAST($nn AS DOUBLE) - 1.0))""".stripMargin
+        .replace("\n", " ")
+    def s10(a: String, b: String) =
+      s"(${cov(s"puu$a$b", s"su$a", s"su$b", "n")}" +
+        " / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))"
+    def s01(a: String, b: String) =
+      s"(${cov(s"pvv$a$b", s"sv$a", s"sv$b", "m")}" +
+        " / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+    val varD =
+      s"((${s10("1", "1")} + ${s10("2", "2")} - 2.0 * ${s10("1", "2")})" +
+        s" / CAST(n AS DOUBLE)" +
+        s" + (${s01("1", "1")} + ${s01("2", "2")}" +
+        s" - 2.0 * ${s01("1", "2")}) / CAST(m AS DOUBLE))"
+    def auc(k: String) =
+      s"(CAST(su$k AS DOUBLE) / (2.0 * CAST(n AS DOUBLE)" +
+        s" * CAST(m AS DOUBLE)))"
+    s"""WITH items AS (
+       |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CAST(n_chars AS BIGINT) AS s1,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS s2
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(y) AS BIGINT) AS npos FROM items),
+       |${uvSql("s1")},
+       |${uvSql("s2")},
+       |j AS (
+       |  SELECT items.y, u_s1, v_s1, u_s2, v_s2
+       |  FROM items
+       |  JOIN uv_s1 USING (s1)
+       |  JOIN uv_s2 USING (s2)),
+       |mm AS (
+       |  SELECT CAST(sum(y) AS BIGINT) AS n,
+       |    CAST(sum(1 - y) AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN y = 1 THEN u_s1 END) AS BIGINT) AS su1,
+       |    CAST(sum(CASE WHEN y = 1 THEN u_s2 END) AS BIGINT) AS su2,
+       |    CAST(sum(CASE WHEN y = 1 THEN CAST(u_s1 AS DECIMAL(38,0))
+       |      * u_s1 END) AS DECIMAL(38,0)) AS puu11,
+       |    CAST(sum(CASE WHEN y = 1 THEN CAST(u_s2 AS DECIMAL(38,0))
+       |      * u_s2 END) AS DECIMAL(38,0)) AS puu22,
+       |    CAST(sum(CASE WHEN y = 1 THEN CAST(u_s1 AS DECIMAL(38,0))
+       |      * u_s2 END) AS DECIMAL(38,0)) AS puu12,
+       |    CAST(sum(CASE WHEN y = 0 THEN v_s1 END) AS BIGINT) AS sv1,
+       |    CAST(sum(CASE WHEN y = 0 THEN v_s2 END) AS BIGINT) AS sv2,
+       |    CAST(sum(CASE WHEN y = 0 THEN CAST(v_s1 AS DECIMAL(38,0))
+       |      * v_s1 END) AS DECIMAL(38,0)) AS pvv11,
+       |    CAST(sum(CASE WHEN y = 0 THEN CAST(v_s2 AS DECIMAL(38,0))
+       |      * v_s2 END) AS DECIMAL(38,0)) AS pvv22,
+       |    CAST(sum(CASE WHEN y = 0 THEN CAST(v_s1 AS DECIMAL(38,0))
+       |      * v_s2 END) AS DECIMAL(38,0)) AS pvv12
+       |  FROM j)
+       |SELECT n AS n_pos, m AS n_neg, su1, su2,
+       |  CAST(CAST(${auc("1")} AS DECIMAL(38,4)) AS VARCHAR) AS auc1,
+       |  CAST(CAST(${auc("2")} AS DECIMAL(38,4)) AS VARCHAR) AS auc2,
+       |  CAST(CAST(CASE WHEN $varD > 0 THEN
+       |    (${auc("1")} - ${auc("2")}) / sqrt($varD) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+       |FROM mm""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q346_delong_auc", q346, Some(q346Sql)),
     QueryDef("q310_hosmer_lemeshow", q310, Some(q310Sql)),
     QueryDef("q290_conformal_holm", q290, Some(q290Sql)),
     QueryDef("q289_cumulative_gains", q289, Some(q289Sql)),

@@ -4460,7 +4460,362 @@ object Profiling {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS df2
       |FROM c""".stripMargin
 
+  // ==== q342: Wilcoxon signed-rank test (paired two-sample) =================
+  //
+  // The PAIRED member the rank shelf was missing: Mann–Whitney (q216)
+  // compares two independent samples, McNemar (q271) paired BINARY
+  // outcomes — Wilcoxon signed-rank is the paired CONTINUOUS test
+  // (before/after, A-vs-B within the same user), distribution-free where
+  // the paired t-test assumes normal differences. Per user the pair is
+  // (purchase cents total, view cents total); d = p − v, zeros dropped
+  // per the classic procedure. Ranks are MIDRANKS over the DISTINCT-|d|
+  // histogram (the q216 domain-window discipline — never a row-level
+  // sort), kept ×2 so W⁺ stays an exact BIGINT: 2·W⁺ = Σ_{d>0}(2S+c+1).
+  // The tie-corrected normal z carries 48·Var = 2n(n+1)(2n+1) − Σ(t³−t)
+  // as an exact integer; the only float ops are the final division and
+  // one sqrt (both correctly rounded — the engine-wide rule).
+
+  /** One row: (n, w2, var48, z) — signed-rank over column `d` of
+    * `diffs` (zeros dropped). w2 = 2·W⁺; var48 = 48·Var(W⁺). The
+    * midrank prefix count runs through the DISTRIBUTED prefix-sum scan
+    * ([[graft.chunk.ChunkAssigner.withPrefixSum]]) — the |d| histogram
+    * is user-domain (one row per distinct paired difference), which at
+    * corpus scale is NOT a bounded domain, so no global single-partition
+    * window (the q122/q191 rule). */
+  def wilcoxonSignedRank(diffs: DataFrame): DataFrame = {
+    val hist = diffs.filter(col("d") =!= 0L)
+      .select(abs(col("d")).as("ad"),
+        when(col("d") > 0, 1L).otherwise(0L).as("p"))
+      .groupBy(col("ad"))
+      .agg(count(lit(1)).as("c"), sum(col("p")).as("cp"))
+    def dd(c: Column) = c.cast("double")
+    graft.chunk.ChunkAssigner
+      .withPrefixSum(hist, Seq(col("ad")), col("c"), "s")
+      .agg(sum(col("c")).as("n"),
+        sum(col("cp") * (lit(2L) * col("s") + col("c") + 1L)).as("w2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+      .select(col("n"), col("w2"),
+        (lit(2L) * col("n") * (col("n") + 1L) * (lit(2L) * col("n") + 1L)
+          - col("ties")).as("var48"),
+        expr("(n * (n + 1)) div 2").as("mean1"))
+      .select(col("n"), col("w2"), col("var48"),
+        QueryDef.dec4(
+          dd(col("w2") - col("mean1")) *
+            sqrt(lit(12.0) / dd(col("var48")))).as("z"))
+  }
+
+  private def q342(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", col("cents")))
+          .as("p"),
+        sum(when(col("event_type") === "view", col("cents"))).as("v"))
+      .filter(col("p").isNotNull && col("v").isNotNull)
+      .select((col("p") - col("v")).as("d"))
+    wilcoxonSignedRank(byUser)
+  }
+
+  private val q342Sql =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(round(value * 100) AS BIGINT) END) AS p,
+      |    sum(CASE WHEN event_type = 'view'
+      |      THEN CAST(round(value * 100) AS BIGINT) END) AS v
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT CAST(p - v AS BIGINT) AS d FROM u
+      |  WHERE p IS NOT NULL AND v IS NOT NULL AND p - v <> 0),
+      |hist AS (
+      |  SELECT abs(d) AS ad, CAST(count(*) AS BIGINT) AS c,
+      |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cp
+      |  FROM d GROUP BY 1),
+      |ranked AS (
+      |  SELECT ad, c, cp,
+      |    CAST(coalesce(sum(c) OVER (ORDER BY ad
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS s
+      |  FROM hist),
+      |m AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(cp * (2 * s + c + 1)) AS BIGINT) AS w2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM ranked)
+      |SELECT n, w2,
+      |  2 * n * (n + 1) * (2 * n + 1) - ties AS var48,
+      |  CAST(CAST(
+      |    CAST(w2 - (n * (n + 1)) // 2 AS DOUBLE) *
+      |      sqrt(12.0 / CAST(2 * n * (n + 1) * (2 * n + 1) - ties
+      |        AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |FROM m""".stripMargin
+
+  // ==== q343: Hellinger distance + Bhattacharyya coefficient drift ==========
+  //
+  // The METRIC member of the drift shelf: PSI and JS (q304) are
+  // divergences, KS/CvM/AD are test statistics — Hellinger is a true
+  // metric on distributions (triangle inequality holds), bounded in
+  // [0, 1], the right drift number to THRESHOLD and compare across
+  // features. H² = 1 − BC with BC = Σ√(p·q); same 16 fixed-width bins
+  // and parity split as q304. Exactness: per bin √(ca·cb/(na·nb)) is ONE
+  // correctly-rounded division + ONE correctly-rounded sqrt off exact
+  // integer products, ⌊10⁹·⌋-floored — the bin sum is an exact BIGINT;
+  // Hellinger itself rides on one more sqrt (exact by flooring BC ≤ 1),
+  // and the Bhattacharyya distance −ln(BC) is ⌊10⁶·⌋-floored off the
+  // same exact rational (the q99 ln discipline).
+
+  /** One row: (n_a, n_b, n_bins, bc_nano, hellinger, bhat_micro) between
+    * the `sideA` and complement distributions of `centsCol` over 16
+    * fixed bins of width `binW`. */
+  def hellingerDrift(df: DataFrame, centsCol: String, sideA: Column,
+      binW: Long): DataFrame = {
+    val bins = df
+      .select(least(expr(s"$centsCol div ${binW}L"), lit(15L))
+        .cast("long").as("b"),
+        when(sideA, 1L).otherwise(0L).as("a"))
+      .groupBy(col("b"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val totals = broadcast(bins.agg(sum(col("ca")).as("na"),
+      sum(col("cb")).as("nb")))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    bins.crossJoin(totals)
+      .select(col("na"), col("nb"),
+        floor(lit(1e9) * sqrt(dd(d0(col("ca")) * col("cb")) /
+          dd(d0(col("na")) * col("nb")))).cast("long").as("t"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("t")).as("bc_nano"))
+      .select(col("n_a"), col("n_b"), col("n_bins"), col("bc_nano"),
+        QueryDef.dec4(sqrt(lit(1.0) - col("bc_nano").cast("double") / 1e9))
+          .as("hellinger"),
+        when(col("bc_nano") > 0,
+          floor(lit(1e6) * -log(col("bc_nano").cast("double") / 1e9))
+            .cast("long")).as("bhat_micro"))
+  }
+
+  private def q343(s: SparkSession, dir: String): DataFrame =
+    hellingerDrift(
+      Tables.orders(s, dir).select(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey")),
+      "cents", col("o_orderkey") % 2 === 0, binW = 4000000L)
+
+  private val q343Sql =
+    """WITH v AS (
+      |  SELECT least(CAST(round(o_totalprice * 100) AS BIGINT) // 4000000,
+      |      15) AS b,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS a
+      |  FROM orders),
+      |bins AS (
+      |  SELECT b, CAST(sum(a) AS BIGINT) AS ca,
+      |    CAST(sum(1 - a) AS BIGINT) AS cb
+      |  FROM v GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na,
+      |    CAST(sum(cb) AS BIGINT) AS nb
+      |  FROM bins),
+      |t AS (
+      |  SELECT na, nb,
+      |    CAST(floor(1e9 * sqrt(
+      |      CAST(CAST(ca AS DECIMAL(38,0)) * cb AS DOUBLE) /
+      |      CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)))
+      |      AS BIGINT) AS t
+      |  FROM bins, tot),
+      |m AS (
+      |  SELECT na AS n_a, nb AS n_b, count(*) AS n_bins,
+      |    CAST(sum(t) AS BIGINT) AS bc_nano
+      |  FROM t GROUP BY 1, 2)
+      |SELECT n_a, n_b, n_bins, bc_nano,
+      |  CAST(CAST(sqrt(1.0 - CAST(bc_nano AS DOUBLE) / 1e9)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS hellinger,
+      |  CASE WHEN bc_nano > 0 THEN
+      |    CAST(floor(1e6 * -ln(CAST(bc_nano AS DOUBLE) / 1e9)) AS BIGINT)
+      |  END AS bhat_micro
+      |FROM m""".stripMargin
+
+  // ==== q347: partial correlation (controlling a confounder) ================
+  //
+  // The CONDITIONAL member of the association shelf: q194 reports raw
+  // pairwise Pearson r — but "quantity correlates with price" may be
+  // entirely routed through discount. Partial r_xy·z removes the linear
+  // effect of the control z from both sides:
+  //   r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²)).
+  // Scale shape: the SAME one-pass k(k+1)/2 integer cross moments as
+  // q194 (DECIMAL(38,0) sums, map-side combined) — the partial-r algebra
+  // is pure scalar render. Exactness: each raw r is the q194 double
+  // chain off exact moments; the partial formula adds only correctly-
+  // rounded ops (×, −, ÷, √) in one spelled order, replicated verbatim
+  // in the oracle.
+
+  /** Three rows (m_x, m_y, m_z, n, r_xy, r_xy_z): each unordered pair of
+    * the three measures, partialed on the remaining one. */
+  def partialCorrelation(df: DataFrame, m1: String, m2: String,
+      m3: String): DataFrame = {
+    val ms = Seq(m1, m2, m3).sorted
+    val dec = ms.map(m => col(m).cast("decimal(18,0)").as(m))
+    val d = df.select(dec: _*)
+    val aggs = ms.map(m => sum(col(m)).as(s"s_$m")) ++
+      (for (a <- ms; b <- ms if a <= b)
+        yield sum(col(a) * col(b)).as(s"p_${a}_$b"))
+    val m = d.agg(count(lit(1)).as("n"), aggs: _*)
+    def dd(c: String) = col(c).cast("double")
+    def r(a: String, b: String): Column = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      (dd("n") * dd(s"p_${x}_$y") - dd(s"s_$x") * dd(s"s_$y")) /
+        sqrt((dd("n") * dd(s"p_${x}_$x") - dd(s"s_$x") * dd(s"s_$x")) *
+          (dd("n") * dd(s"p_${y}_$y") - dd(s"s_$y") * dd(s"s_$y")))
+    }
+    val triples = Seq((ms(0), ms(1), ms(2)), (ms(0), ms(2), ms(1)),
+      (ms(1), ms(2), ms(0)))
+    triples.map { case (x, y, z) =>
+      m.select(lit(x).as("m_x"), lit(y).as("m_y"), lit(z).as("m_z"),
+        col("n"), QueryDef.dec4(r(x, y)).as("r_xy"),
+        QueryDef.dec4((r(x, y) - r(x, z) * r(y, z)) /
+          sqrt((lit(1.0) - r(x, z) * r(x, z)) *
+            (lit(1.0) - r(y, z) * r(y, z)))).as("r_xy_z"))
+    }.reduce(_.unionByName(_))
+  }
+
+  private def q347(s: SparkSession, dir: String): DataFrame =
+    partialCorrelation(
+      Tables.lineitem(s, dir).select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        round(col("l_discount") * 100).cast("long").as("disc_c")),
+      "qty", "price_c", "disc_c")
+      .orderBy(col("m_x"), col("m_y"))
+
+  private val q347Sql = {
+    val ms = Seq("disc_c", "price_c", "qty")
+    def r(a: String, b: String): String = {
+      val (x, y) = if (a <= b) (a, b) else (b, a)
+      s"""((CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE)
+         |      - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
+         |    sqrt((CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
+         |        - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
+         |      * (CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
+         |        - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))))""".stripMargin
+    }
+    val triples = Seq((ms(0), ms(1), ms(2)), (ms(0), ms(2), ms(1)),
+      (ms(1), ms(2), ms(0)))
+    val sel = triples.map { case (x, y, z) =>
+      s"""SELECT '$x' AS m_x, '$y' AS m_y, '$z' AS m_z, n,
+         |  CAST(CAST(${r(x, y)} AS DECIMAL(38,4)) AS VARCHAR) AS r_xy,
+         |  CAST(CAST((${r(x, y)} - ${r(x, z)} * ${r(y, z)}) /
+         |    sqrt((1.0 - ${r(x, z)} * ${r(x, z)})
+         |      * (1.0 - ${r(y, z)} * ${r(y, z)}))
+         |    AS DECIMAL(38,4)) AS VARCHAR) AS r_xy_z
+         |FROM m""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val moments = ms.map(m => s"sum($m) AS s_$m").mkString(", ") + ", " +
+      (for (a <- ms; b <- ms if a <= b)
+        yield s"sum($a * $b) AS p_${a}_$b").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(18,0)) AS qty,
+       |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+       |      AS DECIMAL(18,0)) AS price_c,
+       |    CAST(CAST(round(l_discount * 100) AS BIGINT)
+       |      AS DECIMAL(18,0)) AS disc_c
+       |  FROM lineitem),
+       |m AS (SELECT count(*) AS n, $moments FROM d)
+       |SELECT * FROM ($sel)
+       |ORDER BY m_x, m_y""".stripMargin
+  }
+
+  // ==== q348: Tukey HSD pairwise post-hoc (Tukey–Kramer q statistics) =======
+  //
+  // What a significant ANOVA F (q281) does NOT tell you: WHICH groups
+  // differ. Tukey's studentized-range post-hoc reports, per group pair,
+  //   q_ab = |x̄_a − x̄_b| / √(MSW/2 · (1/n_a + 1/n_b))
+  // (Tukey–Kramer form for unequal n) against one SHARED pooled error —
+  // not k(k−1)/2 separate t-tests with inflated family error. Statistic,
+  // not p-value (the studentized-range CDF is a special function — the
+  // q197 rule). Exactness: group moments are exact decimals; MSW reuses
+  // the q281 left-to-right group-ordered fold for the one order-sensitive
+  // sum Σs_g²/n_g; each pair row is then ONE spelled double chain.
+  // Scale shape: one map-side-combined groupBy to k group moments, a
+  // k²-row broadcast self-join — group-domain arithmetic only.
+
+  /** k(k−1)/2 rows: (g_a, g_b, n_a, n_b, mean_diff, q_stat). */
+  def tukeyHsd(df: DataFrame, group: String, x: String): DataFrame = {
+    val xd = col(x).cast("decimal(18,0)")
+    val g = df.groupBy(col(group).as("g"))
+      .agg(count(lit(1)).as("n_g"), sum(xd).as("s_g"),
+        sum(xd * xd).as("ss_g"))
+    def dd(c: String) = col(c).cast("double")
+    val m = g
+      .select(col("n_g"), col("ss_g"),
+        struct(col("g"), (dd("s_g") * dd("s_g") / dd("n_g")).as("t"))
+          .as("gt"))
+      .agg(count(lit(1)).as("k"), sum(col("n_g")).as("n"),
+        sum(col("ss_g")).cast("decimal(38,0)").as("c"),
+        aggregate(sort_array(collect_list(col("gt"))), lit(0.0),
+          (acc, t) => acc + t.getField("t")).as("a"))
+    val ga = g.select(col("g").as("g_a"), col("n_g").as("n_a"),
+      col("s_g").as("s_a"))
+    val gb = g.select(col("g").as("g_b"), col("n_g").as("n_b"),
+      col("s_g").as("s_b"))
+    val msw = (col("c").cast("double") - col("a")) /
+      (col("n") - col("k")).cast("double")
+    ga.join(gb, col("g_a") < col("g_b")).crossJoin(broadcast(m))
+      .select(col("g_a"), col("g_b"), col("n_a"), col("n_b"),
+        QueryDef.dec4(dd("s_a") / dd("n_a") - dd("s_b") / dd("n_b"))
+          .as("mean_diff"),
+        QueryDef.dec4(
+          abs(dd("s_a") / dd("n_a") - dd("s_b") / dd("n_b")) /
+            sqrt(msw / lit(2.0) *
+              (lit(1.0) / dd("n_a") + lit(1.0) / dd("n_b"))))
+          .as("q_stat"))
+  }
+
+  private def q348(s: SparkSession, dir: String): DataFrame =
+    tukeyHsd(Tables.events(s, dir)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("cents")),
+      "event_type", "cents")
+      .orderBy(col("g_a"), col("g_b"))
+
+  private val q348Sql =
+    """WITH d AS (
+      |  SELECT event_type AS grp,
+      |    CAST(CAST(round(value * 100) AS BIGINT) AS DECIMAL(18,0)) AS x
+      |  FROM events),
+      |g AS (
+      |  SELECT grp, count(*) AS n_g,
+      |    CAST(sum(x) AS DECIMAL(38,0)) AS s_g,
+      |    CAST(sum(x * x) AS DECIMAL(38,0)) AS ss_g
+      |  FROM d GROUP BY grp),
+      |t AS (
+      |  SELECT n_g, ss_g, grp,
+      |    CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+      |      / CAST(n_g AS DOUBLE) AS a_t
+      |  FROM g),
+      |m AS (
+      |  SELECT count(*) AS k, CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(ss_g) AS DECIMAL(38,0)) AS c,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(a_t ORDER BY grp)), (acc, x) -> acc + x) AS a
+      |  FROM t)
+      |SELECT ga.grp AS g_a, gb.grp AS g_b, ga.n_g AS n_a, gb.n_g AS n_b,
+      |  CAST(CAST(CAST(ga.s_g AS DOUBLE) / CAST(ga.n_g AS DOUBLE)
+      |    - CAST(gb.s_g AS DOUBLE) / CAST(gb.n_g AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS mean_diff,
+      |  CAST(CAST(
+      |    abs(CAST(ga.s_g AS DOUBLE) / CAST(ga.n_g AS DOUBLE)
+      |      - CAST(gb.s_g AS DOUBLE) / CAST(gb.n_g AS DOUBLE)) /
+      |    sqrt((CAST(c AS DOUBLE) - a) / CAST(n - k AS DOUBLE) / 2.0 *
+      |      (1.0 / CAST(ga.n_g AS DOUBLE) + 1.0 / CAST(gb.n_g AS DOUBLE)))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS q_stat
+      |FROM g ga JOIN g gb ON ga.grp < gb.grp CROSS JOIN m
+      |ORDER BY g_a, g_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q342_wilcoxon_signed_rank", q342, Some(q342Sql)),
+    QueryDef("q343_hellinger_drift", q343, Some(q343Sql)),
+    QueryDef("q347_partial_correlation", q347, Some(q347Sql)),
+    QueryDef("q348_tukey_hsd", q348, Some(q348Sql)),
     QueryDef("q319_welch_anova", q319, Some(q319Sql)),
     QueryDef("q318_krippendorff_alpha", q318, Some(q318Sql)),
     QueryDef("q316_gwet_ac1", q316, Some(q316Sql)),
