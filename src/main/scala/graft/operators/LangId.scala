@@ -56,15 +56,28 @@ object LangId {
       .otherwise(typedLit(Seq.empty[String]))
 
   /** (doc_id, b, x): char-bigram bucket counts of lower(text), plus one
-    * bias row (b = 64, x = 1) per doc — even a gram-less doc scores. */
+    * bias row (b = 64, x = 1) per doc — even a gram-less doc scores.
+    *
+    * Scale shape (fixed round 14): the corpus is repartitioned BEFORE
+    * the explode (a parquet scan of few large files otherwise hands the
+    * ~150× exploded gram stream to a handful of tasks — observed: 90M
+    * md5 calls pinned on 2 cores at sf1), and md5 runs once per DISTINCT
+    * gram via an alphabet²-bounded broadcast bucket table, never once
+    * per corpus occurrence. */
   def charGramFeatures(docs: DataFrame): DataFrame = {
-    val grams = docs
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val grams = docs.repartition(parts, col("doc_id"))
       .select(col("doc_id"), explode(bigrams(lower(col("text")))).as("g"))
-      .select(col("doc_id"), bucketOf(col("g")).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("x"))
+    val perDoc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cg"))
+    // char-bigram DOMAIN table: |alphabet|²-bounded, broadcastable
+    val gdom = grams.select(col("g")).distinct()
+      .select(col("g"), bucketOf(col("g")).as("b"))
+    val feats = perDoc.join(broadcast(gdom), Seq("g"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
     val bias = docs.select(col("doc_id"),
       lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))
-    grams.unionByName(bias)
+    feats.unionByName(bias)
   }
 
   /** Closed-form NB profiles from `labeled` (doc_id, text, lang):
@@ -121,6 +134,37 @@ object LangId {
           (lit(1e6) * greatest(col("ng"), lit(1L)).cast("double"))).as("conf"))
   }
 
+  /** Population-stability index between a batch language histogram and a
+    * reference mix — the categorical drift readout for the B286 monitor.
+    * Add-1 smoothing over the UNION of categories (a language absent from
+    * one side must contribute a finite term, not ±∞); per-category term
+    * ⌊10⁶·(p−q)·ln(p/q)⌋ floored then integer-summed (the q99 ln
+    * discipline). One row: (n_ref, n_batch, n_langs, psi_micro). */
+  def langMixPsi(batchLangs: DataFrame, refMix: DataFrame): DataFrame = {
+    val b = batchLangs.select(col("lang"), col("cnt").cast("long").as("cb"))
+    val r = refMix.select(col("lang"), col("cnt").cast("long").as("cr"))
+    val cats = b.select(col("lang")).unionByName(r.select(col("lang")))
+      .distinct()
+    val joined = cats.join(b, Seq("lang"), "left")
+      .join(r, Seq("lang"), "left")
+      .select(col("lang"), coalesce(col("cb"), lit(0L)).as("cb"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val tot = broadcast(joined.agg(sum(col("cb")).as("nb"),
+      sum(col("cr")).as("nr"), count(lit(1)).as("k")))
+    def dd(c: Column) = c.cast("double")
+    joined.crossJoin(tot)
+      .select(col("nr"), col("nb"), col("k"),
+        floor(lit(1e6) *
+          ((dd(col("cb") + 1L) / dd(col("nb") + col("k"))) -
+            (dd(col("cr") + 1L) / dd(col("nr") + col("k")))) *
+          log((dd(col("cb") + 1L) / dd(col("nb") + col("k"))) /
+            (dd(col("cr") + 1L) / dd(col("nr") + col("k")))))
+          .cast("long").as("t"))
+      .groupBy(col("nr").as("n_ref"), col("nb").as("n_batch"),
+        col("k").as("n_langs"))
+      .agg(sum(col("t")).as("psi_micro"))
+  }
+
   // ==== q339: train on the planted-label slice, identify all docs ==========
   //
   // The synthetic corpus's text is language-independent by construction
@@ -147,10 +191,14 @@ object LangId {
        |  SELECT doc_id, unnest(list_transform(range(1, length(t)),
        |    i -> substr(t, CAST(i AS INTEGER), 2))) AS g
        |  FROM d WHERE length(t) >= 2),
+       |pg AS (
+       |  SELECT doc_id, g, count(*) AS cg FROM g GROUP BY 1, 2),
+       |gd AS (
+       |  SELECT g, CAST($bucket AS BIGINT) AS b
+       |  FROM (SELECT DISTINCT g FROM g)),
        |feats AS (
-       |  SELECT doc_id, CAST($bucket AS BIGINT) AS b,
-       |    CAST(count(*) AS BIGINT) AS x
-       |  FROM g GROUP BY 1, 2
+       |  SELECT doc_id, b, CAST(sum(cg) AS BIGINT) AS x
+       |  FROM pg JOIN gd USING (g) GROUP BY 1, 2
        |  UNION ALL SELECT doc_id, 64, 1 FROM d),
        |nl AS (SELECT lang, count(*) AS nl FROM d WHERE is_train GROUP BY 1),
        |tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS nlangs

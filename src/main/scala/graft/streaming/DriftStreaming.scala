@@ -87,6 +87,39 @@ object DriftStreaming {
           (col("a2") > threshold).as("alarm"))
     }
 
+  /** Language-mix monitor (B286): every micro-batch of arriving documents
+    * is language-identified against FIXED profiles (B275's closed-form NB,
+    * trained once upstream) and the batch's language histogram is
+    * PSI-compared to a reference mix — the crawl-composition tripwire: a
+    * source flips language, a boilerplate explosion shifts the mix, and
+    * the alarm fires batches before any per-language corpus statistic is
+    * computed on the wrong denominator. The monitored quantity is a MODEL
+    * OUTPUT, so this composes B275's scorer inside the audit loop rather
+    * than reading a raw column. Appends (batch_id, n_ref, n_batch,
+    * n_langs, psi_micro, alarm); threshold in micro-nats (the standard
+    * "investigate" line 0.2 ≈ 200000). Scale notes: profiles are L×65
+    * rows (broadcast); the per-batch histogram is language-domain; the
+    * reference mix arrives as counts, not rows. */
+  def startLangMixMonitor(docs: DataFrame, profiles: DataFrame,
+      refMix: DataFrame, thresholdMicro: Long, outPath: String,
+      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val langs = graft.operators.LangId.langId(batch.toDF(), profiles)
+            .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+          graft.operators.LangId.langMixPsi(langs, refMix)
+            .select(lit(id).as("batch_id"), col("n_ref"), col("n_batch"),
+              col("n_langs"), col("psi_micro"),
+              (col("psi_micro") > thresholdMicro).as("alarm"))
+            .coalesce(1).write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Cramér–von Mises twin (B220s): per-batch integrated squared CDF gap
     * vs the reference — catches distributed many-small-gap drift KS
     * underweights. Appends (batch_id, n_ref, n_batch, t, alarm). */
