@@ -5939,8 +5939,163 @@ object EventsOps {
       |    AS DECIMAL(38,4)) AS VARCHAR) AS z
       |FROM m ORDER BY event_type""".stripMargin
 
+  // ==== q351: sample-ratio-mismatch (SRM) check ==============================
+  //
+  // The experimentation shelf's FIRST gate, run before any effect
+  // estimate (CUPED q254, IPW q276, planner q262): if the 50/50 hashed
+  // assignment didn't land 50/50, every downstream readout is suspect
+  // (broken bucketing, bot filtering one arm, redirect loss). Units are
+  // USERS; bucket = second hex digit of md5(user_id) (16 uniform
+  // buckets, arm = bucket < 8), χ²_arm = (n_a−n_b)²/n and the 16-bucket
+  // uniformity χ² = (16·Σc² − n²)/n — both EXACT integer numerators
+  // with one division at render (no per-cell float sums at all).
+  // Scale shape: one distinct-users pass, one 16-row aggregate.
+
+  /** One row: (n_users, n_a, n_b, chi2_arm, chi2_buckets, dof_buckets). */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val users = events.select(col("user_id")).distinct()
+      .select(conv(substring(md5(col("user_id").cast("string")), 2, 1),
+        16, 10).cast("long").as("bucket"))
+    def dd(c: Column) = c.cast("double")
+    users.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("bucket") < 8, col("c")).otherwise(0L)).as("n_a"),
+        sum(when(col("bucket") >= 8, col("c")).otherwise(0L)).as("n_b"),
+        sum(col("c") * col("c")).as("ss"),
+        count(lit(1)).as("k"))
+      .select(col("n").as("n_users"), col("n_a"), col("n_b"),
+        QueryDef.dec4(dd((col("n_a") - col("n_b")) *
+          (col("n_a") - col("n_b"))) / dd(col("n"))).as("chi2_arm"),
+        QueryDef.dec4(dd(lit(16L) * col("ss") - col("n") * col("n")) /
+          dd(col("n"))).as("chi2_buckets"),
+        lit(15L).as("dof_buckets"))
+  }
+
+  private def q351(s: SparkSession, dir: String): DataFrame =
+    srmCheck(Tables.events(s, dir))
+
+  private val q351Sql =
+    """WITH u AS (
+      |  SELECT DISTINCT user_id FROM events),
+      |b AS (
+      |  SELECT strpos('0123456789abcdef',
+      |    substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+      |  FROM u),
+      |c AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1),
+      |m AS (
+      |  SELECT CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN bucket < 8 THEN c ELSE 0 END) AS BIGINT)
+      |      AS n_a,
+      |    CAST(sum(CASE WHEN bucket >= 8 THEN c ELSE 0 END) AS BIGINT)
+      |      AS n_b,
+      |    CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM c)
+      |SELECT n AS n_users, n_a, n_b,
+      |  CAST(CAST(CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+      |    / CAST(n AS DOUBLE) AS DECIMAL(38,4)) AS VARCHAR) AS chi2_arm,
+      |  CAST(CAST(CAST(16 * ss - n * n AS DOUBLE) / CAST(n AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2_buckets,
+      |  CAST(15 AS BIGINT) AS dof_buckets
+      |FROM m""".stripMargin
+
+  // ==== q352: delta-method CI for a ratio metric =============================
+  //
+  // Most business metrics are RATIOS of per-user sums (revenue/view,
+  // conversions/session), and the naive per-user-mean CI is simply wrong
+  // for them — the denominator is random too. The delta method:
+  // R = ΣX/ΣY, var(R) ≈ (s_xx − 2R·s_xy + R²·s_yy)/(n·Ȳ²) from per-user
+  // (x, y) moments — the standard experimentation readout (Deng et al.
+  // 2017). Per arm (the q351 hash buckets), exact DECIMAL moments, one
+  // spelled double chain for R/se/CI; z = 1.959964 (the q324 constant).
+  // Scale shape: one user-domain groupBy, one 2-row moment aggregate.
+
+  /** Per arm: (arm, n_users, sum_x, sum_y, ratio, se, ci_lo, ci_hi) for
+    * x = purchase cents, y = view count per user. */
+  def ratioMetricCi(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(coalesce(sum(when(col("event_type") === "purchase",
+          col("cents"))), lit(0L)).as("x"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L))
+          .as("y"))
+      .select(
+        when(conv(substring(md5(col("user_id").cast("string")), 2, 1),
+          16, 10).cast("long") < 8, "a").otherwise("b").as("arm"),
+        col("x").cast("decimal(18,0)").as("x"),
+        col("y").cast("decimal(18,0)").as("y"))
+    def dd(c: Column) = c.cast("double")
+    val m = perUser.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val r = dd(col("sx")) / dd(col("sy"))
+    def sv(p: String, a: String, b: String) =
+      (dd(col("n")) * dd(col(p)) - dd(col(a)) * dd(col(b))) /
+        (dd(col("n")) * (dd(col("n")) - lit(1.0)))
+    val ybar = dd(col("sy")) / dd(col("n"))
+    val se = sqrt((sv("sxx", "sx", "sx") - lit(2.0) * r * sv("sxy", "sx", "sy")
+      + r * r * sv("syy", "sy", "sy")) / (dd(col("n")) * ybar * ybar))
+    m.select(col("arm"), col("n").as("n_users"),
+      col("sx").cast("long").as("sum_x"), col("sy").cast("long").as("sum_y"),
+      QueryDef.dec4(r).as("ratio"), QueryDef.dec4(se).as("se"),
+      QueryDef.dec4(r - lit(1.959964) * se).as("ci_lo"),
+      QueryDef.dec4(r + lit(1.959964) * se).as("ci_hi"))
+  }
+
+  private def q352(s: SparkSession, dir: String): DataFrame =
+    ratioMetricCi(Tables.events(s, dir)).orderBy(col("arm"))
+
+  private val q352Sql = {
+    def sv(p: String, a: String, b: String) =
+      s"""((CAST(n AS DOUBLE) * CAST($p AS DOUBLE)
+         | - CAST($a AS DOUBLE) * CAST($b AS DOUBLE))
+         | / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+        .stripMargin.replace("\n", " ")
+    val r = "(CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))"
+    val ybar = "(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+    val se = s"""sqrt((${sv("sxx", "sx", "sx")} - 2.0 * $r *
+      ${sv("sxy", "sx", "sy")} + $r * $r * ${sv("syy", "sy", "sy")})
+      / (CAST(n AS DOUBLE) * $ybar * $ybar))""".replace("\n", " ")
+    s"""WITH pu AS (
+       |  SELECT user_id,
+       |    CAST(coalesce(sum(CASE WHEN event_type = 'purchase'
+       |      THEN CAST(round(value * 100) AS BIGINT) END), 0)
+       |      AS DECIMAL(18,0)) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS DECIMAL(18,0)) AS y
+       |  FROM events GROUP BY 1),
+       |armed AS (
+       |  SELECT CASE WHEN strpos('0123456789abcdef',
+       |      substr(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 1 < 8
+       |    THEN 'a' ELSE 'b' END AS arm, x, y
+       |  FROM pu),
+       |m AS (
+       |  SELECT arm, count(*) AS n,
+       |    CAST(sum(x) AS DECIMAL(38,0)) AS sx,
+       |    CAST(sum(y) AS DECIMAL(38,0)) AS sy,
+       |    CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx,
+       |    CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy,
+       |    CAST(sum(y * y) AS DECIMAL(38,0)) AS syy
+       |  FROM armed GROUP BY 1)
+       |SELECT arm, n AS n_users, CAST(sx AS BIGINT) AS sum_x,
+       |  CAST(sy AS BIGINT) AS sum_y,
+       |  CAST(CAST($r AS DECIMAL(38,4)) AS VARCHAR) AS ratio,
+       |  CAST(CAST($se AS DECIMAL(38,4)) AS VARCHAR) AS se,
+       |  CAST(CAST($r - 1.959964 * $se AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS ci_lo,
+       |  CAST(CAST($r + 1.959964 * $se AS DECIMAL(38,4)) AS VARCHAR)
+       |    AS ci_hi
+       |FROM m ORDER BY arm""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q344_holt_winters", q344, Some(q344Sql)),
+    QueryDef("q351_srm_check", q351, Some(q351Sql)),
+    QueryDef("q352_ratio_delta_ci", q352, Some(q352Sql)),
     QueryDef("q345_periodogram", q345, Some(q345Sql)),
     QueryDef("q349_overdispersion", q349, Some(q349Sql)),
     QueryDef("q324_odds_ratio", q324, Some(q324Sql)),

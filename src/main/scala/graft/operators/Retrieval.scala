@@ -253,7 +253,91 @@ object Retrieval {
       |FROM hits WHERE n_occurrences > 0
       |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin
 
+  // ==== q350: item-item co-occurrence cosine — recsys neighbors =============
+  //
+  // The collaborative-filtering primitive the basket shelf stops short
+  // of: q121's association rules run over the 5-value event-TYPE domain;
+  // real "customers also bought" runs over the PART catalog (thousands
+  // to millions of items) and wants, per item, its top-k most-similar
+  // neighbors by co-occurrence cosine sim(a,b) = c_ab/√(c_a·c_b) — the
+  // classic item-item kNN (Sarwar et al. 2001; Amazon's item-to-item).
+  // Scale shape: pair generation is a SAME-ORDER self-join (fan-out
+  // basket_size² per order, bounded by basket size, never corpus²);
+  // item totals broadcast; the top-k rank windows over each item's
+  // NEIGHBOR list (co-purchase-degree-bounded), never globally.
+  // Exactness: cosine is ONE cr division of an integer by one cr sqrt
+  // of an integer product — bit-identical doubles, so ordering by
+  // (cosine DESC, neighbor ASC) ranks identically in both engines.
+
+  /** Top-`k` co-purchase neighbors per part: (item, neighbor, n_pair,
+    * cosine, rnk). Pairs are emitted in both directions. */
+  def itemCooccurrence(lineitem: DataFrame, k: Int): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val totals = items.groupBy(col("item")).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"), col("a.ok") === col("b.ok") &&
+        col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("item"), col("b.item").as("neighbor"))
+      .agg(count(lit(1)).as("n_pair"))
+    def dd(c: Column) = c.cast("double")
+    val scored = pairs
+      .join(totals.withColumnRenamed("item", "item")
+        .withColumnRenamed("c", "c_i"), Seq("item"))
+      .join(totals.withColumnRenamed("item", "neighbor")
+        .withColumnRenamed("c", "c_j"), Seq("neighbor"))
+      .select(col("item"), col("neighbor"), col("n_pair"),
+        (dd(col("n_pair")) /
+          sqrt(dd(col("c_i").cast("decimal(38,0)") * col("c_j"))))
+          .as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("item"))
+      .orderBy(col("cos").desc, col("neighbor").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("item"), col("neighbor"), col("n_pair"),
+        QueryDef.dec4(col("cos")).as("cosine"), col("rnk"))
+  }
+
+  // part domain at sf0.01 is ~2k items; keep the q-face output bounded
+  // by restricting to the first 200 parts AFTER scoring (the neighbor
+  // pool still spans the whole catalog)
+  private def q350(s: SparkSession, dir: String): DataFrame =
+    itemCooccurrence(Tables.lineitem(s, dir), k = 3)
+      .filter(col("item") < 200)
+      .orderBy(col("item"), col("rnk"))
+
+  private val q350Sql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+      |  FROM lineitem),
+      |totals AS (
+      |  SELECT item, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item, b.item AS neighbor,
+      |    CAST(count(*) AS BIGINT) AS n_pair
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.item <> b.item
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT p.item, p.neighbor, p.n_pair,
+      |    CAST(p.n_pair AS DOUBLE) /
+      |      sqrt(CAST(CAST(ti.c AS DECIMAL(38,0)) * tj.c AS DOUBLE))
+      |      AS cos
+      |  FROM pairs p
+      |  JOIN totals ti ON ti.item = p.item
+      |  JOIN totals tj ON tj.item = p.neighbor),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY item
+      |    ORDER BY cos DESC, neighbor) AS rnk
+      |  FROM scored)
+      |SELECT item, neighbor, n_pair,
+      |  CAST(CAST(cos AS DECIMAL(38,4)) AS VARCHAR) AS cosine, rnk
+      |FROM ranked WHERE rnk <= 3 AND item < 200
+      |ORDER BY item, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q350_item_cooccurrence", q350, Some(q350Sql)),
     QueryDef("q103_bm25_topk", q103, Some(q103Sql)),
     QueryDef("q170_rrf_fusion", q170, Some(q170Sql)),
     QueryDef("q233_phrase_search", q233, Some(q233Sql)))
