@@ -1037,7 +1037,67 @@ object CorpusStats {
       |    AS evenness_e6
       |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ==== q355: vocabulary coverage — Good–Turing missing mass + Chao1 ========
+  //
+  // The sampling-completeness question behind every vocab-dependent
+  // decision (B87 OOV rate, tokenizer training size, Heaps q225
+  // extrapolation): how much of the language have we NOT seen? Two
+  // classical estimators off the frequency-of-frequencies: Good–Turing
+  // missing mass P(unseen) ≈ n₁/N (the probability the next token is a
+  // new type — Good 1953), and the bias-corrected Chao1 richness floor
+  // V + n₁(n₁−1)/(2(n₂+1)) (defined even at n₂ = 0). Exactness: all
+  // inputs are exact integers off one (source, word) count; each output
+  // is ONE spelled double chain. Scale shape: one corpus tokenize +
+  // groupBy, then source-domain arithmetic.
+
+  /** Per source: (source, vocab, n_tokens, n1, n2, missing_mass,
+    * chao1). */
+  def vocabCoverage(docs: DataFrame): DataFrame = {
+    val wc = docs
+      .select(col("source"),
+        explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    def dd(c: Column) = c.cast("double")
+    wc.groupBy(col("source"))
+      .agg(count(lit(1)).as("vocab"), sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("source"), col("vocab"), col("n_tokens"), col("n1"),
+        col("n2"),
+        QueryDef.dec4(dd(col("n1")) / dd(col("n_tokens")))
+          .as("missing_mass"),
+        QueryDef.dec4(dd(col("vocab")) +
+          dd(col("n1")) * (dd(col("n1")) - lit(1.0)) /
+            (lit(2.0) * (dd(col("n2")) + lit(1.0)))).as("chao1"))
+  }
+
+  private def q355(s: SparkSession, dir: String): DataFrame =
+    vocabCoverage(Tables.documents(s, dir)).orderBy(col("source"))
+
+  private val q355Sql =
+    """WITH t AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      |  FROM documents),
+      |wc AS (
+      |  SELECT source, w, CAST(count(*) AS BIGINT) AS c
+      |  FROM t GROUP BY 1, 2),
+      |m AS (
+      |  SELECT source, count(*) AS vocab, CAST(sum(c) AS BIGINT)
+      |      AS n_tokens,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+      |  FROM wc GROUP BY 1)
+      |SELECT source, vocab, n_tokens, n1, n2,
+      |  CAST(CAST(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS missing_mass,
+      |  CAST(CAST(CAST(vocab AS DOUBLE)
+      |      + CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)
+      |        / (2.0 * (CAST(n2 AS DOUBLE) + 1.0))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS chao1
+      |FROM m ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q355_vocab_coverage", q355, Some(q355Sql)),
     QueryDef("q320_shannon_diversity", q320, Some(q320Sql)),
     QueryDef("q314_monroe_keyness", q314, Some(q314Sql)),
     QueryDef("q313_herfindahl", q313, Some(q313Sql)),

@@ -6092,10 +6092,144 @@ object EventsOps {
        |FROM m ORDER BY arm""".stripMargin
   }
 
+  // ==== q353: Markov entropy rate — behavioral predictability ===============
+  //
+  // q119 fits P(next | current); the entropy rate says how PREDICTABLE
+  // the behavior is at all: H = −Σᵢ π̂ᵢ Σⱼ p̂ᵢⱼ ln p̂ᵢⱼ with the empirical
+  // stationary weights π̂ᵢ = cᵢ/C — 0 bits means deterministic journeys
+  // (no model needed), ln|types| means uniform chaos (no model helps);
+  // the number that decides whether the q238 next-event predictor is
+  // worth running. Exactness: one ln per DISTINCT transition cell over
+  // exact integers, ⌊10⁶·⌋-floored then WEIGHTED by the exact cell count
+  // (the q195 rule) — per-state sums are exact BIGINTs, one division per
+  // rendered row. Scale shape: the q119 lead window (single user_id
+  // shuffle) down to a |types|² counts table; everything after is
+  // type-domain arithmetic.
+
+  /** Per from-state rows (state, c_i, n_out, h) + one `__all` row whose
+    * h is the entropy RATE (π̂-weighted mean of the per-state rows). */
+  def markovEntropyRate(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("state"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val ci = counts.groupBy(col("state")).agg(sum(col("c")).as("c_i"))
+    def dd(c: Column) = c.cast("double")
+    val terms = counts.join(broadcast(ci), Seq("state"))
+      .select(col("state"), col("c_i"),
+        (floor(lit(1e6) * log(dd(col("c")) / dd(col("c_i"))))
+          .cast("long") * col("c")).as("t"))
+    val perState = terms.groupBy(col("state"), col("c_i"))
+      .agg(count(lit(1)).as("n_out"), sum(col("t")).as("ts_"))
+    val all = perState.agg(sum(col("c_i")).as("c_i"),
+        sum(col("n_out")).as("n_out"), sum(col("ts_")).as("ts_"))
+      .select(lit("__all").as("state"), col("c_i"), col("n_out"),
+        col("ts_"))
+    perState.select(col("state"), col("c_i"), col("n_out"), col("ts_"))
+      .unionByName(all)
+      .select(col("state"), col("c_i"), col("n_out"),
+        QueryDef.dec4(-dd(col("ts_")) / (lit(1e6) * dd(col("c_i"))))
+          .as("h"))
+  }
+
+  private def q353(s: SparkSession, dir: String): DataFrame =
+    markovEntropyRate(Tables.events(s, dir)).orderBy(col("state"))
+
+  private val q353Sql =
+    """WITH seq AS (
+      |  SELECT event_type AS state,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT state, to_type, CAST(count(*) AS BIGINT) AS c FROM seq
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |ci AS (SELECT state, CAST(sum(c) AS BIGINT) AS c_i FROM c
+      |  GROUP BY 1),
+      |t AS (
+      |  SELECT c.state, ci.c_i,
+      |    CAST(floor(1e6 * ln(CAST(c.c AS DOUBLE)
+      |      / CAST(ci.c_i AS DOUBLE))) AS BIGINT) * c.c AS t
+      |  FROM c JOIN ci USING (state)),
+      |ps AS (
+      |  SELECT state, c_i, count(*) AS n_out,
+      |    CAST(sum(t) AS BIGINT) AS ts_
+      |  FROM t GROUP BY 1, 2),
+      |uni AS (
+      |  SELECT state, c_i, n_out, ts_ FROM ps
+      |  UNION ALL
+      |  SELECT '__all', CAST(sum(c_i) AS BIGINT),
+      |    CAST(sum(n_out) AS BIGINT), CAST(sum(ts_) AS BIGINT) FROM ps)
+      |SELECT state, c_i, n_out,
+      |  CAST(CAST(-CAST(ts_ AS DOUBLE) / (1e6 * CAST(c_i AS DOUBLE))
+      |    AS DECIMAL(38,4)) AS VARCHAR) AS h
+      |FROM uni ORDER BY state""".stripMargin
+
+  // ==== q354: negative-binomial fit — the overdispersed count model =========
+  //
+  // q349 DETECTS overdispersion; this fits what to use instead of
+  // Poisson when it fires: NB by method of moments, r = m²/(v−m),
+  // p = m/v, over per-user per-type event counts (user heterogeneity is
+  // the textbook NB mechanism — Poisson rates mixed over a Gamma
+  // population). Degenerate guard: v ≤ m (at-or-under-dispersed) yields
+  // NULL r/p — Poisson suffices, and the NULL is the signal. Exactness:
+  // exact DECIMAL moments, m/v/r/p each ONE spelled double chain.
+
+  /** Per event_type over per-user counts: (event_type, n_users, mean,
+    * var, r, p) — r/p NULL when not overdispersed. */
+  def negbinFit(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("x"))
+    def d0(c: Column) = c.cast("decimal(38,0)")
+    def dd(c: Column) = c.cast("double")
+    val m = perUser.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"),
+        sum(d0(col("x")) * col("x")).as("ss"))
+    val mean = dd(col("s")) / dd(col("n"))
+    val vr = (dd(col("n")) * dd(col("ss")) - dd(col("s")) * dd(col("s"))) /
+      (dd(col("n")) * (dd(col("n")) - lit(1.0)))
+    m.select(col("event_type"), col("n").as("n_users"),
+      QueryDef.dec4(mean).as("mean"), QueryDef.dec4(vr).as("var"),
+      QueryDef.dec4(when(vr > mean, mean * mean / (vr - mean))).as("r"),
+      QueryDef.dec4(when(vr > mean, mean / vr)).as("p"))
+  }
+
+  private def q354(s: SparkSession, dir: String): DataFrame =
+    negbinFit(Tables.events(s, dir)).orderBy(col("event_type"))
+
+  private val q354Sql = {
+    val mean = "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    val vr = """((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))"""
+      .replace("\n", " ")
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS s,
+       |    CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS ss
+       |  FROM pu GROUP BY 1)
+       |SELECT event_type, n AS n_users,
+       |  CAST(CAST($mean AS DECIMAL(38,4)) AS VARCHAR) AS mean,
+       |  CAST(CAST($vr AS DECIMAL(38,4)) AS VARCHAR) AS var,
+       |  CAST(CAST(CASE WHEN $vr > $mean
+       |    THEN $mean * $mean / ($vr - $mean) END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS r,
+       |  CAST(CAST(CASE WHEN $vr > $mean THEN $mean / $vr END
+       |    AS DECIMAL(38,4)) AS VARCHAR) AS p
+       |FROM m ORDER BY event_type""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q344_holt_winters", q344, Some(q344Sql)),
     QueryDef("q351_srm_check", q351, Some(q351Sql)),
     QueryDef("q352_ratio_delta_ci", q352, Some(q352Sql)),
+    QueryDef("q353_markov_entropy_rate", q353, Some(q353Sql)),
+    QueryDef("q354_negbin_fit", q354, Some(q354Sql)),
     QueryDef("q345_periodogram", q345, Some(q345Sql)),
     QueryDef("q349_overdispersion", q349, Some(q349Sql)),
     QueryDef("q324_odds_ratio", q324, Some(q324Sql)),
