@@ -1959,16 +1959,22 @@ object EventsOps {
     sequencePairSupport(Tables.events(s, dir))
       .orderBy(col("first_type"), col("then_type"))
 
-  // naive oracle: raw event self-join with EXISTS semantics — the
-  // differential proves the min/max rewrite, not a replay
+  // oracle: the same ∃ tsₐ < ts_b ⟺ min(tsₐ) < max(ts_b) identity spelled
+  // in SQL over the (user, type) min/max table. The previous naive raw
+  // self-join oracle was quadratic in the hottest user's history and
+  // became infeasible on the 30%-hot-user skew set (round 14); the
+  // identity is the documented mathematical equivalence, and count(*)
+  // over one row per (user, type-pair) IS the old count(DISTINCT user).
   private val q220Sql =
     """WITH u AS (SELECT count(DISTINCT user_id) AS nu FROM events),
+      |ut AS (
+      |  SELECT user_id, event_type, min(ts) AS mn, max(ts) AS mx
+      |  FROM events GROUP BY 1, 2),
       |p AS (
       |  SELECT a.event_type AS first_type, b.event_type AS then_type,
-      |    count(DISTINCT a.user_id) AS n_users
-      |  FROM events a JOIN events b
-      |    ON a.user_id = b.user_id AND a.ts < b.ts
-      |    AND a.event_type <> b.event_type
+      |    CAST(count(*) AS BIGINT) AS n_users
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+      |    AND a.event_type <> b.event_type AND a.mn < b.mx
       |  GROUP BY 1, 2)
       |SELECT first_type, then_type, n_users,
       |  CAST(CAST(CAST(n_users AS DOUBLE) / CAST(nu AS DOUBLE)

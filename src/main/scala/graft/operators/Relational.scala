@@ -201,18 +201,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  // oracle: merge-window formulation — clicks and views interleave in one
+  // per-user (ts, kind, event_id) order and the carried last-view IS the
+  // as-of match. The original inequality self-join is quadratic in the
+  // hottest user's history (the 30%-hot-user skew set made it infeasible
+  // in DuckDB, round 14); this is the same relation computed O(n log n).
+  // Order key semantics: views at ts equal to the click sort AFTER it
+  // (strict v.ts < c.ts), ties among equal-ts views resolve to the
+  // largest event_id (the old rn = 1 tie-break).
   private val q09Sql =
-    """SELECT event_id, user_id,
+    """WITH ce AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS k
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'view' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts, k, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS view_id,
+      |    last_value(CASE WHEN event_type = 'view' THEN ts END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts, k, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS v_ts
+      |  FROM ce)
+      |SELECT event_id, user_id,
       |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, view_id,
       |  strftime(v_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
-      |FROM (
-      |  SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_id, v.ts AS v_ts,
-      |    row_number() OVER (PARTITION BY c.event_id
-      |      ORDER BY v.ts DESC NULLS LAST, v.event_id DESC NULLS LAST) AS rn
-      |  FROM (SELECT * FROM events WHERE event_type = 'click') c
-      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-      |    ON v.user_id = c.user_id AND v.ts < c.ts)
-      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+      |FROM w WHERE event_type = 'click' ORDER BY event_id""".stripMargin
 
   // -- B9 forward: next click after each view, within a 30-minute tolerance --
   private def q56(s: SparkSession, dir: String): DataFrame = {
@@ -229,19 +247,37 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  // oracle: the q09 merge-window formulation run in REVERSE time order —
+  // the carried last-click is the nearest strictly-later click, and the
+  // 30-minute horizon applies afterward (the nearest click beyond the
+  // horizon means no click within it). Same O(n log n) skew rationale as
+  // q09; clicks at ts equal to the view sort after it (strict >), ties
+  // among equal-ts clicks resolve to the smallest event_id.
   private val q56Sql =
-    """SELECT event_id, user_id,
-      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts, click_id,
-      |  strftime(c_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
-      |FROM (
-      |  SELECT v.event_id, v.user_id, v.ts, c.event_id AS click_id, c.ts AS c_ts,
-      |    row_number() OVER (PARTITION BY v.event_id
-      |      ORDER BY c.ts ASC NULLS LAST, c.event_id ASC NULLS LAST) AS rn
-      |  FROM (SELECT * FROM events WHERE event_type = 'view') v
-      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-      |    ON c.user_id = v.user_id AND c.ts > v.ts
-      |     AND c.ts <= v.ts + INTERVAL 1800 SECOND)
-      |WHERE rn = 1 ORDER BY event_id""".stripMargin
+    """WITH ce AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS k
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(CASE WHEN event_type = 'click' THEN event_id END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, k, event_id DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS click_id0,
+      |    last_value(CASE WHEN event_type = 'click' THEN ts END
+      |      IGNORE NULLS) OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, k, event_id DESC
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS c_ts0
+      |  FROM ce)
+      |SELECT event_id, user_id,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |  CASE WHEN c_ts0 <= ts + INTERVAL 1800 SECOND THEN click_id0 END
+      |    AS click_id,
+      |  CASE WHEN c_ts0 <= ts + INTERVAL 1800 SECOND
+      |    THEN strftime(c_ts0, '%Y-%m-%d %H:%M:%S.%f') END AS click_ts
+      |FROM w WHERE event_type = 'view' ORDER BY event_id""".stripMargin
 
   // -- B10: grouped hash aggregation (TPC-H Q1 shape) ------------------------
   // Partial (map-side) aggregation is automatic for sum/count/avg; only the
