@@ -5914,10 +5914,14 @@ object EventsOps {
       .select(col("event_type"), col("n"), col("s"),
         QueryDef.dec4(dd(d0(col("ss")) * col("n") - d0(col("s")) * col("s"))
           / dd(col("s"))).as("chi2"),
-        QueryDef.dec4(
+        // degenerate guard (round 15): a single hourly bucket gives
+        // (0-0)/sqrt(0) = NaN; Spark's dec4 renders NULL but DuckDB
+        // raises on CAST(NaN AS DECIMAL) — guard BOTH sides so the
+        // oracle compares instead of erroring
+        when(col("n") > 1L, QueryDef.dec4(
           (dd(d0(col("ss")) * col("n") - d0(col("s")) * col("s"))
             / dd(col("s")) - dd(col("n") - 1L)) /
-            sqrt(lit(2.0) * dd(col("n") - 1L))).as("z"))
+            sqrt(lit(2.0) * dd(col("n") - 1L)))).as("z"))
   }
 
   private def q349(s: SparkSession, dir: String): DataFrame =
@@ -5938,11 +5942,11 @@ object EventsOps {
       |    CAST(ss * n - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
       |      / CAST(s AS DOUBLE)
       |    AS DECIMAL(38,4)) AS VARCHAR) AS chi2,
-      |  CAST(CAST(
+      |  CASE WHEN n > 1 THEN CAST(CAST(
       |    (CAST(ss * n - CAST(s AS DECIMAL(38,0)) * s AS DOUBLE)
       |       / CAST(s AS DOUBLE) - CAST(n - 1 AS DOUBLE)) /
       |      sqrt(2.0 * CAST(n - 1 AS DOUBLE))
-      |    AS DECIMAL(38,4)) AS VARCHAR) AS z
+      |    AS DECIMAL(38,4)) AS VARCHAR) END AS z
       |FROM m ORDER BY event_type""".stripMargin
 
   // ==== q351: sample-ratio-mismatch (SRM) check ==============================

@@ -64,17 +64,36 @@ object LangId {
     * md5 calls pinned on 2 cores at sf1), and md5 runs once per DISTINCT
     * gram via an alphabet²-bounded broadcast bucket table, never once
     * per corpus occurrence. */
+  /** Above this many distinct char-bigrams, the domain table stops being
+    * broadcast-safe (real unicode/CJK corpora can reach millions of
+    * grams; a latin alphabet stays in the hundreds) and the md5 bucket
+    * runs per (doc, distinct-gram) instead — still never per occurrence. */
+  private val MaxBroadcastGrams = 2000000L
+
   def charGramFeatures(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     val grams = docs.repartition(parts, col("doc_id"))
       .select(col("doc_id"), explode(bigrams(lower(col("text")))).as("g"))
     val perDoc = grams.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("cg"))
-    // char-bigram DOMAIN table: |alphabet|²-bounded, broadcastable
-    val gdom = grams.select(col("g")).distinct()
-      .select(col("g"), bucketOf(col("g")).as("b"))
-    val feats = perDoc.join(broadcast(gdom), Seq("g"))
-      .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
+    // broadcast-safety guard (round 15): the |alphabet|² bound only holds
+    // for small alphabets — measure the domain (HLL sketch, one map-side-
+    // combined pass) before collecting it to the driver as a broadcast
+    val nGrams = grams
+      .agg(approx_count_distinct(col("g"), 0.05)).first().getLong(0)
+    val feats = if (nGrams <= MaxBroadcastGrams) {
+      // char-bigram DOMAIN table: bounded, broadcastable — md5 runs once
+      // per DISTINCT gram corpus-wide
+      val gdom = grams.select(col("g")).distinct()
+        .select(col("g"), bucketOf(col("g")).as("b"))
+      perDoc.join(broadcast(gdom), Seq("g"))
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
+    } else {
+      // domain too wide to broadcast: bucket each (doc, distinct-gram)
+      // row directly — md5 count = |perDoc| ≤ occurrences, no driver state
+      perDoc.select(col("doc_id"), bucketOf(col("g")).as("b"), col("cg"))
+        .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
+    }
     val bias = docs.select(col("doc_id"),
       lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))
     feats.unionByName(bias)

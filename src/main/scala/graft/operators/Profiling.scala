@@ -4583,8 +4583,13 @@ object Profiling {
     def dd(c: Column) = c.cast("double")
     bins.crossJoin(totals)
       .select(col("na"), col("nb"),
-        floor(lit(1e9) * sqrt(dd(d0(col("ca")) * col("cb")) /
-          dd(d0(col("na")) * col("nb")))).cast("long").as("t"))
+        // empty-side guard (round 15): na·nb = 0 makes the ratio 0/0 =
+        // NaN; BC over an empty side is 0 by convention (H = 1), and
+        // DuckDB would raise on CAST(NaN AS DECIMAL) downstream
+        when(col("na") > 0 && col("nb") > 0,
+          floor(lit(1e9) * sqrt(dd(d0(col("ca")) * col("cb")) /
+            dd(d0(col("na")) * col("nb")))).cast("long"))
+          .otherwise(0L).as("t"))
       .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
       .agg(count(lit(1)).as("n_bins"), sum(col("t")).as("bc_nano"))
       .select(col("n_a"), col("n_b"), col("n_bins"), col("bc_nano"),
@@ -4618,10 +4623,11 @@ object Profiling {
       |  FROM bins),
       |t AS (
       |  SELECT na, nb,
-      |    CAST(floor(1e9 * sqrt(
-      |      CAST(CAST(ca AS DECIMAL(38,0)) * cb AS DOUBLE) /
-      |      CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)))
-      |      AS BIGINT) AS t
+      |    CASE WHEN na > 0 AND nb > 0 THEN
+      |      CAST(floor(1e9 * sqrt(
+      |        CAST(CAST(ca AS DECIMAL(38,0)) * cb AS DOUBLE) /
+      |        CAST(CAST(na AS DECIMAL(38,0)) * nb AS DOUBLE)))
+      |        AS BIGINT) ELSE 0 END AS t
       |  FROM bins, tot),
       |m AS (
       |  SELECT na AS n_a, nb AS n_b, count(*) AS n_bins,
@@ -4661,20 +4667,30 @@ object Profiling {
         yield sum(col(a) * col(b)).as(s"p_${a}_$b"))
     val m = d.agg(count(lit(1)).as("n"), aggs: _*)
     def dd(c: String) = col(c).cast("double")
+    // n·Σa² − (Σa)² — the variance numerator; zero for a constant column,
+    // which would put NaN into every r (round-15 guard: render NULL then,
+    // since DuckDB raises on CAST(NaN AS DECIMAL) and the row would error
+    // out of the oracle compare instead of comparing)
+    def v(a: String): Column =
+      dd("n") * dd(s"p_${a}_$a") - dd(s"s_$a") * dd(s"s_$a")
     def r(a: String, b: String): Column = {
       val (x, y) = if (a <= b) (a, b) else (b, a)
       (dd("n") * dd(s"p_${x}_$y") - dd(s"s_$x") * dd(s"s_$y")) /
-        sqrt((dd("n") * dd(s"p_${x}_$x") - dd(s"s_$x") * dd(s"s_$x")) *
-          (dd("n") * dd(s"p_${y}_$y") - dd(s"s_$y") * dd(s"s_$y")))
+        sqrt(v(x) * v(y))
     }
     val triples = Seq((ms(0), ms(1), ms(2)), (ms(0), ms(2), ms(1)),
       (ms(1), ms(2), ms(0)))
     triples.map { case (x, y, z) =>
       m.select(lit(x).as("m_x"), lit(y).as("m_y"), lit(z).as("m_z"),
-        col("n"), QueryDef.dec4(r(x, y)).as("r_xy"),
-        QueryDef.dec4((r(x, y) - r(x, z) * r(y, z)) /
-          sqrt((lit(1.0) - r(x, z) * r(x, z)) *
-            (lit(1.0) - r(y, z) * r(y, z)))).as("r_xy_z"))
+        col("n"),
+        when(v(x) > 0 && v(y) > 0,
+          QueryDef.dec4(r(x, y))).as("r_xy"),
+        when(v(x) > 0 && v(y) > 0 && v(z) > 0 &&
+            (lit(1.0) - r(x, z) * r(x, z)) *
+            (lit(1.0) - r(y, z) * r(y, z)) > 0,
+          QueryDef.dec4((r(x, y) - r(x, z) * r(y, z)) /
+            sqrt((lit(1.0) - r(x, z) * r(x, z)) *
+              (lit(1.0) - r(y, z) * r(y, z))))).as("r_xy_z"))
     }.reduce(_.unionByName(_))
   }
 
@@ -4689,24 +4705,31 @@ object Profiling {
 
   private val q347Sql = {
     val ms = Seq("disc_c", "price_c", "qty")
+    def v(a: String): String =
+      s"""(CAST(n AS DOUBLE) * CAST(p_${a}_$a AS DOUBLE)
+         |      - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE))""".stripMargin
     def r(a: String, b: String): String = {
       val (x, y) = if (a <= b) (a, b) else (b, a)
       s"""((CAST(n AS DOUBLE) * CAST(p_${x}_$y AS DOUBLE)
          |      - CAST(s_$x AS DOUBLE) * CAST(s_$y AS DOUBLE)) /
-         |    sqrt((CAST(n AS DOUBLE) * CAST(p_${x}_$x AS DOUBLE)
-         |        - CAST(s_$x AS DOUBLE) * CAST(s_$x AS DOUBLE))
-         |      * (CAST(n AS DOUBLE) * CAST(p_${y}_$y AS DOUBLE)
-         |        - CAST(s_$y AS DOUBLE) * CAST(s_$y AS DOUBLE))))""".stripMargin
+         |    sqrt(${v(x)}
+         |      * ${v(y)}))""".stripMargin
     }
     val triples = Seq((ms(0), ms(1), ms(2)), (ms(0), ms(2), ms(1)),
       (ms(1), ms(2), ms(0)))
     val sel = triples.map { case (x, y, z) =>
       s"""SELECT '$x' AS m_x, '$y' AS m_y, '$z' AS m_z, n,
-         |  CAST(CAST(${r(x, y)} AS DECIMAL(38,4)) AS VARCHAR) AS r_xy,
-         |  CAST(CAST((${r(x, y)} - ${r(x, z)} * ${r(y, z)}) /
-         |    sqrt((1.0 - ${r(x, z)} * ${r(x, z)})
-         |      * (1.0 - ${r(y, z)} * ${r(y, z)}))
-         |    AS DECIMAL(38,4)) AS VARCHAR) AS r_xy_z
+         |  CASE WHEN ${v(x)} > 0 AND ${v(y)} > 0 THEN
+         |    CAST(CAST(${r(x, y)} AS DECIMAL(38,4)) AS VARCHAR)
+         |  END AS r_xy,
+         |  CASE WHEN ${v(x)} > 0 AND ${v(y)} > 0 AND ${v(z)} > 0
+         |    AND (1.0 - ${r(x, z)} * ${r(x, z)})
+         |      * (1.0 - ${r(y, z)} * ${r(y, z)}) > 0 THEN
+         |    CAST(CAST((${r(x, y)} - ${r(x, z)} * ${r(y, z)}) /
+         |      sqrt((1.0 - ${r(x, z)} * ${r(x, z)})
+         |        * (1.0 - ${r(y, z)} * ${r(y, z)}))
+         |      AS DECIMAL(38,4)) AS VARCHAR)
+         |  END AS r_xy_z
          |FROM m""".stripMargin
     }.mkString("\nUNION ALL\n")
     val moments = ms.map(m => s"sum($m) AS s_$m").mkString(", ") + ", " +

@@ -59,4 +59,29 @@ class ProfilingR9Spec extends AnyFunSuite {
       .map { case ((a, b), v) => (a, b, v.size.toLong) }.toSet
     assert(got == naive)
   }
+
+  test("sequencePairSupport tie semantics: equal timestamps never count") {
+    // the min(ts_a) < max(ts_b) identity must keep STRICT ordering under
+    // exact ties — the q220 oracle now spells the same identity, so this
+    // fixture is the independent check that a tie-semantics change in
+    // either side would fail (round-15, per ADVICE)
+    def ts(us: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(us / 1000000L,
+        (us % 1000000L) * 1000L))
+    val df = Seq(
+      // u1: a and b at the SAME microsecond only → no support either way
+      (1L, "a", ts(1000L)), (1L, "b", ts(1000L)),
+      // u2: a strictly before b → (a,b) supported, (b,a) not
+      (2L, "a", ts(1000L)), (2L, "b", ts(1001L)),
+      // u3: a@t, b@t AND b@t+1 → (a,b) supported via the later b;
+      //     (b,a) not (no a after any b)
+      (3L, "a", ts(2000L)), (3L, "b", ts(2000L)), (3L, "b", ts(2001L)),
+      // u4: single-event user → contributes nothing
+      (4L, "a", ts(3000L)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventsOps.sequencePairSupport(df)
+      .select(col("first_type"), col("then_type"), col("n_users"))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("a", "b", 2L)))
+  }
 }
