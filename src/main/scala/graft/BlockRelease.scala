@@ -15,9 +15,21 @@ import org.apache.spark.sql.SparkSession
   * a 3-4x slowdown on iterative queries late in a 91-query session).
   */
 object BlockRelease {
-  /** Unpersist every persistent RDD in the session (non-blocking). Safe
+  /** Unpersist every persistent RDD in the session (non-blocking), EXCEPT
+    * the session-scoped [[EdgePin]] layouts (those are shared across query
+    * lifecycles by design and released at the session boundary). Safe
     * whenever no prior query's result is still lazily referenced — i.e. at
     * query-lifecycle boundaries. */
-  def releaseAll(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  def releaseAll(spark: SparkSession): Unit = {
+    val keep = EdgePin.pinnedIds
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!keep(id)) rdd.unpersist(blocking = false)
+    }
+  }
+
+  /** Session lifecycle boundary: drop the pinned edge layouts too. */
+  def releaseEverything(spark: SparkSession): Unit = {
+    EdgePin.releaseAll()
+    releaseAll(spark)
+  }
 }

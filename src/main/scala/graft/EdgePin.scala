@@ -1,0 +1,84 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, GraftSql, SparkSession}
+
+/** Session-scoped memoized edge layouts for the graph operator family.
+  *
+  * q123/q153/q178/q185/q207/q212/q226/q277 all derive their graphs from
+  * two base frames — the customer↔part purchase edges (lineitem⋈orders)
+  * and the ⅓-sliced part co-order self-join — and, in a multi-query
+  * session (a bench sweep, the Verify dump, a query service), each query
+  * rebuilt the identical join from base scans: ~7 rebuilds of the same
+  * edges per sweep (VERDICT r14 item 5). This registry pins each layout
+  * ONCE per (corpus dir, kind) via `localCheckpoint` and hands every
+  * caller the same block-backed frame.
+  *
+  * Contract: keys are corpus DIRECTORIES of immutable parquet (the
+  * engine's testdata contract) — a mutated-in-place dir would serve stale
+  * edges until released. Entries survive the per-query
+  * [[BlockRelease.releaseAll]] sweep (which exempts [[pinnedIds]]) and are
+  * dropped by [[releaseAll]] at the SESSION lifecycle boundary, or lazily
+  * rebuilt if their blocks vanished (e.g. a caller released them
+  * directly). Bounded: at most [[MaxEntries]] pinned layouts; inserting
+  * past the bound releases the oldest first, so a service scanning many
+  * corpora cannot accumulate unbounded block residency. */
+object EdgePin {
+  private final case class Entry(df: DataFrame, ids: Set[Int])
+  private val cache =
+    new ConcurrentHashMap[(String, String), Entry]()
+  private val MaxEntries = 8
+
+  /** RDD ids whose blocks the per-query release sweep must keep. */
+  def pinnedIds: Set[Int] =
+    cache.values.asScala.flatMap(_.ids).toSet
+
+  private def alive(s: SparkSession, e: Entry): Boolean =
+    (e.df.sparkSession.sparkContext eq s.sparkContext) &&
+      !s.sparkContext.isStopped &&
+      e.ids.forall(s.sparkContext.getPersistentRDDs.contains)
+
+  /** The pinned layout for (dir, kind), building + checkpointing it on
+    * first use (or if its blocks were dropped since). `build` must be a
+    * deterministic derivation of the dir's tables — the memoized frame is
+    * byte-identical to what the caller would have built, so query results
+    * and hashes are unchanged; only the rebuild work is shared. */
+  /** Kill-switch for A/B timing and debugging: SPARK_GRAFT_EDGEPIN=off
+    * makes memo a pass-through (every caller rebuilds, pre-round-15
+    * behavior). */
+  private val disabled = sys.env.get("SPARK_GRAFT_EDGEPIN").contains("off")
+
+  def memo(s: SparkSession, dir: String, kind: String)
+      (build: => DataFrame): DataFrame = if (disabled) build else synchronized {
+    val key = (dir, kind)
+    Option(cache.get(key)).filter(alive(s, _)).map(_.df).getOrElse {
+      if (cache.size >= MaxEntries) {
+        val oldest = cache.keys.asScala.toSeq.headOption
+        oldest.foreach(k => Option(cache.remove(k)).foreach(drop))
+      }
+      val df = build.localCheckpoint()
+      val ids = GraftSql.checkpointRddIds(df).toSet
+      // operators release their superseded per-round checkpoints by
+      // walking plan leaves — a walk that can reach this pin through an
+      // un-truncated lineage; register the pin as off-limits to that walk
+      GraftSql.protectBlocks(ids)
+      cache.put(key, Entry(df, ids))
+      df
+    }
+  }
+
+  private def drop(e: Entry): Unit = {
+    GraftSql.unprotectBlocks(e.ids)
+    GraftSql.releaseCheckpointBlocks(e.df)
+  }
+
+  /** Release every pinned layout (session lifecycle boundary — end of a
+    * bench sweep / verify dump, or tests that need a clean slate). */
+  def releaseAll(): Unit = synchronized {
+    cache.values.asScala.foreach(drop)
+    cache.clear()
+  }
+}

@@ -72,15 +72,26 @@ object AnnLsh {
   // copies that tie at 1.0 and win the id tie-break over the plant.
   // recall_ok additionally demands overlap with the exact brute-force top-5
   // on the same corpus (identical rounded-score ordering on both sides).
-  private[operators] def annRecallGate(
-      topKOf: (DataFrame, DataFrame) => DataFrame,
-      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+  /** The gate's shared inputs: (augmented corpus, query vectors) — the
+    * corpus with each query vector re-planted under `PlantOffset` so the
+    * recall check has a known exact hit. Factored out (round 15) so the
+    * bench's lifecycle/probe split times the SAME corpus the declared
+    * queries run on. */
+  private[graft] def gateInputs(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val emb = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"), Similarity.toDouble(col("embedding")).as("v"))
     val qs = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val aug = emb.unionByName(
       qs.select((col("qid") + Dedup.PlantOffset).as("vec_id"), col("qv").as("v")))
+    (aug, qs)
+  }
+
+  private[operators] def annRecallGate(
+      topKOf: (DataFrame, DataFrame) => DataFrame,
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (aug, qs) = gateInputs(s, dir)
     val ann = topKOf(aug, qs)
     val brute = Similarity.bruteForceTopK(aug, qs, 5)
       .select(col("qid"), col("vec_id").as("neighbor"))

@@ -151,17 +151,41 @@ object Graph {
       .select(col("node"), (col("rank") * col("n")).as("rank_scaled"))
   }
 
+  /** Shared (c, p) purchase pairs — pinned once per corpus dir
+    * ([[graft.EdgePin]]): q123/q178/q212 (symmetric) and q226 (directed)
+    * all derive from this one lineitem⋈orders join, which a multi-query
+    * session previously rebuilt from base scans per query (~7 identical
+    * edge derivations per bench sweep). */
+  private def custPartPairs(s: SparkSession, dir: String): DataFrame =
+    graft.EdgePin.memo(s, dir, "custpart_pairs") {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("p"), col("l_partkey")).as("p"))
+    }
+
   /** The q123 graph: customers ↔ parts they ordered (bipartite, symmetric).
     * Prefixed node ids keep the two key domains disjoint. */
   private def custPartEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    val pairs = li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("p"), col("l_partkey")).as("p"))
+    val pairs = custPartPairs(s, dir)
     pairs.select(col("c").as("src"), col("p").as("dst"))
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
+
+  /** The ⅓-sliced part co-order graph (a, b share an order, a ≠ b) —
+    * pinned once per corpus dir: q153/q185/q207/q277 share one self-join. */
+  private def coPartEdges(s: SparkSession, dir: String): DataFrame =
+    graft.EdgePin.memo(s, dir, "copart3") {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .where(col("l_partkey") % 3 === 0)
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
+      a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
+        .select(col("a").as("src"), col("b").as("dst"))
+    }
 
   private def q123(s: SparkSession, dir: String): DataFrame =
     pageRank(custPartEdges(s, dir), iterations = 5)
@@ -647,8 +671,11 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node"))
+    // release targets are ONLY the rounds this loop checkpointed — the
+    // round-1 seed frame is un-checkpointed, and walking ITS full lineage
+    // would reach the caller's leaves (e.g. a pinned EdgePin layout)
+    var lastCp: Option[DataFrame] = None
     for (_ <- 1 to rounds) {
-      val prev = labels
       val counts = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl"))
@@ -661,20 +688,15 @@ object Graph {
         .localCheckpoint()
       // the superseded round's checkpoint blocks are dead the moment the
       // new one materializes — release them (the Dedup/AnnIvf loop
-      // discipline) so memory stays O(1 round), not O(rounds). A no-op on
-      // round 1, whose `prev` is the un-checkpointed seed frame.
-      org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(prev)
+      // discipline) so memory stays O(1 round), not O(rounds)
+      lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
+      lastCp = Some(labels)
     }
     labels
   }
 
   private def q153(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     labelPropagation(pairs, rounds = 3)
       .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
@@ -889,12 +911,7 @@ object Graph {
   // replays the identical 6 rounds, and kCoreExact + GraphSpec own
   // exactness.
   private def q185(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     kCoreDecomposition(pairs, rounds = 6)
       .groupBy(col("core")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("core"))
@@ -1017,12 +1034,7 @@ object Graph {
   // same ⅓-sliced part co-order graph as q134/q153/q185; exact ≤2-hop
   // profile (the r ≤ 2 contract above — ANF owns deeper hops, spec-gated)
   private def q207(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     neighborhoodProfile(pairs)
       .orderBy(col("reach2").desc, col("node")).limit(100)
   }
@@ -1086,12 +1098,7 @@ object Graph {
   // co-order slice; seeds = every 97th part id — distance-to-seed-core
   // histogram after 4 rounds (exact for the ≤4-hop shells it reports)
   private def q209(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     val seeds = pairs.select(col("src").as("node"))
       .where(col("node") % 97 === 0).distinct()
     bfsDistances(pairs, seeds, rounds = 4)
@@ -1207,14 +1214,11 @@ object Graph {
         (col("a") / col("as")).as("score"), lit("authority").as("kind")))
   }
 
-  /** Directed purchase edges customer → part (no symmetrization). */
-  private def buyEdges(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-    val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
-    li.join(o, li("l_orderkey") === o("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("p"), col("l_partkey")).as("dst"))
-  }
+  /** Directed purchase edges customer → part (no symmetrization) — the
+    * directed face of the pinned [[custPartPairs]] layout. */
+  private def buyEdges(s: SparkSession, dir: String): DataFrame =
+    custPartPairs(s, dir)
+      .select(col("c").as("src"), col("p").as("dst"))
 
   // top-12 per kind on the ROUNDED score (lexicographic tie-break — the
   // q211 cut discipline)
@@ -1358,12 +1362,7 @@ object Graph {
   }
 
   private def q231(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     modularity(pairs, labelPropagation(pairs, rounds = 3))
   }
 
@@ -1710,12 +1709,7 @@ object Graph {
           (col("reach2") - col("reach1")) * lit(500000L)).as("h_micro"))
 
   private def q277(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val pairs = a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
-      .select(col("a").as("src"), col("b").as("dst"))
+    val pairs = coPartEdges(s, dir)
     harmonicCentrality(pairs)
       .orderBy(col("h_micro").desc, col("node")).limit(100)
   }

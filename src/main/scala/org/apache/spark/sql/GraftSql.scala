@@ -79,9 +79,39 @@ object GraftSql {
     * analyzed plan and unpersists each LogicalRDD's RDD directly. Only call
     * once nothing will re-read the frame (i.e. after the successor round or
     * the final result has materialized). */
-  def releaseCheckpointBlocks(ds: Dataset[_]): Unit =
+  /** RDD ids that [[releaseCheckpointBlocks]] must never unpersist —
+    * session-scoped pinned layouts (graft.EdgePin) that outlive query
+    * lifecycles. Needed because a release target that is NOT itself
+    * checkpointed (e.g. a loop's round-1 seed frame) has a full lineage
+    * whose LEAVES can include a pinned layout's LogicalRDD — the walk
+    * would otherwise kill the shared pin mid-session. */
+  @volatile private var protectedIds: Set[Int] = Set.empty
+  def protectBlocks(ids: Set[Int]): Unit = synchronized {
+    protectedIds = protectedIds ++ ids
+  }
+  def unprotectBlocks(ids: Set[Int]): Unit = synchronized {
+    protectedIds = protectedIds -- ids
+  }
+
+  def releaseCheckpointBlocks(ds: Dataset[_]): Unit = {
+    val keep = protectedIds
     ds.queryExecution.analyzed.foreach {
-      case lr: execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case lr: execution.LogicalRDD if !keep(lr.rdd.id) =>
+        lr.rdd.unpersist(blocking = false)
       case _ => ()
     }
+  }
+
+  /** Ids of the persisted RDDs behind a checkpointed Dataset's LogicalRDD
+    * leaves — lets a session-scoped pin registry (graft.EdgePin) both
+    * verify its blocks are still resident and exempt them from the
+    * per-query [[graft.BlockRelease]] sweep. */
+  def checkpointRddIds(ds: Dataset[_]): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    ds.queryExecution.analyzed.foreach {
+      case lr: execution.LogicalRDD => b += lr.rdd.id
+      case _ => ()
+    }
+    b.result()
+  }
 }
