@@ -258,7 +258,61 @@ object UrlOps {
        |FROM r CROSS JOIN t
        |GROUP BY 1, n_total ORDER BY 1""".stripMargin
 
+  // q358: the q77 mixture sampler keyed on the REGISTRABLE domain — the
+  // rollup key a crawl pipeline actually budgets by (a.blogspot.com and
+  // b.blogspot.com are different registrants; www.bbc.co.uk and
+  // news.bbc.co.uk are one). Same md5-threshold deterministic sampler as
+  // q77, thresholds assigned from the domain string itself.
+
+  private def q358(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.table(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val reg = docs.select(col("doc_id"), col("n_chars"),
+      coalesce(registrableDomain(hostOf(fixtureUrl(col("doc_id")))),
+        lit("(none)")).as("registrable"))
+    val thr = when(length(col("registrable")) % 4 === 0, "4000")
+      .when(length(col("registrable")) % 4 === 1, "8000")
+      .when(length(col("registrable")) % 4 === 2, "cccc")
+      .otherwise("ffff")
+    reg.withColumn("keep",
+        substring(md5(concat_ws(":", col("registrable"),
+          col("doc_id").cast("string"))), 1, 4) < thr)
+      .groupBy(col("registrable"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+        sum(when(col("keep"), col("n_chars")).otherwise(0L))
+          .as("sampled_chars"))
+      .orderBy(col("registrable"))
+  }
+
+  private val q358Sql =
+    s"""WITH u AS (
+       |  SELECT doc_id, n_chars, ${sqlFixtureUrl("doc_id")} AS url
+       |  FROM documents),
+       |l AS (SELECT doc_id, n_chars,
+       |    string_split(${sqlHostOf("url")}, '.') AS labels
+       |  FROM u),
+       |r AS (
+       |  SELECT doc_id, n_chars,
+       |    coalesce(CASE WHEN len(labels) > k THEN
+       |      array_to_string(labels[len(labels) - k:len(labels)], '.')
+       |    END, '(none)') AS registrable
+       |  FROM (SELECT doc_id, n_chars, labels, $sqlSuffixLen AS k FROM l)),
+       |kept AS (
+       |  SELECT registrable, n_chars,
+       |    substr(md5(registrable || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+       |      CASE length(registrable) % 4
+       |        WHEN 0 THEN '4000' WHEN 1 THEN '8000'
+       |        WHEN 2 THEN 'cccc' ELSE 'ffff' END AS keep
+       |  FROM r)
+       |SELECT registrable, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       |  CAST(sum(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+       |    AS sampled_chars
+       |FROM kept GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q356_url_canonicalize", q356, Some(q356Sql)),
-    QueryDef("q357_domain_rollup", q357, Some(q357Sql)))
+    QueryDef("q357_domain_rollup", q357, Some(q357Sql)),
+    QueryDef("q358_domain_mixture", q358, Some(q358Sql)))
 }
