@@ -18,7 +18,7 @@ object SparkEntry {
       UnigramLm.defs ++ HeavyHitters.defs ++ Classifier.defs ++ Keyphrase.defs ++
       Privacy.defs ++ StringSim.defs ++ Spatial.defs ++ Skyline.defs ++
       Bitmaps.defs ++ WordPiece.defs ++ TextEval.defs ++ Preference.defs ++
-      LangId.defs ++ UrlOps.defs
+      LangId.defs ++ UrlOps.defs ++ Clustering.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape: full-scan grouped aggregation with map-side partials. */
