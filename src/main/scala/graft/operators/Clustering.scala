@@ -221,8 +221,13 @@ object Clustering {
     * iteration d_i (distances) → a_i (argmin assign) → m_i (floored means,
     * long form) → c_i (re-listed, empty cells carried). Ends with rF =
     * final distances ranked per id ((d, cell) — rn 1 is the assignment,
-    * rn 2 the nearest other cell). */
-  private def lloydCtes(plant: Boolean, k: Int = K, iters: Int = Iters): String = {
+    * rn 2 the nearest other cell). `pfx` namespaces the chain so several
+    * replays (q362 runs four k values) can share one WITH clause. */
+  private def lloydCtes(plant: Boolean, k: Int = K, iters: Int = Iters): String =
+    baseCtes(plant) + ",\n" + lloydChain("", k, iters)
+
+  /** e0 (integerize) / e (optional near-dup plant) / n (norms). */
+  private def baseCtes(plant: Boolean): String = {
     val plantCte =
       if (plant)
         """|e AS (
@@ -231,48 +236,119 @@ object Clustering {
            |  SELECT id + 1000000000 AS id, [x[1] + 50000] || x[2:] AS x
            |  FROM e0 WHERE id % 7 = 0),""".stripMargin
       else "e AS (SELECT id, x FROM e0),"
-    val iter = (1 to iters).map { i =>
-      val prev = s"c${i - 1}"
-      s"""|d$i AS (
-          |  SELECT n.id, c.cell,
-          |    n.n2 + list_inner_product(c.c, c.c)
-          |      - 2 * list_inner_product(n.x, c.c) AS d
-          |  FROM n CROSS JOIN $prev c),
-          |a$i AS (
-          |  SELECT id, cell FROM (
-          |    SELECT id, cell,
-          |      row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
-          |    FROM d$i) WHERE rn = 1),
-          |m$i AS (
-          |  SELECT a.cell, u.j,
-          |    floor(CAST(sum(n.x[u.j]) AS DOUBLE) / count(*)) AS cx
-          |  FROM a$i a JOIN n ON n.id = a.id, unnest(range(1, ${Dim + 1})) AS u(j)
-          |  GROUP BY a.cell, u.j),
-          |l$i AS (SELECT cell, list(cx ORDER BY j) AS c FROM m$i GROUP BY cell),
-          |c$i AS (
-          |  SELECT p.cell, COALESCE(l.c, p.c) AS c
-          |  FROM $prev p LEFT JOIN l$i l USING (cell)),""".stripMargin
-    }.mkString("\n")
     s"""|e0 AS (
         |  SELECT vec_id AS id,
         |    list_transform(embedding, v -> floor(CAST(v AS DOUBLE) * 1e6)) AS x
         |  FROM embeddings),
         |$plantCte
-        |n AS (SELECT id, x, list_inner_product(x, x) AS n2 FROM e),
-        |c0 AS (
+        |n AS (SELECT id, x, list_inner_product(x, x) AS n2 FROM e)""".stripMargin
+  }
+
+  /** One Lloyd replay over the shared `n` CTE: `${pfx}c0 … ${pfx}rF`. */
+  private def lloydChain(pfx: String, k: Int, iters: Int): String = {
+    val iter = (1 to iters).map { i =>
+      val prev = s"${pfx}c${i - 1}"
+      s"""|${pfx}d$i AS (
+          |  SELECT n.id, c.cell,
+          |    n.n2 + list_inner_product(c.c, c.c)
+          |      - 2 * list_inner_product(n.x, c.c) AS d
+          |  FROM n CROSS JOIN $prev c),
+          |${pfx}a$i AS (
+          |  SELECT id, cell FROM (
+          |    SELECT id, cell,
+          |      row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
+          |    FROM ${pfx}d$i) WHERE rn = 1),
+          |${pfx}m$i AS (
+          |  SELECT a.cell, u.j,
+          |    floor(CAST(sum(n.x[u.j]) AS DOUBLE) / count(*)) AS cx
+          |  FROM ${pfx}a$i a JOIN n ON n.id = a.id, unnest(range(1, ${Dim + 1})) AS u(j)
+          |  GROUP BY a.cell, u.j),
+          |${pfx}l$i AS (SELECT cell, list(cx ORDER BY j) AS c FROM ${pfx}m$i GROUP BY cell),
+          |${pfx}c$i AS (
+          |  SELECT p.cell, COALESCE(l.c, p.c) AS c
+          |  FROM $prev p LEFT JOIN ${pfx}l$i l USING (cell)),""".stripMargin
+    }.mkString("\n")
+    s"""|${pfx}c0 AS (
         |  SELECT rn - 1 AS cell, x AS c FROM (
         |    SELECT x, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
         |    FROM e) WHERE rn <= $k),
         |$iter
-        |dF AS (
+        |${pfx}dF AS (
         |  SELECT n.id, c.cell,
         |    n.n2 + list_inner_product(c.c, c.c)
         |      - 2 * list_inner_product(n.x, c.c) AS d
-        |  FROM n CROSS JOIN c$iters c),
-        |rF AS (
+        |  FROM n CROSS JOIN ${pfx}c$iters c),
+        |${pfx}rF AS (
         |  SELECT id, cell, d,
         |    row_number() OVER (PARTITION BY id ORDER BY d, cell) AS rn
-        |  FROM dF)""".stripMargin
+        |  FROM ${pfx}dF)""".stripMargin
+  }
+
+  // ==== q362: elbow census — choosing k ======================================
+
+  /** WSS-vs-k elbow census — the "is k even sane" question q361 reads
+    * per-cluster, answered across an ORDERED k grid: the SAME integerized
+    * Lloyd at each k, total WSS per k (exact DECIMAL), the discrete second
+    * difference over the grid, and the knee = max second difference
+    * (endpoints carry NULL — no curvature is defined there). Each k's WSS
+    * is one distributed aggregate; the grid itself is |ks| scalars, so the
+    * curvature fold runs on the driver over |ks| numbers (corpus-size-free,
+    * like the k·dim centroid collect). */
+  def elbowCensus(emb: DataFrame, ks: Seq[Int] = Seq(2, 4, 8, 16),
+      iters: Int = Iters): DataFrame = {
+    import java.math.BigDecimal
+    val vecs = intVecs(emb)
+    val wss: Seq[(Int, BigDecimal)] = ks.sorted.map { k =>
+      val cents = lloyd(vecs, k, iters)
+      val w = withCellDist(vecs, cents)
+        .agg(sum(col("d").cast(DecimalType(19, 0))).as("w"))
+        .head.getDecimal(0)
+      (k, w)
+    }
+    val d2: Seq[Option[BigDecimal]] = wss.indices.map { i =>
+      if (i == 0 || i == wss.size - 1) None
+      else Some(wss(i - 1)._2.add(wss(i + 1)._2)
+        .subtract(wss(i)._2).subtract(wss(i)._2))
+    }
+    val maxD2 = d2.flatten
+      .reduceOption((a, b) => if (a.compareTo(b) >= 0) a else b)
+    val rows = wss.zip(d2).map { case ((k, w), dd) =>
+      (k, w.toPlainString, dd.map(_.toPlainString),
+        dd.exists(v => maxD2.exists(_.compareTo(v) == 0)))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rows.toDF("k", "wss", "d2", "is_knee").orderBy(col("k"))
+  }
+
+  private def q362(s: SparkSession, dir: String): DataFrame =
+    elbowCensus(Tables.embeddings(s, dir))
+
+  private val q362Sql = {
+    val ks = Seq(2, 4, 8, 16)
+    val chains = ks.map(k => lloydChain(s"k${k}_", k, Iters)).mkString(",\n")
+    val wUnion = ks.map(k =>
+      s"""SELECT $k AS k, sum(CAST(d AS DECIMAL(19,0))) AS wss
+         |  FROM k${k}_rF WHERE rn = 1""".stripMargin).mkString("\n  UNION ALL\n  ")
+    s"""|WITH
+        |${baseCtes(plant = false)},
+        |$chains,
+        |w AS (
+        |  $wUnion),
+        |g AS (
+        |  SELECT k, wss,
+        |    lag(wss) OVER (ORDER BY k) AS wp,
+        |    lead(wss) OVER (ORDER BY k) AS wn
+        |  FROM w),
+        |o AS (
+        |  SELECT k, wss,
+        |    CASE WHEN wp IS NULL OR wn IS NULL THEN NULL
+        |      ELSE wp + wn - wss - wss END AS d2v
+        |  FROM g)
+        |SELECT CAST(k AS INTEGER) AS k, CAST(wss AS VARCHAR) AS wss,
+        |  CAST(d2v AS VARCHAR) AS d2,
+        |  COALESCE(d2v = (SELECT max(d2v) FROM o), false) AS is_knee
+        |FROM o ORDER BY k""".stripMargin
   }
 
   private val q359Sql =
@@ -325,5 +401,6 @@ object Clustering {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q359_kmeans_census", q359, Some(q359Sql)),
     QueryDef("q360_semdedup", q360, Some(q360Sql)),
-    QueryDef("q361_silhouette", q361, Some(q361Sql)))
+    QueryDef("q361_silhouette", q361, Some(q361Sql)),
+    QueryDef("q362_kmeans_elbow", q362, Some(q362Sql)))
 }

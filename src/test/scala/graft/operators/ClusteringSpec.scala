@@ -120,6 +120,17 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("elbow census flags the planted k on a two-blob corpus") {
+    val out = Clustering.elbowCensus(embDf(blobs), ks = Seq(1, 2, 4, 8), iters = 2)
+      .select(col("k"), col("wss").cast("double"), col("is_knee"))
+      .as[(Int, Double, Boolean)].collect().sortBy(_._1)
+    // wss shrinks as k grows, and the knee sits at the planted k = 2
+    assert(out.sliding(2).forall(p => p(0)._2 >= p(1)._2))
+    assert(out.filter(_._3).map(_._1).toSeq == Seq(2))
+    // endpoints carry no curvature, so they can never be knees
+    assert(!out.head._3 && !out.last._3)
+  }
+
   test("lloyd and assignment are partition-invariant") {
     val emb = graft.Tables.embeddings(spark, SfDir)
     val v1 = Clustering.intVecs(emb)
