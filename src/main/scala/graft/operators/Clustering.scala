@@ -284,6 +284,39 @@ object Clustering {
         |  FROM ${pfx}dF)""".stripMargin
   }
 
+  // ==== q363: cluster medoids ================================================
+
+  /** Per-cluster medoid: the member closest to its centroid under the
+    * (distance, id) tie rule — the inspectable PROTOTYPE of each cluster
+    * (SemDedup keeps the lowest id; what a curator actually reads to name
+    * a cluster is its most central member). One groupBy with a
+    * lexicographic struct-min — map-side combined, k rows out, no window.
+    */
+  def clusterMedoids(emb: DataFrame, k: Int = K, iters: Int = Iters): DataFrame = {
+    val vecs = intVecs(emb)
+    val cents = lloyd(vecs, k, iters)
+    withCellDist(vecs, cents)
+      .groupBy(col("cell"))
+      .agg(min(struct(col("d"), col("id"))).as("m"))
+      .select(col("cell"), col("m.id").as("medoid_id"),
+        col("m.d").cast("long").as("medoid_d"))
+      .orderBy(col("cell"))
+  }
+
+  private def q363(s: SparkSession, dir: String): DataFrame =
+    clusterMedoids(Tables.embeddings(s, dir))
+
+  private val q363Sql =
+    s"""|WITH
+        |${lloydCtes(plant = false)}
+        |SELECT CAST(cell AS INTEGER) AS cell, id AS medoid_id,
+        |  CAST(d AS BIGINT) AS medoid_d
+        |FROM (
+        |  SELECT cell, id, d,
+        |    row_number() OVER (PARTITION BY cell ORDER BY d, id) AS mrn
+        |  FROM rF WHERE rn = 1)
+        |WHERE mrn = 1 ORDER BY cell""".stripMargin
+
   // ==== q362: elbow census — choosing k ======================================
 
   /** WSS-vs-k elbow census — the "is k even sane" question q361 reads
@@ -402,5 +435,6 @@ object Clustering {
     QueryDef("q359_kmeans_census", q359, Some(q359Sql)),
     QueryDef("q360_semdedup", q360, Some(q360Sql)),
     QueryDef("q361_silhouette", q361, Some(q361Sql)),
-    QueryDef("q362_kmeans_elbow", q362, Some(q362Sql)))
+    QueryDef("q362_kmeans_elbow", q362, Some(q362Sql)),
+    QueryDef("q363_cluster_medoids", q363, Some(q363Sql)))
 }

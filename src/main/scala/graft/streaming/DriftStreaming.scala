@@ -120,6 +120,45 @@ object DriftStreaming {
       }
       .start()
 
+  /** Cluster-mix monitor (B300): every micro-batch of arriving embeddings
+    * is assigned to FIXED k-means centroids (B296's integerized Lloyd,
+    * trained once upstream) and the batch's cell histogram is PSI-compared
+    * to a reference mix — the embedding-space composition tripwire: an
+    * upstream encoder swap, a new content source, or a collapsing
+    * embedding model shifts the cell mix batches before any cluster-keyed
+    * statistic (SemDedup rates, per-cluster quality) reads the wrong
+    * denominator. The monitored quantity is a MODEL OUTPUT (the B286
+    * discipline): B296's assignment composes inside the audit loop, and
+    * the PSI kernel is LangId.langMixPsi verbatim (one smoothing/flooring
+    * definition, cell ids as categories). Appends (batch_id, n_ref,
+    * n_batch, n_cells, psi_micro, alarm); threshold in micro-nats (the
+    * 0.2 "investigate" line ≈ 200000). Scale notes: assignment is per-row
+    * expression work against k literal centroids (zero shuffle); the
+    * per-batch histogram is cell-domain; centroids are k·dim driver
+    * state, corpus-size-free. */
+  def startClusterMixMonitor(emb: DataFrame,
+      centroids: Array[Array[Double]], refMix: DataFrame,
+      thresholdMicro: Long, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          val cells = graft.operators.Clustering.withCellDist(
+            graft.operators.Clustering.intVecs(batch.toDF()), centroids)
+            .groupBy(col("cell")).agg(count(lit(1)).as("cnt"))
+            .select(col("cell").cast("string").as("lang"), col("cnt"))
+          graft.operators.LangId.langMixPsi(cells,
+            refMix.select(col("cell").cast("string").as("lang"), col("cnt")))
+            .select(lit(id).as("batch_id"), col("n_ref"), col("n_batch"),
+              col("n_langs").as("n_cells"), col("psi_micro"),
+              (col("psi_micro") > thresholdMicro).as("alarm"))
+            .coalesce(1).write.mode("append").parquet(outPath)
+        }
+      }
+      .start()
+
   /** Cramér–von Mises twin (B220s): per-batch integrated squared CDF gap
     * vs the reference — catches distributed many-small-gap drift KS
     * underweights. Appends (batch_id, n_ref, n_batch, t, alarm). */

@@ -120,6 +120,16 @@ class ClusteringSpec extends AnyFunSuite {
     }
   }
 
+  test("medoids come one per cluster, from inside their own blob") {
+    val out = Clustering.clusterMedoids(embDf(blobs), k = 2, iters = 3)
+      .select(col("cell"), col("medoid_id")).as[(Int, Long)].collect()
+    assert(out.length == 2)
+    assert(out.map(_._1).toSet.size == 2)
+    val ids = out.map(_._2).toSet
+    assert(ids.exists(id => id >= 100L && id <= 105L), ids.toString)
+    assert(ids.exists(id => id >= 200L && id <= 204L), ids.toString)
+  }
+
   test("elbow census flags the planted k on a two-blob corpus") {
     val out = Clustering.elbowCensus(embDf(blobs), ks = Seq(1, 2, 4, 8), iters = 2)
       .select(col("k"), col("wss").cast("double"), col("is_knee"))
