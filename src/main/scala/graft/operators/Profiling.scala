@@ -4,6 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Data-management operators: single-pass column profiling and an ORC
   * round-trip through a lang-partitioned layout (SURVEY.md §2 B1/B2
@@ -1019,6 +1020,194 @@ object Profiling {
       |  CAST(CAST(quantile_cont(slope, 0.5) AS DECIMAL(38,4)) AS VARCHAR)
       |    AS slope
       |FROM pairs GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ==== q364: Huber IRLS robust trend (grouped) =============================
+  //
+  // The M-estimator completing the regression family: q144's OLS is
+  // efficient but a single outlier moves it arbitrarily; q190's Theil–Sen
+  // is 29%-breakdown robust but discards efficiency (and is pair-
+  // quadratic in the series). Huber's compromise — full weight inside a
+  // band, 1/|r| decay outside — via iteratively reweighted least squares,
+  // TWO reweight rounds unrolled, each with its own ROBUST scale: the
+  // band is c = 2·median|r| (the MAD-scale Huber band — a MEAN-based
+  // scale is itself dragged by the very outlier it should discount, and
+  // a frozen seed-scale band measured 2.67 on the planted-outlier spec
+  // where the median-scale rounds recover ~2.0), recomputed per round
+  // from the current fit's residuals; median parity across engines is
+  // the q44 percentile/quantile_cont law. Scale shape: each round is ONE
+  // map-side-combined groupBy over the rows plus a group-domain
+  // broadcast join of the fitted line back — no windows, no pairs, 3 row
+  // passes total. Exactness: x, y are integers; fitted lines are one
+  // spelled double chain off exact BIGINT moments (the q144 rule);
+  // per-row residuals floor to milli-units ONCE, the scale
+  // s = ⌊median |r|ₘ⌋ and band c = max(2s, 1) are exact BIGINTs, and the
+  // weights
+  // wᵤ = min(10⁶, ⌊10⁶·c/|r|ₘ⌋) are pure integer arithmetic — so the
+  // weighted moments are exact BIGINTs and only the final closed form
+  // (DECIMAL(38,0) cross products — sw·swxy overflows BIGINT) divides in
+  // double.
+
+  /** Per-`group` Huber-IRLS fit of integer `y` on integer `x`:
+    * (group, n, slope_h, intercept_h, wsum). Degenerate groups (zero
+    * x-variance at any stage) report nulls; `wsum` is the final total
+    * micro-weight (an integrity check: n·10⁶ when nothing is
+    * down-weighted). */
+  def huberTrend(df: DataFrame, group: String, x: String, y: String): DataFrame = {
+    val rows = df.select(col(group).as("g"), col(x).cast("long").as("x"),
+      col(y).cast("long").as("y"))
+    // pass 0: OLS seed — the exact q144 chain
+    val f0 = groupedOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .select(col("g"), col("n"), col("slope").as("b"), col("intercept").as("a"))
+
+    def residMilli(a: Column, b: Column): Column =
+      floor(lit(1000.0) * abs(col("y").cast("double") -
+        (a + b * col("x").cast("double")))).cast("long")
+
+    // robust per-round scale: s = floor-median |r| milli, band c = 2s
+    def bandOf(resid: DataFrame): DataFrame =
+      resid.groupBy(col("g"))
+        .agg(floor(expr("percentile(rmilli, 0.5)")).cast("long").as("smilli"))
+        .select(col("g"), greatest(lit(2L) * col("smilli"), lit(1L)).as("cmilli"))
+
+    def weight(rm: Column): Column =
+      when(rm <= col("cmilli"), lit(1000000L))
+        .otherwise(expr("(1000000 * cmilli) div rmilli"))
+
+    def weightedFit(w: DataFrame): DataFrame = {
+      val m = w.groupBy(col("g")).agg(
+        sum(col("wmicro")).as("sw"),
+        sum(col("wmicro") * col("x")).as("swx"),
+        sum(col("wmicro") * col("y")).as("swy"),
+        sum(col("wmicro") * col("x") * col("x")).as("swxx"),
+        sum(col("wmicro") * col("x") * col("y")).as("swxy"))
+      def d(c: String) = col(c).cast(DecimalType(38, 0))
+      val num = d("sw") * d("swxy") - d("swx") * d("swy")
+      val den = d("sw") * d("swxx") - d("swx") * d("swx")
+      m.select(col("g"), col("sw"),
+        when(den =!= 0, num.cast("double") / den.cast("double")).as("b"),
+        when(den =!= 0,
+          (d("swy").cast("double") - num.cast("double") / den.cast("double")
+            * d("swx").cast("double")) / d("sw").cast("double")).as("a"))
+    }
+
+    // one IRLS round: residuals vs the current fit, a fresh robust band,
+    // Huber weights, weighted refit
+    def round(fit: DataFrame): DataFrame = {
+      val r = rows
+        .join(broadcast(fit.where(col("b").isNotNull)
+          .select(col("g"), col("a"), col("b"))), Seq("g"))
+        .withColumn("rmilli", residMilli(col("a"), col("b")))
+      val w = r.join(broadcast(bandOf(r)), Seq("g"))
+        .withColumn("wmicro", weight(col("rmilli")))
+      weightedFit(w)
+    }
+    val f2 = round(round(f0))
+
+    f0.select(col("g"), col("n"))
+      .join(f2.select(col("g"), col("sw"), col("b"), col("a")), Seq("g"), "left")
+      .select(col("g"), col("n"), QueryDef.dec4(col("b")).as("slope_h"),
+        QueryDef.dec4(col("a")).as("intercept_h"), col("sw").as("wsum"))
+  }
+
+  // same covariate pair as q144 so the regression family reads on one
+  // surface: x = token occurrences, y = distinct tokens, per source
+  private def q364(s: SparkSession, dir: String): DataFrame =
+    huberTrend(
+      Tables.documents(s, dir).select(col("source"),
+        size(Tok.ws(col("text"))).as("x"),
+        size(array_distinct(Tok.ws(col("text")))).as("y")),
+      "source", "x", "y")
+      .withColumnRenamed("g", "source")
+      .orderBy(col("source"))
+
+  private val q364Sql = {
+    val fitFrom = (m: String) =>
+      s"""SELECT g, sw,
+         |    CASE WHEN den <> 0 THEN CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |      END AS b,
+         |    CASE WHEN den <> 0 THEN
+         |      (CAST(swy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |        * CAST(swx AS DOUBLE)) / CAST(sw AS DOUBLE) END AS a
+         |  FROM (
+         |    SELECT g, sw, swx, swy,
+         |      CAST(sw AS DECIMAL(38,0)) * CAST(swxy AS DECIMAL(38,0))
+         |        - CAST(swx AS DECIMAL(38,0)) * CAST(swy AS DECIMAL(38,0)) AS num,
+         |      CAST(sw AS DECIMAL(38,0)) * CAST(swxx AS DECIMAL(38,0))
+         |        - CAST(swx AS DECIMAL(38,0)) * CAST(swx AS DECIMAL(38,0)) AS den
+         |    FROM $m)""".stripMargin
+    val wmoments = (w: String) =>
+      s"""SELECT g, CAST(sum(wmicro) AS BIGINT) AS sw,
+         |    CAST(sum(wmicro * x) AS BIGINT) AS swx,
+         |    CAST(sum(wmicro * y) AS BIGINT) AS swy,
+         |    CAST(sum(wmicro * x * x) AS BIGINT) AS swxx,
+         |    CAST(sum(wmicro * x * y) AS BIGINT) AS swxy
+         |  FROM $w GROUP BY g""".stripMargin
+    s"""|WITH d AS (
+        |  SELECT source AS g,
+        |    len(list_filter(string_split(text, ' '), e -> e <> '')) AS x,
+        |    len(list_distinct(list_filter(string_split(text, ' '), e -> e <> '')))
+        |      AS y
+        |  FROM documents),
+        |m0 AS (
+        |  SELECT g, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1),
+        |f0 AS (
+        |  SELECT g, n,
+        |    CASE WHEN denx <> 0 THEN CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)
+        |      END AS b,
+        |    CASE WHEN denx <> 0 THEN
+        |      (CAST(sy AS DOUBLE) - CAST(num AS DOUBLE) / CAST(denx AS DOUBLE)
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END AS a
+        |  FROM (
+        |    SELECT g, n, sx, sy, n * sxy - sx * sy AS num,
+        |      n * sxx - sx * sx AS denx
+        |    FROM m0)),
+        |r1 AS (
+        |  SELECT d.g, d.x, d.y,
+        |    CAST(floor(1000 * abs(CAST(d.y AS DOUBLE)
+        |      - (f.a + f.b * CAST(d.x AS DOUBLE)))) AS BIGINT) AS rmilli
+        |  FROM d JOIN f0 f ON f.g = d.g AND f.b IS NOT NULL),
+        |sc1 AS (
+        |  SELECT g, greatest(
+        |    2 * CAST(floor(quantile_cont(rmilli, 0.5)) AS BIGINT), 1) AS cmilli
+        |  FROM r1 GROUP BY 1),
+        |w1 AS (
+        |  SELECT r.g, r.x, r.y,
+        |    CASE WHEN r.rmilli <= s.cmilli THEN 1000000
+        |      ELSE (1000000 * s.cmilli) // r.rmilli END AS wmicro
+        |  FROM r1 r JOIN sc1 s ON s.g = r.g),
+        |m1 AS (
+        |  ${wmoments("w1")}),
+        |f1 AS (
+        |  ${fitFrom("m1")}),
+        |r2 AS (
+        |  SELECT d.g, d.x, d.y,
+        |    CAST(floor(1000 * abs(CAST(d.y AS DOUBLE)
+        |      - (f.a + f.b * CAST(d.x AS DOUBLE)))) AS BIGINT) AS rmilli
+        |  FROM d JOIN f1 f ON f.g = d.g AND f.b IS NOT NULL),
+        |sc2 AS (
+        |  SELECT g, greatest(
+        |    2 * CAST(floor(quantile_cont(rmilli, 0.5)) AS BIGINT), 1) AS cmilli
+        |  FROM r2 GROUP BY 1),
+        |w2 AS (
+        |  SELECT r.g, r.x, r.y,
+        |    CASE WHEN r.rmilli <= s.cmilli THEN 1000000
+        |      ELSE (1000000 * s.cmilli) // r.rmilli END AS wmicro
+        |  FROM r2 r JOIN sc2 s ON s.g = r.g),
+        |m2 AS (
+        |  ${wmoments("w2")}),
+        |f2 AS (
+        |  ${fitFrom("m2")})
+        |SELECT f0.g AS source, f0.n,
+        |  CAST(CAST(f2.b AS DECIMAL(38,4)) AS VARCHAR) AS slope_h,
+        |  CAST(CAST(f2.a AS DECIMAL(38,4)) AS VARCHAR) AS intercept_h,
+        |  f2.sw AS wsum
+        |FROM f0 LEFT JOIN f2 ON f2.g = f0.g
+        |ORDER BY source""".stripMargin
+  }
 
   // ==== q194: correlation matrix in one pass ================================
   //
@@ -4880,6 +5069,7 @@ object Profiling {
     QueryDef("q194_correlation_matrix", q194, Some(q194Sql)),
     QueryDef("q195_mutual_information", q195, Some(q195Sql)),
     QueryDef("q190_theil_sen", q190, Some(q190Sql)),
+    QueryDef("q364_huber_trend", q364, Some(q364Sql)),
     QueryDef("q180_fk_audit", q180, Some(q180Sql)),
     QueryDef("q177_skew_report", q177, Some(q177Sql)),
     QueryDef("q168_label_index", q168, Some(q168Sql)),
