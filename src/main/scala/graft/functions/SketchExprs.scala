@@ -191,6 +191,66 @@ object BloomMightContain {
       BloomMightContain(GraftSql.expression(bloom), GraftSql.expression(hash), numHashes))
 }
 
+/** Membership probe against a DRIVER-HELD Bloom bitset (round-15 perf).
+  *
+  * The crossJoin(broadcast(bloom)) + [[BloomMightContain]] idiom attaches
+  * the serialized bitset to every probe row, and each `eval` re-reads it
+  * through `UnsafeRow.getBinary`, which COPIES the bytes — a 256 KiB
+  * memcpy per probe row (measured: ~150 GB of copy for a 600 k-row probe
+  * at the default 2^21-bit filter), plus a CodegenFallback that breaks
+  * the scan stage's whole-stage codegen. Here the finished bitset is a
+  * constructor argument (the build side is aggregated once on the
+  * driver — fixed `numBits/8` bytes, the same state the broadcast
+  * carried), decoded into long words once per executor via the reference
+  * object, and probed with generated code. Bit-for-bit the same
+  * membership answers as [[BloomMightContain]] over the same sketch. */
+case class BloomProbeLit(bloomBytes: Array[Byte], child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_probe"
+
+  @transient private lazy val k: Int = SketchHash.bloomNumHashes(bloomBytes)
+  @transient private lazy val words: Array[Long] = {
+    val out = new Array[Long](bloomBytes.length / 8 - 1)
+    val lb = ByteBuffer.wrap(bloomBytes).order(ByteOrder.LITTLE_ENDIAN)
+      .asLongBuffer()
+    lb.get() // header word
+    lb.get(out)
+    out
+  }
+  @transient private lazy val nBits: Int = words.length * 64
+
+  /** true iff all k derived bits of `h` are set. */
+  def probe(h: Long): Boolean = {
+    var i = 0
+    while (i < k) {
+      val idx = SketchHash.index(h, i, nBits)
+      if ((words(idx >>> 6) & (1L << (idx & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(hash: Any): Any = probe(hash.asInstanceOf[Long])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this,
+      classOf[BloomProbeLit].getName)
+    defineCodeGen(ctx, ev, h => s"$ref.probe($h)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BloomProbeLit = copy(child = newChild)
+}
+
+object BloomProbeLit {
+  def of(bloom: Array[Byte], hash: Column): Column =
+    GraftSql.column(BloomProbeLit(bloom, GraftSql.expression(hash)))
+}
+
 /** Count-min sketch over 64-bit input hashes: depth×width counter grid,
   * counts(d)(index_d(h)) += 1 per row, element-wise-add merge. Result is
   * array<bigint>: a 3-element header (magic, depth, width — so probes can

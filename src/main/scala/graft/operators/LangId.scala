@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Language identification from raw text (round 14, B275) — the one
@@ -62,38 +61,49 @@ object LangId {
     * the explode (a parquet scan of few large files otherwise hands the
     * ~150× exploded gram stream to a handful of tasks — observed: 90M
     * md5 calls pinned on 2 cores at sf1), and md5 runs once per DISTINCT
-    * gram via an alphabet²-bounded broadcast bucket table, never once
-    * per corpus occurrence. */
-  /** Above this many distinct char-bigrams, the domain table stops being
-    * broadcast-safe (real unicode/CJK corpora can reach millions of
-    * grams; a latin alphabet stays in the hundreds) and the md5 bucket
-    * runs per (doc, distinct-gram) instead — still never per occurrence. */
-  private val MaxBroadcastGrams = 2000000L
+    * gram via a domain bucket table, never once per corpus occurrence. */
+  /** The corpus-sized kernel of [[charGramFeatures]]: per-doc distinct-
+    * gram counts (doc_id, g, cg) — the repartition + explode + map-side-
+    * combined groupBy that touches every character. Exposed for the
+    * plan-shape spec.
+    *
+    * The pre-explode spread key is a SALTED doc hash, deliberately NOT
+    * plain doc_id: hashpartitioning(doc_id) satisfies the groupBy
+    * (doc_id, g) distribution, which used to pull the aggregation's
+    * exchange BELOW the explode — every consumer of this frame (domain
+    * table, probe side, guard) then re-ran the explode. With a salt key
+    * the (doc_id, g) exchange lands ABOVE the explode, so all consumers
+    * share its shuffle files and the corpus explode runs ONCE per query
+    * (guide §2.4 — two operations keyed the same way share one
+    * exchange; §2.5 — deterministic synthetic key, never rand()). */
+  private[operators] def gramCounts(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    docs.repartition(parts, pmod(xxhash64(col("doc_id")), lit(parts * 64)))
+      .select(col("doc_id"), explode(bigrams(lower(col("text")))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("cg"))
+  }
 
   def charGramFeatures(docs: DataFrame): DataFrame = {
-    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
-    val grams = docs.repartition(parts, col("doc_id"))
-      .select(col("doc_id"), explode(bigrams(lower(col("text")))).as("g"))
-    val perDoc = grams.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("cg"))
-    // broadcast-safety guard (round 15): the |alphabet|² bound only holds
-    // for small alphabets — measure the domain (HLL sketch, one map-side-
-    // combined pass) before collecting it to the driver as a broadcast
-    val nGrams = grams
-      .agg(approx_count_distinct(col("g"), 0.05)).first().getLong(0)
-    val feats = if (nGrams <= MaxBroadcastGrams) {
-      // char-bigram DOMAIN table: bounded, broadcastable — md5 runs once
-      // per DISTINCT gram corpus-wide
-      val gdom = grams.select(col("g")).distinct()
-        .select(col("g"), bucketOf(col("g")).as("b"))
-      perDoc.join(broadcast(gdom), Seq("g"))
-        .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
-    } else {
-      // domain too wide to broadcast: bucket each (doc, distinct-gram)
-      // row directly — md5 count = |perDoc| ≤ occurrences, no driver state
-      perDoc.select(col("doc_id"), bucketOf(col("g")).as("b"), col("cg"))
-        .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
-    }
+    // Round-15 perf: the corpus explode used to run THREE times per call
+    // — once under the perDoc aggregation, once for the broadcast-safety
+    // guard's HLL pass, once for the gram-domain distinct — plus one
+    // driver action for the guard. Now the whole featurization is ONE
+    // LAZY plan: the gram-domain table derives from the same perDoc
+    // subtree as the probe side, so the (doc_id, g) exchange is
+    // canonically shared and the corpus explode runs ONCE per consuming
+    // query (exchange reuse), and the broadcast-safety decision moves to
+    // the planner — no explicit broadcast hint, no guard job. AQE
+    // converts the domain join to broadcast from RUNTIME sizes when the
+    // domain is alphabet²-small and leaves the shuffle join in place for
+    // unicode/CJK-wide domains (the driver-OOM-safe fallback the
+    // round-14 HLL guard hand-rolled; both strategies produce identical
+    // rows, and md5 still runs once per DISTINCT gram either way).
+    val perDoc = gramCounts(docs)
+    val gdom = perDoc.select(col("g")).distinct()
+      .select(col("g"), bucketOf(col("g")).as("b"))
+    val feats = perDoc.join(gdom, Seq("g"))
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("cg")).as("x"))
     val bias = docs.select(col("doc_id"),
       lit(NumBuckets.toLong).as("b"), lit(1L).as("x"))
     feats.unionByName(bias)
@@ -103,10 +113,20 @@ object LangId {
     * (lang, b, w) with w_{l,b} = ⌊10⁶·ln((c_{l,b}+1)/(T_l+64))⌋ for
     * b < 64 and the class prior ⌊10⁶·ln((n_l+1)/(n+L))⌋ at b = 64.
     * L×65 rows — model-sized, stays distributed. */
-  def trainProfiles(labeled: DataFrame): DataFrame = {
-    val spark = labeled.sparkSession
-    val d = labeled.select(col("doc_id"), col("lang"))
-    val feats = charGramFeatures(labeled).filter(col("b") < NumBuckets)
+  def trainProfiles(labeled: DataFrame): DataFrame =
+    trainProfilesFromFeats(charGramFeatures(labeled),
+      labeled.select(col("doc_id"), col("lang")))
+
+  /** [[trainProfiles]] over a PRECOMPUTED feature frame (the
+    * [[charGramFeatures]] output for a superset of `d`'s doc_ids) — lets
+    * a train+score pipeline (q339) run the corpus explode ONCE and share
+    * the bounded feature frame between training and scoring. Features are
+    * per-doc independent, so filtering the shared frame to the training
+    * doc_ids is value-identical to featurizing the training slice. */
+  private[operators] def trainProfilesFromFeats(
+      feats0: DataFrame, d: DataFrame): DataFrame = {
+    val spark = d.sparkSession
+    val feats = feats0.filter(col("b") < NumBuckets)
     val cb = feats.join(d, Seq("doc_id"))
       .groupBy(col("lang"), col("b")).agg(sum(col("x")).as("c"))
     val tl = cb.groupBy(col("lang")).agg(sum(col("c")).as("t"))
@@ -131,22 +151,33 @@ object LangId {
     * z_micro the winning integer micro-nat log-score, and conf the
     * top-two margin per gram, (z₁−z₂)/(10⁶·max(grams,1)) — the average
     * per-gram log-odds gap, 0 when only one language is known. */
-  def langId(docs: DataFrame, profiles: DataFrame): DataFrame = {
-    val feats = charGramFeatures(docs)
+  def langId(docs: DataFrame, profiles: DataFrame): DataFrame =
+    langIdFromFeats(docs, charGramFeatures(docs), profiles)
+
+  /** [[langId]] over a PRECOMPUTED [[charGramFeatures]] frame — see
+    * [[trainProfilesFromFeats]]. The top-2 selection is one bounded
+    * aggregation (collect the ≤L per-doc candidates, sort the array):
+    * round 15 replaced the row_number window — which shuffled and sorted
+    * the (doc × lang) frame, then re-joined rank-1 and rank-2 slices —
+    * with a single map-side-combinable groupBy; the (z desc, lang asc)
+    * order rides the natural struct order of (−z, lang). */
+  private[operators] def langIdFromFeats(docs: DataFrame, feats: DataFrame,
+      profiles: DataFrame): DataFrame = {
     val zs = feats.join(broadcast(profiles), Seq("b"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(sum(col("x") * col("w")).as("z_micro"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("z_micro").desc, col("lang").asc)
-    val ranked = zs.withColumn("rn", row_number().over(byDoc))
-    val top = ranked.filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("z_micro"))
-    val second = ranked.filter(col("rn") === 2)
-      .select(col("doc_id"), col("z_micro").as("z2"))
+    val ranked = zs
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct((-col("z_micro")).as("nz"), col("lang")))).as("cand"))
+      .select(col("doc_id"),
+        col("cand").getItem(0).getField("lang").as("lang"),
+        (-col("cand").getItem(0).getField("nz")).as("z_micro"),
+        when(size(col("cand")) >= 2,
+          -col("cand").getItem(1).getField("nz")).as("z2"))
     val ng = docs.select(col("doc_id"),
       greatest(length(lower(col("text"))) - 1, lit(0)).cast("long").as("ng"))
-    top.join(second, Seq("doc_id"), "left")
-      .join(ng, Seq("doc_id"))
+    ranked.join(ng, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("z_micro"),
         QueryDef.dec4((col("z_micro") - coalesce(col("z2"), col("z_micro")))
           .cast("double") /
@@ -195,9 +226,19 @@ object LangId {
 
   private def q339(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"), col("lang")).localCheckpoint()
-    val profiles = trainProfiles(docs.filter(col("doc_id") % 4 =!= 0))
-    langId(docs, profiles).orderBy(col("doc_id"))
+      .select(col("doc_id"), col("text"), col("lang"))
+    // ONE corpus featurization shared by train and score (round 15): the
+    // training side reads the same lazy feats plan through the %4≠0
+    // label join, and the (doc_id, g) exchange under it is canonically
+    // identical on both sides, so the corpus explode executes once per
+    // run (exchange reuse) — previously train and score each ran their
+    // own featurization with its own guard job, 6 explode passes + 4
+    // driver actions total. All-lazy also drops the checkpoint copies.
+    val feats = charGramFeatures(docs)
+    val profiles = trainProfilesFromFeats(feats,
+      docs.filter(col("doc_id") % 4 =!= 0)
+        .select(col("doc_id"), col("lang")))
+    langIdFromFeats(docs, feats, profiles).orderBy(col("doc_id"))
   }
 
   private val q339Sql = {

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{BloomFilterAgg, BloomMightContain, CmsEstimate, CountMinSketchAgg}
+import graft.functions.{BloomFilterAgg, BloomProbeLit, CmsEstimate, CountMinSketchAgg}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -52,11 +52,16 @@ object SketchOps {
     * dropping non-matching probe rows before the shuffle. Output ==
     * plain left-semi join (zero false negatives; FPs cleaned exactly). */
   def bloomSemiJoin(probe: DataFrame, build: DataFrame, key: String): DataFrame = {
-    val bloom = build.agg(
+    // round-15 perf: aggregate the fixed-size bitset to the driver (the
+    // same numBits/8 bytes the broadcast carried) and probe it as a plan
+    // literal — the old crossJoin(broadcast) + filter idiom re-COPIED the
+    // 256 KiB binary out of the joined row for every probe row and its
+    // CodegenFallback broke the scan stage's codegen. Same bits, same
+    // membership answers, so the output is unchanged.
+    val bloomBytes = build.agg(
       BloomFilterAgg.of(xxhash64(col(key)), BloomBits, BloomK).as("bloom"))
-    probe.crossJoin(broadcast(bloom))
-      .filter(BloomMightContain.of(col("bloom"), xxhash64(col(key)), BloomK))
-      .drop("bloom")
+      .head().getAs[Array[Byte]](0)
+    probe.filter(BloomProbeLit.of(bloomBytes, xxhash64(col(key))))
       .join(build.select(col(key)).distinct(), Seq(key), "left_semi")
   }
 
@@ -92,12 +97,13 @@ object SketchOps {
     * The filter build and the probe are both single-scan; the finished
     * bitset broadcasts. No false negatives by construction. */
   def bloomSeenFlags(seen: DataFrame, newBatch: DataFrame): DataFrame = {
-    val bloom = seen.agg(
+    // driver-held bitset + literal probe, not crossJoin(broadcast): see
+    // bloomSemiJoin — identical flags, minus a 256 KiB copy per row
+    val bloomBytes = seen.agg(
       BloomFilterAgg.of(xxhash64(col("text")), BloomBits, BloomK).as("bloom"))
-    newBatch.crossJoin(broadcast(bloom)) // single-row scalar join idiom
-      .withColumn("maybe_seen",
-        BloomMightContain.of(col("bloom"), xxhash64(col("text")), BloomK))
-      .drop("bloom")
+      .head().getAs[Array[Byte]](0)
+    newBatch.withColumn("maybe_seen",
+      BloomProbeLit.of(bloomBytes, xxhash64(col("text"))))
   }
 
   private def q75(s: SparkSession, dir: String): DataFrame = {

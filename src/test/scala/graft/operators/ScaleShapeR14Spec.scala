@@ -39,8 +39,14 @@ class ScaleShapeR14Spec extends AnyFunSuite {
     assert(plan.contains("BroadcastExchange") ||
       plan.contains("BroadcastHashJoin"),
       s"gram-domain table not broadcast:\n$plan")
-    assert(plan.contains("Exchange hashpartitioning(doc_id"),
-      s"no pre-explode repartition:\n$plan")
+    // round 15: the pre-explode spread key is a salted doc hash and the
+    // (doc_id, g) aggregation exchange must sit ABOVE the explode so
+    // every consumer shares one explode (see gramCounts scaladoc)
+    val kernel = executedPlan(LangId.gramCounts(docs))
+    assert(kernel.contains("Exchange hashpartitioning(pmod(xxhash64(doc_id"),
+      s"no pre-explode spread repartition:\n$kernel")
+    assert(kernel.contains("Exchange hashpartitioning(doc_id"),
+      s"no post-explode (doc_id, g) exchange:\n$kernel")
   }
 
   test("item-cooccurrence plan: the only window is item-partitioned") {
