@@ -81,9 +81,13 @@ object Graph {
   // Spark already reuses the shuffle files across the loop here.
 
   /** Fixed-iteration PageRank over directed (src, dst) edges. Supply both
-    * directions for an undirected graph (also guarantees outdeg ≥ 1). */
+    * directions for an undirected graph (also guarantees outdeg ≥ 1).
+    * `inputDistinct = true` declares the edge list already deduplicated
+    * AND materialized (a pinned [[graft.EdgePin]] layout): the per-call
+    * dedup exchange and its checkpoint copy are then skipped — round-15
+    * optimization; the computed result is identical either way. */
   def pageRank(edges: DataFrame, iterations: Int = 5,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, inputDistinct: Boolean = false): DataFrame = {
     // Lineage discipline, measured both ways: a SHORT chain (≤ LineageEvery
     // iterations) must stay ONE query — Spark then computes the edge
     // distinct/outdeg shuffles once and reuses the shuffle files across
@@ -98,8 +102,9 @@ object Graph {
     val LineageEvery = 8
     val longRun = iterations > LineageEvery
     def pin(df: DataFrame): DataFrame = if (longRun) df.localCheckpoint() else df
-    val eBase = edges.select(col("src"), col("dst")).distinct()
-    val e = eBase.localCheckpoint()
+    val eBase = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val e = if (inputDistinct) eBase else eBase.localCheckpoint()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     // the loop invariant is the OUTDEG-WEIGHTED edge table — materialize
     // the e⋈outdeg join ONCE (round-12 shave: it used to re-execute as a
@@ -151,19 +156,26 @@ object Graph {
       .select(col("node"), (col("rank") * col("n")).as("rank_scaled"))
   }
 
-  /** Shared (c, p) purchase pairs — pinned once per corpus dir
+  /** Shared DISTINCT (c, p) purchase pairs — pinned once per corpus dir
     * ([[graft.EdgePin]]): q123/q178/q212 (symmetric) and q226 (directed)
     * all derive from this one lineitem⋈orders join, which a multi-query
     * session previously rebuilt from base scans per query (~7 identical
-    * edge derivations per bench sweep). */
+    * edge derivations per bench sweep). Round 15: the pinned face is
+    * DISTINCT — every consumer deduped it anyway, so the dedup exchange
+    * now runs once per corpus dir instead of once per query (and, for
+    * the per-round loops, once per ROUND), and consumers pass
+    * `inputDistinct = true` to skip their own distinct + checkpoint
+    * copy. The symmetric union of this face stays distinct because the
+    * "c"/"p" prefixes keep the two key domains disjoint. */
   private def custPartPairs(s: SparkSession, dir: String): DataFrame =
-    graft.EdgePin.memo(s, dir, "custpart_pairs") {
+    graft.EdgePin.memo(s, dir, "custpart_dist") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
       val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("p"), col("l_partkey")).as("p"))
+        .distinct()
     }
 
   /** The q123 graph: customers ↔ parts they ordered (bipartite, symmetric).
@@ -174,10 +186,16 @@ object Graph {
       .union(pairs.select(col("p").as("src"), col("c").as("dst")))
   }
 
-  /** The ⅓-sliced part co-order graph (a, b share an order, a ≠ b) —
-    * pinned once per corpus dir: q153/q185/q207/q277 share one self-join. */
+  /** The ⅓-sliced part co-order graph (a, b share an order, a ≠ b),
+    * DISTINCT, symmetric — pinned once per corpus dir:
+    * q134/q153/q185/q207/q209/q231/q277/q312/q334 share one self-join.
+    * Round 15: distinct moved into the pin (every consumer deduped it;
+    * the per-query — and for loop operators per-ROUND — dedup exchange
+    * collapses to one materialization per corpus dir). The a<b canonical
+    * half-edge face the triangle kernel wants is `where(src < dst)` over
+    * these blocks. */
   private def coPartEdges(s: SparkSession, dir: String): DataFrame =
-    graft.EdgePin.memo(s, dir, "copart3") {
+    graft.EdgePin.memo(s, dir, "copart3_dist") {
       val li = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey"))
         .where(col("l_partkey") % 3 === 0)
@@ -185,10 +203,19 @@ object Graph {
       val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
       a.join(b, Seq("l_orderkey")).where(col("a") =!= col("b"))
         .select(col("a").as("src"), col("b").as("dst"))
+        .distinct()
     }
 
+  /** The canonical a<b half-edge face of [[coPartEdges]] the triangle
+    * kernels (q134/q260/q312/q334) consume: a narrow filter over the
+    * pinned distinct symmetric blocks — those queries previously rebuilt
+    * the same lineitem self-join + dedup from base scans per query. */
+  private def coPartHalfEdges(s: SparkSession, dir: String): DataFrame =
+    coPartEdges(s, dir).where(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+
   private def q123(s: SparkSession, dir: String): DataFrame =
-    pageRank(custPartEdges(s, dir), iterations = 5)
+    pageRank(custPartEdges(s, dir), iterations = 5, inputDistinct = true)
       .select(col("node"), QueryDef.dec4(col("rank_scaled")).as("rank_scaled"))
       .orderBy(col("node"))
 
@@ -244,7 +271,8 @@ object Graph {
     * edges with uniform restart over `seeds` (col `node`). Returns every
     * node's rank (sums to ~1 over the graph). */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
-      iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+      iterations: Int = 5, damping: Double = 0.85,
+      inputDistinct: Boolean = false): DataFrame = {
     // Unlike q123 (whose per-iteration invariants are bare aggregation
     // subtrees that ride shuffle-file reuse), the restart vector is a
     // three-way join rebuilt from base scans — appearing once per
@@ -252,8 +280,9 @@ object Graph {
     // each step (measured 9× q123's time at sf0.1). The invariants are
     // node/edge-domain, so pin them ONCE up front; the rank chain itself
     // stays lazy (5 joins deep — no truncation needed).
-    val eBase = edges.select(col("src"), col("dst")).distinct()
-    val e = eBase.localCheckpoint()
+    val eBase = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val e = if (inputDistinct) eBase else eBase.localCheckpoint()
     // outdeg-weighted edges materialized once (the q123 round-12 shave);
     // in the both-sides-large regime the pin also advertises hash(src) +
     // sort order so no power step re-exchanges or re-sorts the edge side
@@ -298,7 +327,8 @@ object Graph {
     val seeds = Tables.orders(s, dir)
       .select(concat(lit("c"), col("o_custkey")).as("node"))
       .where(col("o_custkey") % 100 === 0).distinct()
-    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 5)
+    personalizedPageRank(custPartEdges(s, dir), seeds, iterations = 5,
+        inputDistinct = true)
       .select(col("node"),
         col("rank").cast(org.apache.spark.sql.types.DecimalType(38, 8))
           .as("rdec"))
@@ -404,9 +434,12 @@ object Graph {
   /** The degree-ordered kernel shared by q134/q312/q334: canonical
     * undirected edges plus each triangle enumerated exactly once as
     * (u, v, w). */
-  private def orientedTriangles(edges: DataFrame)
-      : (DataFrame, DataFrame) = {
-    val e = edges
+  private def orientedTriangles(edges: DataFrame,
+      inputCanonical: Boolean = false): (DataFrame, DataFrame) = {
+    // inputCanonical = edges already distinct with a < b (the pinned
+    // [[coPartHalfEdges]] face): skip the per-query canonicalize + dedup
+    // exchange — identical edge set either way (round-15 optimization)
+    val e = if (inputCanonical) edges.select(col("a"), col("b")) else edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
@@ -438,8 +471,9 @@ object Graph {
 
   /** Per-node triangle counts over undirected `edges` (cols a, b; any
     * duplicates / orderings / self-loops are canonicalized away). */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    val (_, tris) = orientedTriangles(edges)
+  def triangleCounts(edges: DataFrame,
+      inputCanonical: Boolean = false): DataFrame = {
+    val (_, tris) = orientedTriangles(edges, inputCanonical)
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
@@ -448,16 +482,9 @@ object Graph {
   // full co-order graph's wedge space is ~27× larger and adds ~25 s to
   // every bench iteration at sf0.1 without testing anything the slice
   // doesn't — the operator itself is domain-agnostic
-  private def q134(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    triangleCounts(edges)
+  private def q134(s: SparkSession, dir: String): DataFrame =
+    triangleCounts(coPartHalfEdges(s, dir), inputCanonical = true)
       .orderBy(col("n_triangles").desc, col("node")).limit(20)
-  }
 
   // ==== q334: edge embeddedness + local bridges ================================
   //
@@ -473,8 +500,9 @@ object Graph {
 
   /** (embeddedness, n_edges) histogram over undirected `edges`
     * (cols a, b); the embeddedness-0 row counts the local bridges. */
-  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
-    val (e, tris) = orientedTriangles(edges)
+  def edgeEmbeddedness(edges: DataFrame,
+      inputCanonical: Boolean = false): DataFrame = {
+    val (e, tris) = orientedTriangles(edges, inputCanonical)
     val triEdges = tris.select(explode(array(
         struct(least(col("u"), col("v")).as("a"),
           greatest(col("u"), col("v")).as("b")),
@@ -490,15 +518,8 @@ object Graph {
       .orderBy(col("embeddedness"))
   }
 
-  private def q334(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    edgeEmbeddedness(edges)
-  }
+  private def q334(s: SparkSession, dir: String): DataFrame =
+    edgeEmbeddedness(coPartHalfEdges(s, dir), inputCanonical = true)
 
   private val q334Sql =
     """WITH li AS (
@@ -527,31 +548,25 @@ object Graph {
   // emitted ⌊10⁶·⌋-floored, so both engines render identical integers.
 
   /** Per node in ≥1 triangle: (node, deg, n_triangles, cc_e6). */
-  def clusteringCoefficient(edges: DataFrame): DataFrame = {
-    val e = edges
+  def clusteringCoefficient(edges: DataFrame,
+      inputCanonical: Boolean = false): DataFrame = {
+    val e = if (inputCanonical) edges.select(col("a"), col("b")) else edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
     val deg = e.select(col("a").as("node"))
       .union(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    triangleCounts(edges).join(deg, Seq("node"))
+    triangleCounts(edges, inputCanonical).join(deg, Seq("node"))
       .select(col("node"), col("deg"), col("n_triangles"),
         floor(lit(1e6) * lit(2.0) * col("n_triangles").cast("double") /
           (col("deg").cast("double") * (col("deg").cast("double") - 1)))
           .cast("long").as("cc_e6"))
   }
 
-  private def q312(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    clusteringCoefficient(edges)
+  private def q312(s: SparkSession, dir: String): DataFrame =
+    clusteringCoefficient(coPartHalfEdges(s, dir), inputCanonical = true)
       .orderBy(col("cc_e6").desc, col("node")).limit(20)
-  }
 
   private val q312Sql =
     """WITH li AS (
@@ -667,8 +682,10 @@ object Graph {
 
   /** Labels after `rounds` of synchronous propagation over symmetric
     * (src, dst) edges. Isolated nodes keep their own id as label. */
-  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+  def labelPropagation(edges: DataFrame, rounds: Int,
+      inputDistinct: Boolean = false): DataFrame = {
+    val e = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
     val nodes = e.select(col("src").as("node")).distinct()
     var labels = nodes.withColumn("lbl", col("node"))
     // release targets are ONLY the rounds this loop checkpointed — the
@@ -697,7 +714,7 @@ object Graph {
 
   private def q153(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPartEdges(s, dir)
-    labelPropagation(pairs, rounds = 3)
+    labelPropagation(pairs, rounds = 3, inputDistinct = true)
       .groupBy(col("lbl")).agg(count(lit(1)).as("size"))
       .groupBy(col("size")).agg(count(lit(1)).as("n_communities"))
       .orderBy(col("size"))
@@ -742,8 +759,10 @@ object Graph {
 
   /** One row: (n_edges, r) — assortativity of `edges` (give both
     * directions for undirected semantics, as pageRank does). */
-  def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+  def degreeAssortativity(edges: DataFrame,
+      inputDistinct: Boolean = false): DataFrame = {
+    val e = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val withDegs = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), Seq("src"))
@@ -765,7 +784,7 @@ object Graph {
   }
 
   private def q178(s: SparkSession, dir: String): DataFrame =
-    degreeAssortativity(custPartEdges(s, dir))
+    degreeAssortativity(custPartEdges(s, dir), inputDistinct = true)
       .select(col("n_edges"), QueryDef.dec4(col("r")).as("r"))
 
   private val q178Sql =
@@ -865,8 +884,10 @@ object Graph {
   /** (node, core) estimates after `rounds` h-index iterations over
     * symmetric (src, dst) edges: certified upper bounds on the core
     * numbers, exact once converged (see [[kCoreExact]]). */
-  def kCoreDecomposition(edges: DataFrame, rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+  def kCoreDecomposition(edges: DataFrame, rounds: Int,
+      inputDistinct: Boolean = false): DataFrame = {
+    val e = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var est = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).cast("long").as("est"))
     var lastCp: Option[DataFrame] = None
@@ -912,7 +933,7 @@ object Graph {
   // exactness.
   private def q185(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPartEdges(s, dir)
-    kCoreDecomposition(pairs, rounds = 6)
+    kCoreDecomposition(pairs, rounds = 6, inputDistinct = true)
       .groupBy(col("core")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("core"))
   }
@@ -982,8 +1003,10 @@ object Graph {
     * include hubs switch to [[anf]], whose per-node state is fixed-width
     * at any degree. Default = no cap (q207's declared contract). */
   def neighborhoodProfile(edges: DataFrame,
-      maxDeg: Int = Int.MaxValue): DataFrame = {
-    val e0 = edges.select(col("src"), col("dst")).distinct()
+      maxDeg: Int = Int.MaxValue,
+      inputDistinct: Boolean = false): DataFrame = {
+    val e0 = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
     val capped = if (maxDeg == Int.MaxValue) e0 else {
       val keep = e0.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .where(col("d") <= maxDeg).select(col("src").as("k"))
@@ -991,7 +1014,9 @@ object Graph {
         .join(keep.withColumnRenamed("k", "dst"), Seq("dst"))
         .select(col("src"), col("dst"))
     }
-    val e = capped.localCheckpoint()
+    // an uncapped pinned input is already materialized — reuse its blocks
+    val e = if (inputDistinct && maxDeg == Int.MaxValue) capped
+      else capped.localCheckpoint()
     val r1 = e.select(col("src").as("node"), col("dst").as("w"))
     val two = r1.join(e.withColumnRenamed("dst", "x"), col("w") === col("src"))
       .where(col("x") =!= col("node"))
@@ -1035,7 +1060,7 @@ object Graph {
   // profile (the r ≤ 2 contract above — ANF owns deeper hops, spec-gated)
   private def q207(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPartEdges(s, dir)
-    neighborhoodProfile(pairs)
+    neighborhoodProfile(pairs, inputDistinct = true)
       .orderBy(col("reach2").desc, col("node")).limit(100)
   }
 
@@ -1078,8 +1103,9 @@ object Graph {
   /** (node, dist) for every node within `rounds` hops of `seeds` (col
     * `node`) over symmetric (src, dst) edges; dist is exact (≤ rounds). */
   def bfsDistances(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+      rounds: Int, inputDistinct: Boolean = false): DataFrame = {
+    val e = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     var state = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var lastCp: Option[DataFrame] = Some(state)
@@ -1101,7 +1127,7 @@ object Graph {
     val pairs = coPartEdges(s, dir)
     val seeds = pairs.select(col("src").as("node"))
       .where(col("node") % 97 === 0).distinct()
-    bfsDistances(pairs, seeds, rounds = 4)
+    bfsDistances(pairs, seeds, rounds = 4, inputDistinct = true)
       .groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("dist"))
   }
@@ -1145,7 +1171,8 @@ object Graph {
 
   /** (node, hub, auth) after `iterations` un-normalized HITS power steps
     * over directed (src, dst) edges, h and a each scaled by their sums. */
-  def hits(edges: DataFrame, iterations: Int = 5): DataFrame = {
+  def hits(edges: DataFrame, iterations: Int = 5,
+      inputDistinct: Boolean = false): DataFrame = {
     require(iterations >= 1, s"hits needs >= 1 iteration, got $iterations")
     // Lineage discipline — measured the OTHER way round than q123: HITS
     // references frames twice (hub_i feeds auth_i AND the render; auth_i
@@ -1177,14 +1204,18 @@ object Graph {
     // regime — it now releases as soon as both pinned layouts land (the
     // init vector derives from eByDst, so nothing re-reads it).
     val conf = edges.sparkSession.sessionState.conf
-    val eBase = edges.select(col("src"), col("dst")).distinct()
-    val e = eBase.localCheckpoint()
+    val eBase = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
+    val e = if (inputDistinct) eBase else eBase.localCheckpoint()
     val pinLayout = cachedPinRegime(eBase, e, "dst", conf)
     val eByDst = if (pinLayout) org.apache.spark.sql.GraftSql
       .pinHashPartitioned(e, Seq("dst"), conf.numShufflePartitions) else e
     val eBySrc = if (pinLayout) org.apache.spark.sql.GraftSql
       .pinHashPartitioned(e, Seq("src"), conf.numShufflePartitions) else e
-    if (pinLayout)
+    // release our intermediate checkpoint once both pinned layouts land;
+    // a pin-backed input has no intermediate copy (its blocks are
+    // protected session state — the walk would skip them anyway)
+    if (pinLayout && !inputDistinct)
       org.apache.spark.sql.GraftSql.releaseCheckpointBlocks(e)
     val dsts = eByDst.select(col("dst").as("node")).distinct()
     var auth = dsts.withColumn("a", lit(1.0))
@@ -1225,7 +1256,7 @@ object Graph {
   private def q226(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("kind"))
       .orderBy(round(col("score"), 4).desc, col("node"))
-    hits(buyEdges(s, dir), iterations = 5)
+    hits(buyEdges(s, dir), iterations = 5, inputDistinct = true)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 12)
       .select(col("kind"), col("rn"), col("node"),
@@ -1340,8 +1371,10 @@ object Graph {
 
   /** One row: (n_edges, n_communities, within_edges, q_modularity) for
     * `labels` (node, lbl) on symmetric `edges`. */
-  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct()
+  def modularity(edges: DataFrame, labels: DataFrame,
+      inputDistinct: Boolean = false): DataFrame = {
+    val e = if (inputDistinct) edges.select(col("src"), col("dst"))
+      else edges.select(col("src"), col("dst")).distinct()
     val withL = e
       .join(labels.toDF("src", "lbl_s"), Seq("src"))
       .join(labels.toDF("dst", "lbl_d"), Seq("dst"))
@@ -1363,7 +1396,9 @@ object Graph {
 
   private def q231(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPartEdges(s, dir)
-    modularity(pairs, labelPropagation(pairs, rounds = 3))
+    modularity(pairs,
+      labelPropagation(pairs, rounds = 3, inputDistinct = true),
+      inputDistinct = true)
   }
 
   private val q231Sql = {
@@ -1542,9 +1577,13 @@ object Graph {
   /** Surviving edges of the `rounds`-peel k-truss with their final
     * support: (a, b, support). Exact truss when converged within
     * `rounds`; a superset otherwise (both declared). */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int,
+      inputCanonical: Boolean = false): DataFrame = {
     require(k >= 3 && rounds >= 1)
-    var e = edges
+    // inputCanonical (pinned, materialized a<b face): round 0 reads the
+    // pin's blocks directly — no canonicalize/dedup exchange, no extra
+    // checkpoint copy; every later round checkpoints its peel as before
+    var e = if (inputCanonical) edges.select(col("a"), col("b")) else edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .where(col("a") =!= col("b")).distinct()
@@ -1560,17 +1599,10 @@ object Graph {
         coalesce(col("support"), lit(0L)).as("support"))
   }
 
-  private def q260(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .where(col("l_partkey") % 3 === 0)
-    val a = li.select(col("l_orderkey"), col("l_partkey").as("a"))
-    val b = li.select(col("l_orderkey"), col("l_partkey").as("b"))
-    val edges = a.join(b, Seq("l_orderkey")).where(col("a") < col("b"))
-      .select(col("a"), col("b"))
-    kTruss(edges, k = 4, rounds = 4)
+  private def q260(s: SparkSession, dir: String): DataFrame =
+    kTruss(coPartHalfEdges(s, dir), k = 4, rounds = 4,
+        inputCanonical = true)
       .orderBy(col("support").desc, col("a"), col("b")).limit(20)
-  }
 
   private val q260Sql = {
     def round(r: Int): String = {
@@ -1702,15 +1734,16 @@ object Graph {
   /** (node, reach1, reach2, h_micro) — exact ≤2-hop harmonic centrality
     * over symmetric (src, dst) edges; `maxDeg` as [[neighborhoodProfile]]. */
   def harmonicCentrality(edges: DataFrame,
-      maxDeg: Int = Int.MaxValue): DataFrame =
-    neighborhoodProfile(edges, maxDeg)
+      maxDeg: Int = Int.MaxValue,
+      inputDistinct: Boolean = false): DataFrame =
+    neighborhoodProfile(edges, maxDeg, inputDistinct)
       .select(col("node"), col("reach1"), col("reach2"),
         (col("reach1") * lit(1000000L) +
           (col("reach2") - col("reach1")) * lit(500000L)).as("h_micro"))
 
   private def q277(s: SparkSession, dir: String): DataFrame = {
     val pairs = coPartEdges(s, dir)
-    harmonicCentrality(pairs)
+    harmonicCentrality(pairs, inputDistinct = true)
       .orderBy(col("h_micro").desc, col("node")).limit(100)
   }
 

@@ -101,12 +101,20 @@ class PlanShapeSpec extends AnyFunSuite {
     // BloomFilterAgg / CountMinSketchAgg are TypedImperativeAggregates: the
     // plan must show a partial + final aggregate pair, so what crosses the
     // exchange is one serialized bitset/grid per task, never the input rows
-    for (q <- Seq("q75_bloom_dedup", "q76_heavy_hitters")) {
+    for (q <- Seq("q76_heavy_hitters")) {
       val p = plan(q)
       val sketchAggs = "(ObjectHashAggregate|SortAggregate)".r.findAllIn(p).size
       assert(sketchAggs >= 2, s"$q sketch build is not partial+final:\n$p")
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
     }
+    // round 15: the Bloom build runs as its own partial+final aggregate
+    // job and the finished bitset probes as a driver-held LITERAL — the
+    // declared q75 plan must show the codegen bloom_probe filter and no
+    // scalar crossJoin (the old idiom copied the bitset per probe row and
+    // broke whole-stage codegen on the scan stage)
+    val p75 = plan("q75_bloom_dedup")
+    assert(p75.contains("bloom_probe"), s"q75 lost the literal probe:\n$p75")
+    assert(!p75.contains("CartesianProduct"), s"q75 has a cartesian product:\n$p75")
   }
 
   test("q65: term-frequency aggregation is partial (map-side) before the shuffle") {
