@@ -249,6 +249,18 @@ object Bench {
       annSplit.map { case (n, b, p) =>
         "\"" + n + "\":{\"build_s\":" + b + ",\"probe_s\":" + p + "}"
       }.mkString(",\"ann_split\":{", ",", "}")
+    // EdgePin build disclosure (round 16, VERDICT r15 item 3): pins are
+    // materialized inside iteration 1 of the first consuming graph query
+    // and survive the per-query release, so min-of-N stamped numbers for
+    // the graph family exclude edge construction — this field carries the
+    // excluded cost (cumulative seconds + build count per pin kind).
+    val edgePinJson = {
+      val bs = graft.EdgePin.buildSeconds
+      if (bs.isEmpty) "" else bs.toSeq.sortBy(_._1).map {
+        case (k, (sec, n)) =>
+          "\"" + k + "\":{\"build_s\":" + sec + ",\"n_builds\":" + n + "}"
+      }.mkString(",\"edgepin\":{", ",", "}")
+    }
     val rddPart = state.get("rdd").map { _ =>
       val rs = results("rdd")
       val rt = tot(rs, _._1)
@@ -289,7 +301,7 @@ object Bench {
       }
     }).getOrElse("")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"median_total":$totalMed$rddField,"n_queries":${primary.size},"n_failed":$nFail,"worst5_by":"${if (state.contains("rdd")) "rdd" else "count"}","worst5":$worst5$rddRatioField,"budget_s":$budgetS,"budget_spent":$sweepSpent,"reran":$reran,"iters":$countIters,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","noise_ratio":$noise,"median_total":$totalMed$rddField,"n_queries":${primary.size},"n_failed":$nFail,"worst5_by":"${if (state.contains("rdd")) "rdd" else "count"}","worst5":$worst5$rddRatioField$edgePinJson,"budget_s":$budgetS,"budget_spent":$sweepSpent,"reran":$reran,"iters":$countIters,"sf":"$sfDir"}""")
 
     // the recorded BENCH_rN.json artifact keeps only a bounded log tail,
     // which truncated the per-query dicts out of rounds 10-11 — write the
@@ -312,7 +324,7 @@ object Bench {
         "\"" + n + "\":{\"build_s\":" + b + ",\"probe_s\":" + p + "}"
       }.mkString(",\"ann_split\":{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(qfile),
-      s"""{"sf":"$sfDir","iters":$countIters,"rdd_iters":$rddIters,"budget_s":$budgetS,"budget_spent":$sweepSpent,$perAction$annSplitFile}""" + "\n")
+      s"""{"sf":"$sfDir","iters":$countIters,"rdd_iters":$rddIters,"budget_s":$budgetS,"budget_spent":$sweepSpent,$perAction$annSplitFile$edgePinJson}""" + "\n")
     spark.stop()
   }
 }

@@ -21,22 +21,39 @@ object Plans {
     val suffix = args(2)
     val wanted = args.drop(3).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = org.apache.spark.sql.SparkSession.builder()
+    // SPARK_GRAFT_PLANS_CONF="k=v;k=v" — extra session confs, e.g.
+    // spark.sql.autoBroadcastJoinThreshold=-1 to dump the plan an
+    // operator produces in the both-sides-large (100 TB) regime
+    val extra = sys.env.getOrElse("SPARK_GRAFT_PLANS_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val builder = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    extra.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Files.createDirectories(Paths.get(outDir))
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => wanted.isEmpty || wanted(q._1))
+    // SPARK_GRAFT_PLANS_EXEC=1: EXECUTE each query (noop sink) first and
+    // dump the AQE-final executed plan — the only place runtime effects
+    // (exchange/stage reuse, broadcast conversions, skew splits) are
+    // visible; the default initial plan shows isFinalPlan=false shapes.
+    val exec = sys.env.get("SPARK_GRAFT_PLANS_EXEC").contains("1")
     for ((name, fn) <- qs) {
       try {
         val df = fn(spark, sfDir)
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        // toRdd on the SAME QueryExecution (a noop write would plan a
+        // fresh one and leave df's AdaptiveSparkPlan unfinalized)
+        if (exec) df.queryExecution.toRdd.count()
+        val txt = if (exec) df.queryExecution.executedPlan.toString
+          else df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
         Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
         System.err.println(s"[plans] wrote $name")
       } catch { case e: Throwable =>

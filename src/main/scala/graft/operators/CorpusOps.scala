@@ -858,7 +858,16 @@ object CorpusOps {
     val positioned = withOff
       .select(col("tok_off"), posexplode(col("toks")).as(Seq("j", "token")))
       .withColumn("pos", col("tok_off") + col("j"))
-    positioned.join(vocab, Seq("token"))
+    // Round 16 (guide §3.1): the vocab side is TOKEN-TYPE domain — it
+    // grows sublinearly with the corpus (Heaps' law; a BPE-style vocab is
+    // effectively bounded), while `positioned` is the full exploded token
+    // stream. The planner saw two ExistingRDDs of unknown size and picked
+    // a sort-merge join, shuffling + sorting every (token, pos) row by
+    // token string (plans/r15/q100_token_shards_before.txt: SortMergeJoin
+    // with an Exchange on each side). Broadcasting the vocab removes the
+    // stream-side exchange and sort outright; the only remaining full-
+    // stream shuffle is the unavoidable groupBy(seq_id).
+    positioned.join(broadcast(vocab), Seq("token"))
       .select((col("pos") / seqLen).cast("long").as("seq_id"),
         (col("pos") % seqLen).as("k"), col("tok_id"))
       .groupBy(col("seq_id"))

@@ -701,12 +701,23 @@ object CorpusStats {
     * (a, b, n_ab, g2_micro, g2). */
   def collocationsG2(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     val t = Tok.ws(col("text"))
+    // The explicit non-null filter is a no-op on the data (adjacent-token
+    // pairs are never null) but load-bearing for the PLAN: `cnt` feeds four
+    // consumers (pair counts, both marginals, the grand total), and without
+    // it the optimizer pushes DIFFERENT inferred isnotnull() predicates
+    // from each join into each branch's scan, so the four Exchange
+    // subtrees stop canonicalizing equal and ReuseExchange dies — the
+    // corpus was tokenized + exploded FOUR times (plans/r15/
+    // q259_collocations_g2_before.txt: 4× Scan parquet + Generate). With
+    // every branch carrying the same filter, the (a, b) exchange subtree
+    // is identical everywhere and the explode runs once (guide §2.4).
     val big = docs.select(explode(when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
         i => struct(element_at(t, i + lit(1)).as("a"),
           element_at(t, i + lit(2)).as("b"))))
       .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
     val cnt = big.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
     val ra = cnt.groupBy(col("a")).agg(sum(col("c")).as("ra"))
     val cb = cnt.groupBy(col("b")).agg(sum(col("c")).as("cb"))

@@ -109,25 +109,42 @@ object DimReduce {
   def pcaTopComponent(emb: DataFrame, dim: Int, iterations: Int = 20000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val ints = emb.select(transform(col("embedding"),
-      e => floor(e.cast("double") * 1e6).cast("long")).as("x"))
-    // pair-domain exact moments: one explode + one map-side-combined groupBy
-    val pairs = ints.select(explode(expr(
-      """flatten(transform(x, (xi, i) ->
-        |  transform(slice(x, i + 1, size(x) - i), (xj, k) ->
-        |    struct(i AS i, i + k AS j,
-        |      CAST(xi AS DECIMAL(18,0)) * CAST(xj AS DECIMAL(18,0)) AS p))))
+    // coalesce: a NULL embedding must still reach the count marker below
+    // (explode(null) would silently drop the row; the oracle's count(*)
+    // and the old emb.count() both include such rows)
+    val ints = emb.select(coalesce(transform(col("embedding"),
+      e => floor(e.cast("double") * 1e6).cast("long")),
+      array().cast("array<bigint>")).as("x"))
+    // Round 16 (guide §1.2 "don't make extra passes"): the pair moments,
+    // the first moments AND the row count come out of ONE explode + one
+    // map-side-combined groupBy — the first-moment entries ride along as
+    // (i, -1) marker keys and the count as (-1, -1), so the corpus is
+    // scanned once instead of three times (pairs job + firsts job +
+    // emb.count() before). Every sum is the same exact DECIMAL(18,0)
+    // integer arithmetic as before; the driver just dispatches on the
+    // marker when filling s/diag/m, so the matrix is bit-identical.
+    val moments = ints.select(explode(expr(
+      """concat(
+        |  flatten(transform(x, (xi, i) ->
+        |    transform(slice(x, i + 1, size(x) - i), (xj, k) ->
+        |      struct(i AS i, i + k AS j,
+        |        CAST(xi AS DECIMAL(18,0)) * CAST(xj AS DECIMAL(18,0)) AS p)))),
+        |  transform(x, (xi, i) ->
+        |    struct(i AS i, -1 AS j, CAST(xi AS DECIMAL(18,0)) AS p)),
+        |  array(struct(-1 AS i, -1 AS j, CAST(1 AS DECIMAL(18,0)) AS p)))
         |""".stripMargin)).as("t"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("sp"))
-    val firsts = ints.select(posexplode(col("x")).as(Seq("i", "xi")))
-      .groupBy(col("i")).agg(sum(col("xi")).as("s"))
-    val n = emb.count()
+      .collect()
+    var n = 0L
     val s = new Array[Long](dim)
-    firsts.collect().foreach(r => s(r.getInt(0)) = r.getLong(1))
+    for (r <- moments; if r.getInt(1) == -1) {
+      val v = r.getDecimal(2).toBigInteger.longValueExact()
+      if (r.getInt(0) == -1) n = v else s(r.getInt(0)) = v
+    }
     val diag = new Array[BigInt](dim) // exact Σxᵢ² per dim
     val m = Array.ofDim[Double](dim, dim) // model-sized: dim² doubles
-    pairs.collect().foreach { r =>
+    for (r <- moments; if r.getInt(1) >= 0) {
       val (i, j) = (r.getInt(0), r.getInt(1))
       val sp = BigInt(r.getDecimal(2).toBigInteger)
       if (i == j) diag(i) = sp

@@ -259,7 +259,6 @@ object EventsOps {
       .agg(min(col("hour")).as("mn"), max(col("hour")).as("mx"))
       .select(col("user_id"),
         explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("hour"))
-    val h = expr("unix_micros(hour) div 3600000000") // integer hour index
     val before = Window.partitionBy(col("user_id")).orderBy(col("hour"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // "next observed" is the same running last-ignoreNulls over the
@@ -271,26 +270,44 @@ object EventsOps {
     // hour. The descending running frame is incremental O(n) per pass.
     val after = Window.partitionBy(col("user_id")).orderBy(col("hour").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Round 16: the hour index and its observed-hour marker are projected
+    // BEFORE the window pass. Computing the marker between the two
+    // last() calls (as a withColumn per window function) interposed a
+    // Project between Window nodes of the SAME spec, which blocked
+    // CollapseWindow — the grid paid FOUR window passes
+    // (plans/r15/q115_gap_fill_before.txt: Window(17)/(19) and
+    // (22)/(24)). With plain-column inputs both last() pairs fuse into
+    // one Window node per direction: two passes, same two sorts, same
+    // values row-for-row.
     grid.join(hourly, Seq("user_id", "hour"), "left")
-      .withColumn("pv", last(col("vq"), ignoreNulls = true).over(before))
-      .withColumn("pt", last(when(col("vq").isNotNull, h), ignoreNulls = true).over(before))
-      .withColumn("nv", last(col("vq"), ignoreNulls = true).over(after))
-      .withColumn("nt", last(when(col("vq").isNotNull, h), ignoreNulls = true).over(after))
+      .withColumn("hi", expr("unix_micros(hour) div 3600000000"))
+      .withColumn("ht", when(col("vq").isNotNull, col("hi")))
+      .select(col("user_id"), col("hour"), col("vq"), col("hi"), col("ht"),
+        last(col("vq"), ignoreNulls = true).over(before).as("pv"),
+        last(col("ht"), ignoreNulls = true).over(before).as("pt"))
+      .select(col("user_id"), col("hour"), col("vq"), col("hi"), col("pv"),
+        col("pt"),
+        last(col("vq"), ignoreNulls = true).over(after).as("nv"),
+        last(col("ht"), ignoreNulls = true).over(after).as("nt"))
       // half-up rational rounding: ⌊(2·(pv·(nt−h) + nv·(h−pt)) + n) / 2n⌋
       .withColumn("fq", when(col("vq").isNotNull, col("vq")).otherwise(expr(
-        """(2 * (pv * (nt - unix_micros(hour) div 3600000000)
-          |     + nv * (unix_micros(hour) div 3600000000 - pt))
+        """(2 * (pv * (nt - hi) + nv * (hi - pt))
           | + (nt - pt)) div (2 * (nt - pt))""".stripMargin)))
       .select(col("user_id"), col("hour"),
         (col("fq") / lit(10000.0)).as("filled"),
         col("vq").isNull.cast("int").as("is_interpolated"))
   }
 
+  // Round 16 (guide §2.3): order on the RAW (user_id, hour) keys first
+  // and render the timestamp/decimal strings above the sort — the final
+  // range exchange then carries a timestamp + a long instead of two
+  // rendered strings, and the string order is identical (fixed-width
+  // "yyyy-MM-dd HH:mm:ss" in UTC sorts exactly like the timestamp).
   private def q115(s: SparkSession, dir: String): DataFrame =
     gapFillHourly(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("hour"))
       .select(col("user_id"), QueryDef.tsSec(col("hour")).as("hour"),
         QueryDef.dec4(col("filled")).as("filled"), col("is_interpolated"))
-      .orderBy(col("user_id"), col("hour"))
 
   private val q115Sql =
     """WITH hourly AS (

@@ -80,8 +80,18 @@ object Graph {
   // at a fixed partitioning so every iteration reuses the same exchange —
   // Spark already reuses the shuffle files across the loop here.
 
-  /** Fixed-iteration PageRank over directed (src, dst) edges. Supply both
-    * directions for an undirected graph (also guarantees outdeg ≥ 1).
+  /** Fixed-iteration PageRank over SYMMETRIC (src, dst) edges — supply
+    * both directions for an undirected graph. Symmetry is the operator's
+    * declared contract (all three callers — q123, q211, q212's kernel —
+    * pass symmetric unions) and round 16 leans on it twice: the node
+    * domain is read off the outdeg aggregation (every node appears as a
+    * src — the same fact the round-13 pin-regime signal already used),
+    * and every node has an incoming edge, so the per-iteration
+    * contribution covers ALL nodes and the old nodes-LEFT-JOIN-contrib
+    * step was an identity — both the per-call union+distinct over the
+    * edge list and one node-domain join + broadcast PER ITERATION are
+    * gone (guide §2.4); the computed recurrence is term-for-term
+    * identical, so ranks are bit-identical.
     * `inputDistinct = true` declares the edge list already deduplicated
     * AND materialized (a pinned [[graft.EdgePin]] layout): the per-call
     * dedup exchange and its checkpoint copy are then skipped — round-15
@@ -129,22 +139,26 @@ object Graph {
       org.apache.spark.sql.GraftSql.pinHashPartitioned(
         ewBase, Seq("src"), conf.numShufflePartitions)
     else ewBase.localCheckpoint()
-    val nodes = pin(e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct())
+    // symmetric contract: node domain == outdeg keys (no union+distinct)
+    val nodes = pin(outdeg.select(col("src").as("node")))
     val nRow = broadcast(nodes.agg(count(lit(1)).as("n")))
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), (lit(1.0) / col("n")).as("rank"))
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iterations) {
-      val contrib = ew
+      // symmetric contract: every node is some edge's dst, so this
+      // grouped sum already covers the full node domain — apply the
+      // teleport term directly (the old nodes-LEFT-JOIN here always
+      // matched and its coalesce never fired; same doubles, two fewer
+      // node-domain joins + one fewer broadcast per iteration)
+      ranks = ew
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("rank") / col("outdeg")).as("in_sum"))
-      ranks = nodes.crossJoin(nRow)
-        .join(contrib, Seq("node"), "left")
+        .crossJoin(nRow)
         .select(col("node"),
           ((lit(1.0) - lit(damping)) / col("n") +
-            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
+            lit(damping) * col("in_sum")).as("rank"))
       if (longRun && i % LineageEvery == 0 && i < iterations) {
         val cp = ranks.localCheckpoint()
         lastCp.foreach(org.apache.spark.sql.GraftSql.releaseCheckpointBlocks)
@@ -294,6 +308,14 @@ object Graph {
       org.apache.spark.sql.GraftSql.pinHashPartitioned(
         ewBase, Seq("src"), conf.numShufflePartitions)
     else ewBase.localCheckpoint()
+    // Round-16 note: deriving nodes from outdeg keys (the pageRank
+    // restructure) was tried here and backed out — repeated A/B at sf0.1
+    // was INCONCLUSIVE under co-tenant noise (q212 rdd min ranged
+    // 4.5–6.4 s across identical-code runs), and unlike pageRank the
+    // change removes no per-iteration operator here (the restart vector
+    // is checkpointed once up front either way; only the one-off
+    // union+distinct vs groupBy trade differs). Kept the round-15 shape
+    // rather than claim an unmeasurable win.
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val s = seeds.select(col("node")).distinct()

@@ -531,8 +531,21 @@ object Relational {
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // -- B21: math functions ---------------------------------------------------
+  // Round 16 (guide §2.3 "shuffle fewer bytes"): the decimal-string
+  // renders used to be computed BELOW the final range exchange, so the
+  // sort shuffled seven ~10-byte strings per row instead of the three
+  // raw doubles they derive from (plans/r15/q21_math_before.txt: the
+  // 12-column Project sits under the Exchange). Sorting the narrow raw
+  // columns and rendering after the sort moves the same per-row work
+  // past the shuffle and roughly halves the exchanged bytes; output rows
+  // and order are unchanged.
   private def q21(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         dec4(round(col("l_extendedprice"), 2)).as("rounded"),
         floor(col("l_quantity")).as("floored"),
@@ -542,7 +555,6 @@ object Relational {
         dec4(log(col("l_extendedprice") + 1)).as("ln_price"),
         dec4(sqrt(col("l_quantity"))).as("sqrt_qty"),
         pmod(col("l_orderkey"), lit(7)).as("key_mod7"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
 
   private val q21Sql =
     """SELECT l_orderkey, l_linenumber,

@@ -216,6 +216,15 @@ object TextEval {
       .select(col("doc_id"), array_join(col("c"), "").as("cs"),
         array_join(col("r"), "").as("rs"))
       .localCheckpoint()
+    // Round 16 note (examined, left as 12 thin branches DELIBERATELY): a
+    // single-Generate rewrite that builds all (n, g, side) tags per row
+    // via flatten(transform(sequence(1, 6), …)) of 4-field structs was
+    // measured 5.7× SLOWER at sf0.1 (27.9 s vs 4.9 s rdd min, no codegen
+    // fallback) — materializing ~6·len tagged structs per row before the
+    // explode costs far more in allocation/copy than the 11 extra scans
+    // of the checkpointed pair strings save (block-cached, ~MB-sized).
+    // The per-branch arrays below stay PLAIN strings with constant-
+    // foldable tag literals, which is the cheap shape for Generate.
     val tagged = (1 to maxN).flatMap { n =>
       Seq(("cs", 1L, 0L), ("rs", 0L, 1L)).map { case (side, ic, ir) =>
         strs.select(col("doc_id"), lit(n).as("n"),

@@ -81,8 +81,12 @@ object UrlOps {
       greatest(size(labels) - lit(k - 1), lit(1)), lit(k)))
 
   /** Label count of the host's public suffix under [[SuffixRules]]. */
-  def suffixLength(host: Column): Column = {
-    val labels = split(host, "\\.")
+  def suffixLength(host: Column): Column =
+    suffixLengthOfLabels(split(host, "\\."))
+
+  /** [[suffixLength]] over an already-split label array — the staged form
+    * the query pipelines use (see [[withDomainStages]]). */
+  def suffixLengthOfLabels(labels: Column): Column = {
     val n = size(labels)
     // exception rules first (PSL: an exception match prevails; its public
     // suffix is the exception minus its leftmost label)
@@ -121,6 +125,29 @@ object UrlOps {
     val sl = suffixLength(host)
     when(n > sl, concat_ws(".", slice(labels, n - sl, sl + 1)))
   }
+
+  /** Round-16 codegen fix (VERDICT r15 item 7): the fused
+    * `registrableDomain(hostOf(url))` expression re-embeds the regex host
+    * extraction and the `split()` label array once per suffix branch
+    * (~10×), and inside a WholeStageCodegen aggregate stage the generated
+    * `hashAgg_doAggregateWithKeys` method then overflows janino's 64 KB
+    * method limit — q357/q358 ran INTERPRETED after a failed compile
+    * (ERROR CodeGenerator in the r15 logs). Staging url → host+labels →
+    * suffix-length → registrable as separate projections evaluates each
+    * non-cheap subexpression once per row into a column; CollapseProject
+    * leaves the stages alone because the aliases are referenced more than
+    * once and are not cheap (SPARK-36718), so every generated method
+    * stays small and the whole pipeline compiles. Adds `registrable`
+    * (never NULL — the no-registrable case renders as "(none)"). */
+  private def withDomainStages(df: DataFrame, url: Column): DataFrame =
+    df.withColumn("__labels", split(hostOf(url), "\\."))
+      .withColumn("__sl", suffixLengthOfLabels(col("__labels")))
+      .withColumn("registrable",
+        coalesce(when(size(col("__labels")) > col("__sl"),
+          concat_ws(".", slice(col("__labels"),
+            size(col("__labels")) - col("__sl"), col("__sl") + 1))),
+          lit("(none)")))
+      .drop("__labels", "__sl")
 
   // ---- DuckDB twins (generated from the SAME rule lists + unroll) ---------
 
@@ -195,11 +222,21 @@ object UrlOps {
     val docs = graft.Tables.table(s, dir, "documents").select(col("doc_id"))
     val withUrl = docs.select(col("doc_id"),
       fixtureUrl(col("doc_id")).as("url"))
+    // staged like [[withDomainStages]] (labels and suffix-length computed
+    // once per row, not once per consuming expression) — q356 keeps the
+    // nullable registrable and the suffix column, so it stages inline
     withUrl.select(col("doc_id"), col("url"),
         hostOf(col("url")).as("host"))
+      .withColumn("__labels", split(col("host"), "\\."))
+      .withColumn("__sl", suffixLengthOfLabels(col("__labels")))
       .select(col("doc_id"), col("url"), col("host"),
-        publicSuffix(col("host")).as("suffix"),
-        registrableDomain(col("host")).as("registrable"))
+        concat_ws(".", slice(col("__labels"),
+          size(col("__labels")) - col("__sl") + 1, col("__sl")))
+          .as("suffix"),
+        when(size(col("__labels")) > col("__sl"),
+          concat_ws(".", slice(col("__labels"),
+            size(col("__labels")) - col("__sl"), col("__sl") + 1)))
+          .as("registrable"))
       .orderBy(col("doc_id"))
   }
 
@@ -222,11 +259,10 @@ object UrlOps {
   private def q357(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("source"))
-    val reg = docs.select(col("source"),
-      registrableDomain(hostOf(fixtureUrl(col("doc_id"))))
-        .as("registrable"))
+    val reg = withDomainStages(docs, fixtureUrl(col("doc_id")))
+      .select(col("source"), col("registrable"))
     val total = broadcast(reg.agg(count(lit(1)).as("n_total")))
-    reg.groupBy(coalesce(col("registrable"), lit("(none)")).as("registrable"))
+    reg.groupBy(col("registrable"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("source")).as("n_sources"))
       .crossJoin(total)
@@ -267,9 +303,8 @@ object UrlOps {
   private def q358(s: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.table(s, dir, "documents")
       .select(col("doc_id"), col("n_chars"))
-    val reg = docs.select(col("doc_id"), col("n_chars"),
-      coalesce(registrableDomain(hostOf(fixtureUrl(col("doc_id")))),
-        lit("(none)")).as("registrable"))
+    val reg = withDomainStages(docs, fixtureUrl(col("doc_id")))
+      .select(col("doc_id"), col("n_chars"), col("registrable"))
     val thr = when(length(col("registrable")) % 4 === 0, "4000")
       .when(length(col("registrable")) % 4 === 1, "8000")
       .when(length(col("registrable")) % 4 === 2, "cccc")
